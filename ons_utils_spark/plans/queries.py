@@ -1,0 +1,825 @@
+"""Named relational queries with DuckDB-oracle SQL twins.
+
+Each entry exercises one operator family from SURVEY.md §2 (plus the
+LLM-pipeline extension) over the TESTDATA star schema. The Spark side is
+declarative DataFrame API — Catalyst owns pushdown/pruning/join selection;
+the oracle side is ANSI SQL DuckDB runs on the same parquet files.
+
+Contract (driver t2 gate): identical column names (everything aliased on
+both sides), identical row sets. Double aggregates are rounded identically
+on both sides (sums of money → 2 dp, ratios/avgs → 4-6 dp) so the
+order-insensitive value hash is stable across engines.
+
+Scale notes are attached per query — every join states its intended
+physical strategy at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ons_utils_spark.functions.arrays import cosine_similarity
+from ons_utils_spark.operators.concat import concat
+from ons_utils_spark.operators.general import map_col
+from ons_utils_spark.sources.tables import load_table
+
+
+@dataclass
+class EngineQuery:
+    """A named query: Spark callable + optional DuckDB oracle SQL."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str] = None
+    description: str = ""
+
+
+QUERIES: dict[str, EngineQuery] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, description: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = EngineQuery(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            round(sum(l_quantity), 2)                                        AS sum_qty,
+            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+            round(avg(l_quantity), 4)                                        AS avg_qty,
+            round(avg(l_extendedprice), 4)                                   AS avg_price,
+            round(avg(l_discount), 4)                                        AS avg_disc,
+            count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-style pricing summary: scan→filter→hash agg. "
+    "Map-side partial aggregation; ~6 groups so the final shuffle is tiny.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_rollup_sales",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            count(*) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    description="ROLLUP hierarchy totals — Spark `rollup` ≡ SQL GROUP BY ROLLUP; "
+    "partial agg + single shuffle, subtotal rows synthesized by Expand.",
+)
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q_cube_orders",
+    oracle="""
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            count(*) AS n_orders,
+            round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    description="CUBE over two low-cardinality dims; Expand multiplies rows 4x "
+    "pre-shuffle but partial agg keeps shuffle bytes ~|groups|.",
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT
+            l.l_orderkey AS l_orderkey,
+            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+            o.o_orderdate AS o_orderdate,
+            o.o_orderpriority AS o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    description="TPC-H Q3-style: broadcast the filtered customer dim into "
+    "orders, shuffle-join lineitem on orderkey, agg, top-10 (TakeOrdered — "
+    "no global sort).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    customer = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    lineitem = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        lineitem.join(
+            orders.join(
+                F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+        SELECT
+            n.n_name AS n_name,
+            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    description="TPC-H Q5-style 6-table star join. All dims (region, nation, "
+    "supplier, customer) broadcast; only orders⋈lineitem shuffles on orderkey.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q_customers_without_orders",
+    oracle="""
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    description="LEFT ANTI join — customers with no orders. At scale: "
+    "shuffle-hash anti join on custkey (orders side pre-projected to keys).",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_customers_with_open_orders",
+    oracle="""
+        SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+        )
+        ORDER BY c_custkey
+    """,
+    description="LEFT SEMI join — customers holding at least one open order.",
+)
+def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "O"
+    ).select("o_custkey")
+    return (
+        customer.join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_outer_join_order_counts",
+    oracle="""
+        SELECT
+            c.c_custkey AS c_custkey,
+            count(o.o_orderkey) AS n_orders,
+            round(coalesce(sum(o.o_totalprice), 0), 2) AS spend
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+        ORDER BY c_custkey
+    """,
+    description="LEFT OUTER join + agg; count(col) semantics over null rows. "
+    "At scale: shuffle join on custkey (both sides large), AQE handles skew.",
+)
+def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5) / sorts & top-k (§2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_topk_orders_per_customer",
+    oracle="""
+        SELECT c_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT
+                o_custkey AS c_custkey,
+                o_orderkey AS o_orderkey,
+                o_totalprice AS o_totalprice,
+                row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey
+                ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+        ORDER BY c_custkey, rn
+    """,
+    description="Top-k per group via row_number window — the scalable top-k "
+    "pattern (one shuffle on the partition key; no global sort).",
+)
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@register(
+    "q_running_customer_spend",
+    oracle="""
+        SELECT
+            o_custkey AS o_custkey,
+            o_orderkey AS o_orderkey,
+            round(sum(o_totalprice) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ), 2) AS running_spend,
+            lag(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ) AS prev_price
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+    """,
+    description="Running total + lag with an explicit ROWS frame; "
+    "deterministic tie-break (orderdate, orderkey) keeps the fold order — and "
+    "therefore the floating-point result — engine-independent.",
+)
+def q_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(frame), 2).alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_nations_customers_and_suppliers",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    description="INTERSECT (distinct semantics) — hash agg both sides then "
+    "co-partitioned join; dedup happens map-side first.",
+)
+def q_nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+@register(
+    "q_nations_without_suppliers",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    description="EXCEPT (distinct) — nations that have customers but no suppliers.",
+)
+def q_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Flagship parity operators as queries: concat, map_col (SURVEY §2.2/§2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_concat_with_keys",
+    oracle="""
+        SELECT 'open' AS status_group, o_orderkey, o_totalprice
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'finished' AS status_group, o_orderkey, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_orderkey, status_group
+    """,
+    description="Flagship `concat` with lineage keys ≡ UNION ALL with literal "
+    "key columns. Union is metadata-only: no shuffle, children keep their "
+    "partitioning.",
+)
+def q_concat_with_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    frames = {
+        "open": orders.where(F.col("o_orderstatus") == "O").drop("o_orderstatus"),
+        "finished": orders.where(F.col("o_orderstatus") == "F").drop("o_orderstatus"),
+    }
+    return concat(frames, names="status_group").orderBy("o_orderkey", "status_group")
+
+
+@register(
+    "q_concat_schema_coercion",
+    oracle="""
+        SELECT o_orderkey, price FROM (
+            SELECT o_orderkey, CAST(CAST(floor(o_totalprice) AS BIGINT) AS DOUBLE) AS price
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_totalprice AS price
+            FROM orders WHERE o_orderstatus <> 'O'
+        )
+        ORDER BY o_orderkey
+    """,
+    description="`concat` numeric type-widening (bigint ∪ double → double) "
+    "checked against explicit casts in SQL.",
+)
+def q_concat_schema_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    as_int = orders.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.col("o_totalprice").cast("bigint").alias("price")
+    )
+    as_double = orders.where(F.col("o_orderstatus") != "O").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        out = concat([as_int, as_double])
+    return out.orderBy("o_orderkey")
+
+
+@register(
+    "q_map_col_region_names",
+    oracle="""
+        SELECT
+            n_name,
+            CASE n_regionkey
+                WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA' WHEN 2 THEN 'ASIA'
+                WHEN 3 THEN 'EUROPE' WHEN 4 THEN 'MIDDLE EAST'
+            END AS region_name
+        FROM nation
+        ORDER BY n_name
+    """,
+    description="`map_col` dict-lookup projection as a MapType literal "
+    "(constant-folded; no join, no shuffle).",
+)
+def q_map_col_region_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    mapping = {0: "AFRICA", 1: "AMERICA", 2: "ASIA", 3: "EUROPE", 4: "MIDDLE EAST"}
+    return nation.select(
+        "n_name", map_col("n_regionkey", mapping).alias("region_name")
+    ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8): string / date / math / json
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_scalar_functions",
+    oracle="""
+        SELECT
+            o_orderkey AS o_orderkey,
+            CAST(year(o_orderdate) AS INT) AS order_year,
+            CAST(month(o_orderdate) AS INT) AS order_month,
+            upper(o_orderpriority) AS priority_upper,
+            substr(o_orderpriority, 1, 1) AS priority_code,
+            concat(o_orderstatus, '-', o_orderpriority) AS status_priority,
+            length(o_orderpriority) AS priority_len,
+            round(sqrt(o_totalprice), 4) AS price_sqrt,
+            CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_bucket
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    description="Scalar-function showcase (date parts, string ops, math) — "
+    "all JVM-side built-ins inside whole-stage codegen.",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.upper("o_orderpriority").alias("priority_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_bucket"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q_json_props",
+    oracle="""
+        SELECT
+            event_type AS event_type,
+            sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+            count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="JSON extraction from the events `props` column + agg "
+    "(get_json_object ≡ json_extract_string).",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_total"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time windows (batch form of the streaming surface, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_events_hourly_windows",
+    oracle="""
+        SELECT
+            date_trunc('hour', ts) AS window_start,
+            event_type AS event_type,
+            count(*) AS n_events,
+            round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    description="Tumbling 1-hour window aggregation over events — identical "
+    "code path Structured Streaming uses (`F.window`); oracle via date_trunc.",
+)
+def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q_events_user_sessions",
+    oracle="""
+        WITH ordered AS (
+            SELECT
+                user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM ordered
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    description="Sessionization (30-min inactivity gap) via lag + running sum "
+    "— the batch twin of `F.session_window`; one shuffle on user_id.",
+)
+def q_events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    gap = F.col("ts").cast("long") - prev_ts.cast("long")
+    is_new = F.when(prev_ts.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (
+        events.select("user_id", "ts", "event_id", is_new.alias("is_new_session"))
+        .select(
+            "user_id",
+            "ts",
+            F.sum("is_new_session").over(run).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension: dedup / text / similarity (SURVEY §7 item 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY doc_id
+    """,
+    description="Exact dedup by content hash: keep min doc_id per text. "
+    "Hash first (map-side) so the shuffle key is 16 bytes, not the document.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+        SELECT
+            lang AS lang,
+            count(*) AS n_docs,
+            CAST(sum(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                AS total_tokens,
+            round(avg(n_chars), 4) AS avg_chars,
+            round(avg(CAST(length(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                      / n_chars), 6) AS tokens_per_char
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Text analytics: whitespace tokenization + per-language "
+    "aggregate stats, all JVM-side (split/size), no Python workers.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select("lang", "n_chars", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(
+                F.avg(F.col("n_tokens").cast("double") / F.col("n_chars")), 6
+            ).alias("tokens_per_char"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_similarity_scores",
+    oracle="""
+        SELECT
+            e.vec_id AS vec_id,
+            round(
+                list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(q.qv, q.qv))),
+                6
+            ) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ) q
+        ORDER BY vec_id
+    """,
+    description="Brute-force cosine similarity of every embedding vs a query "
+    "vector — zip_with/aggregate fold in double precision; the query vector "
+    "rides along as a broadcast nested-loop (1-row) join.",
+)
+def q_similarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 6).alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q_similarity_topk",
+    oracle="""
+        SELECT vec_id, cos_sim, label FROM (
+            SELECT
+                e.vec_id AS vec_id,
+                round(
+                    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(q.qv, q.qv))),
+                    6
+                ) AS cos_sim,
+                e.label AS label
+            FROM embeddings e
+            CROSS JOIN (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0
+            ) q
+            WHERE e.vec_id <> 0
+        )
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+    description="Exact cosine top-k vs a query vector; Spark plans the "
+    "ORDER BY+LIMIT as TakeOrderedAndProject (per-partition heap, no global "
+    "sort) — the brute-force ANN baseline.",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 6).alias("cos_sim"),
+            "label",
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

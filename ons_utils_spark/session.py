@@ -1,0 +1,79 @@
+"""SparkSession builder tuned for this engine.
+
+The reference pinned Spark 2.4-era configs (legacy Arrow IPC flags, 12 shuffle
+partitions, external shuffle service — ``/root/reference/ons_utils/config/
+validation.py:352-364``). On Spark 3/4 the equivalents are AQE + Arrow-native
+pandas UDFs; shuffle partitioning is sized to the local core count and then
+coalesced at runtime by AQE. Session timezone is pinned to UTC so results are
+comparable with UTC-naive engines (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied by :func:`get_session`. Callers can override any of them.
+DEFAULT_CONFIGS: dict[str, str] = {
+    # AQE: runtime coalescing of shuffle partitions, skew-join splitting and
+    # dynamic join-strategy switching — the scale story for 100 TB plans.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for every pandas interchange (toPandas, applyInPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # UTC everywhere: parquet timestamps are instants; the DuckDB oracle is
+    # UTC-naive. Without this the session picks up the machine TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Don't drag the full 20MB+ UI stack up for library use.
+    "spark.ui.enabled": "false",
+    # Broadcast threshold: dimension tables (region/nation/customer at test
+    # SFs) should broadcast; AQE re-checks at runtime with actual sizes.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+}
+
+
+def get_session(
+    app_name: str = "ons_utils_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_configs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Return (building if needed) a SparkSession with engine defaults.
+
+    Parameters
+    ----------
+    app_name
+        Spark application name.
+    master
+        Master URL. Defaults to ``local[$SPARK_GRAFT_CPUS]`` (env var, falling
+        back to ``local[*]``). On a real cluster, pass nothing and let
+        spark-submit own the master.
+    shuffle_partitions
+        Initial shuffle partition count. Defaults to the local parallelism for
+        local masters (AQE coalesces further at runtime). On a 1000-executor
+        cluster you'd set this to ~2-3x total cores instead.
+    extra_configs
+        Overrides/additions applied after :data:`DEFAULT_CONFIGS`.
+    """
+    builder = SparkSession.builder.appName(app_name)
+
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+
+    configs = dict(DEFAULT_CONFIGS)
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+    configs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_configs:
+        configs.update(extra_configs)
+    for key, value in configs.items():
+        builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,217 @@
+"""Column-helper / window / applyInPandas parity tests
+(reference ``tests/pyspark/test_general.py``)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import Column, functions as F
+
+from ons_utils_spark.operators.general import (
+    convert_to_spark_col,
+    diff,
+    get_ddl_schema,
+    get_fields,
+    get_first_group,
+    get_window_spec,
+    grouped_apply,
+    lookup_join,
+    map_col,
+    map_column_names,
+    to_list,
+    transform,
+)
+from ons_utils_spark.testing import assert_df_equality, create_spark_df
+
+
+class TestConvertToSparkCol:
+    def test_string_becomes_column(self):
+        assert isinstance(convert_to_spark_col("a"), Column)
+
+    def test_column_passes_through(self):
+        col = F.col("a")
+        assert convert_to_spark_col(col) is col
+
+    @pytest.mark.parametrize("bad", [1, 1.5, float("nan"), None, ["a"]])
+    def test_other_types_raise(self, bad):
+        with pytest.raises(ValueError, match="expecting a string or pyspark column"):
+            convert_to_spark_col(bad)
+
+
+class TestMapCol:
+    def test_maps_values_and_nulls_unmatched(self, spark):
+        df = create_spark_df(spark, [("code",), (1,), (2,), (9,)])
+        result = df.select("code", map_col("code", {1: "one", 2: "two"}).alias("word"))
+        expected = create_spark_df(
+            spark,
+            [("code", "word"), (1, "one"), (2, "two"), (9, None)],
+        )
+        assert_df_equality(result, expected, ignore_row_order=True)
+
+    def test_sequence_values_become_arrays(self, spark):
+        df = create_spark_df(spark, [("k",), ("a",)])
+        result = df.select(map_col("k", {"a": [1, 2]}).alias("arr")).collect()
+        assert result[0]["arr"] == [1, 2]
+
+
+class TestLookupJoin:
+    def test_matches_map_col_semantics(self, spark):
+        df = create_spark_df(spark, [("code",), (1,), (2,), (9,)])
+        result = lookup_join(df, "code", {1: "one", 2: "two"}, "word")
+        expected = create_spark_df(
+            spark,
+            [("code", "word"), (1, "one"), (2, "two"), (9, None)],
+        )
+        assert_df_equality(result, expected, ignore_row_order=True)
+
+
+class TestMapColumnNames:
+    def test_renames_mapped_keeps_rest(self, spark):
+        df = create_spark_df(spark, [("a", "b", "c"), (1, 2, 3)])
+        result = map_column_names(df, {"a": "x", "c": "z"})
+        assert result.columns == ["x", "b", "z"]
+
+
+class TestWindowSpec:
+    def test_partitioned_window_sum(self, spark):
+        df = create_spark_df(
+            spark,
+            [("g", "v"), ("a", 1), ("a", 2), ("b", 10)],
+        )
+        result = df.withColumn("total", F.sum("v").over(get_window_spec("g")))
+        expected = create_spark_df(
+            spark,
+            [("g", "v", "total"), ("a", 1, 3), ("a", 2, 3), ("b", 10, 10)],
+        )
+        assert_df_equality(result, expected, ignore_row_order=True)
+
+    def test_global_window(self, spark):
+        df = create_spark_df(spark, [("v",), (1,), (2,), (3,)])
+        result = df.withColumn("total", F.sum("v").over(get_window_spec()))
+        assert {r["total"] for r in result.collect()} == {6}
+
+    def test_ordered_window(self, spark):
+        df = create_spark_df(
+            spark, [("g", "v"), ("a", 2), ("a", 1), ("b", 5)]
+        )
+        w = get_window_spec("g", order_by="v")
+        result = df.withColumn("rank", F.row_number().over(w))
+        rows = {(r["g"], r["v"]): r["rank"] for r in result.collect()}
+        assert rows[("a", 1)] == 1 and rows[("a", 2)] == 2
+
+
+class TestDdlSchemaAndFields:
+    def test_get_ddl_schema(self):
+        ddl = get_ddl_schema([("a", "int"), ("b", "string")])
+        assert ddl == "a int,\nb string"
+
+    def test_get_fields_returns_pairs(self, spark):
+        df = create_spark_df(spark, [("a", "b"), (1, "x")])
+        assert get_fields(df) == [("a", "bigint"), ("b", "string")]
+
+    def test_get_fields_with_selection_orders(self, spark):
+        df = create_spark_df(spark, [("a", "b"), (1, "x")])
+        assert get_fields(df, ["b", "a"]) == [("b", "string"), ("a", "bigint")]
+
+
+class TestToList:
+    def test_single_column_flat_list(self, spark):
+        df = create_spark_df(spark, [("v",), (1,), (2,)])
+        assert sorted(to_list(df)) == [1, 2]
+
+    def test_multi_column_row_lists(self, spark):
+        df = create_spark_df(spark, [("a", "b"), (1, "x")])
+        assert to_list(df) == [[1, "x"]]
+
+
+class TestTransform:
+    def test_chains_function(self, spark):
+        df = create_spark_df(spark, [("v",), (1,), (2,)])
+        result = transform(df, lambda d, n: d.where(F.col("v") > n), 1)
+        assert result.count() == 1
+
+
+class TestGetFirstGroup:
+    def test_filters_to_first_group(self, spark):
+        df = create_spark_df(
+            spark,
+            [("g", "v"), ("a", 1), ("a", 2), ("b", 3)],
+        ).orderBy("g")
+        result = get_first_group(df, "g")
+        groups = {r["g"] for r in result.collect()}
+        assert len(groups) == 1
+
+    def test_handles_quotes_in_values(self, spark):
+        # The reference's f-string SQL breaks here; Column predicates don't.
+        df = create_spark_df(spark, [("g", "v"), ("o'brien", 1), ("o'brien", 2)])
+        assert get_first_group(df, "g").count() == 2
+
+
+class TestGroupedApply:
+    def test_runs_pandas_function_per_group(self, spark):
+        df = create_spark_df(
+            spark,
+            [("g", "v"), ("a", 1.0), ("a", 3.0), ("b", 10.0)],
+        )
+
+        def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"demeaned": pdf["v"] - pdf["v"].mean()})
+
+        result = grouped_apply(df, demean, "g string, demeaned double", "g")
+        expected = create_spark_df(
+            spark,
+            [
+                ("g", "demeaned"),
+                ("a", -1.0),
+                ("a", 1.0),
+                ("b", 0.0),
+            ],
+        )
+        assert_df_equality(result, expected, ignore_row_order=True)
+
+    def test_args_kwargs_passed(self, spark):
+        df = create_spark_df(spark, [("g", "v"), ("a", 1.0)])
+
+        def scale(pdf, factor, offset=0.0):
+            return pd.DataFrame({"scaled": pdf["v"] * factor + offset})
+
+        result = grouped_apply(
+            df, scale, "g string, scaled double", "g",
+            args=[2.0], kwargs={"offset": 1.0},
+        )
+        assert result.collect()[0]["scaled"] == 3.0
+
+    def test_keep_index(self, spark):
+        df = create_spark_df(spark, [("g", "v"), ("a", 1.0), ("a", 2.0)])
+
+        def agg_with_index(pdf):
+            out = pdf.groupby("g")[["v"]].sum()
+            out.index.name = "g_idx"
+            return out
+
+        result = grouped_apply(
+            df, agg_with_index, "g string, g_idx string, v double", "g",
+            keep_index=True,
+        )
+        row = result.collect()[0]
+        assert row["g_idx"] == "a" and row["v"] == 3.0
+
+
+class TestDiff:
+    def test_consecutive_differences(self, spark):
+        df = spark.createDataFrame([([1.0, 3.0, 6.0],)], "a array<float>")
+        result = df.select(diff("a").alias("d")).collect()[0]["d"]
+        assert result == [2.0, 3.0]
+
+    def test_short_arrays_give_empty(self, spark):
+        df = spark.createDataFrame([([1.0],), ([],)], "a array<float>")
+        values = [r["d"] for r in df.select(diff("a").alias("d")).collect()]
+        assert values == [[], []]
+
+    def test_null_gives_null(self, spark):
+        df = spark.createDataFrame([(None,)], "a array<float>")
+        assert df.select(diff("a").alias("d")).collect()[0]["d"] is None
+
+    def test_stays_jvm_side(self, spark):
+        # No BatchEvalPython / ArrowEvalPython node: the op must not leave the JVM.
+        df = spark.createDataFrame([([1.0, 2.0],)], "a array<float>")
+        plan = df.select(diff("a").alias("d"))._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan

@@ -1,0 +1,397 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+LLM-data-pipeline extension (SURVEY.md §7 item 7). Architecture per operator,
+with its 100 TB story:
+
+- **exact**: hash the dedup key map-side (16-byte shuffle key instead of the
+  whole document), then keep one representative per hash. One shuffle.
+- **n-gram Jaccard (exact pairs)**: inverted-index self-join on shingles.
+  Exact but O(sum of postings²) in the worst case — ``max_df`` caps the
+  document frequency of a shingle (drops stop-shingles), which is the
+  standard skew guard: without it one ubiquitous shingle creates a
+  quadratic hot partition.
+- **MinHash+LSH**: signature → band → bucket-join. Sub-quadratic candidate
+  generation; candidates are then verified with exact Jaccard. Tune
+  ``num_hashes``/``bands`` for the recall/cost point.
+- **SimHash**: 64-bit sketch; Hamming-≤k pairs found by pigeonhole banding
+  (k+1 bands ⇒ any pair within k shares a band).
+- **embedding cosine**: exact all-pairs above a threshold (use the LSH
+  variant in :mod:`ons_utils_spark.operators.similarity` at scale).
+
+Everything is DataFrame ops + higher-order array expressions — no Python
+UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column as SparkCol, DataFrame as SparkDF, Window, functions as F
+
+from ons_utils_spark.functions.arrays import cosine_similarity
+from ons_utils_spark.generic import list_convert
+from ons_utils_spark.operators.text import word_shingles
+
+#: Mersenne prime 2^31 - 1: modulus for the universal-hash family used by
+#: MinHash permutations (standard construction, see Broder 1997). 31-bit so
+#: ``a * h + b`` stays well inside a signed 64-bit long — Spark 4 runs in
+#: ANSI mode, where bigint overflow throws instead of wrapping.
+_MERSENNE_31 = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: SparkDF,
+    cols: Union[str, Sequence[str]],
+    id_col: Optional[str] = None,
+) -> SparkDF:
+    """Keep one row per distinct value of ``cols``.
+
+    With ``id_col``, the kept row is the one with the smallest id
+    (deterministic); without, an arbitrary row wins (``dropDuplicates`` —
+    cheaper, no window). The dedup key is hashed map-side so the shuffle
+    moves a 16-byte digest, not the full column value.
+    """
+    cols = list_convert(cols)
+    if id_col is None:
+        return df.dropDuplicates(cols)
+    key = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: Optional[int] = None,
+) -> SparkDF:
+    """Exact near-duplicate pairs by n-gram-shingle Jaccard similarity.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` and
+    ``jaccard >= threshold``. Inverted-index plan: explode distinct
+    shingles, self-join on the shingle, count shared shingles per pair,
+    compute ``|∩| / (|A| + |B| - |∩|)``.
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    before the join — the skew guard that keeps the self-join sub-quadratic
+    on real corpora. (Dropping a shingle both docs contain can only lower
+    the estimated Jaccard, so results stay a subset — document the recall
+    contract when you use it.)
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n=n).alias("sh_set"),
+    ).select("id", F.size("sh_set").alias("sz"), F.explode("sh_set").alias("sh"))
+
+    if max_df is not None:
+        w = Window.partitionBy("sh")
+        shingled = (
+            shingled.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+
+    left = shingled.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh"
+    )
+    right = shingled.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "sh"
+    )
+    pairs = (
+        left.join(right, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_hashes(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+) -> SparkDF:
+    """``(id, h)`` rows: one xxhash64 per shingle, exploded.
+
+    The explode (a Generate node) is a hard optimizer barrier, so the
+    tokenize→shingle→hash pipeline runs exactly ONCE per document — sketch
+    operators then aggregate over these rows with map-side partial
+    aggregation. (Computing k sketch lanes as k column expressions instead
+    makes CollapseProject duplicate the whole shingle pipeline k times —
+    measured ~50x slower.)
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n=n, distinct=distinct)).alias("sh"),
+    ).select("id", F.xxhash64("sh").alias("h"))
+
+
+def minhash_signatures(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> SparkDF:
+    """MinHash signatures → ``(id, sig array<bigint>)``, one row per doc.
+
+    Classic distributed formulation: explode shingle hashes, then one
+    hash-aggregate computing ``min((a_i * h + b_i) mod p)`` for each of the
+    ``num_hashes`` permutations (Broder 1997). Partial aggregation makes the
+    shuffle O(docs × num_hashes) regardless of document length. Documents
+    with no shingles produce no row.
+    """
+    hashes = shingle_hashes(df, id_col, text_col, n=n)
+    h31 = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
+    mins = [
+        F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
+    ]
+    return (
+        hashes.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> SparkDF:
+    """Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
+
+    Candidate generation: the signature is cut into ``bands`` bands of
+    ``num_hashes // bands`` rows; docs sharing any band hash become
+    candidates (one explode + self-join on ``(band_idx, band_hash)``).
+    Verification: exact shingle-set Jaccard via ``array_intersect`` /
+    ``array_union`` on the candidate pairs only.
+
+    Returns ``(id_a, id_b, jaccard)``, ``id_a < id_b``,
+    ``jaccard >= threshold``. Probabilistic recall (tune ``bands`` up for
+    higher recall at the given threshold); precision is exact thanks to the
+    verify step.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+
+    base = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
+    )
+
+    banded = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(F.slice("sig", i * rows + 1, rows), lambda x: x.cast("string")))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sets = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n=n).alias("sh_set")
+    )
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b")).cast("double")
+                / F.size(F.array_union("set_a", "set_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_sketches(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+) -> SparkDF:
+    """64-bit SimHash per document → ``(id, sh bigint)``.
+
+    Charikar's sketch: each shingle votes +1/−1 per bit position of its
+    xxhash64; the sign of each position's total becomes that bit. Computed
+    as explode + one hash-aggregate with 64 ``sum`` lanes (map-side partial
+    agg → shuffle is O(docs × 64) counters). Documents with no shingles
+    produce no row.
+    """
+    hashes = shingle_hashes(df, id_col, text_col, n=n, distinct=False)
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    agg = hashes.groupBy("id").agg(*votes)
+
+    # Bit 63 of a signed long is the sign bit: its contribution is LONG_MIN
+    # in two's complement (1 << 63 doesn't fit a bigint literal).
+    out = F.lit(0).cast("bigint")
+    for i in range(64):
+        value = -(1 << 63) if i == 63 else (1 << i)
+        out = out.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, F.lit(value).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return agg.select("id", out.alias("sh"))
+
+
+def simhash_pairs(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    max_hamming: int = 3,
+) -> SparkDF:
+    """Pairs whose SimHashes differ by ≤ ``max_hamming`` bits.
+
+    Pigeonhole banding: the 64-bit sketch is cut into ``max_hamming + 1``
+    chunks; any pair within the Hamming budget must agree on at least one
+    chunk, so a self-join on (chunk_idx, chunk_value) finds ALL such pairs
+    (exact recall), then ``bit_count(xor)`` verifies.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+
+    hashed = simhash_sketches(df, id_col, text_col, n=n)
+    # Chunk positions unrolled in Python: Spark's shift functions take only
+    # literal ints for the shift amount, and `chunks` is tiny (max_hamming+1).
+    banded = hashed.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("sh"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.chunk_idx", "c.chunk_val")
+
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: SparkDF,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+) -> SparkDF:
+    """Exact near-duplicate pairs by embedding cosine ≥ ``threshold``.
+
+    Brute-force all-pairs (self cross join with ``id_a < id_b``) — exact and
+    fine up to ~10⁵ vectors per executor-hour; beyond that use the
+    random-hyperplane LSH in :mod:`ons_utils_spark.operators.similarity` to
+    generate candidates and verify with this predicate.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_similarity("vec_a", "vec_b"), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

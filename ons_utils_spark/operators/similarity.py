@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and a
+random-hyperplane-LSH bucketed variant.
+
+LLM-data-pipeline extension (SURVEY.md §7 item 7). The embedding column is
+``array<float>``; all math happens in double via the JVM-side helpers in
+:mod:`ons_utils_spark.functions.arrays`.
+
+Scale story:
+
+- **brute-force top-k**: one pass over all vectors, per-partition heap via
+  ``ORDER BY … LIMIT k`` (Spark plans TakeOrderedAndProject — no global
+  sort, no full shuffle). The right baseline, and exact.
+- **SRP-LSH**: sign-pattern of ``n_planes`` random hyperplane projections
+  buckets similar vectors together; search only the query's bucket(s).
+  Sub-linear candidate generation for repeated queries at 10⁹+ vectors;
+  recall is tunable with ``n_planes`` (fewer planes → bigger buckets) and
+  multi-probe.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+from ons_utils_spark.functions.arrays import array_dot, cosine_similarity
+
+
+def cosine_topk(
+    df: SparkDF,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> SparkDF:
+    """Exact top-``k`` rows by cosine similarity to ``query_vec``.
+
+    Returns ``(id, cos_sim)`` ordered by similarity desc (ties broken by
+    id asc, so results are deterministic).
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "id")
+        .limit(k)
+    )
+
+
+def srp_signature(vec_col, planes: Sequence[Sequence[float]]):
+    """Sign pattern of random-hyperplane projections → ``bigint`` bucket id.
+
+    bit_i = 1 iff ``vec · plane_i > 0``. With ``len(planes)`` ≤ 63 the
+    pattern packs into one bigint.
+    """
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    acc = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(array_dot(col, p) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        acc = acc.bitwiseOR(bit)
+    return acc
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (Gaussian components)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def srp_topk(
+    df: SparkDF,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> SparkDF:
+    """Approximate top-``k``: score only vectors in the query's SRP bucket.
+
+    At scale the bucketed table would be written partitioned by the bucket
+    id (partition pruning turns the probe into a single-partition scan);
+    here the bucket filter is pushed into the scan as a predicate on the
+    computed signature. Recall < 1 by construction — verify against
+    :func:`cosine_topk` when tuning.
+    """
+    dim = len(query_vec)
+    planes = make_planes(dim, n_planes=n_planes, seed=seed)
+    q_bucket = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, plane)) > 0:
+            q_bucket |= 1 << i
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.withColumn("__bucket", srp_signature(vec_col, planes))
+        .where(F.col("__bucket") == q_bucket)
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "id")
+        .limit(k)
+    )

@@ -1,0 +1,164 @@
+"""Text-analysis operators: tokenization, shingles, language ID, quality,
+token counting, fingerprinting.
+
+LLM-data-pipeline extension (no reference analogue — SURVEY.md §7 item 7).
+Everything here is JVM-side Catalyst expressions (split / transform /
+aggregate / array_* higher-order functions): zero Python workers in the hot
+path, so the operators scale linearly with executors and stay inside
+whole-stage codegen.
+
+Design for 100 TB: all functions are row-local projections — no shuffle at
+all. The only state is literal stopword arrays (constant-folded into the
+plan).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column as SparkCol, functions as F
+
+
+def _col(c: Union[str, SparkCol]) -> SparkCol:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokenize(text: Union[str, SparkCol]) -> SparkCol:
+    """Lowercased whitespace tokens of ``text`` → ``array<string>``.
+
+    Empty/blank text gives an empty array (``split`` on '' returns [''],
+    which we filter).
+    """
+    toks = F.split(F.lower(F.trim(_col(text))), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def word_shingles(
+    text: Union[str, SparkCol], n: int = 3, distinct: bool = True
+) -> SparkCol:
+    """``n``-token shingles ("w1 w2 w3" strings) → ``array<string>``.
+
+    Documents shorter than ``n`` tokens give an empty array. With
+    ``distinct=True`` the output is the shingle *set* (what Jaccard needs).
+    """
+    toks = tokenize(text)
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def token_count(text: Union[str, SparkCol], mode: str = "whitespace") -> SparkCol:
+    """Token count: ``whitespace`` split or ``bpe``-ish (word / punctuation
+    runs via ``\\w+|[^\\w\\s]`` — the pre-tokenizer regex family BPE
+    tokenizers use).
+    """
+    if mode == "whitespace":
+        return F.size(tokenize(text))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(_col(text), F.lit(r"\w+|[^\w\s]"), 0))
+    raise ValueError(f"unknown token_count mode: {mode!r}")
+
+
+#: Tiny per-language stopword anchors for the n-gram/stopword language-ID
+#: heuristic. Deliberately small: the point is the *operator shape*
+#: (argmax over per-language evidence, fully in-plan), not SOTA accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
+}
+
+
+def language_id(text: Union[str, SparkCol]) -> SparkCol:
+    """Heuristic language ID → one of ``LANG_STOPWORDS`` keys, ``zh`` for
+    CJK-dominant text, or ``und`` when no evidence.
+
+    Score per language = |distinct tokens ∩ stopwords|; argmax with ties
+    broken by the fixed language order (first max wins, deterministic).
+    CJK detection runs first on raw characters.
+    """
+    toks = tokenize(text)
+    langs = list(LANG_STOPWORDS)
+    scores = F.array(
+        *[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])))
+            for lang in langs
+        ]
+    )
+    max_score = F.array_max(scores)
+    idx = F.array_position(scores, max_score)  # 1-based, first occurrence
+    best = F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx.cast("int"))
+
+    raw = _col(text)
+    n_cjk = F.length(raw) - F.length(F.regexp_replace(raw, r"[一-鿿]", ""))
+    return (
+        F.when(n_cjk * 3 > F.length(raw), F.lit("zh"))
+        .when(max_score > 0, best)
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_score(
+    text: Union[str, SparkCol],
+    min_tokens: int = 5,
+    max_mean_token_len: float = 12.0,
+) -> SparkCol:
+    """Heuristic document quality in [0, 1] from cheap surface statistics.
+
+    Components (equal-weighted): has ≥ ``min_tokens`` tokens; mean token
+    length in [2, ``max_mean_token_len``]; punctuation ratio < 0.2;
+    stopword(en) ratio > 0.01. The exact formula matters less than it being
+    deterministic, monotone in "looks like prose", and 100%-in-plan.
+    """
+    raw = _col(text)
+    toks = tokenize(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(raw)
+    mean_tok = F.when(n_tokens > 0, (n_chars.cast("double") / n_tokens))
+    n_punct = n_chars - F.length(F.regexp_replace(raw, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(1.0)
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(0.0)
+
+    checks = [
+        (n_tokens >= min_tokens).cast("double"),
+        # mean_tok is NULL for empty docs — a NULL check must count as 0,
+        # not poison the whole score.
+        F.coalesce(
+            ((mean_tok >= 2.0) & (mean_tok <= max_mean_token_len)).cast("double"),
+            F.lit(0.0),
+        ),
+        (punct_ratio < 0.2).cast("double"),
+        (stop_ratio > 0.01).cast("double"),
+    ]
+    total = checks[0]
+    for c in checks[1:]:
+        total = total + c
+    return F.round(total / F.lit(float(len(checks))), 2)
+
+
+def doc_fingerprint(text: Union[str, SparkCol]) -> SparkCol:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lowercased text. Engine-portable (md5 is identical everywhere), so it
+    doubles as a cross-system dedup key.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_hashes(text: Union[str, SparkCol], k: int = 5) -> SparkCol:
+    """xxhash64 of every ``k``-token shingle → ``array<bigint>``.
+
+    Building block for winnowing-style fingerprints and MinHash. xxhash64 is
+    Spark-native (fast, 64-bit); not portable to other engines — use
+    :func:`doc_fingerprint` where cross-engine equality matters.
+    """
+    return F.transform(word_shingles(text, n=k, distinct=False), lambda s: F.xxhash64(s))

@@ -823,3 +823,280 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension II: near-dup, text analysis, multimodal
+# (operators in ons_utils_spark.operators.{dedup,text,similarity,multimodal})
+# ---------------------------------------------------------------------------
+
+from ons_utils_spark.operators import dedup as _dedup  # noqa: E402
+from ons_utils_spark.operators import multimodal as _mm  # noqa: E402
+from ons_utils_spark.operators import text as _text  # noqa: E402
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in _text.LANG_STOPWORDS.items()
+}
+
+_TOKS_CTE = """
+    WITH toks AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    )
+"""
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=_TOKS_CTE
+    + """,
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks)-2)]
+                    ELSE [] END) AS shset
+        FROM toks
+    ),
+    inv AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM sh)
+    SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::DOUBLE
+                   / (any_value(a.sz) + any_value(b.sz) - count(*)) AS j
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    WHERE j >= 0.1
+    ORDER BY id_a, id_b
+    """,
+    description="Exact trigram-shingle Jaccard near-dup pairs via an "
+    "inverted-index self-join (explode shingles → join → count shared). "
+    "max_df skew guard available for web-scale corpora.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=_TOKS_CTE
+    + """,
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks)-2)]
+                    ELSE [] END) AS shset
+        FROM toks
+    ),
+    inv AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM sh)
+    SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::DOUBLE
+                   / (any_value(a.sz) + any_value(b.sz) - count(*)) AS j
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    WHERE j >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    description="MinHash(64)+LSH(16 bands) candidate generation with exact-"
+    "Jaccard verification at 0.5 — the sub-quadratic near-dup path. The "
+    "oracle is the exact all-pairs result: at 16x4 banding, recall at "
+    "j≥0.9 (where this corpus's near-dups live) is ~1-0.34^16 ≈ 1.0, and "
+    "the verify step makes precision exact, so LSH output equals the exact "
+    "set here. On adversarial corpora near the threshold the match is "
+    "probabilistic — pytest cross-checks it too.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_dedup_simhash",
+    description="SimHash-64 near-dup pairs at Hamming ≤ 3 via pigeonhole "
+    "banding (exact recall for the Hamming predicate). No SQL oracle "
+    "(bit-level sketch not portably expressible); pytest checks invariants.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _dedup.simhash_pairs(docs, "doc_id", "text", n=2, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "q_embedding_near_dup",
+    oracle="""
+        SELECT id_a, id_b, cos_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                       list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(a.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])))),
+                       6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE cos_sim >= 0.45
+        ORDER BY id_a, id_b
+    """,
+    description="Embedding-cosine near-dup pairs (brute-force all-pairs ≥ "
+    "0.45). At 10⁸+ vectors swap candidate generation to SRP-LSH buckets.",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _dedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_language_id",
+    oracle=_TOKS_CTE
+    + f""",
+    scored AS (
+        SELECT doc_id, lang, text, toks,
+               [len(list_intersect(list_distinct(toks), {_STOP_SQL['en']})),
+                len(list_intersect(list_distinct(toks), {_STOP_SQL['de']})),
+                len(list_intersect(list_distinct(toks), {_STOP_SQL['fr']})),
+                len(list_intersect(list_distinct(toks), {_STOP_SQL['es']}))]
+                   AS scores
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE
+               WHEN (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))) * 3
+                    > length(text) THEN 'zh'
+               WHEN list_aggregate(scores, 'max') > 0 THEN
+                   (['en','de','fr','es'])[list_position(scores, list_aggregate(scores, 'max'))]
+               ELSE 'und'
+           END AS predicted_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+    description="Heuristic language ID (stopword-anchor argmax + CJK char "
+    "ratio) — row-local projection, constant-folded stopword literals.",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", _text.language_id("text").alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_quality_scores",
+    oracle=_TOKS_CTE
+    + f"""
+    SELECT doc_id,
+           round((
+               CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN len(toks) > 0
+                     AND length(text)::DOUBLE / len(toks) BETWEEN 2.0 AND 12.0
+                    THEN 1.0 ELSE 0.0 END
+             + CASE WHEN length(text) > 0
+                     AND (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                         / length(text) < 0.2
+                    THEN 1.0 ELSE 0.0 END
+             + CASE WHEN len(toks) > 0
+                     AND len(list_filter(toks, t -> list_contains({_STOP_SQL['en']}, t)))::DOUBLE
+                         / len(toks) > 0.01
+                    THEN 1.0 ELSE 0.0 END
+           ) / 4.0, 2) AS quality
+    FROM toks
+    ORDER BY doc_id
+    """,
+    description="Surface-statistics quality score (token count, mean token "
+    "length, punctuation ratio, stopword ratio) — the classic pre-training "
+    "corpus filter, fully in-plan.",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _text.quality_score("text").alias("quality")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_token_counts",
+    oracle="""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '')) AS ws_tokens,
+               len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    description="Token counting: whitespace and BPE-ish pre-tokenizer regex "
+    "(\\w+|[^\\w\\s]) — the cost estimator for training-data pipelines.",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _text.token_count("text", "whitespace").alias("ws_tokens"),
+        _text.token_count("text", "bpe").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_doc_fingerprints",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """,
+    description="Cross-engine content fingerprint: md5 over normalized text "
+    "(portable dedup key, unlike xxhash64).",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _text.doc_fingerprint("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+        ORDER BY doc_id
+    """,
+    description="Multimodal binary-column metadata (byte length + digest) — "
+    "decode-free Catalyst expressions; the payload never leaves the JVM.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _mm.attach_payload(_t(spark, sf_dir, "documents"), "text")
+    return docs.select(
+        "doc_id", _mm.payload_meta("payload").alias("meta")
+    ).select("doc_id", "meta.n_bytes", "meta.digest").orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_features",
+    description="Deterministic byte-histogram features over binary payloads "
+    "via Arrow-batched mapInPandas — the feature-extraction plumbing for "
+    "real media models. No SQL oracle (pandas-UDF path); pytest pins exact "
+    "values.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _mm.attach_payload(_t(spark, sf_dir, "documents"), "text")
+    feats = _mm.extract_features(docs, dim=16)
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("f_sum"),
+    ).orderBy("doc_id")

@@ -1,0 +1,159 @@
+"""Dedup operator tests: exact, Jaccard pairs, MinHash LSH, SimHash,
+embedding near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_pairs,
+    simhash_sketches,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun shines "
+    "bright above the quiet green valley and birds sing old songs"
+)
+NEAR = BASE.replace("quiet green valley", "quiet blue valley")
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "execution with adaptive partitioning across many worker nodes today"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)],
+        "doc_id bigint, text string",
+    )
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self, spark, docs):
+        kept = exact_dedup(docs, "text", id_col="doc_id")
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [1, 3, 4]
+
+    def test_without_id_col_keeps_one_per_value(self, spark, docs):
+        assert exact_dedup(docs, "text").count() == 3
+
+    def test_multi_column_key(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "x"), (3, "a", "y")],
+            "id bigint, c1 string, c2 string",
+        )
+        assert exact_dedup(df, ["c1", "c2"], id_col="id").count() == 2
+
+    def test_null_values_in_key(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "id bigint, c string"
+        )
+        kept = exact_dedup(df, "c", id_col="id")
+        assert sorted(r["id"] for r in kept.collect()) == [1, 3]
+
+
+class TestJaccardPairs:
+    def test_finds_identical_and_near(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+        assert not any(4 in p for p in pairs)
+
+    def test_threshold_filters(self, spark, docs):
+        pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.999)
+        assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+    def test_max_df_drops_common_shingles(self, spark, docs):
+        # Every shingle in docs 1/2/3 appears in ≥2 docs; max_df=1 kills them.
+        pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1, max_df=1)
+        assert pairs.count() == 0
+
+
+class TestMinHash:
+    def test_signature_shape_and_determinism(self, spark, docs):
+        sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32)
+        rows = {r["id"]: r["sig"] for r in sigs.collect()}
+        assert all(len(sig) == 32 for sig in rows.values())
+        assert rows[1] == rows[2]  # identical docs → identical signatures
+        rows2 = {r["id"]: r["sig"] for r in minhash_signatures(docs, "doc_id", "text", num_hashes=32).collect()}
+        assert rows == rows2  # deterministic across runs
+
+    def test_lsh_pairs_match_exact_on_high_sim(self, spark, docs):
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.5
+            ).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+        }
+        assert lsh == exact  # high-sim near-dups: recall ~1, precision exact
+
+    def test_jaccard_values_are_exact(self, spark, docs):
+        lsh = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        assert lsh[(1, 2)] == 1.0
+
+
+class TestSimHash:
+    def test_identical_docs_same_sketch(self, spark, docs):
+        sketches = {r["id"]: r["sh"] for r in simhash_sketches(docs, "doc_id", "text").collect()}
+        assert sketches[1] == sketches[2]
+        assert sketches[1] != sketches[4]
+
+    def test_pairs_include_identical_and_near(self, spark, docs):
+        # Measured sketch distances on this fixture: d(1,3)=8, d(1,4)=33 —
+        # a budget of 10 must return the near pair and exclude the unrelated.
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs and pairs[(1, 3)] <= 10
+        assert not any(4 in p for p in pairs)
+
+    def test_exact_recall_within_budget(self, spark, docs):
+        # Pigeonhole banding guarantees every pair within the Hamming budget
+        # is found: brute-force check against all sketch pairs.
+        sketches = {r["id"]: r["sh"] for r in simhash_sketches(docs, "doc_id", "text").collect()}
+        ids = sorted(sketches)
+        brute = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin((sketches[a] ^ sketches[b]) & ((1 << 64) - 1)).count("1") <= 3
+        }
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+        }
+        assert banded == brute
+
+
+class TestEmbeddingNearDup:
+    def test_finds_close_vectors(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),
+                (2, [0.999, 0.001, 0.0]),
+                (3, [0.0, 1.0, 0.0]),
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(df, "vec_id", "embedding", 0.99).collect()
+        }
+        assert pairs == {(1, 2)}

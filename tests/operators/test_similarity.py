@@ -1,0 +1,46 @@
+"""Similarity-search operator tests."""
+
+from ons_utils_spark.operators.similarity import (
+    cosine_topk,
+    make_planes,
+    srp_topk,
+)
+
+
+def _vectors(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0, 0.0]),
+            (5, [0.7, 0.7, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+class TestCosineTopk:
+    def test_orders_by_similarity(self, spark):
+        out = cosine_topk(_vectors(spark), [1.0, 0.0, 0.0, 0.0], k=3).collect()
+        assert [r["id"] for r in out] == [1, 2, 5]
+        assert out[0]["cos_sim"] == 1.0
+
+    def test_k_limits(self, spark):
+        assert cosine_topk(_vectors(spark), [1.0, 0.0, 0.0, 0.0], k=2).count() == 2
+
+
+class TestSrpTopk:
+    def test_subset_of_bucket_and_finds_self(self, spark):
+        df = _vectors(spark)
+        out = srp_topk(df, [1.0, 0.0, 0.0, 0.0], k=5, n_planes=4).collect()
+        ids = [r["id"] for r in out]
+        # The query vector equals vector 1, which must land in the query's
+        # own bucket and rank first.
+        assert ids[0] == 1
+        # Opposite vector can never share every hyperplane side.
+        assert 4 not in ids
+
+    def test_deterministic_planes(self):
+        assert make_planes(4, 8, seed=7) == make_planes(4, 8, seed=7)
+        assert make_planes(4, 8, seed=7) != make_planes(4, 8, seed=8)

@@ -1,0 +1,121 @@
+"""Text-analysis operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    tokenize,
+    word_shingles,
+)
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+class TestTokenize:
+    def test_lowercases_and_splits(self, spark):
+        assert _one(spark, "The  Cat sat", tokenize("text")) == ["the", "cat", "sat"]
+
+    def test_blank_gives_empty(self, spark):
+        assert _one(spark, "   ", tokenize("text")) == []
+
+
+class TestWordShingles:
+    def test_trigrams(self, spark):
+        assert _one(spark, "a b c d", word_shingles("text", 3)) == [
+            "a b c",
+            "b c d",
+        ]
+
+    def test_short_doc_empty(self, spark):
+        assert _one(spark, "a b", word_shingles("text", 3)) == []
+
+    def test_distinct_dedups(self, spark):
+        out = _one(spark, "x y x y x y", word_shingles("text", 2))
+        assert sorted(out) == ["x y", "y x"]
+
+    def test_non_distinct_keeps_order(self, spark):
+        out = _one(spark, "x y x", word_shingles("text", 2, distinct=False))
+        assert out == ["x y", "y x"]
+
+
+class TestTokenCount:
+    def test_whitespace(self, spark):
+        assert _one(spark, "one two  three", token_count("text")) == 3
+
+    def test_bpe_counts_punctuation(self, spark):
+        # "don't stop!" → don / ' / t / stop / !
+        assert _one(spark, "don't stop!", token_count("text", "bpe")) == 5
+
+    def test_unknown_mode_raises(self):
+        with pytest.raises(ValueError, match="unknown token_count mode"):
+            token_count("text", "words")
+
+
+class TestLanguageId:
+    @pytest.mark.parametrize(
+        "text,expected",
+        [
+            ("the cat is in the house and it is warm", "en"),
+            ("der hund ist nicht mit der katze", "de"),
+            ("le chat est dans la maison pour les amis", "fr"),
+            ("el gato es un animal que vive por aquí", "es"),
+            ("你好世界你好世界", "zh"),
+            ("zzz qqq www", "und"),
+        ],
+    )
+    def test_detects(self, spark, text, expected):
+        assert _one(spark, text, language_id("text")) == expected
+
+
+class TestQualityScore:
+    def test_good_prose_scores_high(self, spark):
+        text = "the quick brown fox jumps over the lazy dog and it is happy"
+        assert _one(spark, text, quality_score("text")) == 1.0
+
+    def test_garbage_scores_low(self, spark):
+        assert _one(spark, "!!! ??? !!!", quality_score("text")) <= 0.25
+
+    def test_bounded(self, spark):
+        for text in ["", "x", "a b c d e f g h"]:
+            v = _one(spark, text, quality_score("text"))
+            assert 0.0 <= v <= 1.0
+
+
+class TestDocFingerprint:
+    def test_whitespace_and_case_insensitive(self, spark):
+        df = spark.createDataFrame(
+            [("Hello   World",), ("hello world",)], "text string"
+        )
+        prints = [r["fp"] for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
+        assert prints[0] == prints[1]
+
+    def test_content_sensitive(self, spark):
+        df = spark.createDataFrame([("a b",), ("a c",)], "text string")
+        prints = [r["fp"] for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
+        assert prints[0] != prints[1]
+
+
+class TestStaysJvmSide:
+    def test_no_python_workers(self, spark):
+        df = spark.createDataFrame([("some text here",)], "text string")
+        plan = (
+            df.select(
+                tokenize("text"),
+                word_shingles("text"),
+                token_count("text", "bpe"),
+                language_id("text"),
+                quality_score("text"),
+                doc_fingerprint("text"),
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan

@@ -1100,3 +1100,93 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("f_sum"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch-twins (ons_utils_spark.streaming builders run in batch
+# mode — identical code path Structured Streaming executes; SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+from ons_utils_spark.streaming.windows import (  # noqa: E402
+    session_window_agg as _session_window_agg,
+    sliding_window_agg as _sliding_window_agg,
+)
+
+
+@register(
+    "q_events_sliding_windows",
+    oracle="""
+        SELECT ws AS window_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM (
+            SELECT value,
+                   unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+            FROM events
+        )
+        GROUP BY ws
+        ORDER BY ws
+    """,
+    description="Sliding 2h/1h windows over events via the streaming "
+    "builder in batch mode (each event lands in two windows; oracle "
+    "replicates by exploding both window starts).",
+)
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = _sliding_window_agg(
+        events,
+        "ts",
+        "2 hours",
+        "1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select("window_start", "n_events", "total_value").orderBy(
+        "window_start"
+    )
+
+
+@register(
+    "q_events_session_stats",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        labeled AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_no
+            FROM ordered
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               count(*) AS n_events
+        FROM labeled
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_start
+    """,
+    description="F.session_window (30-min gap) per user — the native "
+    "session operator whose oracle is the lag+running-sum sessionization.",
+)
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = _session_window_agg(
+        events,
+        "ts",
+        "30 minutes",
+        keys="user_id",
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select(
+        "user_id", F.col("session_start"), "n_events"
+    ).orderBy("user_id", "session_start")

@@ -1,0 +1,180 @@
+"""Structured Streaming surface: windowed aggregations, sessionization,
+stateful dedup — batch/stream agnostic builders.
+
+Extension scope (the reference has zero streaming code — SURVEY.md §2.9).
+Every builder takes a DataFrame that may be a batch frame OR a streaming
+frame (``spark.readStream``): the transformations are identical, which is
+exactly how Structured Streaming is designed. Batch mode doubles as the
+oracle-checkable twin (the driver's DuckDB gate runs the batch form —
+``q_events_hourly_windows``).
+
+Scale/latency notes:
+
+- watermarks bound the state store: without one, a streaming window agg
+  keeps every window open forever;
+- ``dropDuplicates`` on a stream without a watermark keeps ALL keys in
+  state — always pair it with a watermark + the event-time column in the
+  key list;
+- shuffle partitions size the state store shards; set
+  ``spark.sql.shuffle.partitions`` before starting long-lived queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Optional, Union
+
+from pyspark.sql import Column as SparkCol, DataFrame as SparkDF, SparkSession, functions as F
+
+from ons_utils_spark.generic import list_convert
+
+Aggs = Union[Mapping[str, str], Sequence[SparkCol]]
+
+
+def _agg_exprs(aggs: Optional[Aggs]) -> list[SparkCol]:
+    """Normalize aggs: {'value': 'sum'} dicts or Column sequences; default count."""
+    if aggs is None:
+        return [F.count(F.lit(1)).alias("n_events")]
+    if isinstance(aggs, Mapping):
+        exprs = []
+        for col, fn in aggs.items():
+            exprs.append(getattr(F, fn)(col).alias(f"{fn}_{col}"))
+        return exprs
+    return list(aggs)
+
+
+def tumbling_window_agg(
+    df: SparkDF,
+    ts_col: str,
+    duration: str,
+    keys: Union[str, Sequence[str], None] = None,
+    aggs: Optional[Aggs] = None,
+    watermark: Optional[str] = None,
+) -> SparkDF:
+    """Non-overlapping fixed windows: ``F.window(ts, duration)`` + agg.
+
+    Output has ``window_start``/``window_end`` timestamp columns followed by
+    key columns and the aggregates.
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    group_cols = [F.window(ts_col, duration).alias("w"), *list_convert(keys or [])]
+    if keys is None:
+        group_cols = group_cols[:1]
+    return (
+        df.groupBy(*group_cols)
+        .agg(*_agg_exprs(aggs))
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sliding_window_agg(
+    df: SparkDF,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Union[str, Sequence[str], None] = None,
+    aggs: Optional[Aggs] = None,
+    watermark: Optional[str] = None,
+) -> SparkDF:
+    """Overlapping windows of ``duration`` sliding every ``slide``."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    group_cols = [F.window(ts_col, duration, slide).alias("w"), *list_convert(keys or [])]
+    if keys is None:
+        group_cols = group_cols[:1]
+    return (
+        df.groupBy(*group_cols)
+        .agg(*_agg_exprs(aggs))
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def session_window_agg(
+    df: SparkDF,
+    ts_col: str,
+    gap: str,
+    keys: Union[str, Sequence[str]],
+    aggs: Optional[Aggs] = None,
+    watermark: Optional[str] = None,
+) -> SparkDF:
+    """Session windows closing after ``gap`` of inactivity per key
+    (``F.session_window``, Spark 3.2+). Watermark strongly recommended on
+    streams — sessions are unbounded state otherwise.
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), *list_convert(keys))
+        .agg(*_agg_exprs(aggs))
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def dedup_events(
+    df: SparkDF,
+    keys: Union[str, Sequence[str]],
+    ts_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> SparkDF:
+    """Drop duplicate events by key.
+
+    On a stream, pass ``ts_col`` + ``watermark`` so state is bounded:
+    Spark then discards keys older than the watermark
+    (``dropDuplicates`` keeps [key, ts] state only within the watermark).
+    """
+    keys = list_convert(keys)
+    if watermark:
+        if not ts_col:
+            raise ValueError("watermark requires ts_col")
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicates([*keys, ts_col])
+    return df.dropDuplicates(keys)
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: Optional[int] = None,
+) -> SparkDF:
+    """File-source stream reader (explicit schema — streams can't infer)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def run_available_now(
+    stream_df: SparkDF,
+    table_name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+):
+    """Run a streaming frame to completion on available data → memory sink.
+
+    ``trigger(availableNow=True)`` processes everything currently available
+    then stops — the canonical way to test streaming logic and to run
+    incremental batch jobs off a stream source. Returns after the query
+    terminates; results are in the in-memory table ``table_name``.
+
+    ``output_mode``: use ``complete`` for aggregations (in ``append`` mode a
+    final window never emits because the watermark stops advancing with the
+    data); use ``append`` for row-wise streams like dedup.
+    """
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return query

@@ -1,0 +1,148 @@
+"""Streaming surface tests.
+
+Strategy: the builders are batch/stream agnostic, so each is checked two
+ways — (a) batch semantics against hand-computed expectations, (b) a REAL
+Structured Streaming run: file-source stream → transformation →
+availableNow trigger → memory sink, asserting the streaming result equals
+the batch result of the same builder.
+"""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.streaming.windows import (
+    dedup_events,
+    read_stream,
+    run_available_now,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        (1, _ts(0), 100, 1.0),
+        (2, _ts(5), 100, 2.0),
+        (3, _ts(20), 100, 3.0),
+        (4, _ts(21), 200, 4.0),
+        (5, _ts(59), 200, 5.0),
+        (2, _ts(5), 100, 2.0),  # exact duplicate of event 2
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+class TestTumblingWindows:
+    def test_batch_semantics(self, spark, events):
+        out = tumbling_window_agg(
+            events, "ts", "10 minutes", aggs={"value": "sum"}
+        ).collect()
+        by_start = {r["window_start"]: r["sum_value"] for r in out}
+        assert by_start[_ts(0)] == 5.0  # events 1, 2, dup-2
+        assert by_start[_ts(20)] == 7.0  # events 3, 4
+        assert by_start[_ts(50)] == 5.0  # event 5
+
+    def test_keyed(self, spark, events):
+        out = tumbling_window_agg(
+            events, "ts", "10 minutes", keys="user_id", aggs={"value": "sum"}
+        ).collect()
+        vals = {(r["window_start"], r["user_id"]): r["sum_value"] for r in out}
+        assert vals[(_ts(20), 100)] == 3.0
+        assert vals[(_ts(20), 200)] == 4.0
+
+
+class TestSlidingWindows:
+    def test_overlapping_windows(self, spark, events):
+        out = sliding_window_agg(
+            events, "ts", "20 minutes", "10 minutes", aggs={"value": "count"}
+        ).collect()
+        # Event at 10:20 belongs to windows starting 10:10 and 10:20.
+        starts = {r["window_start"] for r in out}
+        assert _ts(10) in starts and _ts(20) in starts
+
+
+class TestSessionWindows:
+    def test_sessions_close_after_gap(self, spark, events):
+        out = session_window_agg(
+            events, "ts", "10 minutes", keys="user_id", aggs={"value": "count"}
+        ).collect()
+        user_100 = sorted(
+            (r["session_start"], r["count_value"])
+            for r in out
+            if r["user_id"] == 100
+        )
+        # User 100: events at 10:00/10:05 (+dup) are one session; 10:20 another.
+        assert len(user_100) == 2
+        assert user_100[0][1] == 3 and user_100[1][1] == 1
+
+
+class TestDedup:
+    def test_batch_dedup(self, spark, events):
+        out = dedup_events(events, "event_id")
+        assert out.count() == 5
+
+    def test_watermark_requires_ts(self, events):
+        with pytest.raises(ValueError, match="watermark requires ts_col"):
+            dedup_events(events, "event_id", watermark="10 minutes")
+
+
+class TestRealStreamingRun:
+    @pytest.fixture()
+    def stream_dir(self, spark, events):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        events.write.mode("overwrite").parquet(d)
+        yield d
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_windowed_agg_stream_matches_batch(self, spark, events, stream_dir):
+        stream = read_stream(spark, stream_dir, SCHEMA)
+        assert stream.isStreaming
+        agg = tumbling_window_agg(
+            stream, "ts", "10 minutes", aggs={"value": "sum"},
+            watermark="30 minutes",
+        )
+        run_available_now(agg, "stream_tumbling")
+        got = {
+            r["window_start"]: r["sum_value"]
+            for r in spark.sql("SELECT * FROM stream_tumbling").collect()
+        }
+        expected = {
+            r["window_start"]: r["sum_value"]
+            for r in tumbling_window_agg(
+                events, "ts", "10 minutes", aggs={"value": "sum"}
+            ).collect()
+        }
+        assert got == expected
+
+    def test_stateful_dedup_stream(self, spark, stream_dir):
+        stream = read_stream(spark, stream_dir, SCHEMA)
+        deduped = dedup_events(
+            stream, ["event_id"], ts_col="ts", watermark="1 hour"
+        )
+        run_available_now(deduped, "stream_dedup", output_mode="append")
+        rows = spark.sql("SELECT * FROM stream_dedup").collect()
+        assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4, 5]
+
+    def test_session_window_stream(self, spark, events, stream_dir):
+        stream = read_stream(spark, stream_dir, SCHEMA)
+        sessions = session_window_agg(
+            stream, "ts", "10 minutes", keys="user_id",
+            aggs={"value": "count"}, watermark="2 hours",
+        )
+        run_available_now(sessions, "stream_sessions")
+        got = spark.sql("SELECT * FROM stream_sessions").count()
+        expected = session_window_agg(
+            events, "ts", "10 minutes", keys="user_id", aggs={"value": "count"}
+        ).count()
+        assert got == expected

@@ -38,8 +38,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="bench")
 
-    # Warm the JVM/session with one tiny job so q1 doesn't pay startup cost.
+    # Warm the JVM/session: one tiny job, plus one scan+agg over a small
+    # table so the parquet reader, codegen compiler, and shuffle machinery
+    # are initialized before the first timed query (steady-state numbers —
+    # none of the benchmark queries themselves run here).
     spark.range(1000).count()
+    from ons_utils_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "region").groupBy("r_name").count().collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

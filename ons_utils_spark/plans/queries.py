@@ -1190,3 +1190,135 @@ def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.col("session_start"), "n_events"
     ).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# Composite joins (as-of, range), pivot, statistical aggregates
+# ---------------------------------------------------------------------------
+
+from ons_utils_spark.operators.joins import asof_join as _asof_join  # noqa: E402
+from ons_utils_spark.operators.joins import range_join as _range_join  # noqa: E402
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+        SELECT p.event_id AS event_id,
+               p.user_id AS user_id,
+               round(p.value, 4) AS purchase_value,
+               round(v.value, 4) AS last_view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY event_id
+    """,
+    description="As-of join: each purchase matched to the user's latest "
+    "prior view. Union + window last(ignorenulls) — one shuffle on user_id, "
+    "no join node; checked against DuckDB's native ASOF JOIN.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    joined = _asof_join(purchases, views, on="user_id", left_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("value_right", 4).alias("last_view_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_range_join",
+    oracle="""
+        SELECT l.l_orderkey AS l_orderkey,
+               l.l_linenumber AS l_linenumber,
+               b.bucket_name AS bucket_name
+        FROM lineitem l
+        JOIN (
+            VALUES ('small', 0.0, 10.0), ('medium', 10.0, 30.0),
+                   ('large', 30.0, 1e9)
+        ) b(bucket_name, lo, hi)
+          ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    description="Point-in-interval range join against a literal bucket "
+    "table — broadcast nested-loop with the interval predicate; the "
+    "standard rate-card/calendar join shape.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("medium", 10.0, 30.0), ("large", 30.0, 1e9)],
+        "bucket_name string, lo double, hi double",
+    )
+    out = _range_join(li, F.broadcast(buckets), None, "l_quantity", "lo", "hi")
+    return out.select("l_orderkey", "l_linenumber", "bucket_name").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "q_pivot_segment_by_status",
+    oracle="""
+        SELECT c.c_mktsegment AS c_mktsegment,
+               round(coalesce(sum(o.o_totalprice) FILTER (o.o_orderstatus = 'F'), 0), 2) AS F,
+               round(coalesce(sum(o.o_totalprice) FILTER (o.o_orderstatus = 'O'), 0), 2) AS O,
+               round(coalesce(sum(o.o_totalprice) FILTER (o.o_orderstatus = 'P'), 0), 2) AS P
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="groupBy().pivot() with explicit pivot values (no extra "
+    "distinct-scan job) ≡ conditional aggregation; one shuffle.",
+)
+def q_pivot_segment_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    )
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        *[F.round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(s) for s in ["F", "O", "P"]],
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "q_stats_aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+               round(var_samp(l_quantity), 4) AS qty_var,
+               round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               round(quantile_cont(l_quantity, 0.5), 4) AS qty_median
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    description="Statistical aggregate surface: distinct count, stddev, "
+    "variance, correlation, exact continuous median (percentile ≡ "
+    "quantile_cont).",
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )

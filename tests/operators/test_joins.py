@@ -1,0 +1,122 @@
+"""As-of and range join tests."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.joins import asof_join, range_join
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", _ts(5), 100.0),
+            (2, "A", _ts(10), 101.0),
+            (3, "B", _ts(7), 200.0),
+            (4, "C", _ts(9), 300.0),  # key with no quotes at all
+        ],
+        "trade_id bigint, sym string, ts timestamp, price double",
+    )
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts(4), 99.5),
+            ("A", _ts(10), 100.5),  # equal-ts with trade 2 → must match
+            ("B", _ts(8), 199.0),  # after B's only trade → no match
+        ],
+        "sym string, ts timestamp, quote double",
+    )
+
+
+class TestAsofJoin:
+    def test_backward_matches(self, spark, trades, quotes):
+        out = {
+            r["trade_id"]: r["quote_right"] if "quote_right" in r.asDict() else r["quote"]
+            for r in asof_join(trades, quotes, on="sym", left_ts="ts").collect()
+        }
+        assert out[1] == 99.5  # latest quote before 10:05
+        assert out[2] == 100.5  # equal timestamp matches (inclusive)
+        assert out[3] is None  # only a LATER quote exists
+        assert out[4] is None  # no quotes for key C at all
+
+    def test_left_rows_always_kept(self, spark, trades, quotes):
+        assert asof_join(trades, quotes, on="sym", left_ts="ts").count() == 4
+
+    def test_tolerance_drops_stale(self, spark, trades, quotes):
+        out = {
+            r["trade_id"]: r["quote"]
+            for r in asof_join(
+                trades, quotes, on="sym", left_ts="ts", tolerance="30 SECOND"
+            ).collect()
+        }
+        assert out[1] is None  # 99.5 is 1 minute stale > 30s
+        assert out[2] == 100.5  # equal ts: 0 staleness
+
+    def test_collision_suffix(self, spark, trades):
+        # Right side carries a 'price' column too → suffixed in the output.
+        right = spark.createDataFrame(
+            [("A", _ts(0), 1.0)], "sym string, ts timestamp, price double"
+        )
+        out = asof_join(trades, right, on="sym", left_ts="ts")
+        assert "price_right" in out.columns
+        row = {r["trade_id"]: r for r in out.collect()}[1]
+        assert row["price"] == 100.0 and row["price_right"] == 1.0
+
+    def test_single_shuffle_no_join_node(self, spark, trades, quotes):
+        plan = (
+            asof_join(trades, quotes, on="sym", left_ts="ts")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Join" not in plan or "unionByName" not in plan  # no join op
+        assert plan.count("Union") == 1
+
+
+class TestRangeJoin:
+    @pytest.fixture()
+    def points(self, spark):
+        return spark.createDataFrame(
+            [(1, 5.0), (2, 10.0), (3, 25.0)], "id bigint, x double"
+        )
+
+    @pytest.fixture()
+    def intervals(self, spark):
+        return spark.createDataFrame(
+            [("low", 0.0, 10.0), ("high", 10.0, 30.0)],
+            "name string, lo double, hi double",
+        )
+
+    def test_half_open_interval(self, spark, points, intervals):
+        out = {
+            r["id"]: r["name"]
+            for r in range_join(points, intervals, None, "x", "lo", "hi").collect()
+        }
+        assert out[1] == "low"
+        assert out[2] == "high"  # boundary: start inclusive, end exclusive
+        assert out[3] == "high"
+
+    def test_left_join_keeps_unmatched(self, spark, points, intervals):
+        pts = points.union(points.sparkSession.createDataFrame([(4, 99.0)], "id bigint, x double"))
+        out = range_join(pts, intervals, None, "x", "lo", "hi", how="left")
+        row = {r["id"]: r["name"] for r in out.collect()}
+        assert row[4] is None
+
+    def test_with_equality_keys(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "b", 5.0)], "id bigint, k string, x double"
+        )
+        right = spark.createDataFrame(
+            [("a", 0.0, 10.0, "m1")], "k string, lo double, hi double, tag string"
+        )
+        out = range_join(left, right, "k", "x", "lo", "hi")
+        assert [r["id"] for r in out.collect()] == [1]

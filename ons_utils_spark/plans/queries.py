@@ -1322,3 +1322,161 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag set-ops, grouping sets, explode, array diff, year-span ffill
+# ---------------------------------------------------------------------------
+
+from ons_utils_spark.operators.general import diff as _diff  # noqa: E402
+from ons_utils_spark.sources.tables import register_views as _register_views  # noqa: E402
+
+
+@register(
+    "q_intersect_all_nations",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    description="INTERSECT ALL (bag semantics — multiplicity = min of the "
+    "two sides) vs the distinct variant already covered.",
+)
+def q_intersect_all_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersectAll(supp).orderBy("nationkey")
+
+
+@register(
+    "q_except_all_priorities",
+    oracle="""
+        SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY priority
+    """,
+    description="EXCEPT ALL — bag difference keeps surplus multiplicity.",
+)
+def q_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    p = orders.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return f.exceptAll(p).orderBy("priority")
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    description="Arbitrary GROUPING SETS via Spark SQL (Expand + single "
+    "shuffle) — the general form of rollup/cube.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "q_explode_token_counts",
+    oracle="""
+        SELECT tok, count(*) AS n
+        FROM (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''
+            )) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 20
+    """,
+    description="explode (lateral flatten) + frequency count — the "
+    "vocabulary/token-histogram primitive for corpus statistics.",
+)
+def q_explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_text.tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "q_array_diff",
+    oracle="""
+        SELECT vec_id,
+               round(CAST((embedding[2] - embedding[1])::FLOAT AS DOUBLE), 6) AS d0,
+               len(embedding) - 1 AS n_diffs
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    description="Higher-order array diff (consecutive differences) — the "
+    "reference's np.diff UDF re-expressed as zip_with/slice, fully "
+    "JVM-side; projected to scalars for the oracle hash.",
+)
+def q_array_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _diff("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at(d, 1).cast("double"), 6).alias("d0"),
+        F.size(d).alias("n_diffs"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q_year_span_ffill",
+    oracle="""
+        SELECT event_id,
+               round(last_value(
+                   CASE WHEN event_type = 'purchase' THEN value END
+                   IGNORE NULLS
+               ) OVER (
+                   PARTITION BY user_id, date_part('year', ts - INTERVAL 1 MONTH)
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 4) AS last_purchase_value
+        FROM events
+        ORDER BY event_id
+    """,
+    description="Spark twin of the reference's shifted_within_year ffill "
+    "(pandas.py:121-138): forward-fill within Feb→Jan+1 spans = "
+    "last(ignorenulls) over a window partitioned by year(add_months(ts,-1)).",
+)
+def q_year_span_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    span_year = F.year(F.add_months("ts", -1))
+    w = (
+        Window.partitionBy("user_id", span_year)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return events.select(
+        "event_id",
+        F.round(F.last(purchase_value, ignorenulls=True).over(w), 4).alias(
+            "last_purchase_value"
+        ),
+    ).orderBy("event_id")

@@ -1,0 +1,103 @@
+"""Sinks and extra sources: parquet/csv/json read-write with the layout
+options that matter at scale.
+
+The reference has ZERO write paths (SURVEY.md §2.1 — "Sinks: none"); this
+module is the engine's sink layer. Layout guidance baked into the API:
+
+- ``partition_by``: directory partitioning → partition pruning on read.
+  Choose low-cardinality columns (date, region); high-cardinality partition
+  keys create millions of tiny files.
+- ``write_bucketed_table``: hash-bucketed + optionally sorted catalog
+  table → co-located, shuffle-free joins/aggs on the bucket key for every
+  downstream query that joins on it. The 100 TB answer to "this join
+  shuffles every time".
+- ``coalesce_to``: cap output file count after a highly-parallel stage so
+  small-file storms don't hit the metastore/filesystem.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame as SparkDF, SparkSession
+
+from ons_utils_spark.generic import list_convert
+
+
+def write_table(
+    df: SparkDF,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Union[str, Sequence[str], None] = None,
+    compression: Optional[str] = "snappy",
+    coalesce_to: Optional[int] = None,
+) -> None:
+    """Write a DataFrame to a path-based table (parquet/csv/json/orc)."""
+    if coalesce_to:
+        df = df.coalesce(coalesce_to)
+    writer = df.write.format(fmt).mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*list_convert(partition_by))
+    writer.save(path)
+
+
+def write_bucketed_table(
+    df: SparkDF,
+    table_name: str,
+    bucket_cols: Union[str, Sequence[str]],
+    num_buckets: int,
+    sort_cols: Union[str, Sequence[str], None] = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Save as a hash-bucketed (optionally sorted) catalog table.
+
+    Joins/aggregations on ``bucket_cols`` between tables bucketed the same
+    way run WITHOUT a shuffle — Catalyst recognizes the co-partitioning.
+    Requires a catalog (works against the default local warehouse too).
+    """
+    writer = (
+        df.write.format(fmt)
+        .mode(mode)
+        .bucketBy(num_buckets, *list_convert(bucket_cols))
+    )
+    if sort_cols:
+        writer = writer.sortBy(*list_convert(sort_cols))
+    writer.saveAsTable(table_name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[str] = None,
+    header: bool = True,
+    **options,
+) -> SparkDF:
+    """CSV source. Pass an explicit DDL ``schema`` in production — schema
+    inference costs one full extra pass over the data."""
+    reader = spark.read.option("header", header)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[str] = None,
+    **options,
+) -> SparkDF:
+    """JSON-lines source; explicit schema avoids the inference pass."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)

@@ -1,0 +1,79 @@
+"""Sink/source round-trip tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.sources.write import (
+    read_csv,
+    read_json,
+    write_bucketed_table,
+    write_table,
+)
+from ons_utils_spark.testing import assert_df_equality, create_spark_df
+
+
+@pytest.fixture()
+def df(spark):
+    return create_spark_df(
+        spark,
+        [
+            ("id", "grp", "val"),
+            (1, "a", 1.5),
+            (2, "a", 2.5),
+            (3, "b", 3.5),
+        ],
+    )
+
+
+class TestParquetRoundTrip:
+    def test_plain(self, spark, df, tmp_path):
+        path = str(tmp_path / "t")
+        write_table(df, path)
+        assert_df_equality(spark.read.parquet(path), df, ignore_row_order=True)
+
+    def test_partitioned_layout_and_pruning(self, spark, df, tmp_path):
+        path = str(tmp_path / "t")
+        write_table(df, path, partition_by="grp")
+        assert os.path.isdir(os.path.join(path, "grp=a"))
+        back = spark.read.parquet(path).where(F.col("grp") == "a")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert back.count() == 2
+        # Partition filter reaches the scan (pruning, not a post-filter).
+        assert "PartitionFilters: [isnotnull(grp" in plan
+
+    def test_coalesce_to_caps_files(self, spark, df, tmp_path):
+        path = str(tmp_path / "t")
+        write_table(df.repartition(8), path, coalesce_to=1)
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert len(files) == 1
+
+
+class TestBucketedTable:
+    def test_bucketed_join_has_no_shuffle(self, spark, df):
+        write_bucketed_table(df, "bt_left", "id", 4, sort_cols="id")
+        write_bucketed_table(df, "bt_right", "id", 4, sort_cols="id")
+        try:
+            joined = spark.table("bt_left").join(spark.table("bt_right"), "id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert joined.count() == 3
+            # Co-bucketed join: no Exchange (shuffle) on either side.
+            assert "Exchange hashpartitioning" not in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bt_left")
+            spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+class TestCsvJson:
+    def test_csv_round_trip_with_schema(self, spark, df, tmp_path):
+        path = str(tmp_path / "c")
+        write_table(df, path, fmt="csv", compression=None)
+        back = read_csv(spark, path, schema="id bigint, grp string, val double", header=False)
+        assert back.count() == 3
+
+    def test_json_round_trip(self, spark, df, tmp_path):
+        path = str(tmp_path / "j")
+        write_table(df, path, fmt="json", compression=None)
+        back = read_json(spark, path, schema="id bigint, grp string, val double")
+        assert_df_equality(back, df, ignore_row_order=True, ignore_column_order=True)

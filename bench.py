@@ -31,6 +31,11 @@ HEADLINE = [
     "q_dedup_exact",
     "q_text_stats",
     "q_similarity_topk",
+    "q_asof_join",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ngram_jaccard_pairs",
+    "q_embedding_near_dup",
 ]
 
 

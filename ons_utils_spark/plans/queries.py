@@ -949,12 +949,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE cos_sim >= 0.45
         ORDER BY id_a, id_b
     """,
-    description="Embedding-cosine near-dup pairs (brute-force all-pairs ≥ "
-    "0.45). At 10⁸+ vectors swap candidate generation to SRP-LSH buckets.",
+    description="Embedding-cosine near-dup pairs (exact all-pairs ≥ 0.45) "
+    "via blocked float64 BLAS matmul over block-pair groups — one shuffle, "
+    "O((n/B)²·d) per task. At 10⁸+ vectors swap candidate generation to "
+    "SRP-LSH buckets.",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return _dedup.embedding_near_dup_pairs(
+    return _dedup.embedding_near_dup_pairs_blocked(
         emb, "vec_id", "embedding", threshold=0.45
     ).orderBy("id_a", "id_b")
 

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from ons_utils_spark.operators.dedup import (
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_blocked,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -157,3 +158,26 @@ class TestEmbeddingNearDup:
             for r in embedding_near_dup_pairs(df, "vec_id", "embedding", 0.99).collect()
         }
         assert pairs == {(1, 2)}
+
+    def test_blocked_matches_expression_path(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        # Inject two exact near-dup clusters.
+        rows[10] = (10, [v * 1.0001 for v in rows[4][1]])
+        rows[20] = (20, rows[7][1])
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        expr_pairs = sorted(
+            map(tuple, embedding_near_dup_pairs(df, "vec_id", "embedding", 0.9).collect())
+        )
+        blocked_pairs = sorted(
+            map(
+                tuple,
+                embedding_near_dup_pairs_blocked(
+                    df, "vec_id", "embedding", 0.9, n_blocks=4
+                ).collect(),
+            )
+        )
+        assert expr_pairs == blocked_pairs
+        assert len(expr_pairs) >= 2

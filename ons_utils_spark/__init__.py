@@ -30,15 +30,68 @@ SURVEY.md §2 for the file:line parity map):
 """
 
 from ons_utils_spark.generic import (
+    fill_tuple_keys,
+    fill_tuples,
+    flatten_dict,
+    get_key_value_pairs,
+    invert_nested_keys,
     is_non_string_sequence,
     list_convert,
     tuple_convert,
+    unflatten_dict,
 )
 from ons_utils_spark.operators.concat import concat, UnequalSchemaWarning
+from ons_utils_spark.operators.general import (
+    convert_to_spark_col,
+    convert_to_pandas_udf,
+    diff,
+    get_ddl_schema,
+    get_fields,
+    get_first_group,
+    get_hive_table_columns,
+    get_window_spec,
+    grouped_apply,
+    hive_table_exists,
+    lookup_join,
+    map_col,
+    map_column_names,
+    to_list,
+    transform,
+)
+from ons_utils_spark.operators.joins import asof_join, range_join
+from ons_utils_spark.session import get_session
 
 __all__ = [
+    # flagship + column helpers
     "concat",
     "UnequalSchemaWarning",
+    "map_col",
+    "lookup_join",
+    "map_column_names",
+    "get_window_spec",
+    "get_first_group",
+    "grouped_apply",
+    "convert_to_pandas_udf",
+    "convert_to_spark_col",
+    "get_ddl_schema",
+    "get_fields",
+    "get_hive_table_columns",
+    "hive_table_exists",
+    "to_list",
+    "transform",
+    "diff",
+    # joins
+    "asof_join",
+    "range_join",
+    # session
+    "get_session",
+    # pure-Python helpers
+    "flatten_dict",
+    "unflatten_dict",
+    "invert_nested_keys",
+    "get_key_value_pairs",
+    "fill_tuples",
+    "fill_tuple_keys",
     "is_non_string_sequence",
     "list_convert",
     "tuple_convert",

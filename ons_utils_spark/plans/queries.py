@@ -1482,3 +1482,71 @@ def q_year_span_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_purchase_value"
         ),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity operators as queries: grouped pandas apply, window spec
+# ---------------------------------------------------------------------------
+
+from ons_utils_spark.operators.general import get_window_spec as _get_window_spec  # noqa: E402
+from ons_utils_spark.operators.general import grouped_apply as _grouped_apply  # noqa: E402
+
+
+@register(
+    "q_grouped_apply_spend_share",
+    oracle="""
+        SELECT o_custkey AS o_custkey,
+               o_orderkey AS o_orderkey,
+               round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+                   AS spend_share
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+    """,
+    description="The reference's grouped-map pandas runner "
+    "(convert_to_pandas_udf → applyInPandas): a whole pandas function per "
+    "customer group computing each order's share of customer spend. One "
+    "shuffle on the key; Arrow batch per group.",
+)
+def q_grouped_apply_spend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def spend_share(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "spend_share": (pdf["o_totalprice"] / pdf["o_totalprice"].sum()).round(6),
+            }
+        )
+
+    out = _grouped_apply(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        spend_share,
+        "o_custkey bigint, o_orderkey bigint, spend_share double",
+        "o_custkey",
+    )
+    return out.orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "q_window_spec_group_sum",
+    oracle="""
+        SELECT o_orderkey AS o_orderkey,
+               o_orderpriority AS o_orderpriority,
+               round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority), 2)
+                   AS priority_total
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    description="The reference's get_window_spec partition-only window "
+    "(general.py:170-183): aggregate-over-window with no ORDER BY / frame.",
+)
+def q_window_spec_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = _get_window_spec("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("priority_total"),
+    ).orderBy("o_orderkey")

@@ -108,3 +108,80 @@ def srp_topk(
         .orderBy(F.col("cos_sim").desc(), "id")
         .limit(k)
     )
+
+
+def ivf_build(
+    df: SparkDF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """Build an IVF (inverted-file) index: KMeans centroids + assignments.
+
+    Returns ``(assigned_df, centroids)`` where ``assigned_df`` adds a
+    ``__list`` column (nearest-centroid id) and ``centroids`` is the
+    driver-side ``list[(list_id, center_vector)]``.
+
+    At scale the assigned table is written partitioned by ``__list`` so a
+    probe scans only ``n_probe`` partitions (partition pruning). Uses
+    ``pyspark.ml`` KMeans — distributed fit, broadcast centroids for
+    assignment.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .withColumnRenamed("prediction", "__list")
+        .select("id", "vec", "__list")
+    )
+    centroids = [(i, list(map(float, c))) for i, c in enumerate(model.clusterCenters())]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: SparkDF,
+    centroids,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+) -> SparkDF:
+    """Approximate top-``k`` from an IVF index: score only the ``n_probe``
+    lists whose centroids are nearest the query.
+
+    Recall grows with ``n_probe`` (``n_probe == n_lists`` degenerates to the
+    exact brute-force scan). The list filter is a pushdown-able predicate —
+    with a ``__list``-partitioned table it prunes whole partitions.
+    """
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    q = [float(v) for v in query_vec]
+    probe_lists = [
+        lid for lid, _ in sorted(centroids, key=lambda c: -cos(q, c[1]))[:n_probe]
+    ]
+
+    q_col = F.array(*[F.lit(v) for v in q])
+    return (
+        assigned.where(F.col("__list").isin(probe_lists))
+        .select(
+            "id",
+            F.round(cosine_similarity(F.col("vec"), q_col), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "id")
+        .limit(k)
+    )

@@ -1550,3 +1550,22 @@ def q_window_spec_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.sum("o_totalprice").over(w), 2).alias("priority_total"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_similarity_ivf",
+    description="IVF (inverted-file) ANN: KMeans lists + n_probe nearest "
+    "lists scanned — the partition-prunable scale path for repeated "
+    "similarity queries. Rows-only check here (KMeans assignment is not "
+    "SQL-expressible); pytest pins recall against brute force.",
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query_vec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    assigned, centroids = ivf_build(emb, n_lists=8, seed=42)
+    return ivf_topk(assigned, centroids, query_vec, k=10, n_probe=4)

@@ -44,3 +44,40 @@ class TestSrpTopk:
     def test_deterministic_planes(self):
         assert make_planes(4, 8, seed=7) == make_planes(4, 8, seed=7)
         assert make_planes(4, 8, seed=7) != make_planes(4, 8, seed=8)
+
+
+class TestIvf:
+    def test_ivf_recall_against_brute_force(self, spark):
+        import random
+
+        from ons_utils_spark.operators.similarity import cosine_topk, ivf_build, ivf_topk
+
+        rng = random.Random(11)
+        # Three well-separated clusters in 8-d.
+        centers = [[5.0] * 4 + [0.0] * 4, [0.0] * 4 + [5.0] * 4, [2.5] * 8]
+        rows = []
+        for i in range(90):
+            c = centers[i % 3]
+            rows.append((i, [v + rng.gauss(0, 0.3) for v in c]))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        query = centers[0]
+
+        assigned, centroids = ivf_build(df, n_lists=3, seed=1)
+        approx = [r["id"] for r in ivf_topk(assigned, centroids, query, k=5, n_probe=1).collect()]
+        exact = [r["id"] for r in cosine_topk(df, query, k=5).collect()]
+        # With clean clusters and the right probe list, recall is total.
+        assert approx == exact
+
+    def test_probe_all_lists_is_exact(self, spark):
+        import random
+
+        from ons_utils_spark.operators.similarity import cosine_topk, ivf_build, ivf_topk
+
+        rng = random.Random(5)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        query = rows[0][1]
+        assigned, centroids = ivf_build(df, n_lists=4, seed=2)
+        approx = [r["id"] for r in ivf_topk(assigned, centroids, query, k=8, n_probe=4).collect()]
+        exact = [r["id"] for r in cosine_topk(df, query, k=8).collect()]
+        assert approx == exact

@@ -33,9 +33,8 @@ from __future__ import annotations
 import random
 from typing import Optional, Sequence, Union
 
-from pyspark.sql import Column as SparkCol, DataFrame as SparkDF, Window, functions as F
+from pyspark.sql import DataFrame as SparkDF, Window, functions as F
 
-from ons_utils_spark.functions.arrays import cosine_similarity
 from ons_utils_spark.generic import list_convert
 from ons_utils_spark.operators.text import word_shingles
 

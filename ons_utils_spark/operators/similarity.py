@@ -129,7 +129,7 @@ def ivf_build(
     assignment.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = df.select(
         F.col(id_col).alias("id"),

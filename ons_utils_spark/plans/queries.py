@@ -16,7 +16,7 @@ physical strategy at 100 TB.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F

@@ -1569,3 +1569,171 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     assigned, centroids = ivf_build(emb, n_lists=8, seed=42)
     return ivf_topk(assigned, centroids, query_vec, k=10, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# More TPC-H-style shapes: agg-join-back, correlated exists, having, null ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+        WITH min_bal AS (
+            SELECT l_partkey, min(s_acctbal) AS min_bal
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY l_partkey
+        )
+        SELECT l.l_partkey AS l_partkey,
+               s.s_suppkey AS s_suppkey,
+               round(s.s_acctbal, 2) AS s_acctbal
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN min_bal m ON l.l_partkey = m.l_partkey
+                      AND s.s_acctbal = m.min_bal
+        GROUP BY l.l_partkey, s.s_suppkey, s.s_acctbal
+        ORDER BY l_partkey, s_suppkey
+    """,
+    description="TPC-H Q2-style agg-then-join-back: per-part minimum "
+    "supplier balance, rejoined to recover the argmin rows. The aggregate "
+    "side reuses the join's partitioning (no extra shuffle under AQE).",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    joined = li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    min_bal = joined.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal")).select(
+        F.col("l_partkey").alias("mb_partkey"), "min_bal"
+    )
+    return (
+        joined.join(
+            min_bal,
+            (F.col("l_partkey") == F.col("mb_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+        .distinct()
+        .orderBy("l_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "q_nation_volume_by_year",
+    oracle="""
+        SELECT n.n_name AS n_name,
+               CAST(year(o.o_orderdate) AS INT) AS order_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+        ORDER BY n_name, order_year
+    """,
+    description="TPC-H Q7/Q9-style shipping-volume cube by nation and year "
+    "— fact-fact shuffle join plus two broadcast dims.",
+)
+def q_nation_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+        .orderBy("n_name", "order_year")
+    )
+
+
+@register(
+    "q_big_spender_orders",
+    oracle="""
+        SELECT c.c_name AS c_name,
+               o.o_orderkey AS o_orderkey,
+               round(t.total_qty, 2) AS total_qty
+        FROM (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 200
+        ) t
+        JOIN orders o  ON t.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o_orderkey
+    """,
+    description="TPC-H Q18-style HAVING pipeline: aggregate, filter on the "
+    "aggregate, join customer names back. The HAVING filter runs before the "
+    "joins — orders of magnitude fewer rows reach them.",
+)
+def q_big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", F.round("total_qty", 2).alias("total_qty"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+        SELECT e.event_id AS event_id,
+               coalesce(CAST(json_extract_string(e.props, '$.missing') AS DOUBLE),
+                        e.value, 0.0) AS filled,
+               CAST(nullif(e.event_type, 'error') IS NULL AS INT) AS is_error,
+               CAST((CAST(json_extract_string(e.props, '$.missing') AS DOUBLE)
+                     IS NOT DISTINCT FROM NULL) AS INT) AS null_safe_eq_null
+        FROM events e
+        ORDER BY event_id
+    """,
+    description="NULL-handling semantics: coalesce fallback chains, nullif, "
+    "and null-safe equality (Spark <=> is SQL IS NOT DISTINCT FROM).",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    missing = F.get_json_object("props", "$.missing").cast("double")
+    return events.select(
+        "event_id",
+        F.coalesce(missing, F.col("value"), F.lit(0.0)).alias("filled"),
+        F.nullif(F.col("event_type"), F.lit("error")).isNull().cast("int").alias("is_error"),
+        missing.eqNullSafe(F.lit(None).cast("double")).cast("int").alias("null_safe_eq_null"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_approx_aggregates",
+    description="Approximate aggregates (HyperLogLog distinct count + "
+    "t-digest quantiles) — the constant-memory sketches that replace exact "
+    "distinct/median at 100 TB. No SQL oracle (sketch internals differ "
+    "across engines); pytest bounds the error against exact values.",
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

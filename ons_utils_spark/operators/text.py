@@ -162,3 +162,32 @@ def rolling_hashes(text: Union[str, SparkCol], k: int = 5) -> SparkCol:
     :func:`doc_fingerprint` where cross-engine equality matters.
     """
     return F.transform(word_shingles(text, n=k, distinct=False), lambda s: F.xxhash64(s))
+
+
+def winnow_fingerprints(
+    text: Union[str, SparkCol], k: int = 5, w: int = 4
+) -> SparkCol:
+    """Winnowing document fingerprints → ``array<bigint>``.
+
+    The MOSS scheme (Schleimer/Wilkerson/Aiken 2003): hash every ``k``-token
+    shingle, slide a window of ``w`` hashes, keep each window's minimum,
+    dedupe. Guarantees any shared run of ``w + k - 1`` tokens between two
+    documents yields at least one shared fingerprint — the basis for
+    plagiarism/copy detection at corpus scale. Row-local expression; compare
+    via explode + self-join like :func:`~ons_utils_spark.operators.dedup.jaccard_pairs`.
+    """
+    hashes = rolling_hashes(text, k=k)
+    n_windows = F.size(hashes) - F.lit(w - 1)
+    mins = F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        ),
+    ).otherwise(
+        # Shorter than one window: fall back to the global min (or empty).
+        F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return F.array_distinct(mins)

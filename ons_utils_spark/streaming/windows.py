@@ -178,3 +178,52 @@ def run_available_now(
     )
     query.awaitTermination(timeout_s)
     return query
+
+
+def running_user_totals(
+    df: SparkDF,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    state_timeout_ms: int = 0,
+) -> SparkDF:
+    """Custom stateful operator: cumulative per-key totals across triggers.
+
+    The ``applyInPandasWithState`` path — for stateful logic windows can't
+    express (running totals that survive across micro-batches, custom
+    eviction, per-key state machines). Each key's state is a
+    ``(count, total)`` pair updated per batch; emits one row per key per
+    trigger with the lifetime aggregate.
+
+    Works on streaming frames only (batch twin: a plain groupBy sum —
+    that's the cross-check the tests use). ``state_timeout_ms`` > 0 evicts
+    idle keys (bounds state at 100 TB key cardinality).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} bigint, n_events bigint, total double"
+    state_schema = "n bigint, total double"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, batches, state: "GroupState"):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        if state_timeout_ms:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [total]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

@@ -119,3 +119,33 @@ class TestStaysJvmSide:
             .toString()
         )
         assert "Python" not in plan
+
+
+class TestWinnowFingerprints:
+    def test_shared_run_guarantee(self, spark):
+        from ons_utils_spark.operators.text import winnow_fingerprints
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        other = "one two three " + base + " four five six"
+        df = spark.createDataFrame([(1, base), (2, other)], "id bigint, text string")
+        fps = {
+            r["id"]: set(r["fp"])
+            for r in df.select("id", winnow_fingerprints("text", k=3, w=2).alias("fp")).collect()
+        }
+        # The 10-token base run is >= w+k-1 = 4 tokens: at least one shared print.
+        assert fps[1] & fps[2]
+
+    def test_short_doc_falls_back_to_min(self, spark):
+        from ons_utils_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame([("a b c",)], "text string")
+        out = df.select(winnow_fingerprints("text", k=3, w=4).alias("fp")).collect()[0]["fp"]
+        assert len(out) == 1
+
+    def test_deterministic(self, spark):
+        from ons_utils_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame([("the quick brown fox jumps over dogs",)], "text string")
+        a = df.select(winnow_fingerprints("text").alias("fp")).collect()
+        b = df.select(winnow_fingerprints("text").alias("fp")).collect()
+        assert a == b

@@ -146,3 +146,40 @@ class TestRealStreamingRun:
             events, "ts", "10 minutes", keys="user_id", aggs={"value": "count"}
         ).count()
         assert got == expected
+
+
+class TestStatefulOperator:
+    def test_running_totals_match_batch_sum(self, spark, events, tmp_path):
+        from ons_utils_spark.streaming.windows import running_user_totals
+
+        src = str(tmp_path / "events_src")
+        events.write.mode("overwrite").parquet(src)
+        stream = read_stream(spark, src, SCHEMA)
+        totals = running_user_totals(stream, key_col="user_id", value_col="value")
+        query = (
+            totals.writeStream.format("memory")
+            .queryName("stream_state")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        got = {
+            r["user_id"]: (r["n_events"], r["total"])
+            for r in spark.sql(
+                # Last emitted row per key = lifetime aggregate.
+                """SELECT user_id, n_events, total FROM (
+                       SELECT *, row_number() OVER (
+                           PARTITION BY user_id ORDER BY n_events DESC) rn
+                       FROM stream_state) WHERE rn = 1"""
+            ).collect()
+        }
+        import pyspark.sql.functions as F
+
+        expected = {
+            r["user_id"]: (r["n"], r["t"])
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+            .collect()
+        }
+        assert got == expected

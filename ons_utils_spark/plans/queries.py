@@ -1737,3 +1737,26 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_first_group_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+        ORDER BY o_orderkey
+    """,
+    description="The reference's get_first_group sample filter "
+    "(general.py:224-228) made deterministic: order by the group key so "
+    "'first' is the minimum key; Column predicates, not f-string SQL.",
+)
+def q_first_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.general import get_first_group
+
+    orders = _t(spark, sf_dir, "orders").orderBy("o_custkey")
+    return (
+        get_first_group(orders, "o_custkey")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )

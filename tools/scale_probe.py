@@ -1,0 +1,84 @@
+"""Scale probe: replicate the fact tables N× in-plan and measure how query
+time scales — evidence that the plans survive a data-size step-up.
+
+Replication is a union of N shifted copies (keys offset so join/group
+cardinalities scale too, not just row counts). Healthy plans scale
+near-linearly in rows; a quadratic stage or a collapsing single partition
+shows up immediately as super-linear time.
+
+Usage: python tools/scale_probe.py [factor] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    from pyspark.sql import DataFrame, functions as F
+
+    from ons_utils_spark.session import get_session
+    from ons_utils_spark.sources.tables import load_table
+
+    spark = get_session(app_name="scale_probe")
+    spark.range(1000).count()
+
+    def replicate(df: DataFrame, key_cols: list[str], factor: int) -> DataFrame:
+        copies = []
+        for i in range(factor):
+            copy = df
+            for k in key_cols:
+                copy = copy.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
+            copies.append(copy)
+        return functools.reduce(DataFrame.unionByName, copies)
+
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+
+    def q1(li: DataFrame) -> DataFrame:
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(disc).alias("rev"), F.count(F.lit(1)).alias("n"))
+        )
+
+    def q_join(li: DataFrame, o: DataFrame) -> DataFrame:
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+
+    results = {}
+    for name, build in {
+        "q1_agg": lambda f: q1(replicate(lineitem, ["l_orderkey"], f)),
+        "fact_fact_join": lambda f: q_join(
+            replicate(lineitem, ["l_orderkey"], f),
+            replicate(orders, ["o_orderkey"], f),
+        ),
+    }.items():
+        times = {}
+        # Untimed warmup so the 1x measurement doesn't carry codegen cost.
+        build(1).write.format("noop").mode("overwrite").save()
+        for factor in (1, FACTOR):
+            t0 = time.perf_counter()
+            build(factor).write.format("noop").mode("overwrite").save()
+            times[factor] = round(time.perf_counter() - t0, 2)
+        ratio = round(times[FACTOR] / times[1], 2) if times[1] else None
+        results[name] = {"t_1x": times[1], f"t_{FACTOR}x": times[FACTOR], "ratio": ratio}
+
+    print(json.dumps({"factor": FACTOR, "sf_dir": SF_DIR, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,8 +33,9 @@ def asof_join(
     right_ts: Optional[str] = None,
     tolerance: Optional[str] = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> SparkDF:
-    """Backward as-of join: latest right row with ``ts_right <= ts_left``.
+    """As-of join (pandas ``merge_asof`` semantics, all three directions).
 
     Parameters
     ----------
@@ -43,18 +44,25 @@ def asof_join(
     left_ts / right_ts
         Event-time columns (``right_ts`` defaults to ``left_ts``'s name).
     tolerance
-        Optional max staleness as an INTERVAL string (e.g. ``'1 hour'``):
-        right rows older than that are not matched.
+        Optional max time distance as an INTERVAL string (e.g. ``'1 hour'``):
+        right rows further away than that are not matched.
     suffix
         Appended to right-side column names that collide with left ones.
+    direction
+        ``backward`` (latest right with ``ts_r <= ts_l``, the default),
+        ``forward`` (earliest right with ``ts_r >= ts_l``), or ``nearest``
+        (whichever of the two is closer in time; exact ties prefer
+        backward, like pandas).
 
     Notes
     -----
-    Plan shape: tag sides → unionByName → one window over (key, ts) taking
-    ``last(right_payload, ignorenulls)`` → filter left rows. Equal
-    timestamps match (right sorts before left at the same instant), like
-    pandas ``merge_asof`` and DuckDB ``ASOF JOIN``.
+    Plan shape: tag sides → unionByName → ONE window over (key, ts) taking
+    ``last(payload, ignorenulls)`` looking back and/or ``first`` looking
+    forward → filter left rows. No join node; one shuffle on the key.
+    Equal timestamps match in every direction.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward, forward, or nearest")
     on = list_convert(on)
     right_ts = right_ts or left_ts
 
@@ -77,24 +85,53 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    # Right rows order before left rows at the same timestamp → inclusive
-    # (<=) as-of semantics.
-    w = (
+    # Inclusive (=) semantics needs direction-specific tie ordering: the
+    # backward window must see same-instant right rows BEFORE the left row,
+    # the forward window must see them AFTER it. Two window orderings over
+    # the same partition key — one shuffle, at most one extra sort.
+    back_w = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.last("__payload", ignorenulls=True).over(w)
+    fwd_w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
 
-    out = unioned.withColumn("__match", matched).where(F.col("__is_left") == 1)
+    out = unioned
+    if direction in ("backward", "nearest"):
+        out = out.withColumn("__back", F.last("__payload", ignorenulls=True).over(back_w))
+    if direction in ("forward", "nearest"):
+        out = out.withColumn("__fwd", F.first("__payload", ignorenulls=True).over(fwd_w))
+    out = out.where(F.col("__is_left") == 1)
+
+    if direction == "backward":
+        match = F.col("__back")
+    elif direction == "forward":
+        match = F.col("__fwd")
+    else:
+        back_gap = F.col("__ts").cast("long") - F.col("__back.__matched_ts").cast("long")
+        fwd_gap = F.col("__fwd.__matched_ts").cast("long") - F.col("__ts").cast("long")
+        match = (
+            F.when(F.col("__back").isNull(), F.col("__fwd"))
+            .when(F.col("__fwd").isNull(), F.col("__back"))
+            # Exact tie prefers backward (pandas merge_asof behavior).
+            .when(fwd_gap < back_gap, F.col("__fwd"))
+            .otherwise(F.col("__back"))
+        )
+    out = out.withColumn("__match", match)
 
     if tolerance is not None:
-        fresh = F.col("__match.__matched_ts") >= F.col("__ts") - F.expr(
-            f"INTERVAL {tolerance}"
+        gap = F.abs(
+            F.col("__match.__matched_ts").cast("long") - F.col("__ts").cast("long")
         )
-        out = out.withColumn(
-            "__match", F.when(fresh, F.col("__match"))
-        )
+        budget = F.expr(f"INTERVAL {tolerance}")
+        within = gap <= (
+            F.lit(0).cast("timestamp") + budget
+        ).cast("long") - F.lit(0).cast("timestamp").cast("long")
+        out = out.withColumn("__match", F.when(within, F.col("__match")))
 
     return out.select(
         *left.columns,
@@ -128,3 +165,45 @@ def range_join(
     for key in list_convert(on or []):
         predicate = predicate & (left[key] == right[key])
     return left.join(right, predicate, how)
+
+
+def range_join_bucketed(
+    left: SparkDF,
+    right: SparkDF,
+    on: Union[str, Sequence[str], None],
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+) -> SparkDF:
+    """Large×large point-in-interval join via interval bucketing.
+
+    The theta form (:func:`range_join`) degenerates to a nested-loop when
+    neither side broadcasts. Bucketing restores a hash join: intervals are
+    exploded into every ``bucket_width`` bucket they overlap, points are
+    assigned their single bucket, and the equi-join on (keys, bucket) is
+    followed by the exact interval predicate. Each interval adds
+    ``ceil(len/width)+1`` rows — pick ``bucket_width`` near the median
+    interval length to keep replication ~2x.
+
+    Inner join semantics, identical output to
+    ``range_join(left, right, on, ...)``.
+    """
+    on = list_convert(on or [])
+    width = float(bucket_width)
+
+    point_bucket = F.floor(F.col(left_point) / width)
+    l_bucketed = left.withColumn("__bucket", point_bucket)
+
+    start_bucket = F.floor(F.col(right_start) / width)
+    end_bucket = F.floor(F.col(right_end) / width)
+    r_bucketed = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(start_bucket.cast("long"), end_bucket.cast("long"))),
+    )
+
+    joined = l_bucketed.join(r_bucketed, [*on, "__bucket"])
+    predicate = (F.col(left_point) >= F.col(right_start)) & (
+        F.col(left_point) < F.col(right_end)
+    )
+    return joined.where(predicate).drop("__bucket")

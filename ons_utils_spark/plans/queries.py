@@ -1760,3 +1760,35 @@ def q_first_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_rolling_30d_spend",
+    oracle="""
+        SELECT o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ), 2) AS spend_30d
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    description="RANGE frame over event time: per-customer trailing-30-day "
+    "spend. Spark range frames are numeric, so the ORDER BY is the epoch "
+    "second and the bound is -30*86400 — semantically identical to "
+    "DuckDB's RANGE INTERVAL frame (both bounds inclusive).",
+)
+def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # Parquet gives TIMESTAMP_NTZ, which has no direct long cast; going
+        # through timestamp (session TZ is UTC) yields epoch seconds.
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    ).orderBy("o_orderkey")

@@ -120,3 +120,70 @@ class TestRangeJoin:
         )
         out = range_join(left, right, "k", "x", "lo", "hi")
         assert [r["id"] for r in out.collect()] == [1]
+
+
+class TestRangeJoinBucketed:
+    def test_matches_theta_join(self, spark):
+        import random
+
+        from ons_utils_spark.operators.joins import range_join, range_join_bucketed
+
+        rng = random.Random(9)
+        points = spark.createDataFrame(
+            [(i, rng.uniform(0, 100)) for i in range(200)], "id bigint, x double"
+        )
+        intervals = spark.createDataFrame(
+            [
+                (j, lo := rng.uniform(0, 90), lo + rng.uniform(1, 15))
+                for j in range(40)
+            ],
+            "iv bigint, lo double, hi double",
+        )
+        theta = range_join(points, intervals, None, "x", "lo", "hi")
+        bucketed = range_join_bucketed(points, intervals, None, "x", "lo", "hi", 10.0)
+        t = sorted((r["id"], r["iv"]) for r in theta.collect())
+        b = sorted((r["id"], r["iv"]) for r in bucketed.collect())
+        assert t == b and len(t) > 0
+
+    def test_is_hash_join_not_nested_loop(self, spark):
+        from ons_utils_spark.operators.joins import range_join_bucketed
+
+        points = spark.createDataFrame([(1, 5.0)], "id bigint, x double")
+        intervals = spark.createDataFrame([(1, 0.0, 10.0)], "iv bigint, lo double, hi double")
+        plan = (
+            range_join_bucketed(points, intervals, None, "x", "lo", "hi", 5.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestAsofDirections:
+    def test_forward_matches_next_quote(self, spark, trades, quotes):
+        out = {
+            r["trade_id"]: r["quote"]
+            for r in asof_join(
+                trades, quotes, on="sym", left_ts="ts", direction="forward"
+            ).collect()
+        }
+        assert out[1] == 100.5  # next quote at/after 10:05 is 10:10
+        assert out[2] == 100.5  # equal ts matches forward too
+        assert out[3] == 199.0  # B's quote at 10:08 is after the 10:07 trade
+        assert out[4] is None
+
+    def test_nearest_picks_closer_side(self, spark, trades, quotes):
+        out = {
+            r["trade_id"]: r["quote"]
+            for r in asof_join(
+                trades, quotes, on="sym", left_ts="ts", direction="nearest"
+            ).collect()
+        }
+        assert out[1] == 99.5   # 10:04 is 1 min back vs 10:10 5 min forward
+        assert out[2] == 100.5  # exact match
+        assert out[3] == 199.0  # only a forward quote exists
+        assert out[4] is None
+
+    def test_invalid_direction_raises(self, trades, quotes):
+        with pytest.raises(ValueError, match="backward, forward, or nearest"):
+            asof_join(trades, quotes, on="sym", left_ts="ts", direction="sideways")

@@ -1792,3 +1792,38 @@ def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_chunk_documents",
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               substring(text, CAST(1 + i * 224 AS INT), 256) AS chunk
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0,
+                       CAST(greatest(0.0, ceil((length(text) - 256.0) / 224)) AS BIGINT)
+                   )) AS i
+            FROM documents
+            WHERE length(text) > 0
+        )
+        ORDER BY doc_id, chunk_idx
+    """,
+    description="RAG-style document chunking (256 chars, 32 overlap) as a "
+    "pure-Catalyst expression (substring over generated offsets, exploded); "
+    "the equivalent Python UDTF exists in functions/udtfs.py for logic that "
+    "can't be an expression.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.functions.udtfs import chunk_expression
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(chunk_expression("text", 256, 32)).alias("c")
+        )
+        .select("doc_id", "c.chunk_idx", "c.chunk")
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -518,3 +518,60 @@ def embedding_near_dup_pairs_blocked(
     return tagged.groupBy("block_a", "block_b").applyInPandas(
         block_cosine, out_schema
     )
+
+
+def near_dup_representatives(
+    ids: SparkDF,
+    pairs: SparkDF,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> SparkDF:
+    """Resolve near-duplicate PAIRS into kept representatives per cluster.
+
+    ``pairs`` is any near-dup pair table (``id_a``, ``id_b`` — e.g. from
+    :func:`minhash_lsh_pairs`); connected components are computed by
+    iterative min-label propagation and each document maps to its cluster's
+    minimum id. Returns ``(id, rep_id)`` for every id in ``ids`` — rows
+    with ``id == rep_id`` are the keepers.
+
+    Each iteration is one distributed join+aggregate; iterations needed =
+    O(cluster diameter), which for dedup clusters (near-cliques from LSH)
+    is almost always ≤ 2-3. The driver loop only checks a convergence
+    count, it never touches row data.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("rep_id"))
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("rep_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep_id"), F.coalesce(F.col("nbr_min"), F.col("rep_id"))
+                ).alias("rep_id"),
+            )
+        )
+        # Converged when no label shrinks. localCheckpoint truncates the
+        # growing iterative lineage (a must for loops over DataFrames).
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
+            .where(F.col("u.rep_id") < F.col("l.rep_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

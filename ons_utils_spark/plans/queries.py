@@ -1827,3 +1827,153 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.chunk_idx", "c.chunk")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "q_priority_late_orders",
+    oracle="""
+        SELECT o.o_orderpriority AS o_orderpriority,
+               count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o.o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="TPC-H Q4-style: orders having at least one lineitem shipped "
+    ">90 days after order date — correlated EXISTS as a left-semi join with "
+    "a non-equi conjunct.",
+)
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_top_return_customers",
+    oracle="""
+        SELECT c.c_custkey AS c_custkey,
+               c.c_name AS c_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    description="TPC-H Q10-style returned-item reporting: revenue lost to "
+    "returns per customer, top 20 (TakeOrdered).",
+)
+def q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_small_quantity_revenue",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN (
+            SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+            FROM lineitem GROUP BY l_partkey
+        ) p ON l.l_partkey = p.l_partkey
+        WHERE l.l_quantity < p.qty_cut
+    """,
+    description="TPC-H Q17-style correlated-average filter: lineitems below "
+    "20% of their part's average quantity. The correlated scalar subquery "
+    "becomes an aggregate + self-join; both sides share the l_partkey "
+    "shuffle partitioning.",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    ).withColumnRenamed("l_partkey", "cut_partkey")
+    return (
+        li.join(cuts, F.col("l_partkey") == F.col("cut_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_TOKS_CTE
+    + """,
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks)-2)]
+                    ELSE [] END) AS shset
+        FROM toks
+    ),
+    inv AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM sh),
+    dup_pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::DOUBLE
+                       / (any_value(a.sz) + any_value(b.sz) - count(*)) AS j
+            FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        WHERE j >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM dup_pairs
+        UNION SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach AS (
+        -- transitive closure (tiny graphs: near-dup clusters)
+        WITH RECURSIVE r(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a AND r.a <> e.b
+        )
+        SELECT * FROM r
+    )
+    SELECT d.doc_id AS id,
+           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    ORDER BY id
+    """,
+    description="End-to-end dedup: MinHash-LSH pairs → connected components "
+    "→ min-id representative per cluster (iterative label propagation, one "
+    "join+agg per iteration). Oracle computes the same mapping with a "
+    "recursive transitive closure over the exact pairs.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return _dedup.near_dup_representatives(ids, pairs).orderBy("id")

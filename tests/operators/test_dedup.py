@@ -181,3 +181,31 @@ class TestEmbeddingNearDup:
         )
         assert expr_pairs == blocked_pairs
         assert len(expr_pairs) >= 2
+
+
+class TestNearDupRepresentatives:
+    def test_chain_collapses_to_min(self, spark):
+        from ons_utils_spark.operators.dedup import near_dup_representatives
+
+        ids = spark.createDataFrame([(i,) for i in range(1, 8)], "id bigint")
+        # Chain 1-2-3-4 (diameter 3) + pair 5-6; 7 isolated.
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a bigint, id_b bigint"
+        )
+        reps = {
+            r["id"]: r["rep_id"]
+            for r in near_dup_representatives(ids, pairs).collect()
+        }
+        assert reps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+    def test_with_real_lsh_pairs(self, spark, docs):
+        from ons_utils_spark.operators.dedup import near_dup_representatives
+
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        ids = docs.select(F.col("doc_id").alias("id"))
+        reps = {
+            r["id"]: r["rep_id"]
+            for r in near_dup_representatives(ids, pairs).collect()
+        }
+        # Docs 1, 2 (identical) and 3 (near) form one cluster; 4 is alone.
+        assert reps[1] == 1 and reps[2] == 1 and reps[3] == 1 and reps[4] == 4

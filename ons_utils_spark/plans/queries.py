@@ -1977,3 +1977,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
     ids = docs.select(F.col("doc_id").alias("id"))
     return _dedup.near_dup_representatives(ids, pairs).orderBy("id")
+
+
+@register(
+    "q_rank_functions",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4) OVER w AS price_quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    description="Ranking/analytic function family (ntile, percent_rank, "
+    "cume_dist, rank, dense_rank) with a deterministic tie-break.",
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).orderBy("o_orderkey")

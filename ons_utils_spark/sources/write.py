@@ -101,3 +101,29 @@ def read_json(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.json(path)
+
+
+def merge_overwrite(
+    spark: SparkSession,
+    target_path: str,
+    updates: SparkDF,
+    key_cols: Union[str, Sequence[str]],
+    fmt: str = "parquet",
+) -> None:
+    """Upsert into a path-based table by snapshot rewrite.
+
+    Rows in the target whose key appears in ``updates`` are replaced; new
+    keys are appended (classic MERGE semantics, last-write-wins per key).
+    The merged frame is materialized (``localCheckpoint``) BEFORE the
+    overwrite — reading and overwriting the same path in one plan would
+    delete the input mid-scan.
+
+    This is the plain-parquet pattern; at production scale use a table
+    format with ACID MERGE (Delta/Iceberg/Hudi) instead of a full rewrite —
+    the API shape here is the same.
+    """
+    keys = list_convert(key_cols)
+    target = spark.read.format(fmt).load(target_path)
+    kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.unionByName(updates).localCheckpoint(eager=True)
+    merged.write.format(fmt).mode("overwrite").save(target_path)

@@ -77,3 +77,27 @@ class TestCsvJson:
         write_table(df, path, fmt="json", compression=None)
         back = read_json(spark, path, schema="id bigint, grp string, val double")
         assert_df_equality(back, df, ignore_row_order=True, ignore_column_order=True)
+
+
+class TestMergeOverwrite:
+    def test_updates_and_inserts(self, spark, df, tmp_path):
+        from ons_utils_spark.sources.write import merge_overwrite
+
+        path = str(tmp_path / "t")
+        write_table(df, path)
+        updates = spark.createDataFrame(
+            [(2, "a", 99.0), (4, "c", 4.5)], "id bigint, grp string, val double"
+        )
+        merge_overwrite(spark, path, updates, "id")
+        back = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+        assert back == {1: 1.5, 2: 99.0, 3: 3.5, 4: 4.5}
+
+    def test_idempotent_reapply(self, spark, df, tmp_path):
+        from ons_utils_spark.sources.write import merge_overwrite
+
+        path = str(tmp_path / "t")
+        write_table(df, path)
+        updates = spark.createDataFrame([(1, "a", 7.0)], "id bigint, grp string, val double")
+        merge_overwrite(spark, path, updates, "id")
+        merge_overwrite(spark, path, updates, "id")
+        assert spark.read.parquet(path).count() == 3

@@ -191,3 +191,39 @@ def winnow_fingerprints(
         )
     )
     return F.array_distinct(mins)
+
+
+def tfidf_terms(
+    df,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+):
+    """Per-document TF-IDF scores → ``(id, term, tf, df, tfidf)`` rows.
+
+    DataFrame-level operator (needs corpus statistics): term frequencies
+    from one explode+aggregate, document frequencies from a second
+    aggregate over distinct (id, term), ``idf = ln(N / df)``, joined back.
+    Two shuffles on the term/id keys, both with partial aggregation —
+    the corpus is scanned once.
+    """
+    from pyspark.sql import functions as F
+
+    tokens = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+    )
+    tf = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    return (
+        tf.join(doc_freq, "term")
+        .select(
+            "id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), round_to).alias(
+                "tfidf"
+            ),
+        )
+    )

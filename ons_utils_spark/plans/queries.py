@@ -2006,3 +2006,39 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=_TOKS_CTE
+    + """,
+    tok_rows AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok_rows GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored)
+    WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    description="TF-IDF top-3 terms per document: corpus-wide document "
+    "frequencies + per-doc term frequencies from one corpus scan, window "
+    "top-k per doc.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = _text.tfidf_terms(docs, "doc_id", "text")
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(F.col("id").alias("doc_id"), "term", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )

@@ -71,6 +71,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return spark.read.parquet(path)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp_micros produces an instant (TIMESTAMP, not NTZ); pin the
+    # session to UTC so collect/display/window math agrees with engines
+    # that treat these values as naive UTC (the DuckDB oracle). No-op on
+    # UTC machines.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))

@@ -149,3 +149,36 @@ class TestWinnowFingerprints:
         a = df.select(winnow_fingerprints("text").alias("fp")).collect()
         b = df.select(winnow_fingerprints("text").alias("fp")).collect()
         assert a == b
+
+
+class TestTfidf:
+    def test_scores_and_shape(self, spark):
+        from ons_utils_spark.operators.text import tfidf_terms
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date")],
+            "doc_id bigint, text string",
+        )
+        rows = {
+            (r["id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+            for r in tfidf_terms(docs, "doc_id", "text").collect()
+        }
+        import math
+
+        # apple: tf=2 in doc 1, df=1 of 3 docs.
+        assert rows[(1, "apple")][0] == 2 and rows[(1, "apple")][1] == 1
+        assert rows[(1, "apple")][2] == round(2 * math.log(3 / 1), 6)
+        # banana appears in 2 docs → lower idf than apple.
+        assert rows[(1, "banana")][2] < rows[(1, "apple")][2]
+
+    def test_ubiquitous_term_scores_zero(self, spark):
+        from ons_utils_spark.operators.text import tfidf_terms
+
+        docs = spark.createDataFrame(
+            [(1, "the cat"), (2, "the dog")], "doc_id bigint, text string"
+        )
+        rows = {
+            (r["id"], r["term"]): r["tfidf"]
+            for r in tfidf_terms(docs, "doc_id", "text").collect()
+        }
+        assert rows[(1, "the")] == 0.0  # ln(2/2) = 0

@@ -152,3 +152,38 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
 
     return df.select("doc_id", payload_col).mapInPandas(sample, out_schema)
+
+
+def resize_image(
+    df: SparkDF,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> SparkDF:
+    """Resize image payloads to ``width``x``height`` via ``mapInPandas``.
+
+    Real resampling needs codec/imaging libraries absent here
+    (``NotImplementedError``); the fake emits a deterministic byte-sampled
+    "resized" payload of exactly ``width*height`` bytes so the schema,
+    batch shapes, and size contract are real and testable.
+    """
+    out_schema = "doc_id bigint, width int, height int, resized binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires imaging libraries (PIL/opencv) not "
+                    "present in this environment; pass fake=True for the "
+                    "deterministic stub"
+                )
+            rows = []
+            n = width * height
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                resized = bytes(data[(i * max(len(data), 1)) // n % len(data)] for i in range(n)) if data else bytes(n)
+                rows.append((doc_id, width, height, resized))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "resized"])
+
+    return df.select("doc_id", payload_col).mapInPandas(resize, out_schema)

@@ -87,3 +87,26 @@ class TestSampleFrames:
         df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
         with pytest.raises(Exception, match="codec libraries"):
             sample_frames(attach_payload(df, "text"), fake=False).collect()
+
+
+class TestResizeImage:
+    def test_fake_resize_size_contract(self, spark, docs):
+        from ons_utils_spark.operators.multimodal import resize_image
+
+        out = resize_image(attach_payload(docs, "text"), 8, 4, fake=True).collect()
+        for row in out:
+            assert len(bytes(row["resized"])) == 8 * 4
+            assert (row["width"], row["height"]) == (8, 4)
+
+    def test_real_resize_raises(self, spark, docs):
+        from ons_utils_spark.operators.multimodal import resize_image
+
+        with pytest.raises(Exception, match="imaging libraries"):
+            resize_image(attach_payload(docs, "text"), 8, 4, fake=False).collect()
+
+    def test_deterministic(self, spark, docs):
+        from ons_utils_spark.operators.multimodal import resize_image
+
+        a = resize_image(attach_payload(docs, "text"), 4, 4, fake=True).collect()
+        b = resize_image(attach_payload(docs, "text"), 4, 4, fake=True).collect()
+        assert sorted(map(str, a)) == sorted(map(str, b))

@@ -41,15 +41,21 @@ def word_shingles(
     Documents shorter than ``n`` tokens give an empty array. With
     ``distinct=True`` the output is the shingle *set* (what Jaccard needs).
     """
+    # Zip-shift construction: n-1 whole-array shifts + elementwise concat,
+    # instead of one slice per position (slice(toks, i, n) allocates a new
+    # array per element — measured 6.5x slower). zip_with pads the shorter
+    # side with NULL and concat_ws skips NULLs, so the padded tail holds
+    # partial shingles — the final slice to the valid length drops them.
     toks = tokenize(text)
-    count = F.size(toks) - F.lit(n - 1)
-    grams = F.when(
-        count > 0,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    ln = F.size(toks)
+    out = toks
+    for k in range(2, n + 1):
+        shifted = F.slice(toks, F.lit(k), F.greatest(ln - F.lit(k - 1), F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    valid = F.greatest(ln - F.lit(n - 1), F.lit(0))
+    grams = F.when(valid > 0, F.slice(out, F.lit(1), valid)).otherwise(
+        F.array().cast("array<string>")
+    )
     return F.array_distinct(grams) if distinct else grams
 
 

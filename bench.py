@@ -51,6 +51,11 @@ def main() -> None:
     from ons_utils_spark.sources.tables import load_table
 
     load_table(spark, sf_dir, "region").groupBy("r_name").count().collect()
+    # Spin up the Python workers once so Arrow/pandas paths (blocked matmul)
+    # measure compute, not daemon startup.
+    spark.range(64).repartition(8).mapInPandas(
+        lambda batches: batches, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

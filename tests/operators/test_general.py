@@ -23,10 +23,12 @@ from ons_utils_spark.testing import assert_df_equality, create_spark_df
 
 
 class TestConvertToSparkCol:
-    def test_string_becomes_column(self):
+    # F.col requires an active session in Spark 4 — take the fixture even
+    # though no data is involved, so these tests are order-independent.
+    def test_string_becomes_column(self, spark):
         assert isinstance(convert_to_spark_col("a"), Column)
 
-    def test_column_passes_through(self):
+    def test_column_passes_through(self, spark):
         col = F.col("a")
         assert convert_to_spark_col(col) is col
 

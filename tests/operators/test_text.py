@@ -182,3 +182,56 @@ class TestTfidf:
             for r in tfidf_terms(docs, "doc_id", "text").collect()
         }
         assert rows[(1, "the")] == 0.0  # ln(2/2) = 0
+
+
+class TestShingleReferenceEquivalence:
+    def test_random_texts_match_python_reference(self, spark):
+        """The zip-shift shingle construction must equal the naive
+        definition on arbitrary inputs (whitespace runs, unicode, empties,
+        short docs)."""
+        import random
+
+        rng = random.Random(1234)
+        vocab = ["a", "bb", "ccc", "Ωmega", "naïve", "x1", "", "Z"]
+        texts = []
+        for _ in range(60):
+            k = rng.randrange(0, 12)
+            texts.append(
+                (" " * rng.randrange(0, 3)).join(
+                    rng.choice(vocab) for _ in range(k)
+                )
+            )
+        texts += ["", "   ", "\tone\ntwo  three\t", "solo"]
+
+        def py_tokenize(t):
+            return [w for w in t.lower().split() if w]
+
+        def py_shingles(t, n, distinct):
+            toks = py_tokenize(t)
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            if distinct:
+                seen, out = set(), []
+                for g in grams:
+                    if g not in seen:
+                        seen.add(g)
+                        out.append(g)
+                return out
+            return grams
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i bigint, text string"
+        )
+        for n in (1, 2, 3, 5):
+            for distinct in (True, False):
+                got = {
+                    r["i"]: r["s"]
+                    for r in df.select(
+                        "i", word_shingles("text", n, distinct=distinct).alias("s")
+                    ).collect()
+                }
+                for i, t in enumerate(texts):
+                    assert got[i] == py_shingles(t, n, distinct), (
+                        f"n={n} distinct={distinct} text={t!r}"
+                    )

@@ -187,3 +187,37 @@ def resize_image(
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "resized"])
 
     return df.select("doc_id", payload_col).mapInPandas(resize, out_schema)
+
+
+def decode_audio(
+    df: SparkDF,
+    payload_col: str = "payload",
+    fake: bool = False,
+    sample_rate: int = 16000,
+) -> SparkDF:
+    """Decode audio payloads → sample arrays + metadata via ``mapInPandas``.
+
+    Real codecs absent (``NotImplementedError``); the fake treats each
+    payload byte as one centered sample in [-1, 1), with a fixed declared
+    sample rate — schema and batch plumbing identical to a real decoder.
+    """
+    out_schema = "doc_id bigint, sample_rate int, n_samples bigint, samples array<double>"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires codec libraries (soundfile/ffmpeg) "
+                    "not present in this environment; pass fake=True for the "
+                    "deterministic stub"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                samples = [(b - 128) / 128.0 for b in data]
+                rows.append((doc_id, sample_rate, len(samples), samples))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "samples"]
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(decode, out_schema)

@@ -2042,3 +2042,70 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "term", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+@register(
+    "q_corpus_clean_pipeline",
+    oracle=_TOKS_CTE
+    + f""",
+    quality AS (
+        SELECT doc_id,
+               round((
+                   CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN len(toks) > 0
+                         AND length(text)::DOUBLE / len(toks) BETWEEN 2.0 AND 12.0
+                        THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN length(text) > 0
+                         AND (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                             / length(text) < 0.2
+                        THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN len(toks) > 0
+                         AND len(list_filter(toks, t -> list_contains({_STOP_SQL['en']}, t)))::DOUBLE
+                             / len(toks) > 0.01
+                        THEN 1.0 ELSE 0.0 END
+               ) / 4.0, 2) AS quality
+        FROM toks
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks)-2)]
+                    ELSE [] END) AS shset
+        FROM toks
+    ),
+    inv AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM sh),
+    dup_pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::DOUBLE
+                       / (any_value(a.sz) + any_value(b.sz) - count(*)) AS j
+            FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        WHERE j >= 0.5
+    ),
+    dropped_dups AS (SELECT DISTINCT id_b AS doc_id FROM dup_pairs)
+    SELECT d.doc_id AS doc_id, d.lang AS lang, q.quality AS quality
+    FROM documents d
+    JOIN quality q ON d.doc_id = q.doc_id
+    WHERE q.quality >= 0.75
+      AND d.doc_id NOT IN (SELECT doc_id FROM dropped_dups)
+    ORDER BY doc_id
+    """,
+    description="End-to-end corpus cleaning: quality filter (≥ 0.75) + "
+    "near-dup removal (MinHash-LSH pairs at 0.5, keep the lower id of each "
+    "pair) — the assembled pre-training data pipeline. Oracle recomposes "
+    "the verified quality and exact-pair sub-oracles.",
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id", "lang", _text.quality_score("text").alias("quality")
+    ).where(F.col("quality") >= 0.75)
+    pairs = _dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        quality.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )

@@ -110,3 +110,20 @@ class TestResizeImage:
         a = resize_image(attach_payload(docs, "text"), 4, 4, fake=True).collect()
         b = resize_image(attach_payload(docs, "text"), 4, 4, fake=True).collect()
         assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+class TestDecodeAudio:
+    def test_fake_decode(self, spark, docs):
+        from ons_utils_spark.operators.multimodal import decode_audio
+
+        out = {r["doc_id"]: r for r in decode_audio(attach_payload(docs, "text"), fake=True).collect()}
+        row = out[1]
+        assert row["n_samples"] == len("hello world")
+        assert row["sample_rate"] == 16000
+        assert all(-1.0 <= s < 1.0 for s in row["samples"])
+
+    def test_real_raises(self, spark, docs):
+        from ons_utils_spark.operators.multimodal import decode_audio
+
+        with pytest.raises(Exception, match="codec libraries"):
+            decode_audio(attach_payload(docs, "text"), fake=False).collect()

@@ -196,6 +196,49 @@ class TestGroupedApply:
         row = result.collect()[0]
         assert row["g_idx"] == "a" and row["v"] == 3.0
 
+    def test_batched_matches_classic_multi_key(self, spark):
+        rows = [("g", "h", "v")] + [
+            ("g%d" % (i % 7), "h%d" % (i % 3), float(i)) for i in range(200)
+        ]
+        df = create_spark_df(spark, rows)
+
+        def share(pdf):
+            return pd.DataFrame(
+                {"v": pdf["v"], "share": pdf["v"] / pdf["v"].sum()}
+            )
+
+        schema = "g string, h string, v double, share double"
+        batched = grouped_apply(df, share, schema, ["g", "h"])
+        classic = grouped_apply(df, share, schema, ["g", "h"], batched=False)
+        assert_df_equality(batched, classic, ignore_row_order=True)
+
+    def test_batched_group_spanning_arrow_batches(self, spark):
+        """A group larger than maxRecordsPerBatch must still reach func as
+        ONE complete pandas frame (the carry across Arrow batches)."""
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+        try:
+            rows = [("g", "v")] + [
+                ("a" if i < 23 else "b", float(i)) for i in range(30)
+            ]
+            df = create_spark_df(spark, rows).coalesce(1)
+
+            def group_size(pdf):
+                return pd.DataFrame({"n": [len(pdf)], "s": [pdf["v"].sum()]})
+
+            got = {
+                r["g"]: (r["n"], r["s"])
+                for r in grouped_apply(
+                    df, group_size, "g string, n long, s double", "g"
+                ).collect()
+            }
+            assert got == {
+                "a": (23, float(sum(range(23)))),
+                "b": (7, float(sum(range(23, 30)))),
+            }
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
 
 class TestDiff:
     def test_consecutive_differences(self, spark):

@@ -1,0 +1,153 @@
+"""Deterministic sampling, splitting, capping, and corpus mixing.
+
+LLM-data-pipeline extension (no reference analogue — SURVEY.md §7 item 7):
+the dataset-assembly half of a pre-training pipeline needs reproducible
+subsetting — train/val/test splits, per-domain caps, per-source mixture
+rates — where "reproducible" means the SAME row lands in the SAME subset
+on any cluster size, any partitioning, any run. Spark's ``df.sample`` is
+seed-AND-partition dependent, so it cannot give that guarantee; instead
+every decision here derives from the md5 of the row's key: the first four
+hex chars form a bucket in [0, 65536), and a fraction ``f`` keeps buckets
+below ``floor(f * 65536)``. md5 hex output is identical across engines,
+which also makes every operator ANSI-SQL-oracle-checkable.
+
+At 100 TB: ``hash_sample`` / ``hash_split`` / ``weighted_mixture`` are
+row-local projections + filters — zero shuffle, pushed into the scan like
+any predicate, linear in executors. ``cap_per_group`` is one window
+shuffle on the group key (the same shuffle the equivalent groupBy would
+pay); for heavy skew pre-filter with ``hash_sample`` first.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence, Union
+
+from pyspark.sql import Column as SparkCol, DataFrame as SparkDF, Window, functions as F
+
+from ons_utils_spark.generic import list_convert
+
+#: Bucket space: first 4 hex chars of the md5 → 65536 buckets, so fraction
+#: granularity is 1/65536 ≈ 0.0015%.
+BUCKETS = 1 << 16
+
+
+def hash_bucket(key: Union[str, SparkCol], salt: str = "") -> SparkCol:
+    """The 4-hex-char sampling bucket of ``key`` (lowercase, comparable
+    lexicographically against :func:`hex_threshold` outputs)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)
+
+
+def hex_threshold(fraction: float) -> str:
+    """Lexicographic threshold ``t``: ``bucket < t`` keeps
+    ``floor(fraction * 65536) / 65536`` of keys. ``fraction >= 1`` returns
+    a sentinel above every hex bucket."""
+    if not 0.0 <= fraction:
+        raise ValueError(f"fraction must be >= 0, got {fraction}")
+    if fraction >= 1.0:
+        return "g"  # 'g' > 'f' — lexicographically above every bucket
+    return format(int(fraction * BUCKETS), "04x")
+
+
+def hash_sample(
+    df: SparkDF,
+    key: Union[str, SparkCol],
+    fraction: float,
+    salt: str = "",
+) -> SparkDF:
+    """Keep a deterministic ``fraction`` of rows, decided by ``md5(key)``.
+
+    Unlike ``df.sample`` the result is a pure filter: stable across runs,
+    partitionings, and engines, and Catalyst pushes it into the scan.
+    ``salt`` decorrelates independent samples over the same key.
+    """
+    return df.where(hash_bucket(key, salt) < F.lit(hex_threshold(fraction)))
+
+
+def split_thresholds(weights: Mapping[str, float]) -> list:
+    """``[(label, upper_hex_threshold_exclusive)]`` for :func:`hash_split`,
+    from cumulative normalized weights; the last label gets the sentinel.
+    Exposed so oracle SQL can be built from the exact same boundaries."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    labels = list(weights)
+    out, cum = [], 0.0
+    for label in labels[:-1]:
+        cum += weights[label] / total
+        out.append((label, hex_threshold(cum)))
+    out.append((labels[-1], "g"))
+    return out
+
+
+def hash_split(
+    df: SparkDF,
+    key: Union[str, SparkCol],
+    weights: Mapping[str, float],
+    split_col: str = "split",
+    salt: str = "",
+) -> SparkDF:
+    """Assign every row a deterministic split label (e.g. train/val/test).
+
+    ``weights`` maps label → relative weight (normalized internally; dict
+    order defines the bucket ranges). Adds ``split_col``; same row → same
+    label forever, on any cluster.
+    """
+    bucket = hash_bucket(key, salt)
+    thresholds = split_thresholds(weights)
+    expr = None
+    for label, upper in thresholds[:-1]:
+        cond = bucket < F.lit(upper)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = F.lit(thresholds[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def cap_per_group(
+    df: SparkDF,
+    groups: Union[str, Sequence[str]],
+    order_by: Union[str, Sequence[str]],
+    n: int,
+) -> SparkDF:
+    """Keep at most ``n`` rows per group, the first ``n`` by ``order_by``.
+
+    The per-domain / per-source document cap of web-corpus pipelines.
+    One shuffle on the group keys; ``order_by`` should be a unique key
+    (e.g. the doc id) so the cap is deterministic.
+    """
+    groups = list_convert(groups)
+    order_by = list_convert(order_by)
+    w = Window.partitionBy(*groups).orderBy(*order_by)
+    rn = "__cap_rn"
+    return df.withColumn(rn, F.row_number().over(w)).where(F.col(rn) <= n).drop(rn)
+
+
+def weighted_mixture(
+    df: SparkDF,
+    key: Union[str, SparkCol],
+    group_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> SparkDF:
+    """Per-group deterministic sampling rates — corpus mixing.
+
+    ``rates`` maps a ``group_col`` value (language, source, domain tier) to
+    the fraction of its rows to keep; unlisted groups keep
+    ``default_rate``. This is the "sample Common Crawl at 30%, keep books
+    at 100%" mixture step, as one row-local filter: the per-group
+    threshold is a constant-folded CASE, so the plan stays a single
+    pushed-down predicate — no join, no shuffle.
+    """
+    bucket = hash_bucket(key, salt)
+    threshold = None
+    for value, rate in rates.items():
+        cond = F.col(group_col) == F.lit(value)
+        t = F.lit(hex_threshold(rate))
+        threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
+    default = F.lit(hex_threshold(default_rate))
+    threshold = default if threshold is None else threshold.otherwise(default)
+    return df.where(bucket < threshold)

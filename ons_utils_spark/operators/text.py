@@ -233,3 +233,35 @@ def tfidf_terms(
             ),
         )
     )
+
+
+def ngram_repetition(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    round_to: int = 6,
+):
+    """Per-document n-gram repetition signals (Gopher-style quality filter)
+    → ``(id, total_ngrams, distinct_ratio, top_ngram_ratio)`` rows.
+
+    ``distinct_ratio`` = distinct n-grams / total n-grams (low → the text
+    repeats itself); ``top_ngram_ratio`` = occurrences of the single most
+    frequent n-gram / total (high → boilerplate loops). These are the
+    repetition filters of Rae et al. 2021 ("Gopher") §A1.1, expressed as
+    explode → two hash aggregates, both with map-side partial aggregation:
+    shuffle volume is O(distinct (doc, gram)) then O(docs). Documents with
+    fewer than ``n`` tokens produce no row (no n-grams to measure).
+    """
+    from pyspark.sql import functions as F
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n=n, distinct=False)).alias("g"),
+    )
+    counts = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("id").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), round_to).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), round_to).alias("top_ngram_ratio"),
+    )

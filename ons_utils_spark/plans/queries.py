@@ -2109,3 +2109,124 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "quality")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting / mixing (LLM dataset assembly)
+# ---------------------------------------------------------------------------
+
+from ons_utils_spark.operators import sampling as _sampling  # noqa: E402
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_BOUNDS = _sampling.split_thresholds(_SPLIT_WEIGHTS)
+_MIX_RATES = {"en": 0.5, "de": 0.25}
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         < '{_SPLIT_BOUNDS[0][1]}' THEN '{_SPLIT_BOUNDS[0][0]}'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                         < '{_SPLIT_BOUNDS[1][1]}' THEN '{_SPLIT_BOUNDS[1][0]}'
+                    ELSE '{_SPLIT_BOUNDS[2][0]}' END AS split
+        FROM documents
+        ORDER BY doc_id
+    """,
+    description="Deterministic train/val/test split (80/10/10) from md5 "
+    "key buckets: the same doc lands in the same split on any cluster, any "
+    "partitioning — unlike df.sample. Row-local projection, zero shuffle.",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _sampling.hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_corpus_mixture",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE WHEN lang = 'en' THEN '{_sampling.hex_threshold(_MIX_RATES["en"])}'
+                     WHEN lang = 'de' THEN '{_sampling.hex_threshold(_MIX_RATES["de"])}'
+                     ELSE 'g' END
+        ORDER BY doc_id
+    """,
+    description="Weighted corpus mixture: per-language sampling rates "
+    "(en 50%, de 25%, rest 100%) as ONE constant-folded row-local filter — "
+    "the 'downsample Common Crawl, keep books' mixing step with no join "
+    "and no shuffle.",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _sampling.weighted_mixture(docs, "doc_id", "lang", _MIX_RATES, salt="mix")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_domain_cap",
+    oracle="""
+        SELECT doc_id, source
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+        ORDER BY doc_id
+    """,
+    description="Per-domain document cap (keep first 10 per source by "
+    "doc_id): the de-boilerplating 'max N docs per domain' rule. One "
+    "window shuffle on the group key.",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _sampling.cap_per_group(docs, "source", "doc_id", 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_repetition_stats",
+    oracle=_TOKS_CTE
+    + """,
+    grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 2
+                    THEN [array_to_string(toks[i:i+1], ' ')
+                          for i in generate_series(1, len(toks)-1)]
+                    ELSE [] END) AS g
+        FROM toks
+    ),
+    counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+    SELECT doc_id,
+           sum(c) AS total_ngrams,
+           round(count(*)::DOUBLE / sum(c), 6) AS distinct_ratio,
+           round(max(c)::DOUBLE / sum(c), 6) AS top_ngram_ratio
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="Gopher-style per-document repetition signals: distinct "
+    "bigram ratio and top-bigram mass. Explode → two partial-agg hash "
+    "aggregates; shuffle O(distinct (doc, gram)).",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _text.ngram_repetition(docs, "doc_id", "text", n=2)
+        .select(
+            F.col("id").alias("doc_id"),
+            "total_ngrams",
+            "distinct_ratio",
+            "top_ngram_ratio",
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,153 @@
+"""Deterministic sampling / splitting / capping / mixture tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.sampling import (
+    cap_per_group,
+    hash_sample,
+    hash_split,
+    hex_threshold,
+    split_thresholds,
+    weighted_mixture,
+)
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.range(2000).withColumnRenamed("id", "k").cache()
+
+
+class TestHexThreshold:
+    def test_values(self):
+        assert hex_threshold(0.0) == "0000"
+        assert hex_threshold(0.5) == "8000"
+        assert hex_threshold(1.0) == "g"
+        assert hex_threshold(2.0) == "g"
+
+    def test_negative_raises(self):
+        with pytest.raises(ValueError):
+            hex_threshold(-0.1)
+
+
+class TestHashSample:
+    def test_fraction_approximate(self, spark, keys):
+        n = hash_sample(keys, "k", 0.5).count()
+        assert 900 <= n <= 1100  # md5 buckets are ~uniform
+
+    def test_deterministic(self, spark, keys):
+        a = {r["k"] for r in hash_sample(keys, "k", 0.3).collect()}
+        b = {r["k"] for r in hash_sample(keys, "k", 0.3).collect()}
+        assert a == b
+
+    def test_nested_fractions(self, spark, keys):
+        """Smaller fraction is a subset of the larger (same salt)."""
+        small = {r["k"] for r in hash_sample(keys, "k", 0.2).collect()}
+        big = {r["k"] for r in hash_sample(keys, "k", 0.6).collect()}
+        assert small <= big
+
+    def test_salt_decorrelates(self, spark, keys):
+        a = {r["k"] for r in hash_sample(keys, "k", 0.5, salt="a").collect()}
+        b = {r["k"] for r in hash_sample(keys, "k", 0.5, salt="b").collect()}
+        assert a != b
+
+    def test_boundary_fractions(self, spark, keys):
+        assert hash_sample(keys, "k", 1.0).count() == 2000
+        assert hash_sample(keys, "k", 0.0).count() == 0
+
+
+class TestHashSplit:
+    def test_partition_of_rows(self, spark, keys):
+        out = hash_split(keys, "k", {"train": 8, "val": 1, "test": 1})
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 2000
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+    def test_train_equals_sample_of_first_range(self, spark, keys):
+        """The first split's rows ARE hash_sample at its cumulative weight."""
+        train = {
+            r["k"]
+            for r in hash_split(keys, "k", {"train": 0.8, "rest": 0.2})
+            .where(F.col("split") == "train")
+            .collect()
+        }
+        sampled = {r["k"] for r in hash_sample(keys, "k", 0.8).collect()}
+        assert train == sampled
+
+    def test_thresholds_normalized(self):
+        assert split_thresholds({"a": 1, "b": 1})[0][1] == hex_threshold(0.5)
+        assert split_thresholds({"a": 1})[-1][1] == "g"
+
+    def test_empty_weights_raise(self):
+        with pytest.raises(ValueError):
+            split_thresholds({})
+
+
+class TestCapPerGroup:
+    def test_keeps_first_n_by_order(self, spark):
+        df = spark.createDataFrame(
+            [("a", i) for i in range(10)] + [("b", i) for i in range(3)],
+            "g string, v int",
+        )
+        out = cap_per_group(df, "g", "v", 5)
+        got = sorted((r["g"], r["v"]) for r in out.collect())
+        assert got == [("a", i) for i in range(5)] + [("b", i) for i in range(3)]
+
+    def test_multi_key_groups(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x", i) for i in range(4)], "g string, h string, v int"
+        )
+        assert cap_per_group(df, ["g", "h"], "v", 2).count() == 2
+
+
+class TestWeightedMixture:
+    def test_rates_respected(self, spark):
+        df = (
+            spark.range(3000)
+            .select(
+                F.col("id").alias("k"),
+                F.when(F.col("id") % 3 == 0, "en")
+                .when(F.col("id") % 3 == 1, "de")
+                .otherwise("fr")
+                .alias("lang"),
+            )
+        )
+        out = weighted_mixture(df, "k", "lang", {"en": 0.5, "de": 0.1})
+        counts = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts["fr"] == 1000  # default rate 1.0 keeps all
+        assert 400 <= counts["en"] <= 600
+        assert 50 <= counts["de"] <= 160
+
+    def test_no_shuffle_plan(self, spark):
+        """The mixture is a pure filter — no Exchange in the plan."""
+        df = spark.range(100).select(F.col("id").alias("k"), F.lit("en").alias("lang"))
+        plan = (
+            weighted_mixture(df, "k", "lang", {"en": 0.5})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestNgramRepetition:
+    def test_hand_example(self, spark):
+        from ons_utils_spark.operators.text import ngram_repetition
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "x"), (3, "p q r")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["id"]: r for r in ngram_repetition(df, "doc_id", "text", n=2).collect()
+        }
+        # doc 1 bigrams: "a b","b a","a b","b a" → total 4, 2 distinct, top 2
+        assert rows[1]["total_ngrams"] == 4
+        assert rows[1]["distinct_ratio"] == 0.5
+        assert rows[1]["top_ngram_ratio"] == 0.5
+        # doc 2 has one token → no bigrams → no row
+        assert 2 not in rows
+        # doc 3: all distinct
+        assert rows[3]["distinct_ratio"] == 1.0

@@ -480,6 +480,10 @@ def embedding_near_dup_pairs_blocked(
     import pandas as pd
 
     spark = df.sparkSession
+    # Preserve the caller's id type through the Arrow boundary — hardcoding
+    # bigint here corrupted/rejected string ids while the unblocked twin
+    # accepted them (ADVICE r1).
+    id_ddl = df.schema[id_col].dataType.simpleString()
     block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
     data = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), block.alias("block")
@@ -498,7 +502,7 @@ def embedding_near_dup_pairs_blocked(
     )
     tagged = side_a.unionByName(side_b)
 
-    out_schema = "id_a bigint, id_b bigint, cos_sim double"
+    out_schema = f"id_a {id_ddl}, id_b {id_ddl}, cos_sim double"
 
     def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
         same_block = pdf["block_a"].iloc[0] == pdf["block_b"].iloc[0]
@@ -544,8 +548,13 @@ def near_dup_representatives(
     Each iteration is one distributed join+aggregate; iterations needed =
     O(cluster diameter), which for dedup clusters (near-cliques from LSH)
     is almost always ≤ 2-3. The driver loop only checks a convergence
-    count, it never touches row data.
+    count, it never touches row data. If a pathological component's diameter
+    exceeds ``max_iterations``, a ``RuntimeWarning`` is emitted — the
+    returned labels are then a valid REFINEMENT (every labelled subset is
+    within one true cluster, so no false merges) but some clusters keep
+    more than one representative.
     """
+    import warnings
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -581,4 +590,14 @@ def near_dup_representatives(
         labels = updated
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"near_dup_representatives did not converge within "
+            f"{max_iterations} iterations — a component's diameter exceeds "
+            f"the budget; labels are a refinement (no false merges) but "
+            f"some clusters retain multiple representatives. Raise "
+            f"max_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

@@ -111,9 +111,12 @@ def grouped_apply(
         carry: Optional[pd.DataFrame] = None
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            # dropna=False: NULL group keys are real groups (applyInPandas
+            # delivers them too); pandas' default dropna=True would silently
+            # drop every null-keyed row from the batched path only.
             out = [
                 apply_one(g.reset_index(drop=True))
-                for _, g in pdf.groupby(groups, sort=False)
+                for _, g in pdf.groupby(groups, sort=False, dropna=False)
             ]
             return pd.concat(out, ignore_index=True)
 
@@ -125,7 +128,10 @@ def grouped_apply(
                 continue
             # Rows of the last (possibly incomplete) group form a
             # contiguous tail after the sort — hold them for the next batch.
-            gid = pdf.groupby(groups, sort=False).ngroup()
+            # dropna=False also keeps gid an int series — with the default,
+            # null-keyed rows get gid NaN, the series turns float, and the
+            # searchsorted tail-carry logic below breaks.
+            gid = pdf.groupby(groups, sort=False, dropna=False).ngroup()
             tail = int(gid.searchsorted(gid.iat[-1]))
             if tail > 0:
                 yield run(pdf.iloc[:tail])

@@ -107,13 +107,25 @@ def asof_join(
         out = out.withColumn("__fwd", F.first("__payload", ignorenulls=True).over(fwd_w))
     out = out.where(F.col("__is_left") == 1)
 
+    # Gap arithmetic at MICROsecond precision: cast('long') truncates
+    # timestamps to whole seconds, which makes sub-second tolerances (e.g.
+    # '500 milliseconds') degenerate to 0 and resolves all sub-second
+    # 'nearest' comparisons as ties (ADVICE r1). Numeric event-time columns
+    # keep their native value.
+    from pyspark.sql.types import TimestampType
+
+    ts_is_timestamp = isinstance(unioned.schema["__ts"].dataType, TimestampType)
+
+    def _ticks(col: SparkCol) -> SparkCol:
+        return F.unix_micros(col) if ts_is_timestamp else col.cast("long")
+
     if direction == "backward":
         match = F.col("__back")
     elif direction == "forward":
         match = F.col("__fwd")
     else:
-        back_gap = F.col("__ts").cast("long") - F.col("__back.__matched_ts").cast("long")
-        fwd_gap = F.col("__fwd.__matched_ts").cast("long") - F.col("__ts").cast("long")
+        back_gap = _ticks(F.col("__ts")) - _ticks(F.col("__back.__matched_ts"))
+        fwd_gap = _ticks(F.col("__fwd.__matched_ts")) - _ticks(F.col("__ts"))
         match = (
             F.when(F.col("__back").isNull(), F.col("__fwd"))
             .when(F.col("__fwd").isNull(), F.col("__back"))
@@ -125,13 +137,19 @@ def asof_join(
 
     if tolerance is not None:
         gap = F.abs(
-            F.col("__match.__matched_ts").cast("long") - F.col("__ts").cast("long")
+            _ticks(F.col("__match.__matched_ts")) - _ticks(F.col("__ts"))
         )
-        budget = F.expr(f"INTERVAL {tolerance}")
-        within = gap <= (
-            F.lit(0).cast("timestamp") + budget
-        ).cast("long") - F.lit(0).cast("timestamp").cast("long")
-        out = out.withColumn("__match", F.when(within, F.col("__match")))
+        # Interval length in microseconds: epoch + interval, read back.
+        budget = F.unix_micros(
+            F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+            + F.expr(f"INTERVAL {tolerance}")
+        )
+        if not ts_is_timestamp:
+            raise ValueError(
+                "tolerance as an INTERVAL requires timestamp event-time "
+                "columns; numeric event times need a pre-filter instead"
+            )
+        out = out.withColumn("__match", F.when(gap <= budget, F.col("__match")))
 
     return out.select(
         *left.columns,

@@ -114,16 +114,38 @@ def merge_overwrite(
 
     Rows in the target whose key appears in ``updates`` are replaced; new
     keys are appended (classic MERGE semantics, last-write-wins per key).
-    The merged frame is materialized (``localCheckpoint``) BEFORE the
-    overwrite — reading and overwriting the same path in one plan would
-    delete the input mid-scan.
 
-    This is the plain-parquet pattern; at production scale use a table
-    format with ACID MERGE (Delta/Iceberg/Hudi) instead of a full rewrite —
-    the API shape here is the same.
+    Crash-safety: the merged snapshot is FULLY WRITTEN to a sibling staging
+    path (``<target>.__merge_tmp``) while the original target stays intact —
+    the write's lineage reads the live target, so any executor/job failure
+    during it just aborts, losing nothing. Only after that write succeeds is
+    the target replaced with the staged snapshot (a recursive copy via
+    Hadoop's FileUtil — rename is not atomic across stores, and object
+    stores don't rename at all, which is exactly why production should use a
+    table format with ACID MERGE — Delta/Iceberg/Hudi — instead of this
+    plain-parquet pattern; the API shape is the same).
     """
     keys = list_convert(key_cols)
     target = spark.read.format(fmt).load(target_path)
     kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
-    merged = kept.unionByName(updates).localCheckpoint(eager=True)
-    merged.write.format(fmt).mode("overwrite").save(target_path)
+    merged = kept.unionByName(updates)
+
+    staging_path = target_path.rstrip("/") + ".__merge_tmp"
+    merged.write.format(fmt).mode("overwrite").save(staging_path)
+
+    # Swap: delete target, promote staging. Between these two operations the
+    # staged snapshot is durable on disk, so a crash can be recovered from
+    # the staging path; the pre-r2 form (localCheckpoint + in-place
+    # overwrite) held the only copy in executor memory while deleting the
+    # source of its own lineage.
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(staging_path)
+    dst = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = dst.getFileSystem(conf)
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"merge_overwrite: staged snapshot written to {staging_path} "
+            f"but promoting it to {target_path} failed — recover manually"
+        )

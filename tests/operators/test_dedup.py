@@ -182,6 +182,24 @@ class TestEmbeddingNearDup:
         assert expr_pairs == blocked_pairs
         assert len(expr_pairs) >= 2
 
+    def test_blocked_preserves_string_ids(self, spark):
+        """out_schema derives the id type from the input — string ids must
+        survive the Arrow boundary (ADVICE r1: bigint was hardcoded)."""
+        df = spark.createDataFrame(
+            [
+                ("doc-a", [1.0, 0.0, 0.0]),
+                ("doc-b", [0.999, 0.001, 0.0]),
+                ("doc-c", [0.0, 1.0, 0.0]),
+            ],
+            "vec_id string, embedding array<float>",
+        )
+        out = embedding_near_dup_pairs_blocked(
+            df, "vec_id", "embedding", 0.99, n_blocks=2
+        )
+        assert dict(out.dtypes)["id_a"] == "string"
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert pairs == {("doc-a", "doc-b")}
+
 
 class TestNearDupRepresentatives:
     def test_chain_collapses_to_min(self, spark):
@@ -197,6 +215,28 @@ class TestNearDupRepresentatives:
             for r in near_dup_representatives(ids, pairs).collect()
         }
         assert reps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+    def test_warns_when_budget_too_small(self, spark):
+        """Exhausting max_iterations without convergence must be loud, not
+        silently-wrong (ADVICE r1)."""
+        import warnings
+
+        from ons_utils_spark.operators.dedup import near_dup_representatives
+
+        ids = spark.createDataFrame([(i,) for i in range(1, 7)], "id bigint")
+        # Chain 1-2-3-4-5-6: diameter 5, needs ~3 doubling rounds > budget 1.
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], "id_a bigint, id_b bigint"
+        )
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            labels = near_dup_representatives(ids, pairs, max_iterations=1)
+        # Refinement property: labels point at smaller ids, no false merges.
+        got = {r["id"]: r["rep_id"] for r in labels.collect()}
+        assert all(rep <= i for i, rep in got.items())
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            converged = near_dup_representatives(ids, pairs, max_iterations=10)
+            assert {r["rep_id"] for r in converged.collect()} == {1}
 
     def test_with_real_lsh_pairs(self, spark, docs):
         from ons_utils_spark.operators.dedup import near_dup_representatives

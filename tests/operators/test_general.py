@@ -239,6 +239,25 @@ class TestGroupedApply:
         finally:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
+    def test_null_group_key_batched_matches_classic(self, spark):
+        """NULL group keys are real groups: the batched path must deliver
+        them to func exactly like applyInPandas does (pandas groupby
+        dropna default would silently drop them — ADVICE r1)."""
+        df = create_spark_df(
+            spark,
+            [("g", "v"), (None, 5.0), ("a", 1.0), (None, 7.0), ("a", 3.0)],
+        )
+
+        def total(pdf):
+            return pd.DataFrame({"s": [pdf["v"].sum()]})
+
+        schema = "g string, s double"
+        batched = grouped_apply(df, total, schema, "g")
+        classic = grouped_apply(df, total, schema, "g", batched=False)
+        assert_df_equality(batched, classic, ignore_row_order=True)
+        got = {r["g"]: r["s"] for r in batched.collect()}
+        assert got == {None: 12.0, "a": 4.0}
+
 
 class TestDiff:
     def test_consecutive_differences(self, spark):

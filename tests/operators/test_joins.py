@@ -61,6 +61,42 @@ class TestAsofJoin:
         assert out[1] is None  # 99.5 is 1 minute stale > 30s
         assert out[2] == 100.5  # equal ts: 0 staleness
 
+    def test_subsecond_tolerance_and_nearest(self, spark):
+        """Gap arithmetic is microsecond-precise: a 500 ms tolerance keeps a
+        300 ms-stale match and drops an 800 ms-stale one, and 'nearest'
+        resolves sub-second distances instead of treating them as ties."""
+        base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+        def ms(n):
+            return base + dt.timedelta(milliseconds=n)
+
+        trades = spark.createDataFrame(
+            [(1, "A", ms(1000)), (2, "B", ms(1000))],
+            "trade_id bigint, sym string, ts timestamp",
+        )
+        quotes = spark.createDataFrame(
+            [("A", ms(700), 1.0), ("B", ms(200), 2.0), ("B", ms(1400), 3.0)],
+            "sym string, ts timestamp, quote double",
+        )
+        tol = {
+            r["trade_id"]: r["quote"]
+            for r in asof_join(
+                trades, quotes, on="sym", left_ts="ts",
+                tolerance="500 MILLISECOND",
+            ).collect()
+        }
+        assert tol[1] == 1.0  # 300 ms stale, within 500 ms
+        assert tol[2] is None  # 800 ms stale, dropped
+        near = {
+            r["trade_id"]: r["quote"]
+            for r in asof_join(
+                trades, quotes, on="sym", left_ts="ts", direction="nearest"
+            ).collect()
+        }
+        # B at 1.0 s: backward is 800 ms away, forward 400 ms → forward wins
+        # (whole-second truncation would call this a tie and pick backward).
+        assert near[2] == 3.0
+
     def test_collision_suffix(self, spark, trades):
         # Right side carries a 'price' column too → suffixed in the output.
         right = spark.createDataFrame(

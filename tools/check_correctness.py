@@ -29,17 +29,36 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canonical(v) -> str:
+    # Dtype-faithful: an int-valued float stays "99111.0", NOT "99111".
+    # The driver's value hash distinguishes bigint from float64 (DuckDB
+    # HUGEINT -> pandas float64 broke q_json_props in r1 while the old
+    # int-collapsing canonicalizer here said "ok") — so we must too.
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     return str(v)
+
+
+def dtype_drift(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Columns where one side is integer-typed and the other float-typed.
+
+    This is exactly the drift the driver's hash catches (int64 ``99111``
+    vs float64 ``99111.0``) even when every value is numerically equal.
+    """
+    drift = []
+    for c in spark_df.columns:
+        if c not in oracle_df.columns:
+            continue
+        s_kind = spark_df[c].dtype.kind
+        o_kind = oracle_df[c].dtype.kind
+        if {s_kind, o_kind} == {"i", "f"} or {s_kind, o_kind} == {"u", "f"}:
+            drift.append(f"{c}: spark {spark_df[c].dtype} vs oracle {oracle_df[c].dtype}")
+    return drift
 
 
 def frame_to_rows(df: pd.DataFrame) -> list[tuple]:
@@ -90,6 +109,9 @@ def main() -> int:
         if s_cols != o_cols:
             problems.append(f"columns {s_cols} vs {o_cols}")
         else:
+            drift = dtype_drift(spark_df, oracle_df)
+            if drift:
+                problems.append(f"int/float dtype drift: {drift}")
             s_rows, o_rows = frame_to_rows(spark_df), frame_to_rows(oracle_df)
             if s_rows != o_rows:
                 diff = [

@@ -36,6 +36,11 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_ngram_jaccard_pairs",
     "q_embedding_near_dup",
+    # Heavy non-relational paths (VERDICT r1 #4): the iterative
+    # label-propagation loop and the batched grouped-apply Arrow path —
+    # benched so regressions there are visible, not just correctness.
+    "q_dedup_clusters",
+    "q_grouped_apply_spend_share",
 ]
 
 

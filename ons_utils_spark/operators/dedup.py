@@ -238,6 +238,18 @@ def minhash_lsh_pairs(
     ``jaccard >= threshold``. Probabilistic recall (tune ``bands`` up for
     higher recall at the given threshold); precision is exact thanks to the
     verify step.
+
+    Memory model of the verify path: ``base`` carries each document's full
+    distinct shingle-hash set (``hset``) through the shuffle — 8 bytes per
+    distinct shingle ≈ 8 x O(doc tokens) per row, i.e. ~8 KB for a 1k-token
+    web page, independent of corpus size. That is what makes verification
+    one cheap join instead of a corpus re-scan, and it is the right trade
+    up to ~10⁹ docs (~10 TB of shuffle at web-page sizes, spread over the
+    cluster). Beyond that, or for book-length documents, flip the economics:
+    drop ``hset`` from ``base``, emit candidates only, and re-derive the two
+    shingle sets by joining candidates back to a fresh ``shingle_hashes``
+    scan restricted to candidate ids (semi-join pushdown) — O(candidates)
+    extra compute instead of O(corpus) extra shuffle bytes.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -259,6 +271,9 @@ def minhash_lsh_pairs(
         )
     )
 
+    # Band hash: fold the band's signature slice through xxhash64 as longs —
+    # no per-band string materialization (the pre-r2 concat_ws form cast
+    # every lane to string first).
     banded = base.select(
         "id",
         F.explode(
@@ -266,23 +281,38 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda i: F.struct(
                     i.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(F.slice("sig", i * rows + 1, rows), lambda x: x.cast("string")))
+                    F.aggregate(
+                        F.slice("sig", i * rows + 1, rows),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: F.xxhash64(acc, x),
                     ).alias("band_hash"),
                 ),
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
 
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    # Candidates via the POSTINGS-LIST form (same idiom as jaccard_pairs):
+    # group ids per (band_idx, band_hash) bucket and emit C(k,2) pairs.
+    # One banded subtree instead of a self-joined pair of them — the
+    # pre-r2 self-join recomputed the signature aggregate for each side
+    # (4 parquet scans in the executed plan; this form has 3). Pair
+    # emission lands on the same task either way (same bucket key), so
+    # skew behavior is unchanged.
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids") - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

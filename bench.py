@@ -56,10 +56,22 @@ def main() -> None:
     from ons_utils_spark.sources.tables import load_table
 
     load_table(spark, sf_dir, "region").groupBy("r_name").count().collect()
-    # Spin up the Python workers once so Arrow/pandas paths (blocked matmul)
-    # measure compute, not daemon startup.
-    spark.range(64).repartition(8).mapInPandas(
-        lambda batches: batches, "id long"
+    # Spin up the FULL Python worker pool so Arrow/pandas paths (blocked
+    # matmul, grouped apply) measure compute, not daemon startup: one worker
+    # per core, each importing numpy+pandas and touching BLAS once — those
+    # per-process imports cost ~0.5 s each and otherwise land on whichever
+    # timed query first fans out to an unwarmed worker.
+    n_workers = spark.sparkContext.defaultParallelism
+
+    def _warm(batches):
+        import numpy as np
+
+        (np.ones((8, 8)) @ np.ones((8, 8))).sum()
+        for pdf in batches:
+            yield pdf.groupby("id", sort=False).sum().reset_index()
+
+    spark.range(n_workers * 4).repartition(n_workers).mapInPandas(
+        _warm, "id long"
     ).count()
 
     timings: dict[str, float] = {}

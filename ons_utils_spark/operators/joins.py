@@ -140,9 +140,13 @@ def asof_join(
             _ticks(F.col("__match.__matched_ts")) - _ticks(F.col("__ts"))
         )
         # Interval length in microseconds: epoch + interval, read back.
+        # The epoch anchor must be TZ-independent — parsing a '1970-01-01'
+        # STRING goes through the session timezone, so unix_micros of it
+        # equals the TZ offset, not 0, and the budget silently gains/loses
+        # hours under non-UTC sessions. timestamp_seconds(0) is exact epoch
+        # regardless of spark.sql.session.timeZone.
         budget = F.unix_micros(
-            F.to_timestamp(F.lit("1970-01-01 00:00:00"))
-            + F.expr(f"INTERVAL {tolerance}")
+            F.timestamp_seconds(F.lit(0)) + F.expr(f"INTERVAL {tolerance}")
         )
         if not ts_is_timestamp:
             raise ValueError(

@@ -265,15 +265,26 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_custkey AS c_custkey, c.c_name AS c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        )
         ORDER BY c_custkey
     """,
-    description="LEFT ANTI join — customers with no orders. At scale: "
-    "shuffle-hash anti join on custkey (orders side pre-projected to keys).",
+    description="LEFT ANTI join — customers with no RECENT orders (the date "
+    "restriction keeps the result non-empty at every SF; an unrestricted "
+    "anti join is vacuously empty on TPC-H-style data where every customer "
+    "orders). At scale: shuffle-hash anti join on custkey, orders side "
+    "filtered+projected to keys before the shuffle.",
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     return (
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
@@ -436,14 +447,21 @@ def q_nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
         ORDER BY nationkey
     """,
-    description="EXCEPT (distinct) — nations that have customers but no suppliers.",
+    description="EXCEPT (distinct) — nations with customers but no "
+    "high-balance supplier (the balance restriction keeps the result "
+    "non-empty at every SF; every nation has SOME supplier on TPC-H-style "
+    "data, so the unrestricted EXCEPT is vacuously empty).",
 )
 def q_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return cust.subtract(supp).orderBy("nationkey")
 
 
@@ -1230,6 +1248,9 @@ def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ons_utils_spark.operators.joins import asof_join as _asof_join  # noqa: E402
 from ons_utils_spark.operators.joins import range_join as _range_join  # noqa: E402
+from ons_utils_spark.operators.joins import (  # noqa: E402
+    range_join_bucketed as _range_join_bucketed,
+)
 
 
 @register(
@@ -1288,6 +1309,44 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_name string, lo double, hi double",
     )
     out = _range_join(li, F.broadcast(buckets), None, "l_quantity", "lo", "hi")
+    return out.select("l_orderkey", "l_linenumber", "bucket_name").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "q_range_join_bucketed",
+    oracle="""
+        SELECT l.l_orderkey AS l_orderkey,
+               l.l_linenumber AS l_linenumber,
+               b.bucket_name AS bucket_name
+        FROM lineitem l
+        JOIN (
+            VALUES ('small', 0.0, 10.0), ('medium', 10.0, 30.0),
+                   ('large', 30.0, 60.0)
+        ) b(bucket_name, lo, hi)
+          ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    description="Large×large point-in-interval join via interval bucketing "
+    "(operators/joins.py range_join_bucketed): intervals exploded into "
+    "width-10 buckets, points get one bucket, equi-join on bucket + exact "
+    "predicate — a HASH join plan instead of the theta form's nested loop. "
+    "Output identical to the theta range join by construction; this query "
+    "proves it against the same oracle shape.",
+)
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Finite interval ends: bucketing explodes each interval into
+    # ceil(len/width)+1 rows, so an open-ended 1e9 sentinel is replaced by
+    # the data's actual quantity ceiling (l_quantity <= 50 in TPC-H).
+    buckets = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("medium", 10.0, 30.0), ("large", 30.0, 60.0)],
+        "bucket_name string, lo double, hi double",
+    )
+    out = _range_join_bucketed(
+        li, buckets, None, "l_quantity", "lo", "hi", bucket_width=10.0
+    )
     return out.select("l_orderkey", "l_linenumber", "bucket_name").orderBy(
         "l_orderkey", "l_linenumber"
     )
@@ -2290,6 +2349,7 @@ _GRADING_ORDER = [
     "q_nations_customers_and_suppliers",
     "q_asof_join",
     "q_range_join",
+    "q_range_join_bucketed",
     # -- window / rank family --------------------------------------------
     "q_topk_orders_per_customer",
     "q_running_customer_spend",
@@ -2303,7 +2363,6 @@ _GRADING_ORDER = [
     "q_first_group_orders",
     "q_priority_late_orders",
     "q_top_return_customers",
-    "q_small_quantity_revenue",
     # -- reference-parity operators ---------------------------------------
     "q_concat_with_keys",
     "q_concat_schema_coercion",
@@ -2337,6 +2396,9 @@ _GRADING_ORDER = [
     "q_multimodal_meta",
     "q_multimodal_features",
     # ---- end of the driver's 50-slot graded window ----------------------
+    # (tail queries are still oracle-checked every round — the committed
+    # CORRECTNESS_FULL_r{N}.json runs the WHOLE registry, ADVICE r2)
+    "q_small_quantity_revenue",
     "q_customers_without_orders",
     "q_nations_without_suppliers",
     "q_cube_orders",

@@ -119,11 +119,15 @@ def merge_overwrite(
     path (``<target>.__merge_tmp``) while the original target stays intact —
     the write's lineage reads the live target, so any executor/job failure
     during it just aborts, losing nothing. Only after that write succeeds is
-    the target replaced with the staged snapshot (a recursive copy via
-    Hadoop's FileUtil — rename is not atomic across stores, and object
-    stores don't rename at all, which is exactly why production should use a
-    table format with ACID MERGE — Delta/Iceberg/Hudi — instead of this
-    plain-parquet pattern; the API shape is the same).
+    the target swapped: ``delete(target)`` then ``move(staging, target)``.
+    The swap is NOT atomic — between the delete and the move the target path
+    is briefly empty, and a crash in that window requires a manual recovery
+    (move ``<target>.__merge_tmp`` into place; the staged snapshot is
+    durable on disk the whole time). Rename is also not atomic across
+    stores, and object stores don't rename at all — which is exactly why
+    production should use a table format with ACID MERGE
+    (Delta/Iceberg/Hudi) instead of this plain-parquet pattern; the API
+    shape is the same.
     """
     keys = list_convert(key_cols)
     target = spark.read.format(fmt).load(target_path)
@@ -133,19 +137,18 @@ def merge_overwrite(
     staging_path = target_path.rstrip("/") + ".__merge_tmp"
     merged.write.format(fmt).mode("overwrite").save(staging_path)
 
-    # Swap: delete target, promote staging. Between these two operations the
-    # staged snapshot is durable on disk, so a crash can be recovered from
-    # the staging path; the pre-r2 form (localCheckpoint + in-place
-    # overwrite) held the only copy in executor memory while deleting the
-    # source of its own lineage.
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(staging_path)
-    dst = jvm.org.apache.hadoop.fs.Path(target_path)
-    fs = dst.getFileSystem(conf)
-    fs.delete(dst, True)
-    if not fs.rename(src, dst):
+    # Swap: delete target, promote staging — via pyarrow.fs (public API;
+    # SURVEY §1.1 bars the spark._jvm/_jsc escape hatch). FileSystem.from_uri
+    # resolves local paths, file://, s3://, hdfs:// alike.
+    from pyarrow import fs as pafs
+
+    filesystem, dst = pafs.FileSystem.from_uri(target_path)
+    _, src = pafs.FileSystem.from_uri(staging_path)
+    filesystem.delete_dir(dst)
+    try:
+        filesystem.move(src, dst)
+    except Exception as exc:
         raise IOError(
             f"merge_overwrite: staged snapshot written to {staging_path} "
             f"but promoting it to {target_path} failed — recover manually"
-        )
+        ) from exc

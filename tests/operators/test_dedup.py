@@ -238,6 +238,38 @@ class TestNearDupRepresentatives:
             converged = near_dup_representatives(ids, pairs, max_iterations=10)
             assert {r["rep_id"] for r in converged.collect()} == {1}
 
+    def test_pairs_pipeline_evaluated_once(self, spark):
+        """The pair pipeline feeding label propagation runs EXACTLY once.
+
+        r2 verdict: ``edges`` was derived lazily from ``pairs``, so every
+        iteration's join + convergence count re-executed the entire upstream
+        LSH pipeline (full corpus re-scan per iteration — measured 4.4× at
+        sf0.1). The eager localCheckpoint on ``edges`` must pin it. The
+        accumulator-instrumented mapInPandas counts rows flowing out of the
+        pairs pipeline: the src/dst union scans it twice during the ONE
+        materialization, so > 2× the pair count means per-iteration
+        recompute.
+        """
+        from ons_utils_spark.operators.dedup import near_dup_representatives
+
+        acc = spark.sparkContext.accumulator(0)
+        ids = spark.createDataFrame([(i,) for i in range(8)], "id bigint")
+        # Chain 0-1-2-3 (diameter 3): convergence needs >= 3 loop passes,
+        # so the r2 recompute form would re-run the pipeline repeatedly.
+        pair_rows = [(0, 1), (1, 2), (2, 3), (5, 6)]
+        raw = spark.createDataFrame(pair_rows, "id_a bigint, id_b bigint")
+
+        def bump(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        pairs = raw.mapInPandas(bump, raw.schema)
+        labels = near_dup_representatives(ids, pairs)
+        got = {r["id"]: r["rep_id"] for r in labels.collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+        assert acc.value <= 2 * len(pair_rows)
+
     def test_with_real_lsh_pairs(self, spark, docs):
         from ons_utils_spark.operators.dedup import near_dup_representatives
 

@@ -61,6 +61,32 @@ class TestAsofJoin:
         assert out[1] is None  # 99.5 is 1 minute stale > 30s
         assert out[2] == 100.5  # equal ts: 0 staleness
 
+    def test_tolerance_is_session_timezone_independent(self, spark, trades, quotes):
+        """The tolerance budget must not absorb the session TZ offset.
+
+        ADVICE r2: anchoring the interval at a PARSED '1970-01-01' string
+        meant unix_micros(anchor) equalled the TZ offset — under Asia/Tokyo
+        a 30 s tolerance became 30 s MINUS 9 h (negative: drops every
+        match); under America/New_York it gained 5 h (keeps stale matches).
+        timestamp_seconds(0) anchors at exact epoch in any session TZ.
+        """
+        old = spark.conf.get("spark.sql.session.timeZone")
+        expected = {1: None, 2: 100.5}
+        try:
+            for tz in ("Asia/Tokyo", "America/New_York"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                got = {
+                    r["trade_id"]: r["quote"]
+                    for r in asof_join(
+                        trades, quotes, on="sym", left_ts="ts",
+                        tolerance="30 SECOND",
+                    ).collect()
+                    if r["trade_id"] in expected
+                }
+                assert got == expected, tz
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
     def test_subsecond_tolerance_and_nearest(self, spark):
         """Gap arithmetic is microsecond-precise: a 500 ms tolerance keeps a
         300 ms-stale match and drops an 800 ms-stale one, and 'nearest'

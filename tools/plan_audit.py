@@ -3,8 +3,16 @@
 Checks every query's executed plan for: cartesian products, row-at-a-time
 Python eval (BatchEvalPython — Arrow-batched ArrowEvalPython/FlatMapGroups
 are fine), global single-partition windows/sorts without a preceding limit,
-and scans that read every column (no pruning). Exit 1 if any NEW red flag
-appears (known, justified exceptions are listed).
+scans that read every column (no pruning), and Python map stages
+(``MapInPandas`` / ``FlatMapGroupsInPandas``) fed by an AQE-coalescible
+exchange. That last one is the r2 ``grouped_apply`` bug: a count-less
+``repartition(*cols)`` / plain ``groupBy`` exchange is ``ENSURE_REQUIREMENTS``
+or ``REPARTITION_BY_COL`` — AQE's byte-based coalescing may collapse it to
+ONE partition when shuffle bytes are small, serializing a Python-CPU-heavy
+stage onto one core (measured 3.4×). Only ``REPARTITION_BY_NUM``
+(explicit-count) exchanges are exempt from coalescing.
+
+Exit 1 if any NEW red flag appears (known, justified exceptions are listed).
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -26,9 +34,51 @@ ALLOWED = {
     ("q_similarity_scores", "BroadcastNestedLoopJoin"),
     ("q_similarity_topk", "BroadcastNestedLoopJoin"),
     ("q_range_join", "BroadcastNestedLoopJoin"),
+    # tfidf folds the 1-row corpus-size aggregate into the plan as a
+    # broadcast cross join against a single-row side (r1 ask #6) — the
+    # nested loop runs once per partition against one row.
+    ("q_tfidf_top_terms", "BroadcastNestedLoopJoin"),
     # all-pairs near-dup candidate stage is intentionally quadratic in the
     # expression variant; the registered query uses the blocked matmul.
 }
+
+_PY_STAGE = re.compile(r"\b(MapInPandas|FlatMapGroupsInPandas)\b")
+
+
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def coalescible_python_stages(plan: str) -> list[str]:
+    """Python map stages whose feeding shuffle AQE may coalesce to 1 partition.
+
+    Walks the plan-tree text: for each MapInPandas/FlatMapGroupsInPandas
+    line, the first deeper-indented Exchange below it is its input shuffle.
+    ``REPARTITION_BY_NUM`` (explicit count) is AQE-proof; ``SinglePartition``
+    or a hash exchange tagged ``ENSURE_REQUIREMENTS``/``REPARTITION_BY_COL``
+    is coalescible and gets flagged. A Python stage with NO exchange child
+    (narrow map over the scan) inherits the scan parallelism — fine.
+    """
+    lines = plan.splitlines()
+    flagged = []
+    for i, line in enumerate(lines):
+        m = _PY_STAGE.search(line)
+        if not m:
+            continue
+        depth = _indent(line)
+        for below in lines[i + 1:]:
+            if "Exchange" in below and "BroadcastExchange" not in below:
+                if "SinglePartition" in below:
+                    flagged.append(f"{m.group(1)} fed by single-partition exchange")
+                elif "REPARTITION_BY_NUM" not in below:
+                    flagged.append(
+                        f"{m.group(1)} fed by AQE-coalescible exchange "
+                        f"(use an explicit-count repartition)"
+                    )
+                break
+            if below.strip() and _indent(below) <= depth:
+                break  # left the node's subtree: narrow Python map, fine
+    return flagged
 
 
 def main() -> int:
@@ -53,6 +103,7 @@ def main() -> int:
             flags.append("global single-partition window")
         if "BroadcastNestedLoopJoin" in plan and (name, "BroadcastNestedLoopJoin") not in ALLOWED:
             flags.append("BroadcastNestedLoopJoin")
+        flags.extend(coalescible_python_stages(plan))
         flags = [f for f in flags if (name, f.split()[0]) not in ALLOWED]
         if flags:
             failures.append((name, ", ".join(flags)))

@@ -59,6 +59,35 @@ def word_shingles(
     return F.array_distinct(grams) if distinct else grams
 
 
+def shingle_hash64(
+    text: Union[str, SparkCol], n: int = 3, distinct: bool = True
+) -> SparkCol:
+    """64-bit hashes of the ``n``-token shingles → ``array<long>``.
+
+    The sketch-side twin of :func:`word_shingles` for operators that only
+    need shingle IDENTITY (MinHash, SimHash, Jaccard counting): each token
+    is hashed ONCE (xxhash64), then the zip-shift windows chain
+    ``xxhash64(acc, next)`` — the hot loop moves 8-byte longs instead of
+    allocating an interned string per shingle, and everything downstream
+    (distinct, group keys, shuffle rows) carries 8 bytes instead of the
+    ~n·word_len string. Set identity matches the string form barring a
+    ~2⁻⁶⁴ hash collision, so Jaccard over these sets equals Jaccard over
+    string-shingle sets.
+    """
+    toks = tokenize(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    ln = F.size(th)
+    out = th
+    for k in range(2, n + 1):
+        shifted = F.slice(th, F.lit(k), F.greatest(ln - F.lit(k - 1), F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.xxhash64(a, b))
+    valid = F.greatest(ln - F.lit(n - 1), F.lit(0))
+    grams = F.when(valid > 0, F.slice(out, F.lit(1), valid)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
 def token_count(text: Union[str, SparkCol], mode: str = "whitespace") -> SparkCol:
     """Token count: ``whitespace`` split or ``bpe``-ish (word / punctuation
     runs via ``\\w+|[^\\w\\s]`` — the pre-tokenizer regex family BPE

@@ -6,11 +6,18 @@ row count, sorted column names, and an order-insensitive canonical value
 comparison (exact string equality after canonicalization — a stand-in for
 the driver's value hash).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes a full record in the driver's CORRECTNESS shape (one
+object per query: rows/schema/hash match booleans + row counts) so each
+round can commit a WHOLE-registry check, including the tail queries past
+the driver's 50-slot graded window (ADVICE r2: the tail otherwise has no
+recorded check).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -22,8 +29,15 @@ import pandas as pd
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_argv = sys.argv[1:]
+JSON_OUT = None
+if "--json" in _argv:
+    i = _argv.index("--json")
+    JSON_OUT = _argv[i + 1]
+    _argv = _argv[:i] + _argv[i + 2:]
+
+SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.01"
+ONLY = set(_argv[1:])
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -82,6 +96,7 @@ def main() -> int:
     queries = mod.queries()
     oracles = mod.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
@@ -90,40 +105,61 @@ def main() -> int:
             spark_df = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"spark {type(e).__name__}: {e}"[:200]}
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(spark_df),
+                            "oracle_rows": None, "err": "no_oracle"}
             print(f"weak  {name}: rows={len(spark_df)} (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             oracle_df = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(spark_df),
+                            "oracle_rows": None,
+                            "err": f"duckdb {type(e).__name__}: {e}"[:200]}
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             continue
 
         problems = []
-        if len(spark_df) != len(oracle_df):
+        rows_match = len(spark_df) == len(oracle_df)
+        if not rows_match:
             problems.append(f"rowcount {len(spark_df)} vs {len(oracle_df)}")
         s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
-        if s_cols != o_cols:
+        schema_match = s_cols == o_cols
+        hash_match = False
+        if not schema_match:
             problems.append(f"columns {s_cols} vs {o_cols}")
         else:
             drift = dtype_drift(spark_df, oracle_df)
             if drift:
                 problems.append(f"int/float dtype drift: {drift}")
             s_rows, o_rows = frame_to_rows(spark_df), frame_to_rows(oracle_df)
+            hash_match = not drift and s_rows == o_rows
             if s_rows != o_rows:
                 diff = [
                     (a, b) for a, b in zip(s_rows, o_rows) if a != b
                 ][:3]
                 problems.append(f"values differ; first diffs: {diff}")
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": len(spark_df),
+                        "oracle_rows": len(oracle_df),
+                        "err": "; ".join(problems)[:200] or None}
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
         else:
             print(f"ok    {name}: rows={len(spark_df)} [{time.time()-t0:.1f}s]")
 
+    if JSON_OUT:
+        Path(JSON_OUT).write_text(json.dumps(record, indent=1))
     print(f"\n{len(failures)} failures" if failures else "\nall green")
     return 1 if failures else 0
 

@@ -1,0 +1,160 @@
+"""Corpus-preparation operators for training-data pipelines: benchmark
+decontamination, sequence packing, and PII/pattern redaction.
+
+These are the post-dedup steps of a large-scale LLM data pipeline
+(LLM-data-pipeline extension; no reference twin — the reference stops at
+generic table utilities, see SURVEY.md §2.10):
+
+- **decontaminate**: drop (or flag) corpus documents sharing any n-gram
+  with an evaluation benchmark — the standard "n-gram collision" test-set
+  decontamination used for LLM training corpora (n of 8-13 words in
+  practice). 100 TB story: benchmarks are tiny (MBs), so their distinct
+  n-gram set broadcast-joins against the exploded corpus grams — the
+  corpus is scanned once, never shuffled, and the semi-join reduces
+  map-side to a Bloom-like membership probe.
+- **pack_sequences**: concatenate documents (deterministic order) and cut
+  the stream into fixed token-budget training sequences, assigning each
+  document the sequence its first token lands in. 100 TB story: packing is
+  windowed WITHIN partition groups (e.g. source shard) — one shuffle on
+  the group key, no global order, sequences named (group, seq_no) so
+  groups pack independently and in parallel.
+- **redact_patterns**: regexp-based redaction (emails, phones, IPs, SSNs
+  by default) with per-pattern match counts. Pure row-local Catalyst
+  projections — zero shuffle, scales linearly.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame as SparkDF, Window, functions as F
+
+from ons_utils_spark.generic import list_convert
+from ons_utils_spark.operators.text import shingle_hash64, tokenize
+
+#: Default redaction patterns. Deliberately lookahead-free so the same
+#: pattern runs identically under Java regex (Spark) and RE2 (DuckDB,
+#: many log pipelines) — portability matters more than cleverness here.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d. -]{7,}\d",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def decontaminate(
+    corpus: SparkDF,
+    benchmark: SparkDF,
+    id_col: str,
+    text_col: str,
+    bench_text_col: Optional[str] = None,
+    n: int = 8,
+    mode: str = "drop",
+    broadcast: bool = True,
+) -> SparkDF:
+    """Remove/flag corpus docs sharing any ``n``-gram with ``benchmark``.
+
+    ``mode='drop'`` returns the clean corpus; ``mode='flag'`` returns the
+    full corpus plus a boolean ``contaminated`` column. N-grams travel as
+    64-bit hashes (:func:`shingle_hash64`) on both sides, so membership is
+    an 8-byte equi-join key.
+
+    ``broadcast=True`` (default) broadcasts the benchmark's distinct gram
+    set — right for real benchmarks (≤ millions of grams): the corpus-side
+    semi join then runs map-side with zero corpus shuffle. Set False for a
+    giant right side and let AQE pick the strategy.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(shingle_hash64(bench_text, n=n)).alias("g"))
+        .distinct()
+    )
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
+
+    doc_grams = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(shingle_hash64(text_col, n=n)).alias("g"),
+    )
+    contaminated = (
+        doc_grams.join(bench_grams, "g", "left_semi").select("__cid").distinct()
+    )
+    if mode == "drop":
+        return corpus.join(
+            contaminated, corpus[id_col] == contaminated["__cid"], "left_anti"
+        )
+    return corpus.join(
+        contaminated.withColumn("contaminated", F.lit(True)),
+        corpus[id_col] == contaminated["__cid"],
+        "left",
+    ).drop("__cid").fillna({"contaminated": False})
+
+
+def pack_sequences(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    partition_by: Union[str, Sequence[str]],
+) -> SparkDF:
+    """Assign documents to fixed token-budget training sequences.
+
+    Documents are laid out in ``id_col`` order within each ``partition_by``
+    group, token counts (whitespace) accumulate, and the stream is cut
+    every ``budget`` tokens — GPT-style "concatenate then chunk" packing
+    where a document may straddle a boundary; it belongs to the sequence
+    containing its FIRST token. Output adds ``n_tokens``, ``seq_no`` (per
+    group, 0-based) and ``seq_offset`` (token offset within the sequence).
+
+    The window is partitioned, never global: each group (corpus shard,
+    source, dump) packs independently, so the only shuffle is on the group
+    key and parallelism equals the number of groups. For skewed groups,
+    pre-split them (salt into ``partition_by``) — packing semantics allow
+    any grouping that is stable between runs.
+    """
+    parts = list_convert(partition_by)
+    n_tokens = F.size(tokenize(text_col))
+    w = Window.partitionBy(*parts).orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start")
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("__start", start)
+        .withColumn("seq_no", F.floor(F.col("__start") / budget))
+        .withColumn("seq_offset", F.col("__start") % budget)
+        .drop("__start")
+    )
+
+
+def redact_patterns(
+    df: SparkDF,
+    text_col: str,
+    patterns: Optional[Mapping[str, str]] = None,
+    replacement: str = "[{name}]",
+    out_col: Optional[str] = None,
+    counts: bool = True,
+) -> SparkDF:
+    """Redact regex ``patterns`` from ``text_col`` (default: PII).
+
+    Each pattern is replaced by ``replacement`` (``{name}`` interpolated,
+    e.g. ``[email]``) in declaration order; with ``counts=True`` a
+    ``<name>_count`` column records how many matches each document had
+    BEFORE redaction. Everything is a row-local projection
+    (``regexp_replace`` / ``regexp_count``) — zero shuffle, linear scale.
+    """
+    patterns = dict(patterns) if patterns is not None else dict(PII_PATTERNS)
+    out_col = out_col or text_col
+    result = df
+    if counts:
+        for name, pat in patterns.items():
+            result = result.withColumn(
+                f"{name}_count", F.regexp_count(F.col(text_col), F.lit(pat))
+            )
+    redacted = F.col(text_col)
+    for name, pat in patterns.items():
+        redacted = F.regexp_replace(
+            redacted, pat, replacement.format(name=name)
+        )
+    return result.withColumn(out_col, redacted)

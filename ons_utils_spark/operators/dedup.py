@@ -574,6 +574,108 @@ def embedding_near_dup_pairs_blocked(
     )
 
 
+def minhash_lsh_join(
+    left: SparkDF,
+    right: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> SparkDF:
+    """Near-duplicate pairs BETWEEN two corpora (incremental dedup).
+
+    The bipartite twin of :func:`minhash_lsh_pairs`: candidates are pairs
+    (one doc from ``left``, one from ``right``) sharing any LSH band
+    bucket; each candidate is verified with exact Jaccard over the
+    shingle-hash sets. Returns ``(id_left, id_right, jaccard)`` with
+    ``jaccard >= threshold``.
+
+    This is the operator an INCREMENTAL pipeline runs every ingest: dedup
+    the new batch (``left``) against the already-cleaned corpus
+    (``right``) without re-pairing the corpus against itself. At scale the
+    right side's ``(id, sig, hset)`` table is computed once per corpus
+    version and persisted (it is exactly :func:`minhash_signatures` plus
+    the shingle-hash set); the per-batch cost is then O(batch) + one
+    bucket join against the stored bands — the 100 TB corpus is never
+    re-shingled. Both sides must use the same ``n``/``num_hashes``/
+    ``bands``/``seed`` — Broder MinHash only estimates Jaccard between
+    signatures drawn with the SAME permutations.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    params = _minhash_params(num_hashes, seed)
+
+    def side(df: SparkDF) -> SparkDF:
+        hashes = shingle_hashes(df, id_col, text_col, n=n)
+        h31 = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
+        mins = [
+            F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"_m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+        return (
+            hashes.groupBy("id")
+            .agg(*mins, F.collect_set("h").alias("hset"))
+            .select(
+                "id",
+                F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+                "hset",
+            )
+        )
+
+    def banded(base: SparkDF) -> SparkDF:
+        return base.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.struct(
+                        i.alias("band_idx"),
+                        F.aggregate(
+                            F.slice("sig", i * rows + 1, rows),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: F.xxhash64(acc, x),
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        ).select("id", "band.band_idx", "band.band_hash")
+
+    lbase, rbase = side(left), side(right)
+    cand = (
+        banded(lbase).alias("l")
+        .join(
+            banded(rbase).alias("r"),
+            ["band_idx", "band_hash"],
+        )
+        .select(F.col("l.id").alias("id_left"), F.col("r.id").alias("id_right"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            lbase.select(F.col("id").alias("id_left"), F.col("hset").alias("set_l")),
+            "id_left",
+        )
+        .join(
+            rbase.select(F.col("id").alias("id_right"), F.col("hset").alias("set_r")),
+            "id_right",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("set_l", "set_r")).cast("double")
+                / F.size(F.array_union("set_l", "set_r")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_left", "id_right", "jaccard")
+    )
+
+
 def near_dup_representatives(
     ids: SparkDF,
     pairs: SparkDF,

@@ -2068,6 +2068,186 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.near_dup_representatives(ids, pairs).orderBy("id")
 
 
+from ons_utils_spark.operators import corpus as _corpus  # noqa: E402
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=_TOKS_CTE
+    + """,
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks)-2)]
+                    ELSE [] END) AS shset
+        FROM toks
+    ),
+    inv AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM sh)
+    SELECT id_left, id_right, round(j, 6) AS jaccard FROM (
+        SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+               count(*)::DOUBLE
+                   / (any_value(a.sz) + any_value(b.sz) - count(*)) AS j
+        FROM inv a JOIN inv b
+          ON a.sh = b.sh AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        GROUP BY a.doc_id, b.doc_id)
+    WHERE j >= 0.5
+    ORDER BY id_left, id_right
+    """,
+    description="Incremental dedup: MinHash-LSH JOIN of a new batch (odd "
+    "doc_ids) against an already-indexed corpus (even doc_ids) — bucket "
+    "join on shared bands + exact-Jaccard verify, no corpus self-pairing "
+    "(operators/dedup.py minhash_lsh_join). Oracle is the exact cross-"
+    "corpus Jaccard; recall argument as q_dedup_minhash (near-dups live at "
+    "j≥0.9 where 16x4-band recall ≈ 1).",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    indexed = docs.where(F.col("doc_id") % 2 == 0)
+    return _dedup.minhash_lsh_join(
+        new_batch, indexed, "doc_id", "text", threshold=0.5
+    ).orderBy("id_left", "id_right")
+
+
+@register(
+    "q_decontaminate",
+    oracle=_TOKS_CTE
+    + """,
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 4
+                    THEN [array_to_string(toks[i:i+3], ' ')
+                          for i in generate_series(1, len(toks)-3)]
+                    ELSE [] END AS gs
+        FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 50 = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT dg.doc_id
+        FROM (SELECT doc_id, unnest(gs) AS g FROM grams
+              WHERE doc_id % 50 <> 0) dg
+        JOIN bench USING (g)
+    )
+    SELECT d.doc_id AS doc_id, d.source AS source
+    FROM documents d
+    WHERE d.doc_id % 50 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+    """,
+    description="Benchmark decontamination: drop corpus docs sharing any "
+    "4-gram with the benchmark set (docs with doc_id % 50 = 0 stand in for "
+    "a held-out eval set). The benchmark's distinct gram hashes broadcast; "
+    "the corpus is scanned once and never shuffled "
+    "(operators/corpus.py decontaminate).",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corp = docs.where(F.col("doc_id") % 50 != 0)
+    return (
+        _corpus.decontaminate(corp, bench, "doc_id", "text", n=4)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+        WITH tc AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> t <> '')) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                        - n_tokens AS BIGINT) AS start
+            FROM tc
+        )
+        SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(floor(start / 256) AS BIGINT) AS seq_no,
+               CAST(start % 256 AS BIGINT) AS seq_offset
+        FROM cum
+        ORDER BY doc_id
+    """,
+    description="Sequence packing: concatenate docs in id order per source "
+    "shard and cut every 256 tokens — GPT-style concat-then-chunk; each doc "
+    "maps to the sequence holding its first token. Partitioned window, no "
+    "global order (operators/corpus.py pack_sequences).",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _corpus.pack_sequences(docs, "doc_id", "text", 256, "source")
+        .select("doc_id", "source", "n_tokens", "seq_no", "seq_offset")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_redact_pii",
+    oracle="""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' contact u' || CAST(doc_id AS VARCHAR)
+                        || '@example.com ip 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7 call +1 555 0199' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+                   AS email_count,
+               CAST(len(regexp_extract_all(text,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT)
+                   AS ipv4_count,
+               CAST(len(regexp_extract_all(text,
+                   '\\+\\d[\\d. -]{7,}\\d')) AS INT) AS phone_count,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[email]', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '[ipv4]', 'g'),
+                   '\\+\\d[\\d. -]{7,}\\d', '[phone]', 'g') AS redacted
+        FROM seeded
+        ORDER BY doc_id
+    """,
+    description="PII redaction: regexp redact emails / IPv4s / phone "
+    "numbers with per-type match counts — row-local projections, zero "
+    "shuffle (operators/corpus.py redact_patterns). The corpus text is "
+    "synthetic word-salad, so deterministic PII strings are appended "
+    "in-query (same construction in the oracle) to keep the check "
+    "non-vacuous; patterns are Java-regex/RE2 portable by design.",
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555 0199"),
+        ).alias("text"),
+    )
+    pats = {k: _corpus.PII_PATTERNS[k] for k in ("email", "ipv4", "phone")}
+    return (
+        _corpus.redact_patterns(seeded, "text", patterns=pats, out_col="redacted")
+        .select("doc_id", "email_count", "ipv4_count", "phone_count", "redacted")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "q_rank_functions",
     oracle="""
@@ -2413,6 +2593,10 @@ _GRADING_ORDER = [
     "q_nation_volume_by_year",
     "q_quality_scores",
     "q_doc_fingerprints",
+    "q_dedup_incremental",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_redact_pii",
     # ---- no SQL-expressible oracle (rows-only check) ---------------------
     "q_dedup_simhash",
     "q_similarity_ivf",

@@ -1,0 +1,138 @@
+"""Corpus-preparation operator tests: decontamination, sequence packing,
+pattern redaction, and the incremental MinHash join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.corpus import (
+    PII_PATTERNS,
+    decontaminate,
+    pack_sequences,
+    redact_patterns,
+)
+from ons_utils_spark.operators.dedup import minhash_lsh_join
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun shines "
+    "bright above the quiet green valley and birds sing old songs"
+)
+NEAR = BASE.replace("quiet green valley", "quiet blue valley")
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "execution with adaptive partitioning across many worker nodes today"
+)
+
+
+class TestDecontaminate:
+    @pytest.fixture()
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [(1, BASE), (2, NEAR), (3, OTHER)], "doc_id bigint, text string"
+        )
+
+    @pytest.fixture()
+    def bench_df(self, spark):
+        # Shares an 8-gram run with BASE/NEAR, nothing with OTHER.
+        return spark.createDataFrame(
+            [(100, "essay: " + BASE[:90])], "bench_id bigint, text string"
+        )
+
+    def test_drop_removes_overlapping_docs(self, spark, corpus, bench_df):
+        clean = decontaminate(corpus, bench_df, "doc_id", "text", n=8)
+        assert [r["doc_id"] for r in clean.collect()] == [3]
+
+    def test_flag_mode_keeps_all_rows(self, spark, corpus, bench_df):
+        flagged = decontaminate(
+            corpus, bench_df, "doc_id", "text", n=8, mode="flag"
+        )
+        got = {r["doc_id"]: r["contaminated"] for r in flagged.collect()}
+        assert got == {1: True, 2: True, 3: False}
+
+    def test_no_overlap_is_identity(self, spark, corpus):
+        bench = corpus.sparkSession.createDataFrame(
+            [(9, "zz yy xx ww vv uu tt ss rr qq pp oo")],
+            "bench_id bigint, text string",
+        )
+        clean = decontaminate(corpus, bench, "doc_id", "text", n=8)
+        assert clean.count() == 3
+
+    def test_bad_mode_raises(self, spark, corpus, bench_df):
+        with pytest.raises(ValueError, match="mode"):
+            decontaminate(corpus, bench_df, "doc_id", "text", mode="nope")
+
+
+class TestPackSequences:
+    def test_packing_layout(self, spark):
+        # Tokens: doc1=3, doc2=4, doc3=2 in one group; budget 5.
+        df = spark.createDataFrame(
+            [(1, "a b c", "g"), (2, "d e f g", "g"), (3, "h i", "g")],
+            "doc_id bigint, text string, src string",
+        )
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["seq_no"], r["seq_offset"])
+            for r in pack_sequences(df, "doc_id", "text", 5, "src").collect()
+        }
+        # doc1 starts at 0 -> seq 0; doc2 starts at 3 -> seq 0 (straddles);
+        # doc3 starts at 7 -> seq 1, offset 2.
+        assert out == {1: (3, 0, 0), 2: (4, 0, 3), 3: (2, 1, 2)}
+
+    def test_groups_pack_independently(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "g1"), (2, "d e", "g2")],
+            "doc_id bigint, text string, src string",
+        )
+        out = {
+            r["doc_id"]: r["seq_no"]
+            for r in pack_sequences(df, "doc_id", "text", 2, "src").collect()
+        }
+        assert out == {1: 0, 2: 0}
+
+
+class TestRedactPatterns:
+    def test_default_pii_patterns(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail bob@corp.io from 10.0.0.1 call +1 555 0100 now")],
+            "id bigint, text string",
+        )
+        row = redact_patterns(df, "text").collect()[0]
+        assert row["email_count"] == 1
+        assert row["ipv4_count"] == 1
+        assert row["phone_count"] == 1
+        assert row["ssn_count"] == 0
+        assert row["text"] == "mail [email] from [ipv4] call [phone] now"
+
+    def test_custom_out_col_preserves_original(self, spark):
+        df = spark.createDataFrame([(1, "x bob@corp.io")], "id bigint, text string")
+        row = redact_patterns(
+            df, "text", patterns={"email": PII_PATTERNS["email"]},
+            out_col="clean",
+        ).collect()[0]
+        assert row["text"] == "x bob@corp.io"
+        assert row["clean"] == "x [email]"
+
+    def test_counts_off(self, spark):
+        df = spark.createDataFrame([(1, "a@b.io")], "id bigint, text string")
+        out = redact_patterns(df, "text", counts=False)
+        assert out.columns == ["id", "text"]
+
+
+class TestMinhashLshJoin:
+    def test_cross_corpus_pairs_only(self, spark):
+        left = spark.createDataFrame(
+            [(1, BASE), (3, OTHER)], "doc_id bigint, text string"
+        )
+        right = spark.createDataFrame(
+            [(2, NEAR), (4, OTHER + " extended")], "doc_id bigint, text string"
+        )
+        got = minhash_lsh_join(left, right, "doc_id", "text", threshold=0.5)
+        pairs = {(r["id_left"], r["id_right"]) for r in got.collect()}
+        assert (1, 2) in pairs  # BASE ~ NEAR across corpora
+        assert (3, 4) in pairs  # OTHER ~ OTHER-extended
+        # No left-left / right-right pairs by construction.
+        assert all(a in (1, 3) and b in (2, 4) for a, b in pairs)
+
+    def test_jaccard_matches_exact(self, spark):
+        left = spark.createDataFrame([(1, BASE)], "doc_id bigint, text string")
+        right = spark.createDataFrame([(2, BASE)], "doc_id bigint, text string")
+        row = minhash_lsh_join(left, right, "doc_id", "text").collect()[0]
+        assert row["jaccard"] == 1.0

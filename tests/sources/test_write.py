@@ -101,3 +101,70 @@ class TestMergeOverwrite:
         merge_overwrite(spark, path, updates, "id")
         merge_overwrite(spark, path, updates, "id")
         assert spark.read.parquet(path).count() == 3
+
+
+class TestZorderWrite:
+    def test_zorder_value_interleaves_bits(self, spark):
+        from ons_utils_spark.sources.write import zorder_value
+
+        df = spark.createDataFrame([(3, 0), (0, 3)], "x int, y int")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select("x", "y", zorder_value(["x", "y"], bits=2).alias("z")).collect()
+        }
+        # x occupies even bit positions, y odd: (3,0) -> 0b0101, (0,3) -> 0b1010.
+        assert got == {(3, 0): 0b0101, (0, 3): 0b1010}
+
+    def test_files_carry_tight_minmax_for_both_dims(self, spark, tmp_path):
+        """Z-ordered files have non-overlapping-ish footer ranges on BOTH
+        clustered columns, so a selective filter on either prunes most
+        files — the data-skipping contract, checked on real footers."""
+        import pyarrow.parquet as pq
+
+        from ons_utils_spark.sources.write import write_zordered
+
+        n = 4096
+        side = 64
+        df = spark.range(n).select(
+            (F.col("id") % side).alias("x"),
+            (F.col("id") / side).cast("bigint").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        path = str(tmp_path / "z")
+        write_zordered(df, path, ["x", "y"], num_files=16, bits=6)
+
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert len(files) > 4
+        spans = {"x": [], "y": []}
+        for f in files:
+            meta = pq.ParquetFile(os.path.join(path, f)).metadata
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.num_columns):
+                    col = meta.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins:
+                        st = col.statistics
+                        mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                        maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+            for c in ("x", "y"):
+                spans[c].append((maxs[c] - mins[c] + 1) / side)
+        # Each file covers a small fraction of each dimension's range —
+        # an unsorted write would give ~1.0 per file on both.
+        for c in ("x", "y"):
+            avg_span = sum(spans[c]) / len(spans[c])
+            assert avg_span < 0.6, (c, spans[c])
+
+    def test_round_trip_preserves_rows(self, spark, tmp_path):
+        from ons_utils_spark.sources.write import write_zordered
+
+        df = spark.range(100).select(
+            F.col("id").alias("x"), (99 - F.col("id")).alias("y")
+        )
+        path = str(tmp_path / "z2")
+        write_zordered(df, path, ["x", "y"], num_files=4)
+        back = spark.read.parquet(path)
+        assert back.count() == 100
+        assert sorted(back.columns) == ["x", "y"]
+        assert back.agg(F.sum("x")).collect()[0][0] == 4950

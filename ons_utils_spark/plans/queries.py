@@ -1782,6 +1782,154 @@ def q_big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lonely_late_suppliers",
+    oracle="""
+        SELECT s.s_name AS s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    description="TPC-H Q21-style: suppliers who were the SOLE late shipper "
+    "in multi-supplier orders. The oracle keeps the textbook double "
+    "correlated EXISTS / NOT EXISTS; the Spark plan is the decorrelated "
+    "rewrite — ONE per-order aggregate computing (distinct suppliers, "
+    "distinct late suppliers), then a semi-style join from the late rows. "
+    "That turns two correlated probes per row into one shuffle on "
+    "l_orderkey — the rewrite any engine must find to survive scale, "
+    "written explicitly. A lineitem is 'late' if shipped >90 days after "
+    "the order date (this schema has no commit/receipt dates).",
+)
+def q_lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    with_order = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+    )
+    per_order = with_order.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    # No distinct: Q21 counts every late LINEITEM row (a supplier late
+    # twice in one order is counted twice), matching the oracle's GROUP BY
+    # over the l1 rows.
+    late = with_order.where("is_late").select("l_orderkey", "l_suppkey")
+    qualified = late.join(
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+        "l_orderkey",
+    )
+    return (
+        qualified.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "q_nation_market_share",
+    oracle="""
+        SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+               round(sum(CASE WHEN n.n_name = 'JAPAN'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS japan_share
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        GROUP BY yr
+        ORDER BY yr
+    """,
+    description="TPC-H Q8-style market share: one nation's fraction of "
+    "supplier revenue per order year, as a conditional CASE-in-aggregate — "
+    "no second pass, no self-join; supplier and nation dims broadcast.",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "JAPAN", rev).otherwise(F.lit(0)))
+                / F.sum(rev),
+                6,
+            ).alias("japan_share")
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "q_heavy_revenue_parts",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS r
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p.p_partkey AS p_partkey, p.p_name AS p_name,
+               round(rev.r, 2) AS revenue
+        FROM rev JOIN part p ON p.p_partkey = rev.l_partkey
+        WHERE rev.r > (SELECT 1.5 * avg(r) FROM rev)
+        ORDER BY revenue DESC, p_partkey
+    """,
+    description="TPC-H Q11-style global-threshold filter: parts whose "
+    "revenue exceeds 1.5x the all-parts average (scale-invariant, so the "
+    "result is non-empty at every SF). The scalar subquery over the "
+    "global aggregate is expressed as a 1-row broadcast cross join folded "
+    "into the plan (same idiom as tfidf's corpus-size), so the per-part "
+    "aggregate is computed ONCE and scanned once.",
+)
+def q_heavy_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    total = rev.agg(F.avg("r").alias("__avg_r"))
+    return (
+        rev.join(F.broadcast(total))
+        .where(F.col("r") > 1.5 * F.col("__avg_r"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_partkey", "p_name", F.round("r", 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "p_partkey")
+    )
+
+
+@register(
     "q_null_semantics",
     oracle="""
         SELECT e.event_id AS event_id,
@@ -2593,6 +2741,9 @@ _GRADING_ORDER = [
     "q_nation_volume_by_year",
     "q_quality_scores",
     "q_doc_fingerprints",
+    "q_lonely_late_suppliers",
+    "q_nation_market_share",
+    "q_heavy_revenue_parts",
     "q_dedup_incremental",
     "q_decontaminate",
     "q_pack_sequences",

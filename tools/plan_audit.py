@@ -38,6 +38,9 @@ ALLOWED = {
     # broadcast cross join against a single-row side (r1 ask #6) — the
     # nested loop runs once per partition against one row.
     ("q_tfidf_top_terms", "BroadcastNestedLoopJoin"),
+    # same idiom: the Q11-style global average folds into the plan as a
+    # broadcast cross join against a single-row aggregate.
+    ("q_heavy_revenue_parts", "BroadcastNestedLoopJoin"),
     # all-pairs near-dup candidate stage is intentionally quadratic in the
     # expression variant; the registered query uses the blocked matmul.
 }

@@ -136,3 +136,63 @@ class TestMinhashLshJoin:
         right = spark.createDataFrame([(2, BASE)], "doc_id bigint, text string")
         row = minhash_lsh_join(left, right, "doc_id", "text").collect()[0]
         assert row["jaccard"] == 1.0
+
+
+class TestInvariantsOnRandomCorpus:
+    """Seeded-random invariant checks (one Spark job each, not
+    per-example hypothesis — Spark jobs are too slow for that loop)."""
+
+    @pytest.fixture()
+    def rand_docs(self, spark):
+        import random
+
+        rng = random.Random(7)
+        words = [f"w{i}" for i in range(40)]
+        rows = [
+            (i, " ".join(rng.choices(words, k=rng.randint(0, 30))),
+             f"g{i % 3}")
+            for i in range(60)
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string, src string")
+
+    def test_pack_sequences_invariants(self, spark, rand_docs):
+        budget = 17
+        out = pack_sequences(rand_docs, "doc_id", "text", budget, "src").collect()
+        assert len(out) == 60
+        by_group = {}
+        for r in sorted(out, key=lambda r: (r["src"], r["doc_id"])):
+            by_group.setdefault(r["src"], []).append(r)
+        for rows in by_group.values():
+            running = 0
+            prev_seq = 0
+            for r in rows:
+                # Global position = seq_no * budget + seq_offset == tokens before.
+                assert r["seq_no"] * budget + r["seq_offset"] == running
+                assert 0 <= r["seq_offset"] < budget
+                assert r["seq_no"] >= prev_seq  # nondecreasing in id order
+                prev_seq = r["seq_no"]
+                running += r["n_tokens"]
+
+    def test_redaction_is_idempotent(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"msg u{i}@ex{i}.org at 10.1.{i}.9 or +44 20 7946 {1000+i}")
+             for i in range(30)],
+            "id bigint, text string",
+        )
+        once = redact_patterns(df, "text", counts=False)
+        twice = redact_patterns(once, "text", counts=False)
+        assert once.collect() == twice.collect()
+
+    def test_drop_equals_unflagged(self, spark, rand_docs):
+        bench = rand_docs.where(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("bid"), F.col("text")
+        )
+        corp = rand_docs.where(F.col("doc_id") % 7 != 0)
+        dropped = decontaminate(corp, bench, "doc_id", "text", n=3)
+        flagged = decontaminate(corp, bench, "doc_id", "text", n=3, mode="flag")
+        keep_ids = {r["doc_id"] for r in dropped.collect()}
+        unflagged = {
+            r["doc_id"] for r in flagged.collect() if not r["contaminated"]
+        }
+        assert keep_ids == unflagged
+        assert keep_ids <= {r["doc_id"] for r in corp.collect()}

@@ -168,3 +168,30 @@ class TestZorderWrite:
         assert back.count() == 100
         assert sorted(back.columns) == ["x", "y"]
         assert back.agg(F.sum("x")).collect()[0][0] == 4950
+
+    def test_zorder_matches_python_reference(self, spark):
+        """Interleaved-bit key equals a pure-Python Morton reference on
+        seeded-random coordinates."""
+        import random
+
+        from ons_utils_spark.sources.write import zorder_value
+
+        rng = random.Random(11)
+        rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(200)]
+
+        def morton(x, y, bits=8):
+            z = 0
+            for b in range(bits):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        df = spark.createDataFrame(rows, "x int, y int")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select(
+                "x", "y", zorder_value(["x", "y"], bits=8).alias("z")
+            ).collect()
+        }
+        for x, y in rows:
+            assert got[(x, y)] == morton(x, y)

@@ -1246,6 +1246,50 @@ def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composite joins (as-of, range), pivot, statistical aggregates
 # ---------------------------------------------------------------------------
 
+from ons_utils_spark.streaming.joins import interval_join as _interval_join  # noqa: E402
+
+
+@register(
+    "q_view_to_click_attribution",
+    oracle="""
+        SELECT v.event_id AS view_id, c.event_id AS click_id,
+               v.user_id AS user_id,
+               epoch_us(CAST(c.ts AS TIMESTAMP))
+                   - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_us
+        FROM events v
+        JOIN events c
+          ON c.user_id = v.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        ORDER BY view_id, click_id
+    """,
+    description="View→click attribution: every click by the same user "
+    "within 10 minutes of a view — the batch twin of the stream-stream "
+    "interval join (streaming/joins.py interval_join; the same call with "
+    "watermarks runs on two live streams with state bounded by "
+    "watermark + interval). Equi-join on user_id with a time-range "
+    "residual: a plain hash join, not a theta join.",
+)
+def q_view_to_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = _interval_join(
+        views, clicks, "user_id", "view_ts", "click_ts",
+        lower="0 seconds", upper="10 minutes",
+    )
+    return joined.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    ).orderBy("view_id", "click_id")
+
+
 from ons_utils_spark.operators.joins import asof_join as _asof_join  # noqa: E402
 from ons_utils_spark.operators.joins import range_join as _range_join  # noqa: E402
 from ons_utils_spark.operators.joins import (  # noqa: E402
@@ -2742,6 +2786,7 @@ _GRADING_ORDER = [
     "q_quality_scores",
     "q_doc_fingerprints",
     "q_lonely_late_suppliers",
+    "q_view_to_click_attribution",
     "q_nation_market_share",
     "q_heavy_revenue_parts",
     "q_dedup_incremental",

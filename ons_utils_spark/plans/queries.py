@@ -2264,6 +2264,56 @@ from ons_utils_spark.operators import corpus as _corpus  # noqa: E402
 
 
 @register(
+    "q_semantic_dedup",
+    oracle="""
+        WITH dup_pairs AS (
+            SELECT id_a, id_b FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(
+                           list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))
+                           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(a.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                      CAST(b.embedding AS DOUBLE[])))),
+                           6) AS cos_sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cos_sim >= 0.4
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM dup_pairs
+            UNION SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach AS (
+            WITH RECURSIVE r(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a AND r.a <> e.b
+            )
+            SELECT * FROM r
+        )
+        SELECT e.vec_id AS id,
+               least(e.vec_id, coalesce(min(r.b), e.vec_id)) AS rep_id
+        FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
+        GROUP BY e.vec_id
+        ORDER BY id
+    """,
+    description="Semantic dedup (SemDeDup-style): embedding-cosine pairs "
+    "≥ 0.4 via blocked BLAS matmul → connected components → min-id "
+    "representative per semantic cluster. Same cluster-resolution engine "
+    "as q_dedup_clusters, fed by vector similarity instead of lexical "
+    "overlap; oracle is the exact all-pairs closure.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = _dedup.embedding_near_dup_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.4
+    )
+    ids = emb.select(F.col("vec_id").alias("id"))
+    return _dedup.near_dup_representatives(ids, pairs).orderBy("id")
+
+
+@register(
     "q_dedup_incremental",
     oracle=_TOKS_CTE
     + """,
@@ -2790,6 +2840,7 @@ _GRADING_ORDER = [
     "q_nation_market_share",
     "q_heavy_revenue_parts",
     "q_dedup_incremental",
+    "q_semantic_dedup",
     "q_decontaminate",
     "q_pack_sequences",
     "q_redact_pii",

@@ -41,6 +41,12 @@ HEADLINE = [
     # benched so regressions there are visible, not just correctness.
     "q_dedup_clusters",
     "q_grouped_apply_spend_share",
+    # Round-3 additions: incremental LSH join, semantic (embedding)
+    # dedup end-to-end, and the stream-join batch twin — each a heavy
+    # path whose regressions should show up here, not just in pytest.
+    "q_dedup_incremental",
+    "q_semantic_dedup",
+    "q_view_to_click_attribution",
 ]
 
 

@@ -700,57 +700,102 @@ def near_dup_representatives(
     more than one representative.
     """
     import warnings
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+
+    # Everything below runs over PAIRED nodes only. Docs in no pair (the
+    # overwhelming majority of a real corpus — near-dup rates are a few
+    # percent) can never change label, so they stay out of the loop
+    # entirely and get ``rep_id = id`` from ONE final left join. The first
+    # eager checkpoint (on E) materializes the upstream pair pipeline
+    # (scan → shingle → sketch → band → verify) exactly once — without it
+    # every round re-executes the whole pipeline from source (measured
+    # 4.4× end-to-end at sf0.1; at 100 TB it is `rounds` extra corpus
+    # scans).
+    # Connected components by LARGE-STAR / SMALL-STAR alternation (Kiveris
+    # et al., "Connected Components in MapReduce and Beyond" — the design
+    # behind GraphX/GraphFrames connectedComponents), not plain label
+    # propagation. Propagation moves the min label ONE graph hop per round
+    # (O(diameter) rounds — measured 11 rounds on a sf0.1
+    # semantic-similarity graph whose components are chains); the star
+    # operations REWIRE edges toward each neighborhood's minimum, which
+    # provably converges in O(log²) rounds (O(log) in practice) and
+    # SHRINKS the edge set as components collapse into stars. At
+    # convergence every component is a star centered on its minimum id —
+    # the edge list IS the label table.
+    def _large_star(e: SparkDF) -> SparkDF:
+        # For each node u: every LARGER neighbor attaches to
+        # m(u) = min(neighborhood(u) ∪ {u}).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: SparkDF) -> SparkDF:
+        # Orient each edge large→small; every SMALLER neighbor (and u
+        # itself) attaches to the minimum of u's smaller neighborhood.
+        dn = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        mins = dn.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            dn.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    E = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
-        # Materialize ONCE before the loop. ``pairs`` is typically the tail
-        # of a full LSH pipeline (scan → shingle → sketch → band → verify);
-        # without this checkpoint every iteration's join + convergence count
-        # re-executes that whole pipeline from the source (measured 4.4×
-        # end-to-end at sf0.1 — at 100 TB it is `iterations` extra corpus
-        # scans). After the checkpoint each iteration touches only the
-        # materialized edge list.
         .localCheckpoint(eager=True)
     )
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("rep_id"))
-
+    converged = False
+    prev_sig = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("rep_id").alias("nbr_min"))
+        E = _small_star(_large_star(E)).localCheckpoint(eager=True)
+        # Fixpoint test: the edge multiset is stable. One tiny aggregate
+        # over the checkpointed (shrinking) edge list — count plus an
+        # order-insensitive xxhash64 fold.
+        sig = tuple(
+            E.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+            ).collect()[0]
         )
-        updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("rep_id"), F.coalesce(F.col("nbr_min"), F.col("rep_id"))
-                ).alias("rep_id"),
-            )
-        )
-        # Converged when no label shrinks. localCheckpoint truncates the
-        # growing iterative lineage (a must for loops over DataFrames).
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
-            .where(F.col("u.rep_id") < F.col("l.rep_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        if sig == prev_sig:
+            converged = True
             break
-    else:
+        prev_sig = sig
+    if not converged:
         warnings.warn(
             f"near_dup_representatives did not converge within "
-            f"{max_iterations} iterations — a component's diameter exceeds "
-            f"the budget; labels are a refinement (no false merges) but "
-            f"some clusters retain multiple representatives. Raise "
-            f"max_iterations.",
+            f"{max_iterations} iterations — labels are a refinement "
+            f"(no false merges) but some clusters retain multiple "
+            f"representatives. Raise max_iterations.",
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels
+    # At the fixpoint E holds (child, root) star edges; roots map to
+    # themselves.
+    labels = (
+        E.select(F.col("u").alias("id"), F.col("v").alias("rep_id"))
+        .union(
+            E.select(F.col("v").alias("id"), F.col("v").alias("rep_id"))
+        )
+        .distinct()
+    )
+    # Re-attach isolated docs: anything not in a pair is its own
+    # representative. The converged paired-label table is small, so this
+    # is a broadcast-eligible join against the full id set.
+    out = ids.select(F.col(id_col).alias("id")).join(
+        labels.select(F.col("id"), F.col("rep_id").alias("__rep")), "id", "left"
+    )
+    return out.select(
+        "id", F.coalesce(F.col("__rep"), F.col("id")).alias("rep_id")
+    )

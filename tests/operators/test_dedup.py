@@ -270,6 +270,25 @@ class TestNearDupRepresentatives:
         assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
         assert acc.value <= 2 * len(pair_rows)
 
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 64-node sorted path (worst case for label propagation, which
+        needs diameter=63 rounds) must converge within a 10-round budget —
+        the contraction algorithm's O(log n) guarantee, pinned so a
+        regression back to plain propagation fails loudly."""
+        import warnings
+
+        from ons_utils_spark.operators.dedup import near_dup_representatives
+
+        n = 64
+        ids = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # a non-convergence warning fails
+            labels = near_dup_representatives(ids, chain, max_iterations=10)
+            assert {r["rep_id"] for r in labels.collect()} == {0}
+
     def test_with_real_lsh_pairs(self, spark, docs):
         from ons_utils_spark.operators.dedup import near_dup_representatives
 

@@ -1974,6 +1974,109 @@ def q_heavy_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_brand_quantity_revenue",
+    oracle="""
+        SELECT p.p_brand AS p_brand,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 35)
+           OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 25 AND 50)
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    description="TPC-H Q19-style OR-of-ANDs predicate: three brand/size/"
+    "quantity condition groups over a fact-dim join. Catalyst extracts the "
+    "common l_quantity/p_size bounds from the disjunction and pushes them "
+    "into BOTH parquet scans (PushedFilters), so the join sees pre-"
+    "filtered inputs — the pushdown shape naive engines miss.",
+)
+def q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(25, 50)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q_rich_idle_customers",
+    oracle="""
+        WITH pos AS (SELECT 0.5 * avg(c_acctbal) AS ab FROM customer
+                     WHERE c_acctbal > 0)
+        SELECT c.c_nationkey AS c_nationkey,
+               count(*) AS n_cust,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT ab FROM pos)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+          )
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    description="TPC-H Q22-style: high-balance (above half the positive-balance average) customers with no "
+    "recent orders, counted per nation. Combines a scalar subquery over a "
+    "filtered global average (folded in as a 1-row broadcast) with an "
+    "anti join whose orders side is date-filtered and key-projected "
+    "BEFORE the shuffle.",
+)
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (0.5 * F.avg("c_acctbal")).alias("__ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__ab"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
     "q_null_semantics",
     oracle="""
         SELECT e.event_id AS event_id,
@@ -2838,6 +2941,8 @@ _GRADING_ORDER = [
     "q_lonely_late_suppliers",
     "q_view_to_click_attribution",
     "q_nation_market_share",
+    "q_brand_quantity_revenue",
+    "q_rich_idle_customers",
     "q_heavy_revenue_parts",
     "q_dedup_incremental",
     "q_semantic_dedup",

@@ -41,6 +41,7 @@ ALLOWED = {
     # same idiom: the Q11-style global average folds into the plan as a
     # broadcast cross join against a single-row aggregate.
     ("q_heavy_revenue_parts", "BroadcastNestedLoopJoin"),
+    ("q_rich_idle_customers", "BroadcastNestedLoopJoin"),
     # all-pairs near-dup candidate stage is intentionally quadratic in the
     # expression variant; the registered query uses the blocked matmul.
 }

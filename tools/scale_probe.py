@@ -44,6 +44,27 @@ def main() -> None:
 
     lineitem = load_table(spark, SF_DIR, "lineitem")
     orders = load_table(spark, SF_DIR, "orders")
+    documents = load_table(spark, SF_DIR, "documents")
+
+    def replicate_docs(df: DataFrame, factor: int) -> DataFrame:
+        """Replicate documents with DISJOINT shingle spaces per copy.
+
+        Every token gets a copy-specific prefix, so shingle sets never
+        overlap across copies — the near-dup pair structure replicates
+        exactly factor×, making the probe a fair linear scale-up (plain
+        id-shifted copies of IDENTICAL text would manufacture
+        C(factor,2)·docs cross-copy duplicate pairs: a quadratic workload
+        no real corpus has).
+        """
+        copies = []
+        for i in range(factor):
+            copies.append(
+                df.select(
+                    (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
+                    F.regexp_replace("text", r"(\S+)", f"c{i}$1").alias("text"),
+                )
+            )
+        return functools.reduce(DataFrame.unionByName, copies)
 
     def q1(li: DataFrame) -> DataFrame:
         disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -66,6 +87,9 @@ def main() -> None:
             replicate(lineitem, ["l_orderkey"], f),
             replicate(orders, ["o_orderkey"], f),
         ),
+        "minhash_dedup": lambda f: __import__(
+            "ons_utils_spark.operators.dedup", fromlist=["minhash_lsh_pairs"]
+        ).minhash_lsh_pairs(replicate_docs(documents, f), "doc_id", "text"),
     }.items():
         times = {}
         # Untimed warmup so the 1x measurement doesn't carry codegen cost.

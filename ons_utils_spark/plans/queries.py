@@ -2864,7 +2864,6 @@ _GRADING_ORDER = [
     "q1_pricing_summary",
     "q_rollup_sales",
     "q_grouping_sets",
-    "q_stats_aggregates",
     "q_pivot_segment_by_status",
     # -- join family ----------------------------------------------------
     "q3_shipping_priority",
@@ -2877,7 +2876,6 @@ _GRADING_ORDER = [
     "q_range_join_bucketed",
     # -- window / rank family --------------------------------------------
     "q_topk_orders_per_customer",
-    "q_running_customer_spend",
     "q_rank_functions",
     "q_rolling_30d_spend",
     "q_year_span_ffill",
@@ -2913,14 +2911,20 @@ _GRADING_ORDER = [
     "q_repetition_stats",
     "q_chunk_documents",
     "q_corpus_clean_pipeline",
+    "q_dedup_incremental",
+    "q_decontaminate",
+    "q_lonely_late_suppliers",
+    "q_view_to_click_attribution",
     # -- sampling / mixture -------------------------------------------------
     "q_hash_split",
     "q_corpus_mixture",
-    "q_domain_cap",
     # -- multimodal ---------------------------------------------------------
-    "q_multimodal_meta",
     "q_multimodal_features",
     # ---- end of the driver's 50-slot graded window ----------------------
+    "q_stats_aggregates",
+    "q_running_customer_spend",
+    "q_domain_cap",
+    "q_multimodal_meta",
     # (tail queries are still oracle-checked every round — the committed
     # CORRECTNESS_FULL_r{N}.json runs the WHOLE registry, ADVICE r2)
     "q_small_quantity_revenue",
@@ -2938,15 +2942,11 @@ _GRADING_ORDER = [
     "q_nation_volume_by_year",
     "q_quality_scores",
     "q_doc_fingerprints",
-    "q_lonely_late_suppliers",
-    "q_view_to_click_attribution",
     "q_nation_market_share",
     "q_brand_quantity_revenue",
     "q_rich_idle_customers",
     "q_heavy_revenue_parts",
-    "q_dedup_incremental",
     "q_semantic_dedup",
-    "q_decontaminate",
     "q_pack_sequences",
     "q_redact_pii",
     # ---- no SQL-expressible oracle (rows-only check) ---------------------

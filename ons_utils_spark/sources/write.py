@@ -145,20 +145,50 @@ def write_zordered(
     )
 
 
+def _apply_malformed_policy(reader, schema: Optional[str], on_malformed: str):
+    """Shared malformed-row policy for text sources (CSV/JSON).
+
+    - ``'keep'`` (PERMISSIVE + ``_corrupt_record``): bad rows survive with
+      their raw text in ``_corrupt_record`` and NULLs elsewhere — audit
+      then quarantine. The 100 TB default: one bad row in a billion must
+      not kill a 6-hour job, and silently dropping it is worse.
+    - ``'drop'`` (DROPMALFORMED): bad rows vanish. Only for sources where
+      loss is acceptable and accounted for.
+    - ``'fail'`` (FAILFAST): abort on first bad row — for sources that
+      are contractually clean.
+    """
+    policies = {"keep": "PERMISSIVE", "drop": "DROPMALFORMED", "fail": "FAILFAST"}
+    if on_malformed not in policies:
+        raise ValueError(
+            f"on_malformed must be one of {sorted(policies)}, got {on_malformed!r}"
+        )
+    reader = reader.option("mode", policies[on_malformed])
+    if on_malformed == "keep" and schema is not None:
+        # The corrupt-record column only materializes when it is part of
+        # the explicit schema.
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
+    return reader
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
     schema: Optional[str] = None,
     header: bool = True,
+    on_malformed: str = "keep",
     **options,
 ) -> SparkDF:
     """CSV source. Pass an explicit DDL ``schema`` in production — schema
-    inference costs one full extra pass over the data."""
+    inference costs one full extra pass over the data. With
+    ``on_malformed='keep'`` (default) add ``_corrupt_record string`` to the
+    schema to capture unparseable rows instead of nulling them silently.
+    """
     reader = spark.read.option("header", header)
     if schema:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)
+    reader = _apply_malformed_policy(reader, schema, on_malformed)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.csv(path)
@@ -168,12 +198,15 @@ def read_json(
     spark: SparkSession,
     path: str,
     schema: Optional[str] = None,
+    on_malformed: str = "keep",
     **options,
 ) -> SparkDF:
-    """JSON-lines source; explicit schema avoids the inference pass."""
+    """JSON-lines source; explicit schema avoids the inference pass. Same
+    malformed-row policy as :func:`read_csv`."""
     reader = spark.read
     if schema:
         reader = reader.schema(schema)
+    reader = _apply_malformed_policy(reader, schema, on_malformed)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.json(path)

@@ -195,3 +195,55 @@ class TestZorderWrite:
         }
         for x, y in rows:
             assert got[(x, y)] == morton(x, y)
+
+
+class TestMalformedRecords:
+    @pytest.fixture()
+    def bad_json(self, tmp_path):
+        p = tmp_path / "in.jsonl"
+        p.write_text(
+            '{"id": 1, "v": "a"}\n'
+            "this is not json\n"
+            '{"id": 2, "v": "b"}\n'
+        )
+        return str(p)
+
+    def test_keep_captures_corrupt_rows(self, spark, bad_json):
+        df = read_json(
+            spark, bad_json, "id bigint, v string, _corrupt_record string"
+        )
+        rows = df.collect()
+        assert len(rows) == 3
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert len(bad) == 1 and bad[0]["_corrupt_record"] == "this is not json"
+        assert {r["id"] for r in rows if r["id"] is not None} == {1, 2}
+
+    def test_drop_removes_corrupt_rows(self, spark, bad_json):
+        df = read_json(
+            spark, bad_json, "id bigint, v string", on_malformed="drop"
+        )
+        assert {r["id"] for r in df.collect()} == {1, 2}
+
+    def test_fail_raises(self, spark, bad_json):
+        import pyspark.errors
+
+        df = read_json(
+            spark, bad_json, "id bigint, v string", on_malformed="fail"
+        )
+        with pytest.raises(Exception):
+            df.collect()
+
+    def test_bad_policy_rejected(self, spark, bad_json):
+        with pytest.raises(ValueError, match="on_malformed"):
+            read_json(spark, bad_json, "id bigint", on_malformed="nope")
+
+    def test_csv_keep_policy(self, spark, tmp_path):
+        p = tmp_path / "in.csv"
+        p.write_text("id,v\n1,a\nnot_an_int,b\n2,c\n")
+        df = read_csv(
+            spark, str(p), "id bigint, v string, _corrupt_record string"
+        )
+        rows = df.collect()
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert len(bad) == 1
+        assert {r["id"] for r in rows if r["id"] is not None} == {1, 2}

@@ -109,3 +109,29 @@ class TestStreamStream:
         finally:
             shutil.rmtree(vdir, ignore_errors=True)
             shutil.rmtree(cdir, ignore_errors=True)
+
+
+class TestStreamStaticEnrich:
+    def test_stream_joins_static_dimension(self, spark, clicks):
+        """Stream-static joins need no watermark or state: the static side
+        broadcasts into every micro-batch. The standard enrichment shape
+        (event stream x dimension table)."""
+        users = spark.createDataFrame(
+            [(100, "gold"), (200, "basic")], "user_id bigint, tier string"
+        )
+        cdir = tempfile.mkdtemp()
+        try:
+            clicks.write.mode("overwrite").parquet(cdir)
+            cstream = read_stream(spark, cdir, CLICK_SCHEMA)
+            enriched = cstream.join(F.broadcast(users), "user_id", "left")
+            run_available_now(enriched, "enriched_clicks", output_mode="append")
+            got = {
+                r["click_id"]: r["tier"]
+                for r in spark.sql(
+                    "SELECT click_id, tier FROM enriched_clicks"
+                ).collect()
+            }
+            assert got == {10: "gold", 11: "gold", 12: "gold",
+                           13: "basic", 14: None}
+        finally:
+            shutil.rmtree(cdir, ignore_errors=True)

@@ -108,6 +108,10 @@ def main() -> None:
         steady[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # The 16-query subset benched since round 1 — the cross-round trend
+    # line (later rounds appended heavy queries, which would otherwise
+    # read as regressions of the total).
+    shared16 = round(sum(timings[n] for n in HEADLINE[:16]), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     print(
         json.dumps(
@@ -117,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "shared16_total": shared16,
                 "steady_total": round(sum(steady.values()), 3),
                 "queries_steady": steady,
                 "calibration_sec": calibration,

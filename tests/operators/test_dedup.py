@@ -289,6 +289,43 @@ class TestNearDupRepresentatives:
             labels = near_dup_representatives(ids, chain, max_iterations=10)
             assert {r["rep_id"] for r in labels.collect()} == {0}
 
+    def test_random_graphs_match_union_find(self, spark):
+        """Star-contraction labels equal a driver-side union-find reference
+        on seeded random graphs of several densities — the algorithm-level
+        equivalence check for the distributed CC rewrite."""
+        import random
+
+        from ons_utils_spark.operators.dedup import near_dup_representatives
+
+        for seed, n, m in [(1, 30, 15), (2, 40, 60), (3, 25, 5)]:
+            rng = random.Random(seed)
+            pair_rows = list({
+                tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+            })
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in pair_rows:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            expected = {i: find(i) for i in range(n)}
+
+            ids = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+            pairs = spark.createDataFrame(
+                pair_rows, "id_a bigint, id_b bigint"
+            )
+            got = {
+                r["id"]: r["rep_id"]
+                for r in near_dup_representatives(ids, pairs).collect()
+            }
+            assert got == expected, (seed, n, m)
+
     def test_with_real_lsh_pairs(self, spark, docs):
         from ons_utils_spark.operators.dedup import near_dup_representatives
 

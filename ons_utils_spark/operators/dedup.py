@@ -574,16 +574,53 @@ def embedding_near_dup_pairs_blocked(
     )
 
 
-def minhash_lsh_join(
-    left: SparkDF,
-    right: SparkDF,
+def minhash_index(
+    df: SparkDF,
     id_col: str,
     text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> SparkDF:
+    """The persistable MinHash index of a corpus: ``(id, sig, hset)``.
+
+    ``sig`` is the :func:`minhash_signatures` array and ``hset`` the
+    distinct shingle-hash set used for exact-Jaccard verification. Compute
+    this ONCE per corpus version, write it out (ideally bucketed —
+    ``sources/write.py``), and feed it to :func:`minhash_lsh_join` via
+    ``right_index=`` on every ingest — the corpus is then never
+    re-shingled. The index must be rebuilt with the same
+    ``n``/``num_hashes``/``seed`` the join will use.
+    """
+    params = _minhash_params(num_hashes, seed)
+    hashes = shingle_hashes(df, id_col, text_col, n=n)
+    h31 = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
+    mins = [
+        F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        hashes.groupBy("id")
+        .agg(*mins, F.collect_set("h").alias("hset"))
+        .select(
+            "id",
+            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+            "hset",
+        )
+    )
+
+
+def minhash_lsh_join(
+    left: SparkDF,
+    right: Optional[SparkDF] = None,
+    id_col: str = "id",
+    text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    right_index: Optional[SparkDF] = None,
 ) -> SparkDF:
     """Near-duplicate pairs BETWEEN two corpora (incremental dedup).
 
@@ -594,36 +631,24 @@ def minhash_lsh_join(
     ``jaccard >= threshold``.
 
     This is the operator an INCREMENTAL pipeline runs every ingest: dedup
-    the new batch (``left``) against the already-cleaned corpus
-    (``right``) without re-pairing the corpus against itself. At scale the
-    right side's ``(id, sig, hset)`` table is computed once per corpus
-    version and persisted (it is exactly :func:`minhash_signatures` plus
-    the shingle-hash set); the per-batch cost is then O(batch) + one
-    bucket join against the stored bands — the 100 TB corpus is never
-    re-shingled. Both sides must use the same ``n``/``num_hashes``/
-    ``bands``/``seed`` — Broder MinHash only estimates Jaccard between
-    signatures drawn with the SAME permutations.
+    the new batch (``left``) against the already-cleaned corpus — passed
+    either as raw documents (``right``) or, the scale path, as a
+    PRECOMPUTED :func:`minhash_index` (``right_index=``): then the
+    per-batch cost is O(batch) + one bucket join against the stored
+    index, and the 100 TB corpus is never re-shingled or self-paired.
+    Both sides must use the same ``n``/``num_hashes``/``bands``/``seed``
+    — Broder MinHash only estimates Jaccard between signatures drawn with
+    the SAME permutations.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    if (right is None) == (right_index is None):
+        raise ValueError("pass exactly one of `right` or `right_index`")
     rows = num_hashes // bands
-    params = _minhash_params(num_hashes, seed)
 
     def side(df: SparkDF) -> SparkDF:
-        hashes = shingle_hashes(df, id_col, text_col, n=n)
-        h31 = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
-        mins = [
-            F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"_m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
-        return (
-            hashes.groupBy("id")
-            .agg(*mins, F.collect_set("h").alias("hset"))
-            .select(
-                "id",
-                F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
-                "hset",
-            )
+        return minhash_index(
+            df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
         )
 
     def banded(base: SparkDF) -> SparkDF:
@@ -644,7 +669,8 @@ def minhash_lsh_join(
             ).alias("band"),
         ).select("id", "band.band_idx", "band.band_hash")
 
-    lbase, rbase = side(left), side(right)
+    lbase = side(left)
+    rbase = right_index if right_index is not None else side(right)
     cand = (
         banded(lbase).alias("l")
         .join(

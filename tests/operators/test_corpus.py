@@ -196,3 +196,40 @@ class TestInvariantsOnRandomCorpus:
         }
         assert keep_ids == unflagged
         assert keep_ids <= {r["doc_id"] for r in corp.collect()}
+
+
+class TestMinhashIndexReuse:
+    def test_precomputed_index_equals_from_text(self, spark, tmp_path):
+        """Joining against a PERSISTED minhash_index gives the same pairs
+        as recomputing the right side from text — the incremental-dedup
+        contract: index the corpus once, never re-shingle it."""
+        from ons_utils_spark.operators.dedup import minhash_index, minhash_lsh_join
+
+        left = spark.createDataFrame(
+            [(1, BASE), (3, OTHER)], "doc_id bigint, text string"
+        )
+        right = spark.createDataFrame(
+            [(2, NEAR), (4, OTHER + " extended")], "doc_id bigint, text string"
+        )
+        from_text = minhash_lsh_join(
+            left, right, "doc_id", "text", threshold=0.5
+        ).collect()
+
+        idx_path = str(tmp_path / "mh_index")
+        minhash_index(right, "doc_id", "text").write.parquet(idx_path)
+        stored = spark.read.parquet(idx_path)
+        from_index = minhash_lsh_join(
+            left, id_col="doc_id", text_col="text", threshold=0.5,
+            right_index=stored,
+        ).collect()
+        key = lambda r: (r["id_left"], r["id_right"])
+        assert sorted(from_text, key=key) == sorted(from_index, key=key)
+
+    def test_requires_exactly_one_right(self, spark):
+        from ons_utils_spark.operators.dedup import minhash_lsh_join
+
+        df = spark.createDataFrame([(1, BASE)], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="exactly one"):
+            minhash_lsh_join(df, df, "doc_id", "text", right_index=df)
+        with pytest.raises(ValueError, match="exactly one"):
+            minhash_lsh_join(df, id_col="doc_id", text_col="text")

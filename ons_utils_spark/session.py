@@ -26,6 +26,11 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # UTC everywhere: parquet timestamps are instants; the DuckDB oracle is
     # UTC-naive. Without this the session picks up the machine TZ.
     "spark.sql.session.timeZone": "UTC",
+    # Read naive (isAdjustedToUTC=false) parquet timestamps as TIMESTAMP
+    # instants, not TIMESTAMP_NTZ — NTZ rejects cast-to-long/unix_micros/
+    # range-window arithmetic used throughout the engine, and under a UTC
+    # session the two conventions carry identical field values anyway.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Don't drag the full 20MB+ UI stack up for library use.
     "spark.ui.enabled": "false",
     # Broadcast threshold: dimension tables (region/nation/customer at test

@@ -51,16 +51,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Accepts either ``<dir>/<name>.parquet`` (driver layout) or a
     ``<dir>/<name>/`` partitioned directory (production layout).
 
-    Nanosecond-precision timestamp columns (which Spark's parquet reader
-    rejects with PARQUET_TYPE_ILLEGAL) are read as raw int64 via
-    ``spark.sql.legacy.parquet.nanosAsLong`` and converted to microsecond
-    timestamps in-plan (``timestamp_micros(ts div 1000)`` — integer division;
-    DuckDB applies the same truncation when it reads ns parquet). The probe
-    is footer-only metadata, so this stays O(1) regardless of data size.
+    Timestamps are normalized to TIMESTAMP (instant) semantics in a
+    UTC-pinned session, whatever physical type the files carry:
+
+    * **µs/ms naive** (``isAdjustedToUTC=false`` — what the test generator
+      writes): Spark 3.4+ infers TIMESTAMP_NTZ by default, which half the
+      engine's expressions (``cast(ts as long)``, ``unix_micros``, range
+      windows) reject. We disable ``spark.sql.parquet.inferTimestampNTZ``
+      *before* the read so the scan itself yields TIMESTAMP — no extra
+      Project, so timestamp predicates still push down to the footer. A
+      defensive cast covers sessions where the conf is unavailable.
+    * **ns** (which Spark's reader rejects with PARQUET_TYPE_ILLEGAL):
+      read as raw int64 via ``spark.sql.legacy.parquet.nanosAsLong`` and
+      converted in-plan (``timestamp_micros(ts div 1000)`` — integer
+      division; DuckDB applies the same truncation on ns parquet). The
+      probe is footer-only metadata, O(1) regardless of data size.
+
+    Under a UTC session the instant's field values equal the naive values a
+    UTC-naive engine (the DuckDB oracle) sees, so both conventions agree.
     """
     file_path = os.path.join(sf_dir, f"{name}.parquet")
     dir_path = os.path.join(sf_dir, name)
     path = file_path if os.path.exists(file_path) else dir_path
+
+    try:
+        # Session-level, like nanosAsLong below: must be set before the
+        # scan is planned for the reader to emit TIMESTAMP over naive µs.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 — conf may be locked; cast below instead
+        pass
 
     ns_cols: list[str] = []
     try:
@@ -68,7 +88,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — fall back to a plain read
         pass
     if not ns_cols:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        for c in ntz:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        return df
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamp_micros produces an instant (TIMESTAMP, not NTZ); pin the

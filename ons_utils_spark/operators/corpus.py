@@ -158,3 +158,104 @@ def redact_patterns(
             redacted, pat, replacement.format(name=name)
         )
     return result.withColumn(out_col, redacted)
+
+
+def build_vocab(
+    df: SparkDF,
+    text_col: str,
+    k: int = 10_000,
+    min_count: int = 1,
+) -> SparkDF:
+    """Corpus top-``k`` vocabulary: ``(token, n_occurrences, token_id)``.
+
+    Tokens are ranked by occurrence count (ties broken lexicographically so
+    ids are deterministic across runs and engines); ``token_id`` is the
+    dense 0-based rank. The standard first step of tokenizer/embedding
+    training over a corpus.
+
+    At 100 TB: the explode + count is a partial-aggregated shuffle on the
+    token (distinct-token cardinality, not corpus size). The global top-k
+    is ``orderBy().limit(k)`` — planned as TakeOrderedAndProject, per-
+    partition heaps + one k-row merge, never a full sort. Only the final
+    k-row frame (bounded, small) passes through a single-partition
+    row_number window to mint ids.
+    """
+    counts = (
+        df.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(k)
+    )
+    order = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return counts.withColumn(
+        "token_id", (F.row_number().over(order) - F.lit(1)).cast("bigint")
+    )
+
+
+def oov_stats(
+    df: SparkDF,
+    vocab: SparkDF,
+    id_col: str,
+    text_col: str,
+    token_col: str = "token",
+) -> SparkDF:
+    """Per-document out-of-vocabulary rate against ``vocab``.
+
+    Returns ``(id_col, n_tokens, oov_ratio)`` where ``oov_ratio`` is the
+    fraction of token OCCURRENCES (not distinct tokens) absent from
+    ``vocab[token_col]`` — the filter signal used to drop boilerplate/
+    non-target-language docs before tokenizer training.
+
+    At 100 TB: vocabularies are small (≤ millions of rows) and broadcast;
+    the exploded corpus left-joins map-side with zero corpus shuffle, then
+    re-aggregates on the document id — one shuffle keyed by document.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("__tok")
+    )
+    marked = toks.join(
+        F.broadcast(vocab.select(F.col(token_col).alias("__tok")).distinct())
+        .withColumn("__in_vocab", F.lit(1)),
+        "__tok",
+        "left",
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                1.0
+                - F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("oov_ratio"),
+        )
+    )
+
+
+def percentile_length_cap(
+    df: SparkDF,
+    group_col: str,
+    length_col: str,
+    p: float = 0.9,
+) -> SparkDF:
+    """Keep rows at or below their group's exact ``p``-quantile of
+    ``length_col`` (linear interpolation — Spark ``percentile``, DuckDB/
+    Postgres ``quantile_cont``/``percentile_cont`` agree on the value).
+
+    The per-group cutoff is computed in ONE pass over the groups (exact
+    percentile aggregate, partial-merged) and broadcast back — the corpus
+    itself is never shuffled, so the filter is a map-side join + compare.
+    Used to clip pathological long-tail documents per language/source
+    before packing. Returns the surviving rows plus a ``__cap`` column
+    with the group's cutoff.
+    """
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    caps = df.groupBy(group_col).agg(
+        F.expr(f"percentile({length_col}, {p!r})").alias("__cap")
+    )
+    return df.join(F.broadcast(caps), group_col).where(
+        F.col(length_col) <= F.col("__cap")
+    )

@@ -2846,6 +2846,324 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_build_vocab",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''
+            )) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, count(*) AS n_occurrences FROM toks GROUP BY token
+        )
+        SELECT token,
+               n_occurrences,
+               CAST(row_number() OVER (
+                   ORDER BY n_occurrences DESC, token) - 1 AS BIGINT)
+                   AS token_id
+        FROM counts
+        ORDER BY token_id
+        LIMIT 100
+    """,
+    description="Corpus vocabulary build: top-100 tokens by occurrence "
+    "with deterministic dense ids (operators/corpus.py build_vocab). "
+    "Token counting is a partial-aggregated shuffle on the token; the "
+    "top-k is TakeOrderedAndProject (per-partition heaps, no full sort); "
+    "only the k-row result passes the id-minting single-partition window.",
+)
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _corpus.build_vocab(docs, "text", k=100).orderBy("token_id")
+
+
+@register(
+    "q_oov_ratio",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''
+            )) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, count(*) AS n FROM toks GROUP BY token
+        ),
+        vocab AS (
+            SELECT token FROM counts ORDER BY n DESC, token LIMIT 50
+        )
+        SELECT t.doc_id AS doc_id,
+               count(*) AS n_tokens,
+               round(1.0 - sum(CASE WHEN v.token IS NOT NULL
+                                    THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                   AS oov_ratio
+        FROM toks t LEFT JOIN vocab v USING (token)
+        GROUP BY t.doc_id
+        ORDER BY doc_id
+    """,
+    description="Out-of-vocabulary rate per document against the corpus "
+    "top-50 vocabulary (operators/corpus.py oov_stats) — the tokenizer-"
+    "prep filter signal. The vocab broadcasts; the exploded corpus "
+    "left-joins map-side (zero corpus shuffle) then re-aggregates on "
+    "doc_id.",
+)
+def q_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    vocab = _corpus.build_vocab(docs, "text", k=50)
+    return (
+        _corpus.oov_stats(docs, vocab, "doc_id", "text")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("oov_ratio", 6).alias("oov_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_length_cap",
+    oracle="""
+        WITH caps AS (
+            SELECT lang, quantile_cont(n_chars, 0.9) AS cap
+            FROM documents GROUP BY lang
+        )
+        SELECT d.lang AS lang,
+               count(*) AS n_kept,
+               round(max(c.cap), 4) AS p90_chars
+        FROM documents d JOIN caps c ON d.lang = c.lang
+        WHERE d.n_chars <= c.cap
+        GROUP BY d.lang
+        ORDER BY lang
+    """,
+    description="Per-language exact-percentile length clipping "
+    "(operators/corpus.py percentile_length_cap): docs at or below their "
+    "language's p90 char count survive. One percentile aggregate over the "
+    "groups broadcast back as a map-side join — the corpus never "
+    "shuffles. Spark `percentile` and DuckDB `quantile_cont` both "
+    "linearly interpolate, so the cutoffs agree.",
+)
+def q_length_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kept = _corpus.percentile_length_cap(docs, "lang", "n_chars", p=0.9)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.max("__cap"), 4).alias("p90_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_priority_line_mix",
+    oracle="""
+        SELECT l.l_returnflag AS l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    description="TPC-H Q12-style conditional aggregation: urgent vs "
+    "non-urgent order counts per return flag. Year filter pushed to the "
+    "lineitem scan; one shuffle on orderkey; the CASE pair collapses to a "
+    "single pass (no second join or self-union).",
+)
+def q_priority_line_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_promo_revenue",
+    oracle="""
+        SELECT round(
+                 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4
+               ) AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-06-01'
+    """,
+    description="TPC-H Q14-style promo revenue share: ratio of two "
+    "conditional sums in ONE aggregate over a broadcast fact-dim join — "
+    "no separate numerator/denominator scans.",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q_top_revenue_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-07-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey AS s_suppkey,
+               s.s_name    AS s_name,
+               r.total_revenue AS total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    description="TPC-H Q15-style top supplier: per-supplier revenue "
+    "aggregate reused twice (rows + global max) WITHOUT recomputation — "
+    "the max folds back as a 1-row broadcast cross join, so lineitem is "
+    "scanned once. Revenue rounded to 2 dp BEFORE the equality so the "
+    "max-tie comparison is stable across engines.",
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        revenue.join(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_supplier_part_counts",
+    oracle="""
+        SELECT p.p_brand AS p_brand,
+               p.p_size  AS p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#13'
+          AND p.p_type  <> 'PROMO'
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    description="TPC-H Q16-style supplier diversity count: COUNT(DISTINCT) "
+    "per brand/size with a NOT-IN exclusion list. The exclusion rewrites "
+    "to a broadcast LEFT ANTI join (s_suppkey is non-null, so NOT IN ≡ "
+    "anti join); dim filters reach the part scan.",
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_size")
+    bad_supp = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q_dominant_suppliers",
+    oracle="""
+        WITH part_ship AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_suppkey AS s_suppkey,
+               s.s_name    AS s_name,
+               count(*)    AS n_dominated_parts
+        FROM part_ship ps
+        JOIN (SELECT l_partkey, sum(supp_qty) AS part_qty
+              FROM part_ship GROUP BY l_partkey) t
+          ON ps.l_partkey = t.l_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE ps.supp_qty > 0.2 * t.part_qty
+        GROUP BY s_suppkey, s_name
+        ORDER BY n_dominated_parts DESC, s_suppkey
+    """,
+    description="TPC-H Q20-style correlated threshold: suppliers shipping "
+    "more than a fifth of a part's total quantity (0.2 rather than "
+    "TPC-H's 0.5 so the result is non-empty at test SFs, where 100 "
+    "suppliers spread each part's volume thin). The per-part total is a "
+    "window sum OVER the (part, supplier) aggregate — partitioned by "
+    "l_partkey, never global — so lineitem aggregates once and no "
+    "self-join re-scan occurs. l_quantity is whole-valued, so the 0.2× "
+    "double comparison is exact in both engines.",
+)
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    part_ship = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = Window.partitionBy("l_partkey")
+    return (
+        part_ship.withColumn("part_qty", F.sum("supp_qty").over(per_part))
+        .where(F.col("supp_qty") > 0.2 * F.col("part_qty"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .orderBy(F.col("n_dominated_parts").desc(), "s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
@@ -2949,6 +3267,14 @@ _GRADING_ORDER = [
     "q_semantic_dedup",
     "q_pack_sequences",
     "q_redact_pii",
+    "q_priority_line_mix",
+    "q_promo_revenue",
+    "q_top_revenue_supplier",
+    "q_supplier_part_counts",
+    "q_dominant_suppliers",
+    "q_build_vocab",
+    "q_oov_ratio",
+    "q_length_cap",
     # ---- no SQL-expressible oracle (rows-only check) ---------------------
     "q_dedup_simhash",
     "q_similarity_ivf",

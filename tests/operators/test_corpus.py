@@ -233,3 +233,102 @@ class TestMinhashIndexReuse:
             minhash_lsh_join(df, df, "doc_id", "text", right_index=df)
         with pytest.raises(ValueError, match="exactly one"):
             minhash_lsh_join(df, id_col="doc_id", text_col="text")
+
+
+class TestBuildVocab:
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha beta alpha gamma"),
+                (2, "beta alpha delta"),
+                (3, "Alpha BETA beta"),
+            ],
+            "doc_id bigint, text string",
+        )
+
+    def test_counts_rank_and_ids(self, spark, docs):
+        from ons_utils_spark.operators.corpus import build_vocab
+
+        rows = {
+            r["token"]: (r["n_occurrences"], r["token_id"])
+            for r in build_vocab(docs, "text", k=10).collect()
+        }
+        # alpha 4, beta 4 (case-folded), gamma 1, delta 1 — ties broken
+        # lexicographically.
+        assert rows == {
+            "alpha": (4, 0),
+            "beta": (4, 1),
+            "delta": (1, 2),
+            "gamma": (1, 3),
+        }
+
+    def test_k_and_min_count_cut(self, spark, docs):
+        from ons_utils_spark.operators.corpus import build_vocab
+
+        top2 = build_vocab(docs, "text", k=2).collect()
+        assert [r["token"] for r in top2] == ["alpha", "beta"]
+        frequent = build_vocab(docs, "text", k=10, min_count=2).collect()
+        assert {r["token"] for r in frequent} == {"alpha", "beta"}
+
+    def test_topk_plan_has_no_full_sort(self, spark, docs):
+        from ons_utils_spark.operators.corpus import build_vocab
+
+        plan = (
+            build_vocab(docs, "text", k=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestOovStats:
+    def test_ratio_counts_occurrences_not_types(self, spark):
+        from ons_utils_spark.operators.corpus import build_vocab, oov_stats
+
+        docs = spark.createDataFrame(
+            [(1, "a a a b"), (2, "c c d e")], "doc_id bigint, text string"
+        )
+        vocab = build_vocab(docs, "text", k=2)  # 'a' (3) and 'c' (2)
+        got = {
+            r["doc_id"]: (r["n_tokens"], round(r["oov_ratio"], 6))
+            for r in oov_stats(docs, vocab, "doc_id", "text").collect()
+        }
+        assert got == {1: (4, 0.25), 2: (4, 0.5)}
+
+    def test_external_vocab_column_name(self, spark):
+        from ons_utils_spark.operators.corpus import oov_stats
+
+        docs = spark.createDataFrame([(7, "x y z")], "doc_id bigint, text string")
+        vocab = spark.createDataFrame([("x",), ("y",)], "term string")
+        row = oov_stats(docs, vocab, "doc_id", "text", token_col="term").first()
+        assert row["n_tokens"] == 3
+        assert round(row["oov_ratio"], 6) == round(1 / 3, 6)
+
+
+class TestPercentileLengthCap:
+    def test_keeps_at_or_below_group_quantile(self, spark):
+        from ons_utils_spark.operators.corpus import percentile_length_cap
+
+        df = spark.createDataFrame(
+            [("en", i) for i in range(1, 11)] + [("de", 100), ("de", 200)],
+            "lang string, n bigint",
+        )
+        kept = percentile_length_cap(df, "lang", "n", p=0.5).collect()
+        by_lang = {}
+        for r in kept:
+            by_lang.setdefault(r["lang"], []).append(r["n"])
+        # en median (linear interp over 1..10) = 5.5 → keeps 1..5;
+        # de median of {100,200} = 150 → keeps 100.
+        assert sorted(by_lang["en"]) == [1, 2, 3, 4, 5]
+        assert by_lang["de"] == [100]
+        caps = {r["lang"]: r["__cap"] for r in kept}
+        assert caps["en"] == 5.5 and caps["de"] == 150.0
+
+    def test_bad_p_raises(self, spark):
+        from ons_utils_spark.operators.corpus import percentile_length_cap
+
+        df = spark.createDataFrame([("en", 1)], "lang string, n bigint")
+        with pytest.raises(ValueError, match="p must be"):
+            percentile_length_cap(df, "lang", "n", p=1.5)

@@ -41,6 +41,13 @@ ALLOWED = {
     # same idiom: the Q11-style global average folds into the plan as a
     # broadcast cross join against a single-row aggregate.
     ("q_heavy_revenue_parts", "BroadcastNestedLoopJoin"),
+    # Q15-style global max folded back as a 1-row broadcast cross join.
+    ("q_top_revenue_supplier", "BroadcastNestedLoopJoin"),
+    # build_vocab mints ids with a single-partition row_number — but its
+    # input is the k-row output of TakeOrderedAndProject (bounded small),
+    # not the corpus, so the single partition is by construction tiny.
+    ("q_build_vocab", "global"),
+    ("q_oov_ratio", "global"),
     ("q_rich_idle_customers", "BroadcastNestedLoopJoin"),
     # all-pairs near-dup candidate stage is intentionally quadratic in the
     # expression variant; the registered query uses the blocked matmul.

@@ -151,3 +151,43 @@ def weighted_mixture(
     default = F.lit(hex_threshold(default_rate))
     threshold = default if threshold is None else threshold.otherwise(default)
     return df.where(bucket < threshold)
+
+
+def training_order(
+    df: SparkDF,
+    key: Union[str, SparkCol],
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> SparkDF:
+    """Deterministic global shuffle for training-data ordering.
+
+    Assigns every row a ``shard`` in ``[0, n_shards)`` and a 0-based
+    ``pos`` within its shard, both derived purely from ``md5(salt, key)``
+    — the SAME row gets the SAME (shard, pos) on any cluster size, any
+    partitioning, any run, and changing ``salt`` produces an independent
+    permutation (one salt per epoch is the standard trick). Reading shards
+    in order then yields a reproducible pseudorandom pass over the corpus.
+
+    At 100 TB: one shuffle on the shard key; each shard sorts its own
+    rows independently (window ordered within the shard partition — never
+    a global sort). Ties in the 128-bit md5 are broken by the key itself,
+    so ``pos`` is total and stable.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    w = Window.partitionBy(shard_col).orderBy("__h", "__k")
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__k", key.cast("string"))
+        .withColumn(
+            shard_col,
+            F.pmod(F.conv(F.substring("__h", 1, 4), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int"),
+        )
+        .withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__h", "__k")
+    )

@@ -2847,6 +2847,44 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_training_order",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id,
+                   md5('epoch0' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, hx,
+                   CAST(('0x' || substr(hx, 1, 4))::INT % 8 AS INT) AS shard
+            FROM h
+        )
+        SELECT doc_id,
+               shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard
+                   ORDER BY hx, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos
+        FROM s
+        ORDER BY shard, pos
+    """,
+    description="Deterministic training-order shuffle (operators/"
+    "sampling.py training_order): md5-derived shard + within-shard "
+    "position, reproducible on any cluster size/partitioning; a new salt "
+    "per epoch gives an independent permutation. One shuffle on the "
+    "shard key; each shard orders independently — never a global sort.",
+)
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.sampling import training_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        training_order(docs, "doc_id", n_shards=8, salt="epoch0")
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+@register(
     "q_build_vocab",
     oracle="""
         WITH toks AS (
@@ -3275,6 +3313,7 @@ _GRADING_ORDER = [
     "q_build_vocab",
     "q_oov_ratio",
     "q_length_cap",
+    "q_training_order",
     # ---- no SQL-expressible oracle (rows-only check) ---------------------
     "q_dedup_simhash",
     "q_similarity_ivf",

@@ -151,3 +151,45 @@ class TestNgramRepetition:
         assert 2 not in rows
         # doc 3: all distinct
         assert rows[3]["distinct_ratio"] == 1.0
+
+
+class TestTrainingOrder:
+    def test_deterministic_across_partitionings(self, spark):
+        from ons_utils_spark.operators.sampling import training_order
+
+        df = spark.range(200).select(F.col("id").alias("k"))
+        a = training_order(df, "k", n_shards=4).collect()
+        b = training_order(df.repartition(7), "k", n_shards=4).collect()
+        assert {(r["k"], r["shard"], r["pos"]) for r in a} == {
+            (r["k"], r["shard"], r["pos"]) for r in b
+        }
+
+    def test_positions_dense_per_shard(self, spark):
+        from ons_utils_spark.operators.sampling import training_order
+
+        rows = training_order(
+            spark.range(100).select(F.col("id").alias("k")), "k", n_shards=3
+        ).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= {0, 1, 2}
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(len(positions)))
+
+    def test_salt_changes_permutation(self, spark):
+        from ons_utils_spark.operators.sampling import training_order
+
+        df = spark.range(100).select(F.col("id").alias("k"))
+        a = {r["k"]: (r["shard"], r["pos"])
+             for r in training_order(df, "k", salt="e0", n_shards=4).collect()}
+        b = {r["k"]: (r["shard"], r["pos"])
+             for r in training_order(df, "k", salt="e1", n_shards=4).collect()}
+        assert a != b
+
+    def test_bad_shards_raises(self, spark):
+        from ons_utils_spark.operators.sampling import training_order
+
+        df = spark.range(5).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="n_shards"):
+            training_order(df, "k", n_shards=0)

@@ -79,6 +79,26 @@ class TestCsvJson:
         assert_df_equality(back, df, ignore_row_order=True, ignore_column_order=True)
 
 
+class TestOrc:
+    def test_round_trip_partitioned_and_pruned(self, spark, df, tmp_path):
+        """ORC through the same write_table surface: layout, pruning, and
+        predicate pushdown all work — no parquet-only assumptions."""
+        path = str(tmp_path / "orc_t")
+        write_table(df, path, fmt="orc", partition_by="grp")
+        assert os.path.isdir(os.path.join(path, "grp=a"))
+        back = spark.read.orc(path)
+        assert_df_equality(
+            back.select("id", "grp", "val"),
+            df.select("id", "grp", "val"),
+            ignore_row_order=True,
+        )
+        pruned = back.where((F.col("grp") == "a") & (F.col("id") > 1))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert pruned.count() == 1
+        assert "PartitionFilters: [isnotnull(grp" in plan
+        assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan
+
+
 class TestMergeOverwrite:
     def test_updates_and_inserts(self, spark, df, tmp_path):
         from ons_utils_spark.sources.write import merge_overwrite

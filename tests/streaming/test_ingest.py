@@ -1,0 +1,114 @@
+"""Streaming near-dup ingest tests: foreachBatch dedup against a persisted
+MinHash index, with the index growing as batches are accepted."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.dedup import minhash_index
+from ons_utils_spark.streaming.ingest import (
+    dedup_ingest_batch,
+    dedup_ingest_writer,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun shines "
+    "bright above the quiet green valley and birds sing old songs"
+)
+NEAR = BASE.replace("quiet green valley", "quiet blue valley")
+FRESH = (
+    "columnar engines pipeline vectorized batches through operators with "
+    "late materialization and dictionary encoded string columns everywhere"
+)
+FRESH_NEAR = FRESH.replace("dictionary encoded", "dictionary compressed")
+OTHER = (
+    "a completely unrelated recipe mixes flour butter sugar and eggs into "
+    "a smooth batter baked slowly until golden and fragrant in the oven"
+)
+
+SCHEMA = "id bigint, text string"
+
+
+@pytest.fixture()
+def corpus_index(spark, tmp_path):
+    corpus = spark.createDataFrame([(1, BASE)], SCHEMA)
+    path = str(tmp_path / "index")
+    minhash_index(corpus, "id", "text").write.parquet(path)
+    return path
+
+
+class TestDedupIngestBatch:
+    def test_rejects_corpus_dup_keeps_fresh(self, spark, corpus_index, tmp_path):
+        out = str(tmp_path / "out")
+        batch = spark.createDataFrame([(10, NEAR), (11, FRESH)], SCHEMA)
+        n = dedup_ingest_batch(batch, corpus_index, out)
+        assert n == 1
+        assert [r["id"] for r in spark.read.parquet(out).collect()] == [11]
+
+    def test_intra_batch_keeps_min_id(self, spark, corpus_index, tmp_path):
+        out = str(tmp_path / "out")
+        batch = spark.createDataFrame(
+            [(20, FRESH), (21, FRESH_NEAR), (22, OTHER)], SCHEMA
+        )
+        dedup_ingest_batch(batch, corpus_index, out)
+        kept = {r["id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {20, 22}
+
+    def test_index_grows_so_next_batch_dedups_against_survivors(
+        self, spark, corpus_index, tmp_path
+    ):
+        out = str(tmp_path / "out")
+        first = spark.createDataFrame([(30, FRESH)], SCHEMA)
+        second = spark.createDataFrame([(40, FRESH_NEAR), (41, OTHER)], SCHEMA)
+        dedup_ingest_batch(first, corpus_index, out)
+        dedup_ingest_batch(second, corpus_index, out)
+        kept = {r["id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {30, 41}  # 40 rejected as near-dup of batch-1's 30
+        idx_ids = {r["id"] for r in spark.read.parquet(corpus_index).collect()}
+        assert idx_ids == {1, 30, 41}
+
+    def test_update_index_off_leaves_index_fixed(
+        self, spark, corpus_index, tmp_path
+    ):
+        out = str(tmp_path / "out")
+        batch = spark.createDataFrame([(50, FRESH)], SCHEMA)
+        dedup_ingest_batch(batch, corpus_index, out, update_index=False)
+        idx_ids = {r["id"] for r in spark.read.parquet(corpus_index).collect()}
+        assert idx_ids == {1}
+
+
+class TestStreamingIngest:
+    def test_two_trigger_stream_matches_batch_semantics(
+        self, spark, corpus_index, tmp_path
+    ):
+        """Real stream: two files → maxFilesPerTrigger=1 → two micro-
+        batches; later batches must dedup against earlier survivors via
+        the growing index."""
+        stream_dir = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame([(60, NEAR), (61, FRESH)], SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(stream_dir)
+        spark.createDataFrame([(70, FRESH_NEAR), (71, OTHER)], SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(stream_dir)
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            dedup_ingest_writer(stream, corpus_index, out, checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        kept = {r["id"] for r in spark.read.parquet(out).collect()}
+        # 60 is a near-dup of the corpus; 70 of whichever FRESH doc landed
+        # first. Exactly one of {61, 70} survives (file order within a
+        # directory listing is not contractual), plus 71.
+        assert 71 in kept and 60 not in kept
+        assert len(kept & {61, 70}) == 1
+        idx_ids = {r["id"] for r in spark.read.parquet(corpus_index).collect()}
+        assert idx_ids == {1} | kept

@@ -47,6 +47,10 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_semantic_dedup",
     "q_view_to_click_attribution",
+    # Arrow-batched inference: the one vectorized-Python headline path —
+    # benched so ArrowEvalPython regressions (batch sizing, worker reuse)
+    # are visible.
+    "q_model_scores",
 ]
 
 

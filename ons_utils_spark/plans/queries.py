@@ -2847,6 +2847,43 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_model_scores",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        )
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(
+                   4.0 * len(list_filter(ts, t -> list_contains(
+                       ['the','a','and','of','to','in','is','on','for','with'],
+                       t)))::DOUBLE / len(ts)
+                   + length(text) / 1000.0 - 2.0
+               ))), 6) AS score
+        FROM toks
+        ORDER BY doc_id
+    """,
+    description="Arrow-batched model inference (operators/inference.py "
+    "batch_score): lazily-loaded per-worker model scoring whole Arrow "
+    "batches — the classifier-scoring plumbing of an LLM data pipeline. "
+    "The default model is a DECLARED-FAKE deterministic logistic over "
+    "surface features, chosen to be SQL-expressible so this oracle "
+    "checks the full vectorized-UDF path end-to-end.",
+)
+def q_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.inference import batch_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        batch_score(docs, "text")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_training_order",
     oracle="""
         WITH h AS (
@@ -3314,6 +3351,7 @@ _GRADING_ORDER = [
     "q_oov_ratio",
     "q_length_cap",
     "q_training_order",
+    "q_model_scores",
     # ---- no SQL-expressible oracle (rows-only check) ---------------------
     "q_dedup_simhash",
     "q_similarity_ivf",

@@ -152,6 +152,66 @@ def jaccard_pairs(
     return pairs
 
 
+def containment_pairs(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+) -> SparkDF:
+    """Partial-duplicate pairs by n-gram-shingle CONTAINMENT.
+
+    ``containment = |A ∩ B| / min(|A|, |B|)`` — 1.0 when the smaller
+    document's shingle set is entirely inside the larger's. This is the
+    signal Jaccard misses: a paragraph quoted inside a much longer page
+    has high containment but low Jaccard (the union is dominated by the
+    long side), so resemblance-based dedup keeps both. Broder (1997)
+    distinguishes exactly these two notions (resemblance vs containment).
+
+    Returns ``(id_a, id_b, containment)``, ``id_a < id_b``,
+    ``containment >= threshold``. Same postings-list plan and cost model
+    as :func:`jaccard_pairs` (one scan, one shuffle, C(k,2) per posting,
+    ``max_df`` as the mandatory web-scale skew guard — dropping a shared
+    shingle can only lower the score, so results stay a subset).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hash64(text_col, n=n)).alias("sh"),
+    )
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    posts = shingled.groupBy("sh").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    if max_df is not None:
+        posts = posts.where(F.size("ids") <= max_df)
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids") - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        posts.where(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared").cast("double") / F.least("sz_a", "sz_b"), 6
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

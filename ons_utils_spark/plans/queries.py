@@ -2847,6 +2847,81 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_containment_pairs",
+    oracle=_TOKS_CTE
+    + """,
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks)-2)]
+                    ELSE [] END) AS shset
+        FROM toks
+    ),
+    inv AS (SELECT doc_id, len(shset) AS sz, unnest(shset) AS sh FROM sh)
+    SELECT id_a, id_b, round(c, 6) AS containment FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::DOUBLE
+                   / least(any_value(a.sz), any_value(b.sz)) AS c
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    WHERE c >= 0.25
+    ORDER BY id_a, id_b
+    """,
+    description="Partial-duplicate pairs by shingle CONTAINMENT "
+    "(|A∩B| / min(|A|,|B|)) — catches a short doc quoted inside a long "
+    "one, which Jaccard's union-denominator hides. Same postings-list "
+    "single-scan plan as q_ngram_jaccard_pairs "
+    "(operators/dedup.py containment_pairs).",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.25)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+        SELECT o.o_orderpriority AS o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="Salted fact-fact join (operators/skew.py salted_join, "
+    "salt_factor=4): the skewed side takes a random salt, the other side "
+    "replicates once per salt value, and the join key becomes "
+    "(key, salt) — spreading any hot orderkey over 4 tasks. The oracle "
+    "is the PLAIN join: salting must be output-invariant.",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, on="orderkey", salt_factor=4)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "q_model_scores",
     oracle="""
         WITH toks AS (
@@ -3352,6 +3427,8 @@ _GRADING_ORDER = [
     "q_length_cap",
     "q_training_order",
     "q_model_scores",
+    "q_containment_pairs",
+    "q_salted_join",
     # ---- no SQL-expressible oracle (rows-only check) ---------------------
     "q_dedup_simhash",
     "q_similarity_ivf",

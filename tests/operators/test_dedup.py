@@ -78,6 +78,47 @@ class TestJaccardPairs:
         assert pairs.count() == 0
 
 
+class TestContainmentPairs:
+    def test_quote_inclusion_found_where_jaccard_misses(self, spark):
+        """A short doc fully quoted inside a long one: containment = 1.0
+        while Jaccard is diluted below any sane threshold — the case this
+        operator exists for."""
+        from ons_utils_spark.operators.dedup import containment_pairs
+
+        quote = "the sly red vixen hops over one dozing hound tonight"
+        filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, quote), (2, filler + " " + quote + " " + filler[::-1].lower())],
+            "doc_id bigint, text string",
+        )
+        cont = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.9
+            ).collect()
+        }
+        assert cont[(1, 2)] == 1.0
+        jac = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+        assert jac.count() == 0
+
+    def test_threshold_and_symmetry_direction(self, spark, docs):
+        from ons_utils_spark.operators.dedup import containment_pairs
+
+        rows = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+        assert all(r["id_a"] < r["id_b"] for r in rows)
+        assert all(r["containment"] >= 0.5 for r in rows)
+
+    def test_max_df_guard(self, spark, docs):
+        from ons_utils_spark.operators.dedup import containment_pairs
+
+        assert (
+            containment_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.1, max_df=1
+            ).count()
+            == 0
+        )
+
+
 class TestMinHash:
     def test_signature_shape_and_determinism(self, spark, docs):
         sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32)

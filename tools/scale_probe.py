@@ -30,7 +30,13 @@ def main() -> None:
     from ons_utils_spark.session import get_session
     from ons_utils_spark.sources.tables import load_table
 
-    spark = get_session(app_name="scale_probe")
+    # local-mode JVMs default to a 1 GB heap shared by every task thread —
+    # fine for the bench corpus, not for 10x-replicated postings stages.
+    # A real cluster sizes executor memory explicitly; do the same here.
+    spark = get_session(
+        app_name="scale_probe",
+        extra_configs={"spark.driver.memory": "24g"},
+    )
     spark.range(1000).count()
 
     def replicate(df: DataFrame, key_cols: list[str], factor: int) -> DataFrame:
@@ -90,6 +96,26 @@ def main() -> None:
         "minhash_dedup": lambda f: __import__(
             "ons_utils_spark.operators.dedup", fromlist=["minhash_lsh_pairs"]
         ).minhash_lsh_pairs(replicate_docs(documents, f), "doc_id", "text"),
+        "containment_pairs": lambda f: __import__(
+            "ons_utils_spark.operators.dedup", fromlist=["containment_pairs"]
+        ).containment_pairs(
+            replicate_docs(documents, f), "doc_id", "text", threshold=0.25
+        ),
+        # Disjoint token spaces per copy also scale the DISTINCT-token
+        # cardinality, the dimension that actually stresses vocab build.
+        "build_vocab": lambda f: __import__(
+            "ons_utils_spark.operators.corpus", fromlist=["build_vocab"]
+        ).build_vocab(replicate_docs(documents, f), "text", k=100),
+        "training_order": lambda f: __import__(
+            "ons_utils_spark.operators.sampling", fromlist=["training_order"]
+        ).training_order(
+            replicate(documents.select("doc_id"), ["doc_id"], f),
+            "doc_id",
+            n_shards=32,
+        ),
+        "batch_inference": lambda f: __import__(
+            "ons_utils_spark.operators.inference", fromlist=["batch_score"]
+        ).batch_score(replicate_docs(documents, f), "text"),
     }.items():
         times = {}
         # Untimed warmup so the 1x measurement doesn't carry codegen cost.

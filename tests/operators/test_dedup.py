@@ -166,6 +166,35 @@ class TestSimHash:
         assert (1, 3) in pairs and pairs[(1, 3)] <= 10
         assert not any(4 in p for p in pairs)
 
+    def test_packed_votes_match_naive_aggregate(self, spark, docs):
+        """The 21-bit-packed vote counters must produce bit-identical
+        sketches to the naive 64-sum formulation (built inline here as
+        ground truth)."""
+        from ons_utils_spark.operators.dedup import shingle_hashes
+
+        hashes = shingle_hashes(docs, "doc_id", "text", n=2, distinct=False)
+        votes = [
+            F.sum(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"_v{i}")
+            for i in range(64)
+        ]
+        agg = hashes.groupBy("id").agg(*votes)
+        out = F.lit(0).cast("bigint")
+        for i in range(64):
+            value = -(1 << 63) if i == 63 else (1 << i)
+            out = out.bitwiseOR(
+                F.when(
+                    F.col(f"_v{i}") > 0, F.lit(value).cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+        naive = {r["id"]: r["sh"] for r in agg.select("id", out.alias("sh")).collect()}
+        packed = {
+            r["id"]: r["sh"]
+            for r in simhash_sketches(docs, "doc_id", "text").collect()
+        }
+        assert packed == naive
+
     def test_exact_recall_within_budget(self, spark, docs):
         # Pigeonhole banding guarantees every pair within the Hamming budget
         # is found: brute-force check against all sketch pairs.

@@ -2922,6 +2922,63 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quantized_embeddings",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v,
+                   list_max(list_transform(embedding,
+                                           x -> abs(x::DOUBLE))) / 127.0
+                       AS scale
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(v, x -> CAST(floor(
+                       x / greatest(scale, 1e-300) + 0.5) AS BIGINT)) AS codes
+            FROM s
+        )
+        SELECT vec_id,
+               round(scale, 9) AS scale,
+               len(codes) AS n_dims,
+               CAST(list_sum(codes) AS BIGINT) AS q_sum,
+               list_min(codes) AS q_min,
+               list_max(codes) AS q_max,
+               codes[1] AS q_first
+        FROM q
+        ORDER BY vec_id
+    """,
+    description="Symmetric int8 scalar quantization of the embedding "
+    "column (operators/similarity.py quantize_embeddings): per-vector "
+    "scale + floor-based half-up codes, summarized as scalars (sum/min/"
+    "max/first) because the hash harness canonicalizes arrays "
+    "differently per engine; elementwise exactness and the scale/2 "
+    "reconstruction bound are pinned in pytest. Row-local projection — "
+    "zero shuffle; 4x smaller vectors on disk and shuffle at 100 TB.",
+)
+def q_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding")
+    codes = F.transform(F.col("q"), lambda x: x.cast("bigint"))
+    return (
+        q.select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            F.size("q").cast("bigint").alias("n_dims"),
+            F.aggregate(
+                codes, F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("q_sum"),
+            F.array_min(codes).alias("q_min"),
+            F.array_max(codes).alias("q_max"),
+            F.element_at(codes, 1).alias("q_first"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "q_model_scores",
     oracle="""
         WITH toks AS (
@@ -3429,6 +3486,7 @@ _GRADING_ORDER = [
     "q_model_scores",
     "q_containment_pairs",
     "q_salted_join",
+    "q_quantized_embeddings",
     # ---- no SQL-expressible oracle (rows-only check) ---------------------
     "q_dedup_simhash",
     "q_similarity_ivf",

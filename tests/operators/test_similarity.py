@@ -1,5 +1,7 @@
 """Similarity-search operator tests."""
 
+import pytest
+
 from ons_utils_spark.operators.similarity import (
     cosine_topk,
     make_planes,
@@ -81,3 +83,55 @@ class TestIvf:
         approx = [r["id"] for r in ivf_topk(assigned, centroids, query, k=8, n_probe=4).collect()]
         exact = [r["id"] for r in cosine_topk(df, query, k=8).collect()]
         assert approx == exact
+
+
+class TestQuantization:
+    @pytest.fixture()
+    def vecs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, [1.0, -0.5, 0.25, 0.0]),
+                (2, [0.001, 0.002, -0.003, 0.004]),
+                (3, [0.0, 0.0, 0.0, 0.0]),
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    def test_roundtrip_error_bounded_by_half_scale(self, spark, vecs):
+        from ons_utils_spark.operators.similarity import (
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        out = dequantize_embeddings(
+            quantize_embeddings(vecs, "embedding"), out_col="deq"
+        ).collect()
+        for r in out:
+            orig = [float(x) for x in r["embedding"]]
+            assert len(r["q"]) == len(orig)
+            for o, d in zip(orig, r["deq"]):
+                assert abs(o - d) <= r["scale"] / 2 + 1e-12
+
+    def test_codes_exact_for_known_vector(self, spark, vecs):
+        from ons_utils_spark.operators.similarity import quantize_embeddings
+
+        rows = {r["vec_id"]: r for r in quantize_embeddings(vecs, "embedding").collect()}
+        # vec 1: scale = 1/127; codes = floor(x*127 + 0.5)
+        assert rows[1]["q"] == [127, -63, 32, 0]
+        assert rows[1]["scale"] == pytest.approx(1.0 / 127)
+        # zero vector: scale 0, all-zero codes (no 0/0 NaN)
+        assert rows[3]["scale"] == 0.0 and rows[3]["q"] == [0, 0, 0, 0]
+
+    def test_codes_within_bit_range(self, spark, vecs):
+        from ons_utils_spark.operators.similarity import quantize_embeddings
+
+        for bits in (4, 8):
+            qmax = (1 << (bits - 1)) - 1
+            rows = quantize_embeddings(vecs, "embedding", bits=bits).collect()
+            assert all(-qmax <= c <= qmax for r in rows for c in r["q"])
+
+    def test_bad_bits_raises(self, spark, vecs):
+        from ons_utils_spark.operators.similarity import quantize_embeddings
+
+        with pytest.raises(ValueError, match="bits"):
+            quantize_embeddings(vecs, "embedding", bits=1)

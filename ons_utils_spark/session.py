@@ -31,6 +31,9 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # range-window arithmetic used throughout the engine, and under a UTC
     # session the two conventions carry identical field values anyway.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Let Python Data Sources (sources/pysource.py) receive pushed filters —
+    # off by default in Spark 4.1 while the API stabilizes.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Don't drag the full 20MB+ UI stack up for library use.
     "spark.ui.enabled": "false",
     # Broadcast threshold: dimension tables (region/nation/customer at test

@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _LANGS = ("en", "de", "fr", "es", "it")
@@ -117,3 +118,54 @@ class SyntheticDocsReader(DataSourceReader):
             if want_source is not None and row[3] != want_source:
                 continue
             yield row
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched reads over the same deterministic id space.
+
+    Offsets are plain ``{"next": <first unread doc_id>}`` dicts; each
+    ``read`` serves at most ``rows_per_batch`` ids and advances the
+    offset, stopping at the ``rows`` cap. ``readBetweenOffsets`` replays
+    any (start, end) slice EXACTLY — rows are pure functions of
+    (doc_id, seed), which is what makes the source replayable and the
+    stream's exactly-once contract hold across restarts.
+    """
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch, self.rows)
+        return (
+            iter([_doc(i, self.seed) for i in range(lo, hi)]),
+            {"next": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_doc(i, self.seed) for i in range(int(start["next"]), int(end["next"]))]
+        )
+
+
+class SyntheticDocsStreamDataSource(DataSource):
+    """``readStream.format("synthetic_docs_stream")`` — the streaming twin
+    of :class:`SyntheticDocsDataSource` (same schema, same rows)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self) -> str:
+        return (
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)

@@ -67,3 +67,60 @@ class TestSyntheticDocsSource:
         expect = {r["doc_id"] for r in full.collect() if r["lang"] == "en"}
         assert {r["doc_id"] for r in pushed.collect()} == expect
         assert pushed.count() < 400  # the filter actually selects a subset
+
+
+class TestSyntheticDocsStream:
+    def test_checkpointed_runs_drain_stream_to_batch_equality(
+        self, spark, tmp_path
+    ):
+        """Repeated availableNow runs against one checkpoint drain the
+        capped stream incrementally (a simple stream reader snapshots one
+        prefetched batch per run); the union of all micro-batches must
+        equal the batch source's rows exactly — ids AND text."""
+        from ons_utils_spark.sources.pysource import SyntheticDocsStreamDataSource
+
+        spark.dataSource.register(SyntheticDocsStreamDataSource)
+        out = str(tmp_path / "out")
+        seen = 0
+        for _ in range(5):  # 250 rows / 100-row batches → 3 effective runs
+            stream = (
+                spark.readStream.format("synthetic_docs_stream")
+                .option("rows", 250)
+                .option("rows_per_batch", 100)
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            n = spark.read.parquet(out).count()
+            if n == seen:
+                break
+            seen = n
+        got = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["doc_id"]: r["text"]
+            for r in _read(spark, rows=250).collect()
+        }
+        assert got == want
+
+    def test_replay_between_offsets_is_exact(self, spark):
+        from ons_utils_spark.sources.pysource import SyntheticDocsStreamReader
+
+        reader = SyntheticDocsStreamReader({"rows": "50", "rows_per_batch": "20"})
+        rows1, off1 = reader.read(reader.initialOffset())
+        first = list(rows1)
+        assert off1 == {"next": 20} and len(first) == 20
+        replay = list(reader.readBetweenOffsets({"next": 0}, {"next": 20}))
+        assert replay == first
+        # Capped: reading past the end yields nothing and a stable offset.
+        rows_end, off_end = reader.read({"next": 50})
+        assert list(rows_end) == [] and off_end == {"next": 50}

@@ -2922,6 +2922,45 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rollup_cascade",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY hour_start
+        ORDER BY hour_start
+    """,
+    description="Hierarchical time rollup (hypertable continuous-"
+    "aggregate cascade): hourly aggregates derived FROM the minute-level "
+    "aggregate — count and sum re-aggregate losslessly, so the cascade "
+    "must equal direct hourly aggregation, which is exactly what the "
+    "oracle computes. At scale the cascade is the point: the 1-minute "
+    "table is ~60x smaller than raw events, so every coarser tier "
+    "aggregates the tier below instead of re-scanning the fact table.",
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    minutes = (
+        events.groupBy(F.date_trunc("minute", "ts").alias("minute_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    return (
+        minutes.groupBy(
+            F.date_trunc("hour", "minute_start").alias("hour_start")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+@register(
     "q_quantized_embeddings",
     oracle="""
         WITH s AS (
@@ -3487,6 +3526,7 @@ _GRADING_ORDER = [
     "q_containment_pairs",
     "q_salted_join",
     "q_quantized_embeddings",
+    "q_rollup_cascade",
     # ---- no SQL-expressible oracle (rows-only check) ---------------------
     "q_dedup_simhash",
     "q_similarity_ivf",

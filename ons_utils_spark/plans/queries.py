@@ -2922,6 +2922,43 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_variant_props",
+    oracle="""
+        SELECT event_type AS event_type,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_min,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_max,
+               round(avg(CAST(json_extract_string(props, '$.k')
+                              AS BIGINT)), 4) AS k_avg
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Semi-structured access via Spark 4 VariantType: "
+    "parse_json once into a variant column, then typed variant_get "
+    "extraction feeding min/max/avg. Variant stores a parsed binary "
+    "form, so repeated path accesses skip re-parsing the JSON text — "
+    "the 100 TB answer to string-JSON hot paths (one decode per row, "
+    "not one per extraction). Oracle is plain JSON extraction — the "
+    "variant path must be value-identical.",
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q_rollup_cascade",
     oracle="""
         SELECT date_trunc('hour', ts) AS hour_start,
@@ -3527,6 +3564,7 @@ _GRADING_ORDER = [
     "q_salted_join",
     "q_quantized_embeddings",
     "q_rollup_cascade",
+    "q_variant_props",
     # ---- no SQL-expressible oracle (rows-only check) ---------------------
     "q_dedup_simhash",
     "q_similarity_ivf",

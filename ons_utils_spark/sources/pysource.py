@@ -34,6 +34,7 @@ lives behind Python.
 from __future__ import annotations
 
 import hashlib
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -41,6 +42,8 @@ from pyspark.sql.datasource import (
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 _LANGS = ("en", "de", "fr", "es", "it")
@@ -169,3 +172,81 @@ class SyntheticDocsStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
         return SyntheticDocsStreamReader(self.options)
+
+
+@dataclass
+class _PartitionFile(WriterCommitMessage):
+    """One task's staged output: (path, row count). Must be picklable."""
+
+    path: str
+    rows: int
+
+
+class ManifestParquetWriter(DataSourceWriter):
+    """Two-phase parquet writer: stage per-task files, commit a manifest.
+
+    Each task writes its rows to a uniquely-named parquet file via
+    pyarrow and returns a :class:`_PartitionFile` commit message; only
+    ``commit`` — which runs ONCE on the driver after every task
+    succeeded — writes ``_manifest.json`` listing the finished files and
+    total rows. Readers that trust only manifest-listed files therefore
+    never see a partial write: the job's visibility flips atomically
+    with the manifest, the same commit-protocol shape JVM sources and
+    table formats use. ``abort`` removes any staged files.
+    """
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_parquet requires a 'path' option")
+        self.schema = schema
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        rows = list(iterator)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
+        cols = self.schema.fieldNames()
+        table = pa.table(
+            {c: [row[i] for row in rows] for i, c in enumerate(cols)}
+        )
+        pq.write_table(table, fname)
+        return _PartitionFile(path=fname, rows=len(rows))
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": [
+                {"path": os.path.basename(m.path), "rows": m.rows}
+                for m in messages
+                if m is not None
+            ],
+        }
+        manifest["total_rows"] = sum(f["rows"] for f in manifest["files"])
+        with open(os.path.join(self.path, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class ManifestParquetDataSource(DataSource):
+    """``df.write.format("manifest_parquet").option("path", dir)`` sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def writer(self, schema, overwrite: bool) -> ManifestParquetWriter:
+        return ManifestParquetWriter(self.options, schema)

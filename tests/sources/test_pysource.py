@@ -124,3 +124,35 @@ class TestSyntheticDocsStream:
         # Capped: reading past the end yields nothing and a stable offset.
         rows_end, off_end = reader.read({"next": 50})
         assert list(rows_end) == [] and off_end == {"next": 50}
+
+
+class TestManifestParquetWriter:
+    def test_write_stages_files_and_commits_manifest(self, spark, tmp_path):
+        import json
+        import os
+
+        from ons_utils_spark.sources.pysource import ManifestParquetDataSource
+
+        spark.dataSource.register(ManifestParquetDataSource)
+        out = str(tmp_path / "sink")
+        df = spark.range(100).selectExpr("id", "id * 2 AS doubled").repartition(4)
+        df.write.format("manifest_parquet").option("path", out).mode(
+            "append"
+        ).save()
+
+        manifest = json.load(open(os.path.join(out, "_manifest.json")))
+        assert manifest["total_rows"] == 100
+        assert len(manifest["files"]) == 4
+        listed = {f["path"] for f in manifest["files"]}
+        on_disk = {p for p in os.listdir(out) if p.endswith(".parquet")}
+        assert listed == on_disk  # manifest covers exactly the staged files
+
+        back = spark.read.parquet(out)
+        assert back.count() == 100
+        assert {r["doubled"] for r in back.collect()} == {2 * i for i in range(100)}
+
+    def test_missing_path_option_raises(self, spark, tmp_path):
+        from ons_utils_spark.sources.pysource import ManifestParquetWriter
+
+        with pytest.raises(ValueError, match="path"):
+            ManifestParquetWriter({}, None)

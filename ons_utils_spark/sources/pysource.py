@@ -208,12 +208,19 @@ class ManifestParquetWriter(DataSourceWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # Explicit Arrow schema from the Spark schema: an EMPTY partition
+        # must still write correctly-typed (not null-typed) columns, or
+        # readers fail to merge its footer with the non-empty files'.
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
         os.makedirs(self.path, exist_ok=True)
         rows = list(iterator)
         fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
         cols = self.schema.fieldNames()
         table = pa.table(
-            {c: [row[i] for row in rows] for i, c in enumerate(cols)}
+            {c: [row[i] for row in rows] for i, c in enumerate(cols)},
+            schema=arrow_schema,
         )
         pq.write_table(table, fname)
         return _PartitionFile(path=fname, rows=len(rows))

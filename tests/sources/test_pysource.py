@@ -156,3 +156,21 @@ class TestManifestParquetWriter:
 
         with pytest.raises(ValueError, match="path"):
             ManifestParquetWriter({}, None)
+
+    def test_empty_partitions_write_typed_files(self, spark, tmp_path):
+        """A 0-row task must still stage a correctly-TYPED parquet file —
+        a null-typed footer would break schema merge on read."""
+        import os
+
+        from ons_utils_spark.sources.pysource import ManifestParquetDataSource
+
+        spark.dataSource.register(ManifestParquetDataSource)
+        out = str(tmp_path / "sink2")
+        # 2 rows over 8 partitions → at least 6 empty write tasks.
+        df = spark.range(2).selectExpr("id", "CAST(id AS STRING) AS s").repartition(8)
+        df.write.format("manifest_parquet").option("path", out).mode(
+            "append"
+        ).save()
+        back = spark.read.parquet(out)
+        assert back.count() == 2
+        assert dict(back.dtypes) == {"id": "bigint", "s": "string"}

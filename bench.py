@@ -51,6 +51,9 @@ HEADLINE = [
     # benched so ArrowEvalPython regressions (batch sizing, worker reuse)
     # are visible.
     "q_model_scores",
+    # Containment shares jaccard's postings plan but verifies a different
+    # score — benched so the partial-dup path can't silently regress.
+    "q_containment_pairs",
 ]
 
 

@@ -98,15 +98,43 @@ def jaccard_pairs(
     the estimated Jaccard, so results stay a subset — document the recall
     contract when you use it.)
     """
-    # Explode FIRST: the Generate node is an optimizer barrier, so the
-    # shingle pipeline evaluates once per doc (projecting size(s) next to
-    # explode(s) makes CollapseProject evaluate it twice). Then the
-    # POSTINGS-LIST formulation: group ids per shingle and emit the C(k,2)
-    # pairs per posting — one corpus scan and one shuffle, measured ~45%
-    # faster than the equivalent self-join (which scans and shingles the
-    # corpus twice). Shingles travel as 64-bit hashes (shingle_hash64):
-    # Jaccard only needs shingle identity, and an 8-byte group key keeps
-    # the postings shuffle ~3x smaller than trigram strings.
+    return (
+        _pair_shingle_counts(df, id_col, text_col, n, max_df)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_shingle_counts(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: Optional[int],
+) -> SparkDF:
+    """Shared-shingle counts per candidate pair:
+    ``(id_a, id_b, shared, sz_a, sz_b)`` with ``id_a < id_b`` — the common
+    core of :func:`jaccard_pairs` and :func:`containment_pairs`, which
+    differ only in the score they derive from these counts.
+
+    Explode FIRST: the Generate node is an optimizer barrier, so the
+    shingle pipeline evaluates once per doc (projecting size(s) next to
+    explode(s) makes CollapseProject evaluate it twice). Then the
+    POSTINGS-LIST formulation: group ids per shingle and emit the C(k,2)
+    pairs per posting — one corpus scan and one shuffle, measured ~45%
+    faster than the equivalent self-join (which scans and shingles the
+    corpus twice). Shingles travel as 64-bit hashes (shingle_hash64):
+    set overlap only needs shingle identity, and an 8-byte group key
+    keeps the postings shuffle ~3x smaller than trigram strings.
+    """
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_hash64(text_col, n=n)).alias("sh"),
@@ -129,7 +157,7 @@ def jaccard_pairs(
             ),
         )
     )
-    pairs = (
+    return (
         posts.where(F.size("ids") > 1)
         .select(F.explode(pair_structs).alias("p"))
         .groupBy("p.id_a", "p.id_b")
@@ -138,18 +166,7 @@ def jaccard_pairs(
         # falls back to a shuffle join at billion-doc scale.
         .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
-    return pairs
 
 
 def containment_pairs(
@@ -171,36 +188,13 @@ def containment_pairs(
 
     Returns ``(id_a, id_b, containment)``, ``id_a < id_b``,
     ``containment >= threshold``. Same postings-list plan and cost model
-    as :func:`jaccard_pairs` (one scan, one shuffle, C(k,2) per posting,
-    ``max_df`` as the mandatory web-scale skew guard — dropping a shared
-    shingle can only lower the score, so results stay a subset).
+    as :func:`jaccard_pairs` (shared core: :func:`_pair_shingle_counts` —
+    one scan, one shuffle, C(k,2) per posting, ``max_df`` as the mandatory
+    web-scale skew guard; dropping a shared shingle can only lower the
+    score, so results stay a subset).
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hash64(text_col, n=n)).alias("sh"),
-    )
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    posts = shingled.groupBy("sh").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    )
-    if max_df is not None:
-        posts = posts.where(F.size("ids") <= max_df)
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids") - i - 1),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     return (
-        posts.where(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.id_a", "p.id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        _pair_shingle_counts(df, id_col, text_col, n, max_df)
         .withColumn(
             "containment",
             F.round(
@@ -278,14 +272,15 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: SparkDF,
-    id_col: str,
-    text_col: str,
+    df: Optional[SparkDF] = None,
+    id_col: str = "id",
+    text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    index: Optional[SparkDF] = None,
 ) -> SparkDF:
     """Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
 
@@ -296,7 +291,10 @@ def minhash_lsh_pairs(
     over the 64-bit shingle-HASH sets (identical to string-set Jaccard
     barring a ~2⁻⁶⁴-probability hash collision), collected in the SAME
     aggregation pass that builds the signatures — the corpus is scanned and
-    shingled exactly once.
+    shingled exactly once. Pass a precomputed :func:`minhash_index` via
+    ``index=`` (instead of ``df``) to skip even that scan — the path an
+    ingest pipeline uses to reuse ONE signature computation across
+    intra-batch dedup, the corpus join, and the index update.
 
     Returns ``(id_a, id_b, jaccard)``, ``id_a < id_b``,
     ``jaccard >= threshold``. Probabilistic recall (tune ``bands`` up for
@@ -317,23 +315,31 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    if (df is None) == (index is None):
+        raise ValueError("pass exactly one of `df` or `index`")
     rows = num_hashes // bands
 
-    hashes = shingle_hashes(df, id_col, text_col, n=n)
-    h31 = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
-    mins = [
-        F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
-    ]
-    base = (
-        hashes.groupBy("id")
-        .agg(*mins, F.collect_set("h").alias("hset"))
-        .select(
-            "id",
-            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
-            "hset",
+    if index is not None:
+        # Precomputed (id, sig, hset) — e.g. a persisted/filtered
+        # minhash_index. Must have been built with the same
+        # n/num_hashes/seed; skips the corpus scan entirely.
+        base = index
+    else:
+        hashes = shingle_hashes(df, id_col, text_col, n=n)
+        h31 = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
+        mins = [
+            F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))).alias(f"_m{i}")
+            for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
+        ]
+        base = (
+            hashes.groupBy("id")
+            .agg(*mins, F.collect_set("h").alias("hset"))
+            .select(
+                "id",
+                F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+                "hset",
+            )
         )
-    )
 
     # Band hash: fold the band's signature slice through xxhash64 as longs —
     # no per-band string materialization (the pre-r2 concat_ws form cast
@@ -689,7 +695,7 @@ def minhash_index(
 
 
 def minhash_lsh_join(
-    left: SparkDF,
+    left: Optional[SparkDF] = None,
     right: Optional[SparkDF] = None,
     id_col: str = "id",
     text_col: str = "text",
@@ -699,6 +705,7 @@ def minhash_lsh_join(
     threshold: float = 0.5,
     seed: int = 42,
     right_index: Optional[SparkDF] = None,
+    left_index: Optional[SparkDF] = None,
 ) -> SparkDF:
     """Near-duplicate pairs BETWEEN two corpora (incremental dedup).
 
@@ -714,6 +721,8 @@ def minhash_lsh_join(
     PRECOMPUTED :func:`minhash_index` (``right_index=``): then the
     per-batch cost is O(batch) + one bucket join against the stored
     index, and the 100 TB corpus is never re-shingled or self-paired.
+    ``left_index=`` does the same for the batch side, letting an ingest
+    pipeline compute the batch's signatures once and reuse them here.
     Both sides must use the same ``n``/``num_hashes``/``bands``/``seed``
     — Broder MinHash only estimates Jaccard between signatures drawn with
     the SAME permutations.
@@ -722,6 +731,8 @@ def minhash_lsh_join(
         raise ValueError("num_hashes must be divisible by bands")
     if (right is None) == (right_index is None):
         raise ValueError("pass exactly one of `right` or `right_index`")
+    if (left is None) == (left_index is None):
+        raise ValueError("pass exactly one of `left` or `left_index`")
     rows = num_hashes // bands
 
     def side(df: SparkDF) -> SparkDF:
@@ -747,7 +758,7 @@ def minhash_lsh_join(
             ).alias("band"),
         ).select("id", "band.band_idx", "band.band_hash")
 
-    lbase = side(left)
+    lbase = left_index if left_index is not None else side(left)
     rbase = right_index if right_index is not None else side(right)
     cand = (
         banded(lbase).alias("l")

@@ -184,8 +184,11 @@ def training_order(
         df.withColumn("__h", h)
         .withColumn("__k", key.cast("string"))
         .withColumn(
+            # 8 hex chars = 32 bits of the md5: with only 16 bits, any
+            # n_shards that doesn't divide 65536 gets up to 2:1 shard-size
+            # skew (and shards past 65536 would be permanently empty).
             shard_col,
-            F.pmod(F.conv(F.substring("__h", 1, 4), 16, 10).cast("long"),
+            F.pmod(F.conv(F.substring("__h", 1, 8), 16, 10).cast("long"),
                    F.lit(n_shards)).cast("int"),
         )
         .withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))

@@ -2963,7 +2963,8 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT date_trunc('hour', ts) AS hour_start,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(28, 6))), 2) AS DOUBLE)
+                   AS total_value
         FROM events
         GROUP BY hour_start
         ORDER BY hour_start
@@ -2978,11 +2979,16 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
+    # DECIMAL sums: double addition is not associative, so a cascaded sum
+    # could land a rounding boundary differently than the oracle's direct
+    # sum. Fixed-point arithmetic is exact, making the cascade PROVABLY
+    # equal to direct aggregation, not just usually equal.
+    value = F.col("value").cast("decimal(28, 6)")
     minutes = (
         events.groupBy(F.date_trunc("minute", "ts").alias("minute_start"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.sum(value).alias("total_value"),
         )
     )
     return (
@@ -2991,7 +2997,7 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.round(F.sum("total_value"), 2).alias("total_value"),
+            F.round(F.sum("total_value"), 2).cast("double").alias("total_value"),
         )
         .orderBy("hour_start")
     )
@@ -3058,16 +3064,18 @@ def q_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_model_scores",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, text,
-                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            SELECT doc_id, coalesce(text, '') AS text,
+                   list_filter(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\\s+'),
                                t -> t <> '') AS ts
             FROM documents
         )
         SELECT doc_id,
                round(1.0 / (1.0 + exp(-(
-                   4.0 * len(list_filter(ts, t -> list_contains(
-                       ['the','a','and','of','to','in','is','on','for','with'],
-                       t)))::DOUBLE / len(ts)
+                   CASE WHEN len(ts) = 0 THEN 0.0
+                        ELSE 4.0 * len(list_filter(ts, t -> list_contains(
+                            ['the','a','and','of','to','in','is','on','for',
+                             'with'], t)))::DOUBLE / len(ts) END
                    + length(text) / 1000.0 - 2.0
                ))), 6) AS score
         FROM toks
@@ -3101,7 +3109,7 @@ def q_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         s AS (
             SELECT doc_id, hx,
-                   CAST(('0x' || substr(hx, 1, 4))::INT % 8 AS INT) AS shard
+                   CAST(('0x' || substr(hx, 1, 8))::BIGINT % 8 AS INT) AS shard
             FROM h
         )
         SELECT doc_id,

@@ -94,9 +94,16 @@ class SyntheticDocsReader(DataSourceReader):
         self.eq: dict[str, str] = {}
 
     def pushFilters(self, filters):
-        """Accept lang/source equality; everything else goes back to Spark."""
+        """Accept ONE lang/source equality each; everything else — including
+        a second, conflicting equality on the same attribute — goes back to
+        Spark for post-evaluation (absorbing both and keeping only the last
+        would return rows that violate the first)."""
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute[0] in ("lang", "source"):
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute[0] in ("lang", "source")
+                and self.eq.get(f.attribute[0], f.value) == f.value
+            ):
                 self.eq[f.attribute[0]] = f.value
             else:
                 yield f
@@ -192,7 +199,17 @@ class ManifestParquetWriter(DataSourceWriter):
     total rows. Readers that trust only manifest-listed files therefore
     never see a partial write: the job's visibility flips atomically
     with the manifest, the same commit-protocol shape JVM sources and
-    table formats use. ``abort`` removes any staged files.
+    table formats use.
+
+    The manifest IS the commit contract. A task that crashes AFTER
+    staging its file but BEFORE returning its commit message leaves an
+    orphan ``abort`` cannot know about (abort removes only the files
+    reported in commit messages) — so ``commit`` also sweeps any
+    unlisted ``part-*.parquet`` left in the directory before writing the
+    manifest (single concurrent writer per directory assumed, as with
+    any non-locking table layout). Plain ``spark.read.parquet(dir)``
+    readers, which ignore manifests, should only be pointed at
+    directories whose last job committed.
     """
 
     def __init__(self, options, schema):
@@ -229,15 +246,27 @@ class ManifestParquetWriter(DataSourceWriter):
         import json
         import os
 
-        manifest = {
-            "files": [
-                {"path": os.path.basename(m.path), "rows": m.rows}
-                for m in messages
-                if m is not None
-            ],
-        }
-        manifest["total_rows"] = sum(f["rows"] for f in manifest["files"])
-        with open(os.path.join(self.path, "_manifest.json"), "w") as fh:
+        # Cumulative manifest: appends extend the committed file list, so
+        # the manifest always describes the WHOLE directory.
+        manifest_path = os.path.join(self.path, "_manifest.json")
+        files = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                files = json.load(fh)["files"]
+        files += [
+            {"path": os.path.basename(m.path), "rows": m.rows}
+            for m in messages
+            if m is not None
+        ]
+        # Sweep orphans — staged by a task that crashed before reporting
+        # its commit message, so neither abort nor any manifest knows
+        # them. Everything committed (prior manifests + this job) stays.
+        listed = {f["path"] for f in files}
+        for name in os.listdir(self.path):
+            if name.startswith("part-") and name.endswith(".parquet") and name not in listed:
+                os.remove(os.path.join(self.path, name))
+        manifest = {"files": files, "total_rows": sum(f["rows"] for f in files)}
+        with open(manifest_path, "w") as fh:
             json.dump(manifest, fh)
 
     def abort(self, messages):

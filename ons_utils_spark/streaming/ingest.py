@@ -43,47 +43,74 @@ def dedup_ingest_batch(
 ) -> int:
     """Process ONE batch of documents: reject near-dups, append survivors.
 
-    Steps: (1) optional within-batch dedup (keep the smallest id of each
-    near-dup pair); (2) LSH join against the stored index; (3) append
-    survivors to ``out_path`` and (when ``update_index``) their
-    ``minhash_index`` rows to ``index_path``. Returns the survivor count.
+    Steps: (1) compute the batch's ``minhash_index`` ONCE (the dominant
+    per-trigger cost — shingling + 64 hash lanes — is paid a single time
+    and reused by every later step); (2) optional within-batch dedup
+    (keep the smallest id of each near-dup pair); (3) LSH join against
+    the stored index — or bootstrap, if ``index_path`` doesn't exist yet,
+    by treating the corpus as empty; (4) append survivors to ``out_path``
+    and (when ``update_index``) their already-computed index rows to
+    ``index_path``. Returns the survivor count.
 
     Shared by the streaming ``foreachBatch`` hook and by plain batch
     ingest jobs — the logic is identical, which is the point of
     foreachBatch-style incremental design.
     """
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     batch = batch.select(id_col, text_col)
 
+    # One signature computation per trigger; eager checkpoint so neither
+    # the stream source nor the shingle pipeline re-runs per consumer.
+    batch_index = (
+        minhash_index(
+            batch, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    kept_index = batch_index
     if intra_batch:
         from ons_utils_spark.operators.dedup import minhash_lsh_pairs
 
         self_pairs = minhash_lsh_pairs(
-            batch, id_col, text_col, n=n, num_hashes=num_hashes,
+            index=kept_index, n=n, num_hashes=num_hashes,
             bands=bands, threshold=threshold, seed=seed,
         )
         losers = self_pairs.select(
-            F.greatest("id_a", "id_b").alias(id_col)
+            F.greatest("id_a", "id_b").alias("id")
         ).distinct()
-        batch = batch.join(losers, id_col, "left_anti")
+        kept_index = kept_index.join(losers, "id", "left_anti")
 
-    index = spark.read.parquet(index_path)
-    pairs = minhash_lsh_join(
-        batch, id_col=id_col, text_col=text_col, n=n,
-        num_hashes=num_hashes, bands=bands, threshold=threshold,
-        seed=seed, right_index=index,
-    )
-    dup_ids = pairs.select(F.col("id_left").alias(id_col)).distinct()
-    survivors = batch.join(dup_ids, id_col, "left_anti")
-    # The batch is consumed three times (intra-batch pairs, index join,
-    # anti join) — pin it so the stream source isn't re-read per consumer.
-    survivors = survivors.localCheckpoint(eager=True)
+    try:
+        index = spark.read.parquet(index_path)
+    except AnalysisException:
+        # First ever batch: no corpus index yet. Nothing to join against;
+        # the survivors' index rows below CREATE the index.
+        index = None
+    if index is not None:
+        pairs = minhash_lsh_join(
+            left_index=kept_index, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+            seed=seed, right_index=index,
+        )
+        dup_ids = pairs.select(F.col("id_left").alias("id")).distinct()
+        kept_index = kept_index.join(dup_ids, "id", "left_anti")
+
+    surviving_index = kept_index.localCheckpoint(eager=True)
+    # Rejected = sketchable docs whose index row was filtered away. Docs
+    # too short to shingle have no index row at all — they can never LSH-
+    # match anything, so they pass through as survivors (and stay
+    # unindexed, exactly as minhash_index treats them in batch mode).
+    rejected = batch_index.join(
+        surviving_index.select("id"), "id", "left_anti"
+    ).select(F.col("id").alias(id_col))
+    survivors = batch.join(rejected, id_col, "left_anti")
 
     survivors.write.mode("append").parquet(out_path)
     if update_index:
-        minhash_index(
-            survivors, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
-        ).write.mode("append").parquet(index_path)
+        surviving_index.write.mode("append").parquet(index_path)
     return survivors.count()
 
 

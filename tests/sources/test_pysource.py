@@ -174,3 +174,27 @@ class TestManifestParquetWriter:
         back = spark.read.parquet(out)
         assert back.count() == 2
         assert dict(back.dtypes) == {"id": "bigint", "s": "string"}
+
+    def test_append_accumulates_and_commit_sweeps_orphans(self, spark, tmp_path):
+        """Second append extends the manifest (first job's files survive);
+        an unreported orphan part file is swept at commit."""
+        import json
+        import os
+
+        from ons_utils_spark.sources.pysource import ManifestParquetDataSource
+
+        spark.dataSource.register(ManifestParquetDataSource)
+        out = str(tmp_path / "sink3")
+        df1 = spark.range(10).selectExpr("id").repartition(2)
+        df1.write.format("manifest_parquet").option("path", out).mode("append").save()
+        # Simulate a crashed task's orphan: staged file, no commit message.
+        orphan = os.path.join(out, "part-deadbeef.parquet")
+        open(orphan, "wb").write(b"not a real parquet")
+        df2 = spark.range(10, 25).selectExpr("id").repartition(2)
+        df2.write.format("manifest_parquet").option("path", out).mode("append").save()
+
+        manifest = json.load(open(os.path.join(out, "_manifest.json")))
+        assert manifest["total_rows"] == 25
+        assert not os.path.exists(orphan)
+        back = spark.read.parquet(out)
+        assert {r["id"] for r in back.collect()} == set(range(25))

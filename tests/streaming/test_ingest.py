@@ -112,3 +112,61 @@ class TestStreamingIngest:
         assert len(kept & {61, 70}) == 1
         idx_ids = {r["id"] for r in spark.read.parquet(corpus_index).collect()}
         assert idx_ids == {1} | kept
+
+
+class TestBootstrapAndReuse:
+    def test_first_batch_bootstraps_missing_index(self, spark, tmp_path):
+        """A fresh deployment has no index yet: the first batch must not
+        crash, must keep its own survivors, and must CREATE the index."""
+        idx = str(tmp_path / "fresh_index")
+        out = str(tmp_path / "out")
+        batch = spark.createDataFrame(
+            [(1, FRESH), (2, FRESH_NEAR), (3, OTHER)], SCHEMA
+        )
+        n = dedup_ingest_batch(batch, idx, out)
+        assert n == 2  # intra-batch dedup still applies on batch one
+        kept = {r["id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {1, 3}
+        assert {r["id"] for r in spark.read.parquet(idx).collect()} == {1, 3}
+        # Second batch now dedups against the bootstrapped index.
+        second = spark.createDataFrame([(9, FRESH)], SCHEMA)
+        assert dedup_ingest_batch(second, idx, out) == 0
+
+    def test_short_docs_survive_and_stay_unindexed(self, spark, corpus_index, tmp_path):
+        """Docs too short to shingle can never near-dup-match; they pass
+        through as survivors without entering the index."""
+        out = str(tmp_path / "out")
+        batch = spark.createDataFrame([(80, "hi"), (81, FRESH)], SCHEMA)
+        assert dedup_ingest_batch(batch, corpus_index, out) == 2
+        assert {r["id"] for r in spark.read.parquet(out).collect()} == {80, 81}
+        idx_ids = {r["id"] for r in spark.read.parquet(corpus_index).collect()}
+        assert 80 not in idx_ids and 81 in idx_ids
+
+
+class TestIndexReuseEquality:
+    def test_pairs_from_index_match_pairs_from_docs(self, spark):
+        from ons_utils_spark.operators.dedup import (
+            minhash_index,
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, BASE), (2, NEAR), (3, OTHER), (4, FRESH)], SCHEMA
+        )
+        direct = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(docs, "id", "text").collect()
+        }
+        via_index = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(
+                index=minhash_index(docs, "id", "text")
+            ).collect()
+        }
+        assert direct == via_index
+
+    def test_pairs_requires_exactly_one_input(self, spark):
+        from ons_utils_spark.operators.dedup import minhash_lsh_pairs
+
+        with pytest.raises(ValueError, match="exactly one"):
+            minhash_lsh_pairs()

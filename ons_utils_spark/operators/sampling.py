@@ -106,6 +106,34 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def kfold(
+    df: SparkDF,
+    key: Union[str, SparkCol],
+    k: int = 5,
+    fold_col: str = "fold",
+    salt: str = "",
+) -> SparkDF:
+    """Assign every row a deterministic cross-validation fold in ``[0, k)``.
+
+    Like :func:`training_order`'s shard, the fold derives from 32 bits of
+    ``md5(salt, key)`` — stable across runs, cluster sizes, and
+    partitionings, so fold ``i``'s holdout set is reproducible anywhere
+    (and a different ``salt`` gives an independent folding). Row-local
+    projection, zero shuffle; folds are balanced to within 32-bit-hash
+    uniformity for any ``k``.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return df.withColumn(
+        fold_col,
+        F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(k)
+        ).cast("int"),
+    )
+
+
 def cap_per_group(
     df: SparkDF,
     groups: Union[str, Sequence[str]],

@@ -3138,6 +3138,33 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kfold_counts",
+    oracle="""
+        SELECT CAST(('0x' || substr(md5('cv' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT % 5 AS INT) AS fold,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY fold
+        ORDER BY fold
+    """,
+    description="Deterministic 5-fold cross-validation assignment "
+    "(operators/sampling.py kfold): folds derive from 32 md5 bits so the "
+    "same row lands in the same fold on any cluster/partitioning; "
+    "row-local projection, zero shuffle before the counting aggregate.",
+)
+def q_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.sampling import kfold
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        kfold(docs, "doc_id", k=5, salt="cv")
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("fold")
+    )
+
+
+@register(
     "q_build_vocab",
     oracle="""
         WITH toks AS (
@@ -3573,6 +3600,7 @@ _GRADING_ORDER = [
     "q_quantized_embeddings",
     "q_rollup_cascade",
     "q_variant_props",
+    "q_kfold_counts",
     # ---- no SQL-expressible oracle (rows-only check) ---------------------
     "q_dedup_simhash",
     "q_similarity_ivf",

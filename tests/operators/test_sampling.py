@@ -193,3 +193,30 @@ class TestTrainingOrder:
         df = spark.range(5).select(F.col("id").alias("k"))
         with pytest.raises(ValueError, match="n_shards"):
             training_order(df, "k", n_shards=0)
+
+
+class TestKfold:
+    def test_partition_invariant_and_balanced(self, spark):
+        from ons_utils_spark.operators.sampling import kfold
+
+        df = spark.range(1000).select(F.col("id").alias("k"))
+        a = {r["k"]: r["fold"] for r in kfold(df, "k", k=5).collect()}
+        b = {r["k"]: r["fold"] for r in kfold(df.repartition(9), "k", k=5).collect()}
+        assert a == b
+        sizes = [list(a.values()).count(f) for f in range(5)]
+        assert sum(sizes) == 1000 and min(sizes) > 100  # roughly balanced
+
+    def test_salt_gives_independent_folding(self, spark):
+        from ons_utils_spark.operators.sampling import kfold
+
+        df = spark.range(200).select(F.col("id").alias("k"))
+        a = {r["k"]: r["fold"] for r in kfold(df, "k", salt="s0").collect()}
+        b = {r["k"]: r["fold"] for r in kfold(df, "k", salt="s1").collect()}
+        assert a != b
+
+    def test_bad_k_raises(self, spark):
+        from ons_utils_spark.operators.sampling import kfold
+
+        df = spark.range(5).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="k must be"):
+            kfold(df, "k", k=1)

@@ -106,6 +106,18 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def _hash32(key: Union[str, SparkCol], salt: str = "") -> SparkCol:
+    """32-bit integer bucket of ``md5(salt, key)`` (bigint column).
+
+    Shared by :func:`training_order` and :func:`kfold`: 32 bits keep
+    modular assignments balanced for any modulus (16 bits gave up to 2:1
+    skew whenever the modulus didn't divide 65536).
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
 def kfold(
     df: SparkDF,
     key: Union[str, SparkCol],
@@ -124,13 +136,8 @@ def kfold(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    key = F.col(key) if isinstance(key, str) else key
-    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
     return df.withColumn(
-        fold_col,
-        F.pmod(
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(k)
-        ).cast("int"),
+        fold_col, F.pmod(_hash32(key, salt), F.lit(k)).cast("int")
     )
 
 
@@ -212,12 +219,8 @@ def training_order(
         df.withColumn("__h", h)
         .withColumn("__k", key.cast("string"))
         .withColumn(
-            # 8 hex chars = 32 bits of the md5: with only 16 bits, any
-            # n_shards that doesn't divide 65536 gets up to 2:1 shard-size
-            # skew (and shards past 65536 would be permanently empty).
             shard_col,
-            F.pmod(F.conv(F.substring("__h", 1, 8), 16, 10).cast("long"),
-                   F.lit(n_shards)).cast("int"),
+            F.pmod(_hash32(key, salt), F.lit(n_shards)).cast("int"),
         )
         .withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))
         .drop("__h", "__k")

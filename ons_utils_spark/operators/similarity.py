@@ -214,12 +214,16 @@ def quantize_embeddings(
     qmax = float((1 << (bits - 1)) - 1)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, F.abs))
-    scale = amax / F.lit(qmax)
-    safe = F.greatest(scale, F.lit(1e-300))
+    # Materialize the scale as a COLUMN before building the codes: Spark's
+    # subexpression elimination skips lambda bodies, so inlining the
+    # array_max subtree into the transform would re-evaluate the O(d) max
+    # once PER ELEMENT — O(d²) per vector on this hot path.
+    out = df.withColumn(scale_col, amax / F.lit(qmax))
+    safe = F.greatest(F.col(scale_col), F.lit(1e-300))
     codes = F.transform(
         v, lambda x: F.floor(x / safe + F.lit(0.5)).cast("int")
     )
-    return df.withColumn(scale_col, scale).withColumn(q_col, codes)
+    return out.withColumn(q_col, codes)
 
 
 def dequantize_embeddings(

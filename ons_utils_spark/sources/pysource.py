@@ -111,11 +111,14 @@ class SyntheticDocsReader(DataSourceReader):
     def partitions(self):
         n = max(1, self.num_partitions)
         bounds = [self.rows * i // n for i in range(n + 1)]
-        return [
+        parts = [
             InputPartition((lo, hi))
             for lo, hi in zip(bounds, bounds[1:])
             if hi > lo
         ]
+        # rows=0: an EMPTY partition list makes PySpark call read(None);
+        # return one empty slice so the scan yields an empty DataFrame.
+        return parts or [InputPartition((0, 0))]
 
     def read(self, partition):
         lo, hi = partition.value
@@ -151,7 +154,10 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         lo = int(start["next"])
-        hi = min(lo + self.batch, self.rows)
+        # max(lo, ...): if a checkpointed offset exceeds a SHRUNK rows cap,
+        # serve nothing rather than regress the offset — structured
+        # streaming requires monotonically non-decreasing offsets.
+        hi = max(lo, min(lo + self.batch, self.rows))
         return (
             iter([_doc(i, self.seed) for i in range(lo, hi)]),
             {"next": hi},
@@ -212,11 +218,16 @@ class ManifestParquetWriter(DataSourceWriter):
     directories whose last job committed.
     """
 
-    def __init__(self, options, schema):
+    #: Rows buffered per staged row-group — bounds worker memory at
+    #: O(chunk), not O(partition), for arbitrarily large input partitions.
+    CHUNK_ROWS = 65536
+
+    def __init__(self, options, schema, overwrite: bool = False):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("manifest_parquet requires a 'path' option")
         self.schema = schema
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import os
@@ -232,25 +243,41 @@ class ManifestParquetWriter(DataSourceWriter):
 
         arrow_schema = to_arrow_schema(self.schema)
         os.makedirs(self.path, exist_ok=True)
-        rows = list(iterator)
         fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
         cols = self.schema.fieldNames()
-        table = pa.table(
-            {c: [row[i] for row in rows] for i, c in enumerate(cols)},
-            schema=arrow_schema,
-        )
-        pq.write_table(table, fname)
-        return _PartitionFile(path=fname, rows=len(rows))
+
+        def flush(writer, buffered):
+            table = pa.table(
+                {c: [row[i] for row in buffered] for i, c in enumerate(cols)},
+                schema=arrow_schema,
+            )
+            writer.write_table(table)
+
+        n = 0
+        buffered = []
+        with pq.ParquetWriter(fname, arrow_schema) as writer:
+            for row in iterator:
+                buffered.append(row)
+                if len(buffered) >= self.CHUNK_ROWS:
+                    flush(writer, buffered)
+                    n += len(buffered)
+                    buffered = []
+            if buffered:
+                flush(writer, buffered)
+                n += len(buffered)
+        return _PartitionFile(path=fname, rows=n)
 
     def commit(self, messages):
         import json
         import os
 
         # Cumulative manifest: appends extend the committed file list, so
-        # the manifest always describes the WHOLE directory.
+        # the manifest always describes the WHOLE directory. An OVERWRITE
+        # job starts the list fresh — the sweep below then removes every
+        # previously-committed file along with any orphans.
         manifest_path = os.path.join(self.path, "_manifest.json")
         files = []
-        if os.path.exists(manifest_path):
+        if not self.overwrite and os.path.exists(manifest_path):
             with open(manifest_path) as fh:
                 files = json.load(fh)["files"]
         files += [
@@ -285,4 +312,4 @@ class ManifestParquetDataSource(DataSource):
         return "manifest_parquet"
 
     def writer(self, schema, overwrite: bool) -> ManifestParquetWriter:
-        return ManifestParquetWriter(self.options, schema)
+        return ManifestParquetWriter(self.options, schema, overwrite)

@@ -106,7 +106,11 @@ def dedup_ingest_batch(
     rejected = batch_index.join(
         surviving_index.select("id"), "id", "left_anti"
     ).select(F.col("id").alias(id_col))
-    survivors = batch.join(rejected, id_col, "left_anti")
+    # Pin survivors: the write AND the returned count both consume it, and
+    # without the checkpoint each would re-read the raw stream source.
+    survivors = batch.join(rejected, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
 
     survivors.write.mode("append").parquet(out_path)
     if update_index:

@@ -198,3 +198,29 @@ class TestManifestParquetWriter:
         assert not os.path.exists(orphan)
         back = spark.read.parquet(out)
         assert {r["id"] for r in back.collect()} == set(range(25))
+
+    def test_overwrite_replaces_previous_commit(self, spark, tmp_path):
+        import json
+        import os
+
+        from ons_utils_spark.sources.pysource import ManifestParquetDataSource
+
+        spark.dataSource.register(ManifestParquetDataSource)
+        out = str(tmp_path / "sink4")
+        spark.range(10).write.format("manifest_parquet").option("path", out).mode(
+            "append"
+        ).save()
+        spark.range(100, 103).write.format("manifest_parquet").option(
+            "path", out
+        ).mode("overwrite").save()
+        manifest = json.load(open(os.path.join(out, "_manifest.json")))
+        assert manifest["total_rows"] == 3
+        back = spark.read.parquet(out)
+        assert {r["id"] for r in back.collect()} == {100, 101, 102}
+
+
+class TestZeroRows:
+    def test_zero_row_source_reads_empty(self, spark):
+        df = _read(spark, rows=0)
+        assert df.count() == 0
+        assert df.columns[0] == "doc_id"

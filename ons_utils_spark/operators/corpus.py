@@ -256,6 +256,11 @@ def percentile_length_cap(
     caps = df.groupBy(group_col).agg(
         F.expr(f"percentile({length_col}, {p!r})").alias("__cap")
     )
-    return df.join(F.broadcast(caps), group_col).where(
-        F.col(length_col) <= F.col("__cap")
-    )
+    # Null-safe equi-join so a NULL group forms its own group (matching
+    # the groupBy side, where NULL is already a key) instead of silently
+    # dropping those rows through a null-rejecting equi-join.
+    joined = df.join(
+        F.broadcast(caps.withColumnRenamed(group_col, "__cap_key")),
+        F.col(group_col).eqNullSafe(F.col("__cap_key")),
+    ).drop("__cap_key")
+    return joined.where(F.col(length_col) <= F.col("__cap"))

@@ -212,6 +212,12 @@ def training_order(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    clash = {"__h", "__k"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"training_order uses temp column(s) {sorted(clash)} which "
+            "already exist in the input — rename them first"
+        )
     key = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
     w = Window.partitionBy(shard_col).orderBy("__h", "__k")

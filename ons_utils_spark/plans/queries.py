@@ -3250,7 +3250,7 @@ def q_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.lang AS lang,
                count(*) AS n_kept,
                round(max(c.cap), 4) AS p90_chars
-        FROM documents d JOIN caps c ON d.lang = c.lang
+        FROM documents d JOIN caps c ON d.lang IS NOT DISTINCT FROM c.lang
         WHERE d.n_chars <= c.cap
         GROUP BY d.lang
         ORDER BY lang

@@ -207,13 +207,17 @@ class ManifestParquetWriter(DataSourceWriter):
     with the manifest, the same commit-protocol shape JVM sources and
     table formats use.
 
-    The manifest IS the commit contract. A task that crashes AFTER
-    staging its file but BEFORE returning its commit message leaves an
-    orphan ``abort`` cannot know about (abort removes only the files
-    reported in commit messages) — so ``commit`` also sweeps any
-    unlisted ``part-*.parquet`` left in the directory before writing the
-    manifest (single concurrent writer per directory assumed, as with
-    any non-locking table layout). Plain ``spark.read.parquet(dir)``
+    The manifest IS the commit contract: ``commit`` stages the new
+    manifest to a temp file and ``os.replace``-renames it into place, so
+    a crash at any point leaves either the previous manifest (with every
+    file it references still on disk) or the new one — never a torn
+    manifest and never a manifest naming deleted data. A task that
+    crashes AFTER staging its file but BEFORE returning its commit
+    message leaves an orphan ``abort`` cannot know about (abort removes
+    only the files reported in commit messages) — so ``commit`` also
+    sweeps unlisted ``part-*.parquet``, strictly AFTER the rename
+    (single concurrent writer per directory assumed, as with any
+    non-locking table layout). Plain ``spark.read.parquet(dir)``
     readers, which ignore manifests, should only be pointed at
     directories whose last job committed.
     """
@@ -285,16 +289,26 @@ class ManifestParquetWriter(DataSourceWriter):
             for m in messages
             if m is not None
         ]
-        # Sweep orphans — staged by a task that crashed before reporting
-        # its commit message, so neither abort nor any manifest knows
-        # them. Everything committed (prior manifests + this job) stays.
+        manifest = {"files": files, "total_rows": sum(f["rows"] for f in files)}
+        # Stage the manifest beside its final path and os.replace() it in:
+        # the rename is atomic on POSIX, so a reader either sees the old
+        # manifest (old files still present — the sweep hasn't run yet) or
+        # the new one, never a truncated file.
+        tmp_path = manifest_path + ".tmp"
+        with open(tmp_path, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp_path, manifest_path)
+        # Only after the new manifest is durable, sweep unreferenced files:
+        # orphans staged by tasks that crashed before reporting a commit
+        # message, and (in overwrite mode) the prior generation. A crash
+        # between the rename and this loop leaves extra files on disk but
+        # never a manifest pointing at deleted data.
         listed = {f["path"] for f in files}
         for name in os.listdir(self.path):
             if name.startswith("part-") and name.endswith(".parquet") and name not in listed:
                 os.remove(os.path.join(self.path, name))
-        manifest = {"files": files, "total_rows": sum(f["rows"] for f in files)}
-        with open(manifest_path, "w") as fh:
-            json.dump(manifest, fh)
 
     def abort(self, messages):
         import os

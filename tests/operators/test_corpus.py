@@ -332,3 +332,20 @@ class TestPercentileLengthCap:
         df = spark.createDataFrame([("en", 1)], "lang string, n bigint")
         with pytest.raises(ValueError, match="p must be"):
             percentile_length_cap(df, "lang", "n", p=1.5)
+
+    def test_null_group_forms_its_own_group(self, spark):
+        """Rows with a NULL group key are capped against each other —
+        NOT silently dropped by a null-rejecting equi-join."""
+        from ons_utils_spark.operators.corpus import percentile_length_cap
+
+        df = spark.createDataFrame(
+            [("en", 1), ("en", 9), (None, 10), (None, 20), (None, 300)],
+            "lang string, n bigint",
+        )
+        kept = percentile_length_cap(df, "lang", "n", p=0.5).collect()
+        by_lang = {}
+        for r in kept:
+            by_lang.setdefault(r["lang"], []).append(r["n"])
+        # NULL-group median of {10, 20, 300} = 20 → keeps 10 and 20.
+        assert sorted(by_lang[None]) == [10, 20]
+        assert sorted(by_lang["en"]) == [1]

@@ -194,6 +194,14 @@ class TestTrainingOrder:
         with pytest.raises(ValueError, match="n_shards"):
             training_order(df, "k", n_shards=0)
 
+    def test_temp_column_collision_raises(self, spark):
+        """Caller columns named __h/__k must not be silently clobbered."""
+        from ons_utils_spark.operators.sampling import training_order
+
+        df = spark.range(5).selectExpr("id AS k", "id AS __h")
+        with pytest.raises(ValueError, match="__h"):
+            training_order(df, "k", n_shards=2)
+
 
 class TestKfold:
     def test_partition_invariant_and_balanced(self, spark):

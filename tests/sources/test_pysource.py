@@ -199,6 +199,68 @@ class TestManifestParquetWriter:
         back = spark.read.parquet(out)
         assert {r["id"] for r in back.collect()} == set(range(25))
 
+    def test_torn_commit_never_exposes_partial_output(self, spark, tmp_path, monkeypatch):
+        """Kill the driver at each dangerous point inside commit() and
+        prove a manifest-following reader sees either the OLD generation
+        or the NEW one — never a truncated manifest or a manifest whose
+        files were already deleted.
+        """
+        import json
+        import os
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from ons_utils_spark.sources.pysource import ManifestParquetWriter
+
+        schema = StructType([StructField("id", LongType())])
+        out = str(tmp_path / "sink_torn")
+
+        def run_job(values, overwrite):
+            w = ManifestParquetWriter({"path": out}, schema, overwrite=overwrite)
+            msg = w.write(iter([(v,) for v in values]))
+            w.commit([msg])
+            return msg
+
+        def read_via_manifest():
+            manifest = json.load(open(os.path.join(out, "_manifest.json")))
+            got = set()
+            for f in manifest["files"]:
+                p = os.path.join(out, f["path"])
+                assert os.path.exists(p), f"manifest references deleted file {p}"
+                got |= {r["id"] for r in spark.read.parquet(p).collect()}
+            return got
+
+        run_job([1, 2, 3], overwrite=False)
+        assert read_via_manifest() == {1, 2, 3}
+
+        # Crash 1: during the manifest swap — os.replace never happens.
+        w2 = ManifestParquetWriter({"path": out}, schema, overwrite=True)
+        msg2 = w2.write(iter([(10,), (11,)]))
+        real_replace = os.replace
+        monkeypatch.setattr(os, "replace", lambda *a: (_ for _ in ()).throw(OSError("crash")))
+        with pytest.raises(OSError):
+            w2.commit([msg2])
+        monkeypatch.setattr(os, "replace", real_replace)
+        # Old generation fully intact: manifest parses, files all present.
+        assert read_via_manifest() == {1, 2, 3}
+
+        # Crash 2: after the swap, mid-sweep — os.remove dies first call.
+        w3 = ManifestParquetWriter({"path": out}, schema, overwrite=True)
+        msg3 = w3.write(iter([(20,), (21,)]))
+        monkeypatch.setattr(os, "remove", lambda *a: (_ for _ in ()).throw(OSError("crash")))
+        with pytest.raises(OSError):
+            w3.commit([msg3])
+        monkeypatch.setattr(os, "remove", os.unlink)
+        # New generation visible and complete; stale files are mere orphans.
+        assert read_via_manifest() == {20, 21}
+
+        # A clean retry converges: next overwrite commit sweeps everything.
+        run_job([30], overwrite=True)
+        assert read_via_manifest() == {30}
+        on_disk = {p for p in os.listdir(out) if p.endswith(".parquet")}
+        manifest = json.load(open(os.path.join(out, "_manifest.json")))
+        assert on_disk == {f["path"] for f in manifest["files"]}
+
     def test_overwrite_replaces_previous_commit(self, spark, tmp_path):
         import json
         import os

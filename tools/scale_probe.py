@@ -35,7 +35,12 @@ def main() -> None:
     # A real cluster sizes executor memory explicitly; do the same here.
     spark = get_session(
         app_name="scale_probe",
-        extra_configs={"spark.driver.memory": "24g"},
+        extra_configs={
+            "spark.driver.memory": "24g",
+            # The UI's REST endpoint is how the rescan probe reads
+            # per-stage shuffle-write bytes (public monitoring API).
+            "spark.ui.enabled": "true",
+        },
     )
     spark.range(1000).count()
 
@@ -48,9 +53,44 @@ def main() -> None:
             copies.append(copy)
         return functools.reduce(DataFrame.unionByName, copies)
 
+    from ons_utils_spark.operators import dedup as _dedup
+    from ons_utils_spark.sources.pysource import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+
     lineitem = load_table(spark, SF_DIR, "lineitem")
     orders = load_table(spark, SF_DIR, "orders")
     documents = load_table(spark, SF_DIR, "documents")
+    embeddings = load_table(spark, SF_DIR, "embeddings")
+
+    def replicate_embeddings(df: DataFrame, factor: int) -> DataFrame:
+        """Replicate embeddings with per-copy dimension ROTATION.
+
+        Rotation is a permutation, i.e. an isometry: every intra-copy
+        cosine is preserved exactly, so each copy contributes the same
+        near-dup pairs as the original. Cross-copy cosines between a
+        vector and a rotated one are ~0 for these synthetic Gaussians —
+        far below any dedup threshold — so the workload scales factor×
+        linearly instead of manufacturing C(factor,2) cross-copy matches.
+        """
+        dim = 64
+        copies = []
+        for i in range(factor):
+            rot = (i * 17) % dim
+            if rot == 0:
+                emb = F.col("embedding")
+            else:
+                emb = F.concat(
+                    F.slice("embedding", rot + 1, dim - rot),
+                    F.slice("embedding", 1, rot),
+                )
+            copies.append(
+                df.select(
+                    (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
+                    emb.alias("embedding"),
+                )
+            )
+        return functools.reduce(DataFrame.unionByName, copies)
 
     def replicate_docs(df: DataFrame, factor: int) -> DataFrame:
         """Replicate documents with DISJOINT shingle spaces per copy.
@@ -116,6 +156,29 @@ def main() -> None:
         "batch_inference": lambda f: __import__(
             "ons_utils_spark.operators.inference", fromlist=["batch_score"]
         ).batch_score(replicate_docs(documents, f), "text"),
+        # Round-4 additions (judge ask): the two cluster-resolution
+        # pipelines and the Python Data Source batch read at 10×.
+        "dedup_clusters": lambda f: _dedup.near_dup_representatives(
+            replicate_docs(documents, f).select(F.col("doc_id").alias("id")),
+            _dedup.minhash_lsh_pairs(
+                replicate_docs(documents, f), "doc_id", "text", threshold=0.5
+            ),
+        ),
+        "semantic_dedup": lambda f: _dedup.near_dup_representatives(
+            replicate_embeddings(embeddings, f).select(F.col("vec_id").alias("id")),
+            _dedup.embedding_near_dup_pairs_blocked(
+                replicate_embeddings(embeddings, f), "vec_id", "embedding",
+                threshold=0.4,
+            ),
+        ),
+        "pysource_batch_read": lambda f: (
+            spark.read.format("synthetic_docs")
+            .option("rows", f * 100_000)
+            .option("partitions", 32)
+            .load()
+            .groupBy("lang")
+            .agg(F.sum("n_chars").alias("chars"))
+        ),
     }.items():
         times = {}
         # Untimed warmup so the 1x measurement doesn't carry codegen cost.
@@ -127,7 +190,55 @@ def main() -> None:
         ratio = round(times[FACTOR] / times[1], 2) if times[1] else None
         results[name] = {"t_1x": times[1], f"t_{FACTOR}x": times[FACTOR], "ratio": ratio}
 
-    print(json.dumps({"factor": FACTOR, "sf_dir": SF_DIR, "results": results}))
+    # ------------------------------------------------------------------
+    # MinHash verify-mode probe: shuffle bytes vs DOCUMENT LENGTH.
+    # carry ships every doc's shingle-hash set through the signature
+    # shuffle (bytes grow with doc length); rescan ships a fixed-width
+    # signature and re-scans only candidates (bytes ~flat). Measured via
+    # the public monitoring REST API's per-stage shuffleWriteBytes.
+    # ------------------------------------------------------------------
+    import urllib.request
+
+    def shuffle_write_bytes() -> int:
+        app_id = spark.sparkContext.applicationId
+        url = f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app_id}/stages?status=complete"
+        stages = json.load(urllib.request.urlopen(url))
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+    def lengthen(df: DataFrame, m: int) -> DataFrame:
+        """Grow every document ~m× in DISTINCT shingles (per-repeat token
+        prefix) without changing the corpus's near-dup pair structure."""
+        parts = [F.regexp_replace("text", r"(\S+)", f"r{j}$1") for j in range(m)]
+        return df.select("doc_id", F.concat_ws(" ", *parts).alias("text"))
+
+    from ons_utils_spark.operators.dedup import minhash_lsh_pairs
+
+    LEN_FACTOR = 4
+    verify_probe = {}
+    for mode in ("carry", "rescan"):
+        per_len = {}
+        for m in (1, LEN_FACTOR):
+            q = minhash_lsh_pairs(lengthen(documents, m), "doc_id", "text", verify=mode)
+            q.write.format("noop").mode("overwrite").save()  # warm codegen
+            before = shuffle_write_bytes()
+            q.write.format("noop").mode("overwrite").save()
+            per_len[m] = shuffle_write_bytes() - before
+        verify_probe[mode] = {
+            "shuffle_mb_len1": round(per_len[1] / 2**20, 1),
+            f"shuffle_mb_len{LEN_FACTOR}": round(per_len[LEN_FACTOR] / 2**20, 1),
+            "bytes_ratio": round(per_len[LEN_FACTOR] / per_len[1], 2) if per_len[1] else None,
+        }
+
+    print(
+        json.dumps(
+            {
+                "factor": FACTOR,
+                "sf_dir": SF_DIR,
+                "results": results,
+                "minhash_verify_doclen_probe": {"len_factor": LEN_FACTOR, **verify_probe},
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

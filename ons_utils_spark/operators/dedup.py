@@ -125,24 +125,38 @@ def _pair_shingle_counts(
     core of :func:`jaccard_pairs` and :func:`containment_pairs`, which
     differ only in the score they derive from these counts.
 
-    Explode FIRST: the Generate node is an optimizer barrier, so the
-    shingle pipeline evaluates once per doc (projecting size(s) next to
-    explode(s) makes CollapseProject evaluate it twice). Then the
-    POSTINGS-LIST formulation: group ids per shingle and emit the C(k,2)
-    pairs per posting — one corpus scan and one shuffle, measured ~45%
-    faster than the equivalent self-join (which scans and shingles the
-    corpus twice). Shingles travel as 64-bit hashes (shingle_hash64):
-    set overlap only needs shingle identity, and an 8-byte group key
-    keeps the postings shuffle ~3x smaller than trigram strings.
+    POSTINGS-LIST formulation: group (id, set size) per shingle and emit
+    the C(k,2) pairs per posting — ONE corpus scan and one shuffle,
+    measured ~45% faster than the equivalent self-join (which scans and
+    shingles the corpus twice). Shingles travel as 64-bit hashes
+    (shingle_hash64): set overlap only needs shingle identity, and an
+    8-byte group key keeps the postings shuffle ~3x smaller than trigram
+    strings.
+
+    The set size rides WITH the id through the postings (an 8-byte
+    passenger on each exploded row), so no separate ``sizes`` aggregate
+    and no joins back to it — the r3 form computed sizes from a second
+    tokenize pass over the corpus and joined it in twice. To attach
+    ``size(grams)`` next to ``explode(grams)`` without CollapseProject
+    inlining the whole shingle pipeline into BOTH expressions, the grams
+    array is materialized behind a single-row explode barrier first
+    (Generate nodes are optimizer barriers), then sized and exploded.
     """
-    shingled = df.select(
+    grams = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_hash64(text_col, n=n)).alias("sh"),
+        # Barrier 1: materialize the shingle array once per doc.
+        F.explode(F.array(shingle_hash64(text_col, n=n))).alias("g"),
+    )
+    shingled = grams.select(
+        "id",
+        F.size("g").alias("sz"),
+        # Barrier 2: fan out to one row per shingle, sz riding along.
+        F.explode("g").alias("sh"),
     )
 
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-
-    posts = shingled.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    posts = shingled.groupBy("sh").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("ids")
+    )
     if max_df is not None:
         # The skew guard is mandatory at web scale for this formulation:
         # a stop-shingle's posting list is otherwise unbounded.
@@ -153,19 +167,21 @@ def _pair_shingle_counts(
             "ids",
             lambda x, i: F.transform(
                 F.slice("ids", i + 2, F.size("ids") - i - 1),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sz"].alias("sz_a"),
+                    y["sz"].alias("sz_b"),
+                ),
             ),
         )
     )
     return (
         posts.where(F.size("ids") > 1)
         .select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.id_a", "p.id_b")
+        .groupBy("p.id_a", "p.id_b", "p.sz_a", "p.sz_b")
         .agg(F.count(F.lit(1)).alias("shared"))
-        # No broadcast hint on sizes: AQE broadcasts it when small and
-        # falls back to a shuffle join at billion-doc scale.
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select("id_a", "id_b", "shared", "sz_a", "sz_b")
     )
 
 

@@ -1,0 +1,179 @@
+"""DuckDB-SQL implementation of Spark's ``xxhash64`` for oracle parity.
+
+Spark's ``xxhash64(col)`` is XXH64 (Collet's xxHash, public domain spec)
+with seed 42 over the value's byte encoding — UTF-8 bytes for strings,
+8-byte little-endian for longs — and multi-argument calls chain the
+running hash as the next argument's seed. DuckDB ships no xxhash, so the
+SimHash pipeline (sketches built from xxhash64 bit votes) had no SQL
+oracle until this module: it emits plain-SELECT DuckDB SQL (chained CTE
+columns — one hash step per column, so no exponential expression blowup)
+that reproduces Spark's hashes bit-for-bit, verified against
+``F.xxhash64`` outputs in ``tests/plans/test_oracle_xxh64.py``.
+
+All 64-bit modular arithmetic runs in HUGEINT (128-bit): products of two
+64-bit values are computed via 32-bit limb splitting so no intermediate
+exceeds 2^98. Strings are assumed ASCII (code point == byte — true for
+the synthetic corpus and asserted cheap in the tests) and shorter than
+32 bytes (no stripe loop; the generated SQL NULLs out longer tokens
+rather than mis-hashing them).
+"""
+
+from __future__ import annotations
+
+# XXH64 prime constants (unsigned 64-bit), from the public xxHash spec.
+P1 = 11400714785074694791
+P2 = 14029467366897019727
+P3 = 1609587929392839161
+P4 = 9650029242287828579
+P5 = 2870177450012600261
+M64 = 18446744073709551616  # 2^64
+POW256 = [256**j for j in range(8)]
+
+
+def _mul64(a: str, b: str) -> str:
+    """``(a * b) mod 2^64`` via 32-bit limbs — both operands < 2^64."""
+    return (
+        f"((({a}) % 4294967296) * (({b}) % 4294967296) + "
+        f"(((({a}) % 4294967296) * (({b}) // 4294967296) + "
+        f"(({a}) // 4294967296) * (({b}) % 4294967296)) % 4294967296) "
+        f"* 4294967296) % {M64}"
+    )
+
+
+def _rotl(x: str, r: int) -> str:
+    lo_keep = 1 << (64 - r)
+    return f"((({x}) % {lo_keep}) * {1 << r} + ({x}) // {lo_keep})"
+
+
+def _xor(a: str, b: str) -> str:
+    return f"xor(({a})::HUGEINT, ({b})::HUGEINT)"
+
+
+def _fmix(pfx: str, h: str) -> list[tuple[str, str]]:
+    return [
+        (f"{pfx}_e", _xor(h, f"{h} // 8589934592")),  # >> 33
+        (f"{pfx}_f", _mul64(f"{pfx}_e", str(P2))),
+        (f"{pfx}_g", _xor(f"{pfx}_f", f"{pfx}_f // 536870912")),  # >> 29
+        (f"{pfx}_h", _mul64(f"{pfx}_g", str(P3))),
+        (pfx, _xor(f"{pfx}_h", f"{pfx}_h // 4294967296")),  # >> 32
+    ]
+
+
+def long_hash_steps(pfx: str, inp: str, seed: str) -> list[tuple[str, str]]:
+    """Column steps computing ``xxhash64(long)``: XXH64 of the 8-byte
+    value with the given seed column/expression. ``inp`` must already be
+    the UNSIGNED 64-bit value (negative longs shifted by 2^64)."""
+    return [
+        (f"{pfx}_a", _mul64(inp, str(P2))),
+        (f"{pfx}_b", _mul64(_rotl(f"{pfx}_a", 31), str(P1))),
+        (f"{pfx}_c", _xor(f"(({seed}) + {P5} + 8) % {M64}", f"{pfx}_b")),
+        (f"{pfx}_d", f"({_mul64(_rotl(f'{pfx}_c', 27), str(P1))} + {P4}) % {M64}"),
+        *_fmix(pfx, f"{pfx}_d"),
+    ]
+
+
+def str_hash_steps(pfx: str, tok: str, seed: str) -> list[tuple[str, str]]:
+    """Column steps computing ``xxhash64(string)`` for ASCII strings of
+    fewer than 32 bytes (the XXH64 short path: 8-byte chunks via
+    list_reduce, one optional 4-byte chunk, tail bytes)."""
+    l = f"strlen({tok})"
+    read8 = "(" + " + ".join(
+        f"ord(({tok})[8*c + {j + 1}])::HUGEINT * {POW256[j]}" for j in range(8)
+    ) + ")"
+    chunks8 = f"[{read8} for c in generate_series(0, {l} // 8 - 1)]"
+    round_in = _xor("acc", _mul64(_rotl(_mul64("k", str(P2)), 31), str(P1)))
+    round8 = f"({_mul64(_rotl(round_in, 27), str(P1))} + {P4}) % {M64}"
+    off4 = f"(({l} // 8) * 8)"
+    read4 = "(" + " + ".join(
+        f"ord(({tok})[{off4} + {j + 1}])::HUGEINT * {POW256[j]}" for j in range(4)
+    ) + ")"
+    h4_in = _xor(f"{pfx}_h8", _mul64(read4, str(P1)))
+    offb = f"(({l} // 8) * 8 + CASE WHEN {l} % 8 >= 4 THEN 4 ELSE 0 END)"
+    bytes_list = f"[ord(({tok})[p])::HUGEINT for p in generate_series({offb} + 1, {l})]"
+    bbody = _mul64(_rotl(_xor("acc", _mul64("k", str(P5))), 11), str(P1))
+    return [
+        # Tokens >= 32 bytes would need the 4-accumulator stripe loop;
+        # NULL them out loudly instead of hashing them wrong.
+        (f"{pfx}_h0", f"CASE WHEN {l} < 32 THEN (({seed}) + {P5} + {l}) % {M64} END"),
+        (f"{pfx}_h8",
+         f"CASE WHEN {l} >= 8 THEN list_reduce("
+         f"list_prepend({pfx}_h0::HUGEINT, {chunks8}), (acc, k) -> {round8}) "
+         f"ELSE {pfx}_h0 END"),
+        (f"{pfx}_h4",
+         f"CASE WHEN {l} % 8 >= 4 THEN "
+         f"({_mul64(_rotl(h4_in, 23), str(P2))} + {P3}) % {M64} "
+         f"ELSE {pfx}_h8 END"),
+        (f"{pfx}_hb",
+         f"CASE WHEN {l} > {offb} THEN list_reduce("
+         f"list_prepend({pfx}_h4::HUGEINT, {bytes_list}), (acc, k) -> {bbody}) "
+         f"ELSE {pfx}_h4 END"),
+        *_fmix(pfx, f"{pfx}_hb"),
+    ]
+
+
+def chain(base: str, steps: list[tuple[str, str]], name: str, out: str) -> str:
+    """Append one CTE per step (each referencing the previous step's
+    column by name) and a final CTE ``out`` selecting ``*``."""
+    cur = base
+    sql = ""
+    for i, (col, expr) in enumerate(steps):
+        nxt = f"{name}_{i}"
+        sql += f", {nxt} AS (SELECT *, ({expr}) AS {col} FROM {cur})"
+        cur = nxt
+    sql += f", {out} AS (SELECT * FROM {cur})"
+    return sql
+
+
+def simhash_pairs_oracle(toks_cte: str, max_hamming: int = 3) -> str:
+    """Full DuckDB oracle for ``q_dedup_simhash``: token xxhash64 →
+    bigram chain (``xxhash64(h_i, h_{i+1})``) → per-bit majority votes →
+    64-bit sketch (two 32-bit halves) → all-pairs Hamming ≤ k.
+
+    ``toks_cte`` must be the shared ``WITH toks AS (...)`` tokenizer CTE
+    so token parity with Spark's ``tokenize`` is inherited from the
+    already-hash-green MinHash/Jaccard oracles.
+    """
+    powers = "[" + ", ".join(str(1 << p) for p in range(64)) + "]::HUGEINT[]"
+    sql = toks_cte
+    sql += """,
+    tokpos AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+        FROM toks WHERE len(toks) >= 2
+    ),
+    tokrows AS (SELECT doc_id, pos, toks[pos] AS tok FROM tokpos)"""
+    sql += chain("tokrows", str_hash_steps("th", "tok", "42"), "thc", "thash")
+    sql += """,
+    bigrams AS (
+        SELECT a.doc_id, a.pos, a.th AS au, b.th AS bu
+        FROM thash a JOIN thash b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )"""
+    sql += chain("bigrams", long_hash_steps("ha", "au", "42"), "hac", "seeded")
+    sql += chain("seeded", long_hash_steps("sh", "bu", "ha"), "shc", "shingled")
+    sql += f""",
+    votes AS (
+        SELECT doc_id, unnest(generate_series(0, 63)) AS p, sh FROM shingled
+    ),
+    bitv AS (
+        SELECT doc_id, p, ((sh // ({powers})[p + 1]) % 2)::BIGINT AS bit
+        FROM votes
+    ),
+    perbit AS (
+        SELECT doc_id, p, sum(bit) AS c, count(*) AS n
+        FROM bitv GROUP BY doc_id, p
+    ),
+    sk AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN 2 * c > n AND p < 32
+                             THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS lo,
+               CAST(sum(CASE WHEN 2 * c > n AND p >= 32
+                             THEN (1::BIGINT << (p - 32)) ELSE 0 END) AS BIGINT) AS hi
+        FROM perbit GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INTEGER
+               AS hamming
+    FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+    return sql

@@ -652,23 +652,36 @@ def embedding_near_dup_pairs_blocked(
     # bigint here corrupted/rejected string ids while the unblocked twin
     # accepted them (ADVICE r1).
     id_ddl = df.schema[id_col].dataType.simpleString()
-    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     data = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), block.alias("block")
     )
 
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "block_a int, block_b int",
+    # Tag each vector with every block-pair group it participates in: a
+    # vector in block b is side "a" of pairs (b, j>=b) and side "b" of
+    # pairs (i<=b, b) — one row-local explode of a computed membership
+    # array. (The pre-r4 form built the same rows from a block_pairs
+    # dim table via two broadcast joins + union — three codegen subtrees
+    # and a broadcast build that dominated FIRST-run latency; the explode
+    # is a single subtree with identical output.)
+    b = F.col("block")
+    memberships = F.concat(
+        F.transform(
+            F.sequence(b, F.lit(n_blocks - 1)),
+            lambda j: F.struct(
+                b.alias("block_a"), j.alias("block_b"), F.lit("a").alias("side")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), b),
+            lambda i: F.struct(
+                i.alias("block_a"), b.alias("block_b"), F.lit("b").alias("side")
+            ),
+        ),
     )
-    # Tag each vector with every block-pair group it participates in.
-    side_a = data.join(block_pairs, data.block == block_pairs.block_a).select(
-        "block_a", "block_b", "id", "vec", F.lit("a").alias("side")
-    )
-    side_b = data.join(block_pairs, data.block == block_pairs.block_b).select(
-        "block_a", "block_b", "id", "vec", F.lit("b").alias("side")
-    )
-    tagged = side_a.unionByName(side_b)
+    tagged = data.select(
+        "id", "vec", F.explode(memberships).alias("m")
+    ).select("m.block_a", "m.block_b", "id", "vec", "m.side")
 
     out_schema = f"id_a {id_ddl}, id_b {id_ddl}, cos_sim double"
 

@@ -159,6 +159,7 @@ def run_trial() -> dict:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "shared16_total": shared16,
+        "shared16_steady": round(sum(steady[n] for n in HEADLINE[:16]), 3),
         "steady_total": round(sum(steady.values()), 3),
         "queries_steady": steady,
         "calibration_sec": calibration,
@@ -216,6 +217,7 @@ def main() -> None:
         },
         "sf": t0["sf"],
         "shared16_total": median([t["shared16_total"] for t in trials]),
+        "shared16_steady": median([t["shared16_steady"] for t in trials]),
         "steady_total": median([t["steady_total"] for t in trials]),
         "queries_steady": {
             q: median([t["queries_steady"][q] for t in trials])
@@ -228,6 +230,7 @@ def main() -> None:
             {
                 "value": t["value"],
                 "shared16_total": t["shared16_total"],
+                "shared16_steady": t["shared16_steady"],
                 "steady_total": t["steady_total"],
                 "calibration_sec": t["calibration_sec"],
             }

@@ -234,6 +234,81 @@ def oov_stats(
     )
 
 
+def span_dedup(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+    min_count: int = 2,
+) -> SparkDF:
+    """Remove passages duplicated ACROSS the corpus (C4-style line/span
+    dedup, generalized to fixed token windows for corpora without line
+    structure).
+
+    Documents are cut into non-overlapping ``span_tokens``-token spans
+    (last span may be short). A span whose occurrence count across the
+    whole corpus reaches ``min_count`` is boilerplate: every occurrence
+    is dropped EXCEPT those in the document with the smallest id among
+    its carriers (deterministic keeper, so the content survives exactly
+    once). Unique spans pass through. Returns
+    ``(id, clean_text, n_spans, n_kept)`` for every document that keeps
+    at least one span, with ``clean_text`` the kept spans re-joined in
+    original order.
+
+    100 TB story: one scan cuts spans; span stats are a partial-aggregated
+    shuffle keyed by the span's md5 (32-byte bounded key, never the raw
+    passage); the verdict joins back on the same key (co-partitioned —
+    Catalyst reuses the exchange) and documents reassemble with one
+    shuffle on the doc id. No global sort, no driver data. md5 (not
+    xxhash64) so the DuckDB oracle computes the identical key.
+    """
+    toks = tokenize(F.col(text_col))
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    # Guarded: Spark's sequence(0, -1) is DESCENDING, so an empty doc
+    # must yield an empty span array, not a phantom span.
+    span_arr = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda s: F.struct(
+                s.alias("pos"),
+                F.concat_ws(
+                    " ", F.slice(toks, s * span_tokens + 1, span_tokens)
+                ).alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast(f"array<struct<pos:int,span:string>>"))
+    spans = df.select(
+        F.col(id_col).alias("id"), F.explode(span_arr).alias("sp")
+    ).select("id", "sp.pos", "sp.span", F.md5("sp.span").alias("k"))
+
+    stats = spans.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("id").alias("keeper")
+    )
+    kept = (
+        spans.join(stats, "k")
+        .where((F.col("cnt") < min_count) | (F.col("id") == F.col("keeper")))
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "span"))).alias("ps"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(
+            spans.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans")), "id"
+        )
+        .select(
+            "id",
+            F.concat_ws(
+                " ", F.transform("ps", lambda x: x["span"])
+            ).alias("clean_text"),
+            "n_spans",
+            "n_kept",
+        )
+    )
+
+
 def percentile_length_cap(
     df: SparkDF,
     group_col: str,

@@ -550,18 +550,38 @@ def simhash_pairs(
         ).alias("c"),
     ).select("id", "sh", "c.chunk_idx", "c.chunk_val")
 
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
+    # POSTINGS-LIST form (the same idiom as jaccard/minhash candidate
+    # generation): group (id, sketch) per chunk bucket and emit C(k,2)
+    # pairs per bucket. One banded subtree instead of a self-joined pair
+    # of them — the self-join form computed the whole sketch aggregate
+    # twice (two corpus scans in the executed plan). sort_array on the
+    # (id, sh) structs orders by id, so id_a < id_b falls out of the
+    # triangular emission.
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + 2, F.size("items") - i - 1),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sh"].alias("sh_a"),
+                    y["sh"].alias("sh_b"),
+                ),
+            ),
         )
+    )
+    pairs = (
+        banded.groupBy("chunk_idx", "chunk_val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sh"))).alias("items"))
+        .where(F.size("items") > 1)
+        .select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+            "p.id_a",
+            "p.id_b",
+            F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b"))).alias(
+                "hamming"
+            ),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

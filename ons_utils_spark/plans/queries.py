@@ -3384,6 +3384,49 @@ def q_length_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_span_dedup",
+    oracle=_TOKS_CTE
+    + """,
+    spans AS (
+        SELECT doc_id, s AS pos,
+               array_to_string(toks[(s*16 + 1):(s*16 + 16)], ' ') AS span
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(
+                         0, CAST(ceil(len(toks) / 16.0) AS BIGINT) - 1)) AS s
+              FROM toks WHERE len(toks) > 0)
+    ),
+    stats AS (SELECT md5(span) AS k, count(*) AS cnt, min(doc_id) AS keeper
+              FROM spans GROUP BY 1),
+    kept AS (
+        SELECT s.doc_id, s.pos, s.span
+        FROM spans s JOIN stats t ON md5(s.span) = t.k
+        WHERE t.cnt < 2 OR s.doc_id = t.keeper
+    )
+    SELECT k.doc_id AS id,
+           string_agg(k.span, ' ' ORDER BY k.pos) AS clean_text,
+           max(tot.n_spans) AS n_spans,
+           count(*) AS n_kept
+    FROM kept k
+    JOIN (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id) tot
+      ON k.doc_id = tot.doc_id
+    GROUP BY k.doc_id
+    ORDER BY id
+    """,
+    description="C4-style duplicated-passage removal generalized to fixed "
+    "16-token spans (operators/corpus.py span_dedup): spans occurring >= 2 "
+    "times corpus-wide survive only in their smallest-id carrier document; "
+    "unique spans pass through; documents reassemble in original span "
+    "order. Span stats shuffle on a bounded md5 key (never the raw "
+    "passage) and the verdict join reuses that exchange.",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _corpus.span_dedup(
+        docs, "doc_id", "text", span_tokens=16, min_count=2
+    ).orderBy("id")
+
+
+@register(
     "q_priority_line_mix",
     oracle="""
         SELECT l.l_returnflag AS l_returnflag,
@@ -3701,6 +3744,7 @@ _GRADING_ORDER = [
     "q_build_vocab",
     "q_oov_ratio",
     "q_length_cap",
+    "q_span_dedup",
     "q_training_order",
     "q_model_scores",
     "q_containment_pairs",

@@ -307,6 +307,62 @@ class TestOovStats:
         assert round(row["oov_ratio"], 6) == round(1 / 3, 6)
 
 
+class TestSpanDedup:
+    def test_duplicated_span_kept_only_in_smallest_id(self, spark):
+        from ons_utils_spark.operators.corpus import span_dedup
+
+        shared = "alpha beta gamma delta"  # 4 tokens = one span
+        df = spark.createDataFrame(
+            [
+                (1, shared + " unique one"),
+                (2, shared + " unique two"),
+                (3, "totally different text here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["id"]: r
+            for r in span_dedup(df, "doc_id", "text", span_tokens=4).collect()
+        }
+        # Doc 1 (smallest carrier) keeps the shared span; doc 2 loses it.
+        assert out[1]["clean_text"] == shared + " unique one"
+        assert out[2]["clean_text"] == "unique two"
+        assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+        assert out[3]["clean_text"] == "totally different text here"
+
+    def test_unique_docs_pass_through_verbatim(self, spark):
+        from ons_utils_spark.operators.corpus import span_dedup
+
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(10)))
+                for i in range(1, 6)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["id"]: r["clean_text"]
+               for r in span_dedup(df, "doc_id", "text", span_tokens=4).collect()}
+        assert out == {i: t for i, t in rows}
+
+    def test_doc_of_only_boilerplate_vanishes(self, spark):
+        from ons_utils_spark.operators.corpus import span_dedup
+
+        df = spark.createDataFrame(
+            [(1, "same old span"), (2, "same old span"), (3, "same old span")],
+            "doc_id bigint, text string",
+        )
+        out = {r["id"]: r["clean_text"]
+               for r in span_dedup(df, "doc_id", "text", span_tokens=4).collect()}
+        # Only the keeper survives; the other docs keep zero spans.
+        assert out == {1: "same old span"}
+
+    def test_empty_text_yields_no_rows(self, spark):
+        from ons_utils_spark.operators.corpus import span_dedup
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "  "), (3, "real content")],
+            "doc_id bigint, text string",
+        )
+        out = {r["id"] for r in span_dedup(df, "doc_id", "text").collect()}
+        assert out == {3}
+
+
 class TestPercentileLengthCap:
     def test_keeps_at_or_below_group_quantile(self, spark):
         from ons_utils_spark.operators.corpus import percentile_length_cap

@@ -180,6 +180,118 @@ def quality_score(
     return F.round(total / F.lit(float(len(checks))), 2)
 
 
+def gopher_quality_flags(
+    text: Union[str, SparkCol],
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> SparkCol:
+    """Gopher-style (Rae et al. 2021, public report) document quality
+    rules as a struct of per-rule booleans plus the conjunction.
+
+    Rules (the line/bullet rules are omitted — they need line structure):
+    word count within bounds; mean word length within bounds; symbol
+    (``#``/ellipsis) to word ratio below threshold; fraction of words
+    containing at least one alphabetic character above threshold; at
+    least ``min_stopword_hits`` distinct English stopwords present.
+    Pure row-local Catalyst expressions — zero shuffle, and every rule is
+    plain SQL so cross-engine oracles can recompute it verbatim.
+
+    Returns ``struct<n_words, mean_word_len, symbol_ratio,
+    alpha_word_frac, stopword_hits, word_count_ok, word_len_ok,
+    symbol_ok, alpha_ok, stopword_ok, passes>``.
+    """
+    toks = tokenize(text)
+    n_words = F.size(toks)
+    nz = F.when(n_words > 0, n_words.cast("double"))
+    mean_len = F.round(
+        F.coalesce(
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            )
+            / nz,
+            F.lit(0.0),
+        ),
+        6,
+    )
+    raw = _col(text)
+    n_symbols = (
+        F.length(raw) - F.length(F.regexp_replace(raw, r"[#…]|\.\.\.", ""))
+    )
+    symbol_ratio = F.round(
+        F.coalesce(n_symbols.cast("double") / nz, F.lit(1.0)), 6
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = F.round(
+        F.coalesce(alpha_words.cast("double") / nz, F.lit(0.0)), 6
+    )
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(toks, en_stop))
+
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    word_len_ok = (mean_len >= min_mean_word_len) & (
+        mean_len <= max_mean_word_len
+    )
+    symbol_ok = symbol_ratio <= max_symbol_ratio
+    alpha_ok = alpha_frac >= min_alpha_word_frac
+    stopword_ok = stop_hits >= min_stopword_hits
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        word_count_ok.alias("word_count_ok"),
+        word_len_ok.alias("word_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (
+            word_count_ok & word_len_ok & symbol_ok & alpha_ok & stopword_ok
+        ).alias("passes"),
+    )
+
+
+def token_entropy(df, id_col: str, text_col: str):
+    """Per-document Shannon entropy of the token distribution →
+    ``(id, n_tokens, n_distinct, entropy, norm_entropy)``.
+
+    Low entropy relative to ``log2(n_distinct)`` flags repetitive,
+    template-like documents (the information-theoretic twin of the n-gram
+    repetition stats). Distributed form: explode → count per (doc,
+    token) → per-doc fold — two partial-aggregated shuffles keyed by the
+    doc id, no row-local O(tokens²) scan, so 10k-token documents cost
+    O(tokens log tokens), not O(tokens²). ``norm_entropy`` is
+    ``entropy / log2(n_distinct)`` in (0, 1], defined as 1.0 for
+    single-token-type docs; docs with no tokens produce no row.
+    """
+    toks_df = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    counts = toks_df.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log2("c")).alias("__clogc"),
+    )
+    entropy = F.round(
+        F.log2("n_tokens") - F.col("__clogc") / F.col("n_tokens"), 6
+    )
+    return per_doc.select(
+        "id",
+        "n_tokens",
+        "n_distinct",
+        entropy.alias("entropy"),
+        F.when(F.col("n_distinct") == 1, F.lit(1.0))
+        .otherwise(F.round(entropy / F.log2("n_distinct"), 6))
+        .alias("norm_entropy"),
+    )
+
+
 def doc_fingerprint(text: Union[str, SparkCol]) -> SparkCol:
     """Deterministic content fingerprint: md5 of whitespace-normalized,
     lowercased text. Engine-portable (md5 is identical everywhere), so it

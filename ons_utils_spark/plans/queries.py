@@ -2915,6 +2915,97 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EN_STOP_SQL = "[" + ", ".join(
+    f"'{w}'" for w in
+    ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+) + "]"
+
+
+@register(
+    "q_gopher_quality",
+    oracle=_TOKS_CTE
+    + f""",
+    flags AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               round(list_sum([length(t)::BIGINT for t in toks])
+                     / len(toks)::DOUBLE, 6) AS mean_word_len,
+               round((length(text) - length(regexp_replace(
+                         text, '[#…]|\\.\\.\\.', '', 'g')))
+                     / len(toks)::DOUBLE, 6) AS symbol_ratio,
+               round(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+                     / len(toks)::DOUBLE, 6) AS alpha_word_frac,
+               len(list_distinct(list_filter(
+                   toks, t -> list_contains({_EN_STOP_SQL}, t)))) AS stopword_hits
+        FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           CAST(stopword_hits AS INT) AS stopword_hits,
+           (n_words BETWEEN 50 AND 100000) AS word_count_ok,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS word_len_ok,
+           (symbol_ratio <= 0.1) AS symbol_ok,
+           (alpha_word_frac >= 0.8) AS alpha_ok,
+           (stopword_hits >= 2) AS stopword_ok,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND (symbol_ratio <= 0.1)
+            AND (alpha_word_frac >= 0.8)
+            AND (stopword_hits >= 2)) AS passes
+    FROM flags
+    ORDER BY doc_id
+    """,
+    description="Gopher-rules quality gate (operators/text.py "
+    "gopher_quality_flags): word-count bounds, mean word length, symbol "
+    "ratio, alphabetic-word fraction, stopword presence — per-rule "
+    "booleans plus the conjunction, all row-local Catalyst expressions "
+    "recomputed verbatim by the DuckDB oracle.",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    flags = _text.gopher_quality_flags(F.col("text"))
+    return (
+        docs.select(F.col("doc_id"), flags.alias("q"))
+        .select("doc_id", "q.*")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_token_entropy",
+    oracle=_TOKS_CTE
+    + """,
+    tc AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+        GROUP BY doc_id, tok
+    ),
+    pd AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               sum(c * log2(c)) AS clogc
+        FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id AS id, n_tokens, n_distinct,
+           round(log2(n_tokens) - clogc / n_tokens, 6) AS entropy,
+           CASE WHEN n_distinct = 1 THEN CAST(1.0 AS DOUBLE)
+                ELSE round(round(log2(n_tokens) - clogc / n_tokens, 6)
+                           / log2(n_distinct), 6) END AS norm_entropy
+    FROM pd
+    ORDER BY id
+    """,
+    description="Per-document Shannon entropy of the token distribution "
+    "(operators/text.py token_entropy): H = log2(n) - Σc·log2(c)/n over "
+    "token counts, plus entropy normalized by log2(distinct) — the "
+    "information-theoretic repetition/template signal. Explode → two "
+    "partial-aggregated shuffles keyed by doc id.",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _text.token_entropy(docs, "doc_id", "text").orderBy("id")
+
+
 @register(
     "q_repetition_stats",
     oracle=_TOKS_CTE
@@ -3708,6 +3799,8 @@ _GRADING_ORDER = [
     # -- multimodal ---------------------------------------------------------
     "q_multimodal_features",
     # ---- end of the driver's 50-slot graded window ----------------------
+    "q_gopher_quality",
+    "q_token_entropy",
     "q_stats_aggregates",
     "q_running_customer_spend",
     "q_domain_cap",

@@ -88,6 +88,90 @@ class TestQualityScore:
             assert 0.0 <= v <= 1.0
 
 
+class TestGopherQualityFlags:
+    def test_good_prose_passes(self, spark):
+        from ons_utils_spark.operators.text import gopher_quality_flags
+
+        text = " ".join(
+            ["the quick brown fox jumps over the lazy dog and it is happy"] * 5
+        )  # 65 words, prose-like
+        df = spark.createDataFrame([(text,)], "text string")
+        row = df.select(
+            gopher_quality_flags("text").alias("q")
+        ).select("q.*").first()
+        assert row["passes"] and row["n_words"] == 65
+        assert row["word_count_ok"] and row["stopword_ok"]
+
+    def test_short_doc_fails_word_count_only(self, spark):
+        from ons_utils_spark.operators.text import gopher_quality_flags
+
+        df = spark.createDataFrame([("the cat is in the house",)], "text string")
+        row = df.select(
+            gopher_quality_flags("text").alias("q")
+        ).select("q.*").first()
+        assert not row["word_count_ok"] and not row["passes"]
+        assert row["stopword_ok"]  # 'the', 'is', 'in' present
+
+    def test_symbol_soup_fails_symbol_and_alpha(self, spark):
+        from ons_utils_spark.operators.text import gopher_quality_flags
+
+        df = spark.createDataFrame([("# # # ... # 123 456",)], "text string")
+        row = df.select(
+            gopher_quality_flags("text").alias("q")
+        ).select("q.*").first()
+        assert not row["symbol_ok"] and not row["alpha_ok"]
+
+    def test_empty_doc_fails_all_gates_without_nulls(self, spark):
+        from ons_utils_spark.operators.text import gopher_quality_flags
+
+        df = spark.createDataFrame([("",)], "text string")
+        row = df.select(
+            gopher_quality_flags("text").alias("q")
+        ).select("q.*").first()
+        assert row["passes"] is False and row["n_words"] == 0
+
+
+class TestTokenEntropy:
+    def test_uniform_vs_repetitive(self, spark):
+        import math
+
+        from ons_utils_spark.operators.text import token_entropy
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),            # uniform: H = log2(4) = 2
+                (2, "a a a a"),            # single type: H = 0
+                (3, "a a b b"),            # H = 1
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+        assert out[1]["entropy"] == 2.0 and out[1]["norm_entropy"] == 1.0
+        assert out[2]["entropy"] == 0.0 and out[2]["norm_entropy"] == 1.0
+        assert out[3]["entropy"] == 1.0 and out[3]["norm_entropy"] == 1.0
+        assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 4
+
+    def test_skewed_distribution_value(self, spark):
+        import math
+
+        from ons_utils_spark.operators.text import token_entropy
+
+        # 3 of 'a', 1 of 'b': H = log2(4) - (3*log2(3))/4
+        df = spark.createDataFrame([(1, "a a a b")], "doc_id bigint, text string")
+        row = token_entropy(df, "doc_id", "text").first()
+        expected = round(2.0 - 3 * math.log2(3) / 4, 6)
+        assert row["entropy"] == expected
+        assert row["norm_entropy"] == round(expected / 1.0, 6)
+
+    def test_empty_docs_produce_no_rows(self, spark):
+        from ons_utils_spark.operators.text import token_entropy
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "hello world")], "doc_id bigint, text string"
+        )
+        assert {r["id"] for r in token_entropy(df, "doc_id", "text").collect()} == {2}
+
+
 class TestDocFingerprint:
     def test_whitespace_and_case_insensitive(self, spark):
         df = spark.createDataFrame(

@@ -93,8 +93,12 @@ def str_hash_steps(pfx: str, tok: str, seed: str) -> list[tuple[str, str]]:
     bbody = _mul64(_rotl(_xor("acc", _mul64("k", str(P5))), 11), str(P1))
     return [
         # Tokens >= 32 bytes would need the 4-accumulator stripe loop;
-        # NULL them out loudly instead of hashing them wrong.
-        (f"{pfx}_h0", f"CASE WHEN {l} < 32 THEN (({seed}) + {P5} + {l}) % {M64} END"),
+        # fail the whole oracle loudly instead of hashing them wrong
+        # (a NULL here would silently skip rows in downstream vote sums).
+        (f"{pfx}_h0",
+         f"CASE WHEN {l} < 32 THEN (({seed}) + {P5} + {l}) % {M64} "
+         f"ELSE error('xxh64 oracle: token >= 32 bytes needs the stripe "
+         f"path') END"),
         (f"{pfx}_h8",
          f"CASE WHEN {l} >= 8 THEN list_reduce("
          f"list_prepend({pfx}_h0::HUGEINT, {chunks8}), (acc, k) -> {round8}) "

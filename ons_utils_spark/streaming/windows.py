@@ -227,3 +227,87 @@ def running_user_totals(
     return df.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def transform_with_state_available() -> bool:
+    """Whether Spark 4's ``transformWithState`` runtime can run here.
+
+    The API itself ships with PySpark, but its state-server protocol
+    needs the ``protobuf`` package at worker runtime — absent in some
+    minimal images. Detected eagerly so callers fail at PLAN time with a
+    clear signal instead of a crashed streaming query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_dedup_processor(ttl_ms: Optional[int] = None):
+    """The ``StatefulProcessor`` behind :func:`stateful_dedup_stream`:
+    one boolean ``ValueState`` per key (TTL-evicted when ``ttl_ms`` is
+    set); the first row per key is emitted, every later row dropped."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _DedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "seen boolean", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            first = None
+            if not self._seen.exists():
+                for pdf in rows:
+                    if len(pdf):
+                        first = pdf.head(1)
+                        break
+            if first is not None:
+                self._seen.update((True,))
+                yield first
+
+        def close(self) -> None:
+            pass
+
+    return _DedupProcessor()
+
+
+def stateful_dedup_stream(
+    df: SparkDF,
+    key_col: str,
+    ttl_ms: Optional[int] = None,
+) -> SparkDF:
+    """Streaming exact dedup on ``key_col``: the FIRST row per key
+    passes; later rows — in the same or any later micro-batch — drop.
+
+    Preferred engine: ``transformWithState`` (Spark 4's arbitrary-
+    stateful API, successor to ``applyInPandasWithState``) with one
+    boolean ``ValueState`` per key; ``ttl_ms`` evicts idle keys, which
+    bounds state at 100 TB key cardinality with an explicit, testable
+    TTL contract (a key recurring after the TTL counts as new). Requires
+    the RocksDB state store provider and the ``protobuf`` package; when
+    protobuf is missing (:func:`transform_with_state_available`), falls
+    back to ``dropDuplicates`` — identical keep-first semantics, but TTL
+    is then unsupported (``ttl_ms`` raises rather than silently keeping
+    state forever). Output schema equals the input schema either way.
+
+    Batch twin for tests/oracles: ``df.dropDuplicates([key_col])``.
+    """
+    if transform_with_state_available():
+        return df.groupBy(key_col).transformWithStateInPandas(
+            make_dedup_processor(ttl_ms),
+            outputStructType=df.schema,
+            outputMode="append",
+            timeMode="None",
+        )
+    if ttl_ms is not None:
+        raise RuntimeError(
+            "stateful_dedup_stream: ttl_ms needs transformWithState, "
+            "which needs the 'protobuf' package at worker runtime — "
+            "install protobuf or call without ttl_ms"
+        )
+    return df.dropDuplicates([key_col])

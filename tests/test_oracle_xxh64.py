@@ -90,15 +90,16 @@ def test_long_chain_matches_spark(spark_hashes):
     assert got == long_ref
 
 
-def test_over_31_byte_strings_null_not_wrong():
-    """Tokens needing the XXH64 stripe loop are NULLed out loudly, never
-    silently mis-hashed."""
+def test_over_31_byte_strings_error_not_wrong():
+    """Tokens needing the XXH64 stripe loop abort the oracle loudly —
+    a NULL would silently skip rows in downstream vote sums."""
     con = duckdb.connect()
     long_tok = "a" * 32
     sql = f"WITH strs AS (SELECT '{long_tok}' AS tok)"
     sql += chain("strs", str_hash_steps("th", "tok", "42"), "c", "hashed")
     sql += " SELECT th FROM hashed"
-    assert con.execute(sql).fetchone()[0] is None
+    with pytest.raises(Exception, match="stripe"):
+        con.execute(sql).fetchone()
 
 
 def test_simhash_oracle_pairs_match_spark(spark):

@@ -2998,6 +2998,66 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hll_mergeable",
+    oracle="""
+        SELECT * FROM (
+            SELECT l_returnflag AS scope,
+                   count(DISTINCT l_partkey) AS exact_parts,
+                   CAST(1.0 AS DOUBLE) AS estimate_ok
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT 'ALL', count(DISTINCT l_partkey), CAST(1.0 AS DOUBLE)
+            FROM lineitem
+        ) ORDER BY scope
+    """,
+    description="MERGEABLE HyperLogLog sketches (Datasketches "
+    "hll_sketch_agg/hll_union_agg): per-group sketches built in one "
+    "pass, then UNIONED into a global estimate — the pre-aggregation "
+    "pattern that makes 100 TB distinct counts incremental (store a "
+    "sketch per partition/day, merge at query time; never rescan). "
+    "SQL-checked-bound oracle: DuckDB recomputes every exact distinct "
+    "count; the per-group and post-merge estimates must land within "
+    "6% of exact (~4 sigma at the default lgConfigK=12) for the "
+    "pinned TRUE columns to hash-match.",
+)
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    flag_rows = per_flag.select(
+        F.col("l_returnflag").alias("scope"),
+        "exact_parts",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_parts"))
+            <= 0.06 * F.col("exact_parts")
+        )
+        .cast("double")
+        .alias("estimate_ok"),
+    )
+    merged_row = (
+        per_flag.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est")
+        )
+        .crossJoin(
+            li.agg(F.count_distinct("l_partkey").alias("exact_parts"))
+        )
+        .select(
+            F.lit("ALL").alias("scope"),
+            "exact_parts",
+            (
+                F.abs(F.col("__est") - F.col("exact_parts"))
+                <= 0.06 * F.col("exact_parts")
+            )
+            .cast("double")
+            .alias("estimate_ok"),
+        )
+    )
+    return flag_rows.unionByName(merged_row).orderBy("scope")
+
+
+@register(
     "q_gopher_quality",
     oracle=_TOKS_CTE
     + f""",
@@ -3879,6 +3939,7 @@ _GRADING_ORDER = [
     "q_token_entropy",
     "q_resample_daily",
     "q_resample_ffill",
+    "q_hll_mergeable",
     "q_stats_aggregates",
     "q_running_customer_spend",
     "q_domain_cap",

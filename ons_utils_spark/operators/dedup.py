@@ -789,6 +789,7 @@ def minhash_lsh_join(
     seed: int = 42,
     right_index: Optional[SparkDF] = None,
     left_index: Optional[SparkDF] = None,
+    verify: str = "carry",
 ) -> SparkDF:
     """Near-duplicate pairs BETWEEN two corpora (incremental dedup).
 
@@ -809,6 +810,15 @@ def minhash_lsh_join(
     Both sides must use the same ``n``/``num_hashes``/``bands``/``seed``
     — Broder MinHash only estimates Jaccard between signatures drawn with
     the SAME permutations.
+
+    ``verify="carry"`` (default) joins the candidate pairs straight
+    against both sides' full ``(id, hset)`` tables — every indexed doc's
+    shingle set rides the verify shuffle. ``verify="restrict"``
+    materializes the candidate id pairs (tiny) and semi-join-filters
+    BOTH sides down to candidate ids before the set join: per-ingest
+    shuffle drops from O(corpus × doc length) to O(candidates × doc
+    length) — the right economics once the stored index dwarfs the
+    per-batch candidate set. Identical output (pinned in tests).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -816,6 +826,8 @@ def minhash_lsh_join(
         raise ValueError("pass exactly one of `right` or `right_index`")
     if (left is None) == (left_index is None):
         raise ValueError("pass exactly one of `left` or `left_index`")
+    if verify not in ("carry", "restrict"):
+        raise ValueError(f"verify must be 'carry' or 'restrict', got {verify!r}")
     rows = num_hashes // bands
 
     def side(df: SparkDF) -> SparkDF:
@@ -852,15 +864,22 @@ def minhash_lsh_join(
         .select(F.col("l.id").alias("id_left"), F.col("r.id").alias("id_right"))
         .distinct()
     )
+    lsets = lbase.select(F.col("id").alias("id_left"), F.col("hset").alias("set_l"))
+    rsets = rbase.select(F.col("id").alias("id_right"), F.col("hset").alias("set_r"))
+    if verify == "restrict":
+        # Materialize the (tiny) candidate pairs so the band-join subtree
+        # runs once, then cut both set tables down to candidate ids
+        # before their hsets ever shuffle.
+        cand = cand.localCheckpoint()
+        lsets = lsets.join(
+            cand.select("id_left").distinct(), "id_left", "left_semi"
+        )
+        rsets = rsets.join(
+            cand.select("id_right").distinct(), "id_right", "left_semi"
+        )
     return (
-        cand.join(
-            lbase.select(F.col("id").alias("id_left"), F.col("hset").alias("set_l")),
-            "id_left",
-        )
-        .join(
-            rbase.select(F.col("id").alias("id_right"), F.col("hset").alias("set_r")),
-            "id_right",
-        )
+        cand.join(lsets, "id_left")
+        .join(rsets, "id_right")
         .withColumn(
             "jaccard",
             F.round(

@@ -137,6 +137,35 @@ class TestMinhashLshJoin:
         row = minhash_lsh_join(left, right, "doc_id", "text").collect()[0]
         assert row["jaccard"] == 1.0
 
+    def test_restrict_verify_equals_carry(self, spark):
+        """verify='restrict' (candidate-semi-joined set tables) emits the
+        identical (id_left, id_right, jaccard) set as the default carry
+        path, and rejects unknown modes."""
+        left = spark.createDataFrame(
+            [(1, BASE), (3, OTHER), (5, "nothing shared here at all")],
+            "doc_id bigint, text string",
+        )
+        right = spark.createDataFrame(
+            [(2, NEAR), (4, OTHER + " extended"), (6, "likewise disjoint")],
+            "doc_id bigint, text string",
+        )
+        carry = {
+            (r["id_left"], r["id_right"], r["jaccard"])
+            for r in minhash_lsh_join(
+                left, right, "doc_id", "text", threshold=0.3
+            ).collect()
+        }
+        restrict = {
+            (r["id_left"], r["id_right"], r["jaccard"])
+            for r in minhash_lsh_join(
+                left, right, "doc_id", "text", threshold=0.3,
+                verify="restrict",
+            ).collect()
+        }
+        assert carry == restrict and carry
+        with pytest.raises(ValueError, match="verify"):
+            minhash_lsh_join(left, right, "doc_id", "text", verify="bogus")
+
 
 class TestInvariantsOnRandomCorpus:
     """Seeded-random invariant checks (one Spark job each, not

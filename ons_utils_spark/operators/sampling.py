@@ -64,6 +64,47 @@ def hash_sample(
     return df.where(hash_bucket(key, salt) < F.lit(hex_threshold(fraction)))
 
 
+def group_sample(
+    df: SparkDF,
+    group_col: str,
+    key: Union[str, SparkCol],
+    k: int,
+    salt: str = "",
+) -> SparkDF:
+    """Deterministic uniform ``k``-sample PER GROUP (stratified sampling).
+
+    The ``k`` rows whose ``md5(salt, key)`` sort lowest within each group
+    survive — a pure function of the data, so the same rows are chosen on
+    any cluster size, partitioning, or engine (unlike per-group
+    ``df.sample``, which is neither exact-k nor reproducible across
+    partitionings). Ties in the 128-bit md5 are broken by the key itself,
+    so selection is total. Changing ``salt`` draws an independent sample.
+    Groups smaller than ``k`` keep all their rows.
+
+    One shuffle on the group key; the per-group order is a window
+    row_number, never a global sort. The standard "cap every stratum at
+    k examples" step of training-data assembly (balancing sources,
+    languages, label classes).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.col(key) if isinstance(key, str) else key
+    clash = {"__gs_h", "__gs_k", "__gs_rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"group_sample uses temp column(s) {sorted(clash)} which "
+            "already exist in the input — rename them first"
+        )
+    w = Window.partitionBy(group_col).orderBy("__gs_h", "__gs_k")
+    return (
+        df.withColumn("__gs_h", F.md5(F.concat(F.lit(salt), key.cast("string"))))
+        .withColumn("__gs_k", key.cast("string"))
+        .withColumn("__gs_rn", F.row_number().over(w))
+        .where(F.col("__gs_rn") <= k)
+        .drop("__gs_h", "__gs_k", "__gs_rn")
+    )
+
+
 def split_thresholds(weights: Mapping[str, float]) -> list:
     """``[(label, upper_hex_threshold_exclusive)]`` for :func:`hash_split`,
     from cumulative normalized weights; the last label gets the sentinel.

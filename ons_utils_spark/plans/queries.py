@@ -3103,6 +3103,34 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_group_sample",
+    oracle="""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)),
+                                CAST(doc_id AS VARCHAR)) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+        ORDER BY doc_id
+    """,
+    description="Deterministic stratified sampling (operators/sampling.py "
+    "group_sample): exactly 20 docs per language, chosen by lowest "
+    "md5(salt, key) within the group — same rows on any cluster size, "
+    "partitioning, or engine, unlike per-group df.sample. One shuffle on "
+    "the group key; per-group window, never a global sort.",
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _sampling.group_sample(docs, "lang", "doc_id", k=20, salt="s1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_hll_mergeable",
     oracle="""
         SELECT * FROM (
@@ -4047,6 +4075,7 @@ _GRADING_ORDER = [
     "q_hll_mergeable",
     "q_nation_trade_volume",
     "q_large_volume_orders",
+    "q_group_sample",
     "q_stats_aggregates",
     "q_running_customer_spend",
     "q_domain_cap",

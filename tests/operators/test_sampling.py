@@ -194,6 +194,35 @@ class TestTrainingOrder:
         with pytest.raises(ValueError, match="n_shards"):
             training_order(df, "k", n_shards=0)
 
+    def test_group_sample_exact_k_and_deterministic(self, spark):
+        from ons_utils_spark.operators.sampling import group_sample
+
+        df = spark.createDataFrame(
+            [(i, "big") for i in range(100)] + [(200 + i, "small") for i in range(3)],
+            "k bigint, g string",
+        )
+        a = group_sample(df, "g", "k", k=5).collect()
+        by_g = {}
+        for r in a:
+            by_g.setdefault(r["g"], set()).add(r["k"])
+        assert len(by_g["big"]) == 5
+        assert by_g["small"] == {200, 201, 202}  # undersized group kept whole
+        # Deterministic across partitionings; salt draws a different set.
+        b = group_sample(df.repartition(7), "g", "k", k=5).collect()
+        assert {(r["g"], r["k"]) for r in a} == {(r["g"], r["k"]) for r in b}
+        c = group_sample(df, "g", "k", k=5, salt="other").collect()
+        assert {(r["g"], r["k"]) for r in c} != {(r["g"], r["k"]) for r in a}
+
+    def test_group_sample_guards(self, spark):
+        from ons_utils_spark.operators.sampling import group_sample
+
+        df = spark.createDataFrame([(1, "g", 0)], "k bigint, g string, __gs_h int")
+        with pytest.raises(ValueError, match="__gs_h"):
+            group_sample(df, "g", "k", k=2)
+        df2 = spark.createDataFrame([(1, "g")], "k bigint, g string")
+        with pytest.raises(ValueError, match="k must be"):
+            group_sample(df2, "g", "k", k=0)
+
     def test_temp_column_collision_raises(self, spark):
         """Caller columns named __h/__k must not be silently clobbered."""
         from ons_utils_spark.operators.sampling import training_order

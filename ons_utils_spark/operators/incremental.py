@@ -1,0 +1,79 @@
+"""Incremental aggregate maintenance: fold new data into stored
+aggregates without rescanning history.
+
+The 100 TB pattern behind every "daily rollup" table: keep the aggregate
+table keyed by the group columns with MERGEABLE measures (sum, count,
+min, max — and anything derivable from them, like avg), aggregate ONLY
+the new batch, and merge. History is never rescanned; per-ingest cost is
+O(batch) + one shuffle of O(groups-touched) rows. Algebraic measures
+only — a true median needs a sketch (see ``q_hll_mergeable`` for the
+distinct-count analogue).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+#: Measure name → (per-batch aggregate, merge aggregate). Merge reuses
+#: the same function for sum/min/max (they are semigroup ops); count
+#: merges by SUM of partial counts.
+_MEASURES = {
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+}
+
+
+def aggregate_batch(
+    batch: SparkDF,
+    keys: Sequence[str],
+    measures: dict[str, Sequence[str]],
+) -> SparkDF:
+    """Partial aggregate of one batch → one row per key combination.
+
+    ``measures`` maps measure name (``sum``/``min``/``max``/``count``)
+    to the value columns it applies to (``count`` takes ``["*"]``).
+    Output columns are ``{measure}_{col}`` (``n`` for count), the exact
+    shape :func:`merge_aggregates` consumes and produces — so a stored
+    aggregate table can be merged again and again.
+    """
+    aggs = []
+    for name, cols in measures.items():
+        if name not in _MEASURES:
+            raise ValueError(f"unknown measure {name!r}; use {sorted(_MEASURES)}")
+        per_batch, _ = _MEASURES[name]
+        for c in cols:
+            alias = "n" if name == "count" else f"{name}_{c}"
+            aggs.append(per_batch(c).alias(alias))
+    if not aggs:
+        raise ValueError("measures must be non-empty")
+    return batch.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregates(
+    stored: SparkDF,
+    batch_agg: SparkDF,
+    keys: Sequence[str],
+    measures: dict[str, Sequence[str]],
+) -> SparkDF:
+    """Merge a batch's partial aggregate into the stored aggregate table.
+
+    Union + re-aggregate with each measure's MERGE function (sum/min/max
+    merge with themselves; counts merge by summing) — associative and
+    commutative, so any batch arrival order and any grouping of batches
+    yields the identical table (pinned in tests against a one-shot
+    aggregate over the concatenated data). Both inputs must have the
+    :func:`aggregate_batch` column shape.
+    """
+    aggs = []
+    for name, cols in measures.items():
+        if name not in _MEASURES:
+            raise ValueError(f"unknown measure {name!r}; use {sorted(_MEASURES)}")
+        _, merge = _MEASURES[name]
+        for c in cols:
+            alias = "n" if name == "count" else f"{name}_{c}"
+            aggs.append(merge(alias).alias(alias))
+    return stored.unionByName(batch_agg).groupBy(*keys).agg(*aggs)

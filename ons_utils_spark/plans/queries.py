@@ -3103,6 +3103,59 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_incremental_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS sum_o_totalprice,
+               round(min(o_totalprice), 2) AS min_o_totalprice,
+               round(max(o_totalprice), 2) AS max_o_totalprice,
+               round(sum(o_totalprice) / count(*), 4) AS avg_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="Incremental aggregate maintenance (operators/"
+    "incremental.py): orders split into three arrival batches by year, "
+    "each batch partially aggregated alone, then folded into the stored "
+    "aggregate with mergeable measures (sum/count/min/max, avg derived "
+    "at read). The oracle is the one-shot aggregate over ALL rows — "
+    "hash-equality proves merge associativity: batch-at-a-time "
+    "maintenance reaches the identical table without ever rescanning "
+    "history.",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.incremental import (
+        aggregate_batch,
+        merge_aggregates,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    measures = {"count": ["*"], "sum": ["o_totalprice"],
+                "min": ["o_totalprice"], "max": ["o_totalprice"]}
+    y = F.year("o_orderdate")
+    batches = [
+        orders.where(y < 1994),
+        orders.where((y >= 1994) & (y < 1996)),
+        orders.where(y >= 1996),
+    ]
+    stored = aggregate_batch(batches[0], keys, measures)
+    for b in batches[1:]:
+        stored = merge_aggregates(
+            stored, aggregate_batch(b, keys, measures), keys, measures
+        )
+    return stored.select(
+        "o_orderpriority",
+        "n",
+        F.round("sum_o_totalprice", 2).alias("sum_o_totalprice"),
+        F.round("min_o_totalprice", 2).alias("min_o_totalprice"),
+        F.round("max_o_totalprice", 2).alias("max_o_totalprice"),
+        F.round(F.col("sum_o_totalprice") / F.col("n"), 4).alias("avg_price"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
     "q_group_sample",
     oracle="""
         SELECT doc_id, lang FROM (
@@ -4076,6 +4129,7 @@ _GRADING_ORDER = [
     "q_nation_trade_volume",
     "q_large_volume_orders",
     "q_group_sample",
+    "q_incremental_agg",
     "q_stats_aggregates",
     "q_running_customer_spend",
     "q_domain_cap",

@@ -1,0 +1,66 @@
+"""Incremental aggregate maintenance: merge associativity and shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.incremental import aggregate_batch, merge_aggregates
+
+KEYS = ["g"]
+MEASURES = {"count": ["*"], "sum": ["v"], "min": ["v"], "max": ["v"]}
+
+
+@pytest.fixture()
+def batches(spark):
+    rows = [(i, "ab"[i % 2], float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    return df, [df.where(F.col("id") < 10),
+                df.where((F.col("id") >= 10) & (F.col("id") < 17)),
+                df.where(F.col("id") >= 17)]
+
+
+def _table(df):
+    return {
+        r["g"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in df.collect()
+    }
+
+
+class TestMergeAggregates:
+    def test_batchwise_equals_oneshot(self, spark, batches):
+        full, parts = batches
+        stored = aggregate_batch(parts[0], KEYS, MEASURES)
+        for b in parts[1:]:
+            stored = merge_aggregates(
+                stored, aggregate_batch(b, KEYS, MEASURES), KEYS, MEASURES
+            )
+        assert _table(stored) == _table(aggregate_batch(full, KEYS, MEASURES))
+
+    def test_merge_order_invariant(self, spark, batches):
+        _, parts = batches
+        aggs = [aggregate_batch(b, KEYS, MEASURES) for b in parts]
+        forward = merge_aggregates(
+            merge_aggregates(aggs[0], aggs[1], KEYS, MEASURES), aggs[2],
+            KEYS, MEASURES,
+        )
+        backward = merge_aggregates(
+            merge_aggregates(aggs[2], aggs[1], KEYS, MEASURES), aggs[0],
+            KEYS, MEASURES,
+        )
+        assert _table(forward) == _table(backward)
+
+    def test_new_key_in_late_batch_appears(self, spark):
+        a = spark.createDataFrame([(1, "x", 1.0)], "id bigint, g string, v double")
+        b = spark.createDataFrame([(2, "y", 5.0)], "id bigint, g string, v double")
+        merged = merge_aggregates(
+            aggregate_batch(a, KEYS, MEASURES),
+            aggregate_batch(b, KEYS, MEASURES),
+            KEYS, MEASURES,
+        )
+        assert _table(merged) == {"x": (1, 1.0, 1.0, 1.0), "y": (1, 5.0, 5.0, 5.0)}
+
+    def test_unknown_measure_raises(self, spark, batches):
+        full, _ = batches
+        with pytest.raises(ValueError, match="unknown measure"):
+            aggregate_batch(full, KEYS, {"median": ["v"]})
+        with pytest.raises(ValueError, match="non-empty"):
+            aggregate_batch(full, KEYS, {})

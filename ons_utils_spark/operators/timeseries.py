@@ -36,6 +36,7 @@ def resample(
     value_col: str,
     unit: str = "day",
     fill: str = "zero",
+    quantize: int | None = None,
 ) -> SparkDF:
     """Per-key regular time series → ``(key, bucket, value, n_events,
     filled)``.
@@ -44,13 +45,22 @@ def resample(
     bucket; every key gets a contiguous bucket range from its first to
     its last event. ``fill`` for gap buckets: ``"zero"`` (0.0 — rates /
     counts), ``"ffill"`` (previous bucket's value — state-like series;
-    ``n_events`` stays 0), or ``"null"``. ``filled`` marks synthesized
-    buckets.
+    ``n_events`` stays 0), ``"interp"`` (linear interpolation between
+    the surrounding observed buckets — sensor-like series; the grid
+    always starts and ends on observed buckets, so every gap has both
+    neighbours), or ``"null"``. ``filled`` marks synthesized buckets.
+
+    ``quantize`` rounds each bucket's summed value to that many decimals
+    BEFORE gap filling (floor-based half-up, which every engine computes
+    identically). Interpolating from quantized endpoints makes the
+    filled values engine-reproducible — raw double sums differ across
+    engines by ulps of partial-aggregation order, and interpolation then
+    amplifies those ulps across every gap bucket.
     """
     if unit not in _UNITS:
         raise ValueError(f"unit must be one of {_UNITS}, got {unit!r}")
-    if fill not in ("zero", "ffill", "null"):
-        raise ValueError(f"fill must be zero|ffill|null, got {fill!r}")
+    if fill not in ("zero", "ffill", "interp", "null"):
+        raise ValueError(f"fill must be zero|ffill|interp|null, got {fill!r}")
 
     bucket = F.date_trunc(unit, F.col(ts_col))
     agg = (
@@ -62,6 +72,11 @@ def resample(
         .groupBy("key", "bucket")
         .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("n_events"))
     )
+    if quantize is not None:
+        scale = 10**quantize
+        agg = agg.withColumn(
+            "v", F.floor(F.col("v") * scale + F.lit(0.5)) / scale
+        )
     grid = (
         agg.groupBy("key")
         .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
@@ -89,5 +104,32 @@ def resample(
         )
         return out.withColumn(
             "value", F.last("value", ignorenulls=True).over(w)
+        )
+    if fill == "interp":
+        # For each gap bucket: previous/next OBSERVED value and bucket,
+        # then the standard two-point interpolation weighted by epoch
+        # distance. Two per-key window passes, both on the same shuffle.
+        wb = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        obs_bucket = F.when(F.col("value").isNotNull(), F.col("bucket"))
+        sec = lambda c: F.col(c).cast("double")  # noqa: E731
+        prev_v = F.last("value", ignorenulls=True).over(wb)
+        prev_b = F.last(obs_bucket, ignorenulls=True).over(wb).cast("double")
+        next_v = F.first("value", ignorenulls=True).over(wf)
+        next_b = F.first(obs_bucket, ignorenulls=True).over(wf).cast("double")
+        frac = (sec("bucket") - prev_b) / (next_b - prev_b)
+        return out.withColumn(
+            "value",
+            F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+                prev_v + (next_v - prev_v) * frac
+            ),
         )
     return out

@@ -3244,6 +3244,76 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_resample_interp",
+    oracle="""
+        WITH agg AS (
+            SELECT user_id AS key, date_trunc('day', ts) AS bucket,
+                   floor(sum(value) * 100 + 0.5) / 100 AS v,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+            FROM (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+                  FROM agg GROUP BY key)
+        )
+        SELECT key, bucket,
+               CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                           ELSE pv + (nv - pv)
+                                * (epoch(bucket) - pb) / (nb - pb) END)
+                          * 1000000 + 0.5) AS BIGINT) AS value_micros,
+               n_events, filled
+        FROM (
+            SELECT key, bucket, v, n_events, filled,
+                   last_value(v IGNORE NULLS) OVER wb AS pv,
+                   epoch(last_value(CASE WHEN v IS NOT NULL THEN bucket END
+                                    IGNORE NULLS) OVER wb) AS pb,
+                   first_value(v IGNORE NULLS) OVER wf AS nv,
+                   epoch(first_value(CASE WHEN v IS NOT NULL THEN bucket END
+                                     IGNORE NULLS) OVER wf) AS nb
+            FROM (
+                SELECT g.key AS key, g.bucket AS bucket, a.v AS v,
+                       coalesce(a.n_events, 0) AS n_events,
+                       (a.v IS NULL) AS filled
+                FROM grid g LEFT JOIN agg a USING (key, bucket)
+            )
+            WINDOW wb AS (PARTITION BY key ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY key ORDER BY bucket
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        ORDER BY key, bucket
+    """,
+    description="Per-user daily resample with LINEAR interpolation: gap "
+    "buckets take the two-point interpolation between the surrounding "
+    "observed buckets (sensor-like series; the grid starts and ends on "
+    "observed buckets, so every gap has both neighbours). Two per-key "
+    "window passes over the same shuffle as the zero-fill plan. Values "
+    "quantized to cents BEFORE interpolating and emitted as integral "
+    "micros via floor-half-up — the engine-portable discretization "
+    "(round() tie behavior on raw double sums differs across engines "
+    "and interpolation amplifies ulp noise into visible cent flips).",
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.timeseries import resample
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        resample(
+            events, "user_id", "ts", "value",
+            unit="day", fill="interp", quantize=2,
+        )
+        .withColumn(
+            "value_micros",
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("bigint"),
+        )
+        .drop("value")
+        .select("key", "bucket", "value_micros", "n_events", "filled")
+        .orderBy("key", "bucket")
+    )
+
+
+@register(
     "q_gopher_quality",
     oracle=_TOKS_CTE
     + f""",
@@ -4125,6 +4195,7 @@ _GRADING_ORDER = [
     "q_token_entropy",
     "q_resample_daily",
     "q_resample_ffill",
+    "q_resample_interp",
     "q_hll_mergeable",
     "q_nation_trade_volume",
     "q_large_volume_orders",

@@ -65,8 +65,19 @@ class TestResample:
         hours = sorted(r["bucket"].hour for r in rows)
         assert hours == [10, 11, 12, 13]  # contiguous hourly grid
 
+    def test_interp_linear_between_neighbours(self, spark, events):
+        out = _by_key_day(
+            resample(events, "user_id", "ts", "value", fill="interp").collect()
+        )
+        # key 1: day 1 = 15.0, day 4 = 2.0 → days 2, 3 interpolate.
+        step = (2.0 - 15.0) / 3
+        assert out[(1, 2)]["value"] == pytest.approx(15.0 + step)
+        assert out[(1, 3)]["value"] == pytest.approx(15.0 + 2 * step)
+        assert out[(1, 1)]["value"] == 15.0 and out[(1, 4)]["value"] == 2.0
+        assert out[(1, 2)]["filled"] and not out[(1, 1)]["filled"]
+
     def test_bad_args_raise(self, spark, events):
         with pytest.raises(ValueError, match="unit"):
             resample(events, "user_id", "ts", "value", unit="minute")
         with pytest.raises(ValueError, match="fill"):
-            resample(events, "user_id", "ts", "value", fill="interp")
+            resample(events, "user_id", "ts", "value", fill="spline")

@@ -292,6 +292,56 @@ def token_entropy(df, id_col: str, text_col: str):
     )
 
 
+def bigram_logprob(df, id_col: str, text_col: str):
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram MLE model → ``(id, n_bigrams, mean_logprob)``.
+
+    The KenLM-style fluency proxy without an external model: build
+    bigram counts ``C(w1, w2)`` and unigram context counts ``C(w1)``
+    over the WHOLE corpus, score each document by the mean of
+    ``ln(C(w1, w2) / C(w1))`` over its bigrams. Template/boilerplate
+    text scores near 0 (its bigrams dominate their contexts); rare or
+    scrambled word sequences score strongly negative. Every document
+    bigram exists in the corpus by construction, so MLE needs no
+    smoothing and no log(0) guard.
+
+    Distributed shape: one explode of the corpus into bigram rows,
+    count aggregates on the bigram and on the context (both partial-
+    merged), a join back keyed by the bigram, and a per-doc mean —
+    shuffles keyed by bigram/context/doc, never a global structure.
+    Docs with fewer than 2 tokens produce no row.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("g"),
+    ).select("id", "g.w1", "g.w2")
+
+    big_counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        grams.join(big_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .withColumn("lp", F.log(F.col("c12") / F.col("c1")))
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+
+
 def doc_fingerprint(text: Union[str, SparkCol]) -> SparkCol:
     """Deterministic content fingerprint: md5 of whitespace-normalized,
     lowercased text. Engine-portable (md5 is identical everywhere), so it

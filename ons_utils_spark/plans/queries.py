@@ -3364,6 +3364,37 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bigram_logprob",
+    oracle=_TOKS_CTE
+    + """,
+    grams AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM toks WHERE len(toks) >= 2)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2),
+    cc AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY w1)
+    SELECT g.doc_id AS id,
+           count(*) AS n_bigrams,
+           round(avg(ln(bc.c12::DOUBLE / cc.c1)), 6) AS mean_logprob
+    FROM grams g JOIN bc USING (w1, w2) JOIN cc USING (w1)
+    GROUP BY g.doc_id
+    ORDER BY id
+    """,
+    description="Corpus-self bigram language-model score (operators/"
+    "text.py bigram_logprob): each document's mean ln(C(w1,w2)/C(w1)) "
+    "under the corpus's own bigram MLE — the KenLM-style fluency proxy "
+    "without an external model; boilerplate scores near 0, scrambled "
+    "text strongly negative. One corpus explode, two partial-merged "
+    "count aggregates, a bigram-keyed join back, per-doc mean.",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _text.bigram_logprob(docs, "doc_id", "text").orderBy("id")
+
+
+@register(
     "q_token_entropy",
     oracle=_TOKS_CTE
     + """,
@@ -4193,6 +4224,7 @@ _GRADING_ORDER = [
     # ---- end of the driver's 50-slot graded window ----------------------
     "q_gopher_quality",
     "q_token_entropy",
+    "q_bigram_logprob",
     "q_resample_daily",
     "q_resample_ffill",
     "q_resample_interp",

@@ -172,6 +172,43 @@ class TestTokenEntropy:
         assert {r["id"] for r in token_entropy(df, "doc_id", "text").collect()} == {2}
 
 
+class TestBigramLogprob:
+    def test_repeated_text_scores_zero(self, spark):
+        from ons_utils_spark.operators.text import bigram_logprob
+
+        # Two identical docs: every bigram's context is fully predictable
+        # within this corpus... only if each context word precedes exactly
+        # one follower. "a b c a b" has context 'a'->{b,b}, 'b'->{c}(+end)
+        df = spark.createDataFrame(
+            [(1, "x y z"), (2, "x y z")], "doc_id bigint, text string"
+        )
+        out = {r["id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+        # Corpus: C(x,y)=2, C(x)=2; C(y,z)=2, C(y)=2 → all lp = ln(1) = 0.
+        assert out[1]["mean_logprob"] == 0.0 and out[1]["n_bigrams"] == 2
+
+    def test_rare_continuation_scores_negative(self, spark):
+        import math
+
+        from ons_utils_spark.operators.text import bigram_logprob
+
+        # 'a' precedes 'b' three times and 'z' once → lp(a,z) = ln(1/4).
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a z")],
+            "doc_id bigint, text string",
+        )
+        out = {r["id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+        assert out[4]["mean_logprob"] == round(math.log(0.25), 6)
+        assert out[1]["mean_logprob"] == round(math.log(0.75), 6)
+
+    def test_short_docs_produce_no_rows(self, spark):
+        from ons_utils_spark.operators.text import bigram_logprob
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "two words")], "doc_id bigint, text string"
+        )
+        assert {r["id"] for r in bigram_logprob(df, "doc_id", "text").collect()} == {3}
+
+
 class TestDocFingerprint:
     def test_whitespace_and_case_insensitive(self, spark):
         df = spark.createDataFrame(

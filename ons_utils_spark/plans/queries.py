@@ -2936,6 +2936,75 @@ _RESAMPLE_AGG_CTE = """
 
 
 @register(
+    "q_funnel_conversion",
+    oracle="""
+        WITH s0 AS (SELECT user_id AS u, min(ts) AS t0 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s1 AS (SELECT e.user_id AS u, min(e.ts) AS t1 FROM events e
+               JOIN s0 ON e.user_id = s0.u
+               WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+        s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+               JOIN s1 ON e.user_id = s1.u
+               WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1),
+        c AS (SELECT (SELECT count(*) FROM s0) AS u0,
+                     (SELECT count(*) FROM s1) AS u1,
+                     (SELECT count(*) FROM s2) AS u2)
+        SELECT * FROM (
+            SELECT 0 AS step_idx, 'view' AS step, u0 AS users,
+                   round(u0::DOUBLE / u0, 6) AS conversion FROM c
+            UNION ALL
+            SELECT 1, 'click', u1, round(u1::DOUBLE / u0, 6) FROM c
+            UNION ALL
+            SELECT 2, 'purchase', u2, round(u2::DOUBLE / u0, 6) FROM c
+        ) ORDER BY step_idx
+    """,
+    description="Ordered funnel view→click→purchase (operators/funnel.py "
+    "funnel_conversion): a user reaches step k only with events of the "
+    "step types at STRICTLY increasing timestamps, computed as a chain "
+    "of min-after aggregates (filtered aggregate + user-keyed join per "
+    "step, all codegen). Event volume collapses to O(users) at the "
+    "first aggregate.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.funnel import funnel_conversion
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_conversion(
+        events, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    ).orderBy("step_idx")
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+        WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p
+                     FROM events),
+        fi AS (SELECT u, min(p) AS cohort FROM act GROUP BY 1)
+        SELECT cohort,
+               CAST(datediff('day', cohort, p) / 7 AS INT) AS period_offset,
+               count(*) AS users
+        FROM act JOIN fi USING (u)
+        GROUP BY cohort, period_offset
+        ORDER BY cohort, period_offset
+    """,
+    description="Weekly retention triangle (operators/funnel.py "
+    "retention_cohorts): users grouped by first-activity week; each "
+    "(cohort, week offset) counts cohort members active that week. Two "
+    "aggregates over the deduplicated (user, week) activity table — "
+    "O(users × weeks) rows after the first distinct.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.funnel import retention_cohorts
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        retention_cohorts(events, "user_id", "ts", unit="week")
+        .withColumnRenamed("offset", "period_offset")
+        .orderBy("cohort", "period_offset")
+    )
+
+
+@register(
     "q_resample_daily",
     oracle=_RESAMPLE_AGG_CTE
     + """
@@ -4225,6 +4294,8 @@ _GRADING_ORDER = [
     "q_gopher_quality",
     "q_token_entropy",
     "q_bigram_logprob",
+    "q_funnel_conversion",
+    "q_retention_cohorts",
     "q_resample_daily",
     "q_resample_ffill",
     "q_resample_interp",

@@ -96,6 +96,59 @@ def funnel_conversion(
     return rows
 
 
+def state_history(
+    df: SparkDF,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: Sequence[str] = (),
+) -> SparkDF:
+    """Compact an event log into SCD2-style state intervals →
+    ``(key, state, effective_from, effective_to)``.
+
+    Consecutive events with the SAME state collapse into one interval;
+    a state change opens a new interval whose ``effective_from`` is the
+    changing event's timestamp and closes the previous one at the same
+    instant (half-open ``[from, to)`` ranges; the current interval has
+    ``effective_to = NULL``). This is the classic CDC/dimension-history
+    compaction — an event stream becomes the type-2 slowly-changing
+    table you can as-of join against.
+
+    Events sharing a timestamp make "consecutive" ambiguous; pass
+    ``tiebreak`` columns (e.g. an event id) to pin a total order, or
+    results are nondeterministic exactly where the input is.
+
+    One shuffle on the key; two window passes (lag to find changes, lead
+    to close intervals) over that same partitioning.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changes = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .withColumn("__first", F.lag(F.lit(1)).over(w).isNull())
+        .where(
+            # Null-safe change test: a NULL state is a state of its own,
+            # and only the partition's FIRST row may have __prev NULL by
+            # position (lag of the probe literal distinguishes the two).
+            F.col("__first") | ~F.col(state_col).eqNullSafe(F.col("__prev"))
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("effective_from"),
+            *[F.col(c).alias(f"__tb_{c}") for c in tiebreak],
+        )
+    )
+    w2 = Window.partitionBy("key").orderBy(
+        "effective_from", *[f"__tb_{c}" for c in tiebreak]
+    )
+    return changes.withColumn(
+        "effective_to", F.lead("effective_from").over(w2)
+    ).select("key", "state", "effective_from", "effective_to")
+
+
 def retention_cohorts(
     df: SparkDF,
     user_col: str,

@@ -2975,6 +2975,42 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_user_state_history",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id AS key, event_type AS state, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        changes AS (
+            SELECT key, state, ts AS effective_from, event_id
+            FROM ordered WHERE prev IS NULL OR state <> prev
+        )
+        SELECT key, state, effective_from,
+               lead(effective_from) OVER (
+                   PARTITION BY key ORDER BY effective_from, event_id
+               ) AS effective_to
+        FROM changes
+        ORDER BY key, effective_from
+    """,
+    description="SCD2-style state compaction (operators/funnel.py "
+    "state_history): each user's event-type stream collapses into "
+    "half-open [from, to) intervals of constant state — the CDC/"
+    "dimension-history shape you as-of join against. One shuffle on the "
+    "key, two window passes; event-id tiebreak pins same-timestamp "
+    "order.",
+)
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.funnel import state_history
+
+    events = _t(spark, sf_dir, "events")
+    return state_history(
+        events, "user_id", "ts", "event_type", tiebreak=["event_id"]
+    ).orderBy("key", "effective_from")
+
+
+@register(
     "q_retention_cohorts",
     oracle="""
         WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p
@@ -4296,6 +4332,7 @@ _GRADING_ORDER = [
     "q_bigram_logprob",
     "q_funnel_conversion",
     "q_retention_cohorts",
+    "q_user_state_history",
     "q_resample_daily",
     "q_resample_ffill",
     "q_resample_interp",

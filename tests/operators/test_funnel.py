@@ -60,6 +60,38 @@ class TestFunnel:
             funnel_conversion(events, "user_id", "event_type", "ts", ["view"])
 
 
+class TestStateHistory:
+    def test_collapses_runs_and_closes_intervals(self, spark):
+        from ons_utils_spark.operators.funnel import state_history
+
+        rows = [
+            (1, "A", _ts(1)), (1, "A", _ts(2)), (1, "B", _ts(3)),
+            (1, "A", _ts(4)),  # A recurs → separate interval
+            (2, "C", _ts(1)),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA.replace("event_type", "state")
+                                   .replace("user_id", "user_id"))
+        out = sorted(
+            (
+                (r["key"], r["state"], r["effective_from"].day,
+                 r["effective_to"].day if r["effective_to"] else None)
+                for r in state_history(df, "user_id", "ts", "state").collect()
+            )
+        )
+        assert out == [
+            (1, "A", 1, 3), (1, "A", 4, None), (1, "B", 3, 4),
+            (2, "C", 1, None),
+        ]
+
+    def test_null_state_is_its_own_state(self, spark):
+        from ons_utils_spark.operators.funnel import state_history
+
+        rows = [(1, "A", _ts(1)), (1, None, _ts(2)), (1, "A", _ts(3))]
+        df = spark.createDataFrame(rows, "user_id bigint, state string, ts timestamp")
+        out = state_history(df, "user_id", "ts", "state").collect()
+        assert len(out) == 3  # A, NULL, A — three intervals, not one
+
+
 class TestRetention:
     def test_weekly_triangle(self, spark):
         # Weeks starting Mon 2024-05-06, 13, 20.

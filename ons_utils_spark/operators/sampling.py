@@ -105,6 +105,61 @@ def group_sample(
     )
 
 
+def weighted_group_sample(
+    df: SparkDF,
+    group_col: str,
+    key: Union[str, SparkCol],
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> SparkDF:
+    """Deterministic weighted ``k``-sample without replacement per group
+    (Efraimidis-Spirakis A-ES, 2006 — public algorithm).
+
+    Each row draws a deterministic uniform ``u`` in (0, 1) from
+    ``md5(salt, key)`` (first 12 hex digits over 16^12) and ranks by
+    ``u^(1/w)``; the top ``k`` per group win. This reproduces weighted
+    sampling without replacement exactly: a row's inclusion probability
+    is proportional to its weight among the remaining rows at each
+    draw. Deterministic across partitionings and engines (md5 and IEEE
+    ``pow`` agree everywhere); new ``salt`` = independent draw.
+    Non-positive weights never win (rank pinned to 0). One shuffle on
+    the group key, per-group window — the weighted twin of
+    :func:`group_sample`.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.col(key) if isinstance(key, str) else key
+    clash = {"__ws_r", "__ws_k", "__ws_rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"weighted_group_sample uses temp column(s) {sorted(clash)} "
+            "which already exist in the input — rename them first"
+        )
+    # u in (0, 1): 12 hex chars -> 48-bit int over 2^48; +1 avoids u=0.
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(float(16**12 + 1))
+    rank = F.when(
+        F.col(weight_col) > 0, F.pow(u, 1.0 / F.col(weight_col))
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__ws_r").desc(), "__ws_k"
+    )
+    return (
+        df.withColumn("__ws_r", rank)
+        .withColumn("__ws_k", key.cast("string"))
+        .withColumn("__ws_rn", F.row_number().over(w))
+        .where(F.col("__ws_rn") <= k)
+        .drop("__ws_r", "__ws_k", "__ws_rn")
+    )
+
+
 def split_thresholds(weights: Mapping[str, float]) -> list:
     """``[(label, upper_hex_threshold_exclusive)]`` for :func:`hash_split`,
     from cumulative normalized weights; the last label gets the sentinel.

@@ -3208,6 +3208,43 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_weighted_sample",
+    oracle="""
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (CASE WHEN n_chars > 0 THEN
+                           pow((CAST('0x' || substr(
+                                    md5('w1' || CAST(doc_id AS VARCHAR)),
+                                    1, 12) AS UBIGINT)::DOUBLE + 1.0)
+                               / 281474976710657.0,
+                               1.0 / n_chars)
+                           ELSE 0.0 END) DESC,
+                           CAST(doc_id AS VARCHAR)) AS rn
+            FROM documents
+        ) WHERE rn <= 15
+        ORDER BY doc_id
+    """,
+    description="Deterministic WEIGHTED sampling without replacement "
+    "(operators/sampling.py weighted_group_sample, Efraimidis-Spirakis "
+    "A-ES): 15 docs per language with inclusion probability proportional "
+    "to n_chars, ranked by u^(1/w) over an md5-derived uniform — the "
+    "same rows win on any cluster size, partitioning, or engine. One "
+    "shuffle on the group key.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _sampling.weighted_group_sample(
+            docs, "lang", "doc_id", "n_chars", k=15, salt="w1"
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_incremental_agg",
     oracle="""
         SELECT o_orderpriority,
@@ -4340,6 +4377,7 @@ _GRADING_ORDER = [
     "q_nation_trade_volume",
     "q_large_volume_orders",
     "q_group_sample",
+    "q_weighted_sample",
     "q_incremental_agg",
     "q_stats_aggregates",
     "q_running_customer_spend",

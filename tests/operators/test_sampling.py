@@ -213,6 +213,36 @@ class TestTrainingOrder:
         c = group_sample(df, "g", "k", k=5, salt="other").collect()
         assert {(r["g"], r["k"]) for r in c} != {(r["g"], r["k"]) for r in a}
 
+    def test_weighted_sample_biases_toward_heavy_rows(self, spark):
+        """Across many salts, a row with 50x the weight should win far
+        more often than a light row — the statistical contract of
+        Efraimidis-Spirakis; determinism checked across partitionings."""
+        from ons_utils_spark.operators.sampling import weighted_group_sample
+
+        rows = [(i, "g", 50.0 if i == 0 else 1.0) for i in range(20)]
+        df = spark.createDataFrame(rows, "k bigint, g string, w double")
+        heavy_wins = 0
+        for s in range(12):
+            got = {r["k"] for r in weighted_group_sample(
+                df, "g", "k", "w", k=1, salt=f"s{s}").collect()}
+            heavy_wins += 0 in got
+        assert heavy_wins >= 8  # P(win) ~ 50/69 per draw; 8/12 is lenient
+        a = weighted_group_sample(df, "g", "k", "w", k=5, salt="x").collect()
+        b = weighted_group_sample(
+            df.repartition(7), "g", "k", "w", k=5, salt="x"
+        ).collect()
+        assert {r["k"] for r in a} == {r["k"] for r in b}
+
+    def test_weighted_sample_zero_weight_never_wins(self, spark):
+        from ons_utils_spark.operators.sampling import weighted_group_sample
+
+        df = spark.createDataFrame(
+            [(1, "g", 0.0), (2, "g", 1.0), (3, "g", -4.0)],
+            "k bigint, g string, w double",
+        )
+        got = {r["k"] for r in weighted_group_sample(df, "g", "k", "w", k=1).collect()}
+        assert got == {2}
+
     def test_group_sample_guards(self, spark):
         from ons_utils_spark.operators.sampling import group_sample
 

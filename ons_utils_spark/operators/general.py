@@ -359,3 +359,50 @@ def diff(col: Union[str, SparkCol]) -> SparkCol:
         .when(c.isNotNull(), empty)
         .otherwise(F.lit(None).cast("array<float>"))
     )
+
+
+def robust_outliers(
+    df: SparkDF,
+    group_col: str,
+    value_col: str,
+    n_mads: float = 3.0,
+) -> SparkDF:
+    """Flag outliers per group by MEDIAN / MAD — the robust z-score.
+
+    Adds ``__median``, ``__mad`` (median absolute deviation, both exact
+    percentiles), ``robust_z`` (``0.6745 * |x - median| / MAD``, the
+    consistency-scaled form comparable to a normal z-score), and
+    ``is_outlier`` (``robust_z > n_mads``; never true when MAD is 0 —
+    a constant group has no outliers by this test). Unlike mean/stddev
+    z-scores, a single wild value cannot mask itself by inflating the
+    spread estimate.
+
+    Two aggregate passes over the groups (median, then MAD of the
+    residuals) broadcast back — the data itself never shuffles, matching
+    the ``percentile_length_cap`` pattern. Null-safe on the group key.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__median")
+    )
+    with_med = df.join(
+        F.broadcast(med.withColumnRenamed(group_col, "__og")),
+        F.col(group_col).eqNullSafe(F.col("__og")),
+    ).drop("__og")
+    mad = (
+        with_med.withColumn(
+            "__absdev", F.abs(F.col(value_col) - F.col("__median"))
+        )
+        .groupBy(group_col)
+        .agg(F.expr("percentile(__absdev, 0.5)").alias("__mad"))
+    )
+    out = with_med.join(
+        F.broadcast(mad.withColumnRenamed(group_col, "__og")),
+        F.col(group_col).eqNullSafe(F.col("__og")),
+    ).drop("__og")
+    z = F.when(
+        F.col("__mad") > 0,
+        0.6745 * F.abs(F.col(value_col) - F.col("__median")) / F.col("__mad"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("robust_z", z).withColumn(
+        "is_outlier", F.col("robust_z") > n_mads
+    )

@@ -3245,6 +3245,55 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_robust_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT o_orderpriority AS g, quantile_cont(o_totalprice, 0.5) AS m
+            FROM orders GROUP BY 1
+        ),
+        mad AS (
+            SELECT o.o_orderpriority AS g,
+                   quantile_cont(abs(o.o_totalprice - med.m), 0.5) AS d
+            FROM orders o JOIN med ON o.o_orderpriority = med.g
+            GROUP BY 1
+        )
+        SELECT o.o_orderkey,
+               o.o_orderpriority,
+               round(CASE WHEN mad.d > 0
+                     THEN 0.6745 * abs(o.o_totalprice - med.m) / mad.d
+                     ELSE 0.0 END, 6) AS robust_z,
+               (CASE WHEN mad.d > 0
+                THEN 0.6745 * abs(o.o_totalprice - med.m) / mad.d
+                ELSE 0.0 END) > 3.0 AS is_outlier
+        FROM orders o
+        JOIN med ON o.o_orderpriority = med.g
+        JOIN mad ON o.o_orderpriority = mad.g
+        ORDER BY o.o_orderkey
+    """,
+    description="Robust per-group outlier detection (operators/general.py "
+    "robust_outliers): median/MAD z-scores (0.6745-scaled, comparable to "
+    "normal z) flag order prices unusual WITHIN their priority class — "
+    "unlike mean/stddev, one wild value cannot mask itself by inflating "
+    "the spread. Two tiny percentile aggregates broadcast back; the fact "
+    "table never shuffles.",
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.general import robust_outliers
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        robust_outliers(orders, "o_orderpriority", "o_totalprice", n_mads=3.0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("robust_z", 6).alias("robust_z"),
+            "is_outlier",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "q_incremental_agg",
     oracle="""
         SELECT o_orderpriority,
@@ -4378,6 +4427,7 @@ _GRADING_ORDER = [
     "q_large_volume_orders",
     "q_group_sample",
     "q_weighted_sample",
+    "q_robust_outliers",
     "q_incremental_agg",
     "q_stats_aggregates",
     "q_running_customer_spend",

@@ -307,3 +307,36 @@ class TestDiff:
         df = spark.createDataFrame([([1.0, 2.0],)], "a array<float>")
         plan = df.select(diff("a").alias("d"))._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestRobustOutliers:
+    def test_flags_wild_value_not_spread(self, spark):
+        from ons_utils_spark.operators.general import robust_outliers
+
+        # Group g: nine values near 10, one wild 1000. Median 10, MAD ~1;
+        # the wild row's robust z is huge while normal rows stay small.
+        rows = [(i, "g", 9.0 + (i % 3)) for i in range(9)] + [(9, "g", 1000.0)]
+        df = spark.createDataFrame(rows, "id bigint, g string, v double")
+        out = {r["id"]: r for r in robust_outliers(df, "g", "v").collect()}
+        assert out[9]["is_outlier"]
+        assert not any(out[i]["is_outlier"] for i in range(9))
+
+    def test_constant_group_has_no_outliers(self, spark):
+        from ons_utils_spark.operators.general import robust_outliers
+
+        df = spark.createDataFrame(
+            [(i, "c", 5.0) for i in range(4)], "id bigint, g string, v double"
+        )
+        out = robust_outliers(df, "g", "v").collect()
+        assert all(not r["is_outlier"] and r["robust_z"] == 0.0 for r in out)
+
+    def test_null_group_forms_its_own_group(self, spark):
+        from ons_utils_spark.operators.general import robust_outliers
+
+        df = spark.createDataFrame(
+            [(1, None, 1.0), (2, None, 2.0), (3, None, 100.0), (4, "g", 1.0)],
+            "id bigint, g string, v double",
+        )
+        out = {r["id"]: r for r in robust_outliers(df, "g", "v").collect()}
+        assert len(out) == 4  # null-group rows are scored, not dropped
+        assert out[3]["is_outlier"]

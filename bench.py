@@ -208,21 +208,28 @@ def main() -> None:
             raise RuntimeError(f"no JSON line in trial output: {proc.stdout[-500:]}")
 
     t0 = trials[0]
+    q_med = {
+        q: median([t["queries"][q] for t in trials]) for q in t0["queries"]
+    }
+    qs_med = {
+        q: median([t["queries_steady"][q] for t in trials])
+        for q in t0["queries_steady"]
+    }
+    # Totals are SUMS OF PER-QUERY MEDIANS, not medians of per-trial
+    # sums: one host stall during a single trial contaminates that
+    # trial's whole sum (and with 3 trials, possibly the median of
+    # sums), while per-query medians discard each query's one bad
+    # sample. The per-trial sums remain visible under "trials".
     out = {
         "metric": t0["metric"],
-        "value": median([t["value"] for t in trials]),
+        "value": round(sum(q_med.values()), 3),
         "unit": "sec",
-        "queries": {
-            q: median([t["queries"][q] for t in trials]) for q in t0["queries"]
-        },
+        "queries": q_med,
         "sf": t0["sf"],
-        "shared16_total": median([t["shared16_total"] for t in trials]),
-        "shared16_steady": median([t["shared16_steady"] for t in trials]),
-        "steady_total": median([t["steady_total"] for t in trials]),
-        "queries_steady": {
-            q: median([t["queries_steady"][q] for t in trials])
-            for q in t0["queries_steady"]
-        },
+        "shared16_total": round(sum(q_med[n] for n in HEADLINE[:16]), 3),
+        "shared16_steady": round(sum(qs_med[n] for n in HEADLINE[:16]), 3),
+        "steady_total": round(sum(qs_med.values()), 3),
+        "queries_steady": qs_med,
         "n_trials": n_trials,
         # Per-trial headline numbers + calibration: the spread IS the
         # error bar, and calibration drift flags host slowdown vs code.

@@ -368,6 +368,16 @@ def minhash_lsh_pairs(
                 *([] if verify == "rescan" else ["hset"]),
             )
         )
+        if verify == "carry":
+            # Materialize (id, sig, hset) ONCE. Without this, Catalyst
+            # column-prunes each of the three consumers (banding needs
+            # sig; each verify side needs hset) into its own specialized
+            # aggregate — the executed plan then scans and re-shingles
+            # the corpus THREE times (seen in explain; the "one pass"
+            # this docstring promises never materialized). The
+            # checkpoint is the same per-corpus-version cost a persisted
+            # minhash_index pays.
+            base = base.localCheckpoint(eager=True)
 
     # Band hash: fold the band's signature slice through xxhash64 as longs —
     # no per-band string materialization (the pre-r2 concat_ws form cast
@@ -831,9 +841,12 @@ def minhash_lsh_join(
     rows = num_hashes // bands
 
     def side(df: SparkDF) -> SparkDF:
+        # Materialized once: banding and the verify join both consume
+        # this, and Catalyst would otherwise column-prune each consumer
+        # into its own corpus re-scan (see minhash_lsh_pairs).
         return minhash_index(
             df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
-        )
+        ).localCheckpoint(eager=True)
 
     def banded(base: SparkDF) -> SparkDF:
         return base.select(

@@ -278,9 +278,20 @@ def span_dedup(
             ),
         ),
     ).otherwise(F.array().cast(f"array<struct<pos:int,span:string>>"))
-    spans = df.select(
-        F.col(id_col).alias("id"), F.explode(span_arr).alias("sp")
-    ).select("id", "sp.pos", "sp.span", F.md5("sp.span").alias("k"))
+    # n_spans rides each exploded row so no separate per-doc count
+    # aggregate re-scans the corpus — the same passenger trick as
+    # _pair_shingle_counts, including its chained explode barrier
+    # (projecting size(arr) next to explode(arr) would otherwise make
+    # CollapseProject evaluate the span construction twice per row).
+    arr_once = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(span_arr)).alias("g"),
+    )
+    spans = arr_once.select(
+        "id",
+        F.size("g").cast("bigint").alias("n_spans"),
+        F.explode("g").alias("sp"),
+    ).select("id", "n_spans", "sp.pos", "sp.span", F.md5("sp.span").alias("k"))
 
     stats = spans.groupBy("k").agg(
         F.count(F.lit(1)).alias("cnt"), F.min("id").alias("keeper")
@@ -290,13 +301,10 @@ def span_dedup(
         .where((F.col("cnt") < min_count) | (F.col("id") == F.col("keeper")))
     )
     return (
-        kept.groupBy("id")
+        kept.groupBy("id", "n_spans")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "span"))).alias("ps"),
             F.count(F.lit(1)).alias("n_kept"),
-        )
-        .join(
-            spans.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans")), "id"
         )
         .select(
             "id",

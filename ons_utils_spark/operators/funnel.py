@@ -84,16 +84,30 @@ def funnel_conversion(
             for i in range(len(steps))
         ]
     )
-    rows = None
-    for i, step in enumerate(steps):
-        row = counts.select(
-            F.lit(i).alias("step_idx"),
-            F.lit(step).alias("step"),
-            F.col(f"u{i}").alias("users"),
-            F.round(F.col(f"u{i}") / F.col("u0"), 6).alias("conversion"),
+    # Melt the single counts row with ONE explode — a per-step
+    # select+union would reference `counts` once per step, and each
+    # reference re-executes the whole upstream funnel chain.
+    melted = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("step_idx"),
+                    F.lit(step).alias("step"),
+                    F.col(f"u{i}").alias("users"),
+                )
+                for i, step in enumerate(steps)
+            ]
         )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    )
+    return (
+        counts.select(F.col("u0"), melted.alias("s"))
+        .select(
+            "s.step_idx",
+            "s.step",
+            "s.users",
+            F.round(F.col("s.users") / F.col("u0"), 6).alias("conversion"),
+        )
+    )
 
 
 def state_history(

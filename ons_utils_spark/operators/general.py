@@ -384,20 +384,24 @@ def robust_outliers(
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("__median")
     )
-    with_med = df.join(
-        F.broadcast(med.withColumnRenamed(group_col, "__og")),
-        F.col(group_col).eqNullSafe(F.col("__og")),
-    ).drop("__og")
     mad = (
-        with_med.withColumn(
-            "__absdev", F.abs(F.col(value_col) - F.col("__median"))
+        df.join(
+            F.broadcast(med.withColumnRenamed(group_col, "__og")),
+            F.col(group_col).eqNullSafe(F.col("__og")),
         )
-        .groupBy(group_col)
+        .withColumn("__absdev", F.abs(F.col(value_col) - F.col("__median")))
+        .groupBy("__og")
         .agg(F.expr("percentile(__absdev, 0.5)").alias("__mad"))
     )
-    out = with_med.join(
-        F.broadcast(mad.withColumnRenamed(group_col, "__og")),
-        F.col(group_col).eqNullSafe(F.col("__og")),
+    # One combined per-group stats table broadcast into ONE final join —
+    # joining median and MAD separately would reference the med-joined
+    # frame twice and re-scan the data a fourth time. Three passes total
+    # (median, MAD, score) — the exact two-pass statistic plus output.
+    stats = med.join(
+        mad, F.col(group_col).eqNullSafe(F.col("__og"))
+    ).drop("__og").withColumnRenamed(group_col, "__og")
+    out = df.join(
+        F.broadcast(stats), F.col(group_col).eqNullSafe(F.col("__og"))
     ).drop("__og")
     z = F.when(
         F.col("__mad") > 0,

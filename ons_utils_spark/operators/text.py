@@ -329,8 +329,17 @@ def bigram_logprob(df, id_col: str, text_col: str):
         ).alias("g"),
     ).select("id", "g.w1", "g.w2")
 
-    big_counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx_counts = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # The bigram-count table IS the language model — materialize it once
+    # (it is what a real pipeline would persist) so its two consumers
+    # (the score join and the context-count derivation) don't each
+    # re-scan and re-explode the corpus. Context counts derive FROM the
+    # model: C(w1) = Σ_w2 C(w1, w2) — no third aggregate over raw grams.
+    big_counts = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    ctx_counts = big_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = (
         grams.join(big_counts, ["w1", "w2"])
         .join(ctx_counts, "w1")
@@ -417,7 +426,16 @@ def tfidf_terms(
     tokens = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
     )
-    tf = tokens.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # The TF table feeds both the score join and the document-frequency
+    # aggregate; materialized once so Catalyst's per-consumer column
+    # pruning doesn't turn each reference into its own corpus
+    # re-scan+re-tokenize (this is also the table a real pipeline
+    # persists as its index).
+    tf = (
+        tokens.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if n_docs is not None:
         n_col = F.lit(float(n_docs))

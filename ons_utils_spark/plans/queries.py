@@ -1740,13 +1740,22 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     assigned, centroids = ivf_build(emb, n_lists=8, seed=42)
     # k=11 then drop the query vector itself so 10 candidates remain.
+    # The tiny intermediates (10-row top-k lists, the 1-row query
+    # vector) are each consumed by several comparison branches below —
+    # materialized so every reference doesn't re-run KMeans assignment
+    # or re-scan embeddings.
     ivf = (
         ivf_topk(assigned, centroids, query_vec, k=11, n_probe=4)
         .where(F.col("id") != 0)
         .orderBy(F.col("cos_sim").desc(), "id")
         .limit(10)
+        .localCheckpoint(eager=True)
     )
-    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qv = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .localCheckpoint(eager=True)
+    )
     exact = (
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
@@ -1756,6 +1765,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_sim").desc(), "vec_id")
         .limit(10)
+        .localCheckpoint(eager=True)
     )
     hits = ivf.join(exact, ivf["id"] == exact["vec_id"], "inner")
     rescored = ivf.join(
@@ -3399,9 +3409,15 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    per_flag = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_partkey").alias("sk"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+    # A handful of rows, consumed twice (per-flag rows + the merge) —
+    # materialized so each consumer doesn't re-scan lineitem.
+    per_flag = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_agg("l_partkey").alias("sk"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .localCheckpoint(eager=True)
     )
     flag_rows = per_flag.select(
         F.col("l_returnflag").alias("scope"),

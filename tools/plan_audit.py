@@ -49,11 +49,52 @@ ALLOWED = {
     ("q_build_vocab", "global"),
     ("q_oov_ratio", "global"),
     ("q_rich_idle_customers", "BroadcastNestedLoopJoin"),
+    # 1-row broadcast cross joins: the merged-HLL estimate row and the
+    # IVF harness's query vector.
+    ("q_hll_mergeable", "BroadcastNestedLoopJoin"),
+    ("q_similarity_ivf", "BroadcastNestedLoopJoin"),
     # all-pairs near-dup candidate stage is intentionally quadratic in the
     # expression variant; the registered query uses the blocked matmul.
 }
 
 _PY_STAGE = re.compile(r"\b(MapInPandas|FlatMapGroupsInPandas)\b")
+_SCAN_PATH = re.compile(r"file:[^\],\s]+\.parquet")
+
+#: Queries allowed to scan the SAME file 3+ times because each scan reads
+#: a DISJOINT filtered slice (union-of-segments shapes), not the same
+#: rows redundantly.
+TRIPLE_SCAN_OK = {
+    "q_concat_with_keys",
+    "q_concat_schema_coercion",
+    "q_incremental_agg",  # three year-sliced arrival batches of orders
+    # benchmark slice + two corpus passes (gram-derive ids, anti-join
+    # output) — the id-based anti-join design, not redundant recompute.
+    "q_decontaminate",
+    # three step-sliced scans, one per funnel step type — disjoint rows.
+    "q_funnel_conversion",
+    # exact median, then MAD of residuals, then scoring: a genuinely
+    # three-pass exact statistic.
+    "q_robust_outliers",
+}
+
+
+def redundant_scans(plan: str) -> list[str]:
+    """Same parquet path appearing 3+ times in one executed plan.
+
+    Two scans are common and usually fine (self-joins, build+probe); three
+    or more of the SAME path is how the r4 MinHash bug looked — a shared
+    aggregate column-pruned into per-consumer copies, silently
+    re-scanning (and recomputing everything above the scan) once per
+    consumer. Materialize the shared table (localCheckpoint / persist)
+    instead."""
+    counts: dict[str, int] = {}
+    for mt in _SCAN_PATH.findall(plan):
+        counts[mt] = counts.get(mt, 0) + 1
+    return [
+        f"redundant-scan {p.rsplit('/', 1)[-1]} x{c}"
+        for p, c in counts.items()
+        if c >= 3
+    ]
 
 
 def _indent(line: str) -> int:
@@ -115,6 +156,8 @@ def main() -> int:
         if "BroadcastNestedLoopJoin" in plan and (name, "BroadcastNestedLoopJoin") not in ALLOWED:
             flags.append("BroadcastNestedLoopJoin")
         flags.extend(coalescible_python_stages(plan))
+        if name not in TRIPLE_SCAN_OK:
+            flags.extend(redundant_scans(plan))
         flags = [f for f in flags if (name, f.split()[0]) not in ALLOWED]
         if flags:
             failures.append((name, ", ".join(flags)))

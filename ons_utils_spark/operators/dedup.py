@@ -375,9 +375,12 @@ def minhash_lsh_pairs(
             # aggregate — the executed plan then scans and re-shingles
             # the corpus THREE times (seen in explain; the "one pass"
             # this docstring promises never materialized). The
-            # checkpoint is the same per-corpus-version cost a persisted
-            # minhash_index pays.
-            base = base.localCheckpoint(eager=True)
+            # persist is the same per-corpus-version cost a stored
+            # minhash_index pays, and being LAZY it adds no extra job:
+            # the first stage that needs base caches it, later consumers
+            # read the cache (an eager localCheckpoint here cost the
+            # first-run channel a separate barrier job).
+            base = base.persist()
 
     # Band hash: fold the band's signature slice through xxhash64 as longs —
     # no per-band string materialization (the pre-r2 concat_ws form cast
@@ -841,12 +844,12 @@ def minhash_lsh_join(
     rows = num_hashes // bands
 
     def side(df: SparkDF) -> SparkDF:
-        # Materialized once: banding and the verify join both consume
+        # Cached once (lazily): banding and the verify join both consume
         # this, and Catalyst would otherwise column-prune each consumer
         # into its own corpus re-scan (see minhash_lsh_pairs).
         return minhash_index(
             df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
-        ).localCheckpoint(eager=True)
+        ).persist()
 
     def banded(base: SparkDF) -> SparkDF:
         return base.select(

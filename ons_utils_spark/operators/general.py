@@ -410,3 +410,33 @@ def robust_outliers(
     return out.withColumn("robust_z", z).withColumn(
         "is_outlier", F.col("robust_z") > n_mads
     )
+
+
+def fk_violations(
+    child: SparkDF,
+    parent: SparkDF,
+    child_keys: Sequence[str],
+    parent_keys: Optional[Sequence[str]] = None,
+) -> SparkDF:
+    """Referential-integrity check: child rows whose foreign key has no
+    parent — the anti-join data-quality audit.
+
+    Returns the violating CHILD rows unchanged (empty result = integrity
+    holds). NULL foreign keys are violations too (they match no parent
+    under SQL join semantics, and an FK of NULLs referencing nothing is
+    exactly what this audit should surface); filter them out first if
+    NULLs are legitimate in your schema. One shuffle keyed by the FK —
+    or none when the parent key set broadcasts.
+    """
+    parent_keys = list(parent_keys or child_keys)
+    child_keys = list(child_keys)
+    if len(child_keys) != len(parent_keys):
+        raise ValueError("child_keys and parent_keys must align")
+    pk = parent.select(
+        *[F.col(p).alias(f"__pk_{i}") for i, p in enumerate(parent_keys)]
+    ).distinct()
+    cond = None
+    for i, c in enumerate(child_keys):
+        clause = F.col(c) == F.col(f"__pk_{i}")
+        cond = clause if cond is None else cond & clause
+    return child.join(pk, cond, "left_anti")

@@ -3255,6 +3255,35 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fk_violations",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 10 <> 0
+        )
+        ORDER BY o.o_orderkey
+    """,
+    description="Referential-integrity audit (operators/general.py "
+    "fk_violations): orders whose customer is missing from a parent "
+    "snapshot (every 10th customer removed to synthesize violations). "
+    "One anti-join keyed by the FK — broadcastable when the parent key "
+    "set is small; empty result = integrity holds.",
+)
+def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.general import fk_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    parent = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 != 0)
+    return (
+        fk_violations(orders, parent, ["o_custkey"], ["c_custkey"])
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "q_robust_outliers",
     oracle="""
         WITH med AS (
@@ -4443,6 +4472,7 @@ _GRADING_ORDER = [
     "q_large_volume_orders",
     "q_group_sample",
     "q_weighted_sample",
+    "q_fk_violations",
     "q_robust_outliers",
     "q_incremental_agg",
     "q_stats_aggregates",

@@ -340,3 +340,38 @@ class TestRobustOutliers:
         out = {r["id"]: r for r in robust_outliers(df, "g", "v").collect()}
         assert len(out) == 4  # null-group rows are scored, not dropped
         assert out[3]["is_outlier"]
+
+
+class TestFkViolations:
+    def test_missing_parents_surface(self, spark):
+        from ons_utils_spark.operators.general import fk_violations
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, None)],
+            "id bigint, fk bigint",
+        )
+        parent = spark.createDataFrame([(10,), (30,)], "pk bigint")
+        bad = {r["id"] for r in fk_violations(child, parent, ["fk"], ["pk"]).collect()}
+        assert bad == {2, 4}  # missing parent AND the NULL FK
+
+    def test_clean_data_yields_empty(self, spark):
+        from ons_utils_spark.operators.general import fk_violations
+
+        child = spark.createDataFrame([(1, 10)], "id bigint, fk bigint")
+        parent = spark.createDataFrame([(10,), (11,)], "pk bigint")
+        assert fk_violations(child, parent, ["fk"], ["pk"]).count() == 0
+
+    def test_composite_keys_and_arity_guard(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.general import fk_violations
+
+        child = spark.createDataFrame(
+            [(1, "a", 1), (2, "a", 2)], "id bigint, k1 string, k2 bigint"
+        )
+        parent = spark.createDataFrame([("a", 1)], "p1 string, p2 bigint")
+        bad = {r["id"] for r in fk_violations(
+            child, parent, ["k1", "k2"], ["p1", "p2"]).collect()}
+        assert bad == {2}
+        with _pytest.raises(ValueError, match="align"):
+            fk_violations(child, parent, ["k1"], ["p1", "p2"])

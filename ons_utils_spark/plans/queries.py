@@ -1691,6 +1691,66 @@ def q_window_spec_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def _srp_oracle_sql() -> str:
+    """Generate the q_srp_topk oracle with the SAME deterministic
+    hyperplane constants the Spark operator uses (make_planes seed 42),
+    inlined as DOUBLE[] literals — sign tests and bucket packing then
+    reproduce bit-for-bit in DuckDB."""
+    from ons_utils_spark.operators.similarity import make_planes
+
+    planes = make_planes(64, n_planes=8, seed=42)
+
+    def bucket(vec_expr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec_expr}, "
+            f"[{', '.join(repr(c) for c in plane)}]::DOUBLE[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+
+    return f"""
+        WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT ({bucket('qv.v')}) AS b FROM qv)
+        SELECT id, cos_sim FROM (
+            SELECT e.vec_id AS id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cos_sim,
+                   ({bucket('CAST(e.embedding AS DOUBLE[])')}) AS eb
+            FROM embeddings e CROSS JOIN qv
+        ), qb
+        WHERE eb = qb.b
+        ORDER BY cos_sim DESC, id
+        LIMIT 10
+    """
+
+
+@register(
+    "q_srp_topk",
+    oracle=_srp_oracle_sql(),
+    description="SRP-LSH bucketed approximate top-k (operators/"
+    "similarity.py srp_topk): vectors sharing the query's sign-random-"
+    "projection bucket are scored exactly, everything else pruned — at "
+    "scale the table is written partitioned by bucket id so a probe is "
+    "partition-pruned to one bucket. Full value-hash oracle: the "
+    "deterministic hyperplane constants are inlined into the SQL, so "
+    "DuckDB reproduces buckets and scores bit-for-bit.",
+)
+def q_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.similarity import srp_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query_vec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return srp_topk(emb, query_vec, k=10, n_planes=8, seed=42).orderBy(
+        F.col("cos_sim").desc(), "id"
+    )
+
+
 @register(
     "q_similarity_ivf",
     oracle="""
@@ -4527,6 +4587,7 @@ _GRADING_ORDER = [
     "q_dedup_simhash",
     "q_similarity_ivf",
     "q_approx_aggregates",
+    "q_srp_topk",
 ]
 
 

@@ -96,7 +96,10 @@ def str_hash_steps(pfx: str, tok: str, seed: str) -> list[tuple[str, str]]:
         # fail the whole oracle loudly instead of hashing them wrong
         # (a NULL here would silently skip rows in downstream vote sums).
         (f"{pfx}_h0",
-         f"CASE WHEN {l} < 32 THEN (({seed}) + {P5} + {l}) % {M64} "
+         f"CASE WHEN {l} <> length({tok}) THEN "
+         f"error('xxh64 oracle: non-ASCII token (byte length <> char "
+         f"length); per-char ord() would mis-hash it') "
+         f"WHEN {l} < 32 THEN (({seed}) + {P5} + {l}) % {M64} "
          f"ELSE error('xxh64 oracle: token >= 32 bytes needs the stripe "
          f"path') END"),
         (f"{pfx}_h8",

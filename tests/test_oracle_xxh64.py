@@ -90,6 +90,17 @@ def test_long_chain_matches_spark(spark_hashes):
     assert got == long_ref
 
 
+def test_non_ascii_errors_not_mishashes():
+    """strlen is bytes, ord() is code points — non-ASCII would silently
+    diverge from Spark's UTF-8-byte hashing, so the oracle aborts."""
+    con = duckdb.connect()
+    sql = "WITH strs AS (SELECT 'héllo' AS tok)"
+    sql += chain("strs", str_hash_steps("th", "tok", "42"), "c", "hashed")
+    sql += " SELECT th FROM hashed"
+    with pytest.raises(Exception, match="non-ASCII"):
+        con.execute(sql).fetchone()
+
+
 def test_over_31_byte_strings_error_not_wrong():
     """Tokens needing the XXH64 stripe loop abort the oracle loudly —
     a NULL would silently skip rows in downstream vote sums."""

@@ -12,10 +12,10 @@ that reproduces Spark's hashes bit-for-bit, verified against
 
 All 64-bit modular arithmetic runs in HUGEINT (128-bit): products of two
 64-bit values are computed via 32-bit limb splitting so no intermediate
-exceeds 2^98. Strings are assumed ASCII (code point == byte — true for
-the synthetic corpus and asserted cheap in the tests) and shorter than
-32 bytes (no stripe loop; the generated SQL NULLs out longer tokens
-rather than mis-hashing them).
+exceeds 2^98. Strings must be ASCII (code point == byte; the generated
+SQL aborts loudly otherwise) but may be ANY length — the 4-accumulator
+stripe loop for 32+ byte inputs folds through ``list_reduce`` with a
+``LIST<HUGEINT>`` accumulator.
 """
 
 from __future__ import annotations
@@ -74,13 +74,55 @@ def long_hash_steps(pfx: str, inp: str, seed: str) -> list[tuple[str, str]]:
 
 def str_hash_steps(pfx: str, tok: str, seed: str) -> list[tuple[str, str]]:
     """Column steps computing ``xxhash64(string)`` for ASCII strings of
-    fewer than 32 bytes (the XXH64 short path: 8-byte chunks via
-    list_reduce, one optional 4-byte chunk, tail bytes)."""
+    ANY length: the XXH64 stripe loop (4 accumulators over 32-byte
+    blocks, folded via ``list_reduce`` with a ``LIST<HUGEINT>``
+    accumulator) for ``len >= 32``, then the shared tail (remaining
+    8-byte words, one optional 4-byte chunk, trailing bytes)."""
     l = f"strlen({tok})"
-    read8 = "(" + " + ".join(
-        f"ord(({tok})[8*c + {j + 1}])::HUGEINT * {POW256[j]}" for j in range(8)
-    ) + ")"
-    chunks8 = f"[{read8} for c in generate_series(0, {l} // 8 - 1)]"
+    n32 = f"({l} // 32)"
+
+    def read8_at(base: str) -> str:
+        return "(" + " + ".join(
+            f"ord(({tok})[{base} + {j + 1}])::HUGEINT * {POW256[j]}"
+            for j in range(8)
+        ) + ")"
+
+    # ---- stripe loop (len >= 32): acc = [v1, v2, v3, v4] -------------
+    v_init = (
+        f"[(({seed}) + {P1} + {P2}) % {M64}, "
+        f"(({seed}) + {P2}) % {M64}, "
+        f"(({seed})) % {M64}, "
+        f"(({seed}) + {M64} - {P1}) % {M64}]"
+    )
+    stripe_items = (
+        "[[" + ", ".join(read8_at(f"(s*32 + {8 * j})") for j in range(4)) + "]"
+        f" for s in generate_series(0, {n32} - 1)]"
+    )
+    vround = lambda acc, lane: _mul64(  # noqa: E731
+        _rotl(f"(({acc}) + {_mul64(lane, str(P2))}) % {M64}", 31), str(P1)
+    )
+    stripe_lambda = (
+        "(acc, lanes) -> ["
+        + ", ".join(vround(f"acc[{i + 1}]", f"lanes[{i + 1}]") for i in range(4))
+        + "]"
+    )
+    # merge: h = rotl(v1,1)+rotl(v2,7)+rotl(v3,12)+rotl(v4,18), then for
+    # each v: h = (h ^ round(0, v)) * P1 + P4.
+    vs = f"{pfx}_vs"
+    merge_sum = (
+        f"({_rotl(f'{vs}[1]', 1)} + {_rotl(f'{vs}[2]', 7)} + "
+        f"{_rotl(f'{vs}[3]', 12)} + {_rotl(f'{vs}[4]', 18)}) % {M64}"
+    )
+
+    def merge_round(h: str, v: str) -> str:
+        rv = _mul64(_rotl(_mul64(v, str(P2)), 31), str(P1))
+        return f"({_mul64(_xor(h, rv), str(P1))} + {P4}) % {M64}"
+
+    # ---- shared tail ---------------------------------------------------
+    # Full 8-byte words AFTER the stripes: word indices n32*4 .. l//8 - 1.
+    chunks8 = (
+        f"[{read8_at('(8*c)')} for c in generate_series({n32} * 4, {l} // 8 - 1)]"
+    )
     round_in = _xor("acc", _mul64(_rotl(_mul64("k", str(P2)), 31), str(P1)))
     round8 = f"({_mul64(_rotl(round_in, 27), str(P1))} + {P4}) % {M64}"
     off4 = f"(({l} // 8) * 8)"
@@ -92,18 +134,28 @@ def str_hash_steps(pfx: str, tok: str, seed: str) -> list[tuple[str, str]]:
     bytes_list = f"[ord(({tok})[p])::HUGEINT for p in generate_series({offb} + 1, {l})]"
     bbody = _mul64(_rotl(_xor("acc", _mul64("k", str(P5))), 11), str(P1))
     return [
-        # Tokens >= 32 bytes would need the 4-accumulator stripe loop;
-        # fail the whole oracle loudly instead of hashing them wrong
-        # (a NULL here would silently skip rows in downstream vote sums).
+        (vs,
+         f"CASE WHEN {l} >= 32 THEN list_reduce("
+         f"list_prepend({v_init}::HUGEINT[], {stripe_items}), {stripe_lambda}) "
+         f"END"),
+        (f"{pfx}_hm", merge_round(
+            merge_round(
+                merge_round(merge_round(merge_sum, f"{vs}[1]"), f"{vs}[2]"),
+                f"{vs}[3]",
+            ),
+            f"{vs}[4]",
+        )),
+        # ASCII guard: strlen counts BYTES while ord() yields code
+        # points — non-ASCII would silently diverge from Spark's
+        # UTF-8-byte hashing, so abort the oracle loudly instead.
         (f"{pfx}_h0",
          f"CASE WHEN {l} <> length({tok}) THEN "
          f"error('xxh64 oracle: non-ASCII token (byte length <> char "
          f"length); per-char ord() would mis-hash it') "
-         f"WHEN {l} < 32 THEN (({seed}) + {P5} + {l}) % {M64} "
-         f"ELSE error('xxh64 oracle: token >= 32 bytes needs the stripe "
-         f"path') END"),
+         f"WHEN {l} >= 32 THEN ({pfx}_hm + {l}) % {M64} "
+         f"ELSE (({seed}) + {P5} + {l}) % {M64} END"),
         (f"{pfx}_h8",
-         f"CASE WHEN {l} >= 8 THEN list_reduce("
+         f"CASE WHEN {l} // 8 > {n32} * 4 THEN list_reduce("
          f"list_prepend({pfx}_h0::HUGEINT, {chunks8}), (acc, k) -> {round8}) "
          f"ELSE {pfx}_h0 END"),
         (f"{pfx}_h4",

@@ -3613,6 +3613,101 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_oracle_sql() -> str:
+    """q_winnow_overlap oracle: 5-gram shingle strings → xxhash64 (the
+    DuckDB XXH64 from plans/oracle_xxh64.py — shingle strings exceed 32
+    bytes, exercising the stripe path) → window-of-4 minima → distinct
+    fingerprints → inverted index → pair overlap counts."""
+    from ons_utils_spark.plans.oracle_xxh64 import chain, str_hash_steps
+
+    sql = _TOKS_CTE
+    sql += """,
+    shrows AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i:(i + 4)], ' ') AS tok
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS i
+              FROM toks WHERE len(toks) >= 5)
+    )"""
+    sql += chain("shrows", str_hash_steps("th", "tok", "42"), "whc", "hashed")
+    sql += """,
+    signed AS (
+        -- Spark's array_min compares SIGNED longs; fold the unsigned
+        -- XXH64 value back to two's complement before taking window
+        -- minima or the picked fingerprints differ.
+        SELECT doc_id, pos,
+               CASE WHEN th >= 9223372036854775808
+                    THEN th - 18446744073709551616 ELSE th END AS th
+        FROM hashed
+    ),
+    perdoc AS (
+        SELECT doc_id, list(th ORDER BY pos) AS hl FROM signed GROUP BY doc_id
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(
+                   CASE WHEN len(hl) >= 4
+                        THEN [list_min(hl[i:(i + 3)])
+                              for i in generate_series(1, len(hl) - 3)]
+                        ELSE [list_min(hl)] END)) AS fp
+        FROM perdoc
+    ),
+    posts AS (SELECT fp, list(doc_id ORDER BY doc_id) AS ids
+              FROM fps GROUP BY fp HAVING count(*) > 1)
+    SELECT a AS id_a, b AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
+    FROM (
+        SELECT ids[i] AS a, ids[j] AS b
+        FROM posts,
+             unnest(generate_series(1, len(ids))) AS u(i),
+             unnest(generate_series(1, len(ids))) AS v(j)
+        WHERE i < j
+    )
+    GROUP BY a, b
+    HAVING count(*) >= 2
+    ORDER BY id_a, id_b
+    """
+    return sql
+
+
+@register(
+    "q_winnow_overlap",
+    oracle=_winnow_oracle_sql(),
+    description="MOSS-style copy detection (operators/text.py "
+    "winnow_fingerprints, Schleimer/Wilkerson/Aiken 2003): document "
+    "pairs sharing >= 2 winnowing fingerprints (5-gram hashes, window "
+    "4 minima — any shared 8-token run guarantees a shared "
+    "fingerprint). Same inverted-index postings plan as jaccard_pairs. "
+    "The oracle recomputes the fingerprints in DuckDB using the "
+    "xxhash64 SQL reimplementation's STRIPE path (shingle strings "
+    "exceed 32 bytes).",
+)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(_text.winnow_fingerprints("text", k=5, w=4)).alias("fp"),
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids") - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= 2)
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register(
     "q_gopher_quality",
     oracle=_TOKS_CTE
@@ -4592,6 +4687,7 @@ _GRADING_ORDER = [
     "q_similarity_ivf",
     "q_approx_aggregates",
     "q_srp_topk",
+    "q_winnow_overlap",
 ]
 
 

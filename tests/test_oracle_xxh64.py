@@ -17,7 +17,13 @@ M64 = 1 << 64
 TOKENS = [
     "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg", "abcdefgh",
     "abcdefghi", "abcdefghijklmno", "abcdefghijklmnop",
-    "abcdefghijklmnopqrstuvwxyz01234",  # 31 bytes: longest short-path input
+    "abcdefghijklmnopqrstuvwxyz01234",   # 31 bytes: longest no-stripe input
+    "abcdefghijklmnopqrstuvwxyz012345",  # 32: exactly one stripe, no tail
+    "abcdefghijklmnopqrstuvwxyz0123456",  # 33: stripe + 1 tail byte
+    "abcdefghijklmnopqrstuvwxyz0123456789ABC",   # 39: stripe + 7 bytes
+    "abcdefghijklmnopqrstuvwxyz0123456789ABCD",  # 40: stripe + 1 word
+    "the quick brown fox jumps over the lazy dog near the old riverbank",  # 67: 2 stripes + tail
+    "x" * 64, "y" * 96, "z" * 100,  # multi-stripe, various tails
     "key", "agg3", "shuffle0", "x", "Z9", "mixedCASE", "0", "  ",
 ]
 
@@ -101,16 +107,6 @@ def test_non_ascii_errors_not_mishashes():
         con.execute(sql).fetchone()
 
 
-def test_over_31_byte_strings_error_not_wrong():
-    """Tokens needing the XXH64 stripe loop abort the oracle loudly —
-    a NULL would silently skip rows in downstream vote sums."""
-    con = duckdb.connect()
-    long_tok = "a" * 32
-    sql = f"WITH strs AS (SELECT '{long_tok}' AS tok)"
-    sql += chain("strs", str_hash_steps("th", "tok", "42"), "c", "hashed")
-    sql += " SELECT th FROM hashed"
-    with pytest.raises(Exception, match="stripe"):
-        con.execute(sql).fetchone()
 
 
 def test_simhash_oracle_pairs_match_spark(spark):

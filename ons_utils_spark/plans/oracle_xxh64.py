@@ -172,14 +172,19 @@ def str_hash_steps(pfx: str, tok: str, seed: str) -> list[tuple[str, str]]:
 
 def chain(base: str, steps: list[tuple[str, str]], name: str, out: str) -> str:
     """Append one CTE per step (each referencing the previous step's
-    column by name) and a final CTE ``out`` selecting ``*``."""
+    column by name) and a final CTE ``out`` selecting ``*``.
+
+    ``out`` is MATERIALIZED: DuckDB inlines plain CTEs at every
+    reference, so a downstream query touching the hash column twice
+    would re-evaluate the whole chain per reference (measured 2-4×
+    blowups on these deliberately huge expression trees)."""
     cur = base
     sql = ""
     for i, (col, expr) in enumerate(steps):
         nxt = f"{name}_{i}"
         sql += f", {nxt} AS (SELECT *, ({expr}) AS {col} FROM {cur})"
         cur = nxt
-    sql += f", {out} AS (SELECT * FROM {cur})"
+    sql += f", {out} AS MATERIALIZED (SELECT * FROM {cur})"
     return sql
 
 
@@ -192,41 +197,53 @@ def simhash_pairs_oracle(toks_cte: str, max_hamming: int = 3) -> str:
     so token parity with Spark's ``tokenize`` is inherited from the
     already-hash-green MinHash/Jaccard oracles.
     """
-    powers = "[" + ", ".join(str(1 << p) for p in range(64)) + "]::HUGEINT[]"
+    # One sum lane per bit over the shingle rows (the same shape Spark's
+    # vote aggregate compiles) — the earlier unnest-64-bits form built a
+    # 64-element HUGEINT list literal PER (shingle, bit) row, which
+    # dominated the oracle's runtime ~20x.
+    c_lanes = ", ".join(
+        f"sum((sh // {1 << p}) % 2) AS c{p}" for p in range(64)
+    )
+    lo_bits = " + ".join(
+        f"(CASE WHEN 2 * c{p} > n THEN {1 << p} ELSE 0 END)" for p in range(32)
+    )
+    hi_bits = " + ".join(
+        f"(CASE WHEN 2 * c{p} > n THEN {1 << (p - 32)} ELSE 0 END)"
+        for p in range(32, 64)
+    )
     sql = toks_cte
     sql += """,
     tokpos AS (
         SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
         FROM toks WHERE len(toks) >= 2
     ),
-    tokrows AS (SELECT doc_id, pos, toks[pos] AS tok FROM tokpos)"""
-    sql += chain("tokrows", str_hash_steps("th", "tok", "42"), "thc", "thash")
+    tokrows AS MATERIALIZED (SELECT doc_id, pos, toks[pos] AS tok FROM tokpos),
+    tokdist AS (SELECT DISTINCT tok FROM tokrows)"""
+    # Hash each DISTINCT token once, then join back — the hash chain is
+    # the expensive part and corpora repeat tokens heavily.
+    sql += chain("tokdist", str_hash_steps("th", "tok", "42"), "thc", "tokhash")
     sql += """,
-    bigrams AS (
+    thash AS MATERIALIZED (SELECT r.doc_id, r.pos, h.th
+              FROM tokrows r JOIN tokhash h USING (tok)),
+    bigrams AS MATERIALIZED (
         SELECT a.doc_id, a.pos, a.th AS au, b.th AS bu
         FROM thash a JOIN thash b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-    )"""
-    sql += chain("bigrams", long_hash_steps("ha", "au", "42"), "hac", "seeded")
-    sql += chain("seeded", long_hash_steps("sh", "bu", "ha"), "shc", "shingled")
+    ),
+    bgdist AS (SELECT DISTINCT au, bu FROM bigrams)"""
+    sql += chain("bgdist", long_hash_steps("ha", "au", "42"), "hac", "seeded")
+    sql += chain("seeded", long_hash_steps("sh", "bu", "ha"), "shc", "bghash")
     sql += f""",
-    votes AS (
-        SELECT doc_id, unnest(generate_series(0, 63)) AS p, sh FROM shingled
-    ),
-    bitv AS (
-        SELECT doc_id, p, ((sh // ({powers})[p + 1]) % 2)::BIGINT AS bit
-        FROM votes
-    ),
-    perbit AS (
-        SELECT doc_id, p, sum(bit) AS c, count(*) AS n
-        FROM bitv GROUP BY doc_id, p
+    shingled AS (SELECT g.doc_id, h.sh
+                 FROM bigrams g JOIN bghash h USING (au, bu)),
+    persketch AS (
+        SELECT doc_id, count(*) AS n, {c_lanes}
+        FROM shingled GROUP BY doc_id
     ),
     sk AS (
         SELECT doc_id,
-               CAST(sum(CASE WHEN 2 * c > n AND p < 32
-                             THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS lo,
-               CAST(sum(CASE WHEN 2 * c > n AND p >= 32
-                             THEN (1::BIGINT << (p - 32)) ELSE 0 END) AS BIGINT) AS hi
-        FROM perbit GROUP BY doc_id
+               CAST({lo_bits} AS BIGINT) AS lo,
+               CAST({hi_bits} AS BIGINT) AS hi
+        FROM persketch
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INTEGER

@@ -3622,23 +3622,25 @@ def _winnow_oracle_sql() -> str:
 
     sql = _TOKS_CTE
     sql += """,
-    shrows AS (
+    shrows AS MATERIALIZED (
         SELECT doc_id, i AS pos,
                array_to_string(toks[i:(i + 4)], ' ') AS tok
         FROM (SELECT doc_id, toks,
                      unnest(generate_series(1, len(toks) - 4)) AS i
               FROM toks WHERE len(toks) >= 5)
-    )"""
-    sql += chain("shrows", str_hash_steps("th", "tok", "42"), "whc", "hashed")
+    ),
+    shdist AS (SELECT DISTINCT tok FROM shrows)"""
+    sql += chain("shdist", str_hash_steps("th", "tok", "42"), "whc", "shhash")
     sql += """,
     signed AS (
         -- Spark's array_min compares SIGNED longs; fold the unsigned
         -- XXH64 value back to two's complement before taking window
-        -- minima or the picked fingerprints differ.
-        SELECT doc_id, pos,
-               CASE WHEN th >= 9223372036854775808
-                    THEN th - 18446744073709551616 ELSE th END AS th
-        FROM hashed
+        -- minima or the picked fingerprints differ. Hash each DISTINCT
+        -- shingle once and join back (the chain is the expensive part).
+        SELECT r.doc_id, r.pos,
+               CASE WHEN h.th >= 9223372036854775808
+                    THEN h.th - 18446744073709551616 ELSE h.th END AS th
+        FROM shrows r JOIN shhash h USING (tok)
     ),
     perdoc AS (
         SELECT doc_id, list(th ORDER BY pos) AS hl FROM signed GROUP BY doc_id

@@ -4545,6 +4545,121 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Web-corpus operators: URL canonicalization + URL-keyed dedup
+# ---------------------------------------------------------------------------
+
+from ons_utils_spark.operators import web as _web  # noqa: E402
+
+#: Deterministic messy-URL synthesis over `documents` — ONE SQL expression
+#: valid in both Spark SQL and DuckDB (concat/CASE/% behave identically), so
+#: both engines construct byte-identical inputs and the oracle checks ONLY
+#: the canonicalization/dedup logic. The branches cover every contract
+#: clause: scheme/host case, www., default vs explicit ports, tracking
+#: params, param order, trailing slash, fragments.
+_URL_EXPR = """
+concat(
+  CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' WHEN doc_id % 3 = 1 THEN 'https://'
+       ELSE 'HTTPS://' END,
+  CASE WHEN doc_id % 2 = 0 THEN concat('WWW.', source, '.Example.COM')
+       ELSE concat(source, '.example.com') END,
+  CASE WHEN doc_id % 5 = 0 THEN
+       CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END ELSE '' END,
+  concat('/Docs/', doc_id % 40),
+  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+  '?',
+  CASE WHEN doc_id % 2 = 0
+       THEN concat('utm_source=feed&id=', doc_id % 25, '&ref=home')
+       ELSE concat('id=', doc_id % 25) END,
+  CASE WHEN doc_id % 7 = 0 THEN concat('#sec', doc_id) ELSE '' END
+)
+"""
+
+#: DuckDB mirror of ``web.canonicalize_url`` — an INDEPENDENT
+#: reimplementation of the module-documented contract (regexp_replace uses
+#: ``\1`` backrefs where Spark uses ``$1``; list_filter/list_sort where
+#: Spark uses filter/sort_array), applied to a column named ``url``.
+_CANON_SQL = r"""
+    concat(
+        regexp_replace(regexp_replace(
+            lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1)),
+            '://www\.', '://'),
+            '^(http://[^/?#:]*):80$|^(https://[^/?#:]*):443$', '\1\2'),
+        regexp_replace(regexp_extract(
+            substr(u, length(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1)) + 1),
+            '^([^?]*)', 1), '/+$', ''),
+        CASE WHEN qs <> '' THEN concat('?', qs) ELSE '' END
+    )
+"""
+
+_URL_CTES = r"""
+    WITH urls AS (SELECT doc_id, {url_expr} AS url FROM documents),
+    defrag AS (
+        SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM urls
+    ),
+    qparts AS (
+        SELECT doc_id, u,
+               array_to_string(list_sort(list_filter(
+                   string_split(
+                       CASE WHEN instr(u, '?') > 0
+                            THEN substr(u, instr(u, '?') + 1) ELSE '' END,
+                       '&'),
+                   p -> p <> '' AND NOT regexp_matches(
+                       p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&') AS qs
+        FROM defrag
+    ),
+    canon AS (SELECT doc_id, {canon_sql} AS canonical_url FROM qparts)
+"""
+
+
+@register(
+    "q_url_canonicalize",
+    oracle=_URL_CTES.format(url_expr=_URL_EXPR, canon_sql=_CANON_SQL)
+    + """
+    SELECT doc_id, canonical_url FROM canon ORDER BY doc_id
+    """,
+    description="Per-row URL canonicalization (operators/web.py): scheme/"
+    "host lowercasing, www./default-port/fragment stripping, tracking-param "
+    "removal, query-param sort, trailing-slash trim — pure Catalyst "
+    "expression, zero shuffle. The oracle reimplements the documented "
+    "contract independently in DuckDB SQL over byte-identical synthesized "
+    "URLs, value-hashing every row.",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.withColumn("url", F.expr(_URL_EXPR))
+        .select(
+            "doc_id", _web.canonicalize_url("url").alias("canonical_url")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_url_dedup",
+    oracle=_URL_CTES.format(url_expr=_URL_EXPR, canon_sql=_CANON_SQL)
+    + """
+    SELECT min(doc_id) AS doc_id, canonical_url,
+           count(*) AS n_dupes
+    FROM canon GROUP BY canonical_url ORDER BY doc_id
+    """,
+    description="URL-keyed dedup (operators/web.py::url_dedup): collapse "
+    "rows sharing a canonical URL, keeping the smallest doc_id and the "
+    "collapse count. One shuffle keyed on the short canonical string — the "
+    "cheapest dedup stage of a crawl pipeline, always run before content "
+    "hashing.",
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    with_url = docs.withColumn("url", F.expr(_URL_EXPR))
+    return (
+        _web.url_dedup(with_url, "url", "doc_id")
+        .select("doc_id", "canonical_url", "n_dupes")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
 # The driver grades the FIRST 50 registry entries only (round 1: 67
@@ -4690,6 +4805,9 @@ _GRADING_ORDER = [
     "q_approx_aggregates",
     "q_srp_topk",
     "q_winnow_overlap",
+    # -- r4 web-corpus additions -----------------------------------------
+    "q_url_canonicalize",
+    "q_url_dedup",
 ]
 
 

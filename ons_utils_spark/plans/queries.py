@@ -4660,6 +4660,38 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) matching
+# ---------------------------------------------------------------------------
+
+from ons_utils_spark.operators.fuzzy import edit_distance_pairs as _ed_pairs  # noqa: E402
+
+
+@register(
+    "q_fuzzy_name_pairs",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS distance
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY id_a, id_b
+    """,
+    description="Exact Levenshtein ≤ 1 self-join over customer names via "
+    "deletion-neighborhood blocking (FastSS; operators/fuzzy.py) — "
+    "postings on 8-byte variant hashes, one shuffle, text rides the "
+    "postings so verification needs no join back. The oracle brute-forces "
+    "all pairs (with a length prefilter) in DuckDB — an independent "
+    "algorithm confirming exact recall AND precision of the blocked plan.",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return _ed_pairs(cust, "c_custkey", "c_name", max_distance=1).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
 # The driver grades the FIRST 50 registry entries only (round 1: 67
@@ -4808,6 +4840,7 @@ _GRADING_ORDER = [
     # -- r4 web-corpus additions -----------------------------------------
     "q_url_canonicalize",
     "q_url_dedup",
+    "q_fuzzy_name_pairs",
 ]
 
 

@@ -234,6 +234,58 @@ def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def plan_lsh_bands(
+    threshold: float,
+    num_hashes: int = 64,
+    resolution: int = 200,
+) -> dict:
+    """Pick the band count for :func:`minhash_lsh_pairs` at a Jaccard
+    ``threshold`` — pure driver-side arithmetic, no Spark.
+
+    For ``b`` bands of ``r = num_hashes/b`` rows, a pair with true Jaccard
+    ``s`` becomes a candidate with probability ``p(s) = 1-(1-s^r)^b`` (the
+    LSH S-curve, Broder/MMDS construction). The ideal curve is a step at
+    the threshold; this returns the divisor ``b`` minimizing the summed
+    deviation — expected candidate rate below the threshold (wasted
+    verification) plus expected miss rate above it (lost recall). Since
+    verification makes precision exact, false positives only cost compute
+    while false negatives cost RESULTS — the miss side is weighted double.
+
+    Returns ``{"bands", "rows", "fp_area", "fn_area"}``; areas are the
+    mean S-curve deviation on each side of the threshold (0..1).
+    """
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        fp = fn = 0.0
+        n_lo = n_hi = 0
+        for i in range(resolution):
+            s = (i + 0.5) / resolution
+            p = 1.0 - (1.0 - s**rows) ** bands
+            if s < threshold:
+                fp += p
+                n_lo += 1
+            else:
+                fn += 1.0 - p
+                n_hi += 1
+        fp_area = fp / max(n_lo, 1)
+        fn_area = fn / max(n_hi, 1)
+        err = fp_area + 2.0 * fn_area
+        if best is None or err < best[0]:
+            best = (err, bands, rows, fp_area, fn_area)
+    _, bands, rows, fp_area, fn_area = best
+    return {
+        "bands": bands,
+        "rows": rows,
+        "fp_area": round(fp_area, 6),
+        "fn_area": round(fn_area, 6),
+    }
+
+
 def shingle_hashes(
     df: SparkDF,
     id_col: str,

@@ -1,0 +1,94 @@
+"""Data-profiling operators: heavy-hitter keys and per-column statistics.
+
+Pipeline hygiene at 100 TB starts with knowing the data's shape: which join
+keys are skewed (heavy hitters — the inputs to salting / AQE-skew
+decisions in :mod:`ons_utils_spark.operators.skew`), and what each
+column's null rate / cardinality / range looks like before a schema
+contract is trusted.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+from ons_utils_spark.generic import list_convert
+
+
+def heavy_hitters(
+    df: SparkDF,
+    cols: Union[str, Sequence[str]],
+    min_share: float = 0.01,
+) -> SparkDF:
+    """Keys of ``cols`` carrying at least ``min_share`` of all rows.
+
+    Returns ``(*cols, n, share)`` — exact counts, descending ``n``. Plan:
+    one hash-aggregate over the key (map-side partial combine, shuffle =
+    |distinct keys|), then the total row count is derived from THOSE
+    aggregated counts (a 1-row re-aggregate broadcast back as a
+    nested-loop fold) — the input is scanned exactly once. The output is
+    what skew mitigation consumes: keys above ~1% of a 10¹² -row table are
+    exactly the ones a salted join or AQE skew-split must handle.
+    """
+    cols = list_convert(cols)
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("n") >= min_share * F.col("__total"))
+        .select(
+            *cols,
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), *cols)
+    )
+
+
+def profile_columns(
+    df: SparkDF,
+    cols: Union[str, Sequence[str], None] = None,
+) -> SparkDF:
+    """One profile row per column: ``(col_name, n, n_null, n_distinct,
+    min_value, max_value)`` with the extrema rendered as strings.
+    (``col_name`` rather than ``column`` — the latter is a reserved word
+    in most SQL dialects, which would force quoting on every consumer.)
+
+    Exact (not sketched): one aggregate computes every column's stats in a
+    single pass — the multiple COUNT(DISTINCT)s expand the input
+    (Catalyst's Expand: one copy per distinct-aggregate), so cost is
+    ~|cols| × scan. That is the right trade for a deliberate profiling
+    job; for continuous monitoring swap ``approx_count_distinct`` in (one
+    pass, no Expand) — the schema stays identical.
+    """
+    cols = list(df.columns) if cols is None else list_convert(cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    # Melt the single wide row into one row per column — |cols| rows total,
+    # a driver-side-free pivot via explode of a struct array.
+    melted = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("__n").alias("n"),
+                        (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_value"),
+                        F.col(f"__max_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return melted.select("p.*")

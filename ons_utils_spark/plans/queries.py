@@ -4692,6 +4692,78 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Profiling: heavy hitters + per-column statistics
+# ---------------------------------------------------------------------------
+
+from ons_utils_spark.operators import profiling as _profiling  # noqa: E402
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, user_id % 100 AS user_bucket, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), t AS (SELECT sum(n) AS tot FROM c)
+        SELECT event_type, user_bucket, n,
+               round(n::DOUBLE / tot, 6) AS share
+        FROM c, t
+        WHERE n >= 0.002 * tot
+        ORDER BY n DESC, event_type, user_bucket
+    """,
+    description="Exact heavy-hitter keys over (event_type, user-bucket) "
+    "(operators/profiling.py): one hash-aggregate on the key, total "
+    "derived from the aggregated counts via a 1-row broadcast fold — the "
+    "input scans once. Output feeds skew mitigation (salting / AQE "
+    "skew-split thresholds).",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 100).alias("user_bucket")
+    )
+    return _profiling.heavy_hitters(
+        ev, ["event_type", "user_bucket"], min_share=0.002
+    ).orderBy(F.col("n").desc(), "event_type", "user_bucket")
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+        SELECT 'o_orderkey' AS col_name, count(*) AS n,
+               count(*) - count(o_orderkey) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               CAST(min(o_orderstatus) AS VARCHAR),
+               CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate),
+               CAST(min(o_orderdate) AS VARCHAR),
+               CAST(max(o_orderdate) AS VARCHAR)
+        FROM orders
+        ORDER BY col_name
+    """,
+    description="Exact per-column profile (operators/profiling.py): one "
+    "aggregate computes n/nulls/distincts/extrema for every requested "
+    "column in a single input pass (Catalyst Expand handles the multiple "
+    "COUNT DISTINCTs), melted to one row per column via a row-local "
+    "explode. Extrema rendered as strings so the schema is "
+    "column-type-agnostic.",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return _profiling.profile_columns(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderdate"]
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
 # The driver grades the FIRST 50 registry entries only (round 1: 67
@@ -4841,6 +4913,8 @@ _GRADING_ORDER = [
     "q_url_canonicalize",
     "q_url_dedup",
     "q_fuzzy_name_pairs",
+    "q_heavy_hitters",
+    "q_profile_columns",
 ]
 
 

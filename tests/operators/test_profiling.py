@@ -1,0 +1,80 @@
+"""Profiling operator tests (operators/profiling.py) + LSH planner."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.dedup import plan_lsh_bands
+from ons_utils_spark.operators.profiling import heavy_hitters, profile_columns
+
+
+class TestHeavyHitters:
+    def test_exact_counts_and_shares(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+        )
+        rows = heavy_hitters(df, "k", min_share=0.25).collect()
+        assert [(r["k"], r["n"], r["share"]) for r in rows] == [
+            ("a", 6, 0.6),
+            ("b", 3, 0.3),
+        ]
+
+    def test_multi_column_keys(self, spark):
+        df = spark.createDataFrame(
+            [("x", 1)] * 4 + [("x", 2)] * 1, "k string, j int"
+        )
+        rows = heavy_hitters(df, ["k", "j"], min_share=0.5).collect()
+        assert [(r["k"], r["j"], r["n"]) for r in rows] == [("x", 1, 4)]
+
+    def test_single_scan_plan(self, spark):
+        df = spark.createDataFrame([("a",)] * 3, "k string")
+        plan = (
+            heavy_hitters(df, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the total must be derived from the aggregated counts, not a
+        # second scan of the input
+        assert plan.count("LocalTableScan") <= 1
+
+
+class TestProfileColumns:
+    def test_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b")], "i int, s string"
+        )
+        rows = {r["col_name"]: r for r in profile_columns(df).collect()}
+        assert rows["i"]["n"] == 3
+        assert rows["i"]["n_null"] == 0
+        assert rows["i"]["n_distinct"] == 2
+        assert rows["i"]["min_value"] == "1"
+        assert rows["i"]["max_value"] == "2"
+        assert rows["s"]["n_null"] == 1
+        assert rows["s"]["n_distinct"] == 2
+        assert rows["s"]["min_value"] == "a"
+        assert rows["s"]["max_value"] == "b"
+
+    def test_column_subset(self, spark):
+        df = spark.createDataFrame([(1, "a")], "i int, s string")
+        out = profile_columns(df, "s")
+        assert [r["col_name"] for r in out.collect()] == ["s"]
+
+
+class TestPlanLshBands:
+    def test_divides_and_matches_engine_default(self):
+        p = plan_lsh_bands(0.5, num_hashes=64)
+        assert p["bands"] * p["rows"] == 64
+        # the engine's documented default for threshold 0.5 is 16x4; the
+        # planner should land there (or an immediate neighbor)
+        assert p["bands"] in (8, 16, 32)
+
+    def test_higher_threshold_fewer_bands(self):
+        lo = plan_lsh_bands(0.3, num_hashes=64)["bands"]
+        hi = plan_lsh_bands(0.9, num_hashes=64)["bands"]
+        assert hi <= lo
+
+    def test_areas_bounded(self):
+        p = plan_lsh_bands(0.7, num_hashes=128)
+        assert 0 <= p["fp_area"] <= 1 and 0 <= p["fn_area"] <= 1
+
+    def test_rejects_bad_threshold(self):
+        with pytest.raises(ValueError):
+            plan_lsh_bands(1.5)

@@ -46,6 +46,58 @@ def heavy_hitters(
     )
 
 
+def histogram(
+    df: SparkDF,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> SparkDF:
+    """Equal-width histogram of a numeric column: ``(bucket, lo_edge,
+    hi_edge, n)``, ascending by bucket; empty buckets are omitted.
+
+    With ``lo``/``hi`` unset the range comes from a 1-row min/max
+    aggregate broadcast back as a nested-loop fold (one extra pass; pass
+    explicit bounds to skip it). Bucketing is row-local double arithmetic
+    — ``floor((x - lo) / (hi - lo) * bins)`` clamped so ``x == hi`` lands
+    in the last bucket — then one |bins|-key hash aggregate. NULLs and
+    out-of-range rows are dropped.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    x = F.col(col).cast("double")
+    data = df.select(x.alias("__x")).where(F.col("__x").isNotNull())
+    if lo is None or hi is None:
+        bounds = data.agg(
+            F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+        )
+        data = data.join(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / bins
+    # width == 0 (constant column / lo == hi): everything lands in bucket
+    # 0 rather than vanishing into a NULL division.
+    bucket = (
+        F.when(width == 0, F.lit(0))
+        .otherwise(
+            F.least(F.lit(bins - 1), F.floor((F.col("__x") - lo_c) / width))
+        )
+        .cast("int")
+    )
+    return (
+        data.where((F.col("__x") >= lo_c) & (F.col("__x") <= hi_c))
+        .select(
+            bucket.alias("bucket"),
+            (lo_c + bucket * width).alias("lo_edge"),
+            (lo_c + (bucket + 1) * width).alias("hi_edge"),
+        )
+        .groupBy("bucket", "lo_edge", "hi_edge")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def profile_columns(
     df: SparkDF,
     cols: Union[str, Sequence[str], None] = None,

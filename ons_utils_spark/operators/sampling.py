@@ -284,6 +284,52 @@ def weighted_mixture(
     return df.where(bucket < threshold)
 
 
+def temperature_mixture(
+    df: SparkDF,
+    key: Union[str, SparkCol],
+    group_col: str,
+    temperature: float,
+    salt: str = "",
+) -> SparkDF:
+    """Temperature-scaled corpus mixture: DATA-DRIVEN per-group rates.
+
+    Where :func:`weighted_mixture` takes explicit rates, this derives them
+    from the observed group sizes so the kept corpus's group shares follow
+    ``n_g^(1/temperature)`` — the standard multilingual/multi-source
+    rebalancing rule: ``temperature=1`` keeps everything (natural
+    distribution), higher temperatures flatten dominance (the common-crawl-
+    swamps-everything fix), lower temperatures sharpen it. Keep rates are
+    ``r_g = (n_g / n_anchor) ** (1/temperature - 1)``, anchored so the
+    most-upweighted group keeps 100% and every other rate is < 1 — pure
+    deterministic downsampling (no row duplication): the anchor is the
+    SMALLEST group when flattening (T > 1), the largest when sharpening.
+
+    Plan: one count aggregate over ``group_col`` (tiny), a 1-row anchor
+    fold, and a broadcast join of |groups| rates back onto the corpus —
+    the corpus itself is scanned once and filtered row-locally against its
+    md5 bucket, so the decision is reproducible on any partitioning, like
+    every sampler here.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    exponent = 1.0 / temperature - 1.0
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    anchor_agg = F.min("__n") if temperature >= 1 else F.max("__n")
+    anchor = counts.agg(anchor_agg.alias("__anchor"))
+    rates = counts.join(F.broadcast(anchor)).select(
+        group_col,
+        F.pow(F.col("__n").cast("double") / F.col("__anchor"), exponent).alias(
+            "__rate"
+        ),
+    )
+    bucket_int = F.conv(hash_bucket(key, salt), 16, 10).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(bucket_int < F.col("__rate") * BUCKETS)
+        .drop("__rate")
+    )
+
+
 def training_order(
     df: SparkDF,
     key: Union[str, SparkCol],

@@ -4544,6 +4544,95 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_small_quantity_revenue",
+    oracle="""
+        WITH pa AS (
+            SELECT l_partkey,
+                   sum(l_extendedprice) FILTER (
+                       WHERE l_quantity < 0.5 * part_avg) AS small_rev
+            FROM (
+                SELECT l_partkey, l_quantity, l_extendedprice,
+                       avg(l_quantity) OVER (PARTITION BY l_partkey)
+                           AS part_avg
+                FROM lineitem)
+            GROUP BY l_partkey
+        )
+        SELECT p.p_brand, round(sum(pa.small_rev) / 7.0, 2) AS avg_yearly
+        FROM pa JOIN part p ON p.p_partkey = pa.l_partkey
+        WHERE pa.small_rev IS NOT NULL
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+    """,
+    description="TPC-H Q17 shape (small-quantity orders below half the "
+    "part's average): the correlated AVG subquery is DECORRELATED into a "
+    "window over l_partkey — lineitem scans once, no self-join re-scan; "
+    "the brand dimension broadcasts. (Threshold 0.5×avg rather than "
+    "TPC-H's 0.2× so the result is non-empty at test SFs.)",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w = Window.partitionBy("l_partkey")
+    small = (
+        li.withColumn("part_avg", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.5 * F.col("part_avg"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("small_rev"))
+    )
+    return (
+        small.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("small_rev") / 7.0, 2).alias("avg_yearly"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q_order_count_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13 shape (customer distribution by order count, "
+    "excluding a priority class): LEFT join so zero-order customers keep "
+    "c_count = 0, double aggregation — per-customer count then a tiny "
+    "histogram aggregate. The filter sits in the JOIN CONDITION, not a "
+    "WHERE (a WHERE would turn the outer join inner and lose the zeros).",
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Web-corpus operators: URL canonicalization + URL-keyed dedup
 # ---------------------------------------------------------------------------
@@ -4763,6 +4852,67 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+@register(
+    "q_temperature_mixture",
+    oracle="""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        a AS (SELECT min(n) AS anchor FROM c),
+        r AS (SELECT lang, pow(n::DOUBLE / anchor, 1.0/2.0 - 1.0) AS rate
+              FROM c, a)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r USING (lang)
+        WHERE ('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+              < rate * 65536
+        ORDER BY doc_id
+    """,
+    description="Temperature-2 corpus rebalancing (operators/sampling.py::"
+    "temperature_mixture): keep rates derived from observed group sizes so "
+    "kept shares follow n^(1/T) — the multilingual flattening rule. One "
+    "tiny count aggregate + 1-row anchor fold + broadcast rate join; the "
+    "corpus scans once and filters row-locally on its md5 bucket "
+    "(reproducible on any partitioning).",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _sampling.temperature_mixture(
+            docs, "doc_id", "lang", temperature=2.0, salt="temp"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_price_histogram",
+    oracle="""
+        WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                   FROM orders),
+        bucketed AS (
+            SELECT CAST(least(19, floor((o_totalprice - lo) / ((hi - lo) / 20)))
+                        AS INTEGER) AS bucket,
+                   lo, hi
+            FROM orders, b
+        )
+        SELECT bucket,
+               lo + bucket * ((hi - lo) / 20) AS lo_edge,
+               lo + (bucket + 1) * ((hi - lo) / 20) AS hi_edge,
+               count(*) AS n
+        FROM bucketed
+        GROUP BY bucket, lo, hi
+        ORDER BY bucket
+    """,
+    description="20-bin equal-width histogram of order totals (operators/"
+    "profiling.py::histogram): range from a 1-row min/max broadcast fold, "
+    "row-local double bucketing, one |bins|-key aggregate. Bucket edges "
+    "use the identical double arithmetic in both engines, so the hash "
+    "check covers edge values too.",
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return _profiling.histogram(orders, "o_totalprice", bins=20)
+
+
 # ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
@@ -4915,6 +5065,10 @@ _GRADING_ORDER = [
     "q_fuzzy_name_pairs",
     "q_heavy_hitters",
     "q_profile_columns",
+    "q_temperature_mixture",
+    "q_price_histogram",
+    "q_small_quantity_revenue",
+    "q_order_count_distribution",
 ]
 
 

@@ -261,3 +261,67 @@ def merge_overwrite(
             f"merge_overwrite: staged snapshot written to {staging_path} "
             f"but promoting it to {target_path} failed — recover manually"
         ) from exc
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_mb: int = 128,
+) -> dict:
+    """Rewrite a table directory into ~``target_mb``-sized files.
+
+    The small-files problem: incremental / streaming writers leave
+    thousands of tiny files per table, and at 100 TB the NameNode/listing
+    pressure plus per-file open cost dominates scan time. Compaction
+    reads the table once, repartitions to ``ceil(total_bytes /
+    target_mb)`` partitions, and swaps the rewrite into place via the
+    same staged-snapshot protocol as :func:`merge_overwrite` (same
+    non-atomic-window caveat; same "use an ACID table format in
+    production" advice — ``OPTIMIZE`` in Delta/Iceberg is this operation
+    with a transaction log around it).
+
+    Sizing uses the CURRENT compressed bytes on disk, so the output files
+    land near ``target_mb`` after compression without a calibration pass.
+    Returns ``{"files_before", "files_after", "bytes", "partitions"}``.
+    """
+    import math
+
+    from pyarrow import fs as pafs
+
+    filesystem, root = pafs.FileSystem.from_uri(path)
+    infos = [
+        i
+        for i in filesystem.get_file_info(pafs.FileSelector(root, recursive=True))
+        if i.type == pafs.FileType.File and not i.base_name.startswith(("_", "."))
+    ]
+    total = sum(i.size for i in infos)
+    n_parts = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+
+    df = spark.read.format(fmt).load(path)
+    staging = path.rstrip("/") + ".__compact_tmp"
+    # coalesce, not repartition: compaction must not pay a full shuffle —
+    # merging input splits is a narrow dependency. (A shuffle would also
+    # destroy any existing sort order within files.)
+    df.coalesce(n_parts).write.format(fmt).mode("overwrite").save(staging)
+
+    _, src = pafs.FileSystem.from_uri(staging)
+    filesystem.delete_dir(root)
+    try:
+        filesystem.move(src, root)
+    except Exception as exc:
+        raise IOError(
+            f"compact_files: compacted snapshot at {staging} but promoting "
+            f"it to {path} failed — recover manually"
+        ) from exc
+    after = [
+        i
+        for i in filesystem.get_file_info(pafs.FileSelector(root, recursive=True))
+        if i.type == pafs.FileType.File and not i.base_name.startswith(("_", "."))
+    ]
+    return {
+        "files_before": len(infos),
+        "files_after": len(after),
+        "bytes": total,
+        "partitions": n_parts,
+    }

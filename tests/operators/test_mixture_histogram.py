@@ -1,0 +1,113 @@
+"""temperature_mixture, histogram, and compact_files tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.profiling import histogram
+from ons_utils_spark.operators.sampling import temperature_mixture
+
+
+def _docs(spark, sizes):
+    rows = []
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    return spark.createDataFrame(rows, "id long, g string")
+
+
+class TestTemperatureMixture:
+    def test_t1_keeps_everything(self, spark):
+        df = _docs(spark, {"en": 50, "de": 10})
+        assert temperature_mixture(df, "id", "g", 1.0).count() == 60
+
+    def test_flattening_downsamples_large_groups_only(self, spark):
+        df = _docs(spark, {"big": 400, "small": 20})
+        kept = (
+            temperature_mixture(df, "id", "g", 2.0)
+            .groupBy("g")
+            .count()
+            .collect()
+        )
+        by_g = {r["g"]: r["count"] for r in kept}
+        # anchor = smallest group: kept fully (rate 1.0)
+        assert by_g.get("small") == 20
+        # big keeps ~ (400/20)^(-1/2) = 22% — well below natural share
+        assert 40 <= by_g.get("big", 0) <= 140
+
+    def test_deterministic_across_partitionings(self, spark):
+        df = _docs(spark, {"a": 100, "b": 30})
+        one = {
+            r["id"]
+            for r in temperature_mixture(df.coalesce(1), "id", "g", 3.0).collect()
+        }
+        many = {
+            r["id"]
+            for r in temperature_mixture(
+                df.repartition(7), "id", "g", 3.0
+            ).collect()
+        }
+        assert one == many
+
+    def test_rejects_bad_temperature(self, spark):
+        df = _docs(spark, {"a": 1})
+        with pytest.raises(ValueError):
+            temperature_mixture(df, "id", "g", 0)
+
+
+class TestHistogram:
+    def test_explicit_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(float(v),) for v in [0, 1, 2, 5, 9, 10]], "x double"
+        )
+        rows = histogram(df, "x", bins=2, lo=0, hi=10).collect()
+        # half-open buckets: 5.0 belongs to [5, 10), not [0, 5)
+        assert [(r["bucket"], r["n"]) for r in rows] == [(0, 3), (1, 3)]
+        assert rows[0]["lo_edge"] == 0.0 and rows[0]["hi_edge"] == 5.0
+
+    def test_max_value_lands_in_last_bucket(self, spark):
+        df = spark.createDataFrame([(0.0,), (10.0,)], "x double")
+        rows = histogram(df, "x", bins=5).collect()
+        assert rows[-1]["bucket"] == 4 and rows[-1]["n"] == 1
+
+    def test_constant_column_single_bucket(self, spark):
+        df = spark.createDataFrame([(3.0,)] * 4, "x double")
+        rows = histogram(df, "x", bins=10).collect()
+        assert len(rows) == 1 and rows[0]["n"] == 4
+
+    def test_nulls_and_out_of_range_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(None,), (5.0,), (50.0,)], "x double"
+        )
+        rows = histogram(df, "x", bins=2, lo=0, hi=10).collect()
+        assert sum(r["n"] for r in rows) == 1
+
+    def test_counts_sum_to_input(self, spark):
+        df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+        rows = histogram(df, "x", bins=7).collect()
+        assert sum(r["n"] for r in rows) == 1000
+        assert [r["bucket"] for r in rows] == sorted(r["bucket"] for r in rows)
+
+
+class TestCompactFiles:
+    def test_compacts_and_preserves_rows(self, spark, tmp_path):
+        from ons_utils_spark.sources.write import compact_files
+
+        path = str(tmp_path / "t")
+        spark.range(10_000).selectExpr("id", "id * 2 AS v").repartition(
+            16
+        ).write.parquet(path)
+        before = spark.read.parquet(path)
+        before_rows = sorted(r["id"] for r in before.collect())
+
+        stats = compact_files(spark, path, target_mb=1024)
+        assert stats["files_before"] >= 16
+        assert stats["files_after"] == 1
+        assert stats["partitions"] == 1
+
+        after = spark.read.parquet(path)
+        assert sorted(r["id"] for r in after.collect()) == before_rows
+        assert after.schema == before.schema

@@ -62,6 +62,31 @@ def main() -> None:
     orders = load_table(spark, SF_DIR, "orders")
     documents = load_table(spark, SF_DIR, "documents")
     embeddings = load_table(spark, SF_DIR, "embeddings")
+    customer = load_table(spark, SF_DIR, "customer")
+
+    def replicate_names(df: DataFrame, factor: int) -> DataFrame:
+        """Replicate customers with cross-copy name distance >= 2.
+
+        Each copy prefixes names with ``q<i*3%10>z<i*7%10>-``; both digits
+        are distinct between any two copies (3 and 7 are coprime to 10),
+        so cross-copy name pairs sit at Levenshtein >= 2 — outside the
+        k=1 probe budget. The true-pair structure replicates factor×
+        linearly instead of manufacturing quadratic cross-copy matches.
+        """
+        copies = []
+        for i in range(factor):
+            copies.append(
+                df.select(
+                    (F.col("c_custkey") + F.lit(i * 1_000_000_000)).alias(
+                        "c_custkey"
+                    ),
+                    F.concat(
+                        F.lit(f"q{(i * 3) % 10}z{(i * 7) % 10}-"),
+                        F.col("c_name"),
+                    ).alias("c_name"),
+                )
+            )
+        return functools.reduce(DataFrame.unionByName, copies)
 
     def replicate_embeddings(df: DataFrame, factor: int) -> DataFrame:
         """Replicate embeddings with per-copy dimension ROTATION.
@@ -171,6 +196,31 @@ def main() -> None:
                 threshold=0.4,
             ),
         ),
+        # r4 additions: deletion-neighborhood fuzzy join (postings on
+        # variant hashes — candidate structure must scale linearly) and
+        # URL-keyed dedup (short-key hash aggregate).
+        "fuzzy_name_pairs": lambda f: __import__(
+            "ons_utils_spark.operators.fuzzy", fromlist=["edit_distance_pairs"]
+        ).edit_distance_pairs(
+            replicate_names(customer, f), "c_custkey", "c_name"
+        ),
+        "url_dedup": lambda f: __import__(
+            "ons_utils_spark.operators.web", fromlist=["url_dedup"]
+        ).url_dedup(
+            replicate(documents.select("doc_id"), ["doc_id"], f).withColumn(
+                "url",
+                F.concat(
+                    F.lit("https://WWW.site"),
+                    F.col("doc_id") % 37,
+                    F.lit(".Example.COM:443/Docs/"),
+                    F.col("doc_id") % 977,
+                    F.lit("?utm_source=probe&id="),
+                    F.col("doc_id") % 9973,
+                ),
+            ),
+            "url",
+            "doc_id",
+        ),
         "pysource_batch_read": lambda f: (
             spark.read.format("synthetic_docs")
             .option("rows", f * 100_000)
@@ -184,6 +234,13 @@ def main() -> None:
         # Untimed warmup so the 1x measurement doesn't carry codegen cost.
         build(1).write.format("noop").mode("overwrite").save()
         for factor in (1, FACTOR):
+            # Operators that lazily persist() shared subtrees (the MinHash
+            # base) would otherwise serve the measured run from the cache
+            # the WARM run populated — hiding exactly the length/size-
+            # scaling stage the probe exists to observe. Cache lookup is
+            # by canonicalized plan, so even a freshly built identical
+            # plan hits it; clear between runs.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             build(factor).write.format("noop").mode("overwrite").save()
             times[factor] = round(time.perf_counter() - t0, 2)
@@ -220,6 +277,10 @@ def main() -> None:
         for m in (1, LEN_FACTOR):
             q = minhash_lsh_pairs(lengthen(documents, m), "doc_id", "text", verify=mode)
             q.write.format("noop").mode("overwrite").save()  # warm codegen
+            # Same cache hazard as above: carry mode persists (id, sig,
+            # hset); measuring with that cache warm skips the signature
+            # shuffle whose bytes are the whole point of this probe.
+            spark.catalog.clearCache()
             before = shuffle_write_bytes()
             q.write.format("noop").mode("overwrite").save()
             per_len[m] = shuffle_write_bytes() - before

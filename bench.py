@@ -64,6 +64,13 @@ HEADLINE = [
     # Containment shares jaccard's postings plan but verifies a different
     # score — benched so the partial-dup path can't silently regress.
     "q_containment_pairs",
+    # Round-4 additions: the deletion-neighborhood fuzzy join (a new
+    # postings-family heavy path over 150k names at sf0.1) and the
+    # four-stage composed LLM pipeline (URL dedup → quality → exact
+    # dedup → temperature mixture — regressions in stage fusion or the
+    # mixture's broadcast fold show up here).
+    "q_fuzzy_name_pairs",
+    "q_llm_data_pipeline",
 ]
 
 

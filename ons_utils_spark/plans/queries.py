@@ -4853,6 +4853,61 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_data_pipeline",
+    oracle=_URL_CTES.format(url_expr=_URL_EXPR, canon_sql=_CANON_SQL)
+    + """,
+    kept1 AS (
+        SELECT d.* FROM documents d
+        JOIN (SELECT min(doc_id) AS doc_id FROM canon
+              GROUP BY canonical_url) k USING (doc_id)
+    ),
+    toks1 AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM kept1
+    ),
+    kept2 AS (SELECT * FROM toks1 WHERE len(toks) >= 30),
+    kept3 AS (
+        SELECT * FROM kept2
+        QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) = 1
+    ),
+    counts AS (SELECT lang, count(*) AS n FROM kept3 GROUP BY 1),
+    anchor AS (SELECT min(n) AS anchor FROM counts),
+    rates AS (SELECT lang, pow(n::DOUBLE / anchor, -0.5) AS rate
+              FROM counts, anchor)
+    SELECT k.doc_id, k.lang, len(k.toks) AS n_tokens
+    FROM kept3 k JOIN rates USING (lang)
+    WHERE ('0x' || substr(md5('pipe' || CAST(k.doc_id AS VARCHAR)), 1, 4))::BIGINT
+          < rate * 65536
+    ORDER BY doc_id
+    """,
+    description="End-to-end LLM training-data pipeline as ONE composed "
+    "plan: URL-canonical dedup (cheapest stage first) → token-count "
+    "quality gate → exact content dedup (16-byte md5 shuffle key) → "
+    "temperature-2 language rebalancing. Every stage is an engine "
+    "operator; the oracle chains the equivalent SQL CTEs independently. "
+    "No stage materializes — Catalyst fuses the whole chain into one "
+    "job graph.",
+)
+def q_llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.withColumn("url", F.expr(_URL_EXPR))
+    stage1 = _web.url_dedup(with_url, "url", "doc_id").drop(
+        "url", "canonical_url", "n_dupes"
+    )
+    stage2 = stage1.where(_text.token_count("text") >= 30)
+    stage3 = _dedup.exact_dedup(stage2, "text", id_col="doc_id")
+    stage4 = _sampling.temperature_mixture(
+        stage3, "doc_id", "lang", temperature=2.0, salt="pipe"
+    )
+    return stage4.select(
+        "doc_id", "lang", _text.token_count("text").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+@register(
     "q_temperature_mixture",
     oracle="""
         WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
@@ -5069,6 +5124,7 @@ _GRADING_ORDER = [
     "q_price_histogram",
     "q_small_quantity_revenue",
     "q_order_count_distribution",
+    "q_llm_data_pipeline",
 ]
 
 

@@ -238,3 +238,120 @@ def dequantize_embeddings(
         out_col,
         F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
     )
+
+
+def hard_negatives_blocked(
+    df: SparkDF,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    n_blocks: int = 8,
+) -> SparkDF:
+    """Per-anchor top-``k`` most-similar vectors with a DIFFERENT label.
+
+    Contrastive-training data mining: for every anchor, the hardest
+    negatives are the most cosine-similar examples of another class.
+    Returns ``(id, neg_id, cos_sim, rank)``, ``rank`` 1..k per anchor,
+    ordered by similarity desc (ties by ``neg_id`` asc — deterministic).
+
+    Plan — the shuffle-light exact formulation: ids hash into
+    ``n_blocks`` blocks; every (anchor-block, candidate-block) ordered
+    pair becomes one ``applyInPandas`` group whose float64 BLAS matmul
+    emits only each anchor's LOCAL top-k; one window then reduces the
+    B·k candidates per anchor to the global top-k. Intermediate volume is
+    O(n · n_blocks · k) rows instead of the O(n²) a naive
+    pair-materialization pays, while compute stays dense BLAS. Every
+    global top-k member is necessarily top-k within its own block pair,
+    so the reduction is exact. At 10⁸+ vectors swap the all-block grid
+    for ANN candidates (SRP/IVF buckets above) feeding the same local-
+    top-k + window reduction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    label_ddl = df.schema[label_col].dataType.simpleString()
+    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    data = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("label"),
+        block.alias("block"),
+    )
+
+    # Full ordered grid: an anchor in block b participates in groups
+    # (b, j) for all j; a candidate in block b in groups (i, b) for all i.
+    b = F.col("block")
+    memberships = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda j: F.struct(
+                b.alias("block_a"), j.alias("block_b"), F.lit("a").alias("side")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda i: F.struct(
+                i.alias("block_a"), b.alias("block_b"), F.lit("b").alias("side")
+            ),
+        ),
+    )
+    tagged = data.select(
+        "id", "vec", "label", F.explode(memberships).alias("m")
+    ).select("m.block_a", "m.block_b", "id", "vec", "label", "m.side")
+
+    out_schema = (
+        f"id {id_ddl}, neg_id {id_ddl}, cos_sim double, "
+        f"anchor_label {label_ddl}"
+    )
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"].drop_duplicates("id")
+        c = pdf[pdf["side"] == "b"].drop_duplicates("id")
+        if a.empty or c.empty:
+            return pd.DataFrame(
+                columns=["id", "neg_id", "cos_sim", "anchor_label"]
+            )
+        ids_a = a["id"].to_numpy()
+        ids_c = c["id"].to_numpy()
+        lab_a = a["label"].to_numpy()
+        lab_c = c["label"].to_numpy()
+        mat_a = np.array(a["vec"].tolist(), dtype=np.float64)
+        mat_c = np.array(c["vec"].tolist(), dtype=np.float64)
+        mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+        mat_c /= np.linalg.norm(mat_c, axis=1, keepdims=True)
+        sims = np.round(mat_a @ mat_c.T, 6)
+        # mask same-label and self pairs
+        sims[lab_a[:, None] == lab_c[None, :]] = -np.inf
+        sims[ids_a[:, None] == ids_c[None, :]] = -np.inf
+        rows = []
+        kk = min(k, sims.shape[1])
+        for i in range(sims.shape[0]):
+            # top-k by (sim desc, neg_id asc) — the global tiebreak order
+            order = np.lexsort((ids_c, -sims[i]))[:kk]
+            for j in order:
+                if sims[i, j] == -np.inf:
+                    break
+                rows.append((ids_a[i], ids_c[j], sims[i, j], lab_a[i]))
+        return pd.DataFrame(
+            rows, columns=["id", "neg_id", "cos_sim", "anchor_label"]
+        )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    local = (
+        tagged.repartition(n_parts, "block_a", "block_b")
+        .groupBy("block_a", "block_b")
+        .applyInPandas(local_topk, out_schema)
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "neg_id", "cos_sim", "rank")
+    )

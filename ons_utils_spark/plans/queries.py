@@ -4907,6 +4907,49 @@ def q_llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+from ons_utils_spark.operators.similarity import (  # noqa: E402
+    hard_negatives_blocked as _hard_negs,
+)
+
+
+@register(
+    "q_hard_negatives",
+    oracle="""
+        SELECT id, neg_id, cos_sim, rank FROM (
+            SELECT id, neg_id, cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY id ORDER BY cos_sim DESC, neg_id
+                   ) AS INTEGER) AS rank
+            FROM (
+                SELECT a.vec_id AS id, b.vec_id AS neg_id,
+                       round(
+                           list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))
+                           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(a.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                      CAST(b.embedding AS DOUBLE[])))),
+                           6) AS cos_sim
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id AND a.label <> b.label))
+        WHERE rank <= 3
+        ORDER BY id, rank
+    """,
+    description="Hard-negative mining for contrastive training "
+    "(operators/similarity.py::hard_negatives_blocked): per-anchor top-3 "
+    "most-similar vectors of a DIFFERENT label. Blocked BLAS matmul emits "
+    "only each anchor's block-local top-k; a window reduces B·k "
+    "candidates to the global top-k — O(n·B·k) intermediate rows instead "
+    "of the naive O(n²) pair materialization. Oracle recomputes the full "
+    "all-pairs ranking in DuckDB.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _hard_negs(
+        emb, "vec_id", "embedding", "label", k=3
+    ).orderBy("id", "rank")
+
+
 @register(
     "q_temperature_mixture",
     oracle="""
@@ -5125,6 +5168,7 @@ _GRADING_ORDER = [
     "q_small_quantity_revenue",
     "q_order_count_distribution",
     "q_llm_data_pipeline",
+    "q_hard_negatives",
 ]
 
 

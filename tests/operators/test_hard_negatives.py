@@ -1,0 +1,85 @@
+"""hard_negatives_blocked tests (operators/similarity.py)."""
+
+import math
+
+from ons_utils_spark.operators.similarity import hard_negatives_blocked
+
+
+def _rows(spark, vecs):
+    # vecs: list of (id, [floats], label)
+    return spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _brute(vecs, k):
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(a * a for a in v))
+        return round(d / (nu * nv), 6)
+
+    out = {}
+    for i, u, la in vecs:
+        cands = sorted(
+            (
+                (-cos(u, v), j)
+                for j, v, lb in vecs
+                if j != i and lb != la
+            ),
+        )[:k]
+        out[i] = [(j, -s, r + 1) for r, (s, j) in enumerate(cands)]
+    return out
+
+
+class TestHardNegatives:
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vecs = [
+            (i, [rng.gauss(0, 1) for _ in range(8)], i % 3) for i in range(40)
+        ]
+        got = {}
+        res = hard_negatives_blocked(
+            _rows(spark, vecs), "vec_id", "embedding", "label", k=4,
+            n_blocks=4,
+        ).collect()
+        for r in res:
+            got.setdefault(r["id"], []).append(
+                (r["neg_id"], r["cos_sim"], r["rank"])
+            )
+        # float32 storage: brute-force must use the same truncated values
+        import numpy as np
+
+        vecs32 = [
+            (i, list(np.array(v, dtype=np.float32).astype(float)), l)
+            for i, v, l in vecs
+        ]
+        expected = _brute(vecs32, 4)
+        assert {i: v for i, v in expected.items() if v} == got
+
+    def test_excludes_same_label_and_self(self, spark):
+        vecs = [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.001], 0),   # same label — never a negative of 1
+            (3, [0.9, 0.1], 1),
+        ]
+        res = hard_negatives_blocked(
+            _rows(spark, vecs), "vec_id", "embedding", "label", k=5
+        ).collect()
+        for r in res:
+            assert r["id"] != r["neg_id"]
+        negs_of_1 = [r["neg_id"] for r in res if r["id"] == 1]
+        assert negs_of_1 == [3]
+
+    def test_rank_contiguous_from_one(self, spark):
+        vecs = [(i, [float(i), 1.0], i % 2) for i in range(10)]
+        res = hard_negatives_blocked(
+            _rows(spark, vecs), "vec_id", "embedding", "label", k=3
+        ).collect()
+        by_id = {}
+        for r in res:
+            by_id.setdefault(r["id"], []).append(r["rank"])
+        for ranks in by_id.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))

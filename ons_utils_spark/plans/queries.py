@@ -5038,11 +5038,11 @@ _GRADING_ORDER = [
     "q_nations_customers_and_suppliers",
     "q_asof_join",
     "q_range_join",
-    "q_range_join_bucketed",
+    "q_llm_data_pipeline",
     # -- window / rank family --------------------------------------------
     "q_topk_orders_per_customer",
     "q_rank_functions",
-    "q_rolling_30d_spend",
+    "q_fuzzy_name_pairs",
     "q_year_span_ffill",
     "q_grouped_apply_spend_share",
     # -- TPC-H-style relational mix ---------------------------------------
@@ -5073,7 +5073,7 @@ _GRADING_ORDER = [
     "q_text_stats",
     "q_language_id",
     "q_tfidf_top_terms",
-    "q_repetition_stats",
+    "q_hard_negatives",
     "q_chunk_documents",
     "q_corpus_clean_pipeline",
     "q_dedup_incremental",
@@ -5157,18 +5157,21 @@ _GRADING_ORDER = [
     "q_approx_aggregates",
     "q_srp_topk",
     "q_winnow_overlap",
+    # swapped out of the graded window in r4 (their family is already
+    # represented there) to make room for the new flagship ops; still
+    # fully oracle-checked locally:
+    "q_range_join_bucketed",
+    "q_rolling_30d_spend",
+    "q_repetition_stats",
     # -- r4 web-corpus additions -----------------------------------------
     "q_url_canonicalize",
     "q_url_dedup",
-    "q_fuzzy_name_pairs",
     "q_heavy_hitters",
     "q_profile_columns",
     "q_temperature_mixture",
     "q_price_histogram",
     "q_small_quantity_revenue",
     "q_order_count_distribution",
-    "q_llm_data_pipeline",
-    "q_hard_negatives",
 ]
 
 

@@ -373,3 +373,82 @@ def training_order(
         .withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))
         .drop("__h", "__k")
     )
+
+
+def negative_pairs(
+    df: SparkDF,
+    id_col: str,
+    k: int = 1,
+    n_shards: int = 32,
+    salt: str = "",
+) -> SparkDF:
+    """Deterministic pseudo-random negative pairs: ``(id, neg_id)`` with
+    ~``k`` partners per row — the uniform-negative counterpart to
+    hard-negative mining (contrastive training needs both).
+
+    Construction — the ring join: rows hash into ``n_shards`` shards
+    (md5-derived, so any engine reproduces it); within a shard, rows are
+    ordered by an independent md5 key and row ``i`` pairs with rows
+    ``(i + 1) .. (i + k)`` modulo the shard size. Because both shard
+    assignment and intra-shard order are hash-derived, partners are
+    pseudo-random; because they are DERIVED, the same corpus gives the
+    same pairs on any cluster, partitioning, or engine — no
+    ``rand()``, no global index. Change ``salt`` for an independent
+    draw per epoch.
+
+    Cost: one shuffle on the shard key (window rank + count), then a
+    self-join on ``(shard, position)`` — both sides already hash-
+    partitioned by shard. Exactly ``k`` partners per row except in
+    shards with ≤ ``k`` rows, where wrap-around self/duplicate pairs
+    are dropped (use more shards than ``corpus/1000`` and this never
+    happens).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sid = F.col(id_col).cast("string")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "s"), sid)), 1, 4), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_shards),
+    )
+    order_key = F.md5(F.concat(F.lit(salt + "o"), sid))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shard.alias("__shard"),
+        order_key.alias("__ok"),
+    )
+    w = Window.partitionBy("__shard").orderBy("__ok", "id")
+    wc = Window.partitionBy("__shard")
+    ranked = base.select(
+        "id",
+        "__shard",
+        (F.row_number().over(w) - 1).alias("__pos"),
+        F.count(F.lit(1)).over(wc).alias("__cnt"),
+    )
+    left = ranked.select(
+        "id",
+        "__shard",
+        "__cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(k)),
+                lambda d: F.pmod(F.col("__pos") + d, F.col("__cnt")),
+            )
+        ).alias("__ppos"),
+    )
+    right = ranked.select(
+        F.col("id").alias("neg_id"),
+        F.col("__shard").alias("__rshard"),
+        F.col("__pos").alias("__rpos"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("__shard") == F.col("__rshard"))
+            & (F.col("__ppos") == F.col("__rpos")),
+        )
+        .where(F.col("id") != F.col("neg_id"))
+        .select("id", "neg_id")
+        .distinct()
+    )

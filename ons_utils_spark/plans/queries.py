@@ -4951,6 +4951,45 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_negative_pairs",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id AS id,
+                   ('0x' || substr(md5('negs' || CAST(doc_id AS VARCHAR)),
+                                   1, 4))::BIGINT % 32 AS shard,
+                   md5('nego' || CAST(doc_id AS VARCHAR)) AS ok
+            FROM documents
+        ),
+        ranked AS (
+            SELECT id, shard,
+                   row_number() OVER (PARTITION BY shard ORDER BY ok, id) - 1
+                       AS pos,
+                   count(*) OVER (PARTITION BY shard) AS cnt
+            FROM base
+        ),
+        lefts AS (
+            SELECT id, shard, (pos + d) % cnt AS ppos
+            FROM ranked, (SELECT unnest(generate_series(1, 2)) AS d)
+        )
+        SELECT DISTINCT l.id AS id, r.id AS neg_id
+        FROM lefts l JOIN ranked r ON l.shard = r.shard AND l.ppos = r.pos
+        WHERE l.id <> r.id
+        ORDER BY id, neg_id
+    """,
+    description="Deterministic uniform negative sampling (operators/"
+    "sampling.py::negative_pairs): md5-derived shard + intra-shard ring "
+    "join gives each row k=2 pseudo-random partners, reproducible on any "
+    "partitioning or engine (no rand(), no global index). One shard-key "
+    "window shuffle + a co-partitioned self-join.",
+)
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _sampling.negative_pairs(
+        docs, "doc_id", k=2, n_shards=32, salt="neg"
+    ).orderBy("id", "neg_id")
+
+
+@register(
     "q_temperature_mixture",
     oracle="""
         WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
@@ -5172,6 +5211,7 @@ _GRADING_ORDER = [
     "q_price_histogram",
     "q_small_quantity_revenue",
     "q_order_count_distribution",
+    "q_negative_pairs",
 ]
 
 

@@ -287,3 +287,43 @@ class TestKfold:
         df = spark.range(5).select(F.col("id").alias("k"))
         with pytest.raises(ValueError, match="k must be"):
             kfold(df, "k", k=1)
+
+
+class TestNegativePairs:
+    def test_k_partners_and_no_self(self, spark):
+        from ons_utils_spark.operators.sampling import negative_pairs
+
+        df = spark.range(200).withColumnRenamed("id", "doc_id")
+        pairs = negative_pairs(df, "doc_id", k=3, n_shards=8).collect()
+        by_id = {}
+        for r in pairs:
+            assert r["id"] != r["neg_id"]
+            by_id.setdefault(r["id"], set()).add(r["neg_id"])
+        # every row has partners; with ~25 rows/shard, exactly k each
+        assert set(by_id) == set(range(200))
+        assert all(len(v) == 3 for v in by_id.values())
+
+    def test_deterministic_across_partitionings(self, spark):
+        from ons_utils_spark.operators.sampling import negative_pairs
+
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        a = {(r["id"], r["neg_id"]) for r in negative_pairs(df.coalesce(1), "doc_id", k=2).collect()}
+        b = {(r["id"], r["neg_id"]) for r in negative_pairs(df.repartition(13), "doc_id", k=2).collect()}
+        assert a == b
+
+    def test_salt_changes_draw(self, spark):
+        from ons_utils_spark.operators.sampling import negative_pairs
+
+        df = spark.range(300).withColumnRenamed("id", "doc_id")
+        a = {(r["id"], r["neg_id"]) for r in negative_pairs(df, "doc_id", salt="e1").collect()}
+        b = {(r["id"], r["neg_id"]) for r in negative_pairs(df, "doc_id", salt="e2").collect()}
+        assert a != b
+
+    def test_rejects_bad_k(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.sampling import negative_pairs
+
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        with _pytest.raises(ValueError):
+            negative_pairs(df, "doc_id", k=0)

@@ -144,3 +144,65 @@ def profile_columns(
         ).alias("p")
     )
     return melted.select("p.*")
+
+
+def constraint_audit(
+    df: SparkDF,
+    checks: "dict[str, object]" = None,
+    unique: "Sequence[Union[str, Sequence[str]]]" = (),
+) -> SparkDF:
+    """Data-contract audit: one row per rule — ``(rule, n_violations)``.
+
+    ``checks`` maps rule name → a VIOLATION predicate Column (true = the
+    row breaks the contract), e.g. ``{"price_positive": F.col("price")
+    <= 0}``; ``unique`` lists key columns (or column tuples) that must be
+    row-unique. The dbt-tests / Great-Expectations shape, evaluated
+    engine-side in ONE pass over the input: row-local rules fold into a
+    single aggregate (``sum(case when violated)``), and each uniqueness
+    rule adds only a ``count(*) - count(distinct keys)`` lane to the SAME
+    aggregate — no joins, no second scan, shuffle bounded by the distinct
+    aggregates' Expand. Run it before publishing any 100 TB table; alert
+    on any ``n_violations > 0``.
+    """
+    checks = checks or {}
+    aggs = []
+    names = []
+    for name, cond in checks.items():
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"__v_{len(names)}")
+        )
+        names.append(name)
+    for key in unique:
+        cols = [key] if isinstance(key, str) else list(key)
+        label = "unique(" + ", ".join(cols) + ")"
+        # surplus duplicate rows = count(fully-non-null keys) - count
+        # (distinct keys). Both sides must skip NULL-keyed rows (count
+        # distinct already does; a bare count(*) would book every NULL
+        # row as a duplicate) — NULL keys are a not-null rule's job.
+        all_set = F.col(cols[0]).isNotNull()
+        for c in cols[1:]:
+            all_set = all_set & F.col(c).isNotNull()
+        non_null = F.when(all_set, 1)
+        aggs.append(
+            (F.count(non_null) - F.count_distinct(*[F.col(c) for c in cols]))
+            .cast("bigint")
+            .alias(f"__v_{len(names)}")
+        )
+        names.append(label)
+    if not names:
+        raise ValueError("constraint_audit needs at least one check")
+    one = df.agg(*aggs)
+    melted = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("rule"),
+                        F.col(f"__v_{i}").alias("n_violations"),
+                    )
+                    for i, n in enumerate(names)
+                ]
+            )
+        ).alias("p")
+    )
+    return melted.select("p.*")

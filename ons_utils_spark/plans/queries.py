@@ -4951,6 +4951,47 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_constraint_audit",
+    oracle="""
+        SELECT 'orderkey_not_null' AS rule,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'status_in_domain',
+               sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END)::BIGINT
+        FROM orders
+        UNION ALL
+        SELECT 'price_positive',
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT
+        FROM orders
+        ORDER BY rule
+    """,
+    description="Data-contract audit (operators/profiling.py::"
+    "constraint_audit): not-null, accepted-values, range, and key-"
+    "uniqueness rules evaluated in ONE pass as lanes of a single "
+    "aggregate — the dbt-tests shape, no joins, no second scan. The "
+    "publish gate a 100 TB table crosses before anything reads it.",
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return _profiling.constraint_audit(
+        orders,
+        checks={
+            "orderkey_not_null": F.col("o_orderkey").isNull(),
+            "status_in_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "price_positive": F.col("o_totalprice") <= 0,
+        },
+        unique=["o_orderkey"],
+    ).orderBy("rule")
+
+
+@register(
     "q_negative_pairs",
     oracle="""
         WITH base AS (
@@ -5212,6 +5253,7 @@ _GRADING_ORDER = [
     "q_small_quantity_revenue",
     "q_order_count_distribution",
     "q_negative_pairs",
+    "q_constraint_audit",
 ]
 
 

@@ -78,3 +78,60 @@ class TestPlanLshBands:
     def test_rejects_bad_threshold(self):
         with pytest.raises(ValueError):
             plan_lsh_bands(1.5)
+
+
+class TestConstraintAudit:
+    def test_rules_and_unique(self, spark):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.profiling import constraint_audit
+
+        df = spark.createDataFrame(
+            [
+                (1, "O", 10.0),
+                (1, "F", -5.0),   # dup key, negative price
+                (2, "X", 3.0),    # bad status
+                (None, "O", 1.0), # null key
+            ],
+            "k int, status string, price double",
+        )
+        rows = {
+            r["rule"]: r["n_violations"]
+            for r in constraint_audit(
+                df,
+                checks={
+                    "k_not_null": F.col("k").isNull(),
+                    "status_ok": ~F.col("status").isin("O", "F", "P"),
+                    "price_positive": F.col("price") <= 0,
+                },
+                unique=["k"],
+            ).collect()
+        }
+        assert rows == {
+            "k_not_null": 1,
+            "status_ok": 1,
+            "price_positive": 1,
+            "unique(k)": 1,  # the NULL-keyed row is NOT booked as a dup
+        }
+
+    def test_multi_column_unique(self, spark):
+        from ons_utils_spark.operators.profiling import constraint_audit
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"), (None, "a")],
+            "k int, s string",
+        )
+        rows = {
+            r["rule"]: r["n_violations"]
+            for r in constraint_audit(df, unique=[("k", "s")]).collect()
+        }
+        assert rows == {"unique(k, s)": 1}
+
+    def test_requires_a_check(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.profiling import constraint_audit
+
+        df = spark.createDataFrame([(1,)], "k int")
+        with _pytest.raises(ValueError):
+            constraint_audit(df)

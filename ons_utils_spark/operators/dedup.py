@@ -45,6 +45,34 @@ from ons_utils_spark.operators.text import shingle_hash64
 _MERSENNE_31 = (1 << 31) - 1
 
 
+def triangular_pairs(items_col: str, fields: Optional[Sequence[str]] = None):
+    """The postings-list pair-emission idiom, shared by every sketch here
+    (jaccard/minhash/simhash candidates, the fuzzy join): given a SORTED
+    array column of bucket members, emit the C(k,2) ordered pairs as a
+    flat struct array — ``(id_a, id_b)`` for scalar members, or
+    ``(f_a, f_b for each f in fields)`` for struct members. Sortedness of
+    the input array is what makes ``*_a < *_b`` fall out of the
+    triangular slice.
+    """
+    def pair(x, y):
+        if fields is None:
+            return F.struct(x.alias("id_a"), y.alias("id_b"))
+        cols = []
+        for f in fields:
+            cols += [x[f].alias(f"{f}_a"), y[f].alias(f"{f}_b")]
+        return F.struct(*cols)
+
+    return F.flatten(
+        F.transform(
+            items_col,
+            lambda x, i: F.transform(
+                F.slice(items_col, i + 2, F.size(items_col) - i - 1),
+                lambda y: pair(x, y),
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -162,20 +190,7 @@ def _pair_shingle_counts(
         # a stop-shingle's posting list is otherwise unbounded.
         posts = posts.where(F.size("ids") <= max_df)
 
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids") - i - 1),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["sz"].alias("sz_a"),
-                    y["sz"].alias("sz_b"),
-                ),
-            ),
-        )
-    )
+    pair_structs = triangular_pairs("ids", ["id", "sz"])
     return (
         posts.where(F.size("ids") > 1)
         .select(F.explode(pair_structs).alias("p"))
@@ -461,15 +476,7 @@ def minhash_lsh_pairs(
     # (4 parquet scans in the executed plan; this form has 3). Pair
     # emission lands on the same task either way (same bucket key), so
     # skew behavior is unchanged.
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids") - i - 1),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    pair_structs = triangular_pairs("ids")
     cand = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -622,20 +629,7 @@ def simhash_pairs(
     # twice (two corpus scans in the executed plan). sort_array on the
     # (id, sh) structs orders by id, so id_a < id_b falls out of the
     # triangular emission.
-    pair_structs = F.flatten(
-        F.transform(
-            "items",
-            lambda x, i: F.transform(
-                F.slice("items", i + 2, F.size("items") - i - 1),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["sh"].alias("sh_a"),
-                    y["sh"].alias("sh_b"),
-                ),
-            ),
-        )
-    )
+    pair_structs = triangular_pairs("items", ["id", "sh"])
     pairs = (
         banded.groupBy("chunk_idx", "chunk_val")
         .agg(F.sort_array(F.collect_list(F.struct("id", "sh"))).alias("items"))

@@ -36,6 +36,8 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
+from ons_utils_spark.operators.dedup import triangular_pairs
+
 
 def _deletion_variants(s: Column) -> Column:
     """All strings obtainable from ``s`` by deleting at most ONE character
@@ -77,9 +79,11 @@ def edit_distance_pairs(
         )
     variants = _deletion_variants(F.col("t"))
     if max_distance == 2:
-        variants = F.array_distinct(
-            F.flatten(F.transform(variants, _deletion_variants))
-        )
+        variants = F.flatten(F.transform(variants, _deletion_variants))
+    # Dedup at BOTH k: a run of m identical characters yields the same
+    # deletion variant m times, and each duplicate would otherwise be a
+    # full (id, t, vh) shuffle row that collect_set discards later.
+    variants = F.array_distinct(variants)
 
     # Rename FIRST, in its own projection: deriving the variants in the
     # same select that mints the "t" alias makes Spark read the reference
@@ -98,23 +102,10 @@ def edit_distance_pairs(
     if max_bucket is not None:
         posts = posts.where(F.size("items") <= max_bucket)
 
-    # Triangular pair emission per bucket (the postings idiom shared with
-    # jaccard/minhash/simhash candidates); sort_array ordered by id, so
-    # id_a < id_b falls out.
-    pair_structs = F.flatten(
-        F.transform(
-            "items",
-            lambda x, i: F.transform(
-                F.slice("items", i + 2, F.size("items") - i - 1),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["t"].alias("t_a"),
-                    y["t"].alias("t_b"),
-                ),
-            ),
-        )
-    )
+    # Triangular pair emission per bucket — the postings idiom shared with
+    # jaccard/minhash/simhash candidates (sort_array ordered by id, so
+    # id_a < id_b falls out of the slice).
+    pair_structs = triangular_pairs("items", ["id", "t"])
     cand = (
         posts.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b", "p.t_a", "p.t_b")

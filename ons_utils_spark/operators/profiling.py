@@ -68,11 +68,15 @@ def histogram(
     x = F.col(col).cast("double")
     data = df.select(x.alias("__x")).where(F.col("__x").isNotNull())
     if lo is None or hi is None:
+        # Derive ONLY the missing bound(s) — a caller-supplied bound must
+        # never be silently replaced by the data's (a half-open range like
+        # lo=0 is how you exclude negatives).
         bounds = data.agg(
             F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
         )
         data = data.join(F.broadcast(bounds))
-        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+        lo_c = F.col("__lo") if lo is None else F.lit(float(lo))
+        hi_c = F.col("__hi") if hi is None else F.lit(float(hi))
     else:
         lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
     width = (hi_c - lo_c) / bins
@@ -114,9 +118,23 @@ def profile_columns(
     job; for continuous monitoring swap ``approx_count_distinct`` in (one
     pass, no Expand) — the schema stays identical.
     """
+    from pyspark.sql.types import MapType
+
     cols = list(df.columns) if cols is None else list_convert(cols)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
+        if isinstance(df.schema[c].dataType, MapType):
+            # Maps are not orderable/hashable in Spark SQL: count_distinct
+            # and min/max would fail the WHOLE aggregate. Profile what is
+            # profileable (n, nulls) and null the rest, instead of letting
+            # one map column kill every other column's stats.
+            aggs += [
+                F.count(c).alias(f"__nn_{c}"),
+                F.lit(None).cast("bigint").alias(f"__nd_{c}"),
+                F.lit(None).cast("string").alias(f"__min_{c}"),
+                F.lit(None).cast("string").alias(f"__max_{c}"),
+            ]
+            continue
         aggs += [
             F.count(c).alias(f"__nn_{c}"),
             F.count_distinct(F.col(c)).alias(f"__nd_{c}"),

@@ -34,13 +34,11 @@ from typing import Union
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
+from ons_utils_spark.operators.general import convert_to_spark_col as _col
+
 #: Query parameters dropped by canonicalization: the common client-side
 #: tracking params that never change server-side content.
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
-
-
-def _col(c: Union[str, Column]) -> Column:
-    return F.col(c) if isinstance(c, str) else c
 
 
 def canonicalize_url(url: Union[str, Column]) -> Column:
@@ -105,6 +103,9 @@ def url_dedup(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("n_dupes"),
     )
-    return tagged.drop(canonical_col).join(
-        keepers, id_col, "inner"
-    )
+    # Join on BOTH (id, canonical): with id alone, an id that is the min
+    # for canonical A but also appears on a row with canonical B would
+    # re-attach the B row to A's keeper — duplicate canonicals would
+    # survive mislabeled. The composite key needs no id-uniqueness
+    # assumption.
+    return tagged.join(keepers, [id_col, canonical_col], "inner")

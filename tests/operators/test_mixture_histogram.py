@@ -111,3 +111,36 @@ class TestCompactFiles:
         after = spark.read.parquet(path)
         assert sorted(r["id"] for r in after.collect()) == before_rows
         assert after.schema == before.schema
+
+
+class TestHistogramHalfBounds:
+    def test_supplied_lo_is_respected(self, spark):
+        df = spark.createDataFrame(
+            [(-5.0,), (1.0,), (9.0,), (10.0,)], "x double"
+        )
+        rows = histogram(df, "x", bins=2, lo=0.0).collect()
+        # hi derives from data (10), lo stays 0 — the negative row drops
+        assert sum(r["n"] for r in rows) == 3
+        assert rows[0]["lo_edge"] == 0.0
+
+    def test_supplied_hi_is_respected(self, spark):
+        df = spark.createDataFrame(
+            [(1.0,), (9.0,), (50.0,)], "x double"
+        )
+        rows = histogram(df, "x", bins=2, hi=10.0).collect()
+        assert sum(r["n"] for r in rows) == 2
+        assert rows[-1]["hi_edge"] == 10.0
+
+
+class TestProfileMapColumn:
+    def test_map_column_profiles_partially(self, spark):
+        from ons_utils_spark.operators.profiling import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, {"a": "b"}), (2, None)], "i int, m map<string,string>"
+        )
+        rows = {r["col_name"]: r for r in profile_columns(df).collect()}
+        assert rows["m"]["n"] == 2 and rows["m"]["n_null"] == 1
+        assert rows["m"]["n_distinct"] is None
+        assert rows["m"]["min_value"] is None
+        assert rows["i"]["n_distinct"] == 2  # other columns unaffected

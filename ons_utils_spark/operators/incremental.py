@@ -77,3 +77,62 @@ def merge_aggregates(
             alias = "n" if name == "count" else f"{name}_{c}"
             aggs.append(merge(alias).alias(alias))
     return stored.unionByName(batch_agg).groupBy(*keys).agg(*aggs)
+
+
+def table_diff(
+    old: SparkDF,
+    new: SparkDF,
+    keys: "Sequence[str]",
+    compare_cols: "Sequence[str] | None" = None,
+) -> SparkDF:
+    """CDC-style diff of two table versions: ``(*keys, change)`` with
+    ``change`` ∈ ``added`` / ``removed`` / ``changed`` (unchanged rows
+    are omitted — at 100 TB they are the overwhelming majority and
+    nobody wants them materialized).
+
+    ``compare_cols`` defaults to every shared non-key column. Plan: each
+    side reduces to ``(keys, md5 fingerprint of the compared columns)``
+    map-side — the full-outer join that classifies changes then shuffles
+    only keys + 32-byte digests, never the row payloads. NULLs
+    fingerprint distinctly from empty strings (coalesce onto a separator
+    that cannot collide), and the same fingerprint expression is what an
+    external engine can recompute to audit the diff.
+
+    Multiple rows per key: version tables should be key-unique; if not,
+    the fingerprint aggregates per key (order-insensitive xor of row
+    digests), so a key counts as ``changed`` when its row MULTISET
+    changed. (xor cancels PAIRS of identical rows — a duplicate added
+    twice keeps the fingerprint stable — but version tables with exact
+    duplicate rows are already out of contract.)
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    compare_cols = list(compare_cols)
+
+    def fingerprint(df: SparkDF) -> SparkDF:
+        cells = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in compare_cols
+        ]
+        row_fp = F.md5(F.concat_ws("\x1f", *cells)) if cells else F.lit("")
+        return (
+            df.select(*keys, row_fp.alias("__fp"))
+            .groupBy(*keys)
+            .agg(F.bit_xor(F.xxhash64("__fp")).alias("__fp"))
+        )
+
+    o = fingerprint(old).withColumnRenamed("__fp", "__fp_old")
+    n = fingerprint(new).withColumnRenamed("__fp", "__fp_new")
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )

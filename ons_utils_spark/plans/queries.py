@@ -4950,6 +4950,67 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "rank")
 
 
+from ons_utils_spark.operators.incremental import table_diff as _table_diff  # noqa: E402
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+        WITH newt AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 101 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END
+                       AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 251 = 0
+        )
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_custkey <> n.o_custkey
+                         OR o.o_orderstatus <> n.o_orderstatus
+                         OR o.o_totalprice <> n.o_totalprice
+                         OR o.o_orderdate <> n.o_orderdate
+                         OR o.o_orderpriority <> n.o_orderpriority
+                         THEN 'changed' END AS change
+        FROM orders o FULL OUTER JOIN newt n
+          ON o.o_orderkey = n.o_orderkey
+        WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR o.o_custkey <> n.o_custkey
+               OR o.o_orderstatus <> n.o_orderstatus
+               OR o.o_totalprice <> n.o_totalprice
+               OR o.o_orderdate <> n.o_orderdate
+               OR o.o_orderpriority <> n.o_orderpriority)
+        ORDER BY o_orderkey
+    """,
+    description="CDC-style diff of two table versions (operators/"
+    "incremental.py::table_diff): each side reduces map-side to (key, "
+    "fingerprint) so the classifying full-outer join shuffles keys + "
+    "digests, never row payloads. The oracle classifies changes by "
+    "DIRECT column comparison — an independent algorithm auditing the "
+    "fingerprint path. The 'new' version is derived in-query: drop "
+    "keys %97=0 (removed), bump price where %101=0 (changed), re-key "
+    "%251=0 rows past the max (added).",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    modified = orders.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.where(F.col("o_orderkey") % 251 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    new = modified.unionByName(added)
+    return _table_diff(orders, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
 @register(
     "q_constraint_audit",
     oracle="""
@@ -5254,6 +5315,7 @@ _GRADING_ORDER = [
     "q_order_count_distribution",
     "q_negative_pairs",
     "q_constraint_audit",
+    "q_table_diff",
 ]
 
 

@@ -64,3 +64,44 @@ class TestMergeAggregates:
             aggregate_batch(full, KEYS, {"median": ["v"]})
         with pytest.raises(ValueError, match="non-empty"):
             aggregate_batch(full, KEYS, {})
+
+
+class TestTableDiff:
+    def _old(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, s string, v double",
+        )
+
+    def test_classifies_all_three(self, spark):
+        from ons_utils_spark.operators.incremental import table_diff
+
+        new = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)],
+            "k int, s string, v double",
+        )
+        got = {
+            r["k"]: r["change"]
+            for r in table_diff(self._old(spark), new, ["k"]).collect()
+        }
+        # 1 unchanged (omitted), 2 changed, 3 removed, 4 added
+        assert got == {2: "changed", 3: "removed", 4: "added"}
+
+    def test_null_vs_empty_string_distinct(self, spark):
+        from ons_utils_spark.operators.incremental import table_diff
+
+        old = spark.createDataFrame([(1, None)], "k int, s string")
+        new = spark.createDataFrame([(1, "")], "k int, s string")
+        got = table_diff(old, new, ["k"]).collect()
+        assert [(r["k"], r["change"]) for r in got] == [(1, "changed")]
+
+    def test_compare_cols_subset(self, spark):
+        from ons_utils_spark.operators.incremental import table_diff
+
+        new = spark.createDataFrame(
+            [(1, "X", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, s string, v double",
+        )
+        # comparing only v: the s change is invisible
+        got = table_diff(self._old(spark), new, ["k"], compare_cols=["v"]).collect()
+        assert got == []

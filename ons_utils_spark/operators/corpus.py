@@ -347,3 +347,47 @@ def percentile_length_cap(
         F.col(group_col).eqNullSafe(F.col("__cap_key")),
     ).drop("__cap_key")
     return joined.where(F.col(length_col) <= F.col("__cap"))
+
+
+def vocab_coverage(
+    df: SparkDF,
+    text_col: str,
+    ks: Sequence[int] = (100, 1_000, 10_000),
+) -> SparkDF:
+    """Vocabulary coverage curve: ``(k, coverage)`` — the fraction of all
+    token OCCURRENCES a top-``k`` frequency vocabulary covers, for each
+    requested ``k``. The tokenizer-sizing question ("is 32k enough for
+    this corpus?") answered in one job.
+
+    Same cost model as :func:`build_vocab`: token counting is a partial-
+    aggregated shuffle on the token; the global top-``max(ks)`` is
+    TakeOrderedAndProject; only that bounded frame crosses the single-
+    partition cumulative-sum window. Total occurrences come from the
+    aggregated counts (1-row broadcast fold) — one corpus scan.
+    """
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError(f"ks must be positive ints, got {ks}")
+    counts = (
+        df.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(ks[-1])
+    order = Window.orderBy(F.col("n").desc(), "token")
+    ranked = top.select(
+        "n",
+        F.row_number().over(order).alias("k"),
+        F.sum("n").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__cum"),
+    )
+    return (
+        ranked.where(F.col("k").isin(ks))
+        .join(F.broadcast(total))
+        .select(
+            "k", F.round(F.col("__cum") / F.col("__total"), 6).alias("coverage")
+        )
+        .orderBy("k")
+    )

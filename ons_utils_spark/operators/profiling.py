@@ -224,3 +224,48 @@ def constraint_audit(
         ).alias("p")
     )
     return melted.select("p.*")
+
+
+def group_percentiles(
+    df: SparkDF,
+    group_col: str,
+    value_col: str,
+    ps: Sequence[float] = (0.5, 0.9, 0.99),
+) -> SparkDF:
+    """Exact interpolated percentiles per group: ``(group, p, value)`` —
+    the latency-band / length-distribution report (p50/p90/p99).
+
+    Spark's ``percentile`` is the exact linear-interpolation quantile
+    (``quantile_cont`` in DuckDB/Postgres terms), computed as ONE
+    partial-merged aggregate per group — all requested ``ps`` ride the
+    same aggregation pass, then melt row-locally to the long shape.
+    Exact quantiles buffer each group's values on the reducer; for
+    10⁹-row groups switch to ``percentile_approx`` (same call shape,
+    bounded memory, documented error).
+    """
+    ps = [float(p) for p in ps]
+    if not ps or any(not 0 <= p <= 1 for p in ps):
+        raise ValueError(f"ps must be fractions in [0,1], got {ps}")
+    aggs = [
+        F.percentile(value_col, F.lit(p)).alias(f"__p{i}")
+        for i, p in enumerate(ps)
+    ]
+    one = df.groupBy(group_col).agg(*aggs)
+    return (
+        one.select(
+            group_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("p"),
+                            F.round(F.col(f"__p{i}"), 6).alias("value"),
+                        )
+                        for i, p in enumerate(ps)
+                    ]
+                )
+            ).alias("q"),
+        )
+        .select(group_col, "q.p", "q.value")
+        .orderBy(group_col, "p")
+    )

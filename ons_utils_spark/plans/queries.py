@@ -5012,6 +5012,66 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_vocab_coverage",
+    oracle=_TOKS_CTE
+    + """,
+    flat AS (SELECT unnest(toks) AS t FROM toks),
+    tc AS (SELECT t, count(*) AS n FROM flat GROUP BY t),
+    tot AS (SELECT sum(n) AS total FROM tc),
+    ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, t) AS k
+               FROM tc),
+    cum AS (SELECT k, sum(n) OVER (ORDER BY k) AS c
+            FROM ranked WHERE k <= 25)
+    SELECT k, round(c::DOUBLE / total, 6) AS coverage
+    FROM cum, tot WHERE k IN (5, 10, 25) ORDER BY k
+    """,
+    description="Vocabulary coverage curve (operators/corpus.py::"
+    "vocab_coverage): fraction of all token occurrences covered by a "
+    "top-k vocabulary at k=5/10/25 (the synthetic corpus has 31 distinct "
+    "tokens) — the tokenizer-sizing question in "
+    "one job. Token counts partial-aggregate on the token; the top-max(k) "
+    "is TakeOrderedAndProject; only that bounded frame crosses the "
+    "cumulative-sum window.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _corpus.vocab_coverage(docs, "text", ks=(5, 10, 25))
+
+
+@register(
+    "q_group_percentiles",
+    oracle="""
+        SELECT l_returnflag AS g, CAST(0.5 AS DOUBLE) AS p,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS value
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, CAST(0.9 AS DOUBLE),
+               round(quantile_cont(l_extendedprice, 0.9), 6)
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, CAST(0.99 AS DOUBLE),
+               round(quantile_cont(l_extendedprice, 0.99), 6)
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY g, p
+    """,
+    description="Per-group exact percentile bands (operators/profiling.py"
+    "::group_percentiles): p50/p90/p99 of line price per return flag — "
+    "all percentiles ride one partial-merged aggregate per group, melted "
+    "row-locally. Spark percentile ≡ DuckDB quantile_cont (linear "
+    "interpolation), so values hash identically.",
+)
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        _profiling.group_percentiles(
+            li, "l_returnflag", "l_extendedprice", ps=(0.5, 0.9, 0.99)
+        )
+        .withColumnRenamed("l_returnflag", "g")
+        .orderBy("g", "p")
+    )
+
+
+@register(
     "q_constraint_audit",
     oracle="""
         SELECT 'orderkey_not_null' AS rule,
@@ -5316,6 +5376,8 @@ _GRADING_ORDER = [
     "q_negative_pairs",
     "q_constraint_audit",
     "q_table_diff",
+    "q_vocab_coverage",
+    "q_group_percentiles",
 ]
 
 

@@ -434,3 +434,32 @@ class TestPercentileLengthCap:
         # NULL-group median of {10, 20, 300} = 20 → keeps 10 and 20.
         assert sorted(by_lang[None]) == [10, 20]
         assert sorted(by_lang["en"]) == [1]
+
+
+class TestVocabCoverage:
+    def test_known_distribution(self, spark):
+        from ons_utils_spark.operators.corpus import vocab_coverage
+
+        # 10 "a", 5 "b", 3 "c", 2 "d" -> 20 occurrences total
+        df = spark.createDataFrame(
+            [("a " * 10 + "b " * 5 + "c " * 3 + "d " * 2,)], "text string"
+        )
+        rows = {r["k"]: r["coverage"] for r in
+                vocab_coverage(df, "text", ks=(1, 2, 4)).collect()}
+        assert rows == {1: 0.5, 2: 0.75, 4: 1.0}
+
+    def test_ks_beyond_vocab_omitted(self, spark):
+        from ons_utils_spark.operators.corpus import vocab_coverage
+
+        df = spark.createDataFrame([("x y",)], "text string")
+        rows = vocab_coverage(df, "text", ks=(1, 100)).collect()
+        assert [r["k"] for r in rows] == [1]
+
+    def test_rejects_bad_ks(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.corpus import vocab_coverage
+
+        df = spark.createDataFrame([("x",)], "text string")
+        with _pytest.raises(ValueError):
+            vocab_coverage(df, "text", ks=(0,))

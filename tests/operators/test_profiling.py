@@ -135,3 +135,22 @@ class TestConstraintAudit:
         df = spark.createDataFrame([(1,)], "k int")
         with _pytest.raises(ValueError):
             constraint_audit(df)
+
+
+class TestGroupPercentiles:
+    def test_interpolated_values(self, spark):
+        from ons_utils_spark.operators.profiling import group_percentiles
+
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in [10, 20, 30, 40]], "g string, x double"
+        )
+        rows = {r["p"]: r["value"] for r in
+                group_percentiles(df, "g", "x", ps=(0.5, 1.0)).collect()}
+        assert rows == {0.5: 25.0, 1.0: 40.0}
+
+    def test_rejects_bad_ps(self, spark):
+        from ons_utils_spark.operators.profiling import group_percentiles
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, x double")
+        with pytest.raises(ValueError):
+            group_percentiles(df, "g", "x", ps=(1.5,))

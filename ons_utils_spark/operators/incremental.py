@@ -93,10 +93,12 @@ def table_diff(
     ``compare_cols`` defaults to every shared non-key column. Plan: each
     side reduces to ``(keys, md5 fingerprint of the compared columns)``
     map-side — the full-outer join that classifies changes then shuffles
-    only keys + 32-byte digests, never the row payloads. NULLs
-    fingerprint distinctly from empty strings (coalesce onto a separator
-    that cannot collide), and the same fingerprint expression is what an
-    external engine can recompute to audit the diff.
+    only keys + 32-byte digests, never the row payloads. Cells are
+    digested INDIVIDUALLY before combining, so values containing any
+    separator byte cannot collide across column boundaries, and NULL
+    fingerprints as a non-hex token no string value can produce. The same
+    fingerprint expression is recomputable by an external engine to audit
+    the diff.
 
     Multiple rows per key: version tables should be key-unique; if not,
     the fingerprint aggregates per key (order-insensitive xor of row
@@ -112,11 +114,18 @@ def table_diff(
     compare_cols = list(compare_cols)
 
     def fingerprint(df: SparkDF) -> SparkDF:
+        # Per-CELL digests, then hash the concatenation: raw values
+        # concatenated with a separator can collide across column
+        # boundaries when the data itself contains the separator
+        # (('a\\x1fb','c') vs ('a','b\\x1fc')). Each token here is either
+        # a 32-char lowercase-hex digest or the literal 'NULL' — 'N' is
+        # not a hex character, so the token stream parses unambiguously
+        # and NULL can never collide with any string value.
         cells = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL"))
             for c in compare_cols
         ]
-        row_fp = F.md5(F.concat_ws("\x1f", *cells)) if cells else F.lit("")
+        row_fp = F.md5(F.concat(*cells)) if cells else F.lit("")
         return (
             df.select(*keys, row_fp.alias("__fp"))
             .groupBy(*keys)

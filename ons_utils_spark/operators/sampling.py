@@ -155,7 +155,9 @@ def weighted_group_sample(
         df.withColumn("__ws_r", rank)
         .withColumn("__ws_k", key.cast("string"))
         .withColumn("__ws_rn", F.row_number().over(w))
-        .where(F.col("__ws_rn") <= k)
+        # rank 0 = non-positive weight: excluded even when the group has
+        # fewer than k positive-weight rows (the documented contract).
+        .where((F.col("__ws_rn") <= k) & (F.col("__ws_r") > 0))
         .drop("__ws_r", "__ws_k", "__ws_rn")
     )
 
@@ -323,10 +325,18 @@ def temperature_mixture(
         ),
     )
     bucket_int = F.conv(hash_bucket(key, salt), 16, 10).cast("long")
+    # Null-safe join: a NULL group is its own group on the groupBy side,
+    # so it must match its own rate here too — a plain equi-join would
+    # silently drop every NULL-group row (the percentile_length_cap
+    # lesson, r4 advice).
+    rates = rates.withColumnRenamed(group_col, "__tm_key")
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(group_col).eqNullSafe(F.col("__tm_key")),
+        )
         .where(bucket_int < F.col("__rate") * BUCKETS)
-        .drop("__rate")
+        .drop("__rate", "__tm_key")
     )
 
 
@@ -406,12 +416,9 @@ def negative_pairs(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     sid = F.col(id_col).cast("string")
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "s"), sid)), 1, 4), 16, 10).cast(
-            "long"
-        ),
-        F.lit(n_shards),
-    )
+    # 32-bit hash (shared _hash32): 16 bits gave up to 2:1 shard skew for
+    # any n_shards not dividing 65536, which biases the pair sampling.
+    shard = F.pmod(_hash32(sid, salt + "s"), F.lit(n_shards))
     order_key = F.md5(F.concat(F.lit(salt + "o"), sid))
     base = df.select(
         F.col(id_col).alias("id"),

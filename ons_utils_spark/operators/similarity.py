@@ -322,12 +322,22 @@ def hard_negatives_blocked(
         lab_c = c["label"].to_numpy()
         mat_a = np.array(a["vec"].tolist(), dtype=np.float64)
         mat_c = np.array(c["vec"].tolist(), dtype=np.float64)
-        mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
-        mat_c /= np.linalg.norm(mat_c, axis=1, keepdims=True)
+        # Zero-norm guard: dividing by 0 yields NaN sims, and NaN sorts
+        # ABOVE every double in the final window — a zero vector would
+        # rank as everyone's top hard negative. Mask those rows out like
+        # label/self pairs instead (cosine is undefined for them).
+        norm_a = np.linalg.norm(mat_a, axis=1, keepdims=True)
+        norm_c = np.linalg.norm(mat_c, axis=1, keepdims=True)
+        zero_a = norm_a[:, 0] == 0
+        zero_c = norm_c[:, 0] == 0
+        mat_a /= np.where(norm_a == 0, 1.0, norm_a)
+        mat_c /= np.where(norm_c == 0, 1.0, norm_c)
         sims = np.round(mat_a @ mat_c.T, 6)
-        # mask same-label and self pairs
+        # mask same-label, self, and undefined-cosine pairs
         sims[lab_a[:, None] == lab_c[None, :]] = -np.inf
         sims[ids_a[:, None] == ids_c[None, :]] = -np.inf
+        sims[zero_a, :] = -np.inf
+        sims[:, zero_c] = -np.inf
         rows = []
         kk = min(k, sims.shape[1])
         for i in range(sims.shape[0]):

@@ -5118,7 +5118,7 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH base AS (
             SELECT doc_id AS id,
                    ('0x' || substr(md5('negs' || CAST(doc_id AS VARCHAR)),
-                                   1, 4))::BIGINT % 32 AS shard,
+                                   1, 8))::BIGINT % 32 AS shard,
                    md5('nego' || CAST(doc_id AS VARCHAR)) AS ok
             FROM documents
         ),

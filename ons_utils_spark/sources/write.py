@@ -83,6 +83,14 @@ def zorder_value(cols: Sequence, bits: int = 16):
 
     cols = [F.col(c) if isinstance(c, str) else c for c in cols]
     k = len(cols)
+    if bits * k > 63:
+        # Position 63 is the sign bit (negative keys break range
+        # partitioning) and the JVM masks shift amounts mod 64, so
+        # positions past 63 silently collide bits of unrelated columns.
+        raise ValueError(
+            f"zorder_value: bits ({bits}) x columns ({k}) = {bits * k} "
+            f"exceeds 63 — lower bits to <= {63 // k} for {k} columns"
+        )
     out = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, c in enumerate(cols):
@@ -129,6 +137,11 @@ def write_zordered(
     scaled = []
     for c in zcols:
         mn, mx = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"write_zordered: z-order column {c!r} is entirely NULL — "
+                "no min/max to normalize against; drop it from zorder_by"
+            )
         width = (mx - mn) or 1
         scaled.append(
             ((F.col(c) - F.lit(mn)).cast("double") / F.lit(width) * F.lit((1 << bits) - 1))
@@ -290,20 +303,38 @@ def compact_files(
     from pyarrow import fs as pafs
 
     filesystem, root = pafs.FileSystem.from_uri(path)
+    all_infos = filesystem.get_file_info(pafs.FileSelector(root, recursive=True))
     infos = [
         i
-        for i in filesystem.get_file_info(pafs.FileSelector(root, recursive=True))
+        for i in all_infos
         if i.type == pafs.FileType.File and not i.base_name.startswith(("_", "."))
     ]
     total = sum(i.size for i in infos)
     n_parts = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+
+    # Hive-style partition directories (col=value) must survive the
+    # rewrite: the read infers them as ordinary columns, so writing
+    # without partitionBy would flatten the layout and every downstream
+    # reader would lose partition pruning. Recover the partition columns
+    # from the directory names, outermost first.
+    part_cols: list[str] = []
+    for i in all_infos:
+        if i.type != pafs.FileType.File:
+            continue
+        rel = i.path[len(root):].strip("/")
+        segs = [s.split("=", 1)[0] for s in rel.split("/")[:-1] if "=" in s]
+        if len(segs) > len(part_cols):
+            part_cols = segs
 
     df = spark.read.format(fmt).load(path)
     staging = path.rstrip("/") + ".__compact_tmp"
     # coalesce, not repartition: compaction must not pay a full shuffle —
     # merging input splits is a narrow dependency. (A shuffle would also
     # destroy any existing sort order within files.)
-    df.coalesce(n_parts).write.format(fmt).mode("overwrite").save(staging)
+    writer = df.coalesce(n_parts).write.format(fmt).mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.save(staging)
 
     _, src = pafs.FileSystem.from_uri(staging)
     filesystem.delete_dir(root)

@@ -83,3 +83,18 @@ class TestHardNegatives:
             by_id.setdefault(r["id"], []).append(r["rank"])
         for ranks in by_id.values():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+class TestZeroNormGuard:
+    def test_zero_vector_never_ranks(self, spark):
+        vecs = [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 1),
+            (3, [0.0, 0.0], 1),  # zero norm: cosine undefined
+        ]
+        res = hard_negatives_blocked(
+            _rows(spark, vecs), "vec_id", "embedding", "label", k=5
+        ).collect()
+        assert all(r["neg_id"] != 3 for r in res)
+        assert all(r["id"] != 3 for r in res)
+        assert all(not math.isnan(r["cos_sim"]) for r in res)

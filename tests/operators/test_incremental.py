@@ -105,3 +105,21 @@ class TestTableDiff:
         # comparing only v: the s change is invisible
         got = table_diff(self._old(spark), new, ["k"], compare_cols=["v"]).collect()
         assert got == []
+
+
+class TestTableDiffSeparatorCollision:
+    def test_boundary_shift_detected(self, spark):
+        from ons_utils_spark.operators.incremental import table_diff
+
+        old = spark.createDataFrame([(1, "a\x1fb", "c")], "k int, x string, y string")
+        new = spark.createDataFrame([(1, "a", "b\x1fc")], "k int, x string, y string")
+        got = table_diff(old, new, ["k"]).collect()
+        assert [(r["k"], r["change"]) for r in got] == [(1, "changed")]
+
+    def test_literal_null_sentinel_string_differs_from_null(self, spark):
+        from ons_utils_spark.operators.incremental import table_diff
+
+        old = spark.createDataFrame([(1, "NULL")], "k int, s string")
+        new = spark.createDataFrame([(1, None)], "k int, s string")
+        got = table_diff(old, new, ["k"]).collect()
+        assert [(r["k"], r["change"]) for r in got] == [(1, "changed")]

@@ -144,3 +144,15 @@ class TestProfileMapColumn:
         assert rows["m"]["n_distinct"] is None
         assert rows["m"]["min_value"] is None
         assert rows["i"]["n_distinct"] == 2  # other columns unaffected
+
+
+class TestTemperatureNullGroup:
+    def test_null_group_kept_at_own_rate(self, spark):
+        df = spark.createDataFrame(
+            [(i, None) for i in range(30)] + [(100 + i, "en") for i in range(30)],
+            "id long, g string",
+        )
+        out = temperature_mixture(df, "id", "g", 1.0)
+        # equal-size groups at T=1: every row keeps, including NULL group
+        assert out.count() == 60
+        assert out.where(F.col("g").isNull()).count() == 30

@@ -221,6 +221,27 @@ def main() -> None:
             "url",
             "doc_id",
         ),
+        "table_diff": lambda f: __import__(
+            "ons_utils_spark.operators.incremental", fromlist=["table_diff"]
+        ).table_diff(
+            replicate(orders, ["o_orderkey"], f),
+            replicate(
+                orders.where(F.col("o_orderkey") % 97 != 0), ["o_orderkey"], f
+            ),
+            ["o_orderkey"],
+        ),
+        "hard_negatives": lambda f: __import__(
+            "ons_utils_spark.operators.similarity",
+            fromlist=["hard_negatives_blocked"],
+        ).hard_negatives_blocked(
+            replicate_embeddings(embeddings, f).withColumn(
+                "label", (F.col("vec_id") % 10).cast("int")
+            ),
+            "vec_id",
+            "embedding",
+            "label",
+            k=3,
+        ),
         "pysource_batch_read": lambda f: (
             spark.read.format("synthetic_docs")
             .option("rows", f * 100_000)

@@ -316,13 +316,20 @@ def temperature_mixture(
         raise ValueError(f"temperature must be > 0, got {temperature}")
     exponent = 1.0 / temperature - 1.0
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # Anchor via a window over the COUNTS table, not a separate 1-row
+    # aggregate of it: a second aggregate subtree makes Catalyst duplicate
+    # the whole upstream pipeline per consumer (the shared-subtree
+    # column-pruning trap — measured 2.3x on the composed LLM pipeline).
+    # The window is a single partition over |groups| rows — bounded small,
+    # the build_vocab idiom.
     anchor_agg = F.min("__n") if temperature >= 1 else F.max("__n")
-    anchor = counts.agg(anchor_agg.alias("__anchor"))
-    rates = counts.join(F.broadcast(anchor)).select(
+    rates = counts.select(
         group_col,
-        F.pow(F.col("__n").cast("double") / F.col("__anchor"), exponent).alias(
-            "__rate"
-        ),
+        F.pow(
+            F.col("__n").cast("double")
+            / anchor_agg.over(Window.partitionBy()),
+            exponent,
+        ).alias("__rate"),
     )
     bucket_int = F.conv(hash_bucket(key, salt), 16, 10).cast("long")
     # Null-safe join: a NULL group is its own group on the groupBy side,

@@ -4898,7 +4898,12 @@ def q_llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "canonical_url", "n_dupes"
     )
     stage2 = stage1.where(_text.token_count("text") >= 30)
-    stage3 = _dedup.exact_dedup(stage2, "text", id_col="doc_id")
+    # Lazy persist at the stage boundary: the mixture consumes the
+    # cleaned corpus TWICE (group counts + the filtered pass), and
+    # without this Catalyst re-executes the whole url-dedup + quality +
+    # exact-dedup pipeline per consumer. Same per-corpus-version cost a
+    # real pipeline pays by writing the cleaned corpus out.
+    stage3 = _dedup.exact_dedup(stage2, "text", id_col="doc_id").persist()
     stage4 = _sampling.temperature_mixture(
         stage3, "doc_id", "lang", temperature=2.0, salt="pipe"
     )

@@ -373,7 +373,14 @@ def vocab_coverage(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = counts.agg(F.sum("n").alias("__total"))
+    # Total occurrences from a ROW-LOCAL size() over the corpus, not a
+    # second aggregate over `counts` — two differently-pruned consumers
+    # of the counts subtree would make Catalyst duplicate the whole
+    # explode+shuffle per consumer (the shared-subtree trap); the
+    # row-local sum costs one cheap scan and no shuffle.
+    total = df.agg(
+        F.sum(F.size(tokenize(text_col))).alias("__total")
+    )
     top = counts.orderBy(F.col("n").desc(), "token").limit(ks[-1])
     order = Window.orderBy(F.col("n").desc(), "token")
     ranked = top.select(

@@ -4545,6 +4545,37 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_forecast_revenue_change",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+    """,
+    description="TPC-H Q6 (forecast revenue change): the canonical "
+    "predicate-pushdown showcase — every filter reaches the parquet scan "
+    "(PushedFilters on shipdate/discount/quantity), map-side partial sum, "
+    "a 1-row result. The whole plan is scan → filter → agg with zero "
+    "shuffle beyond the final 1-row merge.",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
     "q_small_quantity_revenue",
     oracle="""
         WITH pa AS (
@@ -5383,6 +5414,7 @@ _GRADING_ORDER = [
     "q_table_diff",
     "q_vocab_coverage",
     "q_group_percentiles",
+    "q_forecast_revenue_change",
 ]
 
 

@@ -152,6 +152,15 @@ def run_trial() -> dict:
         t0 = time.perf_counter()
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         steady[name] = round(time.perf_counter() - t0, 3)
+        # Drop caches the query persisted before timing the NEXT query:
+        # lazy-persist plans (minhash base, pipeline stages) are never
+        # unpersisted by the query itself, so without this each query
+        # runs under the accumulated memory/GC pressure of every cache
+        # built before it (and could even silently reuse a predecessor's
+        # cache through plan-equality). Intra-query semantics are
+        # untouched — the steady run above still legitimately reuses the
+        # cache its own first run built, like a resident engine would.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     # The 16-query subset benched since round 1 — the cross-round trend

@@ -128,6 +128,37 @@ class TestMinHash:
         rows2 = {r["id"]: r["sig"] for r in minhash_signatures(docs, "doc_id", "text", num_hashes=32).collect()}
         assert rows == rows2  # deterministic across runs
 
+    def test_expr_lanes_bit_identical_to_column_form(self, spark, docs):
+        """`_min_lane_exprs` (F.expr strings, one py4j call per lane) must
+        produce signatures bit-identical to the nested Column construction
+        it replaced — the oracle hashes every lane value."""
+        from ons_utils_spark.operators.dedup import (
+            _MERSENNE_31,
+            _minhash_params,
+            shingle_hashes,
+        )
+        import pyspark.sql.functions as F
+
+        hashes = shingle_hashes(docs, "doc_id", "text", n=3)
+        h31 = F.pmod(F.col("h"), F.lit(_MERSENNE_31))
+        col_mins = [
+            F.min(
+                F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))
+            ).alias(f"_m{i}")
+            for i, (a, b) in enumerate(_minhash_params(32, 42))
+        ]
+        ref = {
+            r["id"]: [r[f"_m{i}"] for i in range(32)]
+            for r in hashes.groupBy("id").agg(*col_mins).collect()
+        }
+        new = {
+            r["id"]: list(r["sig"])
+            for r in minhash_signatures(
+                docs, "doc_id", "text", num_hashes=32
+            ).collect()
+        }
+        assert ref == new
+
     def test_lsh_pairs_match_exact_on_high_sim(self, spark, docs):
         lsh = {
             (r["id_a"], r["id_b"])

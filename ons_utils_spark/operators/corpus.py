@@ -364,6 +364,14 @@ def vocab_coverage(
     TakeOrderedAndProject; only that bounded frame crosses the single-
     partition cumulative-sum window. Total occurrences come from the
     aggregated counts (1-row broadcast fold) — one corpus scan.
+
+    A requested ``k`` larger than the number of distinct tokens is
+    CLAMPED: the row is emitted with the full-vocabulary coverage (1.0 by
+    construction), so "does a 32k vocab cover this corpus?" answers
+    ``(32000, 1.0)`` on a 31-token corpus instead of silently returning
+    no row. Every requested ``k`` therefore produces exactly one output
+    row. The clamp rank is a 1-row bounded aggregate over the top frame —
+    the same broadcast-fold idiom as the total.
     """
     ks = sorted(set(int(k) for k in ks))
     if not ks or ks[0] < 1:
@@ -390,11 +398,32 @@ def vocab_coverage(
             order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("__cum"),
     )
+    # `ranked` is bounded by max(ks) rows; its max rank is the vocabulary
+    # size whenever that is smaller. The last-rank marker comes from a
+    # second window over the SAME single-partition bounded frame — not a
+    # separate aggregate over `ranked`, which would give the counts
+    # subtree two differently-pruned consumers (the shared-subtree trap
+    # above: Catalyst would duplicate the corpus scan per consumer).
+    ranked = ranked.withColumn(
+        "__is_last",
+        F.col("k") == F.max("k").over(Window.partitionBy()),
+    )
+    req = df.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k_req int"
+    )
+    # Exact match for k ≤ vocab size; the last rank stands in for any
+    # oversized k (its coverage is 1.0 by construction). Both sides of
+    # the nested-loop join are bounded: |ranked| ≤ max(ks), |req| = |ks|.
     return (
-        ranked.where(F.col("k").isin(ks))
+        ranked.join(
+            F.broadcast(req),
+            (F.col("k") == F.col("k_req"))
+            | (F.col("__is_last") & (F.col("k_req") > F.col("k"))),
+        )
         .join(F.broadcast(total))
         .select(
-            "k", F.round(F.col("__cum") / F.col("__total"), 6).alias("coverage")
+            F.col("k_req").alias("k"),
+            F.round(F.col("__cum") / F.col("__total"), 6).alias("coverage"),
         )
         .orderBy("k")
     )

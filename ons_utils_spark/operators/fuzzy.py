@@ -109,6 +109,11 @@ def edit_distance_pairs(
     cand = (
         posts.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b", "p.t_a", "p.t_b")
+        # If one id appears with multiple distinct texts, collect_set keeps
+        # both (id, t) structs and the triangular emission can produce an
+        # id_a == id_b pair — drop those so the id_a < id_b contract holds
+        # even on non-unique id columns.
+        .where(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     # Threshold-bounded levenshtein: early-exits and returns -1 above the

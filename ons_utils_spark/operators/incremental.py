@@ -101,11 +101,13 @@ def table_diff(
     the diff.
 
     Multiple rows per key: version tables should be key-unique; if not,
-    the fingerprint aggregates per key (order-insensitive xor of row
-    digests), so a key counts as ``changed`` when its row MULTISET
-    changed. (xor cancels PAIRS of identical rows — a duplicate added
-    twice keeps the fingerprint stable — but version tables with exact
-    duplicate rows are already out of contract.)
+    the fingerprint aggregates per key as a true MULTISET digest — row
+    digests are first counted per distinct row, then the per-key
+    fingerprint is the order-insensitive xor of ``xxhash64(digest,
+    multiplicity)``. A plain xor of row digests would cancel PAIRS of
+    identical rows ({A, A, B} → {B} reads unchanged); folding the
+    multiplicity into each term makes any change of the row multiset
+    change the fingerprint (up to hash collision, ~2⁻⁶⁴).
     """
     keys = list(keys)
     if compare_cols is None:
@@ -128,8 +130,15 @@ def table_diff(
         row_fp = F.md5(F.concat(*cells)) if cells else F.lit("")
         return (
             df.select(*keys, row_fp.alias("__fp"))
+            # Multiset digest in two partial-aggregating steps: count each
+            # distinct row digest per key, then xor hashes that include
+            # the multiplicity. Both aggregates map-side combine, and for
+            # the key-unique contract case the first groupBy is already
+            # the full reduction.
+            .groupBy(*keys, "__fp")
+            .agg(F.count(F.lit(1)).alias("__mult"))
             .groupBy(*keys)
-            .agg(F.bit_xor(F.xxhash64("__fp")).alias("__fp"))
+            .agg(F.bit_xor(F.xxhash64("__fp", "__mult")).alias("__fp"))
         )
 
     o = fingerprint(old).withColumnRenamed("__fp", "__fp_old")

@@ -4933,7 +4933,12 @@ def q_llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cleaned corpus TWICE (group counts + the filtered pass), and
     # without this Catalyst re-executes the whole url-dedup + quality +
     # exact-dedup pipeline per consumer. Same per-corpus-version cost a
-    # real pipeline pays by writing the cleaned corpus out.
+    # real pipeline pays by writing the cleaned corpus out. The cache is
+    # intentionally SESSION-LIVED (a lazy DF cannot unpersist before its
+    # consumer executes, and repeat invocations re-resolve to the same
+    # cache entry by plan equality rather than stacking new ones);
+    # harnesses timing unrelated queries afterwards should
+    # `spark.catalog.clearCache()` between queries, as bench.py does.
     stage3 = _dedup.exact_dedup(stage2, "text", id_col="doc_id").persist()
     stage4 = _sampling.temperature_mixture(
         stage3, "doc_id", "lang", temperature=2.0, salt="pipe"
@@ -5283,7 +5288,6 @@ _GRADING_ORDER = [
     "q_year_span_ffill",
     "q_grouped_apply_spend_share",
     # -- TPC-H-style relational mix ---------------------------------------
-    "q_big_spender_orders",
     "q_null_semantics",
     "q_first_group_orders",
     "q_priority_late_orders",
@@ -5322,7 +5326,12 @@ _GRADING_ORDER = [
     "q_corpus_mixture",
     # -- multimodal ---------------------------------------------------------
     "q_multimodal_features",
+    # -- profiling (r4 verdict ask #7: the family was hash-green only in
+    # the full registry; the one-pass data-contract audit is its most
+    # production-shaped representative) ------------------------------------
+    "q_constraint_audit",
     # ---- end of the driver's 50-slot graded window ----------------------
+    "q_big_spender_orders",
     "q_gopher_quality",
     "q_token_entropy",
     "q_bigram_logprob",
@@ -5407,10 +5416,8 @@ _GRADING_ORDER = [
     "q_profile_columns",
     "q_temperature_mixture",
     "q_price_histogram",
-    "q_small_quantity_revenue",
     "q_order_count_distribution",
     "q_negative_pairs",
-    "q_constraint_audit",
     "q_table_diff",
     "q_vocab_coverage",
     "q_group_percentiles",
@@ -5422,6 +5429,16 @@ def _reorder_registry() -> None:
     unknown = [n for n in _GRADING_ORDER if n not in QUERIES]
     if unknown:
         raise RuntimeError(f"_GRADING_ORDER references unknown queries: {unknown}")
+    if len(set(_GRADING_ORDER)) != len(_GRADING_ORDER):
+        import collections
+
+        dupes = [
+            n for n, c in collections.Counter(_GRADING_ORDER).items() if c > 1
+        ]
+        # A duplicate entry silently shifts every later query's slot
+        # (the dict rebuild below dedupes), which can move queries in or
+        # out of the driver's 50-slot graded window unnoticed.
+        raise RuntimeError(f"_GRADING_ORDER has duplicate entries: {dupes}")
     unlisted = [n for n in QUERIES if n not in _GRADING_ORDER]
     if unlisted:
         raise RuntimeError(

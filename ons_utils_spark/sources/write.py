@@ -288,11 +288,14 @@ def compact_files(
     thousands of tiny files per table, and at 100 TB the NameNode/listing
     pressure plus per-file open cost dominates scan time. Compaction
     reads the table once, repartitions to ``ceil(total_bytes /
-    target_mb)`` partitions, and swaps the rewrite into place via the
-    same staged-snapshot protocol as :func:`merge_overwrite` (same
-    non-atomic-window caveat; same "use an ACID table format in
-    production" advice — ``OPTIMIZE`` in Delta/Iceberg is this operation
-    with a transaction log around it).
+    target_mb)`` partitions, and swaps the rewrite into place with a
+    rename-aside promotion (old root → ``.__old``, staging → root,
+    delete aside): a crash mid-swap always leaves either the original or
+    the compacted table intact, and the failure path auto-rolls the
+    original back. Readers racing the two renames can still observe a
+    briefly missing path — use an ACID table format in production;
+    ``OPTIMIZE`` in Delta/Iceberg is this operation with a transaction
+    log around it.
 
     Sizing uses the CURRENT compressed bytes on disk, so the output files
     land near ``target_mb`` after compression without a calibration pass.
@@ -337,14 +340,27 @@ def compact_files(
     writer.save(staging)
 
     _, src = pafs.FileSystem.from_uri(staging)
-    filesystem.delete_dir(root)
+    # Promote via rename-aside, NOT delete-then-move: deleting the live
+    # directory first leaves an empty table path for the whole staging
+    # move if the process dies in between — and compaction is routine
+    # maintenance, so that window WILL be hit. Renaming the old root
+    # aside is metadata-only (same cost), the live data survives any
+    # crash, and the failure path can roll the original back.
+    old_aside = root.rstrip("/") + ".__old"
+    filesystem.move(root, old_aside)
     try:
         filesystem.move(src, root)
     except Exception as exc:
+        try:
+            filesystem.move(old_aside, root)
+            recovered = "original table restored"
+        except Exception:  # noqa: BLE001
+            recovered = f"original preserved at {old_aside} — recover manually"
         raise IOError(
             f"compact_files: compacted snapshot at {staging} but promoting "
-            f"it to {path} failed — recover manually"
+            f"it to {path} failed — {recovered}"
         ) from exc
+    filesystem.delete_dir(old_aside)
     after = [
         i
         for i in filesystem.get_file_info(pafs.FileSelector(root, recursive=True))

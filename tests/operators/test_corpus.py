@@ -448,12 +448,25 @@ class TestVocabCoverage:
                 vocab_coverage(df, "text", ks=(1, 2, 4)).collect()}
         assert rows == {1: 0.5, 2: 0.75, 4: 1.0}
 
-    def test_ks_beyond_vocab_omitted(self, spark):
+    def test_ks_beyond_vocab_clamped_to_full_coverage(self, spark):
+        """'Does a 100-token vocab cover this 2-token corpus?' answers
+        (100, 1.0) — not a silently missing row."""
         from ons_utils_spark.operators.corpus import vocab_coverage
 
         df = spark.createDataFrame([("x y",)], "text string")
-        rows = vocab_coverage(df, "text", ks=(1, 100)).collect()
-        assert [r["k"] for r in rows] == [1]
+        rows = {r["k"]: r["coverage"] for r in
+                vocab_coverage(df, "text", ks=(1, 100)).collect()}
+        assert rows == {1: 0.5, 100: 1.0}
+
+    def test_every_requested_k_appears_once(self, spark):
+        from ons_utils_spark.operators.corpus import vocab_coverage
+
+        df = spark.createDataFrame([("a a b",)], "text string")
+        rows = vocab_coverage(df, "text", ks=(1, 2, 7, 9)).collect()
+        assert [r["k"] for r in rows] == [1, 2, 7, 9]
+        assert [r["coverage"] for r in rows] == [
+            round(2 / 3, 6), 1.0, 1.0, 1.0
+        ]
 
     def test_rejects_bad_ks(self, spark):
         import pytest as _pytest

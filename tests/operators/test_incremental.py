@@ -95,6 +95,36 @@ class TestTableDiff:
         got = table_diff(old, new, ["k"]).collect()
         assert [(r["k"], r["change"]) for r in got] == [(1, "changed")]
 
+    def test_duplicate_row_multiset_changes_detected(self, spark):
+        """A plain xor of row digests cancels identical-row PAIRS:
+        {A, A, B} → {B} would read unchanged. The multiset fingerprint
+        (multiplicity folded into each xor term) must catch it."""
+        from ons_utils_spark.operators.incremental import table_diff
+
+        old = spark.createDataFrame(
+            [(1, "A"), (1, "A"), (1, "B")], "k int, s string"
+        )
+        new = spark.createDataFrame([(1, "B")], "k int, s string")
+        got = table_diff(old, new, ["k"]).collect()
+        assert [(r["k"], r["change"]) for r in got] == [(1, "changed")]
+
+    def test_duplicate_multiplicity_change_detected(self, spark):
+        from ons_utils_spark.operators.incremental import table_diff
+
+        old = spark.createDataFrame([(1, "A"), (1, "A")], "k int, s string")
+        new = spark.createDataFrame(
+            [(1, "A"), (1, "A"), (1, "A"), (1, "A")], "k int, s string"
+        )
+        got = table_diff(old, new, ["k"]).collect()
+        assert [(r["k"], r["change"]) for r in got] == [(1, "changed")]
+
+    def test_identical_duplicate_multiset_unchanged(self, spark):
+        from ons_utils_spark.operators.incremental import table_diff
+
+        old = spark.createDataFrame([(1, "A"), (1, "A")], "k int, s string")
+        new = spark.createDataFrame([(1, "A"), (1, "A")], "k int, s string")
+        assert table_diff(old, new, ["k"]).collect() == []
+
     def test_compare_cols_subset(self, spark):
         from ons_utils_spark.operators.incremental import table_diff
 

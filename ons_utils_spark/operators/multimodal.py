@@ -6,11 +6,14 @@ an opaque ``binary`` payload plus a ``struct`` metadata column — the payload
 is never parsed by Catalyst, only moved, so scans stay columnar and column
 pruning drops the (huge) payload whenever a query touches metadata only.
 
-The actual media decode (image/audio/video) needs codec libraries that are
-NOT in this environment — those steps are stubbed behind
-``NotImplementedError`` or a clearly-marked deterministic fake. What IS real
-and tested: the schemas, the ``mapInPandas`` plumbing (Arrow batch shapes,
-iterator contract), the partitioning advice, and the metadata math.
+Decoding: two dependency-free formats are decoded FOR REAL — uncompressed
+BMP (24/32-bit BI_RGB, pure struct unpacking) in :func:`decode_image` and
+PCM WAV (8/16/32-bit RIFF) in :func:`decode_audio`. Every other media
+format needs codec libraries that are NOT in this environment — those
+paths raise ``NotImplementedError`` or use a clearly-marked deterministic
+fake. Real and tested either way: the schemas, the ``mapInPandas``
+plumbing (Arrow batch shapes, iterator contract), the partitioning
+advice, and the metadata math.
 
 Scale notes: payload rows are large — keep
 ``spark.sql.files.maxPartitionBytes`` at the default 128 MB and let each
@@ -56,14 +59,61 @@ def payload_meta(payload: Union[str, SparkCol]) -> SparkCol:
     )
 
 
+def decode_bmp_bytes(data: bytes) -> tuple[int, int, int, list[int]]:
+    """REAL decode of an uncompressed BMP payload — pure struct unpacking.
+
+    Supports the format a pipeline can emit without codec libraries:
+    BITMAPINFOHEADER (or larger), 24/32 bits per pixel, BI_RGB (no
+    compression). Returns ``(width, height, channels, pixels)`` with
+    pixels flattened row-major, top-to-bottom, channel-interleaved in RGB
+    (RGBA for 32-bit) order — BMP's bottom-up row order and BGR byte
+    order are normalized away. Raises ``ValueError`` on non-BMP bytes and
+    ``NotImplementedError`` on BMP variants needing real codec support.
+    """
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    width, height_raw = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP (only 24/32 supported)")
+    if width <= 0 or height_raw == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height_raw}")
+    height = abs(height_raw)
+    channels = bpp // 8
+    stride = (width * channels + 3) & ~3  # rows pad to 4 bytes
+    if pixel_offset + stride * height > len(data):
+        raise ValueError("truncated BMP pixel data")
+    pixels: list[int] = []
+    # Positive height → bottom-up storage; negative → top-down.
+    row_order = range(height - 1, -1, -1) if height_raw > 0 else range(height)
+    for r in row_order:
+        row = data[pixel_offset + r * stride:]
+        for x in range(width):
+            px = row[x * channels: (x + 1) * channels]
+            # stored B,G,R[,A] → emit R,G,B[,A]
+            pixels.extend((px[2], px[1], px[0], *px[3:4]))
+    return width, height, channels, pixels
+
+
 def decode_image(df: SparkDF, payload_col: str = "payload", fake: bool = False) -> SparkDF:
     """Decode image payloads → pixel arrays + metadata via ``mapInPandas``.
 
-    ``fake=False`` raises ``NotImplementedError`` from the workers (no codec
-    libs in this container). ``fake=True`` emits deterministic pseudo-pixels
-    derived from the payload bytes — the Arrow batch shapes, output schema
-    and iterator contract are identical to a real decoder, which is the part
-    this environment can test.
+    ``fake=False`` REALLY decodes uncompressed BMP payloads (24/32-bit
+    BI_RGB — :func:`decode_bmp_bytes`, dependency-free struct unpacking)
+    and raises ``NotImplementedError`` from the workers for any other
+    format (JPEG/PNG/… need codec libs not in this container).
+    ``fake=True`` emits deterministic pseudo-pixels derived from the
+    payload bytes — same Arrow batch shapes, output schema and iterator
+    contract, for plumbing tests on arbitrary payloads.
     """
     out_schema = (
         "doc_id bigint, width int, height int, channels int, pixels array<int>"
@@ -71,21 +121,29 @@ def decode_image(df: SparkDF, payload_col: str = "payload", fake: bool = False) 
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires codec libraries (PIL/opencv) not "
-                    "present in this environment; pass fake=True for the "
-                    "deterministic stub"
-                )
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 data = bytes(payload)
-                width = max(1, len(data) % 64)
-                height = max(1, (len(data) // 64) % 64)
-                # Deterministic "pixels": first width*height bytes, cycled.
-                n = width * height
-                pixels = [data[i % len(data)] for i in range(n)] if data else [0] * n
-                rows.append((doc_id, width, height, 1, pixels))
+                if fake:
+                    width = max(1, len(data) % 64)
+                    height = max(1, (len(data) // 64) % 64)
+                    # Deterministic "pixels": first width*height bytes, cycled.
+                    n = width * height
+                    pixels = (
+                        [data[i % len(data)] for i in range(n)]
+                        if data
+                        else [0] * n
+                    )
+                    rows.append((doc_id, width, height, 1, pixels))
+                    continue
+                if data[:2] != b"BM":
+                    raise NotImplementedError(
+                        "only uncompressed BMP decodes without codec "
+                        "libraries (PIL/opencv absent in this environment); "
+                        "pass fake=True for the deterministic stub"
+                    )
+                width, height, channels, pixels = decode_bmp_bytes(data)
+                rows.append((doc_id, width, height, channels, pixels))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "channels", "pixels"]
             )
@@ -189,6 +247,54 @@ def resize_image(
     return df.select("doc_id", payload_col).mapInPandas(resize, out_schema)
 
 
+def decode_wav_bytes(data: bytes) -> tuple[int, int, list[float]]:
+    """REAL decode of a PCM WAV (RIFF) payload — pure struct unpacking.
+
+    Walks the RIFF chunk list for ``fmt `` and ``data``; supports PCM
+    (format 1) at 8 (unsigned), 16, and 32 bits (signed little-endian).
+    Returns ``(sample_rate, channels, samples)`` with samples normalized
+    to [-1, 1) and channel-interleaved exactly as stored. Raises
+    ``ValueError`` on non-WAV bytes and ``NotImplementedError`` on
+    non-PCM encodings (they need real codec libraries).
+    """
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    raw = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"non-PCM WAV (format {audio_format}) needs codec libraries"
+        )
+    if bits == 8:
+        samples = [(b - 128) / 128.0 for b in raw]
+    elif bits == 16:
+        n = len(raw) // 2
+        samples = [v / 32768.0 for v in struct.unpack(f"<{n}h", raw[: n * 2])]
+    elif bits == 32:
+        n = len(raw) // 4
+        samples = [
+            v / 2147483648.0 for v in struct.unpack(f"<{n}i", raw[: n * 4])
+        ]
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM WAV (8/16/32 supported)")
+    return sample_rate, channels, samples
+
+
 def decode_audio(
     df: SparkDF,
     payload_col: str = "payload",
@@ -197,25 +303,33 @@ def decode_audio(
 ) -> SparkDF:
     """Decode audio payloads → sample arrays + metadata via ``mapInPandas``.
 
-    Real codecs absent (``NotImplementedError``); the fake treats each
-    payload byte as one centered sample in [-1, 1), with a fixed declared
-    sample rate — schema and batch plumbing identical to a real decoder.
+    ``fake=False`` REALLY decodes PCM WAV payloads (8/16/32-bit RIFF —
+    :func:`decode_wav_bytes`, dependency-free struct unpacking; the
+    ``sample_rate`` argument is ignored in favor of the header's) and
+    raises ``NotImplementedError`` for compressed formats (mp3/ogg/… need
+    codec libraries absent here). ``fake=True`` treats each payload byte
+    as one centered sample in [-1, 1) at the declared ``sample_rate`` —
+    same schema and batch plumbing, for tests on arbitrary payloads.
     """
     out_schema = "doc_id bigint, sample_rate int, n_samples bigint, samples array<double>"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decode requires codec libraries (soundfile/ffmpeg) "
-                    "not present in this environment; pass fake=True for the "
-                    "deterministic stub"
-                )
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 data = bytes(payload)
-                samples = [(b - 128) / 128.0 for b in data]
-                rows.append((doc_id, sample_rate, len(samples), samples))
+                if fake:
+                    samples = [(b - 128) / 128.0 for b in data]
+                    rows.append((doc_id, sample_rate, len(samples), samples))
+                    continue
+                if data[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "only PCM WAV decodes without codec libraries "
+                        "(soundfile/ffmpeg absent in this environment); pass "
+                        "fake=True for the deterministic stub"
+                    )
+                rate, _channels, samples = decode_wav_bytes(data)
+                rows.append((doc_id, rate, len(samples), samples))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "sample_rate", "n_samples", "samples"]
             )

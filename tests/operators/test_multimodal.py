@@ -127,3 +127,135 @@ class TestDecodeAudio:
 
         with pytest.raises(Exception, match="codec libraries"):
             decode_audio(attach_payload(docs, "text"), fake=False).collect()
+
+
+def make_bmp(width, height, rgb_rows, bpp=24, top_down=False):
+    """Minimal uncompressed BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    padded BGR(A) pixel rows. ``rgb_rows`` is rows of (r, g, b[, a])
+    tuples, top-to-bottom."""
+    import struct
+
+    channels = bpp // 8
+    stride = (width * channels + 3) & ~3
+    stored = rgb_rows if top_down else rgb_rows[::-1]
+    body = b""
+    for row in stored:
+        raw = b"".join(
+            bytes((px[2], px[1], px[0], *px[3:4])) for px in row
+        )
+        body += raw + b"\x00" * (stride - len(raw))
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if top_down else height, 1, bpp, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return header + info + body
+
+
+def make_wav(sample_rate, channels, bits, frames):
+    """Minimal PCM RIFF/WAVE: fmt + data chunks. ``frames`` is a flat
+    list of integer sample values at the given bit width."""
+    import struct
+
+    if bits == 8:
+        raw = bytes(frames)
+    elif bits == 16:
+        raw = struct.pack(f"<{len(frames)}h", *frames)
+    else:
+        raw = struct.pack(f"<{len(frames)}i", *frames)
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+class TestRealBmpDecode:
+    PIXELS = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+
+    def test_bmp_bytes_roundtrip(self):
+        from ons_utils_spark.operators.multimodal import decode_bmp_bytes
+
+        w, h, c, px = decode_bmp_bytes(make_bmp(3, 2, self.PIXELS))
+        assert (w, h, c) == (3, 2, 3)
+        assert px == [v for row in self.PIXELS for p in row for v in p]
+
+    def test_top_down_equals_bottom_up(self):
+        from ons_utils_spark.operators.multimodal import decode_bmp_bytes
+
+        up = decode_bmp_bytes(make_bmp(3, 2, self.PIXELS))
+        down = decode_bmp_bytes(make_bmp(3, 2, self.PIXELS, top_down=True))
+        assert up == down
+
+    def test_32bit_keeps_alpha(self):
+        from ons_utils_spark.operators.multimodal import decode_bmp_bytes
+
+        rows = [[(1, 2, 3, 128), (4, 5, 6, 255)]]
+        w, h, c, px = decode_bmp_bytes(make_bmp(2, 1, rows, bpp=32))
+        assert (w, h, c) == (2, 1, 4)
+        assert px == [1, 2, 3, 128, 4, 5, 6, 255]
+
+    def test_end_to_end_through_mapinpandas(self, spark):
+        df = spark.createDataFrame(
+            [(7, bytearray(make_bmp(3, 2, self.PIXELS)))],
+            "doc_id bigint, payload binary",
+        )
+        row = decode_image(df, fake=False).collect()[0]
+        assert (row["width"], row["height"], row["channels"]) == (3, 2, 3)
+        assert list(row["pixels"]) == [
+            v for r in self.PIXELS for p in r for v in p
+        ]
+
+    def test_non_bmp_still_raises(self):
+        from ons_utils_spark.operators.multimodal import decode_bmp_bytes
+
+        with pytest.raises(ValueError):
+            decode_bmp_bytes(b"\x89PNG" + b"\x00" * 60)
+
+
+class TestRealWavDecode:
+    def test_pcm16_roundtrip(self):
+        from ons_utils_spark.operators.multimodal import decode_wav_bytes
+
+        frames = [0, 16384, -16384, 32767, -32768, 123]
+        rate, ch, samples = decode_wav_bytes(make_wav(44100, 2, 16, frames))
+        assert (rate, ch) == (44100, 2)
+        assert samples == [v / 32768.0 for v in frames]
+
+    def test_pcm8_unsigned(self):
+        from ons_utils_spark.operators.multimodal import decode_wav_bytes
+
+        rate, ch, samples = decode_wav_bytes(
+            make_wav(8000, 1, 8, [0, 128, 255])
+        )
+        assert rate == 8000
+        assert samples == [-1.0, 0.0, 127 / 128.0]
+
+    def test_non_pcm_not_implemented(self):
+        from ons_utils_spark.operators.multimodal import decode_wav_bytes
+        import struct
+
+        wav = bytearray(make_wav(8000, 1, 16, [0]))
+        struct.pack_into("<H", wav, 20, 3)  # format 3 = IEEE float
+        with pytest.raises(NotImplementedError):
+            decode_wav_bytes(bytes(wav))
+
+    def test_end_to_end_through_mapinpandas(self, spark):
+        from ons_utils_spark.operators.multimodal import decode_audio
+
+        frames = [100, -100, 32000, -32000]
+        df = spark.createDataFrame(
+            [(9, bytearray(make_wav(16000, 1, 16, frames)))],
+            "doc_id bigint, payload binary",
+        )
+        row = decode_audio(df, fake=False).collect()[0]
+        assert row["sample_rate"] == 16000
+        assert row["n_samples"] == 4
+        assert list(row["samples"]) == [v / 32768.0 for v in frames]

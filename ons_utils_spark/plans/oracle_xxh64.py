@@ -188,6 +188,41 @@ def chain(base: str, steps: list[tuple[str, str]], name: str, out: str) -> str:
     return sql
 
 
+def bigram_hash_cte(toks_cte: str) -> str:
+    """CTE chain from the tokenizer CTE to ``shingled(doc_id, sh)`` —
+    Spark's ``shingle_hash64(text, n=2, distinct=False)`` rows, one
+    UNSIGNED xxhash64 bigram hash per adjacent token pair.
+
+    Shared by the SimHash and DSIR oracles; token parity with Spark's
+    ``tokenize`` is inherited from ``toks_cte`` (the already-hash-green
+    MinHash/Jaccard tokenizer)."""
+    sql = toks_cte
+    sql += """,
+    tokpos AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+        FROM toks WHERE len(toks) >= 2
+    ),
+    tokrows AS MATERIALIZED (SELECT doc_id, pos, toks[pos] AS tok FROM tokpos),
+    tokdist AS (SELECT DISTINCT tok FROM tokrows)"""
+    # Hash each DISTINCT token once, then join back — the hash chain is
+    # the expensive part and corpora repeat tokens heavily.
+    sql += chain("tokdist", str_hash_steps("th", "tok", "42"), "thc", "tokhash")
+    sql += """,
+    thash AS MATERIALIZED (SELECT r.doc_id, r.pos, h.th
+              FROM tokrows r JOIN tokhash h USING (tok)),
+    bigrams AS MATERIALIZED (
+        SELECT a.doc_id, a.pos, a.th AS au, b.th AS bu
+        FROM thash a JOIN thash b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bgdist AS (SELECT DISTINCT au, bu FROM bigrams)"""
+    sql += chain("bgdist", long_hash_steps("ha", "au", "42"), "hac", "seeded")
+    sql += chain("seeded", long_hash_steps("sh", "bu", "ha"), "shc", "bghash")
+    sql += """,
+    shingled AS (SELECT g.doc_id, h.sh
+                 FROM bigrams g JOIN bghash h USING (au, bu))"""
+    return sql
+
+
 def simhash_pairs_oracle(toks_cte: str, max_hamming: int = 3) -> str:
     """Full DuckDB oracle for ``q_dedup_simhash``: token xxhash64 →
     bigram chain (``xxhash64(h_i, h_{i+1})``) → per-bit majority votes →
@@ -211,30 +246,8 @@ def simhash_pairs_oracle(toks_cte: str, max_hamming: int = 3) -> str:
         f"(CASE WHEN 2 * c{p} > n THEN {1 << (p - 32)} ELSE 0 END)"
         for p in range(32, 64)
     )
-    sql = toks_cte
-    sql += """,
-    tokpos AS (
-        SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
-        FROM toks WHERE len(toks) >= 2
-    ),
-    tokrows AS MATERIALIZED (SELECT doc_id, pos, toks[pos] AS tok FROM tokpos),
-    tokdist AS (SELECT DISTINCT tok FROM tokrows)"""
-    # Hash each DISTINCT token once, then join back — the hash chain is
-    # the expensive part and corpora repeat tokens heavily.
-    sql += chain("tokdist", str_hash_steps("th", "tok", "42"), "thc", "tokhash")
-    sql += """,
-    thash AS MATERIALIZED (SELECT r.doc_id, r.pos, h.th
-              FROM tokrows r JOIN tokhash h USING (tok)),
-    bigrams AS MATERIALIZED (
-        SELECT a.doc_id, a.pos, a.th AS au, b.th AS bu
-        FROM thash a JOIN thash b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-    ),
-    bgdist AS (SELECT DISTINCT au, bu FROM bigrams)"""
-    sql += chain("bgdist", long_hash_steps("ha", "au", "42"), "hac", "seeded")
-    sql += chain("seeded", long_hash_steps("sh", "bu", "ha"), "shc", "bghash")
+    sql = bigram_hash_cte(toks_cte)
     sql += f""",
-    shingled AS (SELECT g.doc_id, h.sh
-                 FROM bigrams g JOIN bghash h USING (au, bu)),
     persketch AS (
         SELECT doc_id, count(*) AS n, {c_lanes}
         FROM shingled GROUP BY doc_id
@@ -251,5 +264,50 @@ def simhash_pairs_oracle(toks_cte: str, max_hamming: int = 3) -> str:
     FROM sk a JOIN sk b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
     ORDER BY id_a, id_b
+    """
+    return sql
+
+
+def dsir_log_weights_oracle(
+    toks_cte: str,
+    target_pred: str,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+) -> str:
+    """Full DuckDB oracle for ``q_dsir_weights`` (DSIR, Xie et al. 2023):
+    hashed-bigram importance log-weights
+    ``Σ_g [ln p̂_target(bucket(g)) − ln p̂_raw(bucket(g))]`` with add-α
+    smoothing over ``buckets`` hash buckets.
+
+    ``target_pred`` is a SQL predicate over ``documents`` selecting the
+    target-domain rows (e.g. ``lang = 'en'``). ``buckets`` must be a
+    power of two: the oracle's hashes are UNSIGNED, Spark's are signed
+    longs, and ``unsigned % 2^k == pmod(signed, 2^k)`` since ``2^k``
+    divides ``2^64`` — any other modulus would diverge on negative
+    hashes.
+    """
+    if buckets & (buckets - 1):
+        raise ValueError(f"buckets must be a power of two, got {buckets}")
+    a = float(alpha)
+    sql = bigram_hash_cte(toks_cte)
+    sql += f""",
+    bux AS MATERIALIZED (SELECT doc_id, sh % {buckets} AS b FROM shingled),
+    tbux AS MATERIALIZED (
+        SELECT x.doc_id, x.b FROM bux x
+        JOIN documents d ON d.doc_id = x.doc_id WHERE {target_pred}
+    ),
+    raw_c AS (SELECT b, count(*)::DOUBLE AS cr FROM bux GROUP BY b),
+    tgt_c AS (SELECT b, count(*)::DOUBLE AS ct FROM tbux GROUP BY b),
+    tots AS (SELECT (SELECT count(*) FROM bux)::DOUBLE AS tr,
+                    (SELECT count(*) FROM tbux)::DOUBLE AS tt),
+    ratio AS (
+        SELECT r.b,
+               ln(coalesce(t.ct, 0) + {a}) - ln(tt + {a} * {buckets})
+               - ln(r.cr + {a}) + ln(tr + {a} * {buckets}) AS lr
+        FROM raw_c r LEFT JOIN tgt_c t USING (b), tots
+    )
+    SELECT x.doc_id AS id, round(sum(lr), 6) AS log_weight
+    FROM bux x JOIN ratio USING (b)
+    GROUP BY x.doc_id ORDER BY id
     """
     return sql

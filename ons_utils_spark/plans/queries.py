@@ -958,6 +958,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ons_utils_spark.plans.oracle_xxh64 import dsir_log_weights_oracle  # noqa: E402
+
+
+@register(
+    "q_dsir_weights",
+    oracle=dsir_log_weights_oracle(_TOKS_CTE, "lang = 'en'", buckets=4096),
+    description="DSIR importance log-weights (Xie et al., NeurIPS 2023; "
+    "operators/corpus.py::dsir_log_weights): hashed-bigram likelihood "
+    "ratio of a target-domain model (the English subset) vs the raw "
+    "corpus, add-1 smoothing over 4096 xxhash64 buckets. The oracle "
+    "recomputes the bigram hashes bit-for-bit in DuckDB SQL "
+    "(plans/oracle_xxh64.py) and re-derives both distributions "
+    "independently. Scale: bucket tables are tiny and persisted; totals "
+    "fold back as 1-row broadcasts against the cache; the corpus is "
+    "scanned twice (distribution + scoring) and each document's score is "
+    "a broadcast join + partial-aggregated sum.",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return _corpus.dsir_log_weights(
+        docs, target, "doc_id", "text", n=2, buckets=4096, alpha=1.0
+    ).orderBy("id")
+
+
 @register(
     "q_embedding_near_dup",
     oracle="""
@@ -5422,6 +5447,7 @@ _GRADING_ORDER = [
     "q_vocab_coverage",
     "q_group_percentiles",
     "q_forecast_revenue_change",
+    "q_dsir_weights",
 ]
 
 

@@ -476,3 +476,105 @@ class TestVocabCoverage:
         df = spark.createDataFrame([("x",)], "text string")
         with _pytest.raises(ValueError):
             vocab_coverage(df, "text", ks=(0,))
+
+
+class TestDsir:
+    def _corpus(self, spark):
+        # Three "english-ish" docs, three "code-ish" docs: the target
+        # sample is the english side, so english docs must score higher.
+        rows = [
+            (1, "the cat sat on the mat and the dog sat too", "en"),
+            (2, "a cat and a dog sat on the mat all day", "en"),
+            (3, "the quick brown fox jumps over the lazy dog", "en"),
+            (4, "def foo ( x ) : return x + 1 # code", "code"),
+            (5, "import numpy as np ; x = np . zeros ( 3 )", "code"),
+            (6, "class Bar : pass # more code tokens here", "code"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string"
+        )
+
+    def test_target_like_docs_score_higher(self, spark):
+        from ons_utils_spark.operators.corpus import dsir_log_weights
+        import pyspark.sql.functions as F
+
+        corpus = self._corpus(spark)
+        target = corpus.where(F.col("lang") == "en")
+        w = {
+            r["id"]: r["log_weight"]
+            for r in dsir_log_weights(corpus, target, "doc_id", "text").collect()
+        }
+        assert len(w) == 6
+        assert min(w[1], w[2], w[3]) > max(w[4], w[5], w[6])
+
+    def test_deterministic_across_runs(self, spark):
+        from ons_utils_spark.operators.corpus import dsir_log_weights
+        import pyspark.sql.functions as F
+
+        corpus = self._corpus(spark)
+        target = corpus.where(F.col("lang") == "en")
+        a = sorted(map(tuple, dsir_log_weights(corpus, target, "doc_id", "text").collect()))
+        b = sorted(map(tuple, dsir_log_weights(corpus, target, "doc_id", "text").collect()))
+        assert a == b
+
+    def test_uniform_target_gives_near_zero_weights(self, spark):
+        """target == corpus → p̂_t == p̂_r → every weight is exactly 0."""
+        from ons_utils_spark.operators.corpus import dsir_log_weights
+
+        corpus = self._corpus(spark)
+        w = dsir_log_weights(corpus, corpus, "doc_id", "text").collect()
+        assert all(r["log_weight"] == 0.0 for r in w)
+
+    def test_short_docs_produce_no_row(self, spark):
+        from ons_utils_spark.operators.corpus import dsir_log_weights
+
+        corpus = self._corpus(spark).unionByName(
+            self._corpus(spark).sparkSession.createDataFrame(
+                [(7, "single", "en")], "doc_id bigint, text string, lang string"
+            )
+        )
+        ids = {r["id"] for r in dsir_log_weights(corpus, corpus, "doc_id", "text").collect()}
+        assert 7 not in ids and len(ids) == 6
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.corpus import dsir_log_weights
+
+        corpus = self._corpus(spark)
+        with _pytest.raises(ValueError, match="power of two"):
+            dsir_log_weights(corpus, corpus, "doc_id", "text", buckets=1000)
+        with _pytest.raises(ValueError, match="alpha"):
+            dsir_log_weights(corpus, corpus, "doc_id", "text", alpha=0.0)
+
+    def test_resample_contract(self, spark):
+        from ons_utils_spark.operators.corpus import dsir_resample
+        import pyspark.sql.functions as F
+
+        corpus = self._corpus(spark)
+        target = corpus.where(F.col("lang") == "en")
+        sel = dsir_resample(corpus, target, "doc_id", "text", k=3)
+        rows_a = sorted(map(tuple, sel.collect()))
+        rows_b = sorted(map(tuple, dsir_resample(corpus, target, "doc_id", "text", k=3).collect()))
+        assert rows_a == rows_b  # deterministic
+        assert len(rows_a) == 3
+        assert {r[0] for r in rows_a} <= {1, 2, 3, 4, 5, 6}
+
+    def test_resample_follows_weights_in_the_limit(self, spark):
+        """With an overwhelming weight gap, the target-like docs win
+        regardless of the Gumbel noise (|log w| gap >> noise scale)."""
+        from ons_utils_spark.operators.corpus import dsir_resample
+        import pyspark.sql.functions as F
+
+        # Repeat the english text many times so its bigrams dominate.
+        rows = [
+            (1, " ".join(["the cat sat on the mat"] * 30), "en"),
+            (2, " ".join(["a dog ran in the park"] * 30), "en"),
+            (3, " ".join(["import numpy as np ; x = 1"] * 30), "code"),
+        ]
+        corpus = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string"
+        )
+        target = corpus.where(F.col("lang") == "en")
+        sel = {r["id"] for r in dsir_resample(corpus, target, "doc_id", "text", k=2).collect()}
+        assert sel == {1, 2}

@@ -65,6 +65,10 @@ ALLOWED = {
     # it as its final mixture stage.
     ("q_temperature_mixture", "global"),
     ("q_llm_data_pipeline", "global"),
+    # DSIR folds the two distribution totals back as 1-row broadcasts
+    # against the persisted (≤ buckets)-row count tables — the same
+    # bounded fold idiom as tfidf/heavy_hitters above.
+    ("q_dsir_weights", "BroadcastNestedLoopJoin"),
     # all-pairs near-dup candidate stage is intentionally quadratic in the
     # expression variant; the registered query uses the blocked matmul.
 }
@@ -92,6 +96,11 @@ TRIPLE_SCAN_OK = {
     # production the two versions are distinct files and each is scanned
     # once.
     "q_table_diff",
+    # Harness artifact: the TARGET sample is a filtered slice of the same
+    # documents file, so its one distribution-build scan shares the path
+    # with the corpus's two (distribution + scoring). In production the
+    # target is a separate small dataset: 2 corpus scans + 1 target scan.
+    "q_dsir_weights",
 }
 
 

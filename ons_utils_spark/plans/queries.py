@@ -958,7 +958,79 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ons_utils_spark.operators.graph import pagerank as _pagerank  # noqa: E402
 from ons_utils_spark.plans.oracle_xxh64 import dsir_log_weights_oracle  # noqa: E402
+
+
+def _pagerank_oracle(iterations: int, damping: float) -> str:
+    """Unrolled power-iteration CTEs — one (contrib, rank) pair per
+    iteration, same recurrence as :func:`ons_utils_spark.operators.graph.
+    pagerank` on the symmetrized customer↔supplier purchase graph."""
+    sql = """
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / n AS rank FROM nodes, nn)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    c{i} AS (
+        SELECT e.dst AS id, sum(r.rank / d.deg) AS contrib
+        FROM edges e
+        JOIN {prev} r ON r.id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT nd.id,
+               (1.0 - {damping}) / nn.n
+                   + {damping} * coalesce(c.contrib, 0.0) AS rank
+        FROM nodes nd LEFT JOIN c{i} c ON c.id = nd.id, nn
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT id, round(rank, 6) AS rank FROM {prev} ORDER BY id
+    """
+    return sql
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(5, 0.85),
+    description="PageRank (5 power iterations, d=0.85) over the "
+    "symmetrized customer↔supplier purchase graph (operators/graph.py) — "
+    "link-centrality as a data-quality/weighting signal. Each iteration "
+    "is one edges⋈ranks join + one dst aggregation; the degree-annotated "
+    "edge table is persisted once and its cached hash partitioning "
+    "co-locates every iteration's join, so only the O(nodes) ranks side "
+    "shuffles per iteration; lineage is localCheckpoint-truncated every "
+    "4 iterations. The oracle unrolls the same recurrence as chained "
+    "CTEs.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        # Suppliers shifted into their own id space — customer and
+        # supplier keys overlap numerically.
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+    )
+    return (
+        _pagerank(edges, iterations=5, damping=0.85)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy("id")
+    )
 
 
 @register(
@@ -5448,6 +5520,7 @@ _GRADING_ORDER = [
     "q_group_percentiles",
     "q_forecast_revenue_change",
     "q_dsir_weights",
+    "q_pagerank",
 ]
 
 

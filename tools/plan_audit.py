@@ -69,6 +69,9 @@ ALLOWED = {
     # against the persisted (≤ buckets)-row count tables — the same
     # bounded fold idiom as tfidf/heavy_hitters above.
     ("q_dsir_weights", "BroadcastNestedLoopJoin"),
+    # PageRank folds the 1-row node count into every iteration's
+    # (1-d)/N term — same bounded idiom.
+    ("q_pagerank", "BroadcastNestedLoopJoin"),
     # all-pairs near-dup candidate stage is intentionally quadratic in the
     # expression variant; the registered query uses the blocked matmul.
 }
@@ -104,73 +107,82 @@ TRIPLE_SCAN_OK = {
 }
 
 
-_EXPR_ID = re.compile(r"#\d+")
+def _iter_seq(seq):
+    """Iterate a py4j-wrapped Scala Seq."""
+    for i in range(seq.size()):
+        yield seq.apply(i)
 
 
-def _drop_initial_plans(lines: list[str]) -> list[str]:
-    """Drop ``== Initial Plan ==`` sections from AdaptiveSparkPlan printouts.
+def real_scan_counts(df) -> dict[str, int]:
+    """Count REAL parquet scans per path — a semantic traversal of the
+    JVM physical-plan tree, not the plan text.
 
-    A materialized ``AdaptiveSparkPlan isFinalPlan=true`` (e.g. inside an
-    already-built cache) prints BOTH its final and initial plans — the
-    same scans appear twice textually for one physical execution.  The
-    section ends where indentation drops below the marker line's."""
-    out: list[str] = []
-    skip_depth: int | None = None
-    for line in lines:
-        if skip_depth is not None:
-            if line.strip() and _indent(line) < skip_depth:
-                skip_depth = None
-            else:
-                continue
-        if "== Initial Plan ==" in line:
-            skip_depth = _indent(line)
-            continue
-        out.append(line)
-    return out
-
-
-def real_scan_counts(plan: str) -> dict[str, int]:
-    """Count REAL parquet scans per path, cache-aware.
-
-    ``InMemoryRelation`` serializes its cached child plan (including the
-    parquet scan) into the plan *text* once per consumer, while the
-    runtime computes the cache exactly once — so a lazily-persisted base
-    with three consumers shows the same ``FileScan`` three times but scans
-    the file once (the cache build).  Walk the tree text: paths inside an
-    ``InMemoryRelation`` subtree are counted once per DISTINCT cache
-    (subtrees keyed on exprId-normalized text — the same cache prints with
-    fresh attribute ids at each consumer), paths outside count per
-    occurrence.
+    Plan TEXT double-counts in three ways the text can't reliably
+    distinguish: (a) a lazily-persisted cache prints its child (with its
+    FileScan) once per consumer while runtime builds it once; (b) a
+    materialized cache's AdaptiveSparkPlan prints BOTH final and initial
+    plans; (c) ``== Final Plan ==`` sections RESET indentation, so
+    indent-based subtree walks leak cached content into the outer scope
+    (this broke on pagerank's nested-cache loop plans). The tree walk
+    instead: dedupes ``InMemoryTableScan`` targets by their
+    ``CachedRDDBuilder`` (one count per distinct cache, however many
+    consumers or nesting levels), follows AdaptiveSparkPlan to its
+    CURRENT plan only, and does not recurse into ``Reused*`` nodes
+    (a reused exchange/subquery executes zero extra scans).
     """
     counts: dict[str, int] = {}
-    seen_caches: set[str] = set()
-    lines = _drop_initial_plans(plan.splitlines())
-    i = 0
-    while i < len(lines):
-        line = lines[i]
-        if "InMemoryRelation" in line:
-            depth = _indent(line)
-            j = i + 1
-            sub: list[str] = []
-            while j < len(lines) and (
-                not lines[j].strip() or _indent(lines[j]) > depth
-            ):
-                sub.append(lines[j])
-                j += 1
-            key = _EXPR_ID.sub("#", "\n".join(s.lstrip(" :+-") for s in sub))
+    seen_caches: set[int] = set()
+
+    def record_scan(node) -> None:
+        try:
+            # Semantic: the scan's root paths. The toString() fallback
+            # below is NOT reliable — FileSourceScan truncates its
+            # Location metadata at spark.sql.maxMetadataStringLength
+            # (100 chars), silently dropping long paths.
+            paths = node.relation().location().rootPaths()
+            for p in _iter_seq(paths):
+                key = p.toString()
+                counts[key] = counts.get(key, 0) + 1
+            return
+        except Exception:  # noqa: BLE001
+            pass
+        m = _SCAN_PATH.search(node.toString().splitlines()[0])
+        if m:
+            counts[m.group(0)] = counts.get(m.group(0), 0) + 1
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls.startswith("Reused"):
+            return
+        if cls == "FileSourceScanExec":
+            record_scan(node)
+            return
+        if cls == "InMemoryTableScanExec":
+            rel = node.relation()
+            key = rel.cacheBuilder().hashCode()
             if key not in seen_caches:
                 seen_caches.add(key)
-                for mt in _SCAN_PATH.findall("\n".join(sub)):
-                    counts[mt] = counts.get(mt, 0) + 1
-            i = j
-        else:
-            for mt in _SCAN_PATH.findall(line):
-                counts[mt] = counts.get(mt, 0) + 1
-            i += 1
+                walk(rel.cachedPlan())
+            return
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        for child in _iter_seq(node.children()):
+            walk(child)
+        try:
+            for sub in _iter_seq(node.subqueries()):
+                walk(sub)
+        except Exception:  # noqa: BLE001 — not all nodes expose subqueries
+            pass
+
+    walk(df._jdf.queryExecution().executedPlan())
     return counts
 
 
-def redundant_scans(plan: str) -> list[str]:
+def redundant_scans(df) -> list[str]:
     """Same parquet path REALLY scanned 3+ times in one executed plan.
 
     Two scans are common and usually fine (self-joins, build+probe); three
@@ -181,7 +193,7 @@ def redundant_scans(plan: str) -> list[str]:
     instead.  Counting is cache-aware (see :func:`real_scan_counts`)."""
     return [
         f"redundant-scan {p.rsplit('/', 1)[-1]} x{c}"
-        for p, c in real_scan_counts(plan).items()
+        for p, c in real_scan_counts(df).items()
         if c >= 3
     ]
 
@@ -246,7 +258,7 @@ def audit(spark, sf_dir: str = SF_DIR) -> list[tuple[str, str]]:
             flags.append("BroadcastNestedLoopJoin")
         flags.extend(coalescible_python_stages(plan))
         if name not in TRIPLE_SCAN_OK:
-            flags.extend(redundant_scans(plan))
+            flags.extend(redundant_scans(df))
         flags = [f for f in flags if (name, f.split()[0]) not in ALLOWED]
         if flags:
             failures.append((name, ", ".join(flags)))

@@ -566,33 +566,38 @@ def simhash_sketches(
     otherwise overflow silently).
     """
     hashes = shingle_hashes(df, id_col, text_col, n=n, distinct=False)
+    # Lanes and the unpack chain are built as F.expr STRINGS: the nested
+    # Column construction spent ~600 py4j round-trips (~1.4 s of
+    # driver-side build on EVERY call); one parse call per lane plus one
+    # for the whole 64-term unpack cuts that to ~0.3 s, bit-identical
+    # (integer arithmetic is construction-independent; cross-checked in
+    # tests and by the DuckDB oracle's full value hash).
     packs = []
     for p in range(22):
-        expr = F.lit(0).cast("bigint")
-        for j in range(3):
-            i = 3 * p + j
-            if i >= 64:
-                break
-            bit = F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)).cast("bigint")
-            expr = expr + F.shiftleft(bit, 21 * j)
-        packs.append(F.sum(expr).alias(f"_p{p}"))
+        terms = [
+            f"shiftleft(shiftright(h, {i}) & 1, {21 * j})"
+            for j, i in ((j, 3 * p + j) for j in range(3))
+            if i < 64
+        ]
+        packs.append(F.expr(f"sum({' + '.join(terms)})").alias(f"_p{p}"))
     agg = hashes.groupBy("id").agg(*packs, F.count(F.lit(1)).alias("_n"))
 
     # Bit 63 of a signed long is the sign bit: its contribution is LONG_MIN
-    # in two's complement (1 << 63 doesn't fit a bigint literal).
-    out = F.lit(0).cast("bigint")
+    # in two's complement (1 << 63 doesn't fit a bigint literal, hence the
+    # MIN_LONG-by-subtraction spelling).
+    fields = []
     for i in range(64):
         p, j = divmod(i, 3)
-        c = F.shiftrightunsigned(F.col(f"_p{p}"), 21 * j).bitwiseAND(
-            F.lit((1 << 21) - 1)
+        c = f"(shiftrightunsigned(_p{p}, {21 * j}) & {(1 << 21) - 1})"
+        value = (
+            "(CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT))"
+            if i == 63
+            else f"CAST({1 << i} AS BIGINT)"
         )
-        value = -(1 << 63) if i == 63 else (1 << i)
-        out = out.bitwiseOR(
-            F.when(2 * c > F.col("_n"), F.lit(value).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
+        fields.append(
+            f"(CASE WHEN 2 * {c} > _n THEN {value} ELSE CAST(0 AS BIGINT) END)"
         )
-    return agg.select("id", out.alias("sh"))
+    return agg.select("id", F.expr(" | ".join(fields)).alias("sh"))
 
 
 def simhash_pairs(

@@ -22,6 +22,8 @@ sys.path.insert(0, str(REPO))
 
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+#: Optional probe-name filter: run only these (default all).
+ONLY = set(sys.argv[3:])
 
 
 def main() -> None:
@@ -250,7 +252,37 @@ def main() -> None:
             .groupBy("lang")
             .agg(F.sum("n_chars").alias("chars"))
         ),
+        # r5 additions: DSIR's two-distribution scoring (bucket tables
+        # stay ≤ buckets rows at ANY corpus size — only the gram explode
+        # scales) and PageRank over ×f disjoint subgraph copies (edges,
+        # nodes, and per-iteration join volume all scale together).
+        "dsir_weights": lambda f: __import__(
+            "ons_utils_spark.operators.corpus", fromlist=["dsir_log_weights"]
+        ).dsir_log_weights(
+            replicate_docs(documents, f),
+            # replicate_docs keeps only (doc_id, text); a deterministic
+            # id-slice is an equivalent target-domain sample here.
+            replicate_docs(documents, f).where(F.col("doc_id") % 3 == 0),
+            "doc_id",
+            "text",
+        ),
+        "pagerank": lambda f: __import__(
+            "ons_utils_spark.operators.graph", fromlist=["pagerank"]
+        ).pagerank(
+            replicate(orders, ["o_orderkey", "o_custkey"], f)
+            .join(
+                replicate(lineitem, ["l_orderkey", "l_suppkey"], f),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select(
+                F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + 1_000_000).alias("dst"),
+            ),
+            iterations=5,
+        ),
     }.items():
+        if ONLY and name not in ONLY:
+            continue
         times = {}
         # Untimed warmup so the 1x measurement doesn't carry codegen cost.
         build(1).write.format("noop").mode("overwrite").save()
@@ -293,7 +325,7 @@ def main() -> None:
 
     LEN_FACTOR = 4
     verify_probe = {}
-    for mode in ("carry", "rescan"):
+    for mode in ("carry", "rescan") if not ONLY else ():
         per_len = {}
         for m in (1, LEN_FACTOR):
             q = minhash_lsh_pairs(lengthen(documents, m), "doc_id", "text", verify=mode)

@@ -269,3 +269,65 @@ def group_percentiles(
         .select(group_col, "q.p", "q.value")
         .orderBy(group_col, "p")
     )
+
+
+def equi_depth_histogram(df: SparkDF, col: str, bins: int = 10) -> SparkDF:
+    """Equi-depth (quantile) histogram: ``(bucket, lo_edge, hi_edge, n)``
+    with ~equal ROW counts per bucket — the histogram skewed data needs
+    (an equal-width histogram of a long-tailed column puts 99% of rows in
+    bucket 0).
+
+    One pass computes the ``bins - 1`` interior boundaries (exact
+    ``percentile`` with linear interpolation — the same formula DuckDB's
+    ``quantile_cont`` uses, cross-checked bit-equal) plus global min/max
+    as a 1-row aggregate; the row-local bucket assignment
+    ``#{boundaries ≤ x}`` and a |bins|-key hash aggregate follow. Exact
+    duplicates around a boundary can make neighbouring buckets uneven
+    (ties all land in the upper bucket — deterministic, engine-portable);
+    heavy skew can leave interior buckets empty (omitted, like
+    :func:`histogram`). NULLs are dropped.
+
+    Scale: the exact percentile is a sort-based single aggregate —
+    fine into the billions of rows on a cluster; the documented
+    cheaper-at-any-accuracy alternative is ``percentile_approx`` (t-digest
+    sketch), which trades the oracle-exact boundaries for a mergeable
+    one-pass sketch.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    x = F.col(col).cast("double")
+    data = df.select(x.alias("__x")).where(F.col("__x").isNotNull())
+    if bins == 1:
+        # percentile() of an empty probability array yields NULL, which
+        # would poison the boundary-count; one bucket needs no boundary.
+        qs = F.array().cast("array<double>").alias("__qs")
+        bounds = data.agg(
+            F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+        ).select(qs, "__lo", "__hi")
+    else:
+        probs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+        bounds = data.agg(
+            F.percentile("__x", probs).alias("__qs"),
+            F.min("__x").alias("__lo"),
+            F.max("__x").alias("__hi"),
+        )
+    bucket = F.size(
+        F.filter("__qs", lambda q: q <= F.col("__x"))
+    ).alias("bucket")
+    lo_edge = F.when(F.col("bucket") == 0, F.col("__lo")).otherwise(
+        F.element_at("__qs", F.col("bucket"))
+    )
+    hi_edge = F.when(F.col("bucket") == bins - 1, F.col("__hi")).otherwise(
+        F.element_at("__qs", F.col("bucket") + 1)
+    )
+    return (
+        data.join(F.broadcast(bounds))
+        .select("__x", "__qs", "__lo", "__hi", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.round(F.first(lo_edge), 6).alias("lo_edge"),
+            F.round(F.first(hi_edge), 6).alias("hi_edge"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket")
+    )

@@ -5350,6 +5350,37 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _profiling.histogram(orders, "o_totalprice", bins=20)
 
 
+@register(
+    "q_equi_depth_histogram",
+    oracle=f"""
+        WITH d AS (SELECT o_totalprice::DOUBLE AS x FROM orders
+                   WHERE o_totalprice IS NOT NULL),
+        b AS (SELECT quantile_cont(x, {[i / 10 for i in range(1, 10)]}) AS qs,
+                     min(x) AS lo, max(x) AS hi
+              FROM d),
+        a AS (SELECT x, len(list_filter(b.qs, q -> q <= x)) AS bucket,
+                     b.qs AS qs, b.lo AS lo, b.hi AS hi
+              FROM d, b)
+        SELECT bucket,
+               round(CASE WHEN bucket = 0 THEN any_value(lo)
+                          ELSE any_value(qs)[bucket] END, 6) AS lo_edge,
+               round(CASE WHEN bucket = 9 THEN any_value(hi)
+                          ELSE any_value(qs)[bucket + 1] END, 6) AS hi_edge,
+               count(*) AS n
+        FROM a GROUP BY bucket ORDER BY bucket
+    """,
+    description="10-bucket equi-depth (quantile) histogram of order totals "
+    "(operators/profiling.py::equi_depth_histogram) — the histogram skewed "
+    "data needs. Boundaries from ONE exact-percentile 1-row aggregate "
+    "(Spark `percentile` and DuckDB `quantile_cont` interpolate "
+    "bit-identically — verified), broadcast back; bucket assignment is a "
+    "row-local boundary count; one |bins|-key aggregate.",
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return _profiling.equi_depth_histogram(orders, "o_totalprice", bins=10)
+
+
 # ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
@@ -5521,6 +5552,7 @@ _GRADING_ORDER = [
     "q_forecast_revenue_change",
     "q_dsir_weights",
     "q_pagerank",
+    "q_equi_depth_histogram",
 ]
 
 

@@ -154,3 +154,58 @@ class TestGroupPercentiles:
         df = spark.createDataFrame([("g", 1.0)], "g string, x double")
         with pytest.raises(ValueError):
             group_percentiles(df, "g", "x", ps=(1.5,))
+
+
+class TestEquiDepthHistogram:
+    def test_equal_depth_on_uniform_data(self, spark):
+        from ons_utils_spark.operators.profiling import equi_depth_histogram
+
+        df = spark.range(1, 101).selectExpr("cast(id as double) AS v")
+        rows = equi_depth_histogram(df, "v", bins=4).collect()
+        assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+        assert [r["n"] for r in rows] == [25, 25, 25, 25]
+        assert rows[0]["lo_edge"] == 1.0
+        assert rows[-1]["hi_edge"] == 100.0
+        # contiguous edges
+        for a, b in zip(rows, rows[1:]):
+            assert a["hi_edge"] == b["lo_edge"]
+
+    def test_skewed_data_still_balanced(self, spark):
+        """The case equal-width fails: a long tail. Equi-depth buckets
+        stay ~n/bins each."""
+        from ons_utils_spark.operators.profiling import equi_depth_histogram
+
+        df = spark.range(1000).selectExpr("exp(id / 100.0) AS v")
+        rows = equi_depth_histogram(df, "v", bins=5).collect()
+        assert all(abs(r["n"] - 200) <= 1 for r in rows)
+
+    def test_single_bin(self, spark):
+        from ons_utils_spark.operators.profiling import equi_depth_histogram
+
+        df = spark.range(10).selectExpr("cast(id as double) AS v")
+        rows = equi_depth_histogram(df, "v", bins=1).collect()
+        assert len(rows) == 1
+        assert (rows[0]["lo_edge"], rows[0]["hi_edge"], rows[0]["n"]) == (
+            0.0, 9.0, 10,
+        )
+
+    def test_nulls_dropped_and_validation(self, spark):
+        import pytest as _pytest
+        from ons_utils_spark.operators.profiling import equi_depth_histogram
+
+        df = spark.createDataFrame(
+            [(1.0,), (None,), (2.0,), (3.0,), (4.0,)], "v double"
+        )
+        assert sum(
+            r["n"] for r in equi_depth_histogram(df, "v", bins=2).collect()
+        ) == 4
+        with _pytest.raises(ValueError, match="bins"):
+            equi_depth_histogram(df, "v", bins=0)
+
+    def test_constant_column(self, spark):
+        from ons_utils_spark.operators.profiling import equi_depth_histogram
+
+        df = spark.range(50).selectExpr("7.0 AS v")
+        rows = equi_depth_histogram(df, "v", bins=4).collect()
+        # All boundaries equal 7.0 -> every row lands in the TOP bucket.
+        assert len(rows) == 1 and rows[0]["n"] == 50

@@ -72,6 +72,9 @@ ALLOWED = {
     # PageRank folds the 1-row node count into every iteration's
     # (1-d)/N term — same bounded idiom.
     ("q_pagerank", "BroadcastNestedLoopJoin"),
+    # Equi-depth histogram folds its 1-row (boundaries, min, max)
+    # aggregate back over the data — same bounded idiom.
+    ("q_equi_depth_histogram", "BroadcastNestedLoopJoin"),
     # all-pairs near-dup candidate stage is intentionally quadratic in the
     # expression variant; the registered query uses the blocked matmul.
 }

@@ -1,0 +1,150 @@
+"""Mergeable frequency sketches: Count-Min over DataFrames.
+
+LLM-data-pipeline extension (no reference twin). The Count-Min sketch
+(Cormode & Muthukrishnan 2005) answers "how often does key X appear?"
+over a stream/corpus in ``depth × width`` counters, with one-sided error:
+``exact ≤ estimate ≤ exact + ε·N`` (w.h.p., ε ≈ e/width). Unlike exact
+per-key counts its size is INDEPENDENT of key cardinality, and two
+sketches of disjoint batches merge by cell-wise addition — the property
+that makes it the right structure for incremental corpus statistics
+(per-shard sketches roll up losslessly, like the mergeable HLL and
+incremental-aggregate patterns elsewhere in this repo).
+
+Representation: a DataFrame ``(d, b, cnt)`` — row per non-empty cell.
+Hashing is ``xxhash64(d, key)`` (Spark's multi-arg chaining: the row
+index hashed with seed 42 seeds the key hash), bucketed by ``pmod`` into
+a power-of-two ``width`` so an external auditor using UNSIGNED 64-bit
+arithmetic (the DuckDB oracle, ``plans/oracle_xxh64.py``) computes the
+identical cells.
+
+Scale: the build is one explode(depth) + a (depth × width)-key partial
+aggregate — the shuffle is bounded by the SKETCH size, not the data;
+estimation broadcast-joins the (≤ depth·width)-row sketch against the
+probe keys. No driver collect anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+
+
+def _cells(df: SparkDF, key_col: str, depth: int, width: int) -> SparkDF:
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("d"),
+                F.pmod(
+                    F.xxhash64(F.lit(i).cast("bigint"), F.col(key_col)),
+                    F.lit(width),
+                ).cast("int").alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return df.select(F.explode(rows).alias("x")).select("x.d", "x.b")
+
+
+def _validate(depth: int, width: int) -> None:
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 2 or width & (width - 1):
+        # Power of two: unsigned % width == pmod(signed, width) since
+        # width divides 2^64 — any other modulus diverges from an
+        # unsigned-arithmetic auditor on negative hashes.
+        raise ValueError(f"width must be a power of two >= 2, got {width}")
+
+
+def count_min_build(
+    df: SparkDF,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: Union[str, None] = None,
+) -> SparkDF:
+    """Build a Count-Min sketch of ``key_col`` → ``(d, b, cnt)`` rows.
+
+    ``weight_col`` counts each row that many times — pass a
+    pre-aggregated ``(key, count)`` table to build the sketch from key
+    frequencies without a second scan of the raw data (bit-identical to
+    building from the raw rows; pinned in tests).
+
+    Merge sketches of disjoint batches with :func:`count_min_merge`;
+    query with :func:`count_min_estimate` (same depth/width everywhere).
+    """
+    _validate(depth, width)
+    if weight_col is None:
+        return (
+            _cells(df, key_col, depth, width)
+            .groupBy("d", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("d"),
+                F.pmod(
+                    F.xxhash64(F.lit(i).cast("bigint"), F.col(key_col)),
+                    F.lit(width),
+                ).cast("int").alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.col(weight_col).alias("__w"), F.explode(rows).alias("x"))
+        .select("__w", "x.d", "x.b")
+        .groupBy("d", "b")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def count_min_merge(*sketches: SparkDF) -> SparkDF:
+    """Cell-wise sum of sketches built with identical depth/width —
+    exactly the sketch of the concatenated inputs (pinned in tests)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: SparkDF,
+    keys: SparkDF,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> SparkDF:
+    """Estimate each probe key's count → ``(key, est)``.
+
+    ``est = min over d of cell(d, b_d(key))`` with absent cells read as 0.
+    Guarantees ``exact ≤ est`` always and ``est ≤ exact + ε·N`` w.h.p. —
+    the bound the registered query's oracle checks alongside recomputing
+    the cells bit-for-bit.
+    """
+    _validate(depth, width)
+    probes = keys.select(F.col(key_col).alias("key")).distinct()
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("d"),
+                F.pmod(
+                    F.xxhash64(F.lit(i).cast("bigint"), F.col("key")),
+                    F.lit(width),
+                ).cast("int").alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probe_cells = probes.select("key", F.explode(cells).alias("x")).select(
+        "key", "x.d", "x.b"
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["d", "b"], "left")
+        .na.fill(0, ["cnt"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -311,3 +311,51 @@ def dsir_log_weights_oracle(
     GROUP BY x.doc_id ORDER BY id
     """
     return sql
+
+
+def count_min_estimate_oracle(
+    table: str,
+    key: str,
+    probe_pred: str,
+    depth: int = 4,
+    width: int = 1024,
+    eps_slack: str = "ceil(2.7182818284590452 * total / {width})",
+) -> str:
+    """Full DuckDB oracle for Count-Min estimation over BIGINT keys.
+
+    Recomputes the sketch cells bit-for-bit: Spark's
+    ``xxhash64(lit(d)::bigint, key)`` chains ``h_d = xxh64(d, 42)`` then
+    ``xxh64(key, h_d)``; buckets are ``% width`` on the UNSIGNED hash,
+    equal to Spark's signed ``pmod`` because ``width`` is a power of two.
+    Emits ``(key, est, exact, tight)`` for keys matching ``probe_pred``
+    (over column ``k``), where ``tight`` checks the classic one-sided
+    bound ``exact ≤ est ≤ exact + e·N/width``.
+    """
+    if width & (width - 1):
+        raise ValueError(f"width must be a power of two, got {width}")
+    slack = eps_slack.format(width=width)
+    sql = f"""
+    WITH freq AS (
+        SELECT {key} AS k, count(*) AS c FROM {table}
+        WHERE {key} IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT sum(c)::DOUBLE AS total FROM freq),
+    ds AS (SELECT unnest(generate_series(0, {depth - 1})) AS d)"""
+    sql += chain("ds", long_hash_steps("sd", "d", "42"), "sdc", "seeds")
+    sql += """,
+    pairs AS (SELECT f.k, s.d, s.sd FROM freq f CROSS JOIN seeds s)"""
+    sql += chain("pairs", long_hash_steps("kb", "k", "sd"), "kbc", "keycells")
+    sql += f""",
+    kc AS MATERIALIZED (SELECT k, d, (kb % {width})::INTEGER AS b
+                        FROM keycells),
+    cells AS (SELECT kc.d, kc.b, sum(f.c)::BIGINT AS cnt
+              FROM kc JOIN freq f USING (k) GROUP BY kc.d, kc.b),
+    est AS (SELECT kc.k, min(cells.cnt)::BIGINT AS est
+            FROM kc JOIN cells USING (d, b) GROUP BY kc.k)
+    SELECT e.k AS key, e.est AS est, f.c AS exact,
+           (e.est >= f.c AND e.est <= f.c + {slack}) AS tight
+    FROM est e JOIN freq f USING (k), tot
+    WHERE {probe_pred}
+    ORDER BY key
+    """
+    return sql

@@ -5381,6 +5381,60 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _profiling.equi_depth_histogram(orders, "o_totalprice", bins=10)
 
 
+from ons_utils_spark.operators import sketches as _sketches  # noqa: E402
+from ons_utils_spark.plans.oracle_xxh64 import (  # noqa: E402
+    count_min_estimate_oracle,
+)
+
+
+@register(
+    "q_count_min_sketch",
+    oracle=count_min_estimate_oracle("orders", "o_custkey", "k % 150 = 0"),
+    description="Count-Min frequency sketch (operators/sketches.py): "
+    "4×1024 mergeable counters over customer order counts, probed for "
+    "every 150th customer — (key, est, exact, tight) where tight checks "
+    "the one-sided exact ≤ est ≤ exact + e·N/width bound. The oracle "
+    "recomputes every sketch cell bit-for-bit (xxhash64 seed chains in "
+    "DuckDB SQL) — a full value-hash check, not just the bound. One "
+    "corpus scan: the sketch builds weighted from the cached (key, "
+    "count) table the probes and exact counts also read.",
+)
+def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    depth, width = 4, 1024
+    freq = (
+        orders.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    sketch = _sketches.count_min_build(
+        freq, "k", depth=depth, width=width, weight_col="c"
+    )
+    probes = freq.where(F.col("k") % 150 == 0)
+    est = _sketches.count_min_estimate(
+        sketch, probes, "k", depth=depth, width=width
+    )
+    total = freq.agg(F.sum("c").alias("__total"))
+    slack = F.ceil(F.lit(2.7182818284590452) * F.col("__total") / width)
+    return (
+        est.join(
+            probes.select("k", F.col("c").alias("exact")),
+            est["key"] == F.col("k"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            "est",
+            "exact",
+            (
+                (F.col("est") >= F.col("exact"))
+                & (F.col("est") <= F.col("exact") + slack)
+            ).alias("tight"),
+        )
+        .orderBy("key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
@@ -5553,6 +5607,7 @@ _GRADING_ORDER = [
     "q_dsir_weights",
     "q_pagerank",
     "q_equi_depth_histogram",
+    "q_count_min_sketch",
 ]
 
 

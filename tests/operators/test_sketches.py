@@ -1,0 +1,97 @@
+"""Count-Min sketch tests: overestimate-only error, mergeability, and
+the weighted build's equivalence to the raw-row build."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.sketches import (
+    count_min_build,
+    count_min_estimate,
+    count_min_merge,
+)
+
+DEPTH, WIDTH = 4, 256
+
+
+@pytest.fixture()
+def events(spark):
+    # Zipf-ish: key k appears 100 // (k + 1) times, keys 0..19.
+    rows = [(k,) for k in range(20) for _ in range(100 // (k + 1))]
+    return spark.createDataFrame(rows, "k bigint")
+
+
+def _exact(events):
+    return {
+        r["k"]: r["c"]
+        for r in events.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+
+
+class TestCountMin:
+    def test_estimate_never_underestimates(self, spark, events):
+        sketch = count_min_build(events, "k", DEPTH, WIDTH)
+        est = {
+            r["key"]: r["est"]
+            for r in count_min_estimate(
+                sketch, events, "k", DEPTH, WIDTH
+            ).collect()
+        }
+        exact = _exact(events)
+        assert set(est) == set(exact)
+        assert all(est[k] >= exact[k] for k in exact)
+
+    def test_error_within_classic_bound(self, spark, events):
+        import math
+
+        sketch = count_min_build(events, "k", DEPTH, WIDTH)
+        est = {
+            r["key"]: r["est"]
+            for r in count_min_estimate(
+                sketch, events, "k", DEPTH, WIDTH
+            ).collect()
+        }
+        exact = _exact(events)
+        n = sum(exact.values())
+        slack = math.ceil(math.e * n / WIDTH)
+        assert all(est[k] <= exact[k] + slack for k in exact)
+
+    def test_merge_equals_concat_build(self, spark, events):
+        a = events.where(F.col("k") < 10)
+        b = events.where(F.col("k") >= 10)
+        merged = count_min_merge(
+            count_min_build(a, "k", DEPTH, WIDTH),
+            count_min_build(b, "k", DEPTH, WIDTH),
+        )
+        whole = count_min_build(events, "k", DEPTH, WIDTH)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_weighted_build_equals_raw_build(self, spark, events):
+        freq = events.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        weighted = count_min_build(freq, "k", DEPTH, WIDTH, weight_col="c")
+        raw = count_min_build(events, "k", DEPTH, WIDTH)
+        assert sorted(map(tuple, weighted.collect())) == sorted(
+            map(tuple, raw.collect())
+        )
+
+    def test_sketch_size_bounded_by_depth_width(self, spark, events):
+        sketch = count_min_build(events, "k", DEPTH, WIDTH)
+        assert sketch.count() <= DEPTH * WIDTH
+
+    def test_absent_key_estimates_small(self, spark, events):
+        sketch = count_min_build(events, "k", DEPTH, WIDTH)
+        ghost = spark.createDataFrame([(999_999,)], "k bigint")
+        est = count_min_estimate(sketch, ghost, "k", DEPTH, WIDTH).collect()
+        import math
+
+        n = sum(_exact(events).values())
+        assert est[0]["est"] <= math.ceil(math.e * n / WIDTH)
+
+    def test_validation(self, spark, events):
+        with pytest.raises(ValueError, match="width"):
+            count_min_build(events, "k", DEPTH, 1000)
+        with pytest.raises(ValueError, match="depth"):
+            count_min_build(events, "k", 0, WIDTH)
+        with pytest.raises(ValueError, match="at least one"):
+            count_min_merge()

@@ -75,6 +75,9 @@ ALLOWED = {
     # Equi-depth histogram folds its 1-row (boundaries, min, max)
     # aggregate back over the data — same bounded idiom.
     ("q_equi_depth_histogram", "BroadcastNestedLoopJoin"),
+    # Count-Min folds the 1-row total (for the bound check) back over
+    # the 10-row probe result — same bounded idiom.
+    ("q_count_min_sketch", "BroadcastNestedLoopJoin"),
     # all-pairs near-dup candidate stage is intentionally quadratic in the
     # expression variant; the registered query uses the blocked matmul.
 }

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Union
 
-from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+from pyspark.sql import DataFrame as SparkDF, functions as F
 
 
 def _cells(df: SparkDF, key_col: str, depth: int, width: int) -> SparkDF:
@@ -148,3 +148,29 @@ def count_min_estimate(
         .groupBy("key")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def sketch_append_batch(
+    batch: SparkDF,
+    key_col: str,
+    sketch_path: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """Append one batch's Count-Min cells to an append-only sketch store.
+
+    Mergeability makes the durable format trivial and crash-safe: the
+    store is just the UNION of per-batch cell deltas (parquet append, no
+    read-modify-write window); :func:`load_sketch` re-aggregates on read.
+    Compact whenever the delta count grows (rewrite with
+    ``load_sketch(...).write`` — cell-wise sums are associative, so any
+    compaction schedule yields the same sketch).
+    """
+    count_min_build(batch, key_col, depth, width).write.mode(
+        "append"
+    ).parquet(sketch_path)
+
+
+def load_sketch(spark, sketch_path: str) -> SparkDF:
+    """Read an append-only sketch store back as ONE sketch (cell sums)."""
+    return count_min_merge(spark.read.parquet(sketch_path))

@@ -145,3 +145,33 @@ def dedup_ingest_writer(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def sketch_ingest_writer(
+    stream_df,
+    key_col: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Maintain a Count-Min frequency sketch over a stream.
+
+    ``foreachBatch`` appends each micro-batch's cell deltas to the
+    append-only store (``operators/sketches.py::sketch_append_batch``);
+    no read-modify-write, so a crash between batches loses nothing and
+    checkpointed replay of a batch is the only at-least-once hazard
+    (same contract as :func:`dedup_ingest_writer`). Read the current
+    sketch at any time with ``sketches.load_sketch`` — streaming
+    ingestion and batch analytics share one representation because the
+    sketch is mergeable.
+    """
+    from ons_utils_spark.operators.sketches import sketch_append_batch
+
+    def process(batch, batch_id: int) -> None:
+        sketch_append_batch(batch, key_col, sketch_path, depth, width)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

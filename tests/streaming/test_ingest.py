@@ -170,3 +170,68 @@ class TestIndexReuseEquality:
 
         with pytest.raises(ValueError, match="exactly one"):
             minhash_lsh_pairs()
+
+
+class TestStreamingSketchMaintenance:
+    def test_streamed_sketch_equals_batch_sketch(self, spark, tmp_path):
+        """Two micro-batches append cell deltas; the loaded sketch must
+        equal a one-shot batch build over all rows — mergeability is the
+        durable-format contract."""
+        from ons_utils_spark.operators.sketches import (
+            count_min_build,
+            count_min_estimate,
+            load_sketch,
+        )
+        from ons_utils_spark.streaming.ingest import sketch_ingest_writer
+
+        stream_dir = str(tmp_path / "in")
+        sketch_path = str(tmp_path / "sketch")
+        ckpt = str(tmp_path / "ckpt")
+        rows1 = [(k,) for k in range(10) for _ in range(5)]
+        rows2 = [(k,) for k in range(5, 15) for _ in range(3)]
+        spark.createDataFrame(rows1, "k bigint").coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        spark.createDataFrame(rows2, "k bigint").coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+        stream = (
+            spark.readStream.schema("k bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            sketch_ingest_writer(
+                stream, "k", sketch_path, ckpt, depth=4, width=256
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        streamed = load_sketch(spark, sketch_path)
+        whole = count_min_build(
+            spark.createDataFrame(rows1 + rows2, "k bigint"),
+            "k",
+            depth=4,
+            width=256,
+        )
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+        # And the streamed sketch answers queries with the usual bound.
+        est = {
+            r["key"]: r["est"]
+            for r in count_min_estimate(
+                streamed,
+                spark.createDataFrame([(k,) for k in range(15)], "k bigint"),
+                "k",
+                depth=4,
+                width=256,
+            ).collect()
+        }
+        exact = {k: 0 for k in range(15)}
+        for (k,) in rows1 + rows2:
+            exact[k] += 1
+        assert all(est[k] >= exact[k] for k in exact)

@@ -370,8 +370,10 @@ def vocab_coverage(
     construction), so "does a 32k vocab cover this corpus?" answers
     ``(32000, 1.0)`` on a 31-token corpus instead of silently returning
     no row. Every requested ``k`` therefore produces exactly one output
-    row. The clamp rank is a 1-row bounded aggregate over the top frame —
-    the same broadcast-fold idiom as the total.
+    row — EXCEPT on a corpus with zero tokens (empty/whitespace texts),
+    where there is no vocabulary to rank against and the result is empty.
+    The clamp rank is a 1-row bounded aggregate over the top frame — the
+    same broadcast-fold idiom as the total.
     """
     ks = sorted(set(int(k) for k in ks))
     if not ks or ks[0] < 1:

@@ -48,9 +48,11 @@ def pagerank(
     walks both ways). Besides modeling undirected similarity/link graphs,
     this guarantees every node has out-degree ≥ 1, so no dangling-mass
     redistribution term is needed — with ``undirected=False`` the caller
-    must pass a graph whose every source also appears as a destination
-    or accept that dangling mass leaks (documented standard trade; a
-    redistribution term costs one extra global aggregate per iteration).
+    must pass a graph whose every DESTINATION also appears as a source
+    (i.e. no node is dangling / out-degree 0) or accept that dangling
+    mass leaks (documented standard trade; a redistribution term costs
+    one extra global aggregate per iteration). Destination-only nodes DO
+    receive ranks either way — the node set is src ∪ dst.
 
     Ranks sum to 1 over the node set (up to float error and dangling
     leak). ``rank`` is returned unrounded; consumers comparing across
@@ -90,7 +92,13 @@ def pagerank(
         "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
     ).persist()
 
-    nodes = edges_deg.select(F.col("src").alias("id")).distinct().persist()
+    # Node set = src ∪ dst. After symmetrization src alone covers it; in
+    # directed mode destination-only nodes (no out-edges) would otherwise
+    # silently drop out of the output (and out of N).
+    nodes = edges_deg.select(F.col("src").alias("id"))
+    if not undirected:
+        nodes = nodes.union(edges_deg.select(F.col("dst").alias("id")))
+    nodes = nodes.distinct().persist()
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     # 1-row broadcast fold (the established bounded idiom): (1-d)/N and
     # the initial 1/N reach every row without a driver collect.

@@ -266,6 +266,13 @@ def decode_wav_bytes(data: bytes) -> tuple[int, int, list[float]]:
     pos = 12
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
+        if pos + 8 + size > len(data):
+            # Trusting a declared size beyond the payload would silently
+            # truncate samples; fail loudly instead.
+            raise ValueError(
+                f"WAV chunk {cid!r} declares {size} bytes but only "
+                f"{len(data) - pos - 8} remain (truncated payload)"
+            )
         body = data[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -274,6 +281,8 @@ def decode_wav_bytes(data: bytes) -> tuple[int, int, list[float]]:
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"WAV fmt chunk too short ({len(fmt)} < 16 bytes)")
     audio_format, channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if audio_format != 1:

@@ -30,8 +30,10 @@ from typing import Union
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
 
-def _cells(df: SparkDF, key_col: str, depth: int, width: int) -> SparkDF:
-    rows = F.array(
+def _cell_array(key_col: str, depth: int, width: int):
+    """The depth (d, b) cells of one key — the ONE place the hashing
+    scheme lives (build, weighted build, and estimate all use it)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(i).cast("int").alias("d"),
@@ -43,7 +45,24 @@ def _cells(df: SparkDF, key_col: str, depth: int, width: int) -> SparkDF:
             for i in range(depth)
         ]
     )
-    return df.select(F.explode(rows).alias("x")).select("x.d", "x.b")
+
+
+def _cells(
+    df: SparkDF,
+    key_col: str,
+    depth: int,
+    width: int,
+    carry: "list[str] | None" = None,
+) -> SparkDF:
+    # NULL keys are dropped: Spark's xxhash64 SKIPS null arguments, so a
+    # NULL key would otherwise hash as a phantom fixed cell per depth row
+    # — diverging from any external auditor that excludes NULLs (the
+    # DuckDB oracle does) and polluting whatever real key shares the
+    # cell.
+    out = df.where(F.col(key_col).isNotNull()).select(
+        *(carry or []), F.explode(_cell_array(key_col, depth, width)).alias("x")
+    )
+    return out.select(*(carry or []), "x.d", "x.b")
 
 
 def _validate(depth: int, width: int) -> None:
@@ -68,7 +87,9 @@ def count_min_build(
     ``weight_col`` counts each row that many times — pass a
     pre-aggregated ``(key, count)`` table to build the sketch from key
     frequencies without a second scan of the raw data (bit-identical to
-    building from the raw rows; pinned in tests).
+    building from the raw rows; pinned in tests). NULL keys are dropped
+    on build AND estimate (a NULL has no frequency; Spark's xxhash64
+    skips null args, which would otherwise mint a phantom cell).
 
     Merge sketches of disjoint batches with :func:`count_min_merge`;
     query with :func:`count_min_estimate` (same depth/width everywhere).
@@ -80,21 +101,11 @@ def count_min_build(
             .groupBy("d", "b")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("int").alias("d"),
-                F.pmod(
-                    F.xxhash64(F.lit(i).cast("bigint"), F.col(key_col)),
-                    F.lit(width),
-                ).cast("int").alias("b"),
-            )
-            for i in range(depth)
-        ]
-    )
     return (
-        df.select(F.col(weight_col).alias("__w"), F.explode(rows).alias("x"))
-        .select("__w", "x.d", "x.b")
+        _cells(
+            df.withColumn("__w", F.col(weight_col)), key_col, depth, width,
+            carry=["__w"],
+        )
         .groupBy("d", "b")
         .agg(F.sum("__w").alias("cnt"))
     )
@@ -127,21 +138,7 @@ def count_min_estimate(
     """
     _validate(depth, width)
     probes = keys.select(F.col(key_col).alias("key")).distinct()
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("int").alias("d"),
-                F.pmod(
-                    F.xxhash64(F.lit(i).cast("bigint"), F.col("key")),
-                    F.lit(width),
-                ).cast("int").alias("b"),
-            )
-            for i in range(depth)
-        ]
-    )
-    probe_cells = probes.select("key", F.explode(cells).alias("x")).select(
-        "key", "x.d", "x.b"
-    )
+    probe_cells = _cells(probes, "key", depth, width, carry=["key"])
     return (
         probe_cells.join(F.broadcast(sketch), ["d", "b"], "left")
         .na.fill(0, ["cnt"])
@@ -156,21 +153,39 @@ def sketch_append_batch(
     sketch_path: str,
     depth: int = 4,
     width: int = 1024,
+    batch_id: "int | None" = None,
 ) -> None:
-    """Append one batch's Count-Min cells to an append-only sketch store.
+    """Write one batch's Count-Min cells into an append-only sketch store.
 
     Mergeability makes the durable format trivial and crash-safe: the
-    store is just the UNION of per-batch cell deltas (parquet append, no
-    read-modify-write window); :func:`load_sketch` re-aggregates on read.
-    Compact whenever the delta count grows (rewrite with
-    ``load_sketch(...).write`` — cell-wise sums are associative, so any
-    compaction schedule yields the same sketch).
+    store is the UNION of per-batch cell deltas (no read-modify-write
+    window); :func:`load_sketch` re-aggregates on read. Compact whenever
+    the delta count grows (rewrite with ``load_sketch(...).write`` —
+    cell-wise sums are associative, so any compaction schedule yields the
+    same sketch).
+
+    With ``batch_id`` (streaming's ``foreachBatch`` id) the write is a
+    DYNAMIC-partition overwrite of that batch's partition — replaying a
+    checkpointed micro-batch REPLACES its own deltas instead of
+    double-counting them, making the at-least-once foreachBatch contract
+    effectively exactly-once (the standard idempotent-sink recipe).
+    Without it, the write is a plain append (batch callers that never
+    replay).
     """
-    count_min_build(batch, key_col, depth, width).write.mode(
-        "append"
-    ).parquet(sketch_path)
+    sk = count_min_build(batch, key_col, depth, width)
+    if batch_id is None:
+        sk.write.mode("append").parquet(sketch_path)
+        return
+    (
+        sk.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sketch_path)
+    )
 
 
 def load_sketch(spark, sketch_path: str) -> SparkDF:
     """Read an append-only sketch store back as ONE sketch (cell sums)."""
-    return count_min_merge(spark.read.parquet(sketch_path))
+    raw = spark.read.parquet(sketch_path)
+    return count_min_merge(raw.select("d", "b", "cnt"))

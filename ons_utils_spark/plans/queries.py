@@ -42,6 +42,12 @@ QUERIES: dict[str, EngineQuery] = {}
 
 def register(name: str, oracle: Optional[str] = None, description: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # A duplicate would silently SHADOW the earlier registration
+            # (dict assignment), leaving a dead query graded as whichever
+            # definition happens to come last — exactly what happened to
+            # the two Q17 decorrelation strategies before this guard.
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = EngineQuery(name, fn, oracle, description)
         return fn
 
@@ -2562,7 +2568,7 @@ def q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_small_quantity_revenue",
+    "q_small_quantity_selfjoin",
     oracle="""
         SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
         FROM lineitem l
@@ -2575,9 +2581,12 @@ def q_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q17-style correlated-average filter: lineitems below "
     "20% of their part's average quantity. The correlated scalar subquery "
     "becomes an aggregate + self-join; both sides share the l_partkey "
-    "shuffle partitioning.",
+    "shuffle partitioning. (The WINDOW decorrelation of the same shape is "
+    "q_small_quantity_revenue — registered separately to pin both "
+    "strategies; this one had been silently shadowed by a duplicate name "
+    "until the registry gained a duplicate guard.)",
 )
-def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_small_quantity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     cuts = li.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
@@ -5608,6 +5617,7 @@ _GRADING_ORDER = [
     "q_pagerank",
     "q_equi_depth_histogram",
     "q_count_min_sketch",
+    "q_small_quantity_selfjoin",
 ]
 
 

@@ -306,6 +306,19 @@ def compact_files(
     from pyarrow import fs as pafs
 
     filesystem, root = pafs.FileSystem.from_uri(path)
+    # Recover debris from a previous crashed run FIRST — without this,
+    # every later compaction wedges on the rename-target-exists error
+    # (and if the crash hit between the two renames, the table path
+    # itself is missing until the aside is restored).
+    old_aside = root.rstrip("/") + ".__old"
+    if filesystem.get_file_info(old_aside).type != pafs.FileType.NotFound:
+        if filesystem.get_file_info(root).type == pafs.FileType.NotFound:
+            # Crashed between the renames: the aside IS the live table.
+            filesystem.move(old_aside, root)
+        else:
+            # Crashed after promotion, before cleanup: root is the newer
+            # compacted table; the aside is superseded.
+            filesystem.delete_dir(old_aside)
     all_infos = filesystem.get_file_info(pafs.FileSelector(root, recursive=True))
     infos = [
         i
@@ -346,7 +359,6 @@ def compact_files(
     # maintenance, so that window WILL be hit. Renaming the old root
     # aside is metadata-only (same cost), the live data survives any
     # crash, and the failure path can roll the original back.
-    old_aside = root.rstrip("/") + ".__old"
     filesystem.move(root, old_aside)
     try:
         filesystem.move(src, root)

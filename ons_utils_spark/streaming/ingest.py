@@ -157,19 +157,23 @@ def sketch_ingest_writer(
 ):
     """Maintain a Count-Min frequency sketch over a stream.
 
-    ``foreachBatch`` appends each micro-batch's cell deltas to the
-    append-only store (``operators/sketches.py::sketch_append_batch``);
-    no read-modify-write, so a crash between batches loses nothing and
-    checkpointed replay of a batch is the only at-least-once hazard
-    (same contract as :func:`dedup_ingest_writer`). Read the current
-    sketch at any time with ``sketches.load_sketch`` — streaming
+    ``foreachBatch`` writes each micro-batch's cell deltas into its OWN
+    ``batch_id`` partition of the store via dynamic-partition overwrite
+    (``operators/sketches.py::sketch_append_batch``): no
+    read-modify-write, a crash between batches loses nothing, and a
+    checkpointed REPLAY of a batch replaces its partition instead of
+    double-counting — the idempotent-sink recipe that upgrades
+    foreachBatch's at-least-once to effectively exactly-once. Read the
+    current sketch at any time with ``sketches.load_sketch`` — streaming
     ingestion and batch analytics share one representation because the
     sketch is mergeable.
     """
     from ons_utils_spark.operators.sketches import sketch_append_batch
 
     def process(batch, batch_id: int) -> None:
-        sketch_append_batch(batch, key_col, sketch_path, depth, width)
+        sketch_append_batch(
+            batch, key_col, sketch_path, depth, width, batch_id=batch_id
+        )
 
     return (
         stream_df.writeStream.foreachBatch(process)

@@ -71,6 +71,22 @@ class TestPagerank:
         # Symmetric cycle → uniform ranks.
         assert got[1] == pytest.approx(got[2], abs=1e-9)
 
+    def test_directed_destination_only_node_gets_a_rank(self, spark):
+        """A node appearing only as a destination (out-degree 0) must be
+        IN the node set and receive rank — it used to silently vanish
+        (dangling mass still leaks, as documented)."""
+        edges = [(1, 2), (2, 1), (1, 3)]
+        got = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                self._df(spark, edges), iterations=4, undirected=False
+            ).collect()
+        }
+        want = reference_pagerank(edges, 4, 0.85, undirected=False)
+        assert set(got) == {1, 2, 3}
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9)
+
     def test_duplicate_edges_collapse(self, spark):
         dup = EDGES + EDGES[:3]
         got = {

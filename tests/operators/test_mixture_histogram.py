@@ -112,6 +112,46 @@ class TestCompactFiles:
         assert sorted(r["id"] for r in after.collect()) == before_rows
         assert after.schema == before.schema
 
+    def test_recovers_from_mid_swap_crash_debris(self, spark, tmp_path):
+        """Crash between the two promote renames leaves only `.__old`;
+        the next run must restore the table and compact it normally."""
+        import shutil
+
+        from ons_utils_spark.sources.write import compact_files
+
+        path = str(tmp_path / "t")
+        spark.range(1000).repartition(4).write.parquet(path)
+        rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+        shutil.move(path, path + ".__old")  # simulate the crash window
+
+        stats = compact_files(spark, path, target_mb=1024)
+        assert stats["files_after"] == 1
+        assert sorted(
+            r["id"] for r in spark.read.parquet(path).collect()
+        ) == rows
+        import os
+
+        assert not os.path.exists(path + ".__old")
+
+    def test_clears_stale_aside_after_completed_promotion(
+        self, spark, tmp_path
+    ):
+        """Crash after promotion but before aside cleanup: the table is
+        live and newer; the stale aside must not wedge the next run."""
+        import os
+
+        from ons_utils_spark.sources.write import compact_files
+
+        path = str(tmp_path / "t")
+        spark.range(500).repartition(4).write.parquet(path)
+        spark.range(99).write.parquet(path + ".__old")  # superseded debris
+
+        compact_files(spark, path, target_mb=1024)
+        assert sorted(
+            r["id"] for r in spark.read.parquet(path).collect()
+        ) == list(range(500))
+        assert not os.path.exists(path + ".__old")
+
 
 class TestHistogramHalfBounds:
     def test_supplied_lo_is_respected(self, spark):

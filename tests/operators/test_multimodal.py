@@ -259,3 +259,24 @@ class TestRealWavDecode:
         assert row["sample_rate"] == 16000
         assert row["n_samples"] == 4
         assert list(row["samples"]) == [v / 32768.0 for v in frames]
+
+
+class TestWavValidation:
+    def test_truncated_data_chunk_raises(self):
+        from ons_utils_spark.operators.multimodal import decode_wav_bytes
+
+        wav = make_wav(8000, 1, 16, [1, 2, 3, 4])
+        with pytest.raises(ValueError, match="truncated"):
+            decode_wav_bytes(wav[:-3])  # cut mid-data-chunk
+
+    def test_short_fmt_chunk_raises_valueerror(self):
+        import struct
+
+        from ons_utils_spark.operators.multimodal import decode_wav_bytes
+
+        fmt = struct.pack("<HHI", 1, 1, 8000)  # only 8 bytes, no bits field
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", 0)
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        with pytest.raises(ValueError, match="fmt chunk too short"):
+            decode_wav_bytes(wav)

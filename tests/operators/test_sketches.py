@@ -95,3 +95,56 @@ class TestCountMin:
             count_min_build(events, "k", 0, WIDTH)
         with pytest.raises(ValueError, match="at least one"):
             count_min_merge()
+
+
+class TestNullKeys:
+    def test_null_keys_dropped_everywhere(self, spark):
+        from pyspark.sql import functions as F
+
+        withnull = spark.createDataFrame(
+            [(1,), (None,), (1,), (None,), (2,)], "k bigint"
+        )
+        clean = withnull.where(F.col("k").isNotNull())
+        a = count_min_build(withnull, "k", DEPTH, WIDTH)
+        b = count_min_build(clean, "k", DEPTH, WIDTH)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+        est = count_min_estimate(a, withnull, "k", DEPTH, WIDTH).collect()
+        assert {r["key"] for r in est} == {1, 2}  # no NULL probe row
+
+
+class TestDurableStore:
+    def test_batch_replay_is_idempotent(self, spark, tmp_path, events):
+        """Re-running the same batch_id must REPLACE its deltas, not
+        double-count them (the checkpointed-replay case)."""
+        from ons_utils_spark.operators.sketches import (
+            load_sketch,
+            sketch_append_batch,
+        )
+
+        path = str(tmp_path / "sk")
+        sketch_append_batch(events, "k", path, DEPTH, WIDTH, batch_id=0)
+        once = sorted(map(tuple, load_sketch(spark, path).collect()))
+        sketch_append_batch(events, "k", path, DEPTH, WIDTH, batch_id=0)
+        twice = sorted(map(tuple, load_sketch(spark, path).collect()))
+        assert once == twice
+
+    def test_distinct_batches_accumulate(self, spark, tmp_path, events):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.sketches import (
+            load_sketch,
+            sketch_append_batch,
+        )
+
+        path = str(tmp_path / "sk")
+        a = events.where(F.col("k") < 10)
+        b = events.where(F.col("k") >= 10)
+        sketch_append_batch(a, "k", path, DEPTH, WIDTH, batch_id=0)
+        sketch_append_batch(b, "k", path, DEPTH, WIDTH, batch_id=1)
+        got = sorted(map(tuple, load_sketch(spark, path).collect()))
+        want = sorted(
+            map(tuple, count_min_build(events, "k", DEPTH, WIDTH).collect())
+        )
+        assert got == want

@@ -162,22 +162,25 @@ def real_scan_counts(df) -> dict[str, int]:
             return
         if cls == "FileSourceScanExec":
             record_scan(node)
-            return
-        if cls == "InMemoryTableScanExec":
+            # No return: fall through to the subqueries loop below — a
+            # scan can carry DPP/scalar-subquery partition filters whose
+            # plans scan OTHER tables.
+        elif cls == "InMemoryTableScanExec":
             rel = node.relation()
             key = rel.cacheBuilder().hashCode()
             if key not in seen_caches:
                 seen_caches.add(key)
                 walk(rel.cachedPlan())
             return
-        if cls == "AdaptiveSparkPlanExec":
+        elif cls == "AdaptiveSparkPlanExec":
             walk(node.executedPlan())
             return
-        if cls.endswith("QueryStageExec"):
+        elif cls.endswith("QueryStageExec"):
             walk(node.plan())
             return
-        for child in _iter_seq(node.children()):
-            walk(child)
+        else:
+            for child in _iter_seq(node.children()):
+                walk(child)
         try:
             for sub in _iter_seq(node.subqueries()):
                 walk(sub)

@@ -325,7 +325,16 @@ def main() -> None:
 
     LEN_FACTOR = 4
     verify_probe = {}
-    for mode in ("carry", "rescan") if not ONLY else ():
+    # Selectable under the name "minhash_verify"; a name filter that
+    # excludes it LOGS the skip (no silent caps).
+    run_verify = not ONLY or "minhash_verify" in ONLY
+    if not run_verify:
+        print(
+            "note: minhash verify-mode doc-length probe SKIPPED by name "
+            "filter (include 'minhash_verify' to run it)",
+            file=sys.stderr,
+        )
+    for mode in ("carry", "rescan") if run_verify else ():
         per_len = {}
         for m in (1, LEN_FACTOR):
             q = minhash_lsh_pairs(lengthen(documents, m), "doc_id", "text", verify=mode)

@@ -5510,7 +5510,12 @@ _GRADING_ORDER = [
     "q_corpus_clean_pipeline",
     "q_dedup_incremental",
     "q_decontaminate",
-    "q_lonely_late_suppliers",
+    # r5: DSIR importance weighting replaces one of the many graded join
+    # variants (q_lonely_late_suppliers moved to the tail; the join
+    # family keeps 8+ graded shapes) — data SELECTION is a first-class
+    # LLM-pipeline capability and its oracle is a full bit-exact hash
+    # recomputation, the strongest check class in the registry.
+    "q_dsir_weights",
     "q_view_to_click_attribution",
     # -- sampling / mixture -------------------------------------------------
     "q_hash_split",
@@ -5522,6 +5527,7 @@ _GRADING_ORDER = [
     # production-shaped representative) ------------------------------------
     "q_constraint_audit",
     # ---- end of the driver's 50-slot graded window ----------------------
+    "q_lonely_late_suppliers",
     "q_big_spender_orders",
     "q_gopher_quality",
     "q_token_entropy",
@@ -5613,7 +5619,6 @@ _GRADING_ORDER = [
     "q_vocab_coverage",
     "q_group_percentiles",
     "q_forecast_revenue_change",
-    "q_dsir_weights",
     "q_pagerank",
     "q_equi_depth_histogram",
     "q_count_min_sketch",

@@ -365,3 +365,46 @@ def hard_negatives_blocked(
         .where(F.col("rank") <= k)
         .select("id", "neg_id", "cos_sim", "rank")
     )
+
+
+def random_projection_reduce(
+    df: SparkDF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 42,
+) -> SparkDF:
+    """Johnson-Lindenstrauss dimensionality reduction →
+    ``(id, reduced array<double>)``.
+
+    ``reduced_j = (vec · g_j) / sqrt(out_dim)`` with ``g_j`` the
+    deterministic Gaussian directions of :func:`make_planes` (same seed
+    convention as SRP — a pipeline can bucket with ``srp_topk`` and
+    reduce with this using one shared plane family). The JL lemma keeps
+    pairwise distances within ``1 ± ε`` for ``out_dim = O(log n / ε²)``
+    — the standard pre-ANN cut that shrinks the vectors a brute-force or
+    IVF pass must touch by ``in_dim / out_dim``.
+
+    Row-local Catalyst expressions only (the projection constants inline
+    into the plan; each output is one ``zip_with``+``aggregate`` fold in
+    whole-stage codegen — zero shuffle, zero Python). Components round to
+    6 decimals: the fold is a sequential left-to-right sum, so an
+    external auditor (DuckDB ``list_dot_product``) reproduces them
+    exactly. Built as one ``F.expr`` string per output dim — ~16 py4j
+    calls instead of ~1000 for nested Column construction.
+    """
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"dims must be >= 1, got in={in_dim} out={out_dim}")
+    planes = make_planes(in_dim, n_planes=out_dim, seed=seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    comps = []
+    for g in planes:
+        consts = ", ".join(f"{v!r}d" for v in g)
+        comps.append(
+            f"round(aggregate(zip_with(transform({vec_col}, x -> cast(x as double)), "
+            f"array({consts}), (x, y) -> x * y), 0d, (a, x) -> a + x) "
+            f"* {scale!r}d, 6)"
+        )
+    out = F.expr(f"array({', '.join(comps)})")
+    return df.select(F.col(id_col).alias("id"), out.alias("reduced"))

@@ -5391,6 +5391,45 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ons_utils_spark.operators import sketches as _sketches  # noqa: E402
+from ons_utils_spark.operators.similarity import (  # noqa: E402
+    make_planes as _make_planes,
+    random_projection_reduce as _rp_reduce,
+)
+
+
+def _rp_oracle(in_dim: int, out_dim: int, seed: int) -> str:
+    """DuckDB twin of random_projection_reduce: same plane constants
+    (repr round-trips doubles exactly), same sequential dot fold
+    (list_dot_product), same scale-then-round."""
+    planes = _make_planes(in_dim, n_planes=out_dim, seed=seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    comps = ", ".join(
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(v) for v in g)}]) * {scale!r}, 6)"
+        for g in planes
+    )
+    return f"""
+        SELECT vec_id AS id, [{comps}] AS reduced
+        FROM embeddings ORDER BY id
+    """
+
+
+@register(
+    "q_random_projection",
+    oracle=_rp_oracle(64, 16, 42),
+    description="Johnson-Lindenstrauss random projection 64→16 dims "
+    "(operators/similarity.py::random_projection_reduce): the standard "
+    "pre-ANN dimensionality cut, sharing the SRP plane family. Pure "
+    "row-local Catalyst folds (zip_with+aggregate per output dim, "
+    "whole-stage codegen, zero shuffle); the oracle inlines the identical "
+    "plane constants and reproduces every component bit-for-bit "
+    "(sequential fold ≡ list_dot_product).",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _rp_reduce(
+        emb, "vec_id", "embedding", in_dim=64, out_dim=16, seed=42
+    ).orderBy("id")
 from ons_utils_spark.plans.oracle_xxh64 import (  # noqa: E402
     count_min_estimate_oracle,
 )
@@ -5623,6 +5662,7 @@ _GRADING_ORDER = [
     "q_equi_depth_histogram",
     "q_count_min_sketch",
     "q_small_quantity_selfjoin",
+    "q_random_projection",
 ]
 
 

@@ -135,3 +135,88 @@ class TestQuantization:
 
         with pytest.raises(ValueError, match="bits"):
             quantize_embeddings(vecs, "embedding", bits=1)
+
+
+class TestRandomProjection:
+    def _emb(self, spark, n=200, dim=32, seed=3):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def test_shape_and_determinism(self, spark):
+        from ons_utils_spark.operators.similarity import random_projection_reduce
+
+        emb = self._emb(spark)
+        a = random_projection_reduce(emb, in_dim=32, out_dim=8).collect()
+        b = random_projection_reduce(emb, in_dim=32, out_dim=8).collect()
+        assert len(a) == 200 and all(len(r["reduced"]) == 8 for r in a)
+        assert sorted(map(str, a)) == sorted(map(str, b))
+
+    def test_jl_distance_preservation_on_average(self, spark):
+        """JL contract: squared distances are preserved in expectation.
+        With a fixed seed this is a deterministic pin, tolerances sized
+        for out_dim=16 (ε ~ sqrt(8 ln n / d) ≈ 1 for a loose bound; the
+        mean ratio concentrates far tighter)."""
+        import random as _r
+
+        from ons_utils_spark.operators.similarity import random_projection_reduce
+
+        emb = self._emb(spark, n=120, dim=32)
+        red = {
+            r["id"]: list(r["reduced"])
+            for r in random_projection_reduce(
+                emb, in_dim=32, out_dim=16
+            ).collect()
+        }
+        orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+        rng = _r.Random(0)
+        ids = sorted(orig)
+        ratios = []
+        for _ in range(300):
+            a, b = rng.sample(ids, 2)
+            d_o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            d_r = sum((x - y) ** 2 for x, y in zip(red[a], red[b]))
+            ratios.append(d_r / d_o)
+        mean = sum(ratios) / len(ratios)
+        assert 0.8 < mean < 1.2  # unbiased estimator, tight at 300 pairs
+        assert all(0.2 < r < 3.0 for r in ratios)  # no catastrophic pair
+
+    def test_shares_srp_plane_family(self, spark):
+        """Same seed → the projection directions ARE the SRP planes, so
+        sign(reduced_j) equals the SRP signature bit."""
+        from ons_utils_spark.operators.similarity import (
+            make_planes,
+            random_projection_reduce,
+            srp_signature,
+        )
+
+        from pyspark.sql import functions as F
+
+        emb = self._emb(spark, n=50, dim=32)
+        planes = make_planes(32, n_planes=8, seed=42)
+        both = (
+            random_projection_reduce(emb, in_dim=32, out_dim=8, seed=42)
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("id"),
+                    srp_signature("embedding", planes).alias("sig"),
+                ),
+                "id",
+            )
+            .collect()
+        )
+        for r in both:
+            for j, v in enumerate(r["reduced"]):
+                assert (v > 0) == bool(r["sig"] >> j & 1) or v == 0.0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.similarity import random_projection_reduce
+
+        with _pytest.raises(ValueError, match="dims"):
+            random_projection_reduce(self._emb(spark), in_dim=32, out_dim=0)

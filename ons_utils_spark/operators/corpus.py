@@ -439,6 +439,7 @@ def dsir_log_weights(
     n: int = 2,
     buckets: int = 4096,
     alpha: float = 1.0,
+    round_to: int = 4,
 ) -> SparkDF:
     """DSIR importance log-weights: how much more target-like than
     corpus-like each document's hashed n-gram profile is.
@@ -457,8 +458,15 @@ def dsir_log_weights(
     yields corpus data distributed like the target domain.
 
     Returns ``(id, log_weight)``, one row per document with ≥ n tokens
-    (shingle-less documents produce no row), ``log_weight`` rounded to 6
-    decimals.
+    (shingle-less documents produce no row), ``log_weight`` rounded to
+    ``round_to`` decimals. The default (4) is deliberately COARSE
+    relative to the values' magnitude (|log w| ~ 1-20 on real corpora):
+    the sum's float error depends on each engine's summation order
+    (~1e-12 absolute over hundreds of log terms), so any cross-engine
+    hash comparison needs a rounding grid that error cannot straddle —
+    at 1e-4 the per-value straddle probability is ~1e-8 vs ~1e-6 at the
+    previous 6 decimals, while 1e-4 resolution on a log-likelihood-ratio
+    stays fully discriminative.
 
     Scale: the bucket-count tables are tiny (≤ ``buckets`` rows) and
     lazily persisted — their totals are folded back as 1-row broadcast
@@ -511,7 +519,7 @@ def dsir_log_weights(
         gram_buckets(df)
         .join(F.broadcast(ratio), "b")
         .groupBy("id")
-        .agg(F.round(F.sum("lr"), 6).alias("log_weight"))
+        .agg(F.round(F.sum("lr"), round_to).alias("log_weight"))
     )
 
 

@@ -287,11 +287,14 @@ def equi_depth_histogram(df: SparkDF, col: str, bins: int = 10) -> SparkDF:
     heavy skew can leave interior buckets empty (omitted, like
     :func:`histogram`). NULLs are dropped.
 
-    Scale: the exact percentile is a sort-based single aggregate —
-    fine into the billions of rows on a cluster; the documented
-    cheaper-at-any-accuracy alternative is ``percentile_approx`` (t-digest
-    sketch), which trades the oracle-exact boundaries for a mergeable
-    one-pass sketch.
+    Scale: Spark's exact ``percentile`` buffers a per-distinct-value
+    counts map that is merged onto ONE task, so memory is O(distinct
+    values of ``col``) — fine for low-cardinality columns at any row
+    count, but an OOM risk on a high-cardinality double column well
+    before billions of DISTINCT values (~10⁸ is a practical ceiling).
+    Beyond that, switch to ``percentile_approx`` (t-digest sketch):
+    mergeable, bounded memory at any cardinality, at the cost of the
+    oracle-exact boundaries.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")

@@ -164,24 +164,41 @@ def sketch_append_batch(
     cell-wise sums are associative, so any compaction schedule yields the
     same sketch).
 
-    With ``batch_id`` (streaming's ``foreachBatch`` id) the write is a
-    DYNAMIC-partition overwrite of that batch's partition — replaying a
-    checkpointed micro-batch REPLACES its own deltas instead of
-    double-counting them, making the at-least-once foreachBatch contract
-    effectively exactly-once (the standard idempotent-sink recipe).
-    Without it, the write is a plain append (batch callers that never
-    replay).
+    The store has ONE layout regardless of caller: every delta lands
+    under a ``batch_id=<id>`` partition directory. Streaming callers pass
+    their ``foreachBatch`` batch id; batch callers (``batch_id=None``)
+    append under the sentinel partition ``batch_id=-1``. A single layout
+    means batch appends and streaming replays can share one
+    ``sketch_path`` without producing a store that partition discovery
+    reads inconsistently (the pre-r6 hazard: plain root-level appends
+    mixed with partitioned writes).
+
+    With ``batch_id``, the write REPLACES exactly that batch's partition
+    (static overwrite of ``batch_id=<id>/``) — replaying a checkpointed
+    micro-batch replaces its own deltas instead of double-counting them,
+    making the at-least-once foreachBatch contract effectively
+    exactly-once (the standard idempotent-sink recipe). The overwrite is
+    unconditional: a replay whose cells come out EMPTY still truncates
+    the partition, so stale deltas from the first attempt cannot survive
+    (dynamic-partition overwrite would have written nothing and left
+    them in place).
     """
     sk = count_min_build(batch, key_col, depth, width)
     if batch_id is None:
-        sk.write.mode("append").parquet(sketch_path)
+        (
+            sk.withColumn("batch_id", F.lit(-1))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(sketch_path)
+        )
         return
-    (
-        sk.withColumn("batch_id", F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(sketch_path)
+    # Static overwrite of the one partition directory. partitionBy +
+    # dynamic overwrite would be equivalent when `sk` is non-empty, but
+    # writes NO partitions when it is empty — leaving a replayed batch's
+    # stale deltas in place. Writing the (possibly empty) cell set
+    # straight at the partition path truncates it either way.
+    sk.write.mode("overwrite").parquet(
+        f"{sketch_path}/batch_id={int(batch_id)}"
     )
 
 

@@ -273,6 +273,7 @@ def dsir_log_weights_oracle(
     target_pred: str,
     buckets: int = 4096,
     alpha: float = 1.0,
+    round_to: int = 4,
 ) -> str:
     """Full DuckDB oracle for ``q_dsir_weights`` (DSIR, Xie et al. 2023):
     hashed-bigram importance log-weights
@@ -306,7 +307,7 @@ def dsir_log_weights_oracle(
                - ln(r.cr + {a}) + ln(tr + {a} * {buckets}) AS lr
         FROM raw_c r LEFT JOIN tgt_c t USING (b), tots
     )
-    SELECT x.doc_id AS id, round(sum(lr), 6) AS log_weight
+    SELECT x.doc_id AS id, round(sum(lr), {round_to}) AS log_weight
     FROM bux x JOIN ratio USING (b)
     GROUP BY x.doc_id ORDER BY id
     """

@@ -1000,7 +1000,7 @@ def _pagerank_oracle(iterations: int, damping: float) -> str:
     )"""
         prev = f"r{i}"
     sql += f"""
-    SELECT id, round(rank, 6) AS rank FROM {prev} ORDER BY id
+    SELECT id, round(rank, 5) AS rank FROM {prev} ORDER BY id
     """
     return sql
 
@@ -1034,7 +1034,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _pagerank(edges, iterations=5, damping=0.85)
-        .select("id", F.round("rank", 6).alias("rank"))
+        # Rounding grid (1e-5) is chosen COARSE relative to the two
+        # engines' sum-order float divergence (~1e-15 absolute on ranks
+        # ~1e-4..7e-3): straddle probability per value ~1e-10, vs ~1e-9
+        # at the previous 6 decimals — the hash comparison stays stable
+        # across SFs/datasets (ADVICE r5).
+        .select("id", F.round("rank", 5).alias("rank"))
         .orderBy("id")
     )
 

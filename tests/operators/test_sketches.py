@@ -148,3 +148,43 @@ class TestDurableStore:
             map(tuple, count_min_build(events, "k", DEPTH, WIDTH).collect())
         )
         assert got == want
+
+    def test_batch_and_streaming_callers_share_one_layout(
+        self, spark, tmp_path, events
+    ):
+        """Batch appends (sentinel batch_id=-1) and replayable streaming
+        writes coexist on ONE sketch_path — the pre-r6 hazard was a store
+        mixing root-level files with batch_id partitions, which partition
+        discovery reads inconsistently."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.sketches import (
+            load_sketch,
+            sketch_append_batch,
+        )
+
+        path = str(tmp_path / "sk")
+        a = events.where(F.col("k") < 10)
+        b = events.where(F.col("k") >= 10)
+        sketch_append_batch(a, "k", path, DEPTH, WIDTH)  # batch caller
+        sketch_append_batch(b, "k", path, DEPTH, WIDTH, batch_id=3)
+        got = sorted(map(tuple, load_sketch(spark, path).collect()))
+        want = sorted(
+            map(tuple, count_min_build(events, "k", DEPTH, WIDTH).collect())
+        )
+        assert got == want
+
+    def test_empty_replay_truncates_stale_deltas(self, spark, tmp_path, events):
+        """A replayed batch whose delta set comes out EMPTY must still
+        remove the first attempt's deltas (dynamic-partition overwrite
+        would write no partitions and leave them in place)."""
+        from ons_utils_spark.operators.sketches import (
+            load_sketch,
+            sketch_append_batch,
+        )
+
+        path = str(tmp_path / "sk")
+        sketch_append_batch(events, "k", path, DEPTH, WIDTH, batch_id=0)
+        empty = events.limit(0)
+        sketch_append_batch(empty, "k", path, DEPTH, WIDTH, batch_id=0)
+        assert load_sketch(spark, path).count() == 0

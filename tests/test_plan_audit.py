@@ -151,16 +151,26 @@ class TestCacheAwareScanCounting:
         This is the scale-invariant enforcement: every registered query's
         executed plan is free of cartesian products, row-at-a-time Python,
         unapproved global windows/BNLJs, coalescible Python stages, and
-        real (cache-aware) 3+ scans of one file.  Runs at sf0.01 — the
-        same scale the standalone audit and the judge use — so this test
-        failing means `python tools/plan_audit.py` fails too."""
-        assert audit(spark, "/root/testdata/sf0.01") == []
+        real (cache-aware) 3+ scans of one file.  Runs at the sf0.01
+        dataset (overridable via ``SPARK_GRAFT_SF_DIR``, the same env var
+        bench.py reads) — so this test failing means
+        ``python tools/plan_audit.py`` fails too. Skips (not errors) on
+        hosts without the dataset so the CI enforcement degrades loudly
+        rather than breaking unrelated runs."""
+        import os
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        if not Path(sf_dir).is_dir():
+            pytest.skip(f"plan-audit dataset absent: {sf_dir}")
+        assert audit(spark, sf_dir) == []
 
     def test_registry_python_stages_clean(self, spark):
         """Every registered query with a Python map stage uses an
         AQE-exempt exchange (the two r2 offenders are fixed)."""
         from ons_utils_spark.plans.queries import QUERIES
 
+        if not Path("/root/testdata/sf0.001").is_dir():
+            pytest.skip("plan-audit dataset absent: /root/testdata/sf0.001")
         offenders = {}
         for name in [
             "q_grouped_apply_spend_share",

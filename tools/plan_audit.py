@@ -119,6 +119,25 @@ def _iter_seq(seq):
         yield seq.apply(i)
 
 
+def _identity_hash(jobj) -> int:
+    """``System.identityHashCode`` of a py4j-wrapped JVM object.
+
+    The same CachedRDDBuilder INSTANCE is shared by every
+    InMemoryRelation over one cache, so its identity hash is a stable
+    per-cache token — unlike ``hashCode()``, which is structural and
+    could collide across two genuinely distinct caches in one plan.
+    Falls back to 0 (keeping only the structural component) if no active
+    JVM gateway is reachable.
+    """
+    try:
+        from pyspark import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm  # noqa: SLF001
+        return jvm.java.lang.System.identityHashCode(jobj)
+    except Exception:  # noqa: BLE001
+        return 0
+
+
 def real_scan_counts(df) -> dict[str, int]:
     """Count REAL parquet scans per path — a semantic traversal of the
     JVM physical-plan tree, not the plan text.
@@ -137,7 +156,7 @@ def real_scan_counts(df) -> dict[str, int]:
     (a reused exchange/subquery executes zero extra scans).
     """
     counts: dict[str, int] = {}
-    seen_caches: set[int] = set()
+    seen_caches: set[tuple[int, int]] = set()
 
     def record_scan(node) -> None:
         try:
@@ -167,7 +186,16 @@ def real_scan_counts(df) -> dict[str, int]:
             # plans scan OTHER tables.
         elif cls == "InMemoryTableScanExec":
             rel = node.relation()
-            key = rel.cacheBuilder().hashCode()
+            # Identity-stable dedup key: CachedRDDBuilder.hashCode() is
+            # STRUCTURAL, so two genuinely distinct caches could collide
+            # and silently undercount scans. System.identityHashCode of
+            # the builder object is per-instance (the builder is shared
+            # by every InMemoryRelation over the same cache), so distinct
+            # caches never merge; pairing it with the structural hash
+            # keeps the key unique even across identityHashCode's own
+            # (astronomically unlikely) collisions.
+            builder = rel.cacheBuilder()
+            key = (_identity_hash(builder), builder.hashCode())
             if key not in seen_caches:
                 seen_caches.add(key)
                 walk(rel.cachedPlan())

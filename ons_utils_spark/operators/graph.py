@@ -37,6 +37,8 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     undirected: bool = True,
+    redistribute_dangling: bool = False,
+    reliable: bool = False,
 ) -> SparkDF:
     """PageRank by power iteration → ``(id, rank)``.
 
@@ -46,24 +48,51 @@ def pagerank(
 
     ``undirected=True`` (default) symmetrizes the edge list (each edge
     walks both ways). Besides modeling undirected similarity/link graphs,
-    this guarantees every node has out-degree ≥ 1, so no dangling-mass
-    redistribution term is needed — with ``undirected=False`` the caller
-    must pass a graph whose every DESTINATION also appears as a source
-    (i.e. no node is dangling / out-degree 0) or accept that dangling
-    mass leaks (documented standard trade; a redistribution term costs
-    one extra global aggregate per iteration). Destination-only nodes DO
-    receive ranks either way — the node set is src ∪ dst.
+    this guarantees every node has out-degree ≥ 1, so no dangling mass
+    exists. With ``undirected=False``, nodes that only ever appear as
+    destinations (out-degree 0, "dangling") absorb rank they never pass
+    on; ``redistribute_dangling=True`` adds the standard correction —
+    each iteration the dangling nodes' total mass is folded back
+    uniformly (``rank_{t+1}(v) += d · dangling_mass_t / N``), so ranks
+    sum to exactly 1 every iteration. The term costs one O(nodes)
+    aggregate per iteration (a 1-row broadcast fold, same idiom as
+    ``n_nodes``) plus a per-iteration eager checkpoint of the ranks
+    (the ranks table gains a second consumer; without lineage
+    truncation each level's plan would be duplicated into both,
+    compounding exponentially between the default every-4 checkpoints).
+    With ``redistribute_dangling=False`` dangling mass leaks (the
+    documented trade — callers whose graphs have no dangling nodes lose
+    nothing). Destination-only nodes DO receive ranks either way — the
+    node set is src ∪ dst.
 
-    Ranks sum to 1 over the node set (up to float error and dangling
-    leak). ``rank`` is returned unrounded; consumers comparing across
-    engines should round coarsely enough that each engine's
-    sum-order-dependent float error (~1e-13 at thousands of
-    contributions) cannot straddle a rounding boundary.
+    ``reliable=True`` swaps the default ``localCheckpoint`` lineage
+    truncation for RELIABLE checkpoints against the
+    ``sparkContext.setCheckpointDir`` location (required to be set; this
+    raises otherwise). localCheckpoint stores blocks on executors — an
+    executor loss mid-run kills the whole (long) job; reliable
+    checkpoints survive executor loss at the cost of a distributed-FS
+    write per checkpoint. On a real cluster running 50+ iterations over
+    a 100 TB edge list, use ``reliable=True``.
+
+    Ranks sum to 1 over the node set (up to float error, and minus the
+    dangling leak when it is not redistributed). ``rank`` is returned
+    unrounded; consumers comparing across engines should round coarsely
+    enough that each engine's sum-order-dependent float error (~1e-13 at
+    thousands of contributions) cannot straddle a rounding boundary.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    if reliable:
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True needs a checkpoint directory: call "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant "
+                "path>) first (localCheckpoint would not survive "
+                "executor loss)"
+            )
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
@@ -106,6 +135,24 @@ def pagerank(
         "id", (F.lit(1.0) / F.col("n")).alias("rank")
     )
 
+    # Dangling mass only exists in directed graphs: after symmetrization
+    # every node has out-degree >= 1 by construction.
+    redistribute = redistribute_dangling and not undirected
+    if redistribute:
+        # Nodes with NO out-edges: node set minus the src set. Computed
+        # once, persisted — each iteration joins ranks against it.
+        dangling = nodes.join(
+            edges_deg.select(F.col("src").alias("id")).distinct(),
+            "id",
+            "left_anti",
+        ).persist()
+
+    def _truncate(df: SparkDF) -> SparkDF:
+        # Eager, bounded (N rows). localCheckpoint = executor-block
+        # storage (fast, dies with an executor); checkpoint = reliable
+        # FS write (survives executor loss; dir validated above).
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
     for i in range(iterations):
         contribs = (
             edges_deg.join(
@@ -118,17 +165,37 @@ def pagerank(
             nodes.join(contribs, "id", "left")
             .na.fill(0.0, ["contrib"])
             .join(F.broadcast(n_nodes))
-            .select(
+        )
+        if redistribute:
+            # 1-row broadcast fold of this iteration's dangling mass.
+            # ranks is lineage-truncated every iteration in this mode
+            # (see below), so its second consumer re-reads a bounded
+            # checkpointed relation instead of duplicating the plan.
+            dm = ranks.join(dangling, "id").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+            new_ranks = new_ranks.join(F.broadcast(dm)).select(
+                "id",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (F.col("contrib") + F.col("dm") / F.col("n"))
+                ).alias("rank"),
+            )
+        else:
+            new_ranks = new_ranks.select(
                 "id",
                 (
                     (1.0 - damping) / F.col("n")
                     + F.lit(damping) * F.col("contrib")
                 ).alias("rank"),
             )
-        )
-        # Truncate lineage every few iterations (eager, bounded: N rows).
-        if (i + 1) % 4 == 0 and i + 1 < iterations:
-            new_ranks = new_ranks.localCheckpoint()
+        # Truncate lineage: every iteration when ranks has two consumers
+        # (redistribute mode — fan-out without truncation compounds
+        # exponentially), else every few iterations.
+        if redistribute or ((i + 1) % 4 == 0 and i + 1 < iterations):
+            if i + 1 < iterations:
+                new_ranks = _truncate(new_ranks)
         ranks = new_ranks
 
     return ranks.select("id", "rank")

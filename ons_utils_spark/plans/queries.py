@@ -1272,9 +1272,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from ons_utils_spark.streaming.windows import (  # noqa: E402
+    keep_first as _keep_first,
     session_window_agg as _session_window_agg,
     sliding_window_agg as _sliding_window_agg,
 )
+
+
+@register(
+    "q_stateful_dedup_first",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM (
+            SELECT e.*,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+            FROM events e
+        )
+        WHERE rn = 1
+        ORDER BY user_id, event_type
+    """,
+    description="Keep-first dedup per (user, event-type) — the "
+    "deterministic batch twin of the streaming stateful dedup operator "
+    "(streaming/windows.py stateful_dedup_stream, transformWithState "
+    "ValueState): a replayed/backfilled stream arrives in (ts, event_id) "
+    "order, so first-by-that-order over the batch table is exactly what "
+    "the stream emits across restarts. One min_by(struct) hash aggregate "
+    "with map-side partial reduction — one candidate row per key per "
+    "input partition crosses the shuffle, NOT every row (the "
+    "row_number-window form the oracle uses would sort whole key "
+    "groups).",
+)
+def q_stateful_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return _keep_first(
+        events, ["user_id", "event_type"], ["ts", "event_id"]
+    ).orderBy("user_id", "event_type")
 
 
 @register(
@@ -5507,15 +5540,21 @@ _GRADING_ORDER = [
     "q_rollup_sales",
     "q_grouping_sets",
     "q_pivot_segment_by_status",
-    # -- join family ----------------------------------------------------
+    # -- join family (r6: two of the eight graded join variants rotated
+    # to the tail — semi/outer joins stay covered by q3/q5/anti shapes —
+    # to make room for q_pagerank and q_count_min_sketch, the two
+    # strongest oracle classes among the r5 families: a CTE-unrolled
+    # iterative recurrence and a bit-exact sketch-cell recomputation) --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q_customers_with_open_orders",
-    "q_outer_join_order_counts",
     "q_nations_customers_and_suppliers",
     "q_asof_join",
     "q_range_join",
     "q_llm_data_pipeline",
+    # -- iterative / graph ------------------------------------------------
+    "q_pagerank",
+    # -- streaming-defined sketch (batch twin of sketch_ingest_writer) ---
+    "q_count_min_sketch",
     # -- window / rank family --------------------------------------------
     "q_topk_orders_per_customer",
     "q_rank_functions",
@@ -5571,6 +5610,9 @@ _GRADING_ORDER = [
     # production-shaped representative) ------------------------------------
     "q_constraint_audit",
     # ---- end of the driver's 50-slot graded window ----------------------
+    "q_customers_with_open_orders",
+    "q_outer_join_order_counts",
+    "q_stateful_dedup_first",
     "q_lonely_late_suppliers",
     "q_big_spender_orders",
     "q_gopher_quality",
@@ -5663,9 +5705,8 @@ _GRADING_ORDER = [
     "q_vocab_coverage",
     "q_group_percentiles",
     "q_forecast_revenue_change",
-    "q_pagerank",
+    # (q_pagerank and q_count_min_sketch moved into the graded window, r6)
     "q_equi_depth_histogram",
-    "q_count_min_sketch",
     "q_small_quantity_selfjoin",
     "q_random_projection",
 ]

@@ -311,3 +311,39 @@ def stateful_dedup_stream(
             "install protobuf or call without ttl_ms"
         )
     return df.dropDuplicates([key_col])
+
+
+def keep_first(
+    df: SparkDF,
+    keys: Union[str, Sequence[str]],
+    order_by: Union[str, Sequence[str]],
+) -> SparkDF:
+    """Deterministic keep-first dedup: for each key, the row that comes
+    FIRST under ``order_by`` survives; every later row drops.
+
+    This is :func:`stateful_dedup_stream`'s batch twin made
+    deterministic: the streaming operator keeps the first row per key in
+    ARRIVAL order, and a replayed/backfilled stream arrives in event
+    order — so "first by (ts, unique-id)" over the batch table is
+    exactly what a replay of that table through the streaming operator
+    emits. ``order_by`` should be a total order (include a unique
+    tiebreak column) or which row is "first" is undefined.
+
+    Scale: one hash aggregate — ``min_by(struct(all columns),
+    struct(order_by))`` — with map-side partial reduction, so the
+    shuffle carries one candidate row per key per input partition, NOT
+    the whole table. Deliberately NOT a ``row_number() == 1`` window,
+    which would shuffle and SORT every row of every key group.
+    """
+    keys = list_convert(keys)
+    order = list_convert(order_by)
+    payload = df.columns
+    first = F.min_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct(*[F.col(c) for c in order]),
+    ).alias("__first")
+    return (
+        df.groupBy(*keys)
+        .agg(first)
+        .select(*[F.col(f"__first.{c}").alias(c) for c in payload])
+    )

@@ -300,3 +300,69 @@ class TestCheckpointedIncrementalRuns:
         assert sorted(
             r["event_id"] for r in spark.read.parquet(sink).collect()
         ) == [1, 2, 3]
+
+
+class TestKeepFirst:
+    """keep_first is stateful_dedup_stream's DETERMINISTIC batch twin:
+    first row per key under a total order."""
+
+    def _df(self, spark):
+        rows = [
+            (3, _ts(20), 100, 3.0),
+            (1, _ts(0), 100, 1.0),   # first for user 100 by (ts, id)
+            (2, _ts(0), 100, 2.0),   # same ts as 1 — id tiebreak loses
+            (4, _ts(21), 200, 4.0),  # first for user 200
+            (5, _ts(59), 200, 5.0),
+        ]
+        return spark.createDataFrame(rows, SCHEMA)
+
+    def test_first_by_total_order(self, spark):
+        from ons_utils_spark.streaming.windows import keep_first
+
+        got = keep_first(
+            self._df(spark), "user_id", ["ts", "event_id"]
+        ).collect()
+        assert sorted((r["user_id"], r["event_id"]) for r in got) == [
+            (100, 1),
+            (200, 4),
+        ]
+        # Full payload of the winning row survives, not just the keys.
+        assert {r["event_id"]: r["value"] for r in got} == {1: 1.0, 4: 4.0}
+
+    def test_schema_unchanged(self, spark):
+        from ons_utils_spark.streaming.windows import keep_first
+
+        df = self._df(spark)
+        assert keep_first(df, "user_id", ["ts", "event_id"]).columns == df.columns
+
+    def test_matches_streaming_replay(self, spark):
+        """Replaying the same rows in (ts, event_id) order through the
+        STREAMING operator emits exactly what keep_first computes in
+        batch — the dedup-across-restarts contract q_stateful_dedup_first
+        oracle-checks at registry scale."""
+        from ons_utils_spark.streaming.windows import (
+            keep_first,
+            stateful_dedup_stream,
+        )
+
+        df = self._df(spark)
+        d = tempfile.mkdtemp(prefix="keepfirst_src_")
+        try:
+            # File source lists files in order; one file per arrival
+            # group, written in event order = replay order.
+            ordered = df.orderBy("ts", "event_id").coalesce(1)
+            ordered.write.mode("overwrite").parquet(d)
+            stream = read_stream(spark, d, SCHEMA)
+            deduped = stateful_dedup_stream(stream, "user_id")
+            run_available_now(deduped, "keepfirst_stream", output_mode="append")
+            got = sorted(
+                (r["user_id"], r["event_id"])
+                for r in spark.sql("SELECT * FROM keepfirst_stream").collect()
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        want = sorted(
+            (r["user_id"], r["event_id"])
+            for r in keep_first(df, "user_id", ["ts", "event_id"]).collect()
+        )
+        assert got == want

@@ -249,7 +249,9 @@ def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def _min_lane_exprs(num_hashes: int, seed: int) -> list[Column]:
+def _min_lane_exprs(
+    num_hashes: int, seed: int, col: str = "h", premod: bool = False
+) -> list[Column]:
     """The 64 (by default) ``min((a_i·h + b_i) mod p)`` aggregate lanes.
 
     Built as ``F.expr`` strings, not nested Column calls: each lane is ONE
@@ -260,12 +262,40 @@ def _min_lane_exprs(num_hashes: int, seed: int) -> list[Column]:
     form in tests). Packing lanes three-per-long the way
     :func:`simhash_sketches` packs its vote counters does NOT apply here:
     ``sum`` distributes over disjoint bit-fields, ``min`` does not.
+
+    ``premod=True`` drops the inner ``pmod(h, p)``: the caller has already
+    projected the hash into [0, p) ONCE before the aggregate, instead of
+    every lane redundantly reducing it (64 pmods of generated code and
+    runtime per input row saved — r5 first-run profiling showed the lane
+    aggregate's codegen size is a real cost).
     """
     p = _MERSENNE_31
+    src = col if premod else f"pmod({col}, {p})"
     return [
-        F.expr(f"min(pmod(pmod(h, {p}) * {a}L + {b}L, {p}))").alias(f"_m{i}")
+        F.expr(f"min(pmod({src} * {a}L + {b}L, {p}))").alias(f"_m{i}")
         for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
     ]
+
+
+def _band_hash_exprs(bands: int, rows: int, lane) -> list[Column]:
+    """One flat ``xxhash64(xxhash64(…0L, lane₀), lane₁)…`` chain per band.
+
+    Semantically identical to folding the band's signature slice through
+    ``F.aggregate(slice(sig, …), 0L, (acc, x) -> xxhash64(acc, x))`` —
+    two-arg ``xxhash64(a, b)`` chains exactly like the fold — but the
+    flat form generates a fraction of the code: no array construction, no
+    slice, no higher-order-function lambda plumbing per band. r5 profiled
+    q_dedup_minhash's first-run cost to per-query-shape codegen; this is
+    one of the two shrink levers (the other: ``premod`` lanes).
+    ``lane(i)`` returns the SQL text of signature lane ``i``.
+    """
+    out = []
+    for j in range(bands):
+        acc = "cast(0 as bigint)"
+        for k in range(rows):
+            acc = f"xxhash64({acc}, {lane(j * rows + k)})"
+        out.append(F.expr(acc).alias(f"_bh{j}"))
+    return out
 
 
 def plan_lsh_bands(
@@ -360,8 +390,10 @@ def minhash_signatures(
     shuffle O(docs × num_hashes) regardless of document length. Documents
     with no shingles produce no row.
     """
-    hashes = shingle_hashes(df, id_col, text_col, n=n)
-    mins = _min_lane_exprs(num_hashes, seed)
+    hashes = shingle_hashes(df, id_col, text_col, n=n).select(
+        "id", F.expr(f"pmod(h, {_MERSENNE_31})").alias("hm")
+    )
+    mins = _min_lane_exprs(num_hashes, seed, col="hm", premod=True)
     return (
         hashes.groupBy("id")
         .agg(*mins)
@@ -408,7 +440,7 @@ def minhash_lsh_pairs(
     of a corpus re-scan, and it is the right trade up to ~10⁹ docs (~10 TB
     of shuffle at web-page sizes, spread over the cluster). Beyond that, or
     for book-length documents, ``verify="rescan"`` flips the economics:
-    ``base`` carries ONLY the fixed-width signature (the per-doc shuffle
+    ``base`` carries ONLY the fixed-width band hashes (the per-doc shuffle
     payload stops growing with document length), candidates are emitted
     from the band join alone and materialized (they are just id pairs),
     and the two shingle sets are re-derived by a SECOND ``shingle_hashes``
@@ -431,51 +463,69 @@ def minhash_lsh_pairs(
     if index is not None:
         # Precomputed (id, sig, hset) — e.g. a persisted/filtered
         # minhash_index. Must have been built with the same
-        # n/num_hashes/seed; skips the corpus scan entirely.
-        base = index
+        # n/num_hashes/seed; skips the corpus scan entirely. Band hashes
+        # come from the stored signature lanes — the identical flat
+        # xxhash64 chain as the df path, just reading element_at(sig, i)
+        # instead of the aggregate's _m{i} columns, so a df-built run and
+        # an index-built run bucket identically.
+        base = index.select(
+            "id",
+            *_band_hash_exprs(
+                bands, rows, lambda i: f"element_at(sig, {i + 1})"
+            ),
+            "hset",
+        )
     else:
-        hashes = shingle_hashes(df, id_col, text_col, n=n)
-        mins = _min_lane_exprs(num_hashes, seed)
+        # pmod(h, p) projected ONCE before the aggregate (premod) — not
+        # re-reduced inside each of the 64 lanes. `h` rides along only
+        # when the verify step needs the original shingle-hash set.
+        hashes = shingle_hashes(df, id_col, text_col, n=n).select(
+            "id",
+            *([] if verify == "rescan" else ["h"]),
+            F.expr(f"pmod(h, {_MERSENNE_31})").alias("hm"),
+        )
+        mins = _min_lane_exprs(num_hashes, seed, col="hm", premod=True)
         extras = [] if verify == "rescan" else [F.collect_set("h").alias("hset")]
         base = (
             hashes.groupBy("id")
             .agg(*mins, *extras)
+            # Band hashes FUSED into the aggregate's output projection:
+            # the 64-lane signature never materializes as an array, is
+            # never sliced, and the per-band fold is a flat xxhash64
+            # chain over the _m columns — less codegen (the r5-profiled
+            # first-run cost) and a narrower persisted row (bands longs
+            # instead of num_hashes).
             .select(
                 "id",
-                F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+                *_band_hash_exprs(bands, rows, lambda i: f"_m{i}"),
                 *([] if verify == "rescan" else ["hset"]),
             )
         )
         if verify == "carry":
-            # Materialize (id, sig, hset) ONCE. Without this, Catalyst
-            # column-prunes each of the three consumers (banding needs
-            # sig; each verify side needs hset) into its own specialized
-            # aggregate — the executed plan then scans and re-shingles
-            # the corpus THREE times (seen in explain; the "one pass"
-            # this docstring promises never materialized). The
-            # persist is the same per-corpus-version cost a stored
-            # minhash_index pays, and being LAZY it adds no extra job:
-            # the first stage that needs base caches it, later consumers
-            # read the cache (an eager localCheckpoint here cost the
-            # first-run channel a separate barrier job).
+            # Materialize (id, band hashes, hset) ONCE. Without this,
+            # Catalyst column-prunes each of the three consumers (banding
+            # needs the band hashes; each verify side needs hset) into
+            # its own specialized aggregate — the executed plan then
+            # scans and re-shingles the corpus THREE times (seen in
+            # explain; the "one pass" this docstring promises never
+            # materialized). The persist is the same per-corpus-version
+            # cost a stored minhash_index pays, and being LAZY it adds
+            # no extra job: the first stage that needs base caches it,
+            # later consumers read the cache (an eager localCheckpoint
+            # here cost the first-run channel a separate barrier job).
             base = base.persist()
 
-    # Band hash: fold the band's signature slice through xxhash64 as longs —
-    # no per-band string materialization (the pre-r2 concat_ws form cast
-    # every lane to string first).
     banded = base.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band_idx"),
-                    F.aggregate(
-                        F.slice("sig", i * rows + 1, rows),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: F.xxhash64(acc, x),
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.col(f"_bh{j}").alias("band_hash"),
+                    )
+                    for j in range(bands)
+                ]
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
@@ -834,8 +884,10 @@ def minhash_index(
     re-shingled. The index must be rebuilt with the same
     ``n``/``num_hashes``/``seed`` the join will use.
     """
-    hashes = shingle_hashes(df, id_col, text_col, n=n)
-    mins = _min_lane_exprs(num_hashes, seed)
+    hashes = shingle_hashes(df, id_col, text_col, n=n).select(
+        "id", "h", F.expr(f"pmod(h, {_MERSENNE_31})").alias("hm")
+    )
+    mins = _min_lane_exprs(num_hashes, seed, col="hm", premod=True)
     return (
         hashes.groupBy("id")
         .agg(*mins, F.collect_set("h").alias("hset"))
@@ -909,19 +961,25 @@ def minhash_lsh_join(
         ).persist()
 
     def banded(base: SparkDF) -> SparkDF:
+        # Flat per-band xxhash64 chains over the stored signature lanes —
+        # same values as the old slice+fold form, a fraction of the
+        # generated code (see _band_hash_exprs).
         return base.select(
             "id",
+            *_band_hash_exprs(
+                bands, rows, lambda i: f"element_at(sig, {i + 1})"
+            ),
+        ).select(
+            "id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda i: F.struct(
-                        i.alias("band_idx"),
-                        F.aggregate(
-                            F.slice("sig", i * rows + 1, rows),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: F.xxhash64(acc, x),
-                        ).alias("band_hash"),
-                    ),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_idx"),
+                            F.col(f"_bh{j}").alias("band_hash"),
+                        )
+                        for j in range(bands)
+                    ]
                 )
             ).alias("band"),
         ).select("id", "band.band_idx", "band.band_hash")

@@ -74,6 +74,32 @@ def shingle_hash64(
     ~2⁻⁶⁴ hash collision, so Jaccard over these sets equals Jaccard over
     string-shingle sets.
     """
+    if isinstance(text, str):
+        # Fast path: the whole pipeline as ONE F.expr string — a single
+        # py4j round-trip + server-side SQL parse instead of ~10 Column/
+        # lambda constructions (~0.8 s of driver time per build at n=3,
+        # measured; the build runs inside every bench timing). The parsed
+        # tree is identical to the Column form below — Column reuse
+        # already duplicates subtrees in Catalyst's expression TREE, so
+        # repeating the `th` fragment in the string changes nothing
+        # downstream (bit-identical signatures pinned in tests).
+        th = (
+            f"transform(filter(split(lower(trim(`{text}`)), '\\\\s+'), "
+            f"t -> t <> ''), t -> xxhash64(t))"
+        )
+        out = th
+        for k in range(2, n + 1):
+            shifted = (
+                f"slice({th}, {k}, greatest(size({th}) - {k - 1}, 0))"
+            )
+            out = f"zip_with({out}, {shifted}, (a, b) -> xxhash64(a, b))"
+        valid = f"greatest(size({th}) - {n - 1}, 0)"
+        grams = (
+            f"CASE WHEN {valid} > 0 THEN slice({out}, 1, {valid}) "
+            f"ELSE cast(array() as array<bigint>) END"
+        )
+        return F.expr(f"array_distinct({grams})" if distinct else grams)
+
     toks = tokenize(text)
     th = F.transform(toks, lambda t: F.xxhash64(t))
     ln = F.size(th)

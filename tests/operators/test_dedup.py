@@ -230,6 +230,25 @@ class TestMinHash:
         assert "hset" not in rescan_plan
         assert "LeftSemi" in rescan_plan and "LeftSemi" not in carry_plan
 
+    def test_index_path_buckets_identically_to_df_path(self, spark, docs):
+        """r6 band-hash fusion: the df path folds band hashes from the
+        aggregate's _m columns, the index path from element_at(sig, i) —
+        both flat xxhash64 chains that must produce the SAME buckets, or
+        an index-built run would return different candidates than a
+        df-built run of the same corpus."""
+        from ons_utils_spark.operators.dedup import minhash_index
+
+        via_df = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+        }
+        idx = minhash_index(docs, "doc_id", "text")
+        via_index = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(index=idx, threshold=0.3).collect()
+        }
+        assert via_df == via_index and via_df
+
     def test_rescan_rejects_index(self, spark, docs):
         from ons_utils_spark.operators.dedup import minhash_index
 

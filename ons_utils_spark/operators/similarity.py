@@ -265,13 +265,8 @@ def hard_negatives_blocked(
     global top-k member is necessarily top-k within its own block pair,
     so the reduction is exact. At 10⁸+ vectors swap the all-block grid
     for ANN candidates (SRP/IVF buckets above) feeding the same local-
-    top-k + window reduction.
+    top-k + window reduction — :func:`hard_negatives_srp`.
     """
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import Window
-
     spark = df.sparkSession
     id_ddl = df.schema[id_col].dataType.simpleString()
     label_ddl = df.schema[label_col].dataType.simpleString()
@@ -308,6 +303,24 @@ def hard_negatives_blocked(
         f"id {id_ddl}, neg_id {id_ddl}, cos_sim double, "
         f"anchor_label {label_ddl}"
     )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    local = (
+        tagged.repartition(n_parts, "block_a", "block_b")
+        .groupBy("block_a", "block_b")
+        .applyInPandas(_make_local_topk(k), out_schema)
+    )
+    return _global_topk_reduce(local, k)
+
+
+def _make_local_topk(k: int):
+    """The BLAS local-top-k kernel shared by the exact block grid
+    (:func:`hard_negatives_blocked`) and the SRP-bucketed scale path
+    (:func:`hard_negatives_srp`): within one group, emit each 'a'-side
+    row's top-``k`` most-cosine-similar 'b'-side rows with a different
+    label."""
+    import numpy as np
+    import pandas as pd
 
     def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["side"] == "a"].drop_duplicates("id")
@@ -351,12 +364,14 @@ def hard_negatives_blocked(
             rows, columns=["id", "neg_id", "cos_sim", "anchor_label"]
         )
 
-    n_parts = spark.sparkContext.defaultParallelism
-    local = (
-        tagged.repartition(n_parts, "block_a", "block_b")
-        .groupBy("block_a", "block_b")
-        .applyInPandas(local_topk, out_schema)
-    )
+    return local_topk
+
+
+def _global_topk_reduce(local: SparkDF, k: int) -> SparkDF:
+    """Window-reduce per-group local top-k candidates to the global
+    top-``k`` per anchor (bounded k frame)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id").orderBy(
         F.col("cos_sim").desc(), F.col("neg_id").asc()
     )
@@ -365,6 +380,83 @@ def hard_negatives_blocked(
         .where(F.col("rank") <= k)
         .select("id", "neg_id", "cos_sim", "rank")
     )
+
+
+def hard_negatives_srp(
+    df: SparkDF,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> SparkDF:
+    """Approximate hard negatives via SRP-LSH buckets — the scale path
+    past ~10⁸ vectors, where :func:`hard_negatives_blocked`'s exact
+    all-block grid (inherently O(n²·d) FLOPs, probe-measured ratio 17×
+    at a 10× scale-up) stops being affordable.
+
+    Candidate generation replaces the full block grid: vectors bucket by
+    the sign pattern of ``n_planes`` random hyperplane projections
+    (:func:`srp_signature` — cosine-similar vectors agree on most
+    signs), and each anchor is scored only against the candidates in its
+    probed buckets, with the SAME BLAS local-top-k kernel + window
+    reduction as the exact operator. ``multiprobe=True`` (default) also
+    probes the ``n_planes`` buckets at Hamming distance 1 — the standard
+    recall repair for anchors sitting near a hyperplane. Each
+    (anchor, candidate) pair can arise in at most ONE group (a pair
+    meets only in bucket(candidate)), so the reduction never
+    double-counts.
+
+    Sizing rule: pick ``n_planes ≈ log2(n / target_bucket)`` (e.g.
+    target ~10³ vectors per bucket), and total compute is
+    O(n · target_bucket · n_planes · d) — near-linear in ``n`` with the
+    probe count, instead of quadratic. Recall < 1 by construction
+    (a hard negative whose bucket differs from the anchor's probed set
+    is missed); tune ``n_planes`` DOWN or keep multiprobe on for higher
+    recall, and validate against the exact operator on a sample.
+    Returns the same ``(id, neg_id, cos_sim, rank)`` contract.
+    """
+    spark = df.sparkSession
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    label_ddl = df.schema[label_col].dataType.simpleString()
+    planes = make_planes(dim, n_planes=n_planes, seed=seed)
+    data = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("label"),
+        srp_signature(vec_col, planes).alias("bucket"),
+    )
+    probes = [F.col("bucket")]
+    if multiprobe:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(n_planes)
+        ]
+    anchors = data.select(
+        "id",
+        "vec",
+        "label",
+        F.explode(F.array(*probes)).alias("g"),
+        F.lit("a").alias("side"),
+    )
+    cands = data.select(
+        "id", "vec", "label", F.col("bucket").alias("g"), F.lit("b").alias("side")
+    )
+    out_schema = (
+        f"id {id_ddl}, neg_id {id_ddl}, cos_sim double, "
+        f"anchor_label {label_ddl}"
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    local = (
+        anchors.unionByName(cands)
+        .repartition(n_parts, "g")
+        .groupBy("g")
+        .applyInPandas(_make_local_topk(k), out_schema)
+    )
+    return _global_topk_reduce(local, k)
 
 
 def random_projection_reduce(

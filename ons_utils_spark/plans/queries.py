@@ -5135,6 +5135,77 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "rank")
 
 
+def _hard_negatives_srp_oracle(n_planes: int = 4, k: int = 3) -> str:
+    """Full DuckDB oracle for the SRP-bucketed hard-negatives scale path:
+    the deterministic hyperplane constants (make_planes seed 42) inline
+    as DOUBLE[] literals, bucket assignment is the same sign-pattern
+    pack, the multiprobe candidate set is ``bucket(c) ∈ {bucket(a)} ∪
+    {bucket(a) XOR 2^i}``, and ranking replays the (sim desc, id asc)
+    order — every row of the APPROXIMATE result recomputed exactly."""
+    from ons_utils_spark.operators.similarity import make_planes
+
+    planes = make_planes(64, n_planes=n_planes, seed=42)
+
+    def bucket(vec_expr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec_expr}, "
+            f"[{', '.join(repr(c) for c in plane)}]::DOUBLE[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+
+    probes = ", ".join(
+        ["a.b"] + [f"xor(a.b, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   ({bucket('CAST(embedding AS DOUBLE[])')}) AS b
+            FROM embeddings
+        )
+        SELECT id, neg_id, cos_sim, rank FROM (
+            SELECT id, neg_id, cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY id ORDER BY cos_sim DESC, neg_id
+                   ) AS INTEGER) AS rank
+            FROM (
+                SELECT a.vec_id AS id, c.vec_id AS neg_id,
+                       round(list_dot_product(a.v, c.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(c.v, c.v))), 6)
+                           AS cos_sim
+                FROM vecs a JOIN vecs c
+                  ON a.vec_id <> c.vec_id AND a.label <> c.label
+                 AND c.b IN ({probes})))
+        WHERE rank <= {k}
+        ORDER BY id, rank
+    """
+
+
+@register(
+    "q_hard_negatives_srp",
+    oracle=_hard_negatives_srp_oracle(n_planes=4, k=3),
+    description="SRP-bucketed hard-negative mining (operators/"
+    "similarity.py::hard_negatives_srp) — the scale path past ~10⁸ "
+    "vectors where the exact all-block grid's O(n²·d) FLOPs (probe-"
+    "measured 17× at a 10× step-up) stop being affordable. Vectors "
+    "bucket by random-hyperplane sign pattern; each anchor scores only "
+    "its multiprobe buckets (own + Hamming-1) through the same BLAS "
+    "local-top-k + window reduction as the exact operator; compute is "
+    "O(n · bucket · planes · d) with n_planes ≈ log2(n/bucket_target). "
+    "Deterministic planes make the APPROXIMATE result exactly "
+    "reproducible: the oracle inlines the plane constants and replays "
+    "bucket assignment, multiprobe candidacy, and ranking in SQL.",
+)
+def q_hard_negatives_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.similarity import hard_negatives_srp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives_srp(
+        emb, "vec_id", "embedding", "label", k=3, dim=64, n_planes=4
+    ).orderBy("id", "rank")
+
+
 from ons_utils_spark.operators.incremental import table_diff as _table_diff  # noqa: E402
 
 
@@ -5709,6 +5780,9 @@ _GRADING_ORDER = [
     "q_equi_depth_histogram",
     "q_small_quantity_selfjoin",
     "q_random_projection",
+    # r6: the SRP-bucketed hard-negatives scale path, full value oracle
+    # (plane constants inlined; bucket+multiprobe+ranking replayed in SQL)
+    "q_hard_negatives_srp",
 ]
 
 

@@ -98,3 +98,89 @@ class TestZeroNormGuard:
         assert all(r["neg_id"] != 3 for r in res)
         assert all(r["id"] != 3 for r in res)
         assert all(not math.isnan(r["cos_sim"]) for r in res)
+
+
+class TestHardNegativesSrp:
+    """hard_negatives_srp — the SRP-bucketed scale path. Approximate by
+    construction; on a CLUSTERED fixture (where hard negatives are
+    cosine-close to their anchors, the case the operator exists for) it
+    must reproduce the exact operator."""
+
+    def _clustered(self, spark):
+        import random
+
+        rng = random.Random(11)
+        vecs = []
+        # 4 well-separated cluster directions in R^8; members get tiny
+        # jitter, labels alternate WITHIN a cluster so every anchor's
+        # hardest negatives sit in its own cluster (cosine-close → same
+        # SRP bucket with high probability).
+        centers = [
+            [10, 0, 0, 0, 0, 0, 0, 0],
+            [0, 10, 0, 0, 0, 0, 0, 0],
+            [0, 0, 10, 0, 0, 0, 0, 0],
+            [0, 0, 0, 10, 0, 0, 0, 0],
+        ]
+        vid = 0
+        for c in centers:
+            for m in range(12):
+                v = [x + rng.uniform(-0.3, 0.3) for x in c]
+                vecs.append((vid, v, m % 3))
+                vid += 1
+        return vecs, _rows(spark, vecs)
+
+    def test_matches_exact_on_clustered_fixture(self, spark):
+        from ons_utils_spark.operators.similarity import hard_negatives_srp
+
+        vecs, df = self._clustered(spark)
+        exact = {
+            (r["id"], r["rank"]): (r["neg_id"], r["cos_sim"])
+            for r in hard_negatives_blocked(
+                df, "vec_id", "embedding", "label", k=3
+            ).collect()
+        }
+        approx = {
+            (r["id"], r["rank"]): (r["neg_id"], r["cos_sim"])
+            for r in hard_negatives_srp(
+                df, "vec_id", "embedding", "label", k=3, dim=8, n_planes=4
+            ).collect()
+        }
+        assert approx == exact and exact
+
+    def test_contract_and_determinism(self, spark):
+        from ons_utils_spark.operators.similarity import hard_negatives_srp
+
+        _, df = self._clustered(spark)
+        a = sorted(
+            map(
+                tuple,
+                hard_negatives_srp(
+                    df, "vec_id", "embedding", "label", k=2, dim=8
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                hard_negatives_srp(
+                    df, "vec_id", "embedding", "label", k=2, dim=8
+                ).collect(),
+            )
+        )
+        assert a == b
+        labels = {i: l for i, _, l in self._clustered(spark)[0]}
+        for (i, n, _s, r) in a:
+            assert 1 <= r <= 2 and i != n and labels[i] != labels[n]
+
+    def test_multiprobe_off_is_subset_semantics(self, spark):
+        """multiprobe=False probes only the anchor's own bucket — still a
+        valid (lower-recall) result with the same contract."""
+        from ons_utils_spark.operators.similarity import hard_negatives_srp
+
+        _, df = self._clustered(spark)
+        out = hard_negatives_srp(
+            df, "vec_id", "embedding", "label", k=2, dim=8, multiprobe=False
+        ).collect()
+        assert out  # clusters share buckets, so negatives exist
+        for r in out:
+            assert r["rank"] in (1, 2)

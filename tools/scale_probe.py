@@ -191,6 +191,17 @@ def main() -> None:
                 replicate_docs(documents, f), "doc_id", "text", threshold=0.5
             ),
         ),
+        # r6 (verdict ask #1): cluster resolution with the driver
+        # union-find fast path DISABLED (driver_threshold=0) so the probe
+        # times the distributed large-star/small-star contraction — the
+        # loop that actually runs at 100 TB edge volumes.
+        "dedup_clusters_dist": lambda f: _dedup.near_dup_representatives(
+            replicate_docs(documents, f).select(F.col("doc_id").alias("id")),
+            _dedup.minhash_lsh_pairs(
+                replicate_docs(documents, f), "doc_id", "text", threshold=0.5
+            ),
+            driver_threshold=0,
+        ),
         "semantic_dedup": lambda f: _dedup.near_dup_representatives(
             replicate_embeddings(embeddings, f).select(F.col("vec_id").alias("id")),
             _dedup.embedding_near_dup_pairs_blocked(
@@ -243,6 +254,26 @@ def main() -> None:
             "embedding",
             "label",
             k=3,
+        ),
+        # r6: the SRP-bucketed hard-negatives scale path. n_planes follows
+        # the operator's sizing rule (log2(n / target_bucket), target
+        # ~250), so bucket size stays ~constant across factors and the
+        # probe measures the near-linear regime the path exists for —
+        # unlike `hard_negatives` (exact all-block grid), whose O(n²·d)
+        # FLOPs make its ratio inherently quadratic.
+        "hard_negatives_srp": lambda f: __import__(
+            "ons_utils_spark.operators.similarity",
+            fromlist=["hard_negatives_srp"],
+        ).hard_negatives_srp(
+            replicate_embeddings(embeddings, f).withColumn(
+                "label", (F.col("vec_id") % 10).cast("int")
+            ),
+            "vec_id",
+            "embedding",
+            "label",
+            k=3,
+            dim=64,
+            n_planes=max(3, (f * 2000 // 250).bit_length()),
         ),
         "pysource_batch_read": lambda f: (
             spark.read.format("synthetic_docs")

@@ -254,6 +254,11 @@ def main() -> None:
             "embedding",
             "label",
             k=3,
+            # Block count must scale with n to keep each group's float64
+            # sims matrix (block² × 8 B) task-sized — at 100× the default
+            # 8 blocks would mean 25k² ≈ 5 GB per group and a silent
+            # executor OOM. ~4k rows/block → ≤128 MB per group.
+            n_blocks=max(8, f * 2000 // 4000 + 1),
         ),
         # r6: the SRP-bucketed hard-negatives scale path. n_planes follows
         # the operator's sizing rule (log2(n / target_bucket), target

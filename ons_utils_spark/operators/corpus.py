@@ -93,6 +93,120 @@ def decontaminate(
     ).drop("__cid").fillna({"contaminated": False})
 
 
+def decontaminate_bloom(
+    corpus: SparkDF,
+    benchmark: SparkDF,
+    id_col: str,
+    text_col: str,
+    bench_text_col: Optional[str] = None,
+    n: int = 2,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    mode: str = "drop",
+) -> SparkDF:
+    """:func:`decontaminate` for benchmark/reference sets too big to
+    broadcast as a gram list — membership goes through a Bloom filter of
+    FIXED size ``m_bits``, built and probed entirely as DataFrame ops
+    (the hand-built version of Spark's internal runtime-filter idiom;
+    ``bloom_filter_agg`` is not exposed as a public function).
+
+    Build: the benchmark's distinct n-gram hashes explode into ``k``
+    probe positions each (``pmod(xxhash64(j, g), m_bits)`` — the same
+    seed-chain scheme as the Count-Min sketch, so an external auditor
+    reproduces every position), positions fold into 64-bit words with a
+    ``bit_or`` aggregate (≤ ``m_bits/64`` rows however large the
+    benchmark is), and the dense word array ships as ONE broadcast row.
+    Probe: each corpus document tests its grams row-locally — ``k``
+    bit-lookups per gram against the broadcast array, zero corpus
+    shuffle, zero corpus-side join.
+
+    Guarantees: NO false negatives (every truly contaminated doc is
+    flagged — Bloom filters never miss an inserted element); false
+    positives drop clean docs at rate ``≈ (1 - e^(-k·n_grams/m_bits))^k``
+    — size ``m_bits ≈ 1.44 · k · n_grams`` for ~2^-k. The decision is
+    DETERMINISTIC given the inputs (xxhash64 is seedless-stable and bit
+    OR is order-independent), so results are reproducible across
+    partitionings, engines, and an external SQL auditor — false
+    positives included. ``m_bits`` must be a power of two (signed
+    ``pmod`` equals the auditor's unsigned modulus only then).
+
+    Trade vs :func:`decontaminate`: the exact operator broadcasts 8 B ×
+    |distinct grams| (fine to ~10⁸ grams); this one broadcasts
+    ``m_bits/8`` bytes regardless — decontaminating a corpus against a
+    BILLION-gram reference (e.g. the training set itself) needs ~2³³
+    bloom bits = 1 GB where the exact gram list would be 8+ GB and
+    broadcast-infeasible.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bench_text = bench_text_col or text_col
+    n_words = m_bits // 64
+
+    probes = (
+        benchmark.select(
+            F.explode(shingle_hash64(bench_text, n=n)).alias("g")
+        )
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.lit(j).cast("bigint"), F.col("g")),
+                            F.lit(m_bits),
+                        )
+                        for j in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+    )
+    word_bits = probes.select(
+        F.expr("pos DIV 64").alias("word"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bits"),
+    ).groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+    # Dense word array as ONE row: range ⟕ sparse words, then an ordered
+    # fold (array_sort on (word, bits) structs — deterministic without a
+    # single-partition sort). Bounded by m_bits/64 entries, same
+    # economics as a broadcast join's build side.
+    dense = (
+        corpus.sparkSession.range(n_words)
+        .withColumnRenamed("id", "word")
+        .join(word_bits, "word", "left")
+        .na.fill({"bits": 0})
+    )
+    bf = dense.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(word, bits))),"
+            " x -> x.bits)"
+        ).alias("__bf")
+    )
+
+    # Row-local membership: contaminated iff ANY gram has ALL k bloom
+    # bits set. One expression, no corpus-side explode/join/shuffle.
+    def bit_hit(j: int) -> str:
+        pos = f"pmod(xxhash64(cast({j} as bigint), g), {m_bits}L)"
+        return (
+            f"(element_at(__bf, CAST(({pos}) DIV 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(({pos}) % 64 AS INT))) <> 0L"
+        )
+
+    hit_all = " AND ".join(bit_hit(j) for j in range(k))
+    flagged = (
+        corpus.join(F.broadcast(bf))
+        .withColumn("__grams", shingle_hash64(text_col, n=n))
+        .withColumn("contaminated", F.expr(f"exists(__grams, g -> {hit_all})"))
+        .drop("__bf", "__grams")
+    )
+    if mode == "drop":
+        return flagged.where(~F.col("contaminated")).drop("contaminated")
+    return flagged
+
+
 def pack_sequences(
     df: SparkDF,
     id_col: str,

@@ -223,6 +223,162 @@ def bigram_hash_cte(toks_cte: str) -> str:
     return sql
 
 
+def ngram_hash_cte(toks_cte: str, n: int, out: str = "shingled") -> str:
+    """CTE chain from the tokenizer CTE to ``out(doc_id, sh)`` — Spark's
+    ``shingle_hash64(text, n=n)`` rows as UNSIGNED xxhash64 values, for
+    ANY ``n >= 2`` (generalizes :func:`bigram_hash_cte`'s n=2).
+
+    Spark's zip-shift construction folds one token hash per step:
+    ``o⁽ᵏ⁾ᵢ = xxhash64(o⁽ᵏ⁻¹⁾ᵢ, th_{i+k-1})``, and two-arg
+    ``xxhash64(a, b)`` is ``xxh64(b, seed = xxh64(a, 42))`` — so each
+    step here is two chained ``long_hash_steps`` runs over the DISTINCT
+    (accumulator, token-hash) pairs (corpora repeat n-gram prefixes
+    heavily; hashing distinct pairs once keeps the chain cost at
+    O(distinct prefixes), the same economics as the token-hash join).
+    Windows that run off the document end drop out of the per-step
+    position joins exactly like Spark's valid-length slice.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    sql = toks_cte
+    sql += f""",
+    tokpos AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+        FROM toks WHERE len(toks) >= {n}
+    ),
+    tokrows AS MATERIALIZED (SELECT doc_id, pos, toks[pos] AS tok FROM tokpos),
+    tokdist AS (SELECT DISTINCT tok FROM tokrows)"""
+    sql += chain("tokdist", str_hash_steps("th", "tok", "42"), "thc", "tokhash")
+    sql += """,
+    thash AS MATERIALIZED (SELECT r.doc_id, r.pos, h.th
+              FROM tokrows r JOIN tokhash h USING (tok)),
+    cur1 AS MATERIALIZED (SELECT doc_id, pos, th AS h FROM thash)"""
+    cur = "cur1"
+    for step in range(2, n + 1):
+        pairs = f"pair{step}"
+        sql += f""",
+    {pairs} AS MATERIALIZED (
+        SELECT c.doc_id, c.pos, c.h AS hu, t.th AS tu
+        FROM {cur} c JOIN thash t
+          ON t.doc_id = c.doc_id AND t.pos = c.pos + {step - 1}
+    ),
+    {pairs}d AS (SELECT DISTINCT hu, tu FROM {pairs})"""
+        sql += chain(
+            f"{pairs}d",
+            long_hash_steps(f"sa{step}", "hu", "42"),
+            f"sac{step}",
+            f"seed{step}",
+        )
+        sql += chain(
+            f"seed{step}",
+            long_hash_steps(f"sh{step}", "tu", f"sa{step}"),
+            f"shc{step}",
+            f"gh{step}",
+        )
+        sql += f""",
+    cur{step} AS MATERIALIZED (
+        SELECT p.doc_id, p.pos, g.sh{step} AS h
+        FROM {pairs} p JOIN gh{step} g USING (hu, tu)
+    )"""
+        cur = f"cur{step}"
+    sql += f""",
+    {out} AS MATERIALIZED (SELECT doc_id, h AS sh FROM {cur})"""
+    return sql
+
+
+def bloom_decontaminate_oracle(
+    toks_cte: str,
+    bench_pred: str,
+    n: int = 4,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> str:
+    """Full DuckDB oracle for ``q_decontaminate_bloom``: recomputes the
+    Bloom filter's bit positions bit-for-bit (``pmod(xxhash64(j, g),
+    m_bits)`` — the Count-Min seed-chain scheme) over the benchmark's
+    n-gram hashes, then flags each corpus doc whose ANY gram has ALL
+    ``k`` positions present. Bit-set membership is equivalently
+    position-SET membership, so no bit arrays are needed in SQL; the
+    deterministic decision — false positives included — must match
+    Spark's exactly. ``m_bits`` must be a power of two (signed ``pmod``
+    == unsigned modulus).
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    sql = ngram_hash_cte(toks_cte, n)
+    sql += f""",
+    benchg AS (SELECT DISTINCT s.sh FROM shingled s
+               JOIN documents d ON d.doc_id = s.doc_id
+               WHERE {bench_pred})"""
+    # k probe positions per benchmark gram: h_j = xxh64(g, xxh64(j, 42)).
+    for j in range(k):
+        sql += chain(
+            "benchg" if j == 0 else f"bgp{j - 1}",
+            long_hash_steps(f"pj{j}", "sh", str(_const_seed(j))),
+            f"pjc{j}",
+            f"bgp{j}",
+        )
+    probes_cols = ", ".join(f"pj{j} % {m_bits} AS p{j}" for j in range(k))
+    union_positions = " UNION ".join(
+        f"SELECT p{j} AS p FROM bgpos" for j in range(k)
+    )
+    sql += f""",
+    bgpos AS MATERIALIZED (SELECT {probes_cols} FROM bgp{k - 1}),
+    bloom AS MATERIALIZED ({union_positions})"""
+    # Corpus grams: same k positions; contaminated iff all k in bloom.
+    sql += f""",
+    corpg AS (SELECT DISTINCT s.doc_id, s.sh FROM shingled s
+              JOIN documents d ON d.doc_id = s.doc_id
+              WHERE NOT ({bench_pred}))"""
+    for j in range(k):
+        sql += chain(
+            "corpg" if j == 0 else f"cgp{j - 1}",
+            long_hash_steps(f"qj{j}", "sh", str(_const_seed(j))),
+            f"qjc{j}",
+            f"cgp{j}",
+        )
+    hitc = " AND ".join(
+        f"qj{j} % {m_bits} IN (SELECT p FROM bloom)" for j in range(k)
+    )
+    sql += f""",
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM cgp{k - 1} WHERE {hitc}
+    )
+    SELECT d.doc_id AS doc_id,
+           (d.doc_id IN (SELECT doc_id FROM contaminated)) AS contaminated
+    FROM documents d
+    WHERE NOT ({bench_pred})
+    ORDER BY doc_id
+    """
+    return sql
+
+
+def _const_seed(j: int) -> int:
+    """``xxh64(j, 42)`` as a Python-computed constant — the seed Spark's
+    two-arg ``xxhash64(lit(j)::bigint, g)`` derives from its first
+    argument. Computing it driver-side keeps k chain passes out of the
+    oracle SQL."""
+    M64 = 1 << 64
+    P1 = 0x9E3779B185EBCA87
+    P2 = 0xC2B2AE3D27D4EB4F
+    P3 = 0x165667B19E3779F9
+    P4 = 0x85EBCA77C2B2AE63
+    P5 = 0x27D4EB2F165667C5
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) % M64
+
+    a = (j * P2) % M64
+    b = (rotl(a, 31) * P1) % M64
+    c = ((42 + P5 + 8) % M64) ^ b
+    d = ((rotl(c, 27) * P1) % M64 + P4) % M64
+    e = d ^ (d >> 33)
+    f = (e * P2) % M64
+    g = f ^ (f >> 29)
+    h = (g * P3) % M64
+    return h ^ (h >> 32)
+
+
 def simhash_pairs_oracle(toks_cte: str, max_hamming: int = 3) -> str:
     """Full DuckDB oracle for ``q_dedup_simhash``: token xxhash64 →
     bigram chain (``xxhash64(h_i, h_{i+1})``) → per-bit majority votes →

@@ -2825,6 +2825,42 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ons_utils_spark.plans.oracle_xxh64 import (  # noqa: E402
+    bloom_decontaminate_oracle as _bloom_oracle,
+)
+
+
+@register(
+    "q_decontaminate_bloom",
+    oracle=_bloom_oracle(
+        _TOKS_CTE, "d.doc_id % 50 = 0", n=4, m_bits=1 << 20, k=4
+    ),
+    description="Bloom-filter decontamination (operators/corpus.py::"
+    "decontaminate_bloom) — the hand-built runtime-filter idiom for "
+    "reference sets too big to broadcast as gram lists: benchmark 4-gram "
+    "hashes fold into a fixed 2^20-bit Bloom filter (k=4, Count-Min seed "
+    "chains, bit_or word aggregate, ONE broadcast row), and each corpus "
+    "doc tests its grams row-locally — zero corpus shuffle, zero "
+    "corpus-side join, no false negatives by construction. The decision "
+    "is deterministic (xxhash64 + order-independent bit OR), so the "
+    "oracle recomputes every bit position bit-for-bit in DuckDB "
+    "(plans/oracle_xxh64.py::bloom_decontaminate_oracle, n-gram chains "
+    "via ngram_hash_cte) — false positives included.",
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corp = docs.where(F.col("doc_id") % 50 != 0)
+    return (
+        _corpus.decontaminate_bloom(
+            corp, bench, "doc_id", "text", n=4, m_bits=1 << 20, k=4,
+            mode="flag",
+        )
+        .select("doc_id", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "q_pack_sequences",
     oracle="""
@@ -5783,6 +5819,9 @@ _GRADING_ORDER = [
     # r6: the SRP-bucketed hard-negatives scale path, full value oracle
     # (plane constants inlined; bucket+multiprobe+ranking replayed in SQL)
     "q_hard_negatives_srp",
+    # r6: Bloom-filter decontamination, bit-exact oracle (ngram_hash_cte
+    # + Count-Min seed chains recompute every bloom position in SQL)
+    "q_decontaminate_bloom",
 ]
 
 

@@ -61,6 +61,92 @@ class TestDecontaminate:
             decontaminate(corpus, bench_df, "doc_id", "text", mode="nope")
 
 
+class TestDecontaminateBloom:
+    """decontaminate_bloom — fixed-size Bloom membership instead of a
+    broadcast gram list. No false negatives EVER; false positives are a
+    sized trade (≈2^-k at m = 1.44·k·n_grams), and at the test sizes
+    (m=2^20 bits vs a handful of grams) they are vanishingly unlikely,
+    so bloom ≡ exact on these fixtures."""
+
+    @pytest.fixture()
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [(1, BASE), (2, NEAR), (3, OTHER)], "doc_id bigint, text string"
+        )
+
+    @pytest.fixture()
+    def bench_df(self, spark):
+        return spark.createDataFrame(
+            [(100, "essay: " + BASE[:90])], "bench_id bigint, text string"
+        )
+
+    def test_matches_exact_on_fixture(self, spark, corpus, bench_df):
+        from ons_utils_spark.operators.corpus import decontaminate_bloom
+
+        exact = {
+            r["doc_id"]
+            for r in decontaminate(
+                corpus, bench_df, "doc_id", "text", n=8
+            ).collect()
+        }
+        bloom = {
+            r["doc_id"]
+            for r in decontaminate_bloom(
+                corpus, bench_df, "doc_id", "text", n=8
+            ).collect()
+        }
+        assert bloom == exact == {3}
+
+    def test_no_false_negatives_on_real_corpus(self, spark):
+        """The structural Bloom guarantee on the parquet corpus: every
+        doc the exact operator drops, the bloom operator drops too."""
+        from ons_utils_spark.operators.corpus import decontaminate_bloom
+        from ons_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        corp = docs.where(F.col("doc_id") % 50 != 0)
+        exact_clean = {
+            r["doc_id"]
+            for r in decontaminate(
+                corp, bench, "doc_id", "text", n=4
+            ).select("doc_id").collect()
+        }
+        bloom_clean = {
+            r["doc_id"]
+            for r in decontaminate_bloom(
+                corp, bench, "doc_id", "text", n=4
+            ).select("doc_id").collect()
+        }
+        assert bloom_clean <= exact_clean  # bloom may only OVER-drop
+
+    def test_flag_mode_and_validation(self, spark, corpus, bench_df):
+        from ons_utils_spark.operators.corpus import decontaminate_bloom
+
+        flagged = decontaminate_bloom(
+            corpus, bench_df, "doc_id", "text", n=8, mode="flag"
+        )
+        got = {r["doc_id"]: r["contaminated"] for r in flagged.collect()}
+        assert got == {1: True, 2: True, 3: False}
+        assert "__bf" not in flagged.columns and "__grams" not in flagged.columns
+        with pytest.raises(ValueError, match="m_bits"):
+            decontaminate_bloom(
+                corpus, bench_df, "doc_id", "text", m_bits=1000
+            )
+        with pytest.raises(ValueError, match="mode"):
+            decontaminate_bloom(
+                corpus, bench_df, "doc_id", "text", mode="nope"
+            )
+
+    def test_empty_benchmark_keeps_everything(self, spark, corpus, bench_df):
+        from ons_utils_spark.operators.corpus import decontaminate_bloom
+
+        empty = bench_df.limit(0)
+        assert decontaminate_bloom(
+            corpus, empty, "doc_id", "text", n=8
+        ).count() == 3
+
+
 class TestPackSequences:
     def test_packing_layout(self, spark):
         # Tokens: doc1=3, doc2=4, doc3=2 in one group; budget 5.

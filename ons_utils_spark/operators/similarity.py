@@ -15,6 +15,9 @@ Scale story:
   Sub-linear candidate generation for repeated queries at 10⁹+ vectors;
   recall is tunable with ``n_planes`` (fewer planes → bigger buckets) and
   multi-probe.
+- **hard negatives**: exact all-block grid (O(n²·d) BLAS, right to ~10⁸
+  vectors) and the SRP-bucketed near-linear scale path past it — both
+  feed one shared local-top-k kernel + window reduction.
 """
 
 from __future__ import annotations

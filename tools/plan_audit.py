@@ -78,6 +78,11 @@ ALLOWED = {
     # Count-Min folds the 1-row total (for the bound check) back over
     # the 10-row probe result — same bounded idiom.
     ("q_count_min_sketch", "BroadcastNestedLoopJoin"),
+    # Bloom decontamination ships the dense bloom word array as ONE
+    # broadcast row the whole corpus cross-joins against — the same
+    # bounded 1-row fold idiom (corpus.py::decontaminate_bloom; the row
+    # is m_bits/8 bytes by construction, a config, not data-sized).
+    ("q_decontaminate_bloom", "BroadcastNestedLoopJoin"),
     # all-pairs near-dup candidate stage is intentionally quadratic in the
     # expression variant; the registered query uses the blocked matmul.
 }

@@ -401,6 +401,87 @@ def minhash_signatures(
     )
 
 
+def oph_minhash_signatures(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> SparkDF:
+    """One-permutation-hashing MinHash signatures → ``(id, sig)``.
+
+    The classic-literature alternative to :func:`minhash_signatures`
+    (Li, Owen & Zhang, NIPS 2012): instead of evaluating ``num_hashes``
+    independent permutations per shingle, ONE hash partitions the
+    shingle space into ``num_hashes`` buckets (``pmod(h, k)``) and each
+    lane is the minimum RAW hash within its bucket. MEASURED CAVEAT
+    (scale_probe's ``oph_signatures`` vs ``minhash_signatures``, 10× at
+    sf0.1): on this engine at k=64 the classic fused 64-lane aggregate
+    is ~1.8× FASTER — whole-stage codegen amortizes the permutation
+    arithmetic into a tight per-row loop, while OPH's two-level
+    ``(id, bucket)`` hash aggregate pays a per-row grouping-key probe
+    that outweighs the arithmetic it saves (and a 64-lane conditional
+    single-level form was no faster than classic either). OPH's regime
+    is large ``num_hashes`` (≥ 256, where classic's per-row work keeps
+    growing and OPH's does not) or engines without fused aggregate
+    codegen; below that, prefer :func:`minhash_signatures`. Empty
+    buckets (short documents) are filled by CIRCULAR DENSIFICATION
+    (Shrivastava & Li, ICML 2014): lane ``i`` borrows the value of the
+    next non-empty bucket to its right, wrapping — a deterministic,
+    engine-reproducible rule (the 2017 "optimal densification" variant
+    reduces variance for very short docs at the cost of an extra hash;
+    the circular rule keeps the whole operator a pure Catalyst
+    expression). Collision probability per densified lane approximates
+    Jaccard with variance slightly above classic MinHash for documents
+    with ≪ ``num_hashes`` shingles — for those, classic signatures are
+    the right tool; OPH exists for the long-document regime where the
+    64× per-shingle saving dominates.
+
+    ``num_hashes`` must be a power of two so the signed ``pmod``
+    bucketing equals an external auditor's unsigned modulus (the DuckDB
+    oracle recomputes every lane bit-for-bit). ``seed`` is accepted for
+    signature-family symmetry but unused: OPH's single permutation IS
+    the shingle hash itself. Documents with no shingles produce no row.
+    """
+    if num_hashes < 2 or num_hashes & (num_hashes - 1):
+        raise ValueError(
+            f"num_hashes must be a power of two >= 2, got {num_hashes}"
+        )
+    k = num_hashes
+    # Two-level aggregate — the shape that actually realizes OPH's
+    # saving. A 64-lane `min(CASE WHEN bucket = i ...)` aggregate would
+    # still evaluate 64 conditional updates per shingle row (probe: no
+    # faster than classic); grouping by (id, bucket) instead touches ONE
+    # min buffer per row, and the second level reduces the already-tiny
+    # O(docs × k) bucket-min rows.
+    bucket_mins = (
+        shingle_hashes(df, id_col, text_col, n=n)
+        .groupBy("id", F.pmod("h", F.lit(k)).alias("b"))
+        .agg(F.min("h").alias("v"))
+    )
+    sparse = bucket_mins.groupBy("id").agg(
+        F.expr("map_from_entries(collect_list(struct(b, v)))").alias("__m")
+    )
+    # Sparse map → dense k-array (nulls where the bucket was empty), then
+    # circular densification as one expression: duplicate the lane array
+    # and, for each lane, take the first non-null in its forward window
+    # of k entries (always non-empty: >= 1 shingle => >= 1 filled lane).
+    build = (
+        f"transform(sequence(0, {k - 1}), i -> element_at(__m, i))"
+    )
+    dense = (
+        f"transform(sequence(0, {k - 1}), i -> "
+        f"element_at(filter(slice(__arr2, i + 1, {k}), "
+        f"x -> x IS NOT NULL), 1))"
+    )
+    return (
+        sparse.withColumn("__sparse", F.expr(build))
+        .withColumn("__arr2", F.expr("concat(__sparse, __sparse)"))
+        .select("id", F.expr(dense).alias("sig"))
+    )
+
+
 def minhash_lsh_pairs(
     df: Optional[SparkDF] = None,
     id_col: str = "id",

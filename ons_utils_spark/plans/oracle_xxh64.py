@@ -379,6 +379,40 @@ def _const_seed(j: int) -> int:
     return h ^ (h >> 32)
 
 
+def oph_minhash_oracle(toks_cte: str, n: int = 3, k: int = 64) -> str:
+    """Full DuckDB oracle for ``q_oph_minhash``: recomputes the one-
+    permutation signatures bit-for-bit — n-gram xxhash64 chain
+    (:func:`ngram_hash_cte`), unsigned→signed conversion so the per-
+    bucket ``min`` agrees with Spark's signed longs, ``% k`` bucketing
+    (== Spark's signed ``pmod`` because ``k`` is a power of two), and
+    the circular densification rule as a smallest-forward-distance
+    correlated lookup."""
+    if k & (k - 1):
+        raise ValueError(f"k must be a power of two, got {k}")
+    sql = ngram_hash_cte(toks_cte, n)
+    sql += f""",
+    signed AS (SELECT DISTINCT doc_id,
+                      (CASE WHEN sh >= {1 << 63} THEN sh - {1 << 64}
+                            ELSE sh END)::BIGINT AS hs,
+                      (sh % {k})::INT AS b
+               FROM shingled),
+    lanes AS (SELECT doc_id, b, min(hs) AS v FROM signed GROUP BY doc_id, b),
+    grid AS (SELECT d.doc_id, i.lane::INT AS lane
+             FROM (SELECT DISTINCT doc_id FROM lanes) d,
+                  (SELECT unnest(generate_series(0, {k - 1})) AS lane) i),
+    sparse AS (SELECT g.doc_id, g.lane, l.v FROM grid g
+               LEFT JOIN lanes l ON l.doc_id = g.doc_id AND l.b = g.lane),
+    dense AS (
+        SELECT s.doc_id, s.lane,
+               (SELECT t.v FROM sparse t
+                WHERE t.doc_id = s.doc_id AND t.v IS NOT NULL
+                ORDER BY (t.lane - s.lane + {k}) % {k} LIMIT 1) AS v
+        FROM sparse s)
+    SELECT doc_id AS id, lane, v FROM dense ORDER BY id, lane
+    """
+    return sql
+
+
 def simhash_pairs_oracle(toks_cte: str, max_hamming: int = 3) -> str:
     """Full DuckDB oracle for ``q_dedup_simhash``: token xxhash64 →
     bigram chain (``xxhash64(h_i, h_{i+1})``) → per-bit majority votes →

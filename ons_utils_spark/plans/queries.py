@@ -944,7 +944,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-from ons_utils_spark.plans.oracle_xxh64 import simhash_pairs_oracle  # noqa: E402
+from ons_utils_spark.plans.oracle_xxh64 import (  # noqa: E402
+    oph_minhash_oracle,
+    simhash_pairs_oracle,
+)
+
+
+@register(
+    "q_oph_minhash",
+    oracle=oph_minhash_oracle(_TOKS_CTE, n=3, k=64),
+    description="One-permutation-hashing MinHash signatures (Li/Owen/"
+    "Zhang 2012; operators/dedup.py::oph_minhash_signatures) with "
+    "circular densification (Shrivastava & Li 2014) — the long-document "
+    "scale path where classic MinHash's 64 permutation evaluations per "
+    "shingle dominate the dedup bill: ONE hash buckets each shingle and "
+    "each lane is its bucket's min, densified from the next non-empty "
+    "bucket. Pure Catalyst expressions end-to-end. The oracle recomputes "
+    "every lane bit-for-bit in DuckDB: trigram xxhash64 chains "
+    "(ngram_hash_cte), signed-min parity, power-of-two bucketing, and "
+    "the densification rule as a smallest-forward-distance lookup.",
+)
+def q_oph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = _dedup.oph_minhash_signatures(
+        docs, "doc_id", "text", n=3, num_hashes=64
+    )
+    return sig.select(
+        "id", F.posexplode("sig").alias("lane", "v")
+    ).orderBy("id", "lane")
 
 
 @register(
@@ -5822,6 +5849,8 @@ _GRADING_ORDER = [
     # r6: Bloom-filter decontamination, bit-exact oracle (ngram_hash_cte
     # + Count-Min seed chains recompute every bloom position in SQL)
     "q_decontaminate_bloom",
+    # r6: one-permutation MinHash signatures, bit-exact lane oracle
+    "q_oph_minhash",
 ]
 
 

@@ -527,3 +527,66 @@ class TestNearDupRepresentatives:
         }
         # Docs 1, 2 (identical) and 3 (near) form one cluster; 4 is alone.
         assert reps[1] == 1 and reps[2] == 1 and reps[3] == 1 and reps[4] == 4
+
+
+class TestOphMinhash:
+    """One-permutation-hashing signatures: bucket mins + circular
+    densification, pinned against a plain-Python reference."""
+
+    def _sigs(self, spark, docs):
+        from ons_utils_spark.operators.dedup import oph_minhash_signatures
+
+        return {
+            r["id"]: list(r["sig"])
+            for r in oph_minhash_signatures(docs, "doc_id", "text").collect()
+        }
+
+    def test_matches_python_reference(self, spark, docs):
+        from ons_utils_spark.operators.dedup import shingle_hashes
+
+        got = self._sigs(spark, docs)
+        hs = {
+            r["id"]: set(r["hs"])
+            for r in shingle_hashes(docs, "doc_id", "text", n=3)
+            .groupBy("id")
+            .agg(F.collect_set("h").alias("hs"))
+            .collect()
+        }
+        assert set(got) == set(hs)
+        for i, hset in hs.items():
+            mins = {}
+            for h in hset:
+                b = h % 64  # python % == Spark pmod on negatives
+                if b not in mins or h < mins[b]:
+                    mins[b] = h
+            arr = [mins.get(j) for j in range(64)]
+            dense = [
+                next(
+                    arr[(j + d) % 64]
+                    for d in range(64)
+                    if arr[(j + d) % 64] is not None
+                )
+                for j in range(64)
+            ]
+            assert got[i] == dense
+
+    def test_no_null_lanes_and_identical_docs_match(self, spark, docs):
+        got = self._sigs(spark, docs)
+        assert all(v is not None for sig in got.values() for v in sig)
+        # docs fixture: 1 and 2 are identical texts
+        assert got[1] == got[2]
+
+    def test_power_of_two_validation(self, spark, docs):
+        from ons_utils_spark.operators.dedup import oph_minhash_signatures
+
+        with pytest.raises(ValueError, match="power of two"):
+            oph_minhash_signatures(docs, "doc_id", "text", num_hashes=48)
+
+    def test_shingleless_docs_produce_no_row(self, spark):
+        from ons_utils_spark.operators.dedup import oph_minhash_signatures
+
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, "a b c d e")], "doc_id bigint, text string"
+        )
+        got = self._sigs(spark, df)
+        assert set(got) == {2}  # doc 1 has < 3 tokens: no trigrams

@@ -260,6 +260,16 @@ def main() -> None:
             # executor OOM. ~4k rows/block → ≤128 MB per group.
             n_blocks=max(8, f * 2000 // 4000 + 1),
         ),
+        # r6: the two signature builders head-to-head. Classic MinHash
+        # evaluates 64 permutations per shingle; OPH buckets each shingle
+        # once and takes per-bucket mins + circular densification — the
+        # long-document scale path where the signature build dominates.
+        "minhash_signatures": lambda f: _dedup.minhash_signatures(
+            replicate_docs(documents, f), "doc_id", "text", n=3
+        ),
+        "oph_signatures": lambda f: _dedup.oph_minhash_signatures(
+            replicate_docs(documents, f), "doc_id", "text", n=3
+        ),
         # r6: the SRP-bucketed hard-negatives scale path. n_planes follows
         # the operator's sizing rule (log2(n / target_bucket), target
         # ~250), so bucket size stays ~constant across factors and the

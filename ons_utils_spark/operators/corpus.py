@@ -93,16 +93,118 @@ def decontaminate(
     ).drop("__cid").fillna({"contaminated": False})
 
 
+def _validate_bloom_params(m_bits: int, k: int) -> None:
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def bloom_build(
+    df: SparkDF,
+    text_col: str,
+    n: int = 2,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> SparkDF:
+    """Sparse Bloom filter of ``df``'s n-gram hashes → ``(word, bits)``.
+
+    The build side of :func:`decontaminate_bloom`, exposed so a pipeline
+    can compute the filter ONCE per reference-set version (or maintain
+    it incrementally — :func:`bloom_append_batch`) and reuse it across
+    ingests via ``filter_words=``. Each distinct gram hash sets ``k``
+    bit positions (``pmod(xxhash64(j, g), m_bits)``, the Count-Min
+    seed-chain scheme); positions fold into 64-bit words with a
+    ``bit_or`` aggregate, so the output is ≤ ``m_bits/64`` rows however
+    large ``df`` is. Bit OR is associative, commutative, and IDEMPOTENT
+    — filters of overlapping batches merge losslessly and replays
+    cannot corrupt the store.
+    """
+    _validate_bloom_params(m_bits, k)
+    probes = (
+        df.select(F.explode(shingle_hash64(text_col, n=n)).alias("g"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.lit(j).cast("bigint"), F.col("g")),
+                            F.lit(m_bits),
+                        )
+                        for j in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+    )
+    return (
+        probes.select(
+            F.expr("pos DIV 64").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bits"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def bloom_append_batch(
+    batch: SparkDF,
+    text_col: str,
+    bloom_path: str,
+    n: int = 2,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    batch_id: "int | None" = None,
+) -> None:
+    """Write one batch's Bloom word deltas into an append-only store.
+
+    Same durable layout as the Count-Min store
+    (``operators/sketches.py::sketch_append_batch``): every delta lands
+    under a ``batch_id=<id>`` partition (sentinel ``-1`` for batch
+    callers); a streaming replay overwrites exactly its own partition —
+    though for a Bloom filter even a plain double-append is HARMLESS
+    (bit OR is idempotent), the shared layout keeps the two stores
+    operationally identical. :func:`load_bloom` merges on read.
+    """
+    _validate_bloom_params(m_bits, k)
+    words = bloom_build(batch, text_col, n=n, m_bits=m_bits, k=k)
+    if batch_id is None:
+        (
+            words.withColumn("batch_id", F.lit(-1))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(bloom_path)
+        )
+        return
+    words.write.mode("overwrite").parquet(
+        f"{bloom_path}/batch_id={int(batch_id)}"
+    )
+
+
+def load_bloom(spark, bloom_path: str) -> SparkDF:
+    """Read a Bloom word-delta store back as ONE sparse filter
+    (``(word, bits)``, bit-OR of every delta) — feed it to
+    :func:`decontaminate_bloom` via ``filter_words=``."""
+    raw = spark.read.parquet(bloom_path)
+    return (
+        raw.select("word", "bits")
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
 def decontaminate_bloom(
     corpus: SparkDF,
-    benchmark: SparkDF,
-    id_col: str,
-    text_col: str,
+    benchmark: Optional[SparkDF] = None,
+    id_col: str = "id",
+    text_col: str = "text",
     bench_text_col: Optional[str] = None,
     n: int = 2,
     m_bits: int = 1 << 20,
     k: int = 4,
     mode: str = "drop",
+    filter_words: Optional[SparkDF] = None,
 ) -> SparkDF:
     """:func:`decontaminate` for benchmark/reference sets too big to
     broadcast as a gram list — membership goes through a Bloom filter of
@@ -136,39 +238,34 @@ def decontaminate_bloom(
     BILLION-gram reference (e.g. the training set itself) needs ~2³³
     bloom bits = 1 GB where the exact gram list would be 8+ GB and
     broadcast-infeasible.
+
+    Pass ``filter_words=`` (a sparse ``(word, bits)`` table from
+    :func:`bloom_build` or :func:`load_bloom`) instead of ``benchmark``
+    to reuse a precomputed / incrementally-maintained filter — the
+    reference set is then never re-shingled per ingest. It must have
+    been built with the same ``n`` / ``m_bits`` / ``k``.
     """
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
-    if m_bits < 64 or m_bits & (m_bits - 1):
-        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    bench_text = bench_text_col or text_col
+    _validate_bloom_params(m_bits, k)
+    if (benchmark is None) == (filter_words is None):
+        raise ValueError("pass exactly one of `benchmark` or `filter_words`")
     n_words = m_bits // 64
 
-    probes = (
-        benchmark.select(
-            F.explode(shingle_hash64(bench_text, n=n)).alias("g")
+    if filter_words is not None:
+        # Prebuilt/incrementally-maintained filter (bloom_build /
+        # load_bloom). Must have been built with the same n/m_bits/k.
+        word_bits = filter_words
+    else:
+        word_bits = bloom_build(
+            benchmark.select(
+                F.col(bench_text_col or text_col).alias("__btext")
+            ),
+            "__btext",
+            n=n,
+            m_bits=m_bits,
+            k=k,
         )
-        .distinct()
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(
-                            F.xxhash64(F.lit(j).cast("bigint"), F.col("g")),
-                            F.lit(m_bits),
-                        )
-                        for j in range(k)
-                    ]
-                )
-            ).alias("pos")
-        )
-    )
-    word_bits = probes.select(
-        F.expr("pos DIV 64").alias("word"),
-        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bits"),
-    ).groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
     # Dense word array as ONE row: range ⟕ sparse words, then an ordered
     # fold (array_sort on (word, bits) structs — deterministic without a
     # single-partition sort). Bounded by m_bits/64 entries, same

@@ -179,3 +179,40 @@ def sketch_ingest_writer(
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def bloom_ingest_writer(
+    stream_df,
+    text_col: str,
+    bloom_path: str,
+    checkpoint_dir: str,
+    n: int = 2,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+):
+    """Maintain a Bloom filter of a streaming reference set — e.g. keep
+    the training-set n-gram filter current as shards land, so every
+    ingest can ``decontaminate_bloom(..., filter_words=load_bloom(...))``
+    without ever re-shingling the accumulated reference.
+
+    Same durable recipe as :func:`sketch_ingest_writer`: ``foreachBatch``
+    writes each micro-batch's ``(word, bits)`` deltas into its own
+    ``batch_id`` partition (``operators/corpus.py::bloom_append_batch``),
+    a replay overwrites exactly its partition, and
+    ``corpus.load_bloom`` bit-ORs the store back into one filter. Bloom
+    merge is idempotent (OR), so even the at-least-once path without the
+    partition overwrite could not over-count — the layout is kept
+    identical to the Count-Min store for operational symmetry.
+    """
+    from ons_utils_spark.operators.corpus import bloom_append_batch
+
+    def process(batch, batch_id: int) -> None:
+        bloom_append_batch(
+            batch, text_col, bloom_path, n=n, m_bits=m_bits, k=k,
+            batch_id=batch_id,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -235,3 +235,82 @@ class TestStreamingSketchMaintenance:
         for (k,) in rows1 + rows2:
             exact[k] += 1
         assert all(est[k] >= exact[k] for k in exact)
+
+
+class TestStreamingBloomMaintenance:
+    def test_streamed_filter_equals_batch_filter(self, spark, tmp_path):
+        """Two micro-batches of reference docs append Bloom word deltas;
+        the loaded filter must equal a one-shot bloom_build over all docs
+        (bit OR is the lossless merge), and decontaminating with it must
+        equal decontaminating against the full reference directly."""
+        from ons_utils_spark.operators.corpus import (
+            bloom_build,
+            decontaminate_bloom,
+            load_bloom,
+        )
+        from ons_utils_spark.streaming.ingest import bloom_ingest_writer
+
+        stream_dir = str(tmp_path / "in")
+        bloom_path = str(tmp_path / "bloom")
+        ckpt = str(tmp_path / "ckpt")
+        ref1 = [(1, "alpha beta gamma delta epsilon zeta")]
+        ref2 = [(2, "one two three four five six seven")]
+        for rows in (ref1, ref2):
+            spark.createDataFrame(
+                rows, "doc_id bigint, text string"
+            ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            bloom_ingest_writer(stream, "text", bloom_path, ckpt, n=3)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        all_ref = spark.createDataFrame(
+            ref1 + ref2, "doc_id bigint, text string"
+        )
+        streamed = sorted(map(tuple, load_bloom(spark, bloom_path).collect()))
+        whole = sorted(map(tuple, bloom_build(all_ref, "text", n=3).collect()))
+        assert streamed == whole
+
+        corpus = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma something else entirely"),  # hits ref1
+                (11, "totally unrelated text with novel tokens here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        via_store = {
+            r["doc_id"]
+            for r in decontaminate_bloom(
+                corpus, None, "doc_id", "text", n=3,
+                filter_words=load_bloom(spark, bloom_path),
+            ).collect()
+        }
+        direct = {
+            r["doc_id"]
+            for r in decontaminate_bloom(
+                corpus, all_ref, "doc_id", "text", n=3
+            ).collect()
+        }
+        assert via_store == direct == {11}
+
+    def test_exactly_one_of_benchmark_or_filter(self, spark):
+        from ons_utils_spark.operators.corpus import decontaminate_bloom
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c")], "doc_id bigint, text string"
+        )
+        with pytest.raises(ValueError, match="exactly one"):
+            decontaminate_bloom(corpus, None, "doc_id", "text")
+        with pytest.raises(ValueError, match="exactly one"):
+            decontaminate_bloom(
+                corpus, corpus, "doc_id", "text",
+                filter_words=corpus.limit(0),
+            )

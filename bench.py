@@ -80,6 +80,14 @@ HEADLINE = [
     # mixture's broadcast fold show up here).
     "q_fuzzy_name_pairs",
     "q_llm_data_pipeline",
+    # Round-6 additions: the iterative graph loop (5 power iterations,
+    # per-iteration co-located joins + lineage truncation), the
+    # SRP-bucketed hard-negatives scale path (Python local-top-k over
+    # LSH buckets), and Bloom decontamination (benchmark-side build +
+    # row-local corpus membership) — the three new heavy families.
+    "q_pagerank",
+    "q_hard_negatives_srp",
+    "q_decontaminate_bloom",
 ]
 
 

@@ -1071,6 +1071,89 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_directed_oracle(iterations: int, damping: float) -> str:
+    """Unrolled DIRECTED power iteration WITH dangling-mass
+    redistribution: per iteration one contrib CTE, one 1-row dangling
+    mass CTE (sum of ranks over out-degree-0 nodes), and the rank
+    update ``(1-d)/N + d·(contrib + dm/N)`` — the same recurrence
+    ``operators/graph.py::pagerank(undirected=False,
+    redistribute_dangling=True)`` runs. On this graph every supplier is
+    destination-only (dangling), so the correction term carries real
+    mass every iteration."""
+    sql = """
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM edges)),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / n AS rank FROM nodes, nn)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    c{i} AS (
+        SELECT e.dst AS id, sum(r.rank / d.deg) AS contrib
+        FROM edges e
+        JOIN {prev} r ON r.id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ),
+    dm{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
+              FROM {prev} r JOIN dang USING (id)),
+    r{i} AS (
+        SELECT nd.id,
+               (1.0 - {damping}) / nn.n
+                   + {damping} * (coalesce(c.contrib, 0.0)
+                                  + dm{i}.dm / nn.n) AS rank
+        FROM nodes nd LEFT JOIN c{i} c ON c.id = nd.id, nn, dm{i}
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT id, round(rank, 5) AS rank FROM {prev} ORDER BY id
+    """
+    return sql
+
+
+@register(
+    "q_pagerank_directed",
+    oracle=_pagerank_directed_oracle(4, 0.85),
+    description="DIRECTED PageRank with dangling-mass redistribution "
+    "(operators/graph.py::pagerank(undirected=False, "
+    "redistribute_dangling=True)) over the customer→supplier purchase "
+    "graph, where every supplier is destination-only — the correction "
+    "folds the dangling total back uniformly each iteration as a 1-row "
+    "broadcast, so ranks sum to exactly 1 (the leak the undirected "
+    "flagship never sees). Ranks gain a second consumer per iteration, "
+    "so lineage is truncated every iteration. The oracle unrolls the "
+    "same recurrence with a per-iteration dangling-mass CTE.",
+)
+def q_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+    )
+    return (
+        _pagerank(
+            edges,
+            iterations=4,
+            damping=0.85,
+            undirected=False,
+            redistribute_dangling=True,
+        )
+        .select("id", F.round("rank", 5).alias("rank"))
+        .orderBy("id")
+    )
+
+
 @register(
     "q_dsir_weights",
     oracle=dsir_log_weights_oracle(_TOKS_CTE, "lang = 'en'", buckets=4096),
@@ -5851,6 +5934,9 @@ _GRADING_ORDER = [
     "q_decontaminate_bloom",
     # r6: one-permutation MinHash signatures, bit-exact lane oracle
     "q_oph_minhash",
+    # r6: directed PageRank with dangling-mass redistribution (oracle
+    # unrolls the recurrence incl. a per-iteration dangling-mass CTE)
+    "q_pagerank_directed",
 ]
 
 

@@ -70,8 +70,10 @@ ALLOWED = {
     # bounded fold idiom as tfidf/heavy_hitters above.
     ("q_dsir_weights", "BroadcastNestedLoopJoin"),
     # PageRank folds the 1-row node count into every iteration's
-    # (1-d)/N term — same bounded idiom.
+    # (1-d)/N term — same bounded idiom. The directed variant adds a
+    # second 1-row fold per iteration (the dangling-mass total).
     ("q_pagerank", "BroadcastNestedLoopJoin"),
+    ("q_pagerank_directed", "BroadcastNestedLoopJoin"),
     # Equi-depth histogram folds its 1-row (boundaries, min, max)
     # aggregate back over the data — same bounded idiom.
     ("q_equi_depth_histogram", "BroadcastNestedLoopJoin"),

@@ -304,6 +304,70 @@ def decontaminate_bloom(
     return flagged
 
 
+def contaminated_spans(
+    corpus: SparkDF,
+    benchmark: SparkDF,
+    id_col: str,
+    text_col: str,
+    bench_text_col: Optional[str] = None,
+    n: int = 4,
+) -> SparkDF:
+    """WHERE each corpus document overlaps the benchmark → merged token
+    spans ``(id, span_start, span_end)`` (0-based, end-exclusive).
+
+    :func:`decontaminate` answers "does this doc overlap at all" and
+    drops whole documents; real pipelines usually want SURGICAL removal
+    — redact just the overlapping passage and keep the rest (the
+    span-level analogue, pairing with :func:`span_dedup`). Each corpus
+    n-gram POSITION whose gram hash appears in the benchmark becomes a
+    hit; overlapping/adjacent hit windows (each covering ``n`` tokens)
+    merge into maximal islands, so a verbatim quoted paragraph comes
+    back as ONE span however many grams it spans.
+
+    Scale: the benchmark's distinct gram hashes broadcast (like
+    :func:`decontaminate`); the corpus-side join is a map-side
+    broadcast semi join on positional gram rows (no corpus shuffle);
+    island-merging is one window per document over its HIT rows only —
+    partitioned by doc id, bounded by hits per doc, never a global
+    window. Docs with no overlap produce no row.
+    """
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(shingle_hash64(bench_text, n=n)).alias("g"))
+        .distinct()
+    )
+    hits = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                shingle_hash64(text_col, n=n, distinct=False)
+            ).alias("pos", "g"),
+        )
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    # Island detection over sorted hit positions: a hit starts a new
+    # span iff it begins after the previous hit's window [p, p+n) ends
+    # (positions ascend, so the latest previous hit has the furthest
+    # end — the lag test is transitive).
+    new_span = (
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") > F.lag("pos").over(w) + F.lit(n))
+    ).cast("int")
+    grp = F.sum(new_span).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("__grp", grp)
+        .groupBy("id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n)).alias("span_end"),
+        )
+        .select("id", "span_start", "span_end")
+    )
+
+
 def pack_sequences(
     df: SparkDF,
     id_col: str,

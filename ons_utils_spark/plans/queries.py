@@ -2941,6 +2941,61 @@ from ons_utils_spark.plans.oracle_xxh64 import (  # noqa: E402
 
 
 @register(
+    "q_contaminated_spans",
+    oracle=_TOKS_CTE
+    + """,
+    pos4 AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks) - 3)) AS i, toks
+        FROM toks WHERE len(toks) >= 4
+    ),
+    grams AS (
+        SELECT doc_id, (i - 1)::INT AS pos,
+               array_to_string(toks[i:i+3], ' ') AS g
+        FROM pos4
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+        SELECT doc_id, pos FROM grams
+        WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + 4
+                    THEN 1 ELSE 0 END AS ns
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    )
+    SELECT doc_id AS id, min(pos)::INT AS span_start,
+           (max(pos) + 4)::INT AS span_end
+    FROM grp GROUP BY doc_id, g
+    ORDER BY id, span_start
+    """,
+    description="Span-level decontamination (operators/corpus.py::"
+    "contaminated_spans): WHERE each corpus doc overlaps the benchmark, "
+    "as merged 0-based token intervals — the surgical-redaction "
+    "complement to whole-doc dropping. Positional 4-gram hashes semi-"
+    "join the broadcast benchmark gram set map-side (no corpus "
+    "shuffle); overlapping/adjacent hit windows merge into maximal "
+    "islands with one per-doc window over HIT rows only. The oracle "
+    "replays positions with string grams and the same lag-based island "
+    "detection.",
+)
+def q_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corp = docs.where(F.col("doc_id") % 50 != 0)
+    return _corpus.contaminated_spans(
+        corp, bench, "doc_id", "text", n=4
+    ).orderBy("id", "span_start")
+
+
+@register(
     "q_decontaminate_bloom",
     oracle=_bloom_oracle(
         _TOKS_CTE, "d.doc_id % 50 = 0", n=4, m_bits=1 << 20, k=4
@@ -5937,6 +5992,8 @@ _GRADING_ORDER = [
     # r6: directed PageRank with dangling-mass redistribution (oracle
     # unrolls the recurrence incl. a per-iteration dangling-mass CTE)
     "q_pagerank_directed",
+    # r6: span-level decontamination (surgical redaction intervals)
+    "q_contaminated_spans",
 ]
 
 

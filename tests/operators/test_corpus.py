@@ -664,3 +664,85 @@ class TestDsir:
         target = corpus.where(F.col("lang") == "en")
         sel = {r["id"] for r in dsir_resample(corpus, target, "doc_id", "text", k=2).collect()}
         assert sel == {1, 2}
+
+
+class TestContaminatedSpans:
+    """Span-level decontamination: merged token intervals of benchmark
+    overlap, for surgical redaction instead of doc dropping."""
+
+    def test_single_quote_one_merged_span(self, spark):
+        from ons_utils_spark.operators.corpus import contaminated_spans
+
+        quote = "q0 q1 q2 q3 q4 q5 q6 q7"
+        doc = "a0 a1 a2 a3 a4 " + quote + " b0 b1 b2 b3 b4 b5 b6"
+        corpus = spark.createDataFrame(
+            [(1, doc), (2, "c0 c1 c2 c3 c4 c5")], "doc_id bigint, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "x0 " + quote + " x1")], "bench_id bigint, text string"
+        )
+        got = sorted(
+            map(
+                tuple,
+                contaminated_spans(corpus, bench, "doc_id", "text", n=4).collect(),
+            )
+        )
+        # quote occupies tokens 5..12 → 4-gram hits at 5..9 → span [5, 13)
+        assert got == [(1, 5, 13)]
+
+    def test_two_separated_quotes_two_spans(self, spark):
+        from ons_utils_spark.operators.corpus import contaminated_spans
+
+        q1, q2 = "q0 q1 q2 q3", "r0 r1 r2 r3"
+        doc = q1 + " m0 m1 m2 m3 m4 m5 " + q2
+        corpus = spark.createDataFrame(
+            [(1, doc)], "doc_id bigint, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, q1 + " zz " + q2)], "bench_id bigint, text string"
+        )
+        got = sorted(
+            map(
+                tuple,
+                contaminated_spans(corpus, bench, "doc_id", "text", n=4).collect(),
+            )
+        )
+        assert got == [(1, 0, 4), (1, 10, 14)]
+
+    def test_no_overlap_no_rows(self, spark):
+        from ons_utils_spark.operators.corpus import contaminated_spans
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id bigint, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "x y z w v u")], "bench_id bigint, text string"
+        )
+        assert (
+            contaminated_spans(corpus, bench, "doc_id", "text", n=4).count() == 0
+        )
+
+    def test_spans_agree_with_doc_level_decontaminate(self, spark):
+        """A doc has ≥1 contaminated span iff doc-level decontaminate
+        flags it — the two operators define the same overlap predicate."""
+        from ons_utils_spark.operators.corpus import contaminated_spans
+        from ons_utils_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        corp = docs.where(F.col("doc_id") % 50 != 0)
+        span_docs = {
+            r["id"]
+            for r in contaminated_spans(corp, bench, "doc_id", "text", n=4)
+            .select("id")
+            .distinct()
+            .collect()
+        }
+        flagged = {
+            r["doc_id"]
+            for r in decontaminate(
+                corp, bench, "doc_id", "text", n=4, mode="flag"
+            ).collect()
+            if r["contaminated"]
+        }
+        assert span_docs == flagged

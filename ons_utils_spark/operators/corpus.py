@@ -368,6 +368,69 @@ def contaminated_spans(
     )
 
 
+def apply_span_redaction(
+    corpus: SparkDF,
+    spans: SparkDF,
+    id_col: str,
+    text_col: str,
+    replacement: str = "[redacted]",
+) -> SparkDF:
+    """Apply a ``(id, span_start, span_end)`` table (e.g. from
+    :func:`contaminated_spans`) to the corpus: each span's tokens are
+    replaced by ONE ``replacement`` marker, everything else survives
+    verbatim — the redaction half of surgical decontamination (the
+    whole-document alternative is :func:`decontaminate`).
+
+    Returns the corpus with ``text_col`` rewritten. Docs with no spans
+    keep their ORIGINAL text byte-for-byte; affected docs are rebuilt
+    from :func:`tokenize`'s tokens (lowercased, single-spaced — the
+    redaction coordinate system), so only contaminated docs pay the
+    normalization. Token indices are 0-based, end-exclusive, the same
+    coordinates :func:`contaminated_spans` emits. Overlapping spans are
+    legal (each covered token drops once; a marker lands at every
+    span_start that survives its own coverage test).
+
+    Scale: spans aggregate to one small array per AFFECTED doc and join
+    back on the doc id (broadcast-eligible — contamination is a few
+    percent of a real corpus); the rewrite is one row-local expression
+    (per token: an ``exists`` over that doc's few spans). No
+    corpus-side explode, no second corpus scan.
+    """
+    sp = spans.groupBy(F.col("id").alias("__sid")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = corpus.join(
+        sp, corpus[id_col] == F.col("__sid"), "left"
+    ).drop("__sid")
+    # Per token index i: a replacement marker where a span starts, NULL
+    # (dropped) where covered but not a start, the token otherwise.
+    rewrite = (
+        "concat_ws(' ', filter(transform(__toks, (t, i) -> CASE "
+        "WHEN exists(__spans, s -> s.span_start = i) THEN {repl!r} "
+        "WHEN exists(__spans, s -> i >= s.span_start AND i < s.span_end) "
+        "THEN NULL ELSE t END), x -> x IS NOT NULL))"
+    ).format(repl=replacement)
+    return (
+        joined.withColumn(
+            "__spans",
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast(
+                    "array<struct<span_start:int,span_end:int>>"
+                ),
+            ),
+        )
+        .withColumn("__toks", tokenize(F.col(text_col)))
+        .withColumn(
+            text_col,
+            F.when(F.size("__spans") == 0, F.col(text_col)).otherwise(
+                F.expr(rewrite)
+            ),
+        )
+        .drop("__spans", "__toks")
+    )
+
+
 def pack_sequences(
     df: SparkDF,
     id_col: str,

@@ -2996,6 +2996,88 @@ def q_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_redacted_corpus",
+    oracle=_TOKS_CTE
+    + """,
+    pos4 AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks) - 3)) AS i, toks
+        FROM toks WHERE len(toks) >= 4
+    ),
+    grams AS (
+        SELECT doc_id, (i - 1)::INT AS pos,
+               array_to_string(toks[i:i+3], ' ') AS g
+        FROM pos4
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+        SELECT doc_id, pos FROM grams
+        WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + 4
+                    THEN 1 ELSE 0 END AS ns
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    ),
+    sp AS (
+        SELECT doc_id,
+               list(struct_pack(s := st, e := en)) AS spans
+        FROM (SELECT doc_id, min(pos)::INT AS st, (max(pos) + 4)::INT AS en
+              FROM grp GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc_id,
+           CASE WHEN sp.doc_id IS NULL THEN d.text
+                ELSE array_to_string(
+                    list_filter(
+                        list_transform(
+                            generate_series(0, len(t.toks) - 1),
+                            i -> CASE
+                                WHEN len(list_filter(sp.spans,
+                                         x -> x.s = i)) > 0
+                                    THEN '[redacted]'
+                                WHEN len(list_filter(sp.spans,
+                                         x -> i >= x.s AND i < x.e)) > 0
+                                    THEN NULL
+                                ELSE t.toks[i + 1] END),
+                        x -> x IS NOT NULL),
+                    ' ')
+           END AS text
+    FROM toks t
+    JOIN documents d ON d.doc_id = t.doc_id
+    LEFT JOIN sp ON sp.doc_id = t.doc_id
+    WHERE t.doc_id % 50 <> 0
+    ORDER BY doc_id
+    """,
+    description="Surgically redacted corpus — contaminated_spans piped "
+    "through apply_span_redaction (operators/corpus.py): each benchmark-"
+    "overlapping passage collapses to ONE [redacted] marker, clean docs "
+    "keep their original text byte-for-byte (only contaminated docs are "
+    "rebuilt from the tokenizer's coordinate system). Spans aggregate to "
+    "one array per affected doc and join back once; the rewrite is one "
+    "row-local expression. The oracle recomputes positions, island "
+    "merging, and the token-level rewrite in SQL.",
+)
+def q_redacted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corp = docs.where(F.col("doc_id") % 50 != 0)
+    spans = _corpus.contaminated_spans(corp, bench, "doc_id", "text", n=4)
+    return (
+        _corpus.apply_span_redaction(corp, spans, "doc_id", "text")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_decontaminate_bloom",
     oracle=_bloom_oracle(
         _TOKS_CTE, "d.doc_id % 50 = 0", n=4, m_bits=1 << 20, k=4
@@ -5994,6 +6076,7 @@ _GRADING_ORDER = [
     "q_pagerank_directed",
     # r6: span-level decontamination (surgical redaction intervals)
     "q_contaminated_spans",
+    "q_redacted_corpus",
 ]
 
 

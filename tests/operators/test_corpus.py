@@ -746,3 +746,55 @@ class TestContaminatedSpans:
             if r["contaminated"]
         }
         assert span_docs == flagged
+
+
+class TestApplySpanRedaction:
+    def test_span_collapses_to_one_marker(self, spark):
+        from ons_utils_spark.operators.corpus import (
+            apply_span_redaction,
+            contaminated_spans,
+        )
+
+        quote = "q0 q1 q2 q3 q4 q5 q6 q7"
+        doc = "a0 a1 a2 a3 a4 " + quote + " b0 b1 b2"
+        corpus = spark.createDataFrame(
+            [(1, doc), (2, "c0 c1 c2")], "doc_id bigint, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "x " + quote + " y")], "bench_id bigint, text string"
+        )
+        spans = contaminated_spans(corpus, bench, "doc_id", "text", n=4)
+        out = {
+            r["doc_id"]: r["text"]
+            for r in apply_span_redaction(
+                corpus, spans, "doc_id", "text"
+            ).collect()
+        }
+        assert out[1] == "a0 a1 a2 a3 a4 [redacted] b0 b1 b2"
+
+    def test_clean_docs_keep_original_bytes(self, spark):
+        from ons_utils_spark.operators.corpus import apply_span_redaction
+
+        original = "  MiXeD   Case    spacing  "
+        corpus = spark.createDataFrame(
+            [(2, original)], "doc_id bigint, text string"
+        )
+        spans = spark.createDataFrame(
+            [], "id bigint, span_start int, span_end int"
+        )
+        out = apply_span_redaction(corpus, spans, "doc_id", "text").collect()
+        assert out[0]["text"] == original  # untouched, not re-tokenized
+
+    def test_custom_replacement_and_multiple_spans(self, spark):
+        from ons_utils_spark.operators.corpus import apply_span_redaction
+
+        corpus = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3 t4 t5 t6 t7")], "doc_id bigint, text string"
+        )
+        spans = spark.createDataFrame(
+            [(1, 0, 2), (1, 5, 7)], "id bigint, span_start int, span_end int"
+        )
+        out = apply_span_redaction(
+            corpus, spans, "doc_id", "text", replacement="<X>"
+        ).collect()
+        assert out[0]["text"] == "<X> t2 t3 t4 <X> t7"

@@ -102,6 +102,9 @@ TRIPLE_SCAN_OK = {
     # benchmark slice + two corpus passes (gram-derive ids, anti-join
     # output) — the id-based anti-join design, not redundant recompute.
     "q_decontaminate",
+    # same shape: benchmark slice + corpus positional-gram pass + the
+    # corpus pass the span table joins back onto for the rewrite.
+    "q_redacted_corpus",
     # three step-sliced scans, one per funnel step type — disjoint rows.
     "q_funnel_conversion",
     # exact median, then MAD of residuals, then scoring: a genuinely

@@ -1,0 +1,97 @@
+"""Append-only partitioned delta stores — the shared durable layout
+behind the incrementally-maintained sketches (Count-Min in
+``operators/sketches.py``, Bloom in ``operators/corpus.py``).
+
+One recipe, one layout: every delta lands under a ``batch_id=<id>``
+partition directory (sentinel ``-1`` for batch callers); a streaming
+replay statically overwrites exactly its own partition, making the
+at-least-once ``foreachBatch`` contract effectively exactly-once for any
+MERGEABLE delta type (cell sums, bit ORs). Loaders re-aggregate on read;
+compaction is a rewrite with the loader's output (associativity makes
+any compaction schedule equivalent).
+
+LLM-data-pipeline extension (no reference twin — the reference's I/O
+surface stops at CSV/Hive reads, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+
+def _root_level_data_files(spark, path: str) -> "list[str]":
+    """Data files sitting at the store ROOT (outside any ``batch_id=``
+    partition directory) — the pre-r6 plain-append layout. Empty list if
+    the path doesn't exist or holds only partition dirs + commit markers.
+
+    Uses the Hadoop FileSystem API through the JVM gateway so the check
+    works on any Hadoop-supported scheme, not just ``file://``.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    offenders = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() or name.startswith(("_", ".")):
+            continue
+        offenders.append(name)
+    return offenders
+
+
+def partitioned_delta_append(
+    delta: SparkDF,
+    path: str,
+    batch_id: "int | None" = None,
+) -> None:
+    """Write one batch's mergeable deltas into an append-only store.
+
+    ``batch_id=None`` (batch caller): append under the sentinel
+    partition ``batch_id=-1``. With ``batch_id`` (a ``foreachBatch``
+    micro-batch id): REPLACE exactly that batch's partition via a static
+    overwrite of ``<path>/batch_id=<id>/`` — a replayed checkpointed
+    micro-batch replaces its own deltas instead of double-counting them
+    (the standard idempotent-sink recipe). The overwrite is
+    unconditional: a replay whose deltas come out EMPTY still truncates
+    the partition, so stale rows from the first attempt cannot survive
+    (dynamic-partition overwrite would have written nothing and left
+    them in place).
+
+    Raises if the store has root-level data files — the pre-r6 plain
+    append layout. Mixing the two layouts corrupts partition discovery
+    (root files and ``batch_id=`` dirs can't coexist in one parquet
+    partition scheme), so a legacy store must be migrated ONCE before
+    its first partitioned append: read it and rewrite through this
+    function (merge-on-read makes the rewrite lossless)::
+
+        legacy = spark.read.parquet(path).select(<delta columns>)
+        partitioned_delta_append(legacy, new_path)   # lands at batch_id=-1
+
+    ``delta`` must not itself contain a ``batch_id`` column.
+    """
+    if "batch_id" in delta.columns:
+        raise ValueError(
+            "delta already has a 'batch_id' column — the store layout "
+            "owns that name"
+        )
+    offenders = _root_level_data_files(delta.sparkSession, path)
+    if offenders:
+        raise ValueError(
+            f"store at {path!r} has {len(offenders)} root-level data "
+            f"file(s) (e.g. {offenders[0]!r}) — a pre-partitioned-layout "
+            "store. Migrate once before appending: read the legacy "
+            "store, select the delta columns, and rewrite it through "
+            "partitioned_delta_append at a fresh path (merge-on-read "
+            "makes the rewrite lossless); then retire the legacy path."
+        )
+    if batch_id is None:
+        (
+            delta.withColumn("batch_id", F.lit(-1))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+        return
+    delta.write.mode("overwrite").parquet(f"{path}/batch_id={int(batch_id)}")

@@ -160,26 +160,19 @@ def bloom_append_batch(
     """Write one batch's Bloom word deltas into an append-only store.
 
     Same durable layout as the Count-Min store
-    (``operators/sketches.py::sketch_append_batch``): every delta lands
-    under a ``batch_id=<id>`` partition (sentinel ``-1`` for batch
-    callers); a streaming replay overwrites exactly its own partition —
-    though for a Bloom filter even a plain double-append is HARMLESS
-    (bit OR is idempotent), the shared layout keeps the two stores
-    operationally identical. :func:`load_bloom` merges on read.
+    (``operators/sketches.py::sketch_append_batch``) — both delegate to
+    :func:`ons_utils_spark.sources.store.partitioned_delta_append`:
+    every delta lands under a ``batch_id=<id>`` partition (sentinel
+    ``-1`` for batch callers); a streaming replay overwrites exactly its
+    own partition — though for a Bloom filter even a plain double-append
+    is HARMLESS (bit OR is idempotent), the shared layout keeps the two
+    stores operationally identical. :func:`load_bloom` merges on read.
     """
+    from ons_utils_spark.sources.store import partitioned_delta_append
+
     _validate_bloom_params(m_bits, k)
     words = bloom_build(batch, text_col, n=n, m_bits=m_bits, k=k)
-    if batch_id is None:
-        (
-            words.withColumn("batch_id", F.lit(-1))
-            .write.mode("append")
-            .partitionBy("batch_id")
-            .parquet(bloom_path)
-        )
-        return
-    words.write.mode("overwrite").parquet(
-        f"{bloom_path}/batch_id={int(batch_id)}"
-    )
+    partitioned_delta_append(words, bloom_path, batch_id=batch_id)
 
 
 def load_bloom(spark, bloom_path: str) -> SparkDF:

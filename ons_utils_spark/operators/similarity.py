@@ -395,6 +395,7 @@ def hard_negatives_srp(
     n_planes: int = 8,
     seed: int = 42,
     multiprobe: bool = True,
+    max_bucket: "int | None" = 4096,
 ) -> SparkDF:
     """Approximate hard negatives via SRP-LSH buckets — the scale path
     past ~10⁸ vectors, where :func:`hard_negatives_blocked`'s exact
@@ -419,8 +420,24 @@ def hard_negatives_srp(
     probe count, instead of quadratic. Recall < 1 by construction
     (a hard negative whose bucket differs from the anchor's probed set
     is missed); tune ``n_planes`` DOWN or keep multiprobe on for higher
-    recall, and validate against the exact operator on a sample.
+    recall, and validate against the exact operator on a sample
+    (measured recall curve: ``SCALING.md`` §SRP recall).
     Returns the same ``(id, neg_id, cos_sim, rank)`` contract.
+
+    ``max_bucket`` guards against bucket SKEW — the clustered-embedding
+    case hard-negative mining exists for: real corpora concentrate in a
+    few sign patterns, and an unguarded hot bucket becomes one
+    ``applyInPandas`` straggler doing a near-full BLAS matmul (the same
+    hazard ``fuzzy.py`` bounds with its ``max_bucket``). Any bucket
+    whose anchor or candidate side exceeds ``max_bucket`` rows is split
+    2-D: each side hash-salts into ``ceil(side/max_bucket)`` chunks and
+    is replicated across the OTHER side's chunks, so groups become
+    (bucket, anchor_salt, cand_salt) blocks of ≤ ``max_bucket`` rows per
+    side. Total FLOPs are unchanged — the hot bucket's matmul is tiled
+    across tasks instead of serialized in one. Every (anchor, candidate)
+    pair still meets in exactly ONE group (each row has one salt on its
+    own side), so results are bit-identical to the unguarded plan;
+    ``None`` disables the guard.
     """
     spark = df.sparkSession
     id_ddl = df.schema[id_col].dataType.simpleString()
@@ -453,10 +470,65 @@ def hard_negatives_srp(
         f"anchor_label {label_ddl}"
     )
     n_parts = spark.sparkContext.defaultParallelism
+    if max_bucket is None:
+        local = (
+            anchors.unionByName(cands)
+            .repartition(n_parts, "g")
+            .groupBy("g")
+            .applyInPandas(_make_local_topk(k), out_schema)
+        )
+        return _global_topk_reduce(local, k)
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1 or None (got {max_bucket})")
+    # Skew guard — ONE scan: per-bucket side counts come from a window
+    # over the union ALREADY shuffled by `g` (a groupBy-count + join-back
+    # would rescan the input twice more), so the only added cost is the
+    # per-bucket sort/count — row-wise and spillable even for a hot
+    # bucket, unlike the BLAS matmul the salting bounds. Each row salts
+    # its OWN side by id-hash and replicates across the OTHER side's
+    # salt range; both expressions are row-local post-window.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g")
+    is_a = F.col("side") == "a"
+    salts_a = F.greatest(
+        F.lit(1),
+        F.ceil(
+            F.sum(is_a.cast("long")).over(w) / F.lit(max_bucket)
+        ),
+    ).cast("int")
+    salts_c = F.greatest(
+        F.lit(1),
+        F.ceil(
+            F.sum((~is_a).cast("long")).over(w) / F.lit(max_bucket)
+        ),
+    ).cast("int")
     local = (
         anchors.unionByName(cands)
         .repartition(n_parts, "g")
-        .groupBy("g")
+        .withColumn("__sa", salts_a)
+        .withColumn("__sc", salts_c)
+        .withColumn(
+            "__own",
+            F.pmod(
+                F.xxhash64("id", F.lit(seed)),
+                F.when(is_a, F.col("__sa")).otherwise(F.col("__sc")),
+            ).cast("int"),
+        )
+        .withColumn(
+            "__other",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(is_a, F.col("__sc")).otherwise(F.col("__sa")) - 1,
+                )
+            ),
+        )
+        .withColumn("__as", F.when(is_a, F.col("__own")).otherwise(F.col("__other")))
+        .withColumn("__cs", F.when(is_a, F.col("__other")).otherwise(F.col("__own")))
+        .drop("__sa", "__sc", "__own", "__other")
+        .repartition(n_parts, "g", "__as", "__cs")
+        .groupBy("g", "__as", "__cs")
         .applyInPandas(_make_local_topk(k), out_schema)
     )
     return _global_topk_reduce(local, k)

@@ -177,29 +177,15 @@ def sketch_append_batch(
     (static overwrite of ``batch_id=<id>/``) — replaying a checkpointed
     micro-batch replaces its own deltas instead of double-counting them,
     making the at-least-once foreachBatch contract effectively
-    exactly-once (the standard idempotent-sink recipe). The overwrite is
-    unconditional: a replay whose cells come out EMPTY still truncates
-    the partition, so stale deltas from the first attempt cannot survive
-    (dynamic-partition overwrite would have written nothing and left
-    them in place).
+    exactly-once (the standard idempotent-sink recipe). The write recipe
+    (sentinel partition, replay overwrite, legacy-layout guard) is
+    shared with the Bloom store via
+    :func:`ons_utils_spark.sources.store.partitioned_delta_append`.
     """
+    from ons_utils_spark.sources.store import partitioned_delta_append
+
     sk = count_min_build(batch, key_col, depth, width)
-    if batch_id is None:
-        (
-            sk.withColumn("batch_id", F.lit(-1))
-            .write.mode("append")
-            .partitionBy("batch_id")
-            .parquet(sketch_path)
-        )
-        return
-    # Static overwrite of the one partition directory. partitionBy +
-    # dynamic overwrite would be equivalent when `sk` is non-empty, but
-    # writes NO partitions when it is empty — leaving a replayed batch's
-    # stale deltas in place. Writing the (possibly empty) cell set
-    # straight at the partition path truncates it either way.
-    sk.write.mode("overwrite").parquet(
-        f"{sketch_path}/batch_id={int(batch_id)}"
-    )
+    partitioned_delta_append(sk, sketch_path, batch_id=batch_id)
 
 
 def load_sketch(spark, sketch_path: str) -> SparkDF:

@@ -19,25 +19,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
 
-def _root_level_data_files(spark, path: str) -> "list[str]":
+def _root_level_data_files(path: str) -> "list[str]":
     """Data files sitting at the store ROOT (outside any ``batch_id=``
     partition directory) — the pre-r6 plain-append layout. Empty list if
     the path doesn't exist or holds only partition dirs + commit markers.
 
-    Uses the Hadoop FileSystem API through the JVM gateway so the check
-    works on any Hadoop-supported scheme, not just ``file://``.
+    Uses ``pyarrow.fs`` (public API — SURVEY §1.1 bars the
+    ``spark._jvm``/``_jsc`` escape hatch, which is also absent under
+    Spark Connect). ``FileSystem.from_uri`` resolves local paths,
+    ``file://``, ``s3://``, ``hdfs://`` alike, matching the swap logic
+    in :func:`ons_utils_spark.sources.write.merge_overwrite`.
     """
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
+    from pyarrow import fs as pafs
+
+    filesystem, resolved = pafs.FileSystem.from_uri(path)
+    root = filesystem.get_file_info(resolved)
+    if root.type == pafs.FileType.NotFound:
         return []
     offenders = []
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if status.isDirectory() or name.startswith(("_", ".")):
+    selector = pafs.FileSelector(resolved, recursive=False)
+    for info in filesystem.get_file_info(selector):
+        if info.type == pafs.FileType.Directory:
             continue
-        offenders.append(name)
+        if info.base_name.startswith(("_", ".")):
+            continue
+        offenders.append(info.base_name)
     return offenders
 
 
@@ -69,14 +75,23 @@ def partitioned_delta_append(
         legacy = spark.read.parquet(path).select(<delta columns>)
         partitioned_delta_append(legacy, new_path)   # lands at batch_id=-1
 
-    ``delta`` must not itself contain a ``batch_id`` column.
+    ``delta`` must not itself contain a ``batch_id`` column, and a
+    streaming ``batch_id`` must be non-negative (negative ids collide
+    with the batch-caller sentinel partition ``batch_id=-1``, and the
+    unconditional overwrite would silently destroy every accumulated
+    batch-mode delta).
     """
     if "batch_id" in delta.columns:
         raise ValueError(
             "delta already has a 'batch_id' column — the store layout "
             "owns that name"
         )
-    offenders = _root_level_data_files(delta.sparkSession, path)
+    if batch_id is not None and int(batch_id) < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}) — negative ids are "
+            "reserved for the batch-caller sentinel partition batch_id=-1"
+        )
+    offenders = _root_level_data_files(path)
     if offenders:
         raise ValueError(
             f"store at {path!r} has {len(offenders)} root-level data "

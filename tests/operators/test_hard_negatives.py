@@ -184,3 +184,126 @@ class TestHardNegativesSrp:
         assert out  # clusters share buckets, so negatives exist
         for r in out:
             assert r["rank"] in (1, 2)
+
+
+class TestSrpSkewGuard:
+    """max_bucket — the bucket-skew guard. Clustered real-world
+    embeddings concentrate in a few SRP sign patterns; unguarded, a hot
+    bucket is ONE applyInPandas straggler doing a near-full matmul. The
+    guard tiles it into (anchor_salt, cand_salt) blocks of bounded side
+    size, bit-identically (each pair still meets in exactly one group)."""
+
+    def _one_bucket(self, spark, n=64, dim=8):
+        # near-identical vectors (tiny jitter, signs never flip) → every
+        # vector lands in the SAME SRP bucket: the pathological hot key.
+        import random
+
+        rng = random.Random(3)
+        base = [1.0] * dim
+        vecs = [
+            (
+                i,
+                [x + rng.uniform(-1e-4, 1e-4) for x in base],
+                i % 2,
+            )
+            for i in range(n)
+        ]
+        return vecs, _rows(spark, vecs)
+
+    def test_fixture_really_is_one_bucket(self, spark):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.similarity import (
+            make_planes,
+            srp_signature,
+        )
+
+        _, df = self._one_bucket(spark)
+        planes = make_planes(8, n_planes=6, seed=42)
+        n_buckets = (
+            df.select(srp_signature("embedding", planes).alias("b"))
+            .agg(F.countDistinct("b").alias("n"))
+            .collect()[0]["n"]
+        )
+        assert n_buckets == 1
+
+    def test_guarded_matches_unguarded_bit_for_bit(self, spark):
+        from ons_utils_spark.operators.similarity import hard_negatives_srp
+
+        _, df = self._one_bucket(spark)
+        kw = dict(k=3, dim=8, n_planes=6)
+        unguarded = sorted(
+            map(
+                tuple,
+                hard_negatives_srp(
+                    df, "vec_id", "embedding", "label",
+                    max_bucket=None, **kw
+                ).collect(),
+            )
+        )
+        guarded = sorted(
+            map(
+                tuple,
+                hard_negatives_srp(
+                    df, "vec_id", "embedding", "label", max_bucket=8, **kw
+                ).collect(),
+            )
+        )
+        assert guarded == unguarded and len(guarded) == 64 * 3
+
+    def test_group_sizes_are_bounded(self, spark, monkeypatch):
+        """Instrument the BLAS kernel with a per-group size assertion —
+        a group whose either side exceeds the salted bound fails the job
+        from inside the executor, so the test proves EVERY group the
+        plan actually ran was bounded (hash salting is approximate, so
+        the bound carries a 3x imbalance allowance)."""
+        import ons_utils_spark.operators.similarity as sim
+
+        cap = 8
+        real_make = sim._make_local_topk
+
+        def checked_make(k):
+            inner = real_make(k)
+
+            def checked(pdf):
+                n_a = int((pdf["side"] == "a").sum())
+                n_c = int((pdf["side"] == "b").sum())
+                if n_a > 3 * cap or n_c > 3 * cap:
+                    raise AssertionError(
+                        f"unbounded group: {n_a} anchors x {n_c} cands "
+                        f"(cap {cap})"
+                    )
+                return inner(pdf)
+
+            return checked
+
+        monkeypatch.setattr(sim, "_make_local_topk", checked_make)
+        _, df = self._one_bucket(spark)
+        out = sim.hard_negatives_srp(
+            df, "vec_id", "embedding", "label",
+            k=2, dim=8, n_planes=6, max_bucket=cap,
+        ).collect()
+        assert len(out) == 64 * 2
+        # and the UNGUARDED plan on the same fixture would have run the
+        # full 64x64 in one group — prove the instrumentation would
+        # catch it (sanity check on the test itself):
+        import pytest as _pytest
+
+        from py4j.protocol import Py4JJavaError
+
+        with _pytest.raises(Exception):
+            sim.hard_negatives_srp(
+                df, "vec_id", "embedding", "label",
+                k=2, dim=8, n_planes=6, max_bucket=None,
+            ).collect()
+
+    def test_max_bucket_validation(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.similarity import hard_negatives_srp
+
+        _, df = self._one_bucket(spark, n=4)
+        with _pytest.raises(ValueError, match="max_bucket"):
+            hard_negatives_srp(
+                df, "vec_id", "embedding", "label", dim=8, max_bucket=0
+            )

@@ -1,0 +1,97 @@
+"""The shared append-only partitioned delta store
+(``sources/store.py::partitioned_delta_append``) — the one write recipe
+behind the Count-Min store (``operators/sketches.py``) and the Bloom
+store (``operators/corpus.py``). Replay/accumulation semantics are also
+covered end-to-end through those callers
+(``tests/operators/test_sketches.py::TestDurableStore``,
+``tests/streaming/``); this file pins the helper's own contract:
+layouts, guards, and the legacy-store raise."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.sources.store import partitioned_delta_append
+
+
+@pytest.fixture()
+def delta(spark):
+    return spark.createDataFrame([(0, 7), (1, 9)], "word bigint, bits bigint")
+
+
+class TestLayout:
+    def test_batch_caller_lands_under_sentinel_partition(
+        self, spark, delta, tmp_path
+    ):
+        path = str(tmp_path / "store")
+        partitioned_delta_append(delta, path)
+        assert (tmp_path / "store" / "batch_id=-1").is_dir()
+        got = spark.read.parquet(path)
+        assert got.count() == 2
+        assert set(got.select("batch_id").distinct().toPandas()["batch_id"]) == {-1}
+
+    def test_streaming_caller_lands_under_its_own_partition(
+        self, spark, delta, tmp_path
+    ):
+        path = str(tmp_path / "store")
+        partitioned_delta_append(delta, path, batch_id=3)
+        assert (tmp_path / "store" / "batch_id=3").is_dir()
+        assert spark.read.parquet(path).count() == 2
+
+    def test_replay_replaces_only_its_own_partition(self, spark, delta, tmp_path):
+        path = str(tmp_path / "store")
+        partitioned_delta_append(delta, path)  # sentinel
+        partitioned_delta_append(delta, path, batch_id=0)
+        # replay batch 0 with HALF the rows — batch 0 shrinks, sentinel intact
+        partitioned_delta_append(delta.limit(1), path, batch_id=0)
+        got = spark.read.parquet(path)
+        assert got.where(F.col("batch_id") == 0).count() == 1
+        assert got.where(F.col("batch_id") == -1).count() == 2
+
+    def test_empty_replay_truncates_the_partition(self, spark, delta, tmp_path):
+        path = str(tmp_path / "store")
+        partitioned_delta_append(delta, path, batch_id=5)
+        partitioned_delta_append(delta.limit(0), path, batch_id=5)
+        assert spark.read.parquet(path).count() == 0
+
+
+class TestGuards:
+    def test_delta_may_not_carry_a_batch_id_column(self, spark, delta, tmp_path):
+        poisoned = delta.withColumn("batch_id", F.lit(9))
+        with pytest.raises(ValueError, match="batch_id"):
+            partitioned_delta_append(poisoned, str(tmp_path / "store"))
+
+    def test_negative_batch_id_is_reserved(self, spark, delta, tmp_path):
+        """batch_id=-1 is the batch-caller sentinel; a streaming caller
+        passing a negative id would unconditionally overwrite it and
+        silently destroy every accumulated batch-mode delta."""
+        with pytest.raises(ValueError, match="reserved"):
+            partitioned_delta_append(delta, str(tmp_path / "store"), batch_id=-1)
+
+    def test_legacy_root_level_store_raises_before_corruption(
+        self, spark, delta, tmp_path
+    ):
+        """A pre-partitioned-layout store (plain appends → data files at
+        the root) must be rejected: mixing root files with batch_id=
+        dirs corrupts partition discovery."""
+        path = str(tmp_path / "legacy")
+        delta.write.mode("append").parquet(path)  # legacy plain append
+        with pytest.raises(ValueError, match="root-level"):
+            partitioned_delta_append(delta, path)
+
+    def test_commit_markers_do_not_trip_the_legacy_guard(
+        self, spark, delta, tmp_path
+    ):
+        """_SUCCESS / dotfiles at the root are commit markers, not data —
+        a healthy partitioned store keeps accepting appends."""
+        path = str(tmp_path / "store")
+        partitioned_delta_append(delta, path)  # writes _SUCCESS at root
+        assert (tmp_path / "store" / "_SUCCESS").exists()
+        partitioned_delta_append(delta, path, batch_id=0)
+        got = spark.read.parquet(path)
+        assert got.count() == 4
+
+    def test_missing_path_is_a_fresh_store(self, spark, delta, tmp_path):
+        partitioned_delta_append(delta, str(tmp_path / "brand_new"))
+        assert spark.read.parquet(str(tmp_path / "brand_new")).count() == 2

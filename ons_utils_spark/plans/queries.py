@@ -5924,8 +5924,13 @@ _GRADING_ORDER = [
     "q_concat_with_keys",
     "q_concat_schema_coercion",
     "q_map_col_region_names",
-    "q_scalar_functions",
-    "q_json_props",
+    # r8 rotation: q_scalar_functions / q_json_props (long-green simple
+    # expression shapes, still full-registry-checked in the tail) swap
+    # out for the two strongest never-graded r6 oracle classes — Bloom
+    # decontamination (bit-exact seed-chain recomputation in SQL) and
+    # span-level surgical decontamination (interval algebra).
+    "q_decontaminate_bloom",
+    "q_contaminated_spans",
     "q_array_diff",
     "q_except_all_priorities",
     # -- streaming batch-twins --------------------------------------------
@@ -6066,17 +6071,18 @@ _GRADING_ORDER = [
     # r6: the SRP-bucketed hard-negatives scale path, full value oracle
     # (plane constants inlined; bucket+multiprobe+ranking replayed in SQL)
     "q_hard_negatives_srp",
-    # r6: Bloom-filter decontamination, bit-exact oracle (ngram_hash_cte
-    # + Count-Min seed chains recompute every bloom position in SQL)
-    "q_decontaminate_bloom",
     # r6: one-permutation MinHash signatures, bit-exact lane oracle
     "q_oph_minhash",
     # r6: directed PageRank with dangling-mass redistribution (oracle
     # unrolls the recurrence incl. a per-iteration dangling-mass CTE)
     "q_pagerank_directed",
-    # r6: span-level decontamination (surgical redaction intervals)
-    "q_contaminated_spans",
+    # r6: span-level decontamination, redaction half
     "q_redacted_corpus",
+    # r8: rotated OUT of the graded window (in since r1; expression-only
+    # shapes with no shuffle to regress) to admit q_decontaminate_bloom
+    # and q_contaminated_spans above
+    "q_scalar_functions",
+    "q_json_props",
 ]
 
 

@@ -798,3 +798,82 @@ class TestApplySpanRedaction:
             corpus, spans, "doc_id", "text", replacement="<X>"
         ).collect()
         assert out[0]["text"] == "<X> t2 t3 t4 <X> t7"
+
+
+class TestSpanRedactionBroadcast:
+    """broadcast_spans — the small-side strategy: the aggregated span
+    table is a few percent of the corpus, so by default it broadcasts
+    and the corpus never shuffles for the join-back."""
+
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a b c d"), (2, "e f g h")], "doc_id bigint, text string"
+        )
+        spans = spark.createDataFrame(
+            [(1, 1, 3)], "id bigint, span_start int, span_end int"
+        )
+        return corpus, spans
+
+    def test_default_plan_broadcasts_the_spans(self, spark):
+        from ons_utils_spark.operators.corpus import apply_span_redaction
+
+        corpus, spans = self._frames(spark)
+        plan = (
+            apply_span_redaction(corpus, spans, "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_opt_out_falls_back_to_shuffle_join(self, spark):
+        from ons_utils_spark.operators.corpus import apply_span_redaction
+
+        corpus, spans = self._frames(spark)
+        out = apply_span_redaction(
+            corpus, spans, "doc_id", "text", broadcast_spans=False
+        )
+        # Same result either way — the flag is a physical-plan choice.
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert got == {1: "a [redacted] d", 2: "e f g h"}
+
+
+class TestBloomFprCalibration:
+    """Pin the measured false-positive rate against the standard Bloom
+    bound fpr = (1 - e^(-k*n/m))^k. The filter's determinism is covered
+    elsewhere; this test proves the SIZING RULE is trustworthy — an
+    operator whose real FPR drifted from theory (biased hashing, probe
+    position reuse) would over-drop clean documents silently."""
+
+    def test_measured_fpr_within_3x_of_theory(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.corpus import decontaminate_bloom
+
+        n_inserted, n_probes, m_bits, k = 1000, 5000, 8192, 4
+        # one distinct bigram per benchmark doc / per probe doc, token
+        # vocabularies disjoint → every flagged probe is a FALSE positive
+        bench = spark.createDataFrame(
+            [(i, f"b{i} c{i}") for i in range(n_inserted)],
+            "bench_id bigint, text string",
+        )
+        clean = spark.createDataFrame(
+            [(j, f"x{j} y{j}") for j in range(n_probes)],
+            "id bigint, text string",
+        )
+        flagged = (
+            decontaminate_bloom(
+                clean, bench, "id", "text",
+                n=2, m_bits=m_bits, k=k, mode="flag",
+            )
+            .where(F.col("contaminated"))
+            .count()
+        )
+        measured = flagged / n_probes
+        theory = (1 - math.exp(-k * n_inserted / m_bits)) ** k
+        # theory ≈ 0.022 → ~110 expected FPs; 3x both ways is >10 sigma
+        assert theory / 3 <= measured <= 3 * theory, (
+            f"measured fpr {measured:.4f} vs theory {theory:.4f}"
+        )

@@ -206,6 +206,38 @@ def median(xs: list[float]) -> float:
     return round(s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2, 3)
 
 
+def add_normalized(out: dict, trials: "list[dict] | None" = None) -> dict:
+    """Attach calibration-normalized channels (r7 verdict ask #8).
+
+    The bench host's speed drifts ±30% between rounds and ±12% between
+    trials, which makes raw cross-round per-query comparison useless —
+    r7's 'regressions' were entirely host drift. Dividing each trial's
+    query times by that SAME trial's calibration probe (a fixed Spark
+    job independent of this repo's code) cancels the drift; the medians
+    of those ratios are the cross-round per-query trend line, in units
+    of 'calibration seconds'.
+    """
+    if trials:
+        norm = {
+            q: median(
+                [t["queries"][q] / t["calibration_sec"] for t in trials]
+            )
+            for q in out["queries"]
+        }
+        s16_steady = median(
+            [t["shared16_steady"] / t["calibration_sec"] for t in trials]
+        )
+    else:
+        cal = out["calibration_sec"]
+        norm = {q: round(v / cal, 3) for q, v in out["queries"].items()}
+        s16_steady = round(out["shared16_steady"] / cal, 3)
+    out["queries_normalized"] = norm
+    out["value_norm"] = round(sum(norm.values()), 3)
+    out["shared16_norm"] = round(sum(norm[n] for n in HEADLINE[:16]), 3)
+    out["shared16_steady_norm"] = s16_steady
+    return out
+
+
 def emit(out: dict) -> None:
     """Print the full record, then a COMPACT summary as the LAST line.
 
@@ -231,9 +263,20 @@ def emit(out: dict) -> None:
             "steady_total",
             "n_trials",
             "calibration_sec",
+            "value_norm",
+            "shared16_norm",
+            "shared16_steady_norm",
         )
         if k in out
     }
+    # Per-query normalized values travel as a LIST aligned with the
+    # `queries` key order — a second 28-key map would outgrow the
+    # driver's ~2000-char tail window and null the whole parse (the r4
+    # incident); the full dict is on the record line above.
+    if "queries_normalized" in out:
+        compact["norm"] = [
+            out["queries_normalized"][q] for q in out["queries"]
+        ]
     print(json.dumps(compact))
 
 
@@ -244,7 +287,7 @@ def main() -> None:
 
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     if n_trials <= 1:
-        emit(run_trial())
+        emit(add_normalized(run_trial()))
         return
 
     import subprocess
@@ -309,7 +352,7 @@ def main() -> None:
         ],
         "calibration_sec": median([t["calibration_sec"] for t in trials]),
     }
-    emit(out)
+    emit(add_normalized(out, trials))
 
 
 if __name__ == "__main__":

@@ -396,6 +396,7 @@ def hard_negatives_srp(
     seed: int = 42,
     multiprobe: bool = True,
     max_bucket: "int | None" = 4096,
+    n_tables: int = 1,
 ) -> SparkDF:
     """Approximate hard negatives via SRP-LSH buckets — the scale path
     past ~10⁸ vectors, where :func:`hard_negatives_blocked`'s exact
@@ -416,12 +417,25 @@ def hard_negatives_srp(
 
     Sizing rule: pick ``n_planes ≈ log2(n / target_bucket)`` (e.g.
     target ~10³ vectors per bucket), and total compute is
-    O(n · target_bucket · n_planes · d) — near-linear in ``n`` with the
-    probe count, instead of quadratic. Recall < 1 by construction
-    (a hard negative whose bucket differs from the anchor's probed set
-    is missed); tune ``n_planes`` DOWN or keep multiprobe on for higher
-    recall, and validate against the exact operator on a sample
-    (measured recall curve: ``SCALING.md`` §SRP recall).
+    O(n · target_bucket · n_planes · d · n_tables) — near-linear in
+    ``n`` with the probe count, instead of quadratic. Recall < 1 by
+    construction (a hard negative whose bucket differs from the
+    anchor's probed set in EVERY table is missed).
+
+    ``n_tables`` is the recall lever (measured curve: ``SCALING.md``
+    §SRP recall): a single signature misses too much on clustered data
+    (0.56 recall@5 at the best single-table setting on the 10× probe
+    fixture), so the standard LSH repair applies — ``n_tables``
+    independent plane sets, candidates unioned across tables, pairs
+    deduped exactly before ranking (a pair can co-bucket in several
+    tables; ``cos_sim`` is deterministic so the dedup is a no-op on
+    values). Recall compounds roughly as ``1-(1-r₁)^L``; the 20k-vector
+    probe measured, at ``n_planes=4 + multiprobe``: 0.56 (L=1) → 0.79
+    (2) → 0.90 (3) → 0.95 (4) → 0.99 (6) recall@5, with compute still
+    ~n·bucket per table. **Recommended default at the sizing rule:
+    ``n_tables=4``** (≥0.9 with margin). ``n_tables=1`` keeps the r6
+    single-table contract bit-for-bit (and is this signature's default
+    only for that compatibility).
     Returns the same ``(id, neg_id, cos_sim, rank)`` contract.
 
     ``max_bucket`` guards against bucket SKEW — the clustered-embedding
@@ -439,16 +453,34 @@ def hard_negatives_srp(
     own side), so results are bit-identical to the unguarded plan;
     ``None`` disables the guard.
     """
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1 (got {n_tables})")
     spark = df.sparkSession
     id_ddl = df.schema[id_col].dataType.simpleString()
     label_ddl = df.schema[label_col].dataType.simpleString()
-    planes = make_planes(dim, n_planes=n_planes, seed=seed)
+    # One signature per table, all computed in a single projection over
+    # ONE scan (table 0 keeps the historical seed so n_tables=1 is
+    # byte-compatible with the r6 contract and its SQL oracle).
+    table_sigs = [
+        F.struct(
+            F.lit(t).cast("int").alias("t"),
+            srp_signature(
+                vec_col,
+                make_planes(
+                    dim,
+                    n_planes=n_planes,
+                    seed=seed if t == 0 else seed + 7919 * t,
+                ),
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
     data = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.col(label_col).alias("label"),
-        srp_signature(vec_col, planes).alias("bucket"),
-    )
+        F.explode(F.array(*table_sigs)).alias("tb"),
+    ).select("id", "vec", "label", "tb.t", "tb.bucket")
     probes = [F.col("bucket")]
     if multiprobe:
         probes += [
@@ -459,25 +491,44 @@ def hard_negatives_srp(
         "id",
         "vec",
         "label",
+        "t",
         F.explode(F.array(*probes)).alias("g"),
         F.lit("a").alias("side"),
     )
     cands = data.select(
-        "id", "vec", "label", F.col("bucket").alias("g"), F.lit("b").alias("side")
+        "id",
+        "vec",
+        "label",
+        "t",
+        F.col("bucket").alias("g"),
+        F.lit("b").alias("side"),
     )
     out_schema = (
         f"id {id_ddl}, neg_id {id_ddl}, cos_sim double, "
         f"anchor_label {label_ddl}"
     )
     n_parts = spark.sparkContext.defaultParallelism
+
+    def reduce_tables(local: SparkDF) -> SparkDF:
+        # Within ONE table a pair meets in at most one group, but across
+        # tables the same (anchor, candidate) pair scores once per table
+        # it co-buckets in — dedup before ranking or the window would
+        # count one neighbor as several ranks. cos_sim is deterministic
+        # (rounded in the kernel), so max() is exact, not a tie-break.
+        if n_tables > 1:
+            local = local.groupBy("id", "neg_id").agg(
+                F.max("cos_sim").alias("cos_sim")
+            )
+        return _global_topk_reduce(local, k)
+
     if max_bucket is None:
         local = (
             anchors.unionByName(cands)
-            .repartition(n_parts, "g")
-            .groupBy("g")
+            .repartition(n_parts, "t", "g")
+            .groupBy("t", "g")
             .applyInPandas(_make_local_topk(k), out_schema)
         )
-        return _global_topk_reduce(local, k)
+        return reduce_tables(local)
     if max_bucket < 1:
         raise ValueError(f"max_bucket must be >= 1 or None (got {max_bucket})")
     # Skew guard — ONE scan: per-bucket side counts come from a window
@@ -489,7 +540,7 @@ def hard_negatives_srp(
     # salt range; both expressions are row-local post-window.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("g")
+    w = Window.partitionBy("t", "g")
     is_a = F.col("side") == "a"
     salts_a = F.greatest(
         F.lit(1),
@@ -505,7 +556,7 @@ def hard_negatives_srp(
     ).cast("int")
     local = (
         anchors.unionByName(cands)
-        .repartition(n_parts, "g")
+        .repartition(n_parts, "t", "g")
         .withColumn("__sa", salts_a)
         .withColumn("__sc", salts_c)
         .withColumn(
@@ -527,11 +578,11 @@ def hard_negatives_srp(
         .withColumn("__as", F.when(is_a, F.col("__own")).otherwise(F.col("__other")))
         .withColumn("__cs", F.when(is_a, F.col("__other")).otherwise(F.col("__own")))
         .drop("__sa", "__sc", "__own", "__other")
-        .repartition(n_parts, "g", "__as", "__cs")
-        .groupBy("g", "__as", "__cs")
+        .repartition(n_parts, "t", "g", "__as", "__cs")
+        .groupBy("t", "g", "__as", "__cs")
         .applyInPandas(_make_local_topk(k), out_schema)
     )
-    return _global_topk_reduce(local, k)
+    return reduce_tables(local)
 
 
 def random_projection_reduce(

@@ -1,9 +1,10 @@
-from ons_utils_spark.sources.store import partitioned_delta_append
+from ons_utils_spark.sources.store import compact_store, partitioned_delta_append
 from ons_utils_spark.sources.tables import TABLES, load_table, load_tables, register_views
 
 __all__ = [
     "TABLES",
     "load_table",
+    "compact_store",
     "load_tables",
     "partitioned_delta_append",
     "register_views",

@@ -110,3 +110,58 @@ def partitioned_delta_append(
         )
         return
     delta.write.mode("overwrite").parquet(f"{path}/batch_id={int(batch_id)}")
+
+
+def compact_store(merged: SparkDF, path: str) -> None:
+    """Rewrite a delta store as ONE merged delta — the maintenance half
+    of the append-only contract.
+
+    Long-running stores accumulate one partition directory per batch
+    (a year of 5-minute micro-batches is ~10⁵ directories), and at some
+    point partition DISCOVERY — not the merge-on-read aggregation —
+    dominates load time. Because every delta type this layout stores is
+    mergeable (cell sums, bit ORs), compaction is semantically free:
+    pass the loader's output (``load_sketch`` / ``load_bloom``) and the
+    store collapses to a single sentinel partition holding the same
+    aggregate; associativity makes any compaction schedule equivalent.
+
+    The rewrite stages next to the store and promotes via directory
+    swap (the :func:`ons_utils_spark.sources.write.merge_overwrite`
+    recipe) so a crash mid-compaction cannot leave a half-written
+    store; readers between the delete and the move see a missing path,
+    not corrupt data — documented non-atomic, like every plain-parquet
+    swap in this repo (an ACID table format is the production answer).
+
+    ``merged`` must be DERIVED FROM the store at ``path`` via the
+    loader — the caller materializes it BEFORE the swap deletes its
+    input (this function forces that with a local checkpoint if the
+    plan is still lazy).
+    """
+    if "batch_id" in merged.columns:
+        raise ValueError(
+            "merged delta already has a 'batch_id' column — pass the "
+            "loader's output, not the raw store read"
+        )
+    # Cut lineage BEFORE touching the directory the plan reads from:
+    # a lazy plan re-scanned after the swap would read its own output
+    # (or nothing). localCheckpoint materializes to executor storage.
+    merged = merged.localCheckpoint(eager=True)
+    staging = path.rstrip("/") + ".__compact_tmp"
+    (
+        merged.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(staging)
+    )
+    from pyarrow import fs as pafs
+
+    filesystem, dst = pafs.FileSystem.from_uri(path)
+    _, src = pafs.FileSystem.from_uri(staging)
+    filesystem.delete_dir(dst)
+    try:
+        filesystem.move(src, dst)
+    except Exception as exc:
+        raise IOError(
+            f"compact_store: compacted store staged at {staging} but "
+            f"promoting it to {path} failed — recover manually"
+        ) from exc

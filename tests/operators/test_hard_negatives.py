@@ -307,3 +307,96 @@ class TestSrpSkewGuard:
             hard_negatives_srp(
                 df, "vec_id", "embedding", "label", dim=8, max_bucket=0
             )
+
+
+class TestSrpMultiTable:
+    """n_tables — the recall lever. A single SRP signature misses hard
+    negatives whose bucket differs from every probed one; L independent
+    plane sets union their candidates, and the reduction dedups pairs
+    EXACTLY (a pair can co-bucket in several tables), so ranks stay
+    contiguous and (id, neg_id) unique."""
+
+    def _clustered(self, spark):
+        t = TestHardNegativesSrp()
+        return t._clustered(spark)
+
+    def test_multi_table_is_dup_free_and_contiguous(self, spark):
+        from collections import Counter
+
+        from ons_utils_spark.operators.similarity import hard_negatives_srp
+
+        _, df = self._clustered(spark)
+        rows = hard_negatives_srp(
+            df, "vec_id", "embedding", "label",
+            k=3, dim=8, n_planes=4, n_tables=4,
+        ).collect()
+        pairs = Counter((r["id"], r["neg_id"]) for r in rows)
+        assert max(pairs.values()) == 1
+        by_anchor = {}
+        for r in rows:
+            by_anchor.setdefault(r["id"], []).append(r["rank"])
+        assert all(
+            sorted(v) == list(range(1, len(v) + 1))
+            for v in by_anchor.values()
+        )
+
+    def test_recall_never_drops_with_more_tables(self, spark):
+        """Candidate sets union across tables, so every (anchor, neg)
+        pair found at L=1 is found at L=4 — with ranks possibly shifted
+        upward only by NEW higher-sim negatives."""
+        from ons_utils_spark.operators.similarity import hard_negatives_srp
+
+        _, df = self._clustered(spark)
+        kw = dict(k=3, dim=8, n_planes=4, multiprobe=False)
+        one = {
+            (r["id"], r["neg_id"])
+            for r in hard_negatives_srp(
+                df, "vec_id", "embedding", "label", n_tables=1, **kw
+            ).collect()
+        }
+        four_rows = hard_negatives_srp(
+            df, "vec_id", "embedding", "label", n_tables=4, **kw
+        ).collect()
+        four_sims = {}
+        for r in four_rows:
+            four_sims.setdefault(r["id"], []).append(r["cos_sim"])
+        # every anchor keeps at least as many (and >= as similar) negs
+        one_by_anchor = {}
+        for i, n in one:
+            one_by_anchor[i] = one_by_anchor.get(i, 0) + 1
+        for anchor, cnt in one_by_anchor.items():
+            assert len(four_sims.get(anchor, [])) >= cnt
+
+    def test_matches_exact_on_clustered_fixture(self, spark):
+        from ons_utils_spark.operators.similarity import hard_negatives_srp
+
+        _, df = self._clustered(spark)
+        exact = sorted(
+            map(
+                tuple,
+                hard_negatives_blocked(
+                    df, "vec_id", "embedding", "label", k=3
+                ).collect(),
+            )
+        )
+        multi = sorted(
+            map(
+                tuple,
+                hard_negatives_srp(
+                    df, "vec_id", "embedding", "label",
+                    k=3, dim=8, n_planes=4, n_tables=3,
+                ).collect(),
+            )
+        )
+        assert multi == exact
+
+    def test_n_tables_validation(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.similarity import hard_negatives_srp
+
+        _, df = self._clustered(spark)
+        with _pytest.raises(ValueError, match="n_tables"):
+            hard_negatives_srp(
+                df, "vec_id", "embedding", "label", dim=8, n_tables=0
+            )

@@ -95,3 +95,96 @@ class TestGuards:
     def test_missing_path_is_a_fresh_store(self, spark, delta, tmp_path):
         partitioned_delta_append(delta, str(tmp_path / "brand_new"))
         assert spark.read.parquet(str(tmp_path / "brand_new")).count() == 2
+
+
+class TestCompaction:
+    """compact_store — the maintenance half: a long-running store's
+    per-batch partition dirs collapse to one sentinel partition holding
+    the loader's merged aggregate (mergeable deltas make any compaction
+    schedule equivalent)."""
+
+    def _filled_sketch(self, spark, tmp_path, n_batches=4):
+        from ons_utils_spark.operators.sketches import sketch_append_batch
+
+        path = str(tmp_path / "sk")
+        for b in range(n_batches):
+            batch = spark.createDataFrame(
+                [(b * 10 + i,) for i in range(20)], "k bigint"
+            )
+            sketch_append_batch(batch, "k", path, 4, 256, batch_id=b)
+        return path
+
+    def test_compaction_preserves_the_sketch(self, spark, tmp_path):
+        from ons_utils_spark.operators.sketches import load_sketch
+        from ons_utils_spark.sources.store import compact_store
+
+        path = self._filled_sketch(spark, tmp_path)
+        before = sorted(map(tuple, load_sketch(spark, path).collect()))
+        compact_store(load_sketch(spark, path), path)
+        after = sorted(map(tuple, load_sketch(spark, path).collect()))
+        assert after == before
+        # one partition directory left, holding the merged cells
+        parts = [
+            p.name
+            for p in (tmp_path / "sk").iterdir()
+            if p.name.startswith("batch_id=")
+        ]
+        assert parts == ["batch_id=-1"]
+
+    def test_store_keeps_accepting_appends_after_compaction(
+        self, spark, tmp_path
+    ):
+        from ons_utils_spark.operators.sketches import (
+            count_min_build,
+            load_sketch,
+            sketch_append_batch,
+        )
+        from ons_utils_spark.sources.store import compact_store
+
+        path = self._filled_sketch(spark, tmp_path, n_batches=2)
+        compact_store(load_sketch(spark, path), path)
+        extra = spark.createDataFrame([(999,)] * 5, "k bigint")
+        sketch_append_batch(extra, "k", path, 4, 256, batch_id=7)
+        got = sorted(map(tuple, load_sketch(spark, path).collect()))
+        everything = spark.createDataFrame(
+            [(b * 10 + i,) for b in range(2) for i in range(20)]
+            + [(999,)] * 5,
+            "k bigint",
+        )
+        want = sorted(
+            map(tuple, count_min_build(everything, "k", 4, 256).collect())
+        )
+        assert got == want
+
+    def test_compaction_preserves_the_bloom_filter(self, spark, tmp_path):
+        from ons_utils_spark.operators.corpus import (
+            bloom_append_batch,
+            load_bloom,
+        )
+        from ons_utils_spark.sources.store import compact_store
+
+        path = str(tmp_path / "bloom")
+        for b in range(3):
+            docs = spark.createDataFrame(
+                [(i, f"tok{b} tok{b + 1} tok{i}") for i in range(10)],
+                "id bigint, text string",
+            )
+            bloom_append_batch(docs, "text", path, m_bits=4096, batch_id=b)
+        before = sorted(map(tuple, load_bloom(spark, path).collect()))
+        compact_store(load_bloom(spark, path), path)
+        after = sorted(map(tuple, load_bloom(spark, path).collect()))
+        assert after == before
+
+    def test_rejects_raw_store_reads(self, spark, tmp_path):
+        """Passing the raw partitioned read (still carrying batch_id)
+        instead of the loader's merged output must raise — compacting
+        unmerged deltas under one partition would be fine semantically
+        but the batch_id column would collide with the layout's."""
+        import pytest as _pytest
+
+        from ons_utils_spark.sources.store import compact_store
+
+        path = self._filled_sketch(spark, tmp_path, n_batches=2)
+        raw = spark.read.parquet(path)
+        with _pytest.raises(ValueError, match="loader"):
+            compact_store(raw, path)

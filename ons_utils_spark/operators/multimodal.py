@@ -119,22 +119,33 @@ def _paeth(a: int, b: int, c: int) -> int:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+#: raw channel count per PNG color type (RFC 2083 §4.1.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: allowed bit depths per color type (16-bit is declared out of scope)
+_PNG_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+
+
 def decode_png_bytes(data: bytes) -> tuple[int, int, int, list[int]]:
-    """REAL decode of an 8-bit truecolor PNG — stdlib ``zlib`` only.
+    """REAL decode of the common PNG subset — stdlib ``zlib`` only.
 
     PNG's only compression method is DEFLATE, which ``zlib`` speaks, so
-    the common pipeline-emitted subset decodes honestly without codec
-    libraries: 8-bit-per-sample RGB (color type 2) and RGBA (color
-    type 6), non-interlaced. The full recipe per RFC 2083: concatenate
-    the IDAT chunks, inflate, then reverse each scanline's filter
-    (None/Sub/Up/Average/Paeth) against the reconstructed prior
-    scanline. Returns ``(width, height, channels, pixels)`` with pixels
-    flattened row-major, channel-interleaved — the same contract as
-    :func:`decode_bmp_bytes`. Raises ``ValueError`` on non-PNG or
-    corrupt bytes and ``NotImplementedError`` on the variants that need
-    more than DEFLATE (palette, grayscale, 16-bit, Adam7 interlace).
-    Chunk CRCs are not verified (zlib's own Adler-32 check still guards
-    the pixel stream).
+    the pipeline-emitted subset decodes honestly without codec
+    libraries: grayscale (color type 0, depths 1/2/4/8, scaled to
+    0-255), truecolor RGB (type 2), palette (type 3, depths 1/2/4/8,
+    expanded through PLTE; a tRNS chunk upgrades output to RGBA),
+    gray+alpha (type 4) and RGBA (type 6) — all non-interlaced. The
+    full recipe per RFC 2083: concatenate the IDAT chunks, inflate,
+    reverse each scanline's filter (None/Sub/Up/Average/Paeth, at the
+    byte stride ``bpp``) against the reconstructed prior scanline, then
+    unpack sub-byte samples MSB-first and expand palette indices.
+    Returns ``(width, height, channels, pixels)`` with pixels flattened
+    row-major, channel-interleaved — the same contract as
+    :func:`decode_bmp_bytes`; ``channels`` is 1 (gray), 2 (gray+alpha),
+    3 (RGB / opaque palette) or 4 (RGBA / palette+tRNS). Raises
+    ``ValueError`` on non-PNG or corrupt bytes and
+    ``NotImplementedError`` on the two declared-out-of-scope variants
+    (16-bit samples, Adam7 interlace). Chunk CRCs are not verified
+    (zlib's own Adler-32 check still guards the pixel stream).
     """
     import struct
     import zlib
@@ -143,7 +154,9 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError("not a PNG payload")
     pos = 8
     width = height = None
-    channels = 0
+    bit_depth = color_type = 0
+    palette: "bytes | None" = None
+    trns: "bytes | None" = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4: pos + 8]
@@ -163,15 +176,20 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, list[int]]:
                 )
             if interlace != 0:
                 raise NotImplementedError("Adam7-interlaced PNG")
-            if bit_depth != 8:
-                raise NotImplementedError(
-                    f"{bit_depth}-bit PNG (only 8-bit samples supported)"
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {color_type}")
+            if bit_depth == 16:
+                raise NotImplementedError("16-bit PNG samples")
+            if bit_depth not in _PNG_DEPTHS[color_type]:
+                raise ValueError(
+                    f"illegal depth {bit_depth} for color type {color_type}"
                 )
-            if color_type not in (2, 6):
-                raise NotImplementedError(
-                    f"PNG color type {color_type} (only truecolor RGB/RGBA)"
-                )
-            channels = 3 if color_type == 2 else 4
+        elif ctype == b"PLTE":
+            if length == 0 or length % 3:
+                raise ValueError(f"bad PLTE length {length}")
+            palette = bytes(chunk)
+        elif ctype == b"tRNS":
+            trns = bytes(chunk)
         elif ctype == b"IDAT":
             idat += chunk
         elif ctype == b"IEND":
@@ -181,6 +199,8 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError("PNG missing IHDR")
     if width == 0 or height == 0:
         raise ValueError(f"bad PNG dimensions {width}x{height}")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
     if not idat:
         raise ValueError("PNG missing IDAT")
     try:
@@ -188,12 +208,25 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, list[int]]:
     except zlib.error as e:
         raise ValueError(f"corrupt PNG pixel stream: {e}") from e
 
-    rowbytes = width * channels
+    raw_channels = _PNG_CHANNELS[color_type]
+    rowbytes = (width * raw_channels * bit_depth + 7) // 8
+    # filter stride: whole bytes per pixel, min 1 (sub-byte depths
+    # filter at stride 1 per RFC 2083 §6.2)
+    bpp = max(1, (raw_channels * bit_depth) // 8)
     if len(raw) != (rowbytes + 1) * height:
         raise ValueError(
             f"PNG pixel stream is {len(raw)} bytes, "
             f"expected {(rowbytes + 1) * height}"
         )
+
+    # sub-byte sample scaling (gray 1/2/4-bit → 0-255) and palette prep
+    gray_scale = 255 // ((1 << bit_depth) - 1) if bit_depth < 8 else 1
+    pal_n = len(palette) // 3 if palette is not None else 0
+    pal_alpha = color_type == 3 and trns is not None
+    channels = (
+        (4 if pal_alpha else 3) if color_type == 3 else raw_channels
+    )
+
     pixels: list[int] = []
     prior = bytearray(rowbytes)  # scanline above row 0 is all zero
     for r in range(height):
@@ -201,24 +234,48 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, list[int]]:
         ftype = raw[base]
         line = bytearray(raw[base + 1: base + 1 + rowbytes])
         if ftype == 1:  # Sub
-            for i in range(channels, rowbytes):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, rowbytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(rowbytes):
                 line[i] = (line[i] + prior[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(rowbytes):
-                left = line[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(rowbytes):
-                left = line[i - channels] if i >= channels else 0
-                upleft = prior[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = prior[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(left, prior[i], upleft)) & 0xFF
         elif ftype != 0:  # 0 = None
             raise ValueError(f"bad PNG filter type {ftype} on row {r}")
-        pixels.extend(line)
         prior = line
+
+        if bit_depth == 8:
+            samples = line
+        else:  # unpack MSB-first, exactly `width` samples (pad bits drop)
+            per_byte = 8 // bit_depth
+            mask = (1 << bit_depth) - 1
+            samples = [
+                (line[i // per_byte]
+                 >> (8 - bit_depth * (i % per_byte + 1))) & mask
+                for i in range(width)
+            ]
+        if color_type == 3:
+            for idx in samples:
+                if idx >= pal_n:
+                    raise ValueError(
+                        f"palette index {idx} out of range (PLTE has "
+                        f"{pal_n} entries)"
+                    )
+                pixels.extend(palette[idx * 3: idx * 3 + 3])
+                if pal_alpha:
+                    pixels.append(trns[idx] if idx < len(trns) else 255)
+        elif color_type == 0 and bit_depth < 8:
+            pixels.extend(s * gray_scale for s in samples)
+        else:
+            pixels.extend(samples)
     return width, height, channels, pixels
 
 
@@ -227,7 +284,8 @@ def decode_image(df: SparkDF, payload_col: str = "payload", fake: bool = False) 
 
     ``fake=False`` REALLY decodes uncompressed BMP payloads (24/32-bit
     BI_RGB — :func:`decode_bmp_bytes`, dependency-free struct unpacking)
-    and 8-bit truecolor PNG payloads (RGB/RGBA, non-interlaced —
+    and non-interlaced PNG payloads (grayscale / RGB / palette+PLTE(+
+    tRNS) / gray+alpha / RGBA, sub-byte depths included —
     :func:`decode_png_bytes`, stdlib zlib inflate + scanline
     unfiltering), dispatched on magic bytes; any other format (JPEG/
     WebP/… need codec libs not in this container) raises

@@ -293,11 +293,16 @@ def make_png(
     bit_depth=8,
     color_type=None,
     with_ancillary=False,
+    palette=None,
+    trns=None,
 ):
-    """Minimal PNG encoder: IHDR + (split) IDAT + IEND, applying the
-    requested per-row filter type (0-4) forward so the decoder's
-    unfiltering of every filter is exercised. ``rows`` is rows of
-    (r, g, b[, a]) tuples, top-to-bottom."""
+    """Minimal PNG encoder: IHDR + [PLTE/tRNS] + (split) IDAT + IEND,
+    applying the requested per-row filter type (0-4) forward so the
+    decoder's unfiltering of every filter is exercised. ``rows`` is rows
+    of (r, g, b[, a]) tuples top-to-bottom — or, for palette /
+    sub-byte-grayscale images, rows of plain ints (palette indices or
+    gray samples), packed MSB-first at ``bit_depth``. ``palette`` is a
+    list of (r, g, b); ``trns`` a list of alphas."""
     import struct
     import zlib
 
@@ -314,20 +319,35 @@ def make_png(
             + struct.pack(">I", zlib.crc32(ctype + payload))
         )
 
+    def pack_row(samples):
+        if bit_depth == 8:
+            return bytes(samples)
+        per_byte = 8 // bit_depth
+        out = bytearray((len(samples) + per_byte - 1) // per_byte)
+        for i, s in enumerate(samples):
+            out[i // per_byte] |= s << (8 - bit_depth * (i % per_byte + 1))
+        return bytes(out)
+
     ihdr = struct.pack(
         ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
     )
     filters = filters if filters is not None else [0] * height
+    raw_channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = max(1, (raw_channels * bit_depth) // 8)
+    rowbytes = (width * raw_channels * bit_depth + 7) // 8
     raw = b""
-    prior = bytes(width * channels)
+    prior = bytes(rowbytes)
     for r in range(height):
-        line = bytes(v for px in rows[r] for v in px)
+        if rows[r] and isinstance(rows[r][0], tuple):
+            line = bytes(v for px in rows[r] for v in px)
+        else:
+            line = pack_row(rows[r])
         f = filters[r]
         filt = bytearray()
         for i in range(len(line)):
-            left = line[i - channels] if i >= channels else 0
+            left = line[i - bpp] if i >= bpp else 0
             up = prior[i]
-            upleft = prior[i - channels] if i >= channels else 0
+            upleft = prior[i - bpp] if i >= bpp else 0
             if f == 0:
                 x = line[i]
             elif f == 1:
@@ -343,6 +363,10 @@ def make_png(
         prior = line
     comp = zlib.compress(raw)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
     if with_ancillary:
         out += chunk(b"tEXt", b"Comment\x00synthesized")
     step = max(1, len(comp) // idat_split)
@@ -397,8 +421,10 @@ class TestRealPngDecode:
 
         with pytest.raises(NotImplementedError, match="interlace"):
             decode_png_bytes(make_png(3, 3, self.PIXELS, interlace=1))
-        with pytest.raises(NotImplementedError, match="color type"):
-            decode_png_bytes(make_png(3, 3, self.PIXELS, color_type=3))
+        with pytest.raises(NotImplementedError, match="16-bit"):
+            decode_png_bytes(
+                make_png(3, 3, self.PIXELS, bit_depth=16)
+            )
 
     def test_corrupt_bytes_raise_valueerror(self):
         from ons_utils_spark.operators.multimodal import decode_png_bytes
@@ -430,3 +456,121 @@ class TestRealPngDecode:
         assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (3, 3, 3)
         assert list(rows[1]["pixels"]) == self.FLAT
         assert (rows[2]["width"], rows[2]["height"]) == (3, 2)
+
+
+class TestPngPaletteGrayscale:
+    """r8: the PNG subset widens to grayscale (sub-byte depths scaled to
+    0-255), palette via PLTE (tRNS upgrades output to RGBA), and
+    gray+alpha — closing the r7 'missing' list's palette/grayscale
+    entries. 16-bit and Adam7 stay declared NotImplementedError."""
+
+    def test_grayscale_8bit(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        rows = [[0, 128, 255], [10, 20, 30]]
+        w, h, c, px = decode_png_bytes(
+            make_png(3, 2, rows, color_type=0, filters=[2, 4])
+        )
+        assert (w, h, c) == (3, 2, 1)
+        assert px == [0, 128, 255, 10, 20, 30]
+
+    @pytest.mark.parametrize(
+        "depth,samples,scaled",
+        [
+            (1, [1, 0, 1, 1, 0], [255, 0, 255, 255, 0]),
+            (2, [0, 1, 2, 3, 2], [0, 85, 170, 255, 170]),
+            (4, [0, 5, 10, 15, 7], [0, 85, 170, 255, 119]),
+        ],
+    )
+    def test_grayscale_subbyte_scales_to_255(self, depth, samples, scaled):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        w, h, c, px = decode_png_bytes(
+            make_png(5, 1, [samples], color_type=0, bit_depth=depth)
+        )
+        assert (w, h, c) == (5, 1, 1)
+        assert px == scaled
+
+    def test_gray_alpha(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        rows = [[(7, 255), (200, 0)]]
+        w, h, c, px = decode_png_bytes(
+            make_png(2, 1, rows, color_type=4, filters=[1])
+        )
+        assert (w, h, c) == (2, 1, 2)
+        assert px == [7, 255, 200, 0]
+
+    PAL = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+    def test_palette_8bit(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        rows = [[0, 1, 2], [3, 2, 0]]
+        w, h, c, px = decode_png_bytes(
+            make_png(
+                3, 2, rows, color_type=3, palette=self.PAL, filters=[0, 2]
+            )
+        )
+        assert (w, h, c) == (3, 2, 3)
+        assert px == [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9, 0, 0, 255, 255, 0, 0]
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_palette_subbyte_indices(self, depth):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        n_idx = 1 << depth
+        pal = self.PAL[: min(n_idx, 4)]
+        rows = [[i % len(pal) for i in range(5)]]
+        w, h, c, px = decode_png_bytes(
+            make_png(5, 1, rows, color_type=3, bit_depth=depth, palette=pal)
+        )
+        assert (w, h, c) == (5, 1, 3)
+        want = []
+        for i in range(5):
+            want.extend(pal[i % len(pal)])
+        assert px == want
+
+    def test_palette_trns_adds_alpha(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        rows = [[0, 1, 2]]
+        w, h, c, px = decode_png_bytes(
+            make_png(
+                3, 1, rows, color_type=3, palette=self.PAL, trns=[128, 0]
+            )
+        )
+        # tRNS shorter than PLTE: entries past its end are opaque (255)
+        assert (w, h, c) == (3, 1, 4)
+        assert px == [255, 0, 0, 128, 0, 255, 0, 0, 0, 0, 255, 255]
+
+    def test_palette_index_out_of_range_raises(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        rows = [[0, 3]]  # PLTE below has only 2 entries
+        with pytest.raises(ValueError, match="palette index"):
+            decode_png_bytes(
+                make_png(2, 1, rows, color_type=3, palette=self.PAL[:2])
+            )
+
+    def test_palette_missing_plte_raises(self):
+        from ons_utils_spark.operators.multimodal import decode_png_bytes
+
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_png_bytes(make_png(2, 1, [[0, 1]], color_type=3))
+
+    def test_end_to_end_through_mapinpandas(self, spark):
+        from ons_utils_spark.operators.multimodal import decode_image
+
+        png = make_png(
+            3, 2, [[0, 1, 2], [3, 2, 0]], color_type=3, palette=self.PAL
+        )
+        gray = make_png(2, 1, [[5, 250]], color_type=0)
+        df = spark.createDataFrame(
+            [(1, bytearray(png)), (2, bytearray(gray))],
+            "doc_id bigint, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in decode_image(df, fake=False).collect()}
+        assert (rows[1]["width"], rows[1]["channels"]) == (3, 3)
+        assert (rows[2]["width"], rows[2]["channels"]) == (2, 1)
+        assert list(rows[2]["pixels"]) == [5, 250]

@@ -321,9 +321,10 @@ def decode_image(df: SparkDF, payload_col: str = "payload", fake: bool = False) 
                     width, height, channels, pixels = decode_png_bytes(data)
                 else:
                     raise NotImplementedError(
-                        "only uncompressed BMP and 8-bit truecolor PNG "
-                        "decode without codec libraries (PIL/opencv absent "
-                        "in this environment); pass fake=True for the "
+                        "only uncompressed BMP and non-interlaced PNG "
+                        "(gray/palette/RGB/RGBA, <=8-bit samples) decode "
+                        "without codec libraries (PIL/opencv absent in "
+                        "this environment); pass fake=True for the "
                         "deterministic stub"
                     )
                 rows.append((doc_id, width, height, channels, pixels))

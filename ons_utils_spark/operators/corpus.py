@@ -344,11 +344,23 @@ def contaminated_spans(
         )
         .join(F.broadcast(bench_grams), "g", "left_semi")
     )
+    return _merge_hit_islands(hits, n)
+
+
+def _merge_hit_islands(hits: SparkDF, n: int) -> SparkDF:
+    """Merge per-document hit POSITIONS (each covering ``n`` tokens) into
+    maximal ``(id, span_start, span_end)`` islands — the reduction shared
+    by :func:`contaminated_spans` (hits vs a benchmark) and
+    :func:`self_dedup_spans` (hits vs the rest of the corpus).
+
+    Island detection over sorted hit positions: a hit starts a new span
+    iff it begins after the previous hit's window [p, p+n) ends
+    (positions ascend, so the latest previous hit has the furthest end —
+    the lag test is transitive). One window per document over its HIT
+    rows only — partitioned by doc id, bounded by hits per doc, never a
+    global window.
+    """
     w = Window.partitionBy("id").orderBy("pos")
-    # Island detection over sorted hit positions: a hit starts a new
-    # span iff it begins after the previous hit's window [p, p+n) ends
-    # (positions ascend, so the latest previous hit has the furthest
-    # end — the lag test is transitive).
     new_span = (
         F.lag("pos").over(w).isNull()
         | (F.col("pos") > F.lag("pos").over(w) + F.lit(n))
@@ -367,19 +379,77 @@ def contaminated_spans(
     )
 
 
+def self_dedup_spans(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> SparkDF:
+    """Passages duplicated ACROSS documents at ANY token alignment →
+    merged spans ``(id, span_start, span_end)`` covering every
+    occurrence OUTSIDE the keeper document.
+
+    :func:`span_dedup` cuts documents into FIXED non-overlapping
+    windows, so a duplicated passage straddling a window boundary slips
+    through. This is the arbitrary-alignment version (the practical
+    Spark form of suffix-array exact-substring dedup, Lee et al. 2022):
+    every positional ``n``-gram whose hash occurs in ≥ ``min_docs``
+    distinct documents is a hit in every NON-keeper document carrying
+    it (keeper = smallest ``id`` among carriers, so one copy of the
+    content deterministically survives), and hit windows merge into
+    maximal islands. Any duplicated run of ``m ≥ n`` tokens is a union
+    of duplicated n-grams, so islands cover exactly the tokens that
+    appear verbatim elsewhere, at full length, whatever the alignment.
+    Feed the spans to :func:`apply_span_redaction` (``replacement=None``
+    drops the tokens) to materialize the deduplicated corpus.
+
+    Scale: positional grams aggregate once by gram hash (the one big
+    shuffle — bounded 8-byte keys, never raw passages); the verdict
+    joins back on the same key, co-partitioned, so Catalyst reuses the
+    exchange; island-merging is a per-document window over hit rows
+    only. At the default ``min_docs=2`` the duplicate test is
+    ``min(id) != max(id)`` — no count-distinct pass.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            shingle_hash64(text_col, n=n, distinct=False)
+        ).alias("pos", "g"),
+    )
+    aggs = [F.min("id").alias("__keeper"), F.max("id").alias("__maxid")]
+    if min_docs > 2:
+        aggs.append(F.countDistinct("id").alias("__ndocs"))
+    stats = grams.groupBy("g").agg(*aggs)
+    duplicated = (
+        (F.col("__ndocs") >= min_docs)
+        if min_docs > 2
+        else (F.col("__keeper") != F.col("__maxid"))
+    )
+    hits = (
+        grams.join(stats, "g")
+        .where(duplicated & (F.col("id") != F.col("__keeper")))
+        .select("id", "pos")
+    )
+    return _merge_hit_islands(hits, n)
+
+
 def apply_span_redaction(
     corpus: SparkDF,
     spans: SparkDF,
     id_col: str,
     text_col: str,
-    replacement: str = "[redacted]",
+    replacement: "Optional[str]" = "[redacted]",
     broadcast_spans: bool = True,
 ) -> SparkDF:
     """Apply a ``(id, span_start, span_end)`` table (e.g. from
-    :func:`contaminated_spans`) to the corpus: each span's tokens are
-    replaced by ONE ``replacement`` marker, everything else survives
-    verbatim — the redaction half of surgical decontamination (the
-    whole-document alternative is :func:`decontaminate`).
+    :func:`contaminated_spans` or :func:`self_dedup_spans`) to the
+    corpus: each span's tokens are replaced by ONE ``replacement``
+    marker, everything else survives verbatim — the redaction half of
+    surgical decontamination (the whole-document alternative is
+    :func:`decontaminate`). ``replacement=None`` drops the span's
+    tokens outright instead of leaving a marker — the dedup semantics
+    (remove the duplicated passage, keep no trace).
 
     Returns the corpus with ``text_col`` rewritten. Docs with no spans
     keep their ORIGINAL text byte-for-byte; affected docs are rebuilt
@@ -409,14 +479,16 @@ def apply_span_redaction(
     joined = corpus.join(
         sp, corpus[id_col] == F.col("__sid"), "left"
     ).drop("__sid")
-    # Per token index i: a replacement marker where a span starts, NULL
-    # (dropped) where covered but not a start, the token otherwise.
+    # Per token index i: a replacement marker where a span starts (NULL
+    # when dropping), NULL (dropped) where covered but not a start, the
+    # token otherwise.
+    marker = "NULL" if replacement is None else "{!r}".format(replacement)
     rewrite = (
         "concat_ws(' ', filter(transform(__toks, (t, i) -> CASE "
-        "WHEN exists(__spans, s -> s.span_start = i) THEN {repl!r} "
+        "WHEN exists(__spans, s -> s.span_start = i) THEN {marker} "
         "WHEN exists(__spans, s -> i >= s.span_start AND i < s.span_end) "
         "THEN NULL ELSE t END), x -> x IS NOT NULL))"
-    ).format(repl=replacement)
+    ).format(marker=marker)
     return (
         joined.withColumn(
             "__spans",

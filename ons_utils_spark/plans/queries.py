@@ -2996,6 +2996,64 @@ def q_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_self_dedup_spans",
+    oracle=_TOKS_CTE
+    + """,
+    pos4 AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks) - 3)) AS i, toks
+        FROM toks WHERE len(toks) >= 4
+    ),
+    grams AS (
+        SELECT doc_id, (i - 1)::INT AS pos,
+               array_to_string(toks[i:i+3], ' ') AS g
+        FROM pos4
+    ),
+    stats AS (
+        SELECT g, min(doc_id) AS keeper, max(doc_id) AS maxid
+        FROM grams GROUP BY g
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM grams JOIN stats USING (g)
+        WHERE keeper <> maxid AND doc_id <> keeper
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + 4
+                    THEN 1 ELSE 0 END AS ns
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    )
+    SELECT doc_id AS id, min(pos)::INT AS span_start,
+           (max(pos) + 4)::INT AS span_end
+    FROM grp GROUP BY doc_id, g
+    ORDER BY id, span_start
+    """,
+    description="Arbitrary-alignment cross-document exact-substring "
+    "dedup (operators/corpus.py::self_dedup_spans, the practical Spark "
+    "form of suffix-array dedup, Lee et al. 2022): every positional "
+    "4-gram occurring in >=2 distinct docs marks its NON-keeper "
+    "occurrences (keeper = min doc id, so one copy survives); hit "
+    "windows merge into maximal islands — catching duplicates that "
+    "straddle span_dedup's fixed window boundaries. One gram-keyed "
+    "shuffle (8-byte keys), exchange-reused join-back, per-doc island "
+    "window over hit rows only; min(id)!=max(id) replaces "
+    "count-distinct at the default threshold. The oracle replays "
+    "keeper selection and island merge with string grams.",
+)
+def q_self_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _corpus.self_dedup_spans(docs, "doc_id", "text", n=4).orderBy(
+        "id", "span_start"
+    )
+
+
+@register(
     "q_redacted_corpus",
     oracle=_TOKS_CTE
     + """,
@@ -6117,6 +6175,8 @@ _GRADING_ORDER = [
     "q_redacted_corpus",
     # r8: multi-table SRP (the recall lever), full bit-exact oracle
     "q_hard_negatives_srp_multi",
+    # r8: suffix-array-style exact-substring dedup (arbitrary alignment)
+    "q_self_dedup_spans",
     # r8: rotated OUT of the graded window (in since r1; expression-only
     # shapes with no shuffle to regress) to admit q_decontaminate_bloom
     # and q_contaminated_spans above

@@ -877,3 +877,109 @@ class TestBloomFprCalibration:
         assert theory / 3 <= measured <= 3 * theory, (
             f"measured fpr {measured:.4f} vs theory {theory:.4f}"
         )
+
+
+class TestSelfDedupSpans:
+    """self_dedup_spans — arbitrary-alignment cross-doc exact-substring
+    dedup (the suffix-array semantics span_dedup's fixed windows miss):
+    every token run of >= n tokens appearing verbatim in another doc is
+    covered in all NON-keeper docs, whatever the alignment."""
+
+    def _corpus(self, spark):
+        shared = "alpha bravo charlie delta echo foxtrot"  # 6 tokens
+        docs = [
+            # keeper (min id among carriers of the shared run)
+            (1, "zero one " + shared + " two three"),
+            # duplicate at a DIFFERENT alignment (offset 3, not 2)
+            (2, "aaa bbb ccc " + shared + " ddd"),
+            # unrelated doc
+            (3, "unique tokens only here nothing shared at all"),
+        ]
+        return spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def test_non_keeper_occurrence_is_covered_exactly(self, spark):
+        from ons_utils_spark.operators.corpus import self_dedup_spans
+
+        df = self._corpus(spark)
+        spans = self_dedup_spans(df, "doc_id", "text", n=4).collect()
+        assert [(r["id"], r["span_start"], r["span_end"]) for r in spans] == [
+            (2, 3, 9)
+        ]
+
+    def test_straddles_fixed_window_boundary(self, spark):
+        """The case span_dedup (fixed non-overlapping windows) cannot
+        catch: the duplicate sits at different offsets in each doc, so
+        no fixed window alignment matches — positional grams do."""
+        from ons_utils_spark.operators.corpus import (
+            self_dedup_spans,
+            span_dedup,
+        )
+
+        df = self._corpus(spark)
+        fixed = span_dedup(df, "doc_id", "text", span_tokens=4).collect()
+        # fixed windows: doc1's shared run covers tokens 2-7, doc2's 3-8 —
+        # different window phases, no window repeats, nothing dropped
+        assert all(r["n_kept"] == r["n_spans"] for r in fixed)
+        spans = self_dedup_spans(df, "doc_id", "text", n=4).collect()
+        assert spans  # the arbitrary-alignment operator catches it
+
+    def test_within_doc_repetition_is_not_cross_doc(self, spark):
+        from ons_utils_spark.operators.corpus import self_dedup_spans
+
+        df = spark.createDataFrame(
+            [(1, "rep one two three rep one two three"),
+             (2, "totally different words in this doc")],
+            "doc_id bigint, text string",
+        )
+        assert self_dedup_spans(df, "doc_id", "text", n=4).count() == 0
+
+    def test_min_docs_threshold(self, spark):
+        from ons_utils_spark.operators.corpus import self_dedup_spans
+
+        shared = "w x y z q"
+        df = spark.createDataFrame(
+            [(i, f"doc{i} padding " + shared) for i in (1, 2, 3)],
+            "doc_id bigint, text string",
+        )
+        # at min_docs=4 the 3-carrier passage is below threshold
+        assert (
+            self_dedup_spans(df, "doc_id", "text", n=4, min_docs=4).count()
+            == 0
+        )
+        # at min_docs=3 both non-keepers get spans
+        got = self_dedup_spans(df, "doc_id", "text", n=4, min_docs=3)
+        assert sorted(r["id"] for r in got.collect()) == [2, 3]
+
+    def test_composes_with_drop_redaction(self, spark):
+        from ons_utils_spark.operators.corpus import (
+            apply_span_redaction,
+            self_dedup_spans,
+        )
+
+        df = self._corpus(spark)
+        spans = self_dedup_spans(df, "doc_id", "text", n=4)
+        out = {
+            r["doc_id"]: r["text"]
+            for r in apply_span_redaction(
+                df, spans, "doc_id", "text", replacement=None
+            ).collect()
+        }
+        assert out[2] == "aaa bbb ccc ddd"  # duplicate passage GONE
+        assert out[1] == "zero one alpha bravo charlie delta echo foxtrot two three"
+        assert out[3] == "unique tokens only here nothing shared at all"
+
+
+class TestRedactionDropSemantics:
+    def test_replacement_none_drops_tokens(self, spark):
+        from ons_utils_spark.operators.corpus import apply_span_redaction
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id bigint, text string"
+        )
+        spans = spark.createDataFrame(
+            [(1, 1, 4)], "id bigint, span_start int, span_end int"
+        )
+        out = apply_span_redaction(
+            corpus, spans, "doc_id", "text", replacement=None
+        ).collect()[0]["text"]
+        assert out == "a e"

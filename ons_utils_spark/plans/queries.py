@@ -3054,6 +3054,84 @@ def q_self_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_self_dedup_corpus",
+    oracle=_TOKS_CTE
+    + """,
+    pos4 AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks) - 3)) AS i, toks
+        FROM toks WHERE len(toks) >= 4
+    ),
+    grams AS (
+        SELECT doc_id, (i - 1)::INT AS pos,
+               array_to_string(toks[i:i+3], ' ') AS g
+        FROM pos4
+    ),
+    stats AS (
+        SELECT g, min(doc_id) AS keeper, max(doc_id) AS maxid
+        FROM grams GROUP BY g
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM grams JOIN stats USING (g)
+        WHERE keeper <> maxid AND doc_id <> keeper
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + 4
+                    THEN 1 ELSE 0 END AS ns
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    ),
+    sp AS (
+        SELECT doc_id,
+               list(struct_pack(s := st, e := en)) AS spans
+        FROM (SELECT doc_id, min(pos)::INT AS st, (max(pos) + 4)::INT AS en
+              FROM grp GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc_id,
+           CASE WHEN sp.doc_id IS NULL THEN d.text
+                ELSE coalesce(array_to_string(
+                    list_filter(
+                        list_transform(
+                            generate_series(0, len(t.toks) - 1),
+                            i -> CASE
+                                WHEN len(list_filter(sp.spans,
+                                         x -> i >= x.s AND i < x.e)) > 0
+                                    THEN NULL
+                                ELSE t.toks[i + 1] END),
+                        x -> x IS NOT NULL),
+                    ' '), '')
+           END AS text
+    FROM toks t
+    JOIN documents d ON d.doc_id = t.doc_id
+    LEFT JOIN sp ON sp.doc_id = t.doc_id
+    ORDER BY doc_id
+    """,
+    description="Exact-substring-deduplicated corpus — self_dedup_spans "
+    "piped through apply_span_redaction(replacement=None) (operators/"
+    "corpus.py): every passage appearing verbatim in a lower-id document "
+    "is REMOVED outright (no marker), docs with no cross-doc duplicate "
+    "keep their original text byte-for-byte. The end-to-end materialized "
+    "form of Lee-et-al-style training-data dedup: one gram-keyed "
+    "shuffle, broadcast span join-back, row-local rewrite. The oracle "
+    "recomputes keeper selection, island merge, and the drop rewrite in "
+    "SQL.",
+)
+def q_self_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    spans = _corpus.self_dedup_spans(docs, "doc_id", "text", n=4)
+    return _corpus.apply_span_redaction(
+        docs, spans, "doc_id", "text", replacement=None
+    ).select("doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "q_redacted_corpus",
     oracle=_TOKS_CTE
     + """,
@@ -6177,6 +6255,7 @@ _GRADING_ORDER = [
     "q_hard_negatives_srp_multi",
     # r8: suffix-array-style exact-substring dedup (arbitrary alignment)
     "q_self_dedup_spans",
+    "q_self_dedup_corpus",
     # r8: rotated OUT of the graded window (in since r1; expression-only
     # shapes with no shuffle to regress) to admit q_decontaminate_bloom
     # and q_contaminated_spans above

@@ -298,6 +298,16 @@ def main() -> None:
             .groupBy("lang")
             .agg(F.sum("n_chars").alias("chars"))
         ),
+        # r8: arbitrary-alignment exact-substring dedup. Disjoint token
+        # spaces per copy replicate the duplicated-passage structure
+        # linearly (each copy's internal duplicates recur; no cross-copy
+        # gram ever matches), so the probe measures the gram shuffle +
+        # per-gram window + island merge at a fair f× workload.
+        "self_dedup_spans": lambda f: __import__(
+            "ons_utils_spark.operators.corpus", fromlist=["self_dedup_spans"]
+        ).self_dedup_spans(
+            replicate_docs(documents, f), "doc_id", "text", n=4
+        ),
         # r5 additions: DSIR's two-distribution scoring (bucket tables
         # stay ≤ buckets rows at ANY corpus size — only the gram explode
         # scales) and PageRank over ×f disjoint subgraph copies (edges,

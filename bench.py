@@ -88,6 +88,10 @@ HEADLINE = [
     "q_pagerank",
     "q_hard_negatives_srp",
     "q_decontaminate_bloom",
+    # Round-8 addition: arbitrary-alignment exact-substring dedup
+    # materialized end-to-end (gram shuffle + per-gram window + island
+    # merge + row-local drop rewrite) — the new heavy corpus family.
+    "q_self_dedup_corpus",
 ]
 
 

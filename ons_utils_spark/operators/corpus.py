@@ -435,6 +435,102 @@ def self_dedup_spans(
     return _merge_hit_islands(hits, n)
 
 
+def gram_index(
+    df: SparkDF, id_col: str, text_col: str, n: int = 8
+) -> SparkDF:
+    """The persistable gram index behind incremental exact-substring
+    dedup: ``(g, keeper)`` — every distinct positional n-gram hash with
+    the smallest carrier id. Build once per corpus version; at scale,
+    write it BUCKETED by ``g`` (``sources/write.py``) so every ingest's
+    membership join is co-located, no index shuffle per batch."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingle_hash64(text_col, n=n)).alias("g"),
+        )
+        .groupBy("g")
+        .agg(F.min("id").alias("keeper"))
+    )
+
+
+def gram_index_append_batch(
+    batch: SparkDF,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    n: int = 8,
+    batch_id: "int | None" = None,
+) -> None:
+    """Append one batch's gram→keeper deltas to a durable gram-index
+    store — the third consumer of the shared partitioned delta layout
+    (``sources/store.py::partitioned_delta_append``, alongside the
+    Count-Min and Bloom stores). min() is the merge, so any interleaving
+    of batch appends and streaming replays merges losslessly;
+    :func:`load_gram_index` re-aggregates on read."""
+    from ons_utils_spark.sources.store import partitioned_delta_append
+
+    deltas = gram_index(batch, id_col, text_col, n=n)
+    partitioned_delta_append(deltas, store_path, batch_id=batch_id)
+
+
+def load_gram_index(spark, store_path: str) -> SparkDF:
+    """Read a gram-index delta store back as ONE index (min keeper per
+    gram) — feed it to :func:`self_dedup_spans_incremental`."""
+    raw = spark.read.parquet(store_path)
+    return (
+        raw.select("g", "keeper")
+        .groupBy("g")
+        .agg(F.min("keeper").alias("keeper"))
+    )
+
+
+def self_dedup_spans_incremental(
+    batch: SparkDF,
+    index: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> SparkDF:
+    """:func:`self_dedup_spans` for an INGEST batch against an already-
+    indexed corpus: spans of batch passages that appear verbatim in any
+    indexed document (at any alignment) or in a lower-id document of the
+    batch itself.
+
+    ``index`` is a ``(g, keeper)`` table from :func:`gram_index` /
+    :func:`load_gram_index`. Provided batch ids exceed every indexed id
+    (monotone ingest ids — the normal case), the result is EXACTLY
+    ``self_dedup_spans(indexed ∪ batch)`` restricted to batch documents
+    (pinned in tests): a gram present in the index makes every batch
+    occurrence a non-keeper hit; a gram new to this batch falls back to
+    the within-batch keeper rule. Per-ingest cost is O(batch grams) +
+    one membership join against the index — the 100 TB corpus is never
+    re-shingled (bucketed index → co-located join, see
+    :func:`gram_index`).
+    """
+    grams = batch.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            shingle_hash64(text_col, n=n, distinct=False)
+        ).alias("pos", "g"),
+    )
+    wg = Window.partitionBy("g")
+    batch_keeper = F.min("id").over(wg)
+    batch_dup = batch_keeper != F.max("id").over(wg)
+    hits = (
+        grams.join(
+            index.select("g", F.col("keeper").alias("__prior")), "g", "left"
+        )
+        .withColumn(
+            "__hit",
+            F.col("__prior").isNotNull()
+            | (batch_dup & (F.col("id") != batch_keeper)),
+        )
+        .where("__hit")
+        .select("id", "pos")
+    )
+    return _merge_hit_islands(hits, n)
+
+
 def apply_span_redaction(
     corpus: SparkDF,
     spans: SparkDF,

@@ -3132,6 +3132,71 @@ def q_self_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_self_dedup_incremental",
+    oracle=_TOKS_CTE
+    + """,
+    pos4 AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks) - 3)) AS i, toks
+        FROM toks WHERE len(toks) >= 4
+    ),
+    grams AS (
+        SELECT doc_id, (i - 1)::INT AS pos,
+               array_to_string(toks[i:i+3], ' ') AS g
+        FROM pos4
+    ),
+    idx AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+    bgrams AS (SELECT doc_id, pos, g FROM grams WHERE doc_id % 2 = 1),
+    bstats AS (
+        SELECT g, min(doc_id) AS keeper, max(doc_id) AS maxid
+        FROM bgrams GROUP BY g
+    ),
+    hits AS (
+        SELECT b.doc_id, b.pos
+        FROM bgrams b JOIN bstats s USING (g)
+        WHERE g IN (SELECT g FROM idx)
+           OR (s.keeper <> s.maxid AND b.doc_id <> s.keeper)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos > lag(pos) OVER w + 4
+                    THEN 1 ELSE 0 END AS ns
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    )
+    SELECT doc_id AS id, min(pos)::INT AS span_start,
+           (max(pos) + 4)::INT AS span_end
+    FROM grp GROUP BY doc_id, g
+    ORDER BY id, span_start
+    """,
+    description="Incremental exact-substring dedup (operators/corpus"
+    ".py::self_dedup_spans_incremental): an ingest batch (odd doc_ids) "
+    "deduped against the indexed corpus's gram index (even doc_ids, "
+    "operators/corpus.py::gram_index) — batch passages present in any "
+    "indexed document at ANY alignment, or duplicated within the batch, "
+    "come back as merged spans. Per-ingest cost is O(batch grams) + one "
+    "membership join (co-located against a g-bucketed index); the "
+    "corpus is never re-shingled. The durable store shares the "
+    "partitioned-delta layout (gram_index_append_batch / "
+    "load_gram_index; min() is the merge). The oracle replays index "
+    "membership, within-batch keeper rule, and island merge in SQL.",
+)
+def q_self_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    indexed = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    idx = _corpus.gram_index(indexed, "doc_id", "text", n=4)
+    return _corpus.self_dedup_spans_incremental(
+        batch, idx, "doc_id", "text", n=4
+    ).orderBy("id", "span_start")
+
+
+@register(
     "q_redacted_corpus",
     oracle=_TOKS_CTE
     + """,
@@ -6256,6 +6321,7 @@ _GRADING_ORDER = [
     # r8: suffix-array-style exact-substring dedup (arbitrary alignment)
     "q_self_dedup_spans",
     "q_self_dedup_corpus",
+    "q_self_dedup_incremental",
     # r8: rotated OUT of the graded window (in since r1; expression-only
     # shapes with no shuffle to regress) to admit q_decontaminate_bloom
     # and q_contaminated_spans above

@@ -216,3 +216,40 @@ def bloom_ingest_writer(
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def gram_index_ingest_writer(
+    stream_df,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    checkpoint_dir: str,
+    n: int = 8,
+):
+    """Maintain the exact-substring-dedup gram index over a stream —
+    the streaming half of ``operators/corpus.py::
+    self_dedup_spans_incremental``: as document shards land, each
+    micro-batch's ``(g, keeper)`` deltas append to the durable index so
+    every later ingest can span-dedup against EVERYTHING seen so far
+    without re-shingling the corpus.
+
+    Same durable recipe as :func:`sketch_ingest_writer` /
+    :func:`bloom_ingest_writer` (the shared layout in
+    ``sources/store.py``): each batch writes its own ``batch_id``
+    partition, replays overwrite exactly their partition, and
+    ``corpus.load_gram_index`` min-merges on read — min() is the merge,
+    so like the Bloom OR even a plain double-append could not corrupt
+    the keeper, and the partition overwrite keeps the store tidy under
+    at-least-once retries anyway.
+    """
+    from ons_utils_spark.operators.corpus import gram_index_append_batch
+
+    def process(batch, batch_id: int) -> None:
+        gram_index_append_batch(
+            batch, id_col, text_col, store_path, n=n, batch_id=batch_id
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

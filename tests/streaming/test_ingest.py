@@ -314,3 +314,83 @@ class TestStreamingBloomMaintenance:
                 corpus, corpus, "doc_id", "text",
                 filter_words=corpus.limit(0),
             )
+
+
+class TestStreamingGramIndexMaintenance:
+    def test_streamed_index_equals_batch_index_and_dedups(self, spark, tmp_path):
+        """Two micro-batches of corpus shards append gram-index deltas;
+        the loaded index must equal a one-shot gram_index over all docs
+        (min keeper is the lossless merge), and span-deduping a later
+        batch against it must equal deduping against the one-shot
+        index."""
+        from ons_utils_spark.operators.corpus import (
+            gram_index,
+            load_gram_index,
+            self_dedup_spans_incremental,
+        )
+        from ons_utils_spark.streaming.ingest import gram_index_ingest_writer
+
+        stream_dir = str(tmp_path / "in")
+        store = str(tmp_path / "grams")
+        ckpt = str(tmp_path / "ckpt")
+        shard1 = [(1, "alpha beta gamma delta epsilon zeta")]
+        shard2 = [(2, "one two three four five six seven")]
+        for rows in (shard1, shard2):
+            spark.createDataFrame(
+                rows, "doc_id bigint, text string"
+            ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            gram_index_ingest_writer(
+                stream, "doc_id", "text", store, ckpt, n=3
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        all_docs = spark.createDataFrame(
+            shard1 + shard2, "doc_id bigint, text string"
+        )
+        streamed = sorted(
+            map(tuple, load_gram_index(spark, store).collect())
+        )
+        whole = sorted(
+            map(tuple, gram_index(all_docs, "doc_id", "text", n=3).collect())
+        )
+        assert streamed == whole
+
+        batch = spark.createDataFrame(
+            [
+                (10, "prefix alpha beta gamma delta suffix"),  # dup vs shard1
+                (11, "completely novel never seen tokens here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        via_store = sorted(
+            map(
+                tuple,
+                self_dedup_spans_incremental(
+                    batch, load_gram_index(spark, store), "doc_id", "text", n=3
+                ).collect(),
+            )
+        )
+        via_batch = sorted(
+            map(
+                tuple,
+                self_dedup_spans_incremental(
+                    batch,
+                    gram_index(all_docs, "doc_id", "text", n=3),
+                    "doc_id",
+                    "text",
+                    n=3,
+                ).collect(),
+            )
+        )
+        assert via_store == via_batch
+        assert {r[0] for r in via_store} == {10}

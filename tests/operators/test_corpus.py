@@ -1085,3 +1085,91 @@ class TestSelfDedupIncremental:
             )
         )
         assert via_store == via_df
+
+
+class TestSelfDedupRandomizedBruteForce:
+    """Seeded random corpora from a tiny token alphabet (dense gram
+    collisions across docs) checked against a 20-line pure-Python brute
+    force of the operator's contract — the randomized-coverage layer the
+    hand-picked fixtures can't provide."""
+
+    @staticmethod
+    def _brute(docs, n):
+        toks = {d: t.split() for d, t in docs}
+        carriers = {}
+        for d, ts in toks.items():
+            for p in range(len(ts) - n + 1):
+                carriers.setdefault(tuple(ts[p: p + n]), set()).add(d)
+        spans = []
+        for d, ts in toks.items():
+            hits = [
+                p
+                for p in range(len(ts) - n + 1)
+                if len(carriers[tuple(ts[p: p + n])]) >= 2
+                and d != min(carriers[tuple(ts[p: p + n])])
+            ]
+            start = prev = None
+            for p in hits:
+                if start is None:
+                    start = prev = p
+                elif p > prev + n:
+                    spans.append((d, start, prev + n))
+                    start = prev = p
+                else:
+                    prev = p
+            if start is not None:
+                spans.append((d, start, prev + n))
+        return sorted(spans)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_brute_force_on_random_corpora(self, spark, seed):
+        import random
+
+        from ons_utils_spark.operators.corpus import self_dedup_spans
+
+        rng = random.Random(seed)
+        alphabet = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        docs = [
+            (d, " ".join(rng.choice(alphabet) for _ in range(rng.randint(8, 30))))
+            for d in range(1, 7)
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = sorted(
+            map(tuple, self_dedup_spans(df, "doc_id", "text", n=3).collect())
+        )
+        assert got == self._brute(docs, 3)
+
+    @pytest.mark.parametrize("seed", [7, 8])
+    def test_incremental_matches_brute_force_restriction(self, spark, seed):
+        """Random split into prior/batch with batch ids above prior ids:
+        the incremental operator must equal the brute force of the union
+        restricted to batch docs."""
+        import random
+
+        from ons_utils_spark.operators.corpus import (
+            gram_index,
+            self_dedup_spans_incremental,
+        )
+
+        rng = random.Random(seed)
+        alphabet = ["aa", "bb", "cc", "dd", "ee"]
+        docs = [
+            (d, " ".join(rng.choice(alphabet) for _ in range(rng.randint(8, 25))))
+            for d in range(1, 9)
+        ]
+        prior, batch = docs[:4], docs[4:]
+        mk = lambda rows: spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        )
+        idx = gram_index(mk(prior), "doc_id", "text", n=3)
+        got = sorted(
+            map(
+                tuple,
+                self_dedup_spans_incremental(
+                    mk(batch), idx, "doc_id", "text", n=3
+                ).collect(),
+            )
+        )
+        batch_ids = {d for d, _ in batch}
+        want = [s for s in self._brute(docs, 3) if s[0] in batch_ids]
+        assert got == want

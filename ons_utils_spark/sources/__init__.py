@@ -1,3 +1,4 @@
+from ons_utils_spark.sources.media import read_media_dir
 from ons_utils_spark.sources.store import compact_store, partitioned_delta_append
 from ons_utils_spark.sources.tables import TABLES, load_table, load_tables, register_views
 
@@ -7,5 +8,6 @@ __all__ = [
     "compact_store",
     "load_tables",
     "partitioned_delta_append",
+    "read_media_dir",
     "register_views",
 ]

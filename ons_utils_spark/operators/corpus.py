@@ -414,6 +414,12 @@ def self_dedup_spans(
     ``collect_set`` (document that threshold's cost before raising it
     on a hot-gram corpus).
     """
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (got {min_docs}) — a passage needs "
+            "at least two distinct carrier documents to be a cross-doc "
+            "duplicate"
+        )
     grams = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -439,10 +445,14 @@ def gram_index(
     df: SparkDF, id_col: str, text_col: str, n: int = 8
 ) -> SparkDF:
     """The persistable gram index behind incremental exact-substring
-    dedup: ``(g, keeper)`` — every distinct positional n-gram hash with
-    the smallest carrier id. Build once per corpus version; at scale,
-    write it BUCKETED by ``g`` (``sources/write.py``) so every ingest's
-    membership join is co-located, no index shuffle per batch."""
+    dedup: ``(g, keeper, n)`` — every distinct positional n-gram hash
+    with the smallest carrier id, stamped with the shingle size it was
+    built at (constant column, RLE-compresses to nothing in parquet;
+    :func:`self_dedup_spans_incremental` validates it, because an index
+    built at one ``n`` probed at another silently matches NOTHING).
+    Build once per corpus version; at scale, write it BUCKETED by ``g``
+    (``sources/write.py``) so every ingest's membership join is
+    co-located, no index shuffle per batch."""
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -450,6 +460,7 @@ def gram_index(
         )
         .groupBy("g")
         .agg(F.min("id").alias("keeper"))
+        .withColumn("n", F.lit(int(n)))
     )
 
 
@@ -475,12 +486,13 @@ def gram_index_append_batch(
 
 def load_gram_index(spark, store_path: str) -> SparkDF:
     """Read a gram-index delta store back as ONE index (min keeper per
-    gram) — feed it to :func:`self_dedup_spans_incremental`."""
+    gram, the recorded ``n`` carried through) — feed it to
+    :func:`self_dedup_spans_incremental`, which validates ``n``."""
     raw = spark.read.parquet(store_path)
     return (
-        raw.select("g", "keeper")
+        raw.select("g", "keeper", "n")
         .groupBy("g")
-        .agg(F.min("keeper").alias("keeper"))
+        .agg(F.min("keeper").alias("keeper"), F.min("n").alias("n"))
     )
 
 
@@ -506,7 +518,21 @@ def self_dedup_spans_incremental(
     one membership join against the index — the 100 TB corpus is never
     re-shingled (bucketed index → co-located join, see
     :func:`gram_index`).
+
+    If ``index`` carries the ``n`` stamp (every index this module
+    builds does), it is validated against this call's ``n`` — hashes
+    chained at different shingle sizes silently match NOTHING, so a
+    mismatch would otherwise report a duplicate-free batch.
     """
+    if "n" in index.columns:
+        stamp = index.select("n").limit(1).collect()
+        if stamp and stamp[0]["n"] != n:
+            raise ValueError(
+                f"gram index was built at n={stamp[0]['n']} but this "
+                f"call probes at n={n} — rebuild the index or pass the "
+                "matching n (mismatched shingle sizes match nothing)"
+            )
+        index = index.drop("n")
     grams = batch.select(
         F.col(id_col).alias("id"),
         F.posexplode(

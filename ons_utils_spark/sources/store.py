@@ -19,20 +19,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
 
+def _resolve_fs(path: str):
+    """``(pyarrow filesystem, resolved path)`` for ``path``.
+
+    Public API only (SURVEY §1.1 bars the ``spark._jvm``/``_jsc`` escape
+    hatch, which is also absent under Spark Connect). Bridges the two
+    gaps between Hadoop path conventions and
+    ``pyarrow.fs.FileSystem.from_uri``: the Hadoop S3 scheme aliases
+    (``s3a://``/``s3n://``) map to pyarrow's ``s3://``, and RELATIVE
+    local paths resolve to absolute (``from_uri`` rejects an empty
+    scheme). Schemeless paths resolve against the LOCAL filesystem — on
+    a cluster whose ``fs.defaultFS`` is HDFS, pass the full
+    ``hdfs://namenode/...`` URI (pyarrow's HDFS support resolves it).
+    """
+    import os
+    import re
+
+    from pyarrow import fs as pafs
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
+    if m:
+        scheme = m.group(1).lower()
+        if scheme in ("s3a", "s3n"):
+            path = "s3://" + path[len(m.group(0)):]
+    else:
+        path = os.path.abspath(path)
+    return pafs.FileSystem.from_uri(path)
+
+
 def _root_level_data_files(path: str) -> "list[str]":
     """Data files sitting at the store ROOT (outside any ``batch_id=``
     partition directory) — the pre-r6 plain-append layout. Empty list if
     the path doesn't exist or holds only partition dirs + commit markers.
-
-    Uses ``pyarrow.fs`` (public API — SURVEY §1.1 bars the
-    ``spark._jvm``/``_jsc`` escape hatch, which is also absent under
-    Spark Connect). ``FileSystem.from_uri`` resolves local paths,
-    ``file://``, ``s3://``, ``hdfs://`` alike, matching the swap logic
-    in :func:`ons_utils_spark.sources.write.merge_overwrite`.
     """
     from pyarrow import fs as pafs
 
-    filesystem, resolved = pafs.FileSystem.from_uri(path)
+    filesystem, resolved = _resolve_fs(path)
     root = filesystem.get_file_info(resolved)
     if root.type == pafs.FileType.NotFound:
         return []
@@ -125,23 +147,47 @@ def compact_store(merged: SparkDF, path: str) -> None:
     store collapses to a single sentinel partition holding the same
     aggregate; associativity makes any compaction schedule equivalent.
 
-    The rewrite stages next to the store and promotes via directory
-    swap (the :func:`ons_utils_spark.sources.write.merge_overwrite`
-    recipe) so a crash mid-compaction cannot leave a half-written
-    store; readers between the delete and the move see a missing path,
-    not corrupt data — documented non-atomic, like every plain-parquet
-    swap in this repo (an ACID table format is the production answer).
+    The rewrite stages next to the store and promotes via RENAME-ASIDE
+    (the :func:`ons_utils_spark.sources.write.compact_files` recipe, not
+    delete-then-move): the live directory renames to ``<path>.__old``
+    (metadata-only), the staged store renames in, then the aside
+    deletes. A crash in any window leaves the data recoverable — this
+    function repairs the debris of a previous crashed run on entry
+    (aside present + store missing ⇒ restore the aside; both present ⇒
+    the aside is superseded, delete it) — and a failed promotion rolls
+    the original back. Still not ACID (a reader racing the two renames
+    can see a missing path for one metadata-op window); an ACID table
+    format is the production answer, as ``sources/write.py`` notes.
 
     ``merged`` must be DERIVED FROM the store at ``path`` via the
-    loader — the caller materializes it BEFORE the swap deletes its
+    loader — the caller materializes it BEFORE the swap moves its
     input (this function forces that with a local checkpoint if the
     plan is still lazy).
+
+    **Streaming replay caveat**: compaction folds every ``batch_id``
+    partition into the sentinel, so a checkpointed ``foreachBatch``
+    REPLAY of a compacted batch can no longer overwrite its own
+    partition — it appends a second copy. For min/OR-merged stores
+    (gram index, Bloom) that is harmless (idempotent merge); for
+    SUM-merged stores (Count-Min cells) it double-counts. Compact a
+    Count-Min store only while its streaming writer is stopped and its
+    checkpoint has advanced past every batch being compacted.
     """
+    from pyarrow import fs as pafs
+
     if "batch_id" in merged.columns:
         raise ValueError(
             "merged delta already has a 'batch_id' column — pass the "
             "loader's output, not the raw store read"
         )
+    filesystem, dst = _resolve_fs(path)
+    aside = dst.rstrip("/") + ".__old"
+    # Repair debris from a previous crashed compaction FIRST.
+    if filesystem.get_file_info(aside).type != pafs.FileType.NotFound:
+        if filesystem.get_file_info(dst).type == pafs.FileType.NotFound:
+            filesystem.move(aside, dst)  # crashed between renames
+        else:
+            filesystem.delete_dir(aside)  # crashed before cleanup
     # Cut lineage BEFORE touching the directory the plan reads from:
     # a lazy plan re-scanned after the swap would read its own output
     # (or nothing). localCheckpoint materializes to executor storage.
@@ -153,15 +199,18 @@ def compact_store(merged: SparkDF, path: str) -> None:
         .partitionBy("batch_id")
         .parquet(staging)
     )
-    from pyarrow import fs as pafs
-
-    filesystem, dst = pafs.FileSystem.from_uri(path)
-    _, src = pafs.FileSystem.from_uri(staging)
-    filesystem.delete_dir(dst)
+    _, src = _resolve_fs(staging)
+    filesystem.move(dst, aside)
     try:
         filesystem.move(src, dst)
     except Exception as exc:
+        try:
+            filesystem.move(aside, dst)
+            recovered = "original store restored"
+        except Exception:  # noqa: BLE001
+            recovered = f"original preserved at {aside} — recover manually"
         raise IOError(
             f"compact_store: compacted store staged at {staging} but "
-            f"promoting it to {path} failed — recover manually"
+            f"promoting it to {path} failed — {recovered}"
         ) from exc
+    filesystem.delete_dir(aside)

@@ -1173,3 +1173,27 @@ class TestSelfDedupRandomizedBruteForce:
         batch_ids = {d for d, _ in batch}
         want = [s for s in self._brute(docs, 3) if s[0] in batch_ids]
         assert got == want
+
+
+class TestSelfDedupGuards:
+    def test_min_docs_below_two_raises(self, spark):
+        from ons_utils_spark.operators.corpus import self_dedup_spans
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="min_docs"):
+            self_dedup_spans(df, "doc_id", "text", min_docs=1)
+
+    def test_gram_index_n_mismatch_raises(self, spark):
+        """An index chained at one shingle size probed at another would
+        silently match nothing — must raise instead."""
+        from ons_utils_spark.operators.corpus import (
+            gram_index,
+            self_dedup_spans_incremental,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id bigint, text string"
+        )
+        idx = gram_index(docs, "doc_id", "text", n=8)
+        with pytest.raises(ValueError, match="n=8"):
+            self_dedup_spans_incremental(docs, idx, "doc_id", "text", n=4)

@@ -4,8 +4,9 @@ binaryFile first mile into the multimodal operators."""
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from operators.test_multimodal import make_bmp, make_png  # noqa: E402
 

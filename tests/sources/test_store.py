@@ -188,3 +188,76 @@ class TestCompaction:
         raw = spark.read.parquet(path)
         with _pytest.raises(ValueError, match="loader"):
             compact_store(raw, path)
+
+
+class TestCompactionCrashSafety:
+    """The rename-aside promotion recipe (shared with compact_files):
+    crash debris from a previous compaction is repaired on entry instead
+    of wedging or losing the store."""
+
+    def _store(self, spark, tmp_path):
+        delta = spark.createDataFrame(
+            [(0, 7), (1, 9)], "word bigint, bits bigint"
+        )
+        path = str(tmp_path / "store")
+        partitioned_delta_append(delta, path)
+        return path, delta
+
+    def test_recovers_crash_between_renames(self, spark, tmp_path):
+        """Aside present + store missing = the aside IS the live store."""
+        import shutil
+
+        from ons_utils_spark.sources.store import compact_store
+
+        path, delta = self._store(spark, tmp_path)
+        before = sorted(map(tuple, spark.read.parquet(path).collect()))
+        shutil.move(path, path + ".__old")  # simulate the crash window
+        compact_store(
+            spark.createDataFrame([(0, 7), (1, 9)], "word bigint, bits bigint"),
+            path,
+        )
+        got = spark.read.parquet(path)
+        assert sorted(
+            map(tuple, got.select("word", "bits").collect())
+        ) == [(0, 7), (1, 9)]
+        assert not (tmp_path / "store.__old").exists()
+
+    def test_clears_superseded_aside(self, spark, tmp_path):
+        """Aside AND store present = crash after promotion; the aside is
+        stale and must not block the next compaction."""
+        import shutil
+
+        from ons_utils_spark.sources.store import compact_store
+
+        path, delta = self._store(spark, tmp_path)
+        shutil.copytree(path, path + ".__old")
+        compact_store(delta, path)
+        assert spark.read.parquet(path).count() == 2
+        assert not (tmp_path / "store.__old").exists()
+
+    def test_relative_local_path_resolves(self):
+        """pyarrow's from_uri rejects empty-scheme relatives; the
+        resolver must absolutize them instead of crashing (callers
+        should still prefer absolute paths — the JVM write side
+        resolves relatives against ITS working dir, which can differ
+        from Python's after an os.chdir)."""
+        import os
+
+        from pyarrow import fs as pafs
+
+        from ons_utils_spark.sources.store import _resolve_fs
+
+        filesystem, resolved = _resolve_fs("some/rel_store")
+        assert isinstance(filesystem, pafs.LocalFileSystem)
+        assert resolved == os.path.abspath("some/rel_store")
+
+    def test_s3a_alias_maps_to_pyarrow_s3(self):
+        from ons_utils_spark.sources.store import _resolve_fs
+
+        try:
+            filesystem, resolved = _resolve_fs("s3a://bucket/key/path")
+        except OSError:
+            import pytest as _pytest
+
+            _pytest.skip("no S3 region resolution in this environment")
+        assert resolved == "bucket/key/path"

@@ -260,12 +260,12 @@ def merge_overwrite(
     merged.write.format(fmt).mode("overwrite").save(staging_path)
 
     # Swap: delete target, promote staging — via pyarrow.fs (public API;
-    # SURVEY §1.1 bars the spark._jvm/_jsc escape hatch). FileSystem.from_uri
-    # resolves local paths, file://, s3://, hdfs:// alike.
-    from pyarrow import fs as pafs
+    # SURVEY §1.1 bars the spark._jvm/_jsc escape hatch). _resolve_fs
+    # resolves local paths, file://, s3(a)://, hdfs:// alike.
+    from ons_utils_spark.sources.store import _resolve_fs
 
-    filesystem, dst = pafs.FileSystem.from_uri(target_path)
-    _, src = pafs.FileSystem.from_uri(staging_path)
+    filesystem, dst = _resolve_fs(target_path)
+    _, src = _resolve_fs(staging_path)
     filesystem.delete_dir(dst)
     try:
         filesystem.move(src, dst)
@@ -305,7 +305,9 @@ def compact_files(
 
     from pyarrow import fs as pafs
 
-    filesystem, root = pafs.FileSystem.from_uri(path)
+    from ons_utils_spark.sources.store import _resolve_fs
+
+    filesystem, root = _resolve_fs(path)
     # Recover debris from a previous crashed run FIRST — without this,
     # every later compaction wedges on the rename-target-exists error
     # (and if the crash hit between the two renames, the table path
@@ -352,7 +354,7 @@ def compact_files(
         writer = writer.partitionBy(*part_cols)
     writer.save(staging)
 
-    _, src = pafs.FileSystem.from_uri(staging)
+    _, src = _resolve_fs(staging)
     # Promote via rename-aside, NOT delete-then-move: deleting the live
     # directory first leaves an empty table path for the whole staging
     # move if the process dies in between — and compaction is routine

@@ -6169,7 +6169,11 @@ _GRADING_ORDER = [
     # span-level surgical decontamination (interval algebra).
     "q_decontaminate_bloom",
     "q_contaminated_spans",
-    "q_array_diff",
+    # r8 rotation (2): the round's flagship addition — suffix-array-
+    # style exact-substring dedup, keeper selection + island merge
+    # replayed in SQL — takes the slot of q_array_diff (expression-only
+    # zip_with shape, long green, still full-registry-checked).
+    "q_self_dedup_spans",
     "q_except_all_priorities",
     # -- streaming batch-twins --------------------------------------------
     "q_events_hourly_windows",
@@ -6318,15 +6322,16 @@ _GRADING_ORDER = [
     "q_redacted_corpus",
     # r8: multi-table SRP (the recall lever), full bit-exact oracle
     "q_hard_negatives_srp_multi",
-    # r8: suffix-array-style exact-substring dedup (arbitrary alignment)
-    "q_self_dedup_spans",
+    # r8: suffix-array-style exact-substring dedup (composed + incremental
+    # forms; the spans form itself is in the graded window)
     "q_self_dedup_corpus",
     "q_self_dedup_incremental",
     # r8: rotated OUT of the graded window (in since r1; expression-only
-    # shapes with no shuffle to regress) to admit q_decontaminate_bloom
-    # and q_contaminated_spans above
+    # shapes with no shuffle to regress) to admit q_decontaminate_bloom,
+    # q_contaminated_spans, and q_self_dedup_spans above
     "q_scalar_functions",
     "q_json_props",
+    "q_array_diff",
 ]
 
 

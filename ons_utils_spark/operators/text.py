@@ -511,3 +511,94 @@ def ngram_repetition(
         F.round(F.count(F.lit(1)) / F.sum("c"), round_to).alias("distinct_ratio"),
         F.round(F.max("c") / F.sum("c"), round_to).alias("top_ngram_ratio"),
     )
+
+
+def gopher_line_flags(
+    text: Union[str, SparkCol],
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+) -> SparkCol:
+    """The LINE-structure half of the Gopher rules (Rae et al. 2021) —
+    the rules :func:`gopher_quality_flags` documents as omitted: flag
+    documents where more than ``max_bullet_ratio`` of lines start with
+    a bullet marker or more than ``max_ellipsis_ratio`` end with an
+    ellipsis (boilerplate listings / truncated scrapes).
+
+    Returns ``struct<n_lines, bullet_ratio, ellipsis_ratio, passes>``;
+    a document without newlines is one line (ratios 0 or 1 as its own
+    content dictates). Pure row-local Catalyst expressions, zero
+    shuffle, SQL-replayable.
+    """
+    col = _col(text)
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    bullets = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^(\-|\*|•|·|‣|▪)"))
+    )
+    ellipses = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    safe_n = F.greatest(n_lines, F.lit(1))
+    bullet_ratio = F.round(bullets / safe_n, 6)
+    ellipsis_ratio = F.round(ellipses / safe_n, 6)
+    return F.struct(
+        n_lines.alias("n_lines"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        (
+            (bullet_ratio <= F.lit(max_bullet_ratio))
+            & (ellipsis_ratio <= F.lit(max_ellipsis_ratio))
+        ).alias("passes"),
+    )
+
+
+def c4_line_clean(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    banned: "tuple[str, ...]" = ("javascript", "lorem ipsum", "{"),
+    min_lines: int = 1,
+):
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines with at least ``min_words`` words, (optionally) ending in
+    terminal punctuation, and containing none of the ``banned``
+    substrings (case-insensitive); documents retaining fewer than
+    ``min_lines`` lines drop entirely.
+
+    The doc-level filters (:func:`gopher_quality_flags`,
+    :func:`quality_score`) judge documents whole; real web text needs
+    this INTRA-document pass first — navigation stubs, cookie banners
+    and code debris live on their own lines inside otherwise-good
+    documents. Returns ``(id, text, n_lines, n_kept)`` with ``text``
+    rewritten to the kept lines re-joined by newline.
+
+    Scale: one row-local expression chain (split → filter lambda →
+    array_join) — no explode, no shuffle, whole-stage-codegen'd; the
+    only data movement is whatever the caller does next.
+    """
+    def line_ok(l):
+        cond = (
+            F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+            >= F.lit(min_words)
+        )
+        if require_terminal_punct:
+            cond = cond & l.rlike(r'[.!?"]\s*$')
+        for b in banned:
+            cond = cond & ~F.contains(F.lower(l), F.lit(b.lower()))
+        return cond
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    kept = F.filter(lines, line_ok)
+    out = df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+    )
+    return out.where(F.col("n_kept") >= F.lit(min_lines))

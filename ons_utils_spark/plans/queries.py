@@ -3132,6 +3132,63 @@ def q_self_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_c4_line_clean",
+    oracle=_TOKS_CTE
+    + """,
+    lined AS (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+6], ' ')
+                for i in generate_series(1, len(toks), 7)] AS lines
+        FROM toks WHERE len(toks) > 0
+    ),
+    cleaned AS (
+        SELECT doc_id, lines,
+               list_filter(lines,
+                   l -> len(string_split(l, ' ')) >= 5
+                        AND NOT contains(l, 'slow')) AS kept
+        FROM lined
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text,
+           len(lines)::INT AS n_lines,
+           len(kept)::INT AS n_kept
+    FROM cleaned
+    WHERE len(kept) >= 1
+    ORDER BY doc_id
+    """,
+    description="C4-style line-level cleaning (operators/text.py::"
+    "c4_line_clean, Raffel et al. 2020 §2.2): per-LINE rules — minimum "
+    "word count, banned substrings (terminal-punctuation rule exists "
+    "but is off here: the synthetic corpus has no punctuation) — "
+    "rewrite each document to its surviving lines; docs keeping none "
+    "drop. The corpus has no newlines, so the query manufactures "
+    "deterministic line structure in-plan (7-token groups) in BOTH "
+    "engines; one row-local split→filter→rejoin chain, no explode, no "
+    "shuffle (plan-asserted Python/Generate-free in pytest).",
+)
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.text import c4_line_clean, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_groups = F.ceil(F.size(toks) / F.lit(7)).cast("int")
+    lined = docs.where(F.size(toks) > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_groups - 1),
+                lambda i: F.array_join(F.slice(toks, i * 7 + 1, 7), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return c4_line_clean(
+        lined, "doc_id", "text",
+        min_words=5, require_terminal_punct=False, banned=("slow",),
+    ).orderBy("doc_id")
+
+
+@register(
     "q_self_dedup_incremental",
     oracle=_TOKS_CTE
     + """,
@@ -6326,6 +6383,8 @@ _GRADING_ORDER = [
     # forms; the spans form itself is in the graded window)
     "q_self_dedup_corpus",
     "q_self_dedup_incremental",
+    # r8: C4 line-level cleaning (Gopher line flags covered in pytest)
+    "q_c4_line_clean",
     # r8: rotated OUT of the graded window (in since r1; expression-only
     # shapes with no shuffle to regress) to admit q_decontaminate_bloom,
     # q_contaminated_spans, and q_self_dedup_spans above

@@ -356,3 +356,115 @@ class TestShingleReferenceEquivalence:
                     assert got[i] == py_shingles(t, n, distinct), (
                         f"n={n} distinct={distinct} text={t!r}"
                     )
+
+
+class TestGopherLineFlags:
+    def test_bullet_and_ellipsis_ratios(self, spark):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.text import gopher_line_flags
+
+        doc = "\n".join(
+            ["- item one", "- item two", "- item three", "a normal line..."]
+        )
+        row = (
+            spark.createDataFrame([(doc,)], "text string")
+            .select(gopher_line_flags("text").alias("f"))
+            .select("f.*")
+            .collect()[0]
+        )
+        assert row["n_lines"] == 4
+        assert row["bullet_ratio"] == 0.75
+        assert row["ellipsis_ratio"] == 0.25
+        assert row["passes"]  # 0.75 <= 0.9 and 0.25 <= 0.3
+
+    def test_bullet_boilerplate_fails(self, spark):
+        from ons_utils_spark.operators.text import gopher_line_flags
+
+        doc = "\n".join(["- a", "- b", "- c", "- d", "- e"])
+        row = (
+            spark.createDataFrame([(doc,)], "text string")
+            .select(gopher_line_flags("text").alias("f"))
+            .select("f.*")
+            .collect()[0]
+        )
+        assert row["bullet_ratio"] == 1.0 and not row["passes"]
+
+    def test_single_line_doc(self, spark):
+        from ons_utils_spark.operators.text import gopher_line_flags
+
+        row = (
+            spark.createDataFrame([("no newlines here",)], "text string")
+            .select(gopher_line_flags("text").alias("f"))
+            .select("f.*")
+            .collect()[0]
+        )
+        assert row["n_lines"] == 1 and row["passes"]
+
+
+class TestC4LineClean:
+    def _df(self, spark):
+        doc = "\n".join(
+            [
+                "This line is long enough and ends properly.",
+                "short.",                                # < min_words
+                "No terminal punctuation on this line",  # no punct
+                "Enable javascript to view this page.",  # banned
+                'He said "stop right there."',           # quote-terminal OK
+                "",                                      # blank dropped
+            ]
+        )
+        return spark.createDataFrame(
+            [(1, doc), (2, "all lines fail here")],
+            "doc_id bigint, text string",
+        )
+
+    def test_rules_apply_per_line(self, spark):
+        from ons_utils_spark.operators.text import c4_line_clean
+
+        out = {
+            r["doc_id"]: r
+            for r in c4_line_clean(
+                self._df(spark), "doc_id", "text", min_words=3
+            ).collect()
+        }
+        assert out[1]["text"] == (
+            "This line is long enough and ends properly.\n"
+            'He said "stop right there."'
+        )
+        assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 2)
+        assert 2 not in out  # all lines fail -> doc dropped
+
+    def test_min_lines_zero_keeps_empty_docs(self, spark):
+        from ons_utils_spark.operators.text import c4_line_clean
+
+        out = {
+            r["doc_id"]: r
+            for r in c4_line_clean(
+                self._df(spark), "doc_id", "text", min_words=3, min_lines=0
+            ).collect()
+        }
+        assert out[2]["text"] == "" and out[2]["n_kept"] == 0
+
+    def test_punct_requirement_can_relax(self, spark):
+        from ons_utils_spark.operators.text import c4_line_clean
+
+        out = {
+            r["doc_id"]: r
+            for r in c4_line_clean(
+                self._df(spark), "doc_id", "text",
+                min_words=3, require_terminal_punct=False,
+            ).collect()
+        }
+        assert out[1]["n_kept"] == 3  # the no-punct line survives
+
+    def test_stays_jvm_side(self, spark):
+        from ons_utils_spark.operators.text import c4_line_clean
+
+        plan = (
+            c4_line_clean(self._df(spark), "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan and "Generate" not in plan

@@ -109,3 +109,76 @@ def url_dedup(
     # survive mislabeled. The composite key needs no id-uniqueness
     # assumption.
     return tagged.join(keepers, [id_col, canonical_col], "inner")
+
+
+def url_host(url: Union[str, Column]) -> Column:
+    """The lowercased host of ``url`` (authority minus userinfo and
+    port) — the key a domain blocklist matches on. Empty string for
+    strings with no ``scheme://authority`` prefix."""
+    auth = F.regexp_extract(
+        _col(url), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1
+    )
+    # userinfo@host:port → host
+    host = F.regexp_replace(auth, r"^.*@", "")
+    host = F.regexp_replace(host, r":\d+$", "")
+    return F.lower(host)
+
+
+def domain_suffixes(host: Union[str, Column]) -> Column:
+    """All registrable suffixes of a host, longest first:
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com, com]``. A blocklist entry blocks a host iff it appears
+    in this array — the standard suffix-match semantics (blocking
+    ``example.com`` must block every subdomain). Row-local (hosts have
+    a handful of labels); empty host → empty array."""
+    parts = F.filter(F.split(_col(host), r"\."), lambda p: p != "")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )
+
+
+def domain_filter(
+    df: SparkDF,
+    url_col: str,
+    domains: SparkDF,
+    id_col: str,
+    mode: str = "block",
+) -> SparkDF:
+    """Filter rows by a domain list with SUFFIX matching: ``mode=
+    "block"`` drops every row whose URL host is the listed domain or
+    any subdomain of it; ``mode="allow"`` keeps only those.
+
+    ``domains`` is a one-column DataFrame of lowercase domains (column
+    name ``domain``); ``id_col`` must identify rows (the hit set joins
+    back on it). Scale: a slim ``(id, suffix)`` projection explodes
+    each host to its ≤ ~10 suffixes and EQUI-semi-joins the broadcast
+    domain list map-side — an ``array_contains`` join predicate would
+    be a BroadcastNestedLoopJoin, |corpus| × |blocklist| comparisons,
+    catastrophic at the 10⁴-10⁶ entries real blocklists have. The
+    matched-id set (the blocked minority of a real crawl) then
+    anti/semi-joins the full rows; AQE turns that join broadcast at
+    runtime when the hit set is small, and the exploded branch carries
+    only the id + a short string, never the payload columns.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    suffixes = domain_suffixes(url_host(F.col(url_col)))
+    sfx_rows = df.select(
+        F.col(id_col).alias("__id"), F.explode(suffixes).alias("__sfx")
+    )
+    hits = (
+        sfx_rows.join(
+            F.broadcast(domains.select(F.col("domain").alias("__sfx"))),
+            "__sfx",
+            "left_semi",
+        )
+        .select("__id")
+        .distinct()
+    )
+    return df.join(
+        hits,
+        df[id_col] == hits["__id"],
+        "left_semi" if mode == "allow" else "left_anti",
+    )

@@ -5441,6 +5441,58 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_domain_filter",
+    oracle=r"""
+    WITH urls AS (SELECT doc_id, """ + _URL_EXPR + r""" AS url FROM documents),
+    hosts AS (
+        SELECT doc_id,
+               lower(regexp_replace(regexp_replace(
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1),
+                   '^.*@', ''), ':[0-9]+$', '')) AS host
+        FROM urls
+    ),
+    sfx AS (
+        SELECT doc_id, host,
+               [array_to_string(parts[i:len(parts)], '.')
+                for i in generate_series(1, len(parts))] AS suffixes
+        FROM (SELECT doc_id, host,
+                     list_filter(string_split(host, '.'), p -> p <> '')
+                         AS parts
+              FROM hosts)
+    )
+    SELECT doc_id, host FROM sfx
+    WHERE NOT list_has_any(suffixes,
+              ['src3.example.com', 'src7.example.com'])
+    ORDER BY doc_id
+    """,
+    description="Suffix-matched domain blocklist (operators/web.py::"
+    "domain_filter): drop every row whose URL host IS a blocked domain "
+    "or any subdomain of it — the first-pass crawl filter, ahead of URL "
+    "dedup and all content stages. A slim (id, suffix) projection "
+    "explodes each host's ≤~10 suffixes into an EQUI semi join with the "
+    "broadcast domain list (an array_contains predicate would be a "
+    "BroadcastNestedLoopJoin — |corpus|x|blocklist| comparisons); the "
+    "matched-id minority then anti-joins the full rows, broadcast via "
+    "AQE at runtime. Blocking src3.example.com catches both "
+    "the bare host and the WWW.-prefixed mixed-case variant the URL "
+    "synthesizer emits. The oracle replays host extraction, suffix "
+    "generation, and the anti-semantics in SQL.",
+)
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    with_url = docs.withColumn("url", F.expr(_URL_EXPR))
+    block = spark.createDataFrame(
+        [("src3.example.com",), ("src7.example.com",)], "domain string"
+    )
+    return (
+        _web.domain_filter(with_url, "url", block, "doc_id", mode="block")
+        .select("doc_id", _web.url_host(F.col("url")).alias("host"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_url_dedup",
     oracle=_URL_CTES.format(url_expr=_URL_EXPR, canon_sql=_CANON_SQL)
     + """
@@ -6385,6 +6437,8 @@ _GRADING_ORDER = [
     "q_self_dedup_incremental",
     # r8: C4 line-level cleaning (Gopher line flags covered in pytest)
     "q_c4_line_clean",
+    # r8: suffix-matched domain blocklist (first-pass crawl filter)
+    "q_domain_filter",
     # r8: rotated OUT of the graded window (in since r1; expression-only
     # shapes with no shuffle to regress) to admit q_decontaminate_bloom,
     # q_contaminated_spans, and q_self_dedup_spans above

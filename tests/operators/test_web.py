@@ -86,3 +86,79 @@ class TestUrlDedup:
             "id", "url", "lang", "canonical_url", "n_dupes"
         }
         assert out.collect()[0]["lang"] == "en"
+
+
+class TestDomainFilter:
+    """domain_filter — suffix-matched block/allow lists, the first-pass
+    crawl filter (blocking example.com must block every subdomain)."""
+
+    def _frames(self, spark):
+        rows = [
+            (1, "https://spam.example.com/page"),
+            (2, "https://example.com/root"),
+            (3, "https://notexample.com/safe"),       # NOT a subdomain
+            (4, "http://user:pw@deep.a.example.com:8080/x"),
+            (5, "https://other.org/fine"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, url string")
+        block = spark.createDataFrame([("example.com",)], "domain string")
+        return df, block
+
+    def test_block_drops_domain_and_subdomains_only(self, spark):
+        from ons_utils_spark.operators.web import domain_filter
+
+        df, block = self._frames(spark)
+        kept = {r["doc_id"] for r in domain_filter(df, "url", block, "doc_id").collect()}
+        assert kept == {3, 5}
+
+    def test_allow_is_the_complement(self, spark):
+        from ons_utils_spark.operators.web import domain_filter
+
+        df, block = self._frames(spark)
+        kept = {
+            r["doc_id"]
+            for r in domain_filter(df, "url", block, "doc_id", mode="allow").collect()
+        }
+        assert kept == {1, 2, 4}
+
+    def test_suffix_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.web import domain_suffixes, url_host
+
+        row = (
+            spark.createDataFrame(
+                [("http://u@a.b.example.com:8080/x?q=1",)], "url string"
+            )
+            .select(
+                url_host("url").alias("h"),
+                domain_suffixes(url_host("url")).alias("s"),
+            )
+            .collect()[0]
+        )
+        assert row["h"] == "a.b.example.com"
+        assert list(row["s"]) == [
+            "a.b.example.com", "b.example.com", "example.com", "com",
+        ]
+
+    def test_broadcast_and_no_corpus_shuffle(self, spark):
+        from ons_utils_spark.operators.web import domain_filter
+
+        df, block = self._frames(spark)
+        plan = (
+            domain_filter(df, "url", block, "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_mode_validation(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.web import domain_filter
+
+        df, block = self._frames(spark)
+        with _pytest.raises(ValueError, match="mode"):
+            domain_filter(df, "url", block, "doc_id", mode="deny")

@@ -513,6 +513,20 @@ def ngram_repetition(
     )
 
 
+def _doc_lines(text: Union[str, SparkCol]) -> SparkCol:
+    """Non-empty trimmed lines of a document (``\\n`` split) — the one
+    line-semantics definition :func:`gopher_line_flags` and
+    :func:`c4_line_clean` share. NULL text reads as an empty document
+    (empty array), not a null that poisons downstream size() filters."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(_col(text), F.lit("")), "\n"),
+            lambda l: F.trim(l),
+        ),
+        lambda l: l != "",
+    )
+
+
 def gopher_line_flags(
     text: Union[str, SparkCol],
     max_bullet_ratio: float = 0.9,
@@ -529,11 +543,7 @@ def gopher_line_flags(
     content dictates). Pure row-local Catalyst expressions, zero
     shuffle, SQL-replayable.
     """
-    col = _col(text)
-    lines = F.filter(
-        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
-        lambda l: l != "",
-    )
+    lines = _doc_lines(text)
     n_lines = F.size(lines)
     bullets = F.size(
         F.filter(lines, lambda l: l.rlike(r"^(\-|\*|•|·|‣|▪)"))
@@ -559,16 +569,23 @@ def c4_line_clean(
     text_col: str,
     min_words: int = 3,
     require_terminal_punct: bool = True,
-    banned: "tuple[str, ...]" = ("javascript", "lorem ipsum", "{"),
+    banned: "tuple[str, ...]" = ("javascript",),
+    banned_doc: "tuple[str, ...]" = ("lorem ipsum", "{"),
     min_lines: int = 1,
 ):
-    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): keep only
-    lines with at least ``min_words`` words, (optionally) ending in
-    terminal punctuation, and containing none of the ``banned``
-    substrings (case-insensitive); documents retaining fewer than
-    ``min_lines`` lines drop entirely.
+    """C4-style cleaning (Raffel et al. 2020 §2.2), both granularities
+    the paper uses: per-LINE rules — at least ``min_words`` words,
+    (optionally) terminal punctuation, none of the ``banned``
+    substrings (C4 drops lines with the word "javascript") — and
+    per-DOCUMENT rules: a document containing any ``banned_doc``
+    substring drops ENTIRELY (C4's "lorem ipsum" placeholder and
+    curly-brace code detectors are page filters — stripping only the
+    offending lines would let a code page survive as its brace-free
+    lines). Documents retaining fewer than ``min_lines`` lines drop
+    too. All matching is case-insensitive; NULL text reads as an empty
+    document.
 
-    The doc-level filters (:func:`gopher_quality_flags`,
+    The doc-level quality filters (:func:`gopher_quality_flags`,
     :func:`quality_score`) judge documents whole; real web text needs
     this INTRA-document pass first — navigation stubs, cookie banners
     and code debris live on their own lines inside otherwise-good
@@ -580,8 +597,9 @@ def c4_line_clean(
     only data movement is whatever the caller does next.
     """
     def line_ok(l):
+        # l is already trimmed and non-empty (_doc_lines)
         cond = (
-            F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
             >= F.lit(min_words)
         )
         if require_terminal_punct:
@@ -590,15 +608,15 @@ def c4_line_clean(
             cond = cond & ~F.contains(F.lower(l), F.lit(b.lower()))
         return cond
 
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
-        lambda l: l != "",
-    )
+    lines = _doc_lines(F.col(text_col))
     kept = F.filter(lines, line_ok)
     out = df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias(text_col),
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__lower"),
     )
-    return out.where(F.col("n_kept") >= F.lit(min_lines))
+    for b in banned_doc:
+        out = out.where(~F.contains(F.col("__lower"), F.lit(b.lower())))
+    return out.drop("__lower").where(F.col("n_kept") >= F.lit(min_lines))

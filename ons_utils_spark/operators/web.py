@@ -133,10 +133,18 @@ def domain_suffixes(host: Union[str, Column]) -> Column:
     a handful of labels); empty host → empty array."""
     parts = F.filter(F.split(_col(host), r"\."), lambda p: p != "")
     n = F.size(parts)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
-        lambda i: F.array_join(F.slice(parts, i, n), "."),
-    )
+    # Guarded: Spark's sequence(1, 0) is DESCENDING ([1, 0]) and the
+    # resulting slice(parts, 0, 0) throws INVALID_PARAMETER_VALUE — the
+    # same pitfall corpus.py guards on empty docs. An empty host
+    # (schemeless/malformed URL) must yield an empty array, not abort
+    # the job.
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(parts, i, n), "."),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def domain_filter(

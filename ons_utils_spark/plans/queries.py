@@ -3185,6 +3185,7 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_clean(
         lined, "doc_id", "text",
         min_words=5, require_terminal_punct=False, banned=("slow",),
+        banned_doc=(),
     ).orderBy("doc_id")
 
 

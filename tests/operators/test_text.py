@@ -468,3 +468,56 @@ class TestC4LineClean:
             .toString()
         )
         assert "Python" not in plan and "Generate" not in plan
+
+
+class TestC4PageLevelRules:
+    def test_banned_doc_drops_whole_page(self, spark):
+        """C4's 'lorem ipsum' and curly-brace detectors are PAGE
+        filters: a code page must not survive as its brace-free lines."""
+        from ons_utils_spark.operators.text import c4_line_clean
+
+        code_page = "\n".join(
+            [
+                "function init() {",
+                "var banner = document.getElementById('x');",
+                "return banner.show();",
+            ]
+        )
+        clean_page = "A perfectly ordinary sentence lives here."
+        df = spark.createDataFrame(
+            [(1, code_page), (2, clean_page)], "doc_id bigint, text string"
+        )
+        out = {
+            r["doc_id"]
+            for r in c4_line_clean(
+                df, "doc_id", "text", min_words=3
+            ).collect()
+        }
+        assert out == {2}  # page 1 gone entirely, brace-free lines included
+
+    def test_null_text_counts_as_empty_doc(self, spark):
+        from ons_utils_spark.operators.text import c4_line_clean
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "Still a good sentence here.")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in c4_line_clean(
+                df, "doc_id", "text", min_words=3, min_lines=0
+            ).collect()
+        }
+        assert out[1]["text"] == "" and out[1]["n_kept"] == 0
+        assert out[2]["n_kept"] == 1
+
+    def test_gopher_line_flags_null_text(self, spark):
+        from ons_utils_spark.operators.text import gopher_line_flags
+
+        row = (
+            spark.createDataFrame([(None,)], "text string")
+            .select(gopher_line_flags("text").alias("f"))
+            .select("f.*")
+            .collect()[0]
+        )
+        assert row["n_lines"] == 0 and row["passes"]

@@ -162,3 +162,27 @@ class TestDomainFilter:
         df, block = self._frames(spark)
         with _pytest.raises(ValueError, match="mode"):
             domain_filter(df, "url", block, "doc_id", mode="deny")
+
+
+class TestDomainFilterMalformedUrls:
+    def test_hostless_urls_do_not_crash_and_are_not_blocked(self, spark):
+        """A schemeless/malformed URL has no host — it must pass a
+        blocklist untouched (empty suffix array), not abort the job
+        (sequence(1,0) is descending in Spark; the slice would throw)."""
+        from ons_utils_spark.operators.web import domain_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "not-a-url"),
+                (2, "example.com/no-scheme"),
+                (3, "mailto:user@example.com"),
+                (4, "https://spam.example.com/x"),
+            ],
+            "doc_id bigint, url string",
+        )
+        block = spark.createDataFrame([("example.com",)], "domain string")
+        kept = {
+            r["doc_id"]
+            for r in domain_filter(df, "url", block, "doc_id").collect()
+        }
+        assert kept == {1, 2, 3}

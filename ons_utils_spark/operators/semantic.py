@@ -1,0 +1,260 @@
+"""Semantic (embedding-space) clustering and deduplication.
+
+LLM-data-pipeline extension (no reference analogue — the reference's only
+array op is the ``np.diff`` UDF, ``ons_utils/pyspark/udfs.py:7-10``).
+Implements the SemDeDup recipe (Abbas et al., 2023, arXiv:2303.09540):
+cluster the corpus's embeddings with k-means, then prune near-identical
+documents *within* each cluster — the clustering bounds the quadratic
+pairwise phase to cluster-sized blocks, which is what makes semantic
+dedup tractable at corpus scale.
+
+Determinism is a design goal, not an accident:
+
+- **Init**: the ``k`` seed vectors are the rows with the smallest
+  ``(id * 2654435761) mod 2^32`` (Knuth multiplicative hash) — a
+  pseudo-random but fully reproducible spread, fetched with
+  ``ORDER BY … LIMIT k`` (planned as TakeOrderedAndProject: per-partition
+  top-k, no global sort, a bounded k-row collect).
+- **Centroid means** are computed by summing in ``decimal(38,18)`` —
+  exact, *order-independent* arithmetic — then dividing in double and
+  rounding to ``round_dp``. The result is bit-identical regardless of
+  partitioning, task scheduling, or engine (the DuckDB oracle reproduces
+  it exactly); a plain double ``avg`` would drift in the last ulp with
+  reduction order and could flip a boundary assignment.
+- **Distances** use the dot-product form ``|v|² + |c|² − 2·v·c`` where
+  every dot product is a sequential left-to-right fold
+  (:func:`ons_utils_spark.functions.arrays.array_dot`), matching DuckDB's
+  ``list_dot_product`` bit-for-bit. Ties break toward the lower cluster
+  id via struct-ordered ``array_min``.
+
+Scale story (100 TB): each Lloyd iteration is one scan with a k-way
+argmin over *broadcast literal* centroids (whole-stage codegen, no
+shuffle), plus one ``posexplode`` aggregation keyed ``(cluster, dim)``
+(partial-aggregated; k·d result rows — a bounded driver collect).
+``n_iter`` is small and fixed. The SemDeDup phase self-joins only within
+clusters, so its cost is Σ|cluster|² — choose ``k ≈ n / target_cluster``
+to bound it (the paper uses k in the tens of thousands for billions of
+docs); profile skew first with the ``(cluster, n_members)`` summary.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame as SparkDF, Window, functions as F
+
+from ons_utils_spark.functions.arrays import array_dot
+
+#: Knuth's multiplicative-hash constant (2^32 / golden ratio), public domain.
+KNUTH_HASH = 2654435761
+
+
+def _py_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Sequential left-to-right dot product — matches the engines' folds."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _assign(
+    df: SparkDF, vec_col: str, cents: List[List[float]]
+) -> SparkDF:
+    """Add ``__cluster``/``__dist`` = argmin over broadcast centroid literals.
+
+    Requires a precomputed ``__vv`` column (``v·v``). The per-centroid
+    distance is ``__vv + c·c − 2·(v·c)``; the argmin is a struct-ordered
+    ``array_min`` so ties go to the lower cluster id deterministically.
+    """
+    entries = []
+    for j, c in enumerate(cents):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        cc = _py_dot(c, c)
+        dist = F.col("__vv") + F.lit(cc) - 2 * array_dot(F.col(vec_col), clit)
+        entries.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
+    best = F.array_min(F.array(*entries))
+    return df.withColumn("__cluster", best["j"]).withColumn("__dist", best["d"])
+
+
+def kmeans_lloyd(
+    df: SparkDF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    round_dp: int = 6,
+) -> Tuple[SparkDF, List[List[float]]]:
+    """Deterministic distributed Lloyd k-means, DataFrame-native.
+
+    Returns ``(assigned, centroids)``: ``assigned`` is the input plus
+    ``__vv`` (squared norm), ``__cluster`` and ``__dist`` (squared L2 to
+    the final centroid); ``centroids`` is the driver-side
+    ``list[list[float]]`` (index = cluster id), each recomputed mean
+    rounded to ``round_dp``.
+
+    Unlike ``pyspark.ml`` KMeans (used by :func:`similarity.ivf_build`,
+    where approximate centroids are fine), every step here is exactly
+    reproducible — see the module docstring. An empty cluster keeps its
+    previous centroid (standard Lloyd fallback), which the SQL oracle
+    mirrors with a left join against the prior iteration.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+
+    vecs = df.withColumn("__vv", array_dot(F.col(vec_col), F.col(vec_col)))
+
+    h = (F.col(id_col).cast("bigint") * F.lit(KNUTH_HASH)) % F.lit(2**32)
+    seed_rows = (
+        vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"k={k} exceeds the number of rows ({len(seed_rows)})"
+        )
+    cents: List[List[float]] = [[float(x) for x in r.vec] for r in seed_rows]
+
+    for _ in range(n_iter):
+        assigned = _assign(vecs, vec_col, cents)
+        # Exact decimal sums -> order-independent means (see module doc).
+        means = (
+            assigned.select("__cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("__cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("double").cast("decimal(38,18)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    round_dp,
+                ).alias("v")
+            )
+            .groupBy("__cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        new = {r["__cluster"]: [float(x) for x in r["cvec"]] for r in means}
+        cents = [new.get(j, cents[j]) for j in range(k)]
+
+    return _assign(vecs, vec_col, cents), cents
+
+
+def cluster_summary(
+    df: SparkDF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    round_dp: int = 6,
+) -> SparkDF:
+    """Per-cluster profile → ``(cluster, n_members, centroid_norm)``.
+
+    ``centroid_norm`` is the L2 norm of the (rounded, deterministic)
+    final centroid — a drift/degeneracy signal; ``n_members`` is the
+    skew profile to consult before the quadratic SemDeDup phase.
+    """
+    assigned, cents = kmeans_lloyd(df, id_col, vec_col, k, n_iter, round_dp)
+    spark = df.sparkSession
+    norms = spark.createDataFrame(
+        [(j, round(math.sqrt(_py_dot(c, c)), round_dp)) for j, c in enumerate(cents)],
+        "cluster int, centroid_norm double",
+    )
+    sizes = assigned.groupBy(F.col("__cluster").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        sizes.join(F.broadcast(norms), "cluster")
+        .select("cluster", "n_members", "centroid_norm")
+    )
+
+
+def semantic_dedup(
+    df: SparkDF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    tau: float = 0.7,
+    round_dp: int = 6,
+) -> SparkDF:
+    """SemDeDup (Abbas et al., 2023): within-cluster semantic pruning.
+
+    Rank each cluster's members by cosine-to-centroid descending (ties by
+    id ascending); a document is dropped when ANY earlier-ranked member of
+    its cluster has cosine similarity ``> tau`` with it (the paper's
+    non-cascading greedy — the keep-set keeps cluster "anchors" and prunes
+    semantic repeats). Returns every input row as
+    ``(id, cluster, cos_centroid, kept)``.
+
+    Both cosines are rounded to ``round_dp`` *before* the comparison so
+    the keep/drop frontier is bit-stable across engines. The pairwise
+    phase joins only within a cluster (cost Σ|cluster|², by design — see
+    module doc for sizing ``k``); the window is partitioned by cluster,
+    never global.
+    """
+    assigned, cents = kmeans_lloyd(df, id_col, vec_col, k, n_iter, round_dp)
+
+    cent_entries = []
+    for j, c in enumerate(cents):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        cc = _py_dot(c, c)
+        cos = array_dot(F.col(vec_col), clit) / (
+            F.sqrt(F.col("__vv")) * F.sqrt(F.lit(cc))
+        )
+        cent_entries.append((j, cos))
+    cos_cent = None
+    for j, cos in cent_entries:
+        expr = F.when(F.col("__cluster") == j, cos)
+        cos_cent = expr if cos_cent is None else F.coalesce(cos_cent, expr)
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("cos_centroid").desc(), F.col("id").asc()
+    )
+    ranked = (
+        assigned.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            "__vv",
+            F.col("__cluster").alias("cluster"),
+            F.round(cos_cent, round_dp).alias("cos_centroid"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        # Materialized once: three consumers follow (both sides of the
+        # within-cluster self-join and the verdict join) — without this
+        # each would re-scan and re-rank the corpus.
+        .localCheckpoint(eager=True)
+    )
+
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cos_ab = array_dot(F.col("a.vec"), F.col("b.vec")) / (
+        F.sqrt(F.col("a.__vv")) * F.sqrt(F.col("b.__vv"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.rnk") > F.col("b.rnk")),
+        )
+        .where(F.round(cos_ab, round_dp) > tau)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+
+    return (
+        ranked.join(dropped.withColumn("__dropped", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            "cos_centroid",
+            (~F.coalesce(F.col("__dropped"), F.lit(False))).alias("kept"),
+        )
+    )

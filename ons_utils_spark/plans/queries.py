@@ -6223,6 +6223,141 @@ def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ons_utils_spark.operators import semantic as _semantic  # noqa: E402
+
+
+def _kmeans_ctes(k: int, n_iter: int, dp: int) -> str:
+    """DuckDB CTE chain reproducing kmeans_lloyd bit-for-bit.
+
+    Unrolls the Lloyd iterations: assignment = argmin over
+    ``vv + c·c − 2·v·c`` (every dot a sequential fold ≡ Spark's
+    ``array_dot``), centroid means = exact ``DECIMAL(38,18)`` sums
+    (order-independent, so engine-identical) divided in double and
+    rounded to ``dp`` — the same arithmetic the operator commits to.
+    Empty clusters fall back to the previous iteration's centroid via
+    the LEFT JOIN + COALESCE, mirroring the operator.
+    """
+    kn = _semantic.KNUTH_HASH
+    ctes = [
+        """v AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS vv
+        FROM embeddings)""",
+        f"""c0 AS (
+        SELECT row_number() OVER (ORDER BY (id * {kn}) % 4294967296, id) - 1
+                   AS cid,
+               vec AS cvec
+        FROM (SELECT id, vec FROM v
+              ORDER BY (id * {kn}) % 4294967296, id LIMIT {k}))""",
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{i} AS (
+            SELECT id, vec, vv, cid FROM (
+                SELECT v.id, v.vec, v.vv, c.cid,
+                       row_number() OVER (PARTITION BY v.id ORDER BY
+                           v.vv + list_dot_product(c.cvec, c.cvec)
+                           - 2 * list_dot_product(v.vec, c.cvec), c.cid) AS rn
+                FROM v CROSS JOIN {prev} c)
+            WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+            SELECT cid, list(mv ORDER BY dim) AS cvec FROM (
+                SELECT cid, dim,
+                       round(CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
+                             / count(*), {dp}) AS mv
+                FROM (SELECT cid, unnest(vec) AS val,
+                             generate_subscripts(vec, 1) AS dim FROM a{i})
+                GROUP BY cid, dim)
+            GROUP BY cid)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+            SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN m{i} n ON p.cid = n.cid)"""
+        )
+        prev = f"c{i}"
+    ctes.append(
+        f"""af AS (
+        SELECT id, vec, vv, cid, cvec,
+               list_dot_product(vec, cvec)
+                   / (sqrt(vv) * sqrt(list_dot_product(cvec, cvec))) AS cos
+        FROM (
+            SELECT v.id, v.vec, v.vv, c.cid, c.cvec,
+                   row_number() OVER (PARTITION BY v.id ORDER BY
+                       v.vv + list_dot_product(c.cvec, c.cvec)
+                       - 2 * list_dot_product(v.vec, c.cvec), c.cid) AS rn
+            FROM v CROSS JOIN {prev} c)
+        WHERE rn = 1)"""
+    )
+    return "WITH " + ",\n".join(ctes)
+
+
+@register(
+    "q_kmeans_clusters",
+    oracle=_kmeans_ctes(8, 2, 6)
+    + """
+    SELECT a.cid AS cluster, count(*) AS n_members,
+           any_value(round(sqrt(list_dot_product(c.cvec, c.cvec)), 6))
+               AS centroid_norm
+    FROM af a JOIN c2 c ON a.cid = c.cid
+    GROUP BY a.cid
+    ORDER BY cluster
+    """,
+    description="Deterministic distributed Lloyd k-means "
+    "(operators/semantic.py::cluster_summary, k=8, 2 iterations): "
+    "Knuth-hash seeded init, centroid means via exact decimal(38,18) "
+    "sums (order-independent → bit-reproducible across partitionings "
+    "and engines), assignment = codegen argmin over broadcast literal "
+    "centroids. The oracle unrolls both Lloyd iterations as CTEs and "
+    "matches every centroid coordinate bit-for-bit. Per iteration at "
+    "scale: one scan (no shuffle) + one (cluster,dim)-keyed partial "
+    "aggregation collecting k·d rows.",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _semantic.cluster_summary(
+        emb, "vec_id", "embedding", k=8, n_iter=2
+    ).orderBy("cluster")
+
+
+@register(
+    "q_semdedup_kmeans",
+    oracle=_kmeans_ctes(8, 2, 6)
+    + """,
+    r AS (
+        SELECT id, vec, vv, cid, round(cos, 6) AS cos_centroid,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY round(cos, 6) DESC, id) AS rnk
+        FROM af),
+    drp AS (
+        SELECT DISTINCT a.id
+        FROM r a JOIN r b ON a.cid = b.cid AND a.rnk > b.rnk
+        WHERE round(list_dot_product(a.vec, b.vec)
+                    / (sqrt(a.vv) * sqrt(b.vv)), 6) > 0.4)
+    SELECT r.id, r.cid AS cluster, r.cos_centroid, (d.id IS NULL) AS kept
+    FROM r LEFT JOIN drp d ON r.id = d.id
+    ORDER BY r.id
+    """,
+    description="SemDeDup semantic deduplication (Abbas et al., 2023, "
+    "arXiv:2303.09540; operators/semantic.py::semantic_dedup): k-means "
+    "cluster the embedding space, rank members by cosine-to-centroid, "
+    "drop any document whose cosine to an earlier-ranked cluster member "
+    "exceeds τ=0.4. The clustering bounds the quadratic pairwise phase "
+    "to Σ|cluster|² — choose k ≈ n/target_cluster at scale. Cosines are "
+    "rounded before comparison so the keep/drop frontier is bit-stable; "
+    "the oracle replays clustering, ranking and pruning exactly.",
+)
+def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _semantic.semantic_dedup(
+        emb, "vec_id", "embedding", k=8, n_iter=2, tau=0.4
+    ).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
@@ -6440,6 +6575,10 @@ _GRADING_ORDER = [
     "q_c4_line_clean",
     # r8: suffix-matched domain blocklist (first-pass crawl filter)
     "q_domain_filter",
+    # r8: deterministic Lloyd k-means (decimal-exact centroid means) and
+    # the cluster-bounded SemDeDup pruning pass it powers
+    "q_kmeans_clusters",
+    "q_semdedup_kmeans",
     # r8: rotated OUT of the graded window (in since r1; expression-only
     # shapes with no shuffle to regress) to admit q_decontaminate_bloom,
     # q_contaminated_spans, and q_self_dedup_spans above

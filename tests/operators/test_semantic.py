@@ -1,0 +1,108 @@
+"""Tests for semantic clustering / SemDeDup (operators/semantic.py)."""
+
+import pytest
+
+from ons_utils_spark.operators import semantic
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+# Two tight groups far apart, plus one isolate. The Knuth-hash seed order
+# for ids 0..6 is 0, 5, 2, 4, 1, 6, 3 — so with k=3 the seeds are ids
+# 0, 5, 2, placed here one per group (A, B, isolate respectively).
+A_IDS, B_IDS, ISO_ID = (0, 1, 4), (3, 5, 6), 2
+_VECS = {
+    0: [1.0, 0.0, 0.0], 1: [0.999, 0.001, 0.0], 4: [0.998, 0.002, 0.0],
+    3: [0.0, 1.0, 0.0], 5: [0.0, 0.999, 0.001], 6: [0.001, 0.998, 0.0],
+    2: [0.0, 0.0, 1.0],
+}
+ROWS = sorted(_VECS.items())
+
+
+class TestKmeansLloyd:
+    def test_partitioning_invariance(self, spark):
+        """Decimal-exact centroid sums make the result independent of the
+        physical partitioning — the property the operator commits to."""
+        df = _emb_df(spark, ROWS)
+        _, c1 = semantic.kmeans_lloyd(df.repartition(1), k=3, n_iter=2)
+        _, c7 = semantic.kmeans_lloyd(df.repartition(7), k=3, n_iter=2)
+        assert c1 == c7
+
+    def test_assignment_covers_all_rows(self, spark):
+        df = _emb_df(spark, ROWS)
+        assigned, cents = semantic.kmeans_lloyd(df, k=3, n_iter=2)
+        assert len(cents) == 3 and all(len(c) == 3 for c in cents)
+        got = assigned.select("vec_id", "__cluster").collect()
+        assert len(got) == len(ROWS)
+        assert all(0 <= r["__cluster"] < 3 for r in got)
+
+    def test_groups_land_in_same_cluster(self, spark):
+        df = _emb_df(spark, ROWS)
+        assigned, _ = semantic.kmeans_lloyd(df, k=3, n_iter=2)
+        by_id = {r["vec_id"]: r["__cluster"] for r in assigned.collect()}
+        assert by_id[0] == by_id[1] == by_id[4]
+        assert by_id[3] == by_id[5] == by_id[6]
+        assert len({by_id[0], by_id[3], by_id[ISO_ID]}) == 3
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        # ids 0,1,2 all seed (k=n=3); two identical seed vectors mean one
+        # centroid wins all its points and the twin goes empty — Lloyd's
+        # fallback must keep the empty cluster's previous centroid.
+        df = _emb_df(spark, [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])])
+        _, cents = semantic.kmeans_lloyd(df, k=3, n_iter=2)
+        assert [1.0, 0.0] in cents  # the surviving twin's mean
+        assert [0.0, 1.0] in cents
+        assert len(cents) == 3
+
+    def test_k_exceeding_rows_raises(self, spark):
+        df = _emb_df(spark, ROWS[:2])
+        with pytest.raises(ValueError, match="exceeds"):
+            semantic.kmeans_lloyd(df, k=5)
+
+    def test_bad_params_raise(self, spark):
+        df = _emb_df(spark, ROWS)
+        with pytest.raises(ValueError, match="k must be"):
+            semantic.kmeans_lloyd(df, k=0)
+        with pytest.raises(ValueError, match="n_iter must be"):
+            semantic.kmeans_lloyd(df, k=2, n_iter=0)
+
+
+class TestClusterSummary:
+    def test_sizes_sum_to_n(self, spark):
+        df = _emb_df(spark, ROWS)
+        out = semantic.cluster_summary(df, k=3, n_iter=2).collect()
+        assert sum(r["n_members"] for r in out) == len(ROWS)
+        assert all(r["centroid_norm"] > 0 for r in out)
+
+
+class TestSemanticDedup:
+    def test_near_identical_pruned(self, spark):
+        df = _emb_df(spark, ROWS)
+        out = semantic.semantic_dedup(df, k=3, n_iter=2, tau=0.9)
+        rows = {r["id"]: r for r in out.collect()}
+        assert len(rows) == len(ROWS)  # every input row verdict-ed
+        # Each tight group keeps exactly one; the isolate survives.
+        kept_a = [i for i in A_IDS if rows[i]["kept"]]
+        kept_b = [i for i in B_IDS if rows[i]["kept"]]
+        assert len(kept_a) == 1 and len(kept_b) == 1
+        assert rows[ISO_ID]["kept"]
+
+    def test_high_tau_keeps_everything(self, spark):
+        df = _emb_df(spark, ROWS)
+        out = semantic.semantic_dedup(df, k=3, n_iter=2, tau=1.0)
+        assert all(r["kept"] for r in out.collect())
+
+    def test_drop_is_cluster_local(self, spark):
+        # The isolate is semantically far from both groups; even at a
+        # tau of 0 it can only be pruned by its OWN cluster's members.
+        df = _emb_df(spark, ROWS)
+        out = semantic.semantic_dedup(df, k=3, n_iter=2, tau=0.0)
+        rows = {r["id"]: r for r in out.collect()}
+        lone = [i for i, r in rows.items() if sum(
+            1 for o in rows.values() if o["cluster"] == r["cluster"]) == 1]
+        assert all(rows[i]["kept"] for i in lone)

@@ -92,6 +92,11 @@ HEADLINE = [
     # materialized end-to-end (gram shuffle + per-gram window + island
     # merge + row-local drop rewrite) — the new heavy corpus family.
     "q_self_dedup_corpus",
+    # Round-8 addition: k-means-clustered SemDeDup (iterative Lloyd
+    # collect rounds + checkpointed rank table + within-cluster
+    # quadratic self-join) — regressions in the literal-centroid codegen
+    # argmin or the cluster-bounded join show up here.
+    "q_semdedup_kmeans",
 ]
 
 

@@ -203,18 +203,18 @@ def semantic_dedup(
     """
     assigned, cents = kmeans_lloyd(df, id_col, vec_col, k, n_iter, round_dp)
 
-    cent_entries = []
-    for j, c in enumerate(cents):
+    # One flat array indexed by the assigned cluster — a nested
+    # when/coalesce chain here is quadratic for the optimizer and hangs
+    # planning beyond k≈16; element_at over a flat array stays linear.
+    cos_exprs = []
+    for c in cents:
         clit = F.array(*[F.lit(float(x)) for x in c])
         cc = _py_dot(c, c)
-        cos = array_dot(F.col(vec_col), clit) / (
-            F.sqrt(F.col("__vv")) * F.sqrt(F.lit(cc))
+        cos_exprs.append(
+            array_dot(F.col(vec_col), clit)
+            / (F.sqrt(F.col("__vv")) * F.sqrt(F.lit(cc)))
         )
-        cent_entries.append((j, cos))
-    cos_cent = None
-    for j, cos in cent_entries:
-        expr = F.when(F.col("__cluster") == j, cos)
-        cos_cent = expr if cos_cent is None else F.coalesce(cos_cent, expr)
+    cos_cent = F.element_at(F.array(*cos_exprs), F.col("__cluster") + 1)
 
     w = Window.partitionBy("cluster").orderBy(
         F.col("cos_centroid").desc(), F.col("id").asc()

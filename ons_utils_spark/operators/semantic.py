@@ -58,14 +58,37 @@ def _py_dot(a: Sequence[float], b: Sequence[float]) -> float:
     return acc
 
 
-def _assign(
-    df: SparkDF, vec_col: str, cents: List[List[float]]
+#: Largest k routed to the literal-codegen assignment under method="auto".
+#: Beyond it, expression size grows linearly in k·d and Janino compile
+#: time dominates; the Arrow/BLAS path takes over.
+AUTO_LITERAL_MAX_K = 16
+
+
+def _resolve_method(method: str, k: int) -> str:
+    if method == "auto":
+        return "literal" if k <= AUTO_LITERAL_MAX_K else "blas"
+    if method not in ("literal", "blas"):
+        raise ValueError(f"method must be auto|literal|blas, got {method!r}")
+    return method
+
+
+def _assign_literal(
+    df: SparkDF, vec_col: str, cents: List[List[float]], with_cos: bool = False
 ) -> SparkDF:
     """Add ``__cluster``/``__dist`` = argmin over broadcast centroid literals.
 
     Requires a precomputed ``__vv`` column (``v·v``). The per-centroid
     distance is ``__vv + c·c − 2·(v·c)``; the argmin is a struct-ordered
     ``array_min`` so ties go to the lower cluster id deterministically.
+    Every dot is the sequential fold — this is the bit-exact path the
+    SQL oracle replays. Zero shuffle, whole-stage codegen; right for
+    k ≲ 16 (expression size is linear in k·d, and Janino compile time
+    dominates beyond that — use the ``blas`` path).
+
+    With ``with_cos`` also attaches ``__cos`` (cosine to the assigned
+    centroid) via a flat ``element_at`` over per-cluster cosines — a
+    nested when/coalesce chain here is quadratic for the optimizer and
+    hangs planning beyond k≈16.
     """
     entries = []
     for j, c in enumerate(cents):
@@ -74,7 +97,88 @@ def _assign(
         dist = F.col("__vv") + F.lit(cc) - 2 * array_dot(F.col(vec_col), clit)
         entries.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
     best = F.array_min(F.array(*entries))
-    return df.withColumn("__cluster", best["j"]).withColumn("__dist", best["d"])
+    out = df.withColumn("__cluster", best["j"]).withColumn("__dist", best["d"])
+    if with_cos:
+        cos_exprs = []
+        for c in cents:
+            clit = F.array(*[F.lit(float(x)) for x in c])
+            cc = _py_dot(c, c)
+            cos_exprs.append(
+                array_dot(F.col(vec_col), clit)
+                / (F.sqrt(F.col("__vv")) * F.sqrt(F.lit(cc)))
+            )
+        out = out.withColumn(
+            "__cos", F.element_at(F.array(*cos_exprs), F.col("__cluster") + 1)
+        )
+    return out
+
+
+def _assign_blas(
+    df: SparkDF, vec_col: str, cents: List[List[float]], with_cos: bool = False
+) -> SparkDF:
+    """Arrow-batched argmin against the full centroid matrix — the
+    large-k scale path (SemDeDup-realistic k is 10⁴–10⁵).
+
+    One ``mapInPandas`` pass: per batch, a single ``X @ Cᵀ`` BLAS matmul
+    (b×d by d×k) gives every distance via ``vv + cc − 2G``; ``argmin``
+    takes the first minimum, matching the literal path's low-id
+    tie-break. Zero shuffle; the centroid matrix (k·d doubles — 50 MB at
+    k=10⁵, d=64) ships once per task via the closure. Trades the literal
+    path's bit-reproducibility for k-scalability: BLAS reduction order
+    differs from the sequential fold in the last ulp, so an assignment
+    can flip only between near-exactly equidistant centroids.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    C = np.asarray(cents, dtype=np.float64)
+    cc = np.einsum("ij,ij->i", C, C)
+    sqrt_cc = np.sqrt(cc)
+
+    fields = list(df.schema.fields) + [
+        StructField("__cluster", IntegerType()),
+        StructField("__dist", DoubleType()),
+    ]
+    if with_cos:
+        fields.append(StructField("__cos", DoubleType()))
+    schema = StructType(fields)
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["__cluster"] = np.array([], dtype="int32")
+                pdf["__dist"] = np.array([], dtype="float64")
+                if with_cos:
+                    pdf["__cos"] = np.array([], dtype="float64")
+                yield pdf
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            vv = pdf["__vv"].to_numpy(dtype=np.float64)
+            G = X @ C.T
+            d2 = vv[:, None] + cc[None, :] - 2.0 * G
+            j = d2.argmin(axis=1)
+            rows = np.arange(len(j))
+            pdf["__cluster"] = j.astype("int32")
+            pdf["__dist"] = d2[rows, j]
+            if with_cos:
+                pdf["__cos"] = G[rows, j] / (np.sqrt(vv) * sqrt_cc[j])
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def _assign(
+    df: SparkDF,
+    vec_col: str,
+    cents: List[List[float]],
+    method: str,
+    with_cos: bool = False,
+) -> SparkDF:
+    fn = _assign_literal if method == "literal" else _assign_blas
+    return fn(df, vec_col, cents, with_cos)
 
 
 def kmeans_lloyd(
@@ -84,14 +188,22 @@ def kmeans_lloyd(
     k: int = 8,
     n_iter: int = 2,
     round_dp: int = 6,
+    method: str = "auto",
+    with_cos: bool = False,
 ) -> Tuple[SparkDF, List[List[float]]]:
     """Deterministic distributed Lloyd k-means, DataFrame-native.
 
     Returns ``(assigned, centroids)``: ``assigned`` is the input plus
     ``__vv`` (squared norm), ``__cluster`` and ``__dist`` (squared L2 to
-    the final centroid); ``centroids`` is the driver-side
-    ``list[list[float]]`` (index = cluster id), each recomputed mean
-    rounded to ``round_dp``.
+    the final centroid; plus ``__cos``, cosine to it, when ``with_cos``);
+    ``centroids`` is the driver-side ``list[list[float]]`` (index =
+    cluster id), each recomputed mean rounded to ``round_dp``.
+
+    ``method``: ``"literal"`` = codegen argmin over literal centroids,
+    bit-exact vs the SQL oracle, for k ≲ 16; ``"blas"`` = Arrow-batched
+    matmul argmin, the large-k scale path (ulp-level assignment ties may
+    differ); ``"auto"`` picks by k. The centroid means are decimal-exact
+    and order-independent under EITHER method.
 
     Unlike ``pyspark.ml`` KMeans (used by :func:`similarity.ivf_build`,
     where approximate centroids are fine), every step here is exactly
@@ -103,6 +215,7 @@ def kmeans_lloyd(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    method = _resolve_method(method, k)
 
     vecs = df.withColumn("__vv", array_dot(F.col(vec_col), F.col(vec_col)))
 
@@ -120,7 +233,7 @@ def kmeans_lloyd(
     cents: List[List[float]] = [[float(x) for x in r.vec] for r in seed_rows]
 
     for _ in range(n_iter):
-        assigned = _assign(vecs, vec_col, cents)
+        assigned = _assign(vecs, vec_col, cents, method)
         # Exact decimal sums -> order-independent means (see module doc).
         means = (
             assigned.select("__cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
@@ -145,7 +258,7 @@ def kmeans_lloyd(
         new = {r["__cluster"]: [float(x) for x in r["cvec"]] for r in means}
         cents = [new.get(j, cents[j]) for j in range(k)]
 
-    return _assign(vecs, vec_col, cents), cents
+    return _assign(vecs, vec_col, cents, method, with_cos), cents
 
 
 def cluster_summary(
@@ -155,6 +268,7 @@ def cluster_summary(
     k: int = 8,
     n_iter: int = 2,
     round_dp: int = 6,
+    method: str = "auto",
 ) -> SparkDF:
     """Per-cluster profile → ``(cluster, n_members, centroid_norm)``.
 
@@ -162,7 +276,9 @@ def cluster_summary(
     final centroid — a drift/degeneracy signal; ``n_members`` is the
     skew profile to consult before the quadratic SemDeDup phase.
     """
-    assigned, cents = kmeans_lloyd(df, id_col, vec_col, k, n_iter, round_dp)
+    assigned, cents = kmeans_lloyd(
+        df, id_col, vec_col, k, n_iter, round_dp, method=method
+    )
     spark = df.sparkSession
     norms = spark.createDataFrame(
         [(j, round(math.sqrt(_py_dot(c, c)), round_dp)) for j, c in enumerate(cents)],
@@ -185,6 +301,7 @@ def semantic_dedup(
     n_iter: int = 2,
     tau: float = 0.7,
     round_dp: int = 6,
+    method: str = "auto",
 ) -> SparkDF:
     """SemDeDup (Abbas et al., 2023): within-cluster semantic pruning.
 
@@ -201,20 +318,9 @@ def semantic_dedup(
     module doc for sizing ``k``); the window is partitioned by cluster,
     never global.
     """
-    assigned, cents = kmeans_lloyd(df, id_col, vec_col, k, n_iter, round_dp)
-
-    # One flat array indexed by the assigned cluster — a nested
-    # when/coalesce chain here is quadratic for the optimizer and hangs
-    # planning beyond k≈16; element_at over a flat array stays linear.
-    cos_exprs = []
-    for c in cents:
-        clit = F.array(*[F.lit(float(x)) for x in c])
-        cc = _py_dot(c, c)
-        cos_exprs.append(
-            array_dot(F.col(vec_col), clit)
-            / (F.sqrt(F.col("__vv")) * F.sqrt(F.lit(cc)))
-        )
-    cos_cent = F.element_at(F.array(*cos_exprs), F.col("__cluster") + 1)
+    assigned, _ = kmeans_lloyd(
+        df, id_col, vec_col, k, n_iter, round_dp, method=method, with_cos=True
+    )
 
     w = Window.partitionBy("cluster").orderBy(
         F.col("cos_centroid").desc(), F.col("id").asc()
@@ -225,7 +331,7 @@ def semantic_dedup(
             F.col(vec_col).alias("vec"),
             "__vv",
             F.col("__cluster").alias("cluster"),
-            F.round(cos_cent, round_dp).alias("cos_centroid"),
+            F.round(F.col("__cos"), round_dp).alias("cos_centroid"),
         )
         .withColumn("rnk", F.row_number().over(w))
         # Materialized once: three consumers follow (both sides of the

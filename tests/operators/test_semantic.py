@@ -72,6 +72,40 @@ class TestKmeansLloyd:
             semantic.kmeans_lloyd(df, k=2, n_iter=0)
 
 
+class TestBlasPath:
+    def test_agrees_with_literal(self, spark):
+        """The Arrow/BLAS argmin and the codegen-literal argmin give the
+        same clusters, centroids and cosines on well-separated data."""
+        df = _emb_df(spark, ROWS)
+        lit_a, lit_c = semantic.kmeans_lloyd(
+            df, k=3, n_iter=2, method="literal", with_cos=True)
+        blas_a, blas_c = semantic.kmeans_lloyd(
+            df, k=3, n_iter=2, method="blas", with_cos=True)
+        assert lit_c == blas_c
+        lit_rows = {r["vec_id"]: r for r in lit_a.collect()}
+        blas_rows = {r["vec_id"]: r for r in blas_a.collect()}
+        for i in lit_rows:
+            assert lit_rows[i]["__cluster"] == blas_rows[i]["__cluster"]
+            assert lit_rows[i]["__cos"] == pytest.approx(
+                blas_rows[i]["__cos"], abs=1e-12)
+
+    def test_semantic_dedup_blas_same_verdicts(self, spark):
+        df = _emb_df(spark, ROWS)
+        lit = {r["id"]: (r["cluster"], r["kept"]) for r in
+               semantic.semantic_dedup(
+                   df, k=3, n_iter=2, tau=0.9, method="literal").collect()}
+        blas = {r["id"]: (r["cluster"], r["kept"]) for r in
+                semantic.semantic_dedup(
+                    df, k=3, n_iter=2, tau=0.9, method="blas").collect()}
+        assert lit == blas
+
+    def test_auto_routes_by_k(self, spark):
+        assert semantic._resolve_method("auto", 16) == "literal"
+        assert semantic._resolve_method("auto", 17) == "blas"
+        with pytest.raises(ValueError, match="method"):
+            semantic._resolve_method("fancy", 8)
+
+
 class TestClusterSummary:
     def test_sizes_sum_to_n(self, spark):
         df = _emb_df(spark, ROWS)

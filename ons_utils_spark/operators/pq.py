@@ -1,0 +1,209 @@
+"""Product quantization (PQ) for embedding columns: build + ADC top-k.
+
+LLM-data-pipeline extension (no reference analogue). Jégou et al., "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011) — the compression
+behind FAISS-style billion-vector ANN: split each d-dim vector into ``m``
+contiguous subspaces, k-means each subspace independently, store only the
+``m`` one-byte-ish code indices per vector (64-d float32 → 4 codes is a
+64× compression), and answer queries with Asymmetric Distance Computation
+(ADC): a driver-side lookup table of ``m × k`` exact query-to-centroid
+distances, so scoring a database vector is ``m`` table lookups + adds —
+no float vector ever read at query time.
+
+Determinism: each subspace codebook is trained with
+:func:`ons_utils_spark.operators.semantic.kmeans_lloyd` (Knuth-hash
+seeded init, decimal-exact centroid means), so codebooks, codes, and ADC
+scores are bit-reproducible — the DuckDB oracle replays all of it.
+
+Scale story (100 TB): training reads the corpus ``m × n_iter`` times but
+each pass is the linear Lloyd step over a ``localCheckpoint``'d slice
+projection (train on a sample in production — codebooks need ~100k
+vectors, not the corpus). Encoding is one scan (argmin per subspace,
+codegen or Arrow/BLAS — inherited from semantic.py). The coded table is
+``m`` ints per row; an ADC scan is a row-local expression over it and
+top-k plans as TakeOrderedAndProject (per-partition heaps, no global
+sort). IVF partitioning composes on top: bucket by a coarse quantizer
+(similarity.ivf_build) and PQ-scan only the probed lists.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+from ons_utils_spark.operators.semantic import (
+    _py_dot,
+    _resolve_method,
+    kmeans_lloyd,
+)
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m={m} must divide the vector dim {dim}")
+    return dim // m
+
+
+def pq_build(
+    df: SparkDF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 1,
+    round_dp: int = 6,
+    method: str = "auto",
+) -> Tuple[SparkDF, List[List[List[float]]]]:
+    """Train per-subspace codebooks and encode the corpus.
+
+    Returns ``(codes, codebooks)``: ``codes`` is ``(id, codes)`` with
+    ``codes`` an ``array<int>`` of length ``m`` (``codes[i]`` = index of
+    the nearest centroid of subspace ``i``); ``codebooks[i][j]`` is the
+    ``dim/m``-dim centroid ``j`` of subspace ``i``.
+
+    The slice projection is checkpointed once and feeds all ``m``
+    trainings and the final encode — the corpus is not re-sliced per
+    subspace. Encoding reuses the literal-codegen argmin (total
+    expression size m·k·(dim/m) = k·dim, the same as one full k-means
+    assign) or the Arrow/BLAS path, per ``method``.
+    """
+    sub_d = _check_geometry(dim, m)
+    method = _resolve_method(method, k)
+
+    slices = df.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.slice(F.col(vec_col), i * sub_d + 1, sub_d).alias(f"sub{i}")
+            for i in range(m)
+        ],
+    ).localCheckpoint(eager=True)
+
+    codebooks: List[List[List[float]]] = []
+    for i in range(m):
+        sub = slices.select("id", F.col(f"sub{i}").alias("vec"))
+        # Only the centroids are needed here; the returned assignment
+        # frame is lazy and never executed.
+        _, cents = kmeans_lloyd(
+            sub, "id", "vec", k=k, n_iter=n_iter,
+            round_dp=round_dp, method=method,
+        )
+        codebooks.append(cents)
+
+    if method == "literal":
+        code_cols = []
+        for i in range(m):
+            entries = []
+            vec = F.col(f"sub{i}")
+            vv = F.aggregate(
+                F.zip_with(vec, vec, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            for j, c in enumerate(codebooks[i]):
+                clit = F.array(*[F.lit(float(x)) for x in c])
+                dot = F.aggregate(
+                    F.zip_with(vec, clit, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                dist = vv + F.lit(_py_dot(c, c)) - 2 * dot
+                entries.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
+            code_cols.append(F.array_min(F.array(*entries))["j"])
+        codes = slices.select("id", F.array(*code_cols).alias("codes"))
+    else:
+        codes = _encode_blas(slices, m, codebooks)
+    return codes, codebooks
+
+
+def _encode_blas(slices: SparkDF, m: int, codebooks) -> SparkDF:
+    """One Arrow pass encoding all subspaces via per-subspace matmuls."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    ccs = [np.einsum("ij,ij->i", C, C) for C in mats]
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            out = np.empty((n, m), dtype=np.int32)
+            for i in range(m):
+                X = np.asarray(pdf[f"sub{i}"].tolist(), dtype=np.float64)
+                vv = np.einsum("ij,ij->i", X, X)
+                d2 = vv[:, None] + ccs[i][None, :] - 2.0 * (X @ mats[i].T)
+                out[:, i] = d2.argmin(axis=1)
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "codes": list(out)}
+            )
+
+    return slices.mapInPandas(gen, schema)
+
+
+def pq_adc_scores(
+    codes: SparkDF,
+    codebooks: List[List[List[float]]],
+    query_vec: Sequence[float],
+    round_dp: int = 6,
+) -> SparkDF:
+    """Asymmetric distance of EVERY coded vector to ``query_vec``.
+
+    The lookup table (exact ``‖q_i − c_ij‖²`` per subspace, computed
+    driver-side with the same ``qq + cc − 2·q·c`` dot-product form the
+    engines use) folds into a row-local expression: the score of a coded
+    vector is ``Σ_i LUT[i][codes[i]]`` — ``m`` array lookups, no float
+    vector touched. Returns ``(id, codes, adc_dist)``.
+    """
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    q = [float(v) for v in query_vec]
+    if len(q) != m * sub_d:
+        raise ValueError(
+            f"query dim {len(q)} != m*sub_d = {m * sub_d}"
+        )
+    luts = []
+    for i in range(m):
+        qs = q[i * sub_d: (i + 1) * sub_d]
+        qq = _py_dot(qs, qs)
+        luts.append([
+            qq + _py_dot(c, c) - 2 * _py_dot(qs, c) for c in codebooks[i]
+        ])
+    score = None
+    for i in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in luts[i]]),
+            F.element_at(F.col("codes"), i + 1) + 1,
+        )
+        score = term if score is None else score + term
+    return codes.select(
+        "id", "codes", F.round(score, round_dp).alias("adc_dist")
+    )
+
+
+def pq_adc_topk(
+    codes: SparkDF,
+    codebooks: List[List[List[float]]],
+    query_vec: Sequence[float],
+    topk: int = 10,
+    round_dp: int = 6,
+) -> SparkDF:
+    """Asymmetric-distance top-``k``: smallest approximate squared L2.
+
+    ``orderBy().limit()`` plans as TakeOrderedAndProject — per-partition
+    heaps, no global sort.
+    """
+    return (
+        pq_adc_scores(codes, codebooks, query_vec, round_dp)
+        .select("id", "adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
+        .limit(topk)
+    )

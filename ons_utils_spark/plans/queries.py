@@ -6226,7 +6226,14 @@ def q_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ons_utils_spark.operators import semantic as _semantic  # noqa: E402
 
 
-def _kmeans_ctes(k: int, n_iter: int, dp: int) -> str:
+def _kmeans_ctes(
+    k: int,
+    n_iter: int,
+    dp: int,
+    vec_sql: str = "CAST(embedding AS DOUBLE[])",
+    suffix: str = "",
+    with_prefix: bool = True,
+) -> str:
     """DuckDB CTE chain reproducing kmeans_lloyd bit-for-bit.
 
     Unrolls the Lloyd iterations: assignment = argmin over
@@ -6236,52 +6243,58 @@ def _kmeans_ctes(k: int, n_iter: int, dp: int) -> str:
     rounded to ``dp`` — the same arithmetic the operator commits to.
     Empty clusters fall back to the previous iteration's centroid via
     the LEFT JOIN + COALESCE, mirroring the operator.
+
+    ``vec_sql`` is the vector expression over ``embeddings`` (a slice of
+    it for product quantization's per-subspace chains); ``suffix`` tags
+    every CTE name so multiple chains compose in one statement (the
+    final assignment CTE is ``af{suffix}``).
     """
     kn = _semantic.KNUTH_HASH
+    s = suffix
     ctes = [
-        """v AS (
-        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
-               list_dot_product(CAST(embedding AS DOUBLE[]),
-                                CAST(embedding AS DOUBLE[])) AS vv
+        f"""v{s} AS (
+        SELECT vec_id AS id, {vec_sql} AS vec,
+               list_dot_product({vec_sql},
+                                {vec_sql}) AS vv
         FROM embeddings)""",
-        f"""c0 AS (
+        f"""c0{s} AS (
         SELECT row_number() OVER (ORDER BY (id * {kn}) % 4294967296, id) - 1
                    AS cid,
                vec AS cvec
-        FROM (SELECT id, vec FROM v
+        FROM (SELECT id, vec FROM v{s}
               ORDER BY (id * {kn}) % 4294967296, id LIMIT {k}))""",
     ]
-    prev = "c0"
+    prev = f"c0{s}"
     for i in range(1, n_iter + 1):
         ctes.append(
-            f"""a{i} AS (
+            f"""a{i}{s} AS (
             SELECT id, vec, vv, cid FROM (
                 SELECT v.id, v.vec, v.vv, c.cid,
                        row_number() OVER (PARTITION BY v.id ORDER BY
                            v.vv + list_dot_product(c.cvec, c.cvec)
                            - 2 * list_dot_product(v.vec, c.cvec), c.cid) AS rn
-                FROM v CROSS JOIN {prev} c)
+                FROM v{s} v CROSS JOIN {prev} c)
             WHERE rn = 1)"""
         )
         ctes.append(
-            f"""m{i} AS (
+            f"""m{i}{s} AS (
             SELECT cid, list(mv ORDER BY dim) AS cvec FROM (
                 SELECT cid, dim,
                        round(CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
                              / count(*), {dp}) AS mv
                 FROM (SELECT cid, unnest(vec) AS val,
-                             generate_subscripts(vec, 1) AS dim FROM a{i})
+                             generate_subscripts(vec, 1) AS dim FROM a{i}{s})
                 GROUP BY cid, dim)
             GROUP BY cid)"""
         )
         ctes.append(
-            f"""c{i} AS (
+            f"""c{i}{s} AS (
             SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
-            FROM {prev} p LEFT JOIN m{i} n ON p.cid = n.cid)"""
+            FROM {prev} p LEFT JOIN m{i}{s} n ON p.cid = n.cid)"""
         )
-        prev = f"c{i}"
+        prev = f"c{i}{s}"
     ctes.append(
-        f"""af AS (
+        f"""af{s} AS (
         SELECT id, vec, vv, cid, cvec,
                list_dot_product(vec, cvec)
                    / (sqrt(vv) * sqrt(list_dot_product(cvec, cvec))) AS cos
@@ -6290,10 +6303,11 @@ def _kmeans_ctes(k: int, n_iter: int, dp: int) -> str:
                    row_number() OVER (PARTITION BY v.id ORDER BY
                        v.vv + list_dot_product(c.cvec, c.cvec)
                        - 2 * list_dot_product(v.vec, c.cvec), c.cid) AS rn
-            FROM v CROSS JOIN {prev} c)
+            FROM v{s} v CROSS JOIN {prev} c)
         WHERE rn = 1)"""
     )
-    return "WITH " + ",\n".join(ctes)
+    joined = ",\n".join(ctes)
+    return ("WITH " + joined) if with_prefix else joined
 
 
 @register(
@@ -6355,6 +6369,85 @@ def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return _semantic.semantic_dedup(
         emb, "vec_id", "embedding", k=8, n_iter=2, tau=0.4
+    ).orderBy("id")
+
+
+from ons_utils_spark.operators import pq as _pq  # noqa: E402
+
+
+def _pq_oracle(m: int, k: int, n_iter: int, dp: int, dim: int,
+               query_id: int) -> str:
+    """DuckDB twin of pq_build + pq_adc_scores: one kmeans CTE chain per
+    subspace (over the sliced vector), code = per-subspace assignment,
+    LUT recomputed in SQL from the final codebooks, scores summed in the
+    same left-to-right order as the Spark expression."""
+    sub_d = dim // m
+    chains, luts = [], []
+    for i in range(m):
+        lo, hi = i * sub_d + 1, (i + 1) * sub_d
+        vec_sql = f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]"
+        chains.append(_kmeans_ctes(
+            k, n_iter, dp, vec_sql=vec_sql, suffix=f"_s{i}",
+            with_prefix=False,
+        ))
+        luts.append(f"""lut_s{i} AS (
+            SELECT c.cid,
+                   qv.qq + list_dot_product(c.cvec, c.cvec)
+                   - 2 * list_dot_product(qv.sub, c.cvec) AS dist
+            FROM c{n_iter}_s{i} c CROSS JOIN (
+                SELECT {vec_sql} AS sub,
+                       list_dot_product({vec_sql}, {vec_sql}) AS qq
+                FROM embeddings WHERE vec_id = {query_id}) qv)""")
+    code_cols = ", ".join(f"a{i}.cid AS c{i}" for i in range(m))
+    code_joins = " ".join(
+        f"JOIN af_s{i} a{i} ON a0.id = a{i}.id" for i in range(1, m)
+    )
+    score = " + ".join(f"l{i}.dist" for i in range(m))
+    lut_joins = " ".join(
+        f"JOIN lut_s{i} l{i} ON c.c{i} = l{i}.cid" for i in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(chains + luts) + f""",
+        codes AS (
+            SELECT a0.id, {code_cols}
+            FROM af_s0 a0 {code_joins})
+        SELECT c.id, {', '.join(f'c.c{i}' for i in range(m))},
+               round({score}, {dp}) AS adc_dist
+        FROM codes c {lut_joins}
+        ORDER BY c.id
+        """
+    )
+
+
+@register(
+    "q_pq_adc_scores",
+    oracle=_pq_oracle(4, 16, 1, 6, 64, 0),
+    description="Product quantization (Jégou et al., TPAMI 2011; "
+    "operators/pq.py): 64-d embeddings split into 4 subspaces, each "
+    "k-means'd to a 16-entry codebook (deterministic Lloyd — Knuth-hash "
+    "init, decimal-exact means), every vector encoded as 4 small ints "
+    "(64× compression), then scored against query vec_id=0 by ADC — a "
+    "driver-side 4×16 lookup table folded into a row-local expression, "
+    "no float vector read at query time. The oracle replays all four "
+    "subspace trainings, the encoding, and every ADC score bit-for-bit. "
+    "Scale: train on a sample, encode in one scan (codegen or "
+    "Arrow/BLAS), ADC scan is m lookups/row and composes with IVF list "
+    "pruning for billion-vector serving.",
+)
+def q_pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cbs = _pq.pq_build(
+        emb, "vec_id", "embedding", dim=64, m=4, k=16, n_iter=1
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    scored = _pq.pq_adc_scores(codes, cbs, q)
+    return scored.select(
+        "id",
+        *[F.element_at("codes", i + 1).alias(f"c{i}") for i in range(4)],
+        "adc_dist",
     ).orderBy("id")
 
 
@@ -6579,6 +6672,9 @@ _GRADING_ORDER = [
     # the cluster-bounded SemDeDup pruning pass it powers
     "q_kmeans_clusters",
     "q_semdedup_kmeans",
+    # r8: product quantization (4 subspace codebooks + ADC scoring),
+    # full bit-exact oracle replaying all four trainings
+    "q_pq_adc_scores",
     # r8: rotated OUT of the graded window (in since r1; expression-only
     # shapes with no shuffle to regress) to admit q_decontaminate_bloom,
     # q_contaminated_spans, and q_self_dedup_spans above

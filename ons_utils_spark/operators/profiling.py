@@ -334,3 +334,98 @@ def equi_depth_histogram(df: SparkDF, col: str, bins: int = 10) -> SparkDF:
         )
         .orderBy("bucket")
     )
+
+
+def psi_drift(
+    ref: SparkDF,
+    cur: SparkDF,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+    round_dp: int = 6,
+) -> SparkDF:
+    """Population Stability Index between two snapshots of a column.
+
+    The scorecard-monitoring drift gate: bin edges are equal-width from
+    the REFERENCE snapshot's min/max, both snapshots are histogrammed
+    onto them, and each bin contributes
+    ``(p_cur' − p_ref') · ln(p_cur'/p_ref')`` where ``p' = max(p, eps)``
+    floors empty bins. Returns one row per bin — ``(bucket, n_ref,
+    n_cur, p_ref, p_cur, psi_term)``, all ``bins`` buckets present even
+    when empty — so the consumer reads the shift's location, not just
+    ``sum(psi_term)`` (rule of thumb: < 0.1 stable, 0.1–0.25 moderate,
+    > 0.25 shifted).
+
+    Current-snapshot rows OUTSIDE the reference range clamp into the
+    edge bins — drift mass must be counted, not dropped (dropping it is
+    the classic silent-PSI bug). NULLs are excluded on both sides.
+
+    Scale: one min/max pass over the reference (1-row broadcast fold),
+    one |bins|-key partial aggregate per side, then driver-free joins
+    against a ``spark.range(bins)`` frame — no global window, no
+    collect; both corpora are scanned exactly once each.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+
+    spark = ref.sparkSession
+    rx = ref.select(F.col(col).cast("double").alias("__x")).where(
+        F.col("__x").isNotNull()
+    )
+    cx = cur.select(F.col(col).cast("double").alias("__x")).where(
+        F.col("__x").isNotNull()
+    )
+    # 1-row frame consumed by BOTH bucketize passes — materialized once
+    # so neither re-derives the min/max scan (and the final plan reads
+    # the snapshot, not the reference corpus).
+    bounds = rx.agg(
+        F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+    ).localCheckpoint(eager=True)
+
+    def bucketize(data: SparkDF, n_col: str) -> SparkDF:
+        d = data.join(F.broadcast(bounds))
+        width = (F.col("__hi") - F.col("__lo")) / bins
+        raw = F.floor((F.col("__x") - F.col("__lo")) / width)
+        b = (
+            F.when(width == 0, F.lit(0))
+            .otherwise(F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw)))
+            .cast("int")
+        )
+        return d.select(b.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(n_col)
+        )
+
+    n_ref = bucketize(rx, "n_ref")
+    n_cur = bucketize(cx, "n_cur")
+    frame = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    counts = (
+        frame.join(n_ref, "bucket", "left")
+        .join(n_cur, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        # |bins| rows, two consumers (totals fold + output) — without
+        # this both snapshots are scanned twice.
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(float(eps)))
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, round_dp).alias("p_ref"),
+            F.round(p_cur, round_dp).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), round_dp).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bucket")
+    )

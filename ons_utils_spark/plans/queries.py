@@ -6373,6 +6373,72 @@ def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ons_utils_spark.operators import pq as _pq  # noqa: E402
+from ons_utils_spark.operators.profiling import psi_drift as _psi_drift  # noqa: E402
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+        WITH rx AS (
+            SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+            WHERE o_orderdate < TIMESTAMP '1997-01-01'
+              AND o_totalprice IS NOT NULL),
+        cx AS (
+            SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_totalprice IS NOT NULL),
+        b AS (SELECT min(x) AS lo, max(x) AS hi FROM rx),
+        nr AS (
+            SELECT CASE WHEN (b.hi - b.lo) / 10 = 0 THEN 0
+                        ELSE GREATEST(0, LEAST(9,
+                            CAST(floor((x - b.lo) / ((b.hi - b.lo) / 10))
+                                 AS INTEGER)))
+                   END AS bucket, count(*) AS n_ref
+            FROM rx CROSS JOIN b GROUP BY 1),
+        nc AS (
+            SELECT CASE WHEN (b.hi - b.lo) / 10 = 0 THEN 0
+                        ELSE GREATEST(0, LEAST(9,
+                            CAST(floor((x - b.lo) / ((b.hi - b.lo) / 10))
+                                 AS INTEGER)))
+                   END AS bucket, count(*) AS n_cur
+            FROM cx CROSS JOIN b GROUP BY 1),
+        frame AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(10)),
+        counts AS (
+            SELECT f.bucket,
+                   COALESCE(nr.n_ref, 0) AS n_ref,
+                   COALESCE(nc.n_cur, 0) AS n_cur
+            FROM frame f
+            LEFT JOIN nr ON f.bucket = nr.bucket
+            LEFT JOIN nc ON f.bucket = nc.bucket),
+        t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
+        SELECT bucket, n_ref, n_cur,
+               round(GREATEST(n_ref / tr, 0.000001), 6) AS p_ref,
+               round(GREATEST(n_cur / tc, 0.000001), 6) AS p_cur,
+               round((GREATEST(n_cur / tc, 0.000001)
+                      - GREATEST(n_ref / tr, 0.000001))
+                     * ln(GREATEST(n_cur / tc, 0.000001)
+                          / GREATEST(n_ref / tr, 0.000001)), 6) AS psi_term
+        FROM counts CROSS JOIN t
+        ORDER BY bucket
+    """,
+    description="Population Stability Index drift gate "
+    "(operators/profiling.py::psi_drift): order prices before vs from "
+    "1997 histogrammed onto equal-width bins derived from the REFERENCE "
+    "min/max; per-bin (p_cur'−p_ref')·ln(p_cur'/p_ref') with eps-floored "
+    "shares, current rows outside the reference range clamped into edge "
+    "bins (drift mass counted, not dropped). One scan per snapshot, "
+    "|bins|-key partial aggregates, 1-row broadcast folds — no global "
+    "window, no collect.",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+    return _psi_drift(
+        orders.where(F.col("o_orderdate") < split),
+        orders.where(F.col("o_orderdate") >= split),
+        "o_totalprice",
+        bins=10,
+    )
 
 
 def _pq_oracle(m: int, k: int, n_iter: int, dp: int, dim: int,
@@ -6492,7 +6558,10 @@ _GRADING_ORDER = [
     "q_year_span_ffill",
     "q_grouped_apply_spend_share",
     # -- TPC-H-style relational mix ---------------------------------------
-    "q_null_semantics",
+    # r8 rotation (3): q_null_semantics (expression-only null-handling
+    # shapes, long green, still full-registry-checked in the tail) swaps
+    # out for the deterministic-Lloyd clustering oracle class.
+    "q_kmeans_clusters",
     "q_first_group_orders",
     "q_priority_late_orders",
     "q_top_return_customers",
@@ -6512,7 +6581,11 @@ _GRADING_ORDER = [
     # replayed in SQL — takes the slot of q_array_diff (expression-only
     # zip_with shape, long green, still full-registry-checked).
     "q_self_dedup_spans",
-    "q_except_all_priorities",
+    # r8 rotation (3): q_except_all_priorities (bag-semantics set op,
+    # long green; the union family stays graded via both q_concat_*)
+    # swaps out for the SemDeDup pruning oracle class (clustering +
+    # ranking + within-cluster pair pruning replayed in SQL).
+    "q_semdedup_kmeans",
     # -- streaming batch-twins --------------------------------------------
     "q_events_hourly_windows",
     "q_events_user_sessions",
@@ -6668,13 +6741,16 @@ _GRADING_ORDER = [
     "q_c4_line_clean",
     # r8: suffix-matched domain blocklist (first-pass crawl filter)
     "q_domain_filter",
-    # r8: deterministic Lloyd k-means (decimal-exact centroid means) and
-    # the cluster-bounded SemDeDup pruning pass it powers
-    "q_kmeans_clusters",
-    "q_semdedup_kmeans",
     # r8: product quantization (4 subspace codebooks + ADC scoring),
-    # full bit-exact oracle replaying all four trainings
+    # full bit-exact oracle replaying all four trainings; too heavy for
+    # a graded slot at sf0.01 (~26 s incl. oracle), full-checked here
     "q_pq_adc_scores",
+    # r8: PSI drift gate (two-snapshot histogram + eps-floored log terms)
+    "q_psi_drift",
+    # r8 rotation (3): rotated OUT of the graded window for the
+    # kmeans/SemDeDup oracle classes (see window comments)
+    "q_null_semantics",
+    "q_except_all_priorities",
     # r8: rotated OUT of the graded window (in since r1; expression-only
     # shapes with no shuffle to regress) to admit q_decontaminate_bloom,
     # q_contaminated_spans, and q_self_dedup_spans above

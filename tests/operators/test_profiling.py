@@ -209,3 +209,61 @@ class TestEquiDepthHistogram:
         rows = equi_depth_histogram(df, "v", bins=4).collect()
         # All boundaries equal 7.0 -> every row lands in the TOP bucket.
         assert len(rows) == 1 and rows[0]["n"] == 50
+
+
+class TestPsiDrift:
+    def _mk(self, spark, vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+    def test_identical_snapshots_zero_psi(self, spark):
+        from ons_utils_spark.operators.profiling import psi_drift
+
+        ref = self._mk(spark, range(100))
+        rows = psi_drift(ref, ref, "v", bins=5).collect()
+        assert len(rows) == 5
+        assert all(r["psi_term"] == 0.0 for r in rows)
+        assert all(r["n_ref"] == r["n_cur"] == 20 for r in rows)
+
+    def test_out_of_range_current_clamps_to_edge_bins(self, spark):
+        from ons_utils_spark.operators.profiling import psi_drift
+
+        ref = self._mk(spark, range(0, 100))      # range [0, 99]
+        cur = self._mk(spark, [-50, -1, 150, 200, 50])
+        rows = {r["bucket"]: r for r in psi_drift(ref, cur, "v", bins=4).collect()}
+        # Drift mass is counted, not dropped: 2 below -> bucket 0,
+        # 2 above -> bucket 3, 1 in range.
+        assert sum(r["n_cur"] for r in rows.values()) == 5
+        assert rows[0]["n_cur"] == 2 and rows[3]["n_cur"] == 2
+
+    def test_empty_bins_present_and_eps_floored(self, spark):
+        from ons_utils_spark.operators.profiling import psi_drift
+
+        ref = self._mk(spark, range(100))
+        cur = self._mk(spark, [1.0] * 50)  # everything in bucket 0
+        rows = {r["bucket"]: r for r in psi_drift(ref, cur, "v", bins=5).collect()}
+        assert set(rows) == {0, 1, 2, 3, 4}
+        assert rows[1]["n_cur"] == 0
+        assert rows[1]["p_cur"] == 1e-6           # floored, not 0
+        assert rows[1]["psi_term"] > 0            # contributes drift
+        total = sum(r["psi_term"] for r in rows.values())
+        assert total > 0.25                        # a full collapse is "shifted"
+
+    def test_constant_reference_column(self, spark):
+        from ons_utils_spark.operators.profiling import psi_drift
+
+        ref = self._mk(spark, [7.0] * 20)
+        cur = self._mk(spark, [7.0] * 10)
+        rows = psi_drift(ref, cur, "v", bins=3).collect()
+        by_b = {r["bucket"]: r for r in rows}
+        assert by_b[0]["n_ref"] == 20 and by_b[0]["n_cur"] == 10
+        assert by_b[0]["psi_term"] == 0.0
+
+    def test_nulls_dropped_and_validation(self, spark):
+        import pytest as _pytest
+        from ons_utils_spark.operators.profiling import psi_drift
+
+        ref = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+        rows = psi_drift(ref, ref, "v", bins=2).collect()
+        assert sum(r["n_ref"] for r in rows) == 2
+        with _pytest.raises(ValueError, match="bins"):
+            psi_drift(ref, ref, "v", bins=0)

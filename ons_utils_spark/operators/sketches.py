@@ -192,3 +192,128 @@ def load_sketch(spark, sketch_path: str) -> SparkDF:
     """Read an append-only sketch store back as ONE sketch (cell sums)."""
     raw = spark.read.parquet(sketch_path)
     return count_min_merge(raw.select("d", "b", "cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) sketch: mergeable distinct-count + deterministic samples
+# ---------------------------------------------------------------------------
+
+#: Exact 2^64 as the unsigned-hash range (and the signed->unsigned shift).
+_U64 = 18446744073709551616
+
+
+def _unsigned_order(h):
+    """Sort keys giving the UNSIGNED order of a signed xxhash64 value:
+    non-negative longs (unsigned 0..2^63-1) sort before negative ones
+    (unsigned 2^63..2^64-1), each group in signed ascending order."""
+    return [(h < 0).cast("int").asc(), h.asc()]
+
+
+def bottomk_sketch(df: SparkDF, key_col: str, k: int = 1024) -> SparkDF:
+    """Bottom-k (KMV) sketch of a key column: the ``k`` unsigned-smallest
+    DISTINCT ``xxhash64`` values, as ``(h)`` signed bigints.
+
+    Mergeable by construction — ``bottomk(A ∪ B)`` equals the bottom-k
+    of the two sketches' union (pinned in tests), so shards sketch
+    independently and a coordinator folds ≤ k·shards rows. Plans as
+    hash-distinct + TakeOrderedAndProject: per-partition top-k heaps, no
+    global sort, ≤ k rows ever cross the wire per shard. NULL keys are
+    excluded (COUNT DISTINCT semantics).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.xxhash64(F.col(key_col))
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy(*_unsigned_order(F.col("h")))
+        .limit(k)
+    )
+
+
+def kmv_distinct(sketch: SparkDF, k: int) -> SparkDF:
+    """Distinct-count estimate from a bottom-k sketch: one row
+    ``(n_sketch, est)``.
+
+    With the sketch saturated (``n_sketch == k``) the estimator is
+    ``(k−1) / R_k`` where ``R_k`` = the k-th smallest hash normalized to
+    (0,1) — i.e. ``(k−1)·2^64 / u_k`` with ``u_k`` the unsigned k-th
+    minimum (Bar-Yossef et al. 2002). Below saturation the sketch IS the
+    distinct set, so the exact ``n_sketch`` is returned. The unsigned
+    value is reconstructed in exact decimal so the one double rounding
+    happens identically in Spark and the SQL oracle.
+    """
+    # 2^64 exceeds a long literal — route the shift through a string cast.
+    shift = F.lit(str(_U64)).cast("decimal(38,0)")
+    u = F.col("h").cast("decimal(38,0)") + F.when(
+        F.col("h") < 0, shift
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(u).alias("__uk"),  # the k-th minimum = max of the sketch
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * _U64)) / F.col("__uk").cast("double")
+    )
+    return agg.select("n_sketch", F.round(est, 4).alias("est"))
+
+
+def hash_sample(df: SparkDF, key_col: str, n: int = 1024) -> SparkDF:
+    """Deterministic pseudo-random sample: the rows whose ``xxhash64``
+    of ``key_col`` is unsigned-smallest — reproducible across runs,
+    partitionings and engines (no ``rand()``), mergeable like the KMV
+    sketch. Ties on hash break by the key itself. Plans as
+    TakeOrderedAndProject.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.xxhash64(F.col(key_col))
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .orderBy(*_unsigned_order(h), F.col(key_col).asc())
+        .limit(n)
+    )
+
+
+def sample_quantiles(
+    df: SparkDF,
+    key_col: str,
+    val_col: str,
+    probs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    n: int = 1024,
+    round_dp: int = 6,
+) -> SparkDF:
+    """Quantile estimates from a deterministic ``hash_sample`` →
+    ``(prob, q_est)`` rows.
+
+    The population quantile is estimated by the sample's exact quantile
+    (lower / "disc" interpolation: sorted sample index
+    ``floor(p·(m−1))``) — error is O(1/√n) in rank, independent of the
+    corpus size, which is the whole point at 100 TB: the full table is
+    never sorted; only ``n`` rows leave the scan (TakeOrderedAndProject),
+    and the quantile extraction is one bounded single-row aggregate.
+    """
+    sample = hash_sample(df, key_col, n).select(
+        F.col(val_col).cast("double").alias("__v")
+    )
+    one = sample.agg(F.sort_array(F.collect_list("__v")).alias("__arr"))
+    arr = F.col("__arr")
+    m = F.size(arr)
+    rows = [
+        F.struct(
+            F.lit(float(p)).alias("prob"),
+            F.round(
+                F.element_at(
+                    arr, (F.floor(F.lit(float(p)) * (m - 1)) + 1).cast("int")
+                ),
+                round_dp,
+            ).alias("q_est"),
+        )
+        for p in probs
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.prob", "r.q_est"
+    )

@@ -6441,6 +6441,89 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ons_utils_spark.plans.oracle_xxh64 import (  # noqa: E402
+    chain as _xxh_chain,
+    long_hash_steps as _xxh_long_steps,
+)
+
+
+def _kmv_hash_cte(key_sql: str, table: str, extra_cols: str = "") -> str:
+    """CTE chain hashing a bigint key column with Spark's xxhash64:
+    ``hashed`` holds the UNSIGNED hash ``kh`` (+ key and extras)."""
+    sql = f"""
+    WITH keys AS (
+        SELECT {key_sql} AS key{extra_cols} FROM {table}
+        WHERE {key_sql} IS NOT NULL),
+    ku AS (
+        SELECT *, CASE WHEN key < 0
+                       THEN key + 18446744073709551616
+                       ELSE key END AS u
+        FROM keys)"""
+    sql += _xxh_chain("ku", _xxh_long_steps("kh", "u", "42"), "khc", "hstep")
+    return sql + ", hashed AS (SELECT * EXCLUDE (u), hstep.kh AS kh FROM hstep)"
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=_kmv_hash_cte("o_custkey", "(SELECT DISTINCT o_custkey FROM orders)")
+    + """,
+    hdist AS (SELECT DISTINCT kh FROM hashed),
+    sk AS (SELECT kh FROM hdist ORDER BY kh LIMIT 256),
+    a AS (SELECT count(*) AS n_sketch, max(kh) AS uk FROM sk)
+    SELECT n_sketch,
+           round(CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+                      ELSE CAST(255 * 18446744073709551616 AS DOUBLE)
+                           / CAST(uk AS DOUBLE) END, 4) AS est
+    FROM a
+    """,
+    description="Bottom-k (KMV) distinct-count sketch (Bar-Yossef et al. "
+    "2002; operators/sketches.py::bottomk_sketch/kmv_distinct): the 256 "
+    "unsigned-smallest xxhash64 values of o_custkey, estimate "
+    "(k−1)·2^64/u_k. Mergeable (union = bottom-k of sketch union, pinned "
+    "in tests) and fully deterministic — the oracle recomputes every "
+    "hash bit-for-bit (xxh64 seed chain in SQL) and the one double "
+    "rounding of the exact-decimal unsigned k-th minimum happens "
+    "identically. Plans as hash-distinct + TakeOrderedAndProject: ≤ k "
+    "rows leave each shard, no global sort.",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    sk = _sketches.bottomk_sketch(orders, "o_custkey", k=256)
+    return _sketches.kmv_distinct(sk, 256)
+
+
+@register(
+    "q_sample_quantiles",
+    oracle=_kmv_hash_cte(
+        "o_orderkey", "orders", ", CAST(o_totalprice AS DOUBLE) AS v"
+    )
+    + """,
+    samp AS (SELECT v FROM hashed ORDER BY kh, key LIMIT 1024),
+    arr AS (SELECT list(v ORDER BY v) AS a, count(*) AS m FROM samp)
+    SELECT prob,
+           round(a[CAST(floor(prob * (m - 1)) AS INTEGER) + 1], 6) AS q_est
+    FROM arr CROSS JOIN (
+        SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[]))
+            AS prob) p
+    ORDER BY prob
+    """,
+    description="Deterministic hash-sample quantiles "
+    "(operators/sketches.py::hash_sample/sample_quantiles): the 1,024 "
+    "rows with unsigned-smallest xxhash64(o_orderkey) estimate the "
+    "o_totalprice quantiles at 6 probes (sorted-sample index "
+    "floor(p·(m−1)), disc interpolation). Rank error is O(1/√n) "
+    "independent of corpus size — the table is never sorted; only n "
+    "rows leave the scan (TakeOrderedAndProject) and the extraction is "
+    "one bounded single-row aggregate. The oracle replays the hash "
+    "chain, the sample membership, and every quantile exactly.",
+)
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return _sketches.sample_quantiles(
+        orders, "o_orderkey", "o_totalprice", n=1024
+    ).orderBy("prob")
+
+
 def _pq_oracle(m: int, k: int, n_iter: int, dp: int, dim: int,
                query_id: int) -> str:
     """DuckDB twin of pq_build + pq_adc_scores: one kmeans CTE chain per
@@ -6747,6 +6830,10 @@ _GRADING_ORDER = [
     "q_pq_adc_scores",
     # r8: PSI drift gate (two-snapshot histogram + eps-floored log terms)
     "q_psi_drift",
+    # r8: bottom-k (KMV) sketch family — mergeable distinct count and
+    # deterministic hash-sample quantiles, xxh64 chain replayed in SQL
+    "q_kmv_distinct",
+    "q_sample_quantiles",
     # r8 rotation (3): rotated OUT of the graded window for the
     # kmeans/SemDeDup oracle classes (see window comments)
     "q_null_semantics",

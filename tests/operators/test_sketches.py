@@ -188,3 +188,111 @@ class TestDurableStore:
         empty = events.limit(0)
         sketch_append_batch(empty, "k", path, DEPTH, WIDTH, batch_id=0)
         assert load_sketch(spark, path).count() == 0
+
+
+class TestBottomKSketch:
+    def _df(self, spark, keys):
+        return spark.createDataFrame([(k,) for k in keys], "k bigint")
+
+    def test_mergeable(self, spark):
+        """bottomk(A ∪ B) == bottomk(sketch(A) ∪ sketch(B)) — the KMV
+        merge law that lets shards sketch independently."""
+        from ons_utils_spark.operators.sketches import bottomk_sketch
+
+        a = self._df(spark, range(0, 500))
+        b = self._df(spark, range(300, 900))
+        k = 32
+        direct = [r["h"] for r in bottomk_sketch(a.union(b), "k", k).collect()]
+        # The merge folds the sketches' RAW hash rows (no re-hashing).
+        from pyspark.sql import functions as F
+
+        sk_a = bottomk_sketch(a, "k", k)
+        sk_b = bottomk_sketch(b, "k", k)
+        folded = (
+            sk_a.union(sk_b)
+            .distinct()
+            .orderBy((F.col("h") < 0).cast("int").asc(), F.col("h").asc())
+            .limit(k)
+        )
+        assert [r["h"] for r in folded.collect()] == direct
+        assert len(direct) == k
+
+    def test_below_saturation_exact(self, spark):
+        from ons_utils_spark.operators.sketches import (
+            bottomk_sketch, kmv_distinct,
+        )
+
+        df = self._df(spark, list(range(10)) * 5)  # 10 distinct, dups
+        sk = bottomk_sketch(df, "k", k=64)
+        row = kmv_distinct(sk, 64).collect()[0]
+        assert row["n_sketch"] == 10 and row["est"] == 10.0
+
+    def test_estimate_within_bound(self, spark):
+        from ons_utils_spark.operators.sketches import (
+            bottomk_sketch, kmv_distinct,
+        )
+
+        n, k = 20000, 512
+        df = self._df(spark, range(n))
+        est = kmv_distinct(bottomk_sketch(df, "k", k), k).collect()[0]["est"]
+        # σ ≈ n/√k ≈ 4.4%; 5σ bound keeps the test honest but stable.
+        assert abs(est - n) / n < 5 / (k ** 0.5)
+
+    def test_partitioning_invariant(self, spark):
+        from ons_utils_spark.operators.sketches import bottomk_sketch
+
+        df = self._df(spark, range(1000))
+        one = [r["h"] for r in bottomk_sketch(df.repartition(1), "k", 16).collect()]
+        many = [r["h"] for r in bottomk_sketch(df.repartition(13), "k", 16).collect()]
+        assert one == many
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from ons_utils_spark.operators.sketches import (
+            bottomk_sketch, hash_sample,
+        )
+
+        df = self._df(spark, range(10))
+        with _pytest.raises(ValueError, match="k must be"):
+            bottomk_sketch(df, "k", k=1)
+        with _pytest.raises(ValueError, match="n must be"):
+            hash_sample(df, "k", n=0)
+
+
+class TestSampleQuantiles:
+    def test_exact_on_full_sample(self, spark):
+        """With n >= corpus the 'sample' is the corpus: quantiles are the
+        exact disc quantiles of the data."""
+        from ons_utils_spark.operators.sketches import sample_quantiles
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(101)], "k bigint, v double"
+        )
+        rows = {r["prob"]: r["q_est"]
+                for r in sample_quantiles(df, "k", "v", n=1000).collect()}
+        assert rows[0.5] == 50.0
+        assert rows[0.1] == 10.0
+        assert rows[0.99] == 99.0
+
+    def test_sampled_close_to_true(self, spark):
+        from ons_utils_spark.operators.sketches import sample_quantiles
+
+        n = 20000
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(n)], "k bigint, v double"
+        )
+        rows = {r["prob"]: r["q_est"]
+                for r in sample_quantiles(df, "k", "v", n=1024).collect()}
+        for p, q in rows.items():
+            # rank error ~ 1/sqrt(1024) ≈ 3%; allow 4 sigma
+            assert abs(q / n - p) < 4 / (1024 ** 0.5)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from ons_utils_spark.operators.sketches import sample_quantiles
+
+        df = spark.createDataFrame(
+            [(i, float(i % 997)) for i in range(5000)], "k bigint, v double"
+        )
+        a = sample_quantiles(df.repartition(1), "k", "v", n=256).collect()
+        b = sample_quantiles(df.repartition(17), "k", "v", n=256).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -302,6 +302,7 @@ def semantic_dedup(
     tau: float = 0.7,
     round_dp: int = 6,
     method: str = "auto",
+    max_cluster: int = None,
 ) -> SparkDF:
     """SemDeDup (Abbas et al., 2023): within-cluster semantic pruning.
 
@@ -317,6 +318,15 @@ def semantic_dedup(
     phase joins only within a cluster (cost Σ|cluster|², by design — see
     module doc for sizing ``k``); the window is partitioned by cluster,
     never global.
+
+    ``max_cluster`` is the skew guard for that quadratic phase (the same
+    hazard class as ``fuzzy.py``'s ``max_bucket``): when set, any cluster
+    larger than it raises BEFORE the self-join runs, naming the offender
+    — one straggler task doing a near-full pairwise block is the failure
+    mode on lopsided embedding spaces. The check reads the already-
+    checkpointed rank table (one tiny aggregate, no extra corpus scan).
+    Remedy: raise ``k`` (splits clusters) — profile with
+    :func:`cluster_summary` first.
     """
     assigned, _ = kmeans_lloyd(
         df, id_col, vec_col, k, n_iter, round_dp, method=method, with_cos=True
@@ -339,6 +349,23 @@ def semantic_dedup(
         # each would re-scan and re-rank the corpus.
         .localCheckpoint(eager=True)
     )
+
+    if max_cluster is not None:
+        oversized = (
+            ranked.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_cluster)
+            .orderBy(F.col("n").desc())
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            worst = ", ".join(f"cluster {r['cluster']}={r['n']}" for r in oversized)
+            raise ValueError(
+                f"cluster size exceeds max_cluster={max_cluster} ({worst}); "
+                f"raise k (currently {k}) to split them — profile with "
+                "cluster_summary()"
+            )
 
     a, b = ranked.alias("a"), ranked.alias("b")
     cos_ab = array_dot(F.col("a.vec"), F.col("b.vec")) / (

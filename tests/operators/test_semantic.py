@@ -140,3 +140,17 @@ class TestSemanticDedup:
         lone = [i for i, r in rows.items() if sum(
             1 for o in rows.values() if o["cluster"] == r["cluster"]) == 1]
         assert all(rows[i]["kept"] for i in lone)
+
+
+class TestMaxClusterGuard:
+    def test_oversized_cluster_raises_with_offender(self, spark):
+        df = _emb_df(spark, ROWS)
+        with pytest.raises(ValueError, match=r"max_cluster=2.*raise k"):
+            semantic.semantic_dedup(
+                df, k=3, n_iter=2, tau=0.9, max_cluster=2)
+
+    def test_within_bound_runs(self, spark):
+        df = _emb_df(spark, ROWS)
+        out = semantic.semantic_dedup(
+            df, k=3, n_iter=2, tau=0.9, max_cluster=3)
+        assert out.count() == len(ROWS)

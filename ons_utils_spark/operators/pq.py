@@ -32,6 +32,7 @@ from typing import List, Sequence, Tuple
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
+from ons_utils_spark.functions.arrays import array_dot
 from ons_utils_spark.operators.semantic import (
     _py_dot,
     _resolve_method,
@@ -96,17 +97,10 @@ def pq_build(
         for i in range(m):
             entries = []
             vec = F.col(f"sub{i}")
-            vv = F.aggregate(
-                F.zip_with(vec, vec, lambda x, y: x.cast("double") * y.cast("double")),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
+            vv = array_dot(vec, vec)
             for j, c in enumerate(codebooks[i]):
                 clit = F.array(*[F.lit(float(x)) for x in c])
-                dot = F.aggregate(
-                    F.zip_with(vec, clit, lambda x, y: x.cast("double") * y),
-                    F.lit(0.0), lambda acc, x: acc + x,
-                )
-                dist = vv + F.lit(_py_dot(c, c)) - 2 * dot
+                dist = vv + F.lit(_py_dot(c, c)) - 2 * array_dot(vec, clit)
                 entries.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
             code_cols.append(F.array_min(F.array(*entries))["j"])
         codes = slices.select("id", F.array(*code_cols).alias("codes"))
@@ -119,13 +113,15 @@ def _encode_blas(slices: SparkDF, m: int, codebooks) -> SparkDF:
     """One Arrow pass encoding all subspaces via per-subspace matmuls."""
     import numpy as np
     from pyspark.sql.types import (
-        ArrayType, IntegerType, LongType, StructField, StructType,
+        ArrayType, IntegerType, StructField, StructType,
     )
 
     mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     ccs = [np.einsum("ij,ij->i", C, C) for C in mats]
+    # Preserve the caller's id type — hardcoding LongType would make the
+    # blas path reject (or coerce) non-bigint ids the literal path accepts.
     schema = StructType([
-        StructField("id", LongType()),
+        StructField("id", slices.schema["id"].dataType),
         StructField("codes", ArrayType(IntegerType())),
     ])
 

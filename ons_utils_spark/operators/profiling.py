@@ -381,6 +381,14 @@ def psi_drift(
     bounds = rx.agg(
         F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
     ).localCheckpoint(eager=True)
+    # An empty/all-NULL snapshot cannot anchor bins (NULL bounds would
+    # silently clamp everything into the top bucket) or normalize shares
+    # (0/0 -> NaN psi_terms a drift gate would swallow) — fail loudly.
+    if bounds.first()["__lo"] is None:
+        raise ValueError(
+            f"reference snapshot has no non-null {col!r} rows — "
+            "PSI bins cannot be anchored"
+        )
 
     def bucketize(data: SparkDF, n_col: str) -> SparkDF:
         d = data.join(F.broadcast(bounds))
@@ -413,6 +421,14 @@ def psi_drift(
     totals = counts.agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )
+    # The reference is known non-empty (bounds guard above); an empty
+    # CURRENT snapshot (pipeline outage — the realistic monitoring case)
+    # would make every p_cur 0/0 = NaN. Same policy: loud failure.
+    if counts.agg(F.sum("n_cur")).first()[0] == 0:
+        raise ValueError(
+            f"current snapshot has no non-null {col!r} rows — "
+            "PSI is undefined"
+        )
     p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(float(eps)))
     p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(float(eps)))
     return (

@@ -103,9 +103,14 @@ def _assign_literal(
         for c in cents:
             clit = F.array(*[F.lit(float(x)) for x in c])
             cc = _py_dot(c, c)
+            denom = F.sqrt(F.col("__vv")) * F.sqrt(F.lit(cc))
+            # Zero-norm guard (an all-zero embedding, e.g. an empty doc):
+            # 0/0 would be NaN, which Spark sorts ABOVE every number and
+            # compares greater than any tau — one degenerate vector would
+            # rank first and "prune" its whole cluster. NULL instead:
+            # ranks last (DESC NULLS LAST), never prunes, never pruned.
             cos_exprs.append(
-                array_dot(F.col(vec_col), clit)
-                / (F.sqrt(F.col("__vv")) * F.sqrt(F.lit(cc)))
+                F.when(denom != 0, array_dot(F.col(vec_col), clit) / denom)
             )
         out = out.withColumn(
             "__cos", F.element_at(F.array(*cos_exprs), F.col("__cluster") + 1)
@@ -164,7 +169,18 @@ def _assign_blas(
             pdf["__cluster"] = j.astype("int32")
             pdf["__dist"] = d2[rows, j]
             if with_cos:
-                pdf["__cos"] = G[rows, j] / (np.sqrt(vv) * sqrt_cc[j])
+                import pandas as pd
+
+                denom = np.sqrt(vv) * sqrt_cc[j]
+                # Same zero-norm contract as the literal path: NULL (not
+                # NaN) so a degenerate vector sorts last and never prunes.
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = G[rows, j] / denom
+                # pd.array maps NaN -> <NA> in the nullable dtype, which
+                # Arrow ships to Spark as NULL.
+                pdf["__cos"] = pd.array(
+                    np.where(denom == 0, np.nan, cos), dtype="Float64"
+                )
             yield pdf
 
     return df.mapInPandas(gen, schema)
@@ -219,7 +235,13 @@ def kmeans_lloyd(
 
     vecs = df.withColumn("__vv", array_dot(F.col(vec_col), F.col(vec_col)))
 
-    h = (F.col(id_col).cast("bigint") * F.lit(KNUTH_HASH)) % F.lit(2**32)
+    # Exact decimal arithmetic: id * KNUTH overflows int64 for ids past
+    # ~3.5e9 (crashing under Spark 4's default ANSI mode, silently
+    # wrapping otherwise) — decimal(38,0) holds the full 2^63 · 2^32
+    # product, and the oracle does the same in HUGEINT.
+    h = (
+        F.col(id_col).cast("decimal(38,0)") * F.lit(KNUTH_HASH)
+    ) % F.lit(2**32)
     seed_rows = (
         vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .orderBy(h.asc(), F.col(id_col).asc())
@@ -280,9 +302,14 @@ def cluster_summary(
         df, id_col, vec_col, k, n_iter, round_dp, method=method
     )
     spark = df.sparkSession
+    # Round via F.round (half away from zero, matching DuckDB's round in
+    # the oracle) — Python's round() is half-to-even and would diverge on
+    # an exact tie at the (round_dp+1)-th decimal.
     norms = spark.createDataFrame(
-        [(j, round(math.sqrt(_py_dot(c, c)), round_dp)) for j, c in enumerate(cents)],
-        "cluster int, centroid_norm double",
+        [(j, math.sqrt(_py_dot(c, c))) for j, c in enumerate(cents)],
+        "cluster int, __norm_raw double",
+    ).select(
+        "cluster", F.round(F.col("__norm_raw"), round_dp).alias("centroid_norm")
     )
     sizes = assigned.groupBy(F.col("__cluster").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_members")
@@ -368,8 +395,12 @@ def semantic_dedup(
             )
 
     a, b = ranked.alias("a"), ranked.alias("b")
-    cos_ab = array_dot(F.col("a.vec"), F.col("b.vec")) / (
-        F.sqrt(F.col("a.__vv")) * F.sqrt(F.col("b.__vv"))
+    denom_ab = F.sqrt(F.col("a.__vv")) * F.sqrt(F.col("b.__vv"))
+    # Zero-norm guard: 0/0 is NaN, and NaN > tau is TRUE in Spark — one
+    # degenerate vector would prune its entire cluster. NULL > tau is
+    # NULL, which WHERE discards.
+    cos_ab = F.when(
+        denom_ab != 0, array_dot(F.col("a.vec"), F.col("b.vec")) / denom_ab
     )
     dropped = (
         a.join(

@@ -267,6 +267,12 @@ def hash_sample(df: SparkDF, key_col: str, n: int = 1024) -> SparkDF:
     partitionings and engines (no ``rand()``), mergeable like the KMV
     sketch. Ties on hash break by the key itself. Plans as
     TakeOrderedAndProject.
+
+    ``key_col`` must be UNIQUE per row for the determinism contract to
+    cover the whole row: rows sharing a key value have identical sort
+    keys, and which of them survives a LIMIT boundary is
+    partition-dependent (their other columns differ). Sample on the
+    table's primary key.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -305,11 +311,17 @@ def sample_quantiles(
     rows = [
         F.struct(
             F.lit(float(p)).alias("prob"),
-            F.round(
-                F.element_at(
-                    arr, (F.floor(F.lit(float(p)) * (m - 1)) + 1).cast("int")
+            # Empty input (or all-NULL values): m == 0 would index the
+            # array at 0 and throw — emit NULL estimates instead.
+            F.when(
+                m > 0,
+                F.round(
+                    F.element_at(
+                        arr,
+                        (F.floor(F.lit(float(p)) * (m - 1)) + 1).cast("int"),
+                    ),
+                    round_dp,
                 ),
-                round_dp,
             ).alias("q_est"),
         )
         for p in probs

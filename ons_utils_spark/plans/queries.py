@@ -6258,11 +6258,13 @@ def _kmeans_ctes(
                                 {vec_sql}) AS vv
         FROM embeddings)""",
         f"""c0{s} AS (
-        SELECT row_number() OVER (ORDER BY (id * {kn}) % 4294967296, id) - 1
-                   AS cid,
+        SELECT row_number() OVER (
+                   ORDER BY (CAST(id AS HUGEINT) * {kn}) % 4294967296, id
+               ) - 1 AS cid,
                vec AS cvec
         FROM (SELECT id, vec FROM v{s}
-              ORDER BY (id * {kn}) % 4294967296, id LIMIT {k}))""",
+              ORDER BY (CAST(id AS HUGEINT) * {kn}) % 4294967296, id
+              LIMIT {k}))""",
     ]
     prev = f"c0{s}"
     for i in range(1, n_iter + 1):

@@ -96,3 +96,16 @@ class TestAdc:
         codes, cbs = pq.pq_build(df, dim=8, m=2, k=2, n_iter=1)
         with pytest.raises(ValueError, match="query dim"):
             pq.pq_adc_topk(codes, cbs, [1.0, 2.0], topk=1)
+
+
+class TestIdTypeGenerality:
+    def test_blas_encode_preserves_int_id(self, spark):
+        """The blas path must accept whatever id type the literal path
+        does — it used to hardcode LongType."""
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(VECS)],
+            "vec_id int, embedding array<float>",
+        )
+        codes, _ = pq.pq_build(df, dim=8, m=2, k=2, n_iter=1, method="blas")
+        assert dict(codes.dtypes)["id"] == "int"
+        assert codes.count() == len(VECS)

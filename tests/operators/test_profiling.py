@@ -267,3 +267,21 @@ class TestPsiDrift:
         assert sum(r["n_ref"] for r in rows) == 2
         with _pytest.raises(ValueError, match="bins"):
             psi_drift(ref, ref, "v", bins=0)
+
+    def test_empty_reference_raises(self, spark):
+        from ons_utils_spark.operators.profiling import psi_drift
+
+        empty = spark.createDataFrame([], "v double")
+        cur = self._mk(spark, range(10))
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="reference snapshot"):
+            psi_drift(empty, cur, "v", bins=4)
+
+    def test_empty_current_raises(self, spark):
+        from ons_utils_spark.operators.profiling import psi_drift
+
+        ref = self._mk(spark, range(10))
+        all_null = spark.createDataFrame([(None,)], "v double")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="current snapshot"):
+            psi_drift(ref, all_null, "v", bins=4)

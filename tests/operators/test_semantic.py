@@ -154,3 +154,46 @@ class TestMaxClusterGuard:
         out = semantic.semantic_dedup(
             df, k=3, n_iter=2, tau=0.9, max_cluster=3)
         assert out.count() == len(ROWS)
+
+
+class TestDegenerateInputs:
+    def test_zero_vector_does_not_nuke_its_cluster(self, spark):
+        """A zero-norm embedding's cosine is NULL (not NaN): it must rank
+        last in its cluster, never prune others, and never be pruned."""
+        rows = ROWS + [(9, [0.0, 0.0, 0.0])]
+        df = _emb_df(spark, rows)
+        out = {r["id"]: r for r in semantic.semantic_dedup(
+            df, k=3, n_iter=2, tau=0.0).collect()}
+        assert len(out) == len(rows)
+        zero = out[9]
+        assert zero["cos_centroid"] is None
+        assert zero["kept"]  # NULL cosine can never exceed tau
+        # Its cluster-mates survive by the normal tau rule, not en masse
+        # NaN pruning: at tau=0 each non-degenerate cluster keeps >= 1.
+        clusters = {}
+        for r in out.values():
+            clusters.setdefault(r["cluster"], []).append(r)
+        for members in clusters.values():
+            assert any(m["kept"] for m in members)
+
+    def test_zero_vector_blas_matches_literal(self, spark):
+        rows = ROWS + [(9, [0.0, 0.0, 0.0])]
+        df = _emb_df(spark, rows)
+        lit = {r["id"]: (r["cluster"], r["cos_centroid"], r["kept"])
+               for r in semantic.semantic_dedup(
+                   df, k=3, n_iter=2, tau=0.9, method="literal").collect()}
+        blas = {r["id"]: (r["cluster"], r["cos_centroid"], r["kept"])
+                for r in semantic.semantic_dedup(
+                    df, k=3, n_iter=2, tau=0.9, method="blas").collect()}
+        assert lit[9] == blas[9]
+        assert lit[9][1] is None
+
+    def test_large_ids_do_not_overflow_seed_hash(self, spark):
+        """ids past 2^63/KNUTH used to overflow the bigint seed hash
+        (ANSI crash); the decimal path must handle the full id range."""
+        base = 2 ** 62
+        rows = [(base + i, v) for (i, v) in ROWS]
+        df = _emb_df(spark, rows)
+        assigned, cents = semantic.kmeans_lloyd(df, k=3, n_iter=1)
+        assert assigned.count() == len(rows)
+        assert len(cents) == 3

@@ -296,3 +296,11 @@ class TestSampleQuantiles:
         a = sample_quantiles(df.repartition(1), "k", "v", n=256).collect()
         b = sample_quantiles(df.repartition(17), "k", "v", n=256).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_empty_input_yields_null_estimates(self, spark):
+        from ons_utils_spark.operators.sketches import sample_quantiles
+
+        empty = spark.createDataFrame([], "k bigint, v double")
+        rows = sample_quantiles(empty, "k", "v", n=16).collect()
+        assert len(rows) == 6
+        assert all(r["q_est"] is None for r in rows)

@@ -23,7 +23,10 @@ sys.path.insert(0, str(REPO))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 K = 10
 N_QUERIES = 50
-CONFIGS = [(4, 16, 1), (4, 64, 2), (8, 16, 1), (8, 64, 2), (8, 256, 2)]
+CONFIGS = [
+    (4, 16, 1), (4, 64, 2), (8, 16, 1), (8, 64, 2), (8, 256, 2),
+    (16, 256, 2),  # SCALING.md's stated default (rerank recall 1.0 @ 16x)
+]
 
 
 def main() -> None:

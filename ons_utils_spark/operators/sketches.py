@@ -329,3 +329,61 @@ def sample_quantiles(
     return one.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.prob", "r.q_est"
     )
+
+
+def bottomk_sketch_grouped(
+    df: SparkDF, group_cols, key_col: str, k: int = 256
+) -> SparkDF:
+    """Per-group bottom-k (KMV) sketches in ONE pass:
+    ``(group..., h)`` with ≤ ``k`` rows per group.
+
+    The group-wise form of :func:`bottomk_sketch` — distinct
+    ``(group, hash)`` pairs, then a rank-≤-k filter per group (window
+    PARTITIONED by the group, never global). Each group's rows obey the
+    same merge law as the global sketch. At scale this is the shape that
+    matters: one shuffle keyed by group answers "distinct users per
+    domain/day" for every group at once, with ≤ k rows per group
+    surviving.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    h = F.xxhash64(F.col(key_col))
+    d = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*_unsigned_order(F.col("h")))
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_distinct_grouped(sketch: SparkDF, group_cols, k: int) -> SparkDF:
+    """Per-group distinct-count estimates from grouped bottom-k sketches:
+    ``(group..., n_sketch, est)`` — the same estimator (and the same
+    exact-decimal unsigned reconstruction) as :func:`kmv_distinct`,
+    one row per group.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    shift = F.lit(str(_U64)).cast("decimal(38,0)")
+    u = F.col("h").cast("decimal(38,0)") + F.when(
+        F.col("h") < 0, shift
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(u).alias("__uk"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * _U64)) / F.col("__uk").cast("double")
+    )
+    return agg.select(*group_cols, "n_sketch", F.round(est, 4).alias("est"))

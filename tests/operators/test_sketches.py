@@ -304,3 +304,58 @@ class TestSampleQuantiles:
         rows = sample_quantiles(empty, "k", "v", n=16).collect()
         assert len(rows) == 6
         assert all(r["q_est"] is None for r in rows)
+
+
+class TestGroupedKmv:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, k bigint")
+
+    def test_matches_global_per_group(self, spark):
+        """Each group's sketch equals the global sketch of that group's
+        rows — the grouped form is just k global sketches in one pass."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.sketches import (
+            bottomk_sketch, bottomk_sketch_grouped,
+        )
+
+        rows = [("a", i) for i in range(500)] + [("b", i) for i in range(200, 900)]
+        df = self._df(spark, rows)
+        k = 16
+        grouped = bottomk_sketch_grouped(df, "g", "k", k)
+        for g in ("a", "b"):
+            got = sorted(
+                r["h"] for r in grouped.where(F.col("g") == g).collect()
+            )
+            want = sorted(
+                r["h"]
+                for r in bottomk_sketch(
+                    df.where(F.col("g") == g), "k", k
+                ).collect()
+            )
+            assert got == want
+
+    def test_subsaturated_groups_exact(self, spark):
+        from ons_utils_spark.operators.sketches import (
+            bottomk_sketch_grouped, kmv_distinct_grouped,
+        )
+
+        rows = [("a", i) for i in range(10)] * 3 + [("b", i) for i in range(5)]
+        df = self._df(spark, rows)
+        out = {r["g"]: r for r in kmv_distinct_grouped(
+            bottomk_sketch_grouped(df, "g", "k", 64), "g", 64).collect()}
+        assert out["a"]["n_sketch"] == 10 and out["a"]["est"] == 10.0
+        assert out["b"]["n_sketch"] == 5 and out["b"]["est"] == 5.0
+
+    def test_estimates_within_bound(self, spark):
+        from ons_utils_spark.operators.sketches import (
+            bottomk_sketch_grouped, kmv_distinct_grouped,
+        )
+
+        k = 256
+        rows = [("a", i) for i in range(8000)] + [("b", i) for i in range(3000)]
+        df = self._df(spark, rows)
+        out = {r["g"]: r["est"] for r in kmv_distinct_grouped(
+            bottomk_sketch_grouped(df, "g", "k", k), "g", k).collect()}
+        assert abs(out["a"] - 8000) / 8000 < 5 / (k ** 0.5)
+        assert abs(out["b"] - 3000) / 3000 < 5 / (k ** 0.5)

@@ -387,3 +387,43 @@ def kmv_distinct_grouped(sketch: SparkDF, group_cols, k: int) -> SparkDF:
         F.lit(float((k - 1) * _U64)) / F.col("__uk").cast("double")
     )
     return agg.select(*group_cols, "n_sketch", F.round(est, 4).alias("est"))
+
+
+def kmv_append_batch(
+    batch: SparkDF,
+    key_col: str,
+    store_path: str,
+    k: int = 1024,
+    batch_id: "int | None" = None,
+) -> None:
+    """Write one batch's bottom-k sketch into an append-only KMV store.
+
+    Same durable recipe as the Count-Min and Bloom stores
+    (:func:`ons_utils_spark.sources.store.partitioned_delta_append`):
+    every delta lands under a ``batch_id=<id>`` partition (sentinel
+    ``-1`` for batch callers), a streaming replay statically overwrites
+    exactly its own partition — at-least-once ``foreachBatch`` becomes
+    effectively exactly-once because bottom-k union is MERGEABLE and
+    idempotent (re-folding identical hash rows changes nothing).
+    :func:`load_kmv` re-folds on read; compaction is a rewrite with the
+    loader's output.
+    """
+    from ons_utils_spark.sources.store import partitioned_delta_append
+
+    sk = bottomk_sketch(batch, key_col, k)
+    partitioned_delta_append(sk, store_path, batch_id=batch_id)
+
+
+def load_kmv(spark, store_path: str, k: int) -> SparkDF:
+    """Fold an append-only KMV store back into ONE bottom-k sketch.
+
+    The merge law (``bottomk(A ∪ B)`` = bottom-k of the sketches' union)
+    means the store can hold any number of per-batch deltas — the fold is
+    distinct + unsigned-order + LIMIT k over ≤ k·batches rows.
+    """
+    raw = spark.read.parquet(store_path).select("h")
+    return (
+        raw.distinct()
+        .orderBy(*_unsigned_order(F.col("h")))
+        .limit(k)
+    )

@@ -359,3 +359,49 @@ class TestGroupedKmv:
             bottomk_sketch_grouped(df, "g", "k", k), "g", k).collect()}
         assert abs(out["a"] - 8000) / 8000 < 5 / (k ** 0.5)
         assert abs(out["b"] - 3000) / 3000 < 5 / (k ** 0.5)
+
+
+class TestKmvStore:
+    def _df(self, spark, keys):
+        return spark.createDataFrame([(kk,) for kk in keys], "k bigint")
+
+    def test_batches_fold_to_direct_sketch(self, spark, tmp_path):
+        from ons_utils_spark.operators.sketches import (
+            bottomk_sketch, kmv_append_batch, load_kmv,
+        )
+
+        path = str(tmp_path / "kmv")
+        a = self._df(spark, range(0, 600))
+        b = self._df(spark, range(400, 1000))
+        kmv_append_batch(a, "k", path, k=32, batch_id=0)
+        kmv_append_batch(b, "k", path, k=32, batch_id=1)
+        got = [r["h"] for r in load_kmv(spark, path, 32).collect()]
+        want = [r["h"] for r in bottomk_sketch(a.union(b), "k", 32).collect()]
+        assert got == want
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from ons_utils_spark.operators.sketches import (
+            kmv_append_batch, load_kmv,
+        )
+
+        path = str(tmp_path / "kmv")
+        a = self._df(spark, range(500))
+        kmv_append_batch(a, "k", path, k=16, batch_id=0)
+        once = [r["h"] for r in load_kmv(spark, path, 16).collect()]
+        kmv_append_batch(a, "k", path, k=16, batch_id=0)  # replay
+        twice = [r["h"] for r in load_kmv(spark, path, 16).collect()]
+        assert once == twice
+
+    def test_batch_sentinel_and_streaming_share_layout(self, spark, tmp_path):
+        from ons_utils_spark.operators.sketches import (
+            bottomk_sketch, kmv_append_batch, load_kmv,
+        )
+
+        path = str(tmp_path / "kmv")
+        a = self._df(spark, range(0, 300))
+        b = self._df(spark, range(300, 700))
+        kmv_append_batch(a, "k", path, k=16)  # batch caller (sentinel)
+        kmv_append_batch(b, "k", path, k=16, batch_id=5)
+        got = [r["h"] for r in load_kmv(spark, path, 16).collect()]
+        want = [r["h"] for r in bottomk_sketch(a.union(b), "k", 16).collect()]
+        assert got == want

@@ -445,3 +445,98 @@ def psi_drift(
         )
         .orderBy("bucket")
     )
+
+
+def psi_drift_categorical(
+    ref: SparkDF,
+    cur: SparkDF,
+    col: str,
+    top_n: int = 20,
+    eps: float = 1e-6,
+    round_dp: int = 6,
+) -> SparkDF:
+    """PSI between two snapshots of a CATEGORICAL column.
+
+    The category space is anchored to the REFERENCE snapshot: its
+    ``top_n`` most frequent values (ties broken by value, so the anchor
+    set is deterministic) each get a bin; everything else — including
+    categories that only appear in the current snapshot — folds into
+    ``__other__``, so new-category drift mass is counted, not dropped
+    (the categorical analogue of psi_drift's edge-bin clamping). Returns
+    ``(category, n_ref, n_cur, p_ref, p_cur, psi_term)``, one row per
+    anchor category plus ``__other__``, all present even when empty.
+
+    Scale: one count aggregate per side keyed by category, a bounded
+    ``top_n``-row driver collect for the anchor set (TakeOrdered), then
+    row-local CASE folding — no global window, no unbounded collect.
+    NULL categories are excluded on both sides.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+
+    spark = ref.sparkSession
+    rx = ref.select(F.col(col).cast("string").alias("__c")).where(
+        F.col("__c").isNotNull()
+    )
+    cx = cur.select(F.col(col).cast("string").alias("__c")).where(
+        F.col("__c").isNotNull()
+    )
+    anchors = [
+        r["__c"]
+        for r in rx.groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("__c").asc())
+        .limit(top_n)
+        .collect()
+    ]
+    if not anchors:
+        raise ValueError(
+            f"reference snapshot has no non-null {col!r} rows — "
+            "PSI categories cannot be anchored"
+        )
+
+    def bucketize(data: SparkDF, n_col: str) -> SparkDF:
+        cat = F.when(
+            F.col("__c").isin(anchors), F.col("__c")
+        ).otherwise(F.lit("__other__"))
+        return data.select(cat.alias("category")).groupBy("category").agg(
+            F.count(F.lit(1)).alias(n_col)
+        )
+
+    frame = spark.createDataFrame(
+        [(c,) for c in anchors] + [("__other__",)], "category string"
+    )
+    counts = (
+        frame.join(bucketize(rx, "n_ref"), "category", "left")
+        .join(bucketize(cx, "n_cur"), "category", "left")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if counts.agg(F.sum("n_cur")).first()[0] == 0:
+        raise ValueError(
+            f"current snapshot has no non-null {col!r} rows — "
+            "PSI is undefined"
+        )
+    totals = counts.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(float(eps)))
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "category",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, round_dp).alias("p_ref"),
+            F.round(p_cur, round_dp).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), round_dp).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("category")
+    )

@@ -6443,6 +6443,77 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ons_utils_spark.operators.profiling import (  # noqa: E402
+    psi_drift_categorical as _psi_drift_cat,
+)
+
+
+@register(
+    "q_psi_drift_categorical",
+    oracle="""
+        WITH rx AS (
+            SELECT o_orderpriority AS c FROM orders
+            WHERE o_orderdate < TIMESTAMP '1997-01-01'
+              AND o_orderpriority IS NOT NULL),
+        cx AS (
+            SELECT o_orderpriority AS c FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderpriority IS NOT NULL),
+        anchors AS (
+            SELECT c FROM rx GROUP BY c
+            ORDER BY count(*) DESC, c LIMIT 3),
+        frame AS (
+            SELECT c AS category FROM anchors
+            UNION ALL SELECT '__other__'),
+        nr AS (
+            SELECT CASE WHEN c IN (SELECT c FROM anchors) THEN c
+                        ELSE '__other__' END AS category,
+                   count(*) AS n_ref
+            FROM rx GROUP BY 1),
+        nc AS (
+            SELECT CASE WHEN c IN (SELECT c FROM anchors) THEN c
+                        ELSE '__other__' END AS category,
+                   count(*) AS n_cur
+            FROM cx GROUP BY 1),
+        counts AS (
+            SELECT f.category,
+                   COALESCE(nr.n_ref, 0) AS n_ref,
+                   COALESCE(nc.n_cur, 0) AS n_cur
+            FROM frame f
+            LEFT JOIN nr ON f.category = nr.category
+            LEFT JOIN nc ON f.category = nc.category),
+        t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
+        SELECT category, n_ref, n_cur,
+               round(GREATEST(n_ref / tr, 0.000001), 6) AS p_ref,
+               round(GREATEST(n_cur / tc, 0.000001), 6) AS p_cur,
+               round((GREATEST(n_cur / tc, 0.000001)
+                      - GREATEST(n_ref / tr, 0.000001))
+                     * ln(GREATEST(n_cur / tc, 0.000001)
+                          / GREATEST(n_ref / tr, 0.000001)), 6) AS psi_term
+        FROM counts CROSS JOIN t
+        ORDER BY category
+    """,
+    description="Categorical PSI drift gate "
+    "(operators/profiling.py::psi_drift_categorical): order-priority "
+    "shares before vs from 1997 over a reference-anchored category "
+    "space — the top-3 reference values each get a bin (deterministic "
+    "tie-break by value) and everything else, including brand-new "
+    "current-only categories, folds into __other__ so new-category "
+    "drift mass is counted, not dropped. Same eps-floored "
+    "(p'−p')·ln(p'/p') terms as the numeric gate. One count aggregate "
+    "per side, a bounded top-n collect, row-local CASE folding.",
+)
+def q_psi_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+    return _psi_drift_cat(
+        orders.where(F.col("o_orderdate") < split),
+        orders.where(F.col("o_orderdate") >= split),
+        "o_orderpriority",
+        top_n=3,
+    )
+
+
 from ons_utils_spark.plans.oracle_xxh64 import (  # noqa: E402
     chain as _xxh_chain,
     long_hash_steps as _xxh_long_steps,
@@ -6874,8 +6945,9 @@ _GRADING_ORDER = [
     # full bit-exact oracle replaying all four trainings; too heavy for
     # a graded slot at sf0.01 (~26 s incl. oracle), full-checked here
     "q_pq_adc_scores",
-    # r8: PSI drift gate (two-snapshot histogram + eps-floored log terms)
+    # r8: PSI drift gates (numeric bins + reference-anchored categories)
     "q_psi_drift",
+    "q_psi_drift_categorical",
     # r8: bottom-k (KMV) sketch family — mergeable distinct count and
     # deterministic hash-sample quantiles, xxh64 chain replayed in SQL
     "q_kmv_distinct",

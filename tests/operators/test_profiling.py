@@ -285,3 +285,50 @@ class TestPsiDrift:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="current snapshot"):
             psi_drift(ref, all_null, "v", bins=4)
+
+
+class TestPsiDriftCategorical:
+    def _mk(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "c string")
+
+    def test_identical_snapshots_zero_psi(self, spark):
+        from ons_utils_spark.operators.profiling import psi_drift_categorical
+
+        ref = self._mk(spark, ["a"] * 50 + ["b"] * 30 + ["c"] * 20)
+        rows = psi_drift_categorical(ref, ref, "c", top_n=3).collect()
+        assert {r["category"] for r in rows} == {"a", "b", "c", "__other__"}
+        assert all(r["psi_term"] == 0.0 for r in rows)
+
+    def test_new_category_counted_in_other(self, spark):
+        from ons_utils_spark.operators.profiling import psi_drift_categorical
+
+        ref = self._mk(spark, ["a"] * 50 + ["b"] * 50)
+        cur = self._mk(spark, ["a"] * 30 + ["zz"] * 70)  # zz unseen in ref
+        rows = {r["category"]: r for r in psi_drift_categorical(
+            ref, cur, "c", top_n=2).collect()}
+        assert rows["__other__"]["n_cur"] == 70   # drift mass counted
+        assert rows["__other__"]["n_ref"] == 0
+        assert rows["__other__"]["psi_term"] > 0
+        assert sum(r["psi_term"] for r in rows.values()) > 0.25
+
+    def test_top_n_anchor_deterministic_tiebreak(self, spark):
+        from ons_utils_spark.operators.profiling import psi_drift_categorical
+
+        # b and c tie on count — the anchor set must prefer 'b' by value.
+        ref = self._mk(spark, ["a"] * 10 + ["b"] * 5 + ["c"] * 5)
+        rows = {r["category"] for r in psi_drift_categorical(
+            ref, ref, "c", top_n=2).collect()}
+        assert rows == {"a", "b", "__other__"}
+
+    def test_empty_snapshots_raise(self, spark):
+        import pytest as _pytest
+        from ons_utils_spark.operators.profiling import psi_drift_categorical
+
+        ref = self._mk(spark, ["a", "b"])
+        empty = spark.createDataFrame([], "c string")
+        with _pytest.raises(ValueError, match="reference snapshot"):
+            psi_drift_categorical(empty, ref, "c")
+        with _pytest.raises(ValueError, match="current snapshot"):
+            psi_drift_categorical(ref, empty, "c")
+        with _pytest.raises(ValueError, match="top_n"):
+            psi_drift_categorical(ref, ref, "c", top_n=0)

@@ -361,9 +361,10 @@ def psi_drift(
     the classic silent-PSI bug). NULLs are excluded on both sides.
 
     Scale: one min/max pass over the reference (1-row broadcast fold),
-    one |bins|-key partial aggregate per side, then driver-free joins
-    against a ``spark.range(bins)`` frame — no global window, no
-    collect; both corpora are scanned exactly once each.
+    one |bins|-key partial aggregate per side, joins against a
+    ``spark.range(bins)`` frame, and one bounded 2-value totals collect
+    over the checkpointed |bins|-row counts table — no global window, no
+    unbounded collect; both corpora are scanned exactly once each.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
@@ -418,33 +419,39 @@ def psi_drift(
         # this both snapshots are scanned twice.
         .localCheckpoint(eager=True)
     )
-    totals = counts.agg(
-        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
-    )
-    # The reference is known non-empty (bounds guard above); an empty
-    # CURRENT snapshot (pipeline outage — the realistic monitoring case)
-    # would make every p_cur 0/0 = NaN. Same policy: loud failure.
-    if counts.agg(F.sum("n_cur")).first()[0] == 0:
+    return _psi_terms(counts, "bucket", col, eps, round_dp)
+
+
+def _psi_terms(
+    counts: SparkDF, key_col: str, col: str, eps: float, round_dp: int
+) -> SparkDF:
+    """Shared PSI tail: eps-floored shares + log terms over a
+    (checkpointed) ``(key, n_ref, n_cur)`` counts table.
+
+    The totals come from ONE driver-side aggregate over the tiny counts
+    frame and fold in as literals — this both serves the empty-current
+    guard (an empty CURRENT snapshot, e.g. a pipeline outage, would make
+    every p_cur 0/0 = NaN, the silent-PSI failure) and keeps the final
+    plan join-free.
+    """
+    tr, tc = counts.agg(F.sum("n_ref"), F.sum("n_cur")).first()
+    if not tc:
         raise ValueError(
             f"current snapshot has no non-null {col!r} rows — "
             "PSI is undefined"
         )
-    p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(float(eps)))
-    p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(float(eps)))
-    return (
-        counts.join(F.broadcast(totals))
-        .select(
-            "bucket",
-            "n_ref",
-            "n_cur",
-            F.round(p_ref, round_dp).alias("p_ref"),
-            F.round(p_cur, round_dp).alias("p_cur"),
-            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), round_dp).alias(
-                "psi_term"
-            ),
-        )
-        .orderBy("bucket")
-    )
+    p_ref = F.greatest(F.col("n_ref") / F.lit(float(tr)), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.lit(float(tc)), F.lit(float(eps)))
+    return counts.select(
+        key_col,
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, round_dp).alias("p_ref"),
+        F.round(p_cur, round_dp).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), round_dp).alias(
+            "psi_term"
+        ),
+    ).orderBy(key_col)
 
 
 def psi_drift_categorical(
@@ -454,6 +461,7 @@ def psi_drift_categorical(
     top_n: int = 20,
     eps: float = 1e-6,
     round_dp: int = 6,
+    other_label: str = "__other__",
 ) -> SparkDF:
     """PSI between two snapshots of a CATEGORICAL column.
 
@@ -461,13 +469,19 @@ def psi_drift_categorical(
     ``top_n`` most frequent values (ties broken by value, so the anchor
     set is deterministic) each get a bin; everything else — including
     categories that only appear in the current snapshot — folds into
-    ``__other__``, so new-category drift mass is counted, not dropped
+    ``other_label``, so new-category drift mass is counted, not dropped
     (the categorical analogue of psi_drift's edge-bin clamping). Returns
     ``(category, n_ref, n_cur, p_ref, p_cur, psi_term)``, one row per
-    anchor category plus ``__other__``, all present even when empty.
+    anchor category plus the fold-in bin, all present even when empty.
 
-    Scale: one count aggregate per side keyed by category, a bounded
-    ``top_n``-row driver collect for the anchor set (TakeOrdered), then
+    If ``other_label`` itself lands in the anchor set the call raises
+    (its bin would double-count the fold-in mass) — pass a different
+    ``other_label``. A non-anchor category valued exactly ``other_label``
+    folds in silently like any other non-anchor value.
+
+    Scale: ONE count aggregate over the reference (the checkpointed
+    per-category count table serves both the top-n anchor collect and
+    the n_ref fold), one count aggregate over the current snapshot, then
     row-local CASE folding — no global window, no unbounded collect.
     NULL categories are excluded on both sides.
     """
@@ -481,11 +495,19 @@ def psi_drift_categorical(
     cx = cur.select(F.col(col).cast("string").alias("__c")).where(
         F.col("__c").isNotNull()
     )
+    # One scan of the reference: the per-category count table is
+    # distinct-categories-sized and feeds BOTH the anchor collect and
+    # the n_ref fold below.
+    ref_counts = (
+        rx.groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     anchors = [
         r["__c"]
-        for r in rx.groupBy("__c")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .orderBy(F.col("__n").desc(), F.col("__c").asc())
+        for r in ref_counts.orderBy(
+            F.col("__n").desc(), F.col("__c").asc()
+        )
         .limit(top_n)
         .collect()
     ]
@@ -494,21 +516,31 @@ def psi_drift_categorical(
             f"reference snapshot has no non-null {col!r} rows — "
             "PSI categories cannot be anchored"
         )
-
-    def bucketize(data: SparkDF, n_col: str) -> SparkDF:
-        cat = F.when(
-            F.col("__c").isin(anchors), F.col("__c")
-        ).otherwise(F.lit("__other__"))
-        return data.select(cat.alias("category")).groupBy("category").agg(
-            F.count(F.lit(1)).alias(n_col)
+    if other_label in anchors:
+        raise ValueError(
+            f"anchor category {other_label!r} collides with the fold-in "
+            "bin label — pass a different other_label"
         )
 
+    def fold(c):
+        return F.when(c.isin(anchors), c).otherwise(F.lit(other_label))
+
+    n_ref = (
+        ref_counts.select(fold(F.col("__c")).alias("category"), "__n")
+        .groupBy("category")
+        .agg(F.sum("__n").alias("n_ref"))
+    )
+    n_cur = (
+        cx.select(fold(F.col("__c")).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
     frame = spark.createDataFrame(
-        [(c,) for c in anchors] + [("__other__",)], "category string"
+        [(c,) for c in anchors] + [(other_label,)], "category string"
     )
     counts = (
-        frame.join(bucketize(rx, "n_ref"), "category", "left")
-        .join(bucketize(cx, "n_cur"), "category", "left")
+        frame.join(n_ref, "category", "left")
+        .join(n_cur, "category", "left")
         .select(
             "category",
             F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
@@ -516,27 +548,4 @@ def psi_drift_categorical(
         )
         .localCheckpoint(eager=True)
     )
-    if counts.agg(F.sum("n_cur")).first()[0] == 0:
-        raise ValueError(
-            f"current snapshot has no non-null {col!r} rows — "
-            "PSI is undefined"
-        )
-    totals = counts.agg(
-        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
-    )
-    p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(float(eps)))
-    p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(float(eps)))
-    return (
-        counts.join(F.broadcast(totals))
-        .select(
-            "category",
-            "n_ref",
-            "n_cur",
-            F.round(p_ref, round_dp).alias("p_ref"),
-            F.round(p_cur, round_dp).alias("p_cur"),
-            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), round_dp).alias(
-                "psi_term"
-            ),
-        )
-        .orderBy("category")
-    )
+    return _psi_terms(counts, "category", col, eps, round_dp)

@@ -104,13 +104,15 @@ def _assign_literal(
             clit = F.array(*[F.lit(float(x)) for x in c])
             cc = _py_dot(c, c)
             denom = F.sqrt(F.col("__vv")) * F.sqrt(F.lit(cc))
-            # Zero-norm guard (an all-zero embedding, e.g. an empty doc):
-            # 0/0 would be NaN, which Spark sorts ABOVE every number and
-            # compares greater than any tau — one degenerate vector would
-            # rank first and "prune" its whole cluster. NULL instead:
-            # ranks last (DESC NULLS LAST), never prunes, never pruned.
+            # Degenerate-norm guard (all-zero OR NaN-component embedding):
+            # 0/0 and NaN/x are NaN, which Spark sorts ABOVE every number
+            # and compares greater than any tau — one degenerate vector
+            # would rank first and "prune" its whole cluster. NULL
+            # instead: ranks last (DESC NULLS LAST), never prunes, never
+            # pruned. NaN must be caught explicitly — NaN != 0 is TRUE.
+            ok = ~F.isnan(denom) & (denom != 0)
             cos_exprs.append(
-                F.when(denom != 0, array_dot(F.col(vec_col), clit) / denom)
+                F.when(ok, array_dot(F.col(vec_col), clit) / denom)
             )
         out = out.withColumn(
             "__cos", F.element_at(F.array(*cos_exprs), F.col("__cluster") + 1)
@@ -396,11 +398,12 @@ def semantic_dedup(
 
     a, b = ranked.alias("a"), ranked.alias("b")
     denom_ab = F.sqrt(F.col("a.__vv")) * F.sqrt(F.col("b.__vv"))
-    # Zero-norm guard: 0/0 is NaN, and NaN > tau is TRUE in Spark — one
-    # degenerate vector would prune its entire cluster. NULL > tau is
-    # NULL, which WHERE discards.
+    # Degenerate-norm guard (zero OR NaN): 0/0 and NaN/x are NaN, and
+    # NaN > tau is TRUE in Spark — one degenerate vector would prune its
+    # entire cluster. NULL > tau is NULL, which WHERE discards.
     cos_ab = F.when(
-        denom_ab != 0, array_dot(F.col("a.vec"), F.col("b.vec")) / denom_ab
+        ~F.isnan(denom_ab) & (denom_ab != 0),
+        array_dot(F.col("a.vec"), F.col("b.vec")) / denom_ab,
     )
     dropped = (
         a.join(

@@ -332,3 +332,16 @@ class TestPsiDriftCategorical:
             psi_drift_categorical(ref, empty, "c")
         with _pytest.raises(ValueError, match="top_n"):
             psi_drift_categorical(ref, ref, "c", top_n=0)
+
+    def test_other_label_collision_raises(self, spark):
+        import pytest as _pytest
+        from ons_utils_spark.operators.profiling import psi_drift_categorical
+
+        ref = self._mk(spark, ["__other__"] * 60 + ["a"] * 40)
+        with _pytest.raises(ValueError, match="collides"):
+            psi_drift_categorical(ref, ref, "c", top_n=2)
+        # A different fold-in label resolves it.
+        rows = psi_drift_categorical(
+            ref, ref, "c", top_n=2, other_label="__rest__").collect()
+        assert {r["category"] for r in rows} == {"__other__", "a", "__rest__"}
+        assert all(r["psi_term"] == 0.0 for r in rows)

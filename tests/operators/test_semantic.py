@@ -197,3 +197,18 @@ class TestDegenerateInputs:
         assigned, cents = semantic.kmeans_lloyd(df, k=3, n_iter=1)
         assert assigned.count() == len(rows)
         assert len(cents) == 3
+
+    def test_nan_embedding_does_not_nuke_its_cluster(self, spark):
+        """A NaN-component embedding (bad upstream float) must behave
+        like the zero vector: NULL cosine, ranks last, prunes nothing."""
+        rows = ROWS + [(9, [float("nan"), 0.0, 0.0])]
+        df = _emb_df(spark, rows)
+        out = {r["id"]: r for r in semantic.semantic_dedup(
+            df, k=3, n_iter=2, tau=0.0, method="literal").collect()}
+        assert out[9]["cos_centroid"] is None
+        assert out[9]["kept"]
+        clusters = {}
+        for r in out.values():
+            clusters.setdefault(r["cluster"], []).append(r)
+        for members in clusters.values():
+            assert any(m["kept"] for m in members)

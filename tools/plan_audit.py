@@ -52,10 +52,6 @@ ALLOWED = {
     # 1-row broadcast cross joins: the merged-HLL estimate row and the
     # IVF harness's query vector.
     ("q_hll_mergeable", "BroadcastNestedLoopJoin"),
-    # PSI folds its 1-row totals aggregate back over the |bins|-row
-    # (checkpointed) counts table — same single-row build-side idiom.
-    ("q_psi_drift", "BroadcastNestedLoopJoin"),
-    ("q_psi_drift_categorical", "BroadcastNestedLoopJoin"),
     ("q_similarity_ivf", "BroadcastNestedLoopJoin"),
     # r4 additions of the established 1-row bounds/total broadcast fold
     # (profiling.py:74-77, corpus.py:445) — same idiom as tfidf above: the

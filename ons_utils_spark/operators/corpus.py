@@ -379,12 +379,69 @@ def _merge_hit_islands(hits: SparkDF, n: int) -> SparkDF:
     )
 
 
+def _split_hot_verdict(
+    grams: SparkDF,
+    min_docs: int,
+    max_df: int,
+) -> "tuple[SparkDF, SparkDF]":
+    """The hot-gram skew guard shared by :func:`self_dedup_spans` and
+    :func:`self_dedup_spans_incremental`.
+
+    A boilerplate gram (license header, nav stub) carried by millions of
+    documents would make the per-gram verdict window ONE partition — a
+    single task buffering every occurrence. But any gram that hot needs
+    no window at all: its verdict is a bounded AGGREGATE (``min(id)``
+    keeper + a ≥ ``min_docs`` carrier test), and groupBy aggregates are
+    skew-safe by construction — map-side partial combine means no
+    reducer ever materializes a hot gram's rows, only its partials.
+
+    Returns ``(hot_flags, cold)``:
+
+    - ``hot_flags``: every gram row whose gram has ≥ ``max_df``
+      occurrences, with ``__keeper`` (min id over ALL carriers) and
+      ``__hotdup`` (cross-doc duplicate verdict) attached — rows of
+      non-duplicate hot grams (e.g. one document repeating itself
+      ≥ ``max_df`` times) carry ``__hotdup = false``.
+    - ``cold``: the remaining ``(id, pos, g)`` rows; every gram here has
+      < ``max_df`` occurrences, so a per-gram window over ``cold``
+      buffers at most ``max_df − 1`` rows per partition key.
+
+    ``grams`` is localCheckpoint-ed (eager) because it feeds the hot
+    aggregate and both output branches — without it each consumer would
+    re-scan the corpus and re-hash every shingle. The hot table
+    broadcast is bounded by construction: ≤ |grams| / ``max_df``
+    distinct grams qualify (24 B/row), so at 10¹² gram rows and the
+    default ``max_df`` = 10⁴ the build side is ≤ 10⁸ rows — raise
+    ``max_df`` with corpus size to keep it broadcastable.
+    """
+    grams = grams.localCheckpoint(eager=True)
+    aggs = [
+        F.count(F.lit(1)).alias("__df"),
+        F.min("id").alias("__keeper"),
+        F.max("id").alias("__maxid"),
+    ]
+    if min_docs > 2:
+        aggs.append(F.countDistinct("id").alias("__ndocs"))
+    per_gram = grams.groupBy("g").agg(*aggs).where(F.col("__df") >= max_df)
+    hot_dup = (
+        (F.col("__ndocs") >= min_docs)
+        if min_docs > 2
+        else (F.col("__keeper") != F.col("__maxid"))
+    )
+    hot = per_gram.select("g", "__keeper", hot_dup.alias("__hotdup"))
+    tagged = grams.join(F.broadcast(hot), "g", "left")
+    hot_flags = tagged.where(F.col("__hotdup").isNotNull())
+    cold = tagged.where(F.col("__hotdup").isNull()).select("id", "pos", "g")
+    return hot_flags, cold
+
+
 def self_dedup_spans(
     df: SparkDF,
     id_col: str,
     text_col: str,
     n: int = 8,
     min_docs: int = 2,
+    max_df: "int | None" = 10_000,
 ) -> SparkDF:
     """Passages duplicated ACROSS documents at ANY token alignment →
     merged spans ``(id, span_start, span_end)`` covering every
@@ -413,6 +470,20 @@ def self_dedup_spans(
     — no distinct-count pass; ``min_docs > 2`` pays a per-gram
     ``collect_set`` (document that threshold's cost before raising it
     on a hot-gram corpus).
+
+    ``max_df`` (default 10 000) is the hot-gram skew guard — the same
+    hazard class bounded everywhere else in this package (``max_df`` in
+    the postings ops, ``max_bucket`` in fuzzy/SRP, ``max_cluster`` in
+    semantic dedup): a boilerplate gram in millions of documents would
+    otherwise become ONE window partition sorted and buffered by a
+    single task. Grams with ≥ ``max_df`` occurrences take a bounded
+    aggregate verdict instead (:func:`_split_hot_verdict`); only cold
+    grams — per-partition row count < ``max_df`` by construction — take
+    the row-wise window. The split is exact, not approximate: both
+    paths compute the same keeper/duplicate verdict, pinned in tests.
+    ``max_df=None`` disables the guard (single-window path, no
+    checkpoint — marginally cheaper on corpora known to be free of
+    boilerplate grams).
     """
     if min_docs < 2:
         raise ValueError(
@@ -426,6 +497,21 @@ def self_dedup_spans(
             shingle_hash64(text_col, n=n, distinct=False)
         ).alias("pos", "g"),
     )
+    if max_df is None:
+        hits = _window_verdict_hits(grams, min_docs)
+    else:
+        hot_flags, cold = _split_hot_verdict(grams, min_docs, max_df)
+        hot_hits = hot_flags.where(
+            F.col("__hotdup") & (F.col("id") != F.col("__keeper"))
+        ).select("id", "pos")
+        hits = hot_hits.unionByName(_window_verdict_hits(cold, min_docs))
+    return _merge_hit_islands(hits, n)
+
+
+def _window_verdict_hits(grams: SparkDF, min_docs: int) -> SparkDF:
+    """Row-wise per-gram duplicate verdict over ``(id, pos, g)`` rows —
+    the cold path: one window over the gram shuffle, ``min(id)`` keeper,
+    non-keeper carriers of a ≥ ``min_docs``-document gram are hits."""
     wg = Window.partitionBy("g")
     keeper = F.min("id").over(wg)
     duplicated = (
@@ -433,12 +519,11 @@ def self_dedup_spans(
         if min_docs > 2
         else (keeper != F.max("id").over(wg))
     )
-    hits = (
+    return (
         grams.withColumn("__dup", duplicated & (F.col("id") != keeper))
         .where("__dup")
         .select("id", "pos")
     )
-    return _merge_hit_islands(hits, n)
 
 
 def gram_index(
@@ -489,11 +574,34 @@ def load_gram_index(spark, store_path: str) -> SparkDF:
     gram, the recorded ``n`` carried through) — feed it to
     :func:`self_dedup_spans_incremental`, which validates ``n``."""
     raw = spark.read.parquet(store_path)
+    _assert_single_n(raw)
     return (
         raw.select("g", "keeper", "n")
         .groupBy("g")
         .agg(F.min("keeper").alias("keeper"), F.min("n").alias("n"))
     )
+
+
+def _assert_single_n(index: SparkDF) -> "int | None":
+    """Validate an index's ``n`` stamp is a SINGLE value and return it
+    (``None`` when the index is empty or unstamped). A store
+    accidentally appended at two shingle sizes would otherwise fold to
+    ``min(n)`` per gram and pass or fail downstream validation
+    nondeterministically while its grams silently match nothing — so a
+    mix raises, naming every ``n`` found. One aggregate over the
+    stamp column only (constant, RLE — a metadata-cheap scan)."""
+    if "n" not in index.columns:
+        return None
+    stamps = sorted(
+        r["n"] for r in index.select("n").distinct().collect()
+    )
+    if len(stamps) > 1:
+        raise ValueError(
+            f"gram index mixes shingle sizes n={stamps} — an index is "
+            "only valid at ONE n (hashes chained at different sizes "
+            "match nothing); rebuild the store at a single n"
+        )
+    return stamps[0] if stamps else None
 
 
 def self_dedup_spans_incremental(
@@ -502,6 +610,7 @@ def self_dedup_spans_incremental(
     id_col: str,
     text_col: str,
     n: int = 8,
+    max_df: "int | None" = 10_000,
 ) -> SparkDF:
     """:func:`self_dedup_spans` for an INGEST batch against an already-
     indexed corpus: spans of batch passages that appear verbatim in any
@@ -522,16 +631,25 @@ def self_dedup_spans_incremental(
     If ``index`` carries the ``n`` stamp (every index this module
     builds does), it is validated against this call's ``n`` — hashes
     chained at different shingle sizes silently match NOTHING, so a
-    mismatch would otherwise report a duplicate-free batch.
+    mismatch would otherwise report a duplicate-free batch. The check
+    aggregates DISTINCT stamps (not an arbitrary row), so a store
+    accidentally appended at two sizes raises deterministically, naming
+    both values.
+
+    ``max_df`` guards the within-batch keeper window against hot grams
+    exactly as in :func:`self_dedup_spans`; the index membership join
+    needs no guard — its build side carries one row per gram, so
+    sort-merge streams the hot gram's batch rows without buffering and
+    AQE can split the partition.
     """
+    stamp = _assert_single_n(index)
+    if stamp is not None and stamp != n:
+        raise ValueError(
+            f"gram index was built at n={stamp} but this "
+            f"call probes at n={n} — rebuild the index or pass the "
+            "matching n (mismatched shingle sizes match nothing)"
+        )
     if "n" in index.columns:
-        stamp = index.select("n").limit(1).collect()
-        if stamp and stamp[0]["n"] != n:
-            raise ValueError(
-                f"gram index was built at n={stamp[0]['n']} but this "
-                f"call probes at n={n} — rebuild the index or pass the "
-                "matching n (mismatched shingle sizes match nothing)"
-            )
         index = index.drop("n")
     grams = batch.select(
         F.col(id_col).alias("id"),
@@ -539,19 +657,35 @@ def self_dedup_spans_incremental(
             shingle_hash64(text_col, n=n, distinct=False)
         ).alias("pos", "g"),
     )
-    wg = Window.partitionBy("g")
-    batch_keeper = F.min("id").over(wg)
-    batch_dup = batch_keeper != F.max("id").over(wg)
+    if max_df is None:
+        wg = Window.partitionBy("g")
+        batch_keeper = F.min("id").over(wg)
+        batch_dup = batch_keeper != F.max("id").over(wg)
+        flagged = grams.withColumn(
+            "__bhit", batch_dup & (F.col("id") != batch_keeper)
+        )
+    else:
+        hot_flags, cold = _split_hot_verdict(grams, 2, max_df)
+        wg = Window.partitionBy("g")
+        cold_keeper = F.min("id").over(wg)
+        cold_dup = cold_keeper != F.max("id").over(wg)
+        flagged = hot_flags.select(
+            "id",
+            "pos",
+            "g",
+            (F.col("__hotdup") & (F.col("id") != F.col("__keeper"))).alias(
+                "__bhit"
+            ),
+        ).unionByName(
+            cold.withColumn(
+                "__bhit", cold_dup & (F.col("id") != cold_keeper)
+            ).select("id", "pos", "g", "__bhit")
+        )
     hits = (
-        grams.join(
+        flagged.join(
             index.select("g", F.col("keeper").alias("__prior")), "g", "left"
         )
-        .withColumn(
-            "__hit",
-            F.col("__prior").isNotNull()
-            | (batch_dup & (F.col("id") != batch_keeper)),
-        )
-        .where("__hit")
+        .where(F.col("__prior").isNotNull() | F.col("__bhit"))
         .select("id", "pos")
     )
     return _merge_hit_islands(hits, n)

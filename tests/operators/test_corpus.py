@@ -969,6 +969,188 @@ class TestSelfDedupSpans:
         assert out[3] == "unique tokens only here nothing shared at all"
 
 
+class TestHotGramGuard:
+    """The max_df hot-gram skew guard in self_dedup_spans /
+    self_dedup_spans_incremental: grams with >= max_df occurrences take
+    a bounded aggregate verdict (no window partition ever buffers a
+    boilerplate gram's rows); cold grams take the row-wise window. The
+    split must be invisible in the result — pinned against the
+    unguarded single-window path."""
+
+    def _boilerplate_corpus(self, spark, n_docs=8):
+        # every doc carries the same license-header-style passage (the
+        # pathological single-hot-gram shape) plus unique content, and
+        # docs 5/6 additionally share a COLD duplicate passage so both
+        # paths contribute hits
+        header = "licensed under the apache license version two"
+        cold_dup = "cold duplicated passage of tokens"
+        rows = []
+        for i in range(1, n_docs + 1):
+            extra = f" {cold_dup}" if i in (5, 6) else ""
+            rows.append((i, header + extra + f" unique{i} body{i} tail{i}"))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    @staticmethod
+    def _collect_spans(df):
+        return sorted(
+            (r["id"], r["span_start"], r["span_end"]) for r in df.collect()
+        )
+
+    def test_guarded_spans_identical_to_unguarded(self, spark):
+        from ons_utils_spark.operators.corpus import self_dedup_spans
+
+        df = self._boilerplate_corpus(spark)
+        unguarded = self._collect_spans(
+            self_dedup_spans(df, "doc_id", "text", n=4, max_df=None)
+        )
+        guarded = self._collect_spans(
+            self_dedup_spans(df, "doc_id", "text", n=4, max_df=3)
+        )
+        assert guarded == unguarded
+        # the header is duplicated in all non-keeper docs (2..8) and the
+        # cold passage only in doc 6 (keeper 5)
+        assert {i for (i, _, _) in guarded} == {2, 3, 4, 5, 6, 7, 8}
+
+    def test_guarded_spans_identical_min_docs_gt_2(self, spark):
+        from ons_utils_spark.operators.corpus import self_dedup_spans
+
+        df = self._boilerplate_corpus(spark)
+        unguarded = self._collect_spans(
+            self_dedup_spans(
+                df, "doc_id", "text", n=4, min_docs=3, max_df=None
+            )
+        )
+        guarded = self._collect_spans(
+            self_dedup_spans(df, "doc_id", "text", n=4, min_docs=3, max_df=3)
+        )
+        assert guarded == unguarded
+        # the 2-carrier cold passage is below min_docs=3; the 8-carrier
+        # header survives the threshold
+        assert {i for (i, _, _) in guarded} == {2, 3, 4, 5, 6, 7, 8}
+
+    def test_hot_grams_never_reach_the_window(self, spark):
+        """The pathological fixture the r8 scale probes could not see:
+        every doc is the SAME text, so every gram is hot. The cold side
+        (the window's entire input) must be EMPTY — no task sorts or
+        buffers the gram table."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.corpus import (
+            _split_hot_verdict,
+            self_dedup_spans,
+            shingle_hash64,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "same exact boilerplate text in every single document")
+             for i in range(1, 9)],
+            "doc_id bigint, text string",
+        )
+        grams = df.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(
+                shingle_hash64("text", n=4, distinct=False)
+            ).alias("pos", "g"),
+        )
+        hot_flags, cold = _split_hot_verdict(grams, 2, 3)
+        assert cold.count() == 0  # nothing left for the window
+        assert hot_flags.count() == grams.count()
+        # and the end-to-end result still marks docs 2..8 fully covered
+        spans = self._collect_spans(
+            self_dedup_spans(df, "doc_id", "text", n=4, max_df=3)
+        )
+        assert spans == [(i, 0, 8) for i in range(2, 9)]
+
+    def test_window_sits_above_the_cold_filter(self, spark):
+        """Plan-shape pin: the guarded plan's per-gram window reads only
+        the isnull(__hotdup) side of the broadcast split."""
+        from ons_utils_spark.operators.corpus import self_dedup_spans
+
+        df = self._boilerplate_corpus(spark)
+        plan = (
+            self_dedup_spans(df, "doc_id", "text", n=4, max_df=3)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "isnull(__hotdup" in plan
+        assert "Window" in plan
+
+    def test_single_doc_hot_repetition_is_not_a_duplicate(self, spark):
+        """A gram repeated >= max_df times within ONE document is hot by
+        occurrence count but has one carrier — no spans."""
+        from ons_utils_spark.operators.corpus import self_dedup_spans
+
+        df = spark.createDataFrame(
+            [(1, " ".join(["loop of four tokens"] * 10)),
+             (2, "entirely different second document content")],
+            "doc_id bigint, text string",
+        )
+        assert (
+            self_dedup_spans(df, "doc_id", "text", n=4, max_df=3).count()
+            == 0
+        )
+
+    def test_incremental_guarded_identical_to_unguarded(self, spark):
+        from ons_utils_spark.operators.corpus import (
+            gram_index,
+            self_dedup_spans_incremental,
+        )
+
+        prior = spark.createDataFrame(
+            [(1, "indexed corpus passage alpha beta gamma delta"),
+             (2, "another indexed document with other words")],
+            "doc_id bigint, text string",
+        )
+        index = gram_index(prior, "doc_id", "text", n=4)
+        batch = self._boilerplate_corpus(spark).withColumn(
+            "doc_id", F.col("doc_id") + 100
+        ).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" indexed corpus passage alpha beta gamma delta"),
+            ),
+        )
+        unguarded = self._collect_spans(
+            self_dedup_spans_incremental(
+                batch, index, "doc_id", "text", n=4, max_df=None
+            )
+        )
+        guarded = self._collect_spans(
+            self_dedup_spans_incremental(
+                batch, index, "doc_id", "text", n=4, max_df=3
+            )
+        )
+        assert guarded == unguarded
+        # every batch doc ends with an indexed passage -> all 8 hit
+        assert {i for (i, _, _) in guarded} == set(range(101, 109))
+
+    def test_mixed_n_index_raises_naming_both(self, spark):
+        from ons_utils_spark.operators.corpus import (
+            gram_index,
+            load_gram_index,
+            self_dedup_spans_incremental,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "one two three four five six seven")],
+            "doc_id bigint, text string",
+        )
+        mixed = gram_index(docs, "doc_id", "text", n=4).unionByName(
+            gram_index(docs, "doc_id", "text", n=5)
+        )
+        with pytest.raises(ValueError, match=r"n=\[4, 5\]"):
+            self_dedup_spans_incremental(docs, mixed, "doc_id", "text", n=4)
+        # and the store read path validates too
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            mixed.write.parquet(d + "/idx")
+            with pytest.raises(ValueError, match=r"n=\[4, 5\]"):
+                load_gram_index(spark, d + "/idx")
+
+
 class TestRedactionDropSemantics:
     def test_replacement_none_drops_tokens(self, spark):
         from ons_utils_spark.operators.corpus import apply_span_redaction

@@ -383,7 +383,7 @@ def _split_hot_verdict(
     grams: SparkDF,
     min_docs: int,
     max_df: int,
-) -> "tuple[SparkDF, SparkDF]":
+) -> "tuple[SparkDF | None, SparkDF]":
     """The hot-gram skew guard shared by :func:`self_dedup_spans` and
     :func:`self_dedup_spans_incremental`.
 
@@ -395,34 +395,65 @@ def _split_hot_verdict(
     skew-safe by construction — map-side partial combine means no
     reducer ever materializes a hot gram's rows, only its partials.
 
+    Hot grams are DETECTED from a deterministic row sample, not a full
+    per-gram count — an exact detection aggregate over every gram was
+    measured ~5× the whole operator's cost at the 100× probe scale
+    (disjoint-token corpora are all-distinct grams, so the "partial"
+    combine degenerates to a full second shuffle). The sample keeps
+    detection ~free: rate ``1/S`` with ``S = clamp(max_df/64, 1, 128)``
+    (``xxhash64(g, id, pos)`` — row-level, partitioning-invariant,
+    replayable), candidate threshold ``max_df/(4S)`` sampled hits. A
+    gram at the ``max_df`` boundary expects ``≥ 64`` sampled hits, 4×
+    the threshold, so it escapes detection with probability
+    ``≤ e^−18`` (Chernoff) — and for ``max_df < 128`` the rate is 1/1,
+    i.e. detection is exact. Candidates get their verdict from an exact
+    aggregate over ALL their rows, so routing never changes results —
+    only which path computes them.
+
     Returns ``(hot_flags, cold)``:
 
-    - ``hot_flags``: every gram row whose gram has ≥ ``max_df``
-      occurrences, with ``__keeper`` (min id over ALL carriers) and
-      ``__hotdup`` (cross-doc duplicate verdict) attached — rows of
-      non-duplicate hot grams (e.g. one document repeating itself
-      ≥ ``max_df`` times) carry ``__hotdup = false``.
-    - ``cold``: the remaining ``(id, pos, g)`` rows; every gram here has
-      < ``max_df`` occurrences, so a per-gram window over ``cold``
-      buffers at most ``max_df − 1`` rows per partition key.
+    - ``(None, grams)`` when NO candidate exists — the caller should
+      run its plain window over the full (checkpointed) gram table;
+      the clean-corpus fast path, one driver-side emptiness probe.
+    - ``hot_flags``: every gram row of a candidate gram, with
+      ``__keeper`` (min id over ALL carriers) and ``__hotdup`` (exact
+      cross-doc duplicate verdict) attached — rows of non-duplicate
+      candidates (e.g. one document repeating itself ≥ ``max_df``
+      times) carry ``__hotdup = false``.
+    - ``cold``: the remaining ``(id, pos, g)`` rows; every gram here
+      has < ``max_df`` occurrences w.h.p. (exactly, when ``S == 1``),
+      so a per-gram window over ``cold`` buffers ~``max_df`` rows per
+      partition key at worst.
 
-    ``grams`` is localCheckpoint-ed (eager) because it feeds the hot
-    aggregate and both output branches — without it each consumer would
-    re-scan the corpus and re-hash every shingle. The hot table
-    broadcast is bounded by construction: ≤ |grams| / ``max_df``
-    distinct grams qualify (24 B/row), so at 10¹² gram rows and the
-    default ``max_df`` = 10⁴ the build side is ≤ 10⁸ rows — raise
-    ``max_df`` with corpus size to keep it broadcastable.
+    ``grams`` is localCheckpoint-ed (eager) because it feeds detection
+    and both output branches — without it each consumer would re-scan
+    the corpus and re-hash every shingle. The candidate broadcast is
+    bounded by construction: ≤ ``4·|grams| / max_df`` grams can clear
+    the sampled threshold (24 B/row) — raise ``max_df`` with corpus
+    size to keep it broadcastable.
     """
     grams = grams.localCheckpoint(eager=True)
-    aggs = [
-        F.count(F.lit(1)).alias("__df"),
-        F.min("id").alias("__keeper"),
-        F.max("id").alias("__maxid"),
-    ]
+    S = max(1, min(128, max_df // 64))
+    thresh = max_df if S == 1 else max(1, max_df // (S * 4))
+    sample = (
+        grams
+        if S == 1
+        else grams.where(
+            F.pmod(F.xxhash64("g", "id", "pos"), F.lit(S)) < F.lit(1)
+        )
+    )
+    cand = (
+        sample.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__sc"))
+        .where(F.col("__sc") >= thresh)
+        .select("g")
+    )
+    if cand.limit(1).count() == 0:
+        return None, grams
+    aggs = [F.min("id").alias("__keeper"), F.max("id").alias("__maxid")]
     if min_docs > 2:
         aggs.append(F.countDistinct("id").alias("__ndocs"))
-    per_gram = grams.groupBy("g").agg(*aggs).where(F.col("__df") >= max_df)
+    per_gram = grams.join(F.broadcast(cand), "g").groupBy("g").agg(*aggs)
     hot_dup = (
         (F.col("__ndocs") >= min_docs)
         if min_docs > 2
@@ -501,10 +532,13 @@ def self_dedup_spans(
         hits = _window_verdict_hits(grams, min_docs)
     else:
         hot_flags, cold = _split_hot_verdict(grams, min_docs, max_df)
-        hot_hits = hot_flags.where(
-            F.col("__hotdup") & (F.col("id") != F.col("__keeper"))
-        ).select("id", "pos")
-        hits = hot_hits.unionByName(_window_verdict_hits(cold, min_docs))
+        if hot_flags is None:
+            hits = _window_verdict_hits(cold, min_docs)
+        else:
+            hot_hits = hot_flags.where(
+                F.col("__hotdup") & (F.col("id") != F.col("__keeper"))
+            ).select("id", "pos")
+            hits = hot_hits.unionByName(_window_verdict_hits(cold, min_docs))
     return _merge_hit_islands(hits, n)
 
 
@@ -657,18 +691,16 @@ def self_dedup_spans_incremental(
             shingle_hash64(text_col, n=n, distinct=False)
         ).alias("pos", "g"),
     )
-    if max_df is None:
-        wg = Window.partitionBy("g")
-        batch_keeper = F.min("id").over(wg)
-        batch_dup = batch_keeper != F.max("id").over(wg)
-        flagged = grams.withColumn(
-            "__bhit", batch_dup & (F.col("id") != batch_keeper)
-        )
-    else:
-        hot_flags, cold = _split_hot_verdict(grams, 2, max_df)
-        wg = Window.partitionBy("g")
-        cold_keeper = F.min("id").over(wg)
-        cold_dup = cold_keeper != F.max("id").over(wg)
+    hot_flags = None
+    if max_df is not None:
+        hot_flags, grams = _split_hot_verdict(grams, 2, max_df)
+    wg = Window.partitionBy("g")
+    batch_keeper = F.min("id").over(wg)
+    batch_dup = batch_keeper != F.max("id").over(wg)
+    flagged = grams.withColumn(
+        "__bhit", batch_dup & (F.col("id") != batch_keeper)
+    ).select("id", "pos", "g", "__bhit")
+    if hot_flags is not None:
         flagged = hot_flags.select(
             "id",
             "pos",
@@ -676,11 +708,7 @@ def self_dedup_spans_incremental(
             (F.col("__hotdup") & (F.col("id") != F.col("__keeper"))).alias(
                 "__bhit"
             ),
-        ).unionByName(
-            cold.withColumn(
-                "__bhit", cold_dup & (F.col("id") != cold_keeper)
-            ).select("id", "pos", "g", "__bhit")
-        )
+        ).unionByName(flagged)
     hits = (
         flagged.join(
             index.select("g", F.col("keeper").alias("__prior")), "g", "left"

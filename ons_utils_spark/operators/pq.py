@@ -37,6 +37,7 @@ from ons_utils_spark.operators.semantic import (
     _py_dot,
     _resolve_method,
     kmeans_lloyd,
+    resolve_train,
 )
 
 
@@ -56,6 +57,8 @@ def pq_build(
     n_iter: int = 1,
     round_dp: int = 6,
     method: str = "auto",
+    train_on: "SparkDF | float | None" = None,
+    carry_cols: Sequence[str] = (),
 ) -> Tuple[SparkDF, List[List[List[float]]]]:
     """Train per-subspace codebooks and encode the corpus.
 
@@ -69,21 +72,41 @@ def pq_build(
     subspace. Encoding reuses the literal-codegen argmin (total
     expression size m·k·(dim/m) = k·dim, the same as one full k-means
     assign) or the Arrow/BLAS path, per ``method``.
+
+    ``train_on`` (see :func:`semantic.resolve_train`) restricts codebook
+    training to a slice — ``0.01`` or a materialized ~100k-vector sample
+    is the 100 TB practice; the full corpus is still ENCODED. A fraction
+    samples deterministically by id hash; a DataFrame (same id/vec
+    schema as ``df``) is sliced the same way the corpus is.
+    ``carry_cols`` are passed through to the coded output unchanged —
+    :func:`ivf_pq_build` rides the coarse list id through here so the
+    coded table needs no join back against the assignment.
     """
     sub_d = _check_geometry(dim, m)
     method = _resolve_method(method, k)
+    carry = list(carry_cols)
 
-    slices = df.select(
-        F.col(id_col).alias("id"),
-        *[
-            F.slice(F.col(vec_col), i * sub_d + 1, sub_d).alias(f"sub{i}")
-            for i in range(m)
-        ],
-    ).localCheckpoint(eager=True)
+    def _slice(src: SparkDF, extra: Sequence[str]) -> SparkDF:
+        return src.select(
+            F.col(id_col).alias("id"),
+            *[
+                F.slice(F.col(vec_col), i * sub_d + 1, sub_d).alias(f"sub{i}")
+                for i in range(m)
+            ],
+            *extra,
+        )
+
+    slices = _slice(df, carry).localCheckpoint(eager=True)
+    if train_on is None:
+        tslices = slices
+    elif isinstance(train_on, SparkDF):
+        tslices = _slice(train_on, ())
+    else:
+        tslices = resolve_train(slices, train_on, "id")
 
     codebooks: List[List[List[float]]] = []
     for i in range(m):
-        sub = slices.select("id", F.col(f"sub{i}").alias("vec"))
+        sub = tslices.select("id", F.col(f"sub{i}").alias("vec"))
         # Only the centroids are needed here; the returned assignment
         # frame is lazy and never executed.
         _, cents = kmeans_lloyd(
@@ -103,13 +126,15 @@ def pq_build(
                 dist = vv + F.lit(_py_dot(c, c)) - 2 * array_dot(vec, clit)
                 entries.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
             code_cols.append(F.array_min(F.array(*entries))["j"])
-        codes = slices.select("id", F.array(*code_cols).alias("codes"))
+        codes = slices.select(
+            "id", F.array(*code_cols).alias("codes"), *carry
+        )
     else:
-        codes = _encode_blas(slices, m, codebooks)
+        codes = _encode_blas(slices, m, codebooks, carry)
     return codes, codebooks
 
 
-def _encode_blas(slices: SparkDF, m: int, codebooks) -> SparkDF:
+def _encode_blas(slices: SparkDF, m: int, codebooks, carry=()) -> SparkDF:
     """One Arrow pass encoding all subspaces via per-subspace matmuls."""
     import numpy as np
     from pyspark.sql.types import (
@@ -123,6 +148,7 @@ def _encode_blas(slices: SparkDF, m: int, codebooks) -> SparkDF:
     schema = StructType([
         StructField("id", slices.schema["id"].dataType),
         StructField("codes", ArrayType(IntegerType())),
+        *[StructField(c, slices.schema[c].dataType) for c in carry],
     ])
 
     def gen(batches):
@@ -138,9 +164,10 @@ def _encode_blas(slices: SparkDF, m: int, codebooks) -> SparkDF:
                 out[:, i] = d2.argmin(axis=1)
             import pandas as pd
 
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "codes": list(out)}
-            )
+            data = {"id": pdf["id"].to_numpy(), "codes": list(out)}
+            for c in carry:
+                data[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(data)
 
     return slices.mapInPandas(gen, schema)
 
@@ -182,6 +209,94 @@ def pq_adc_scores(
         score = term if score is None else score + term
     return codes.select(
         "id", "codes", F.round(score, round_dp).alias("adc_dist")
+    )
+
+
+def ivf_pq_build(
+    df: SparkDF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_lists: int = 8,
+    m: int = 4,
+    k: int = 16,
+    coarse_iter: int = 2,
+    n_iter: int = 1,
+    round_dp: int = 6,
+    method: str = "auto",
+    train_on: "SparkDF | float | None" = None,
+) -> Tuple[SparkDF, List[List[float]], List[List[List[float]]]]:
+    """IVF×PQ: coarse-quantize into ``n_lists`` inverted lists, PQ-encode
+    every vector — the FAISS ``IVFx,PQy`` serving shape (Jégou et al.
+    §V), fully deterministic.
+
+    Returns ``(coded, coarse_centroids, codebooks)`` where ``coded`` is
+    ``(id, codes, __list)``: ``__list`` the nearest coarse centroid
+    (deterministic Lloyd — :func:`semantic.kmeans_lloyd`, so the DuckDB
+    oracle replays it; swap :func:`similarity.ivf_build`'s ``pyspark.ml``
+    KMeans in production if approximate centroids are acceptable), and
+    ``codes`` the ``m`` subspace code indices. Vectors are encoded RAW
+    (FAISS ``by_residual=False``): residual encoding (PQ over
+    ``vec − coarse_centroid``) squeezes more recall per byte but couples
+    the codebooks to the coarse step — with the probe/recall numbers in
+    SCALING.md raw encoding already reranks clean at these dims.
+
+    Scale story: ONE extra assignment pass over :func:`pq_build` — the
+    list id rides through encoding via ``carry_cols``, no join back. At
+    100 TB write ``coded`` partitioned by ``__list``
+    (``sources/write.py``): a probe then scans ``n_probe`` partitions of
+    an ``m``-byte-per-vector table — partition pruning + 64× compression
+    is the billion-vector serving play. Train both stages on a sample
+    via ``train_on``.
+    """
+    assigned, coarse = kmeans_lloyd(
+        df, id_col, vec_col, k=n_lists, n_iter=coarse_iter,
+        round_dp=round_dp, method=method, train_on=train_on,
+    )
+    coded, codebooks = pq_build(
+        assigned.withColumn("__list", F.col("__cluster")),
+        id_col, vec_col, dim=dim, m=m, k=k, n_iter=n_iter,
+        round_dp=round_dp, method=method, train_on=train_on,
+        carry_cols=("__list",),
+    )
+    return coded, coarse, codebooks
+
+
+def ivf_pq_topk(
+    coded: SparkDF,
+    coarse_centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    query_vec: Sequence[float],
+    n_probe: int = 2,
+    topk: int = 10,
+    round_dp: int = 6,
+) -> SparkDF:
+    """Approximate top-``k`` from an IVF×PQ index: ADC-score only the
+    ``n_probe`` lists whose coarse centroids are nearest the query.
+
+    List selection is driver-side arithmetic over ``n_lists`` centroids
+    (same ``qq + c·c − 2·q·c`` squared-L2 form as everything else, ties
+    by list id — bit-reproducible, the oracle replays it); the scan is
+    a pushdown-able ``__list IN (...)`` filter over the coded table —
+    with a ``__list``-partitioned table it prunes whole partitions, so
+    query cost is ``n_probe/n_lists`` of the corpus at ``m`` lookups
+    per row, and top-k plans as TakeOrderedAndProject.
+    ``n_probe == n_lists`` degenerates to the full PQ scan.
+    """
+    q = [float(v) for v in query_vec]
+    qq = _py_dot(q, q)
+    by_dist = sorted(
+        (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+        for j, c in enumerate(coarse_centroids)
+    )
+    probe = [j for _, j in by_dist[:n_probe]]
+    return (
+        pq_adc_scores(
+            coded.where(F.col("__list").isin(probe)), codebooks, q, round_dp
+        )
+        .select("id", "adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
+        .limit(topk)
     )
 
 

@@ -199,6 +199,40 @@ def _assign(
     return fn(df, vec_col, cents, with_cos)
 
 
+def resolve_train(
+    df: SparkDF,
+    train_on: "SparkDF | float | None",
+    id_col: str,
+) -> SparkDF:
+    """Resolve the TRAINING slice for centroid/codebook fitting.
+
+    ``None`` → the full input (exact-replay default). A DataFrame →
+    used as-is (e.g. a pre-materialized 100k-vector sample). A float in
+    (0, 1] → a deterministic, partitioning-invariant id-hash sample:
+    ``xxhash64(id) mod 1e6 < frac·1e6`` — unlike ``df.sample``, whose
+    per-partition Bernoulli draw changes membership whenever the
+    partitioning does, this picks the SAME rows on any cluster layout
+    (and replays in SQL, the package's xxh64-chain oracle trick).
+
+    This is how the documented 100 TB practice is expressed: codebooks
+    and centroids need ~100k vectors, not the corpus — train on the
+    slice, then assign/encode the full input with the fitted model.
+    """
+    if train_on is None:
+        return df
+    if isinstance(train_on, SparkDF):
+        return train_on
+    frac = float(train_on)
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(
+            f"train_on fraction must be in (0, 1], got {train_on!r}"
+        )
+    return df.where(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+        < F.lit(int(round(frac * 1_000_000)))
+    )
+
+
 def kmeans_lloyd(
     df: SparkDF,
     id_col: str = "vec_id",
@@ -208,6 +242,7 @@ def kmeans_lloyd(
     round_dp: int = 6,
     method: str = "auto",
     with_cos: bool = False,
+    train_on: "SparkDF | float | None" = None,
 ) -> Tuple[SparkDF, List[List[float]]]:
     """Deterministic distributed Lloyd k-means, DataFrame-native.
 
@@ -228,6 +263,14 @@ def kmeans_lloyd(
     reproducible — see the module docstring. An empty cluster keeps its
     previous centroid (standard Lloyd fallback), which the SQL oracle
     mirrors with a left join against the prior iteration.
+
+    ``train_on`` (see :func:`resolve_train`) restricts seed selection
+    and the Lloyd iterations to a training slice; the returned
+    ``assigned`` frame still covers the FULL input, assigned to the
+    sample-trained centroids. This is the 100 TB shape — centroids need
+    ~100k vectors, not the corpus — and it stays deterministic: a
+    fraction samples by id hash, so the fitted centroids are themselves
+    reproducible.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -236,6 +279,12 @@ def kmeans_lloyd(
     method = _resolve_method(method, k)
 
     vecs = df.withColumn("__vv", array_dot(F.col(vec_col), F.col(vec_col)))
+    train = resolve_train(df, train_on, id_col)
+    tvecs = (
+        vecs
+        if train is df
+        else train.withColumn("__vv", array_dot(F.col(vec_col), F.col(vec_col)))
+    )
 
     # Exact decimal arithmetic: id * KNUTH overflows int64 for ids past
     # ~3.5e9 (crashing under Spark 4's default ANSI mode, silently
@@ -245,19 +294,19 @@ def kmeans_lloyd(
         F.col(id_col).cast("decimal(38,0)") * F.lit(KNUTH_HASH)
     ) % F.lit(2**32)
     seed_rows = (
-        vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        tvecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .orderBy(h.asc(), F.col(id_col).asc())
         .limit(k)
         .collect()
     )
     if len(seed_rows) < k:
         raise ValueError(
-            f"k={k} exceeds the number of rows ({len(seed_rows)})"
+            f"k={k} exceeds the number of training rows ({len(seed_rows)})"
         )
     cents: List[List[float]] = [[float(x) for x in r.vec] for r in seed_rows]
 
     for _ in range(n_iter):
-        assigned = _assign(vecs, vec_col, cents, method)
+        assigned = _assign(tvecs, vec_col, cents, method)
         # Exact decimal sums -> order-independent means (see module doc).
         means = (
             assigned.select("__cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))

@@ -6717,6 +6717,99 @@ def q_pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _ivf_pq_oracle(n_lists: int, coarse_iter: int, m: int, k: int,
+                   n_iter: int, dp: int, dim: int, query_id: int,
+                   n_probe: int, topk: int) -> str:
+    """DuckDB twin of ivf_pq_build + ivf_pq_topk: the coarse Lloyd chain
+    (suffix ``_c``) picks the ``n_probe`` nearest lists exactly as the
+    driver does (same squared-L2 form, ties by list id), the per-subspace
+    PQ chains/LUTs are :func:`_pq_oracle`'s, and the final scan joins
+    codes → coarse assignment → probe so only probed-list vectors are
+    ADC-scored — the SQL image of the ``__list IN (...)`` pushdown."""
+    sub_d = dim // m
+    chains = [_kmeans_ctes(
+        n_lists, coarse_iter, dp, suffix="_c", with_prefix=False,
+    )]
+    luts = []
+    for i in range(m):
+        lo, hi = i * sub_d + 1, (i + 1) * sub_d
+        vec_sql = f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]"
+        chains.append(_kmeans_ctes(
+            k, n_iter, dp, vec_sql=vec_sql, suffix=f"_s{i}",
+            with_prefix=False,
+        ))
+        luts.append(f"""lut_s{i} AS (
+            SELECT c.cid,
+                   qv.qq + list_dot_product(c.cvec, c.cvec)
+                   - 2 * list_dot_product(qv.sub, c.cvec) AS dist
+            FROM c{n_iter}_s{i} c CROSS JOIN (
+                SELECT {vec_sql} AS sub,
+                       list_dot_product({vec_sql}, {vec_sql}) AS qq
+                FROM embeddings WHERE vec_id = {query_id}) qv)""")
+    luts.append(f"""qvf AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS vec,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS qq
+        FROM embeddings WHERE vec_id = {query_id})""")
+    luts.append(f"""probe AS (
+        SELECT c.cid FROM c{coarse_iter}_c c CROSS JOIN qvf
+        ORDER BY qvf.qq + list_dot_product(c.cvec, c.cvec)
+                 - 2 * list_dot_product(qvf.vec, c.cvec), c.cid
+        LIMIT {n_probe})""")
+    code_cols = ", ".join(f"a{i}.cid AS c{i}" for i in range(m))
+    code_joins = " ".join(
+        f"JOIN af_s{i} a{i} ON a0.id = a{i}.id" for i in range(1, m)
+    )
+    score = " + ".join(f"l{i}.dist" for i in range(m))
+    lut_joins = " ".join(
+        f"JOIN lut_s{i} l{i} ON c.c{i} = l{i}.cid" for i in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(chains + luts) + f""",
+        codes AS (
+            SELECT a0.id, {code_cols}
+            FROM af_s0 a0 {code_joins})
+        SELECT c.id, round({score}, {dp}) AS adc_dist
+        FROM codes c
+        JOIN af_c ac ON c.id = ac.id
+        JOIN probe p ON ac.cid = p.cid
+        {lut_joins}
+        ORDER BY adc_dist, c.id
+        LIMIT {topk}
+        """
+    )
+
+
+@register(
+    "q_similarity_ivf_pq",
+    oracle=_ivf_pq_oracle(8, 2, 4, 16, 1, 6, 64, 0, 2, 25),
+    description="IVF×PQ ANN serving (Jégou et al. §V; operators/pq.py::"
+    "ivf_pq_build/ivf_pq_topk): the corpus is coarse-quantized into 8 "
+    "inverted lists by the deterministic Lloyd (the list id rides "
+    "through PQ encoding as a carried column — no join back), every "
+    "vector PQ-encoded to 4 codes, and query vec_id=0 is answered by "
+    "ADC-scoring ONLY the 2 lists whose coarse centroids are nearest "
+    "(driver-side arithmetic over 8 centroids, ties by list id). The "
+    "oracle replays the coarse k-means, the probe-list selection, all "
+    "four subspace trainings, and the restricted ADC scan bit-for-bit. "
+    "Scale: with the coded table written partitioned by __list the "
+    "probe is partition pruning over an m-bytes-per-vector table — "
+    "n_probe/n_lists of the corpus at m lookups per row; recall vs "
+    "exact cosine is measured in SCALING.md.",
+)
+def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, coarse, cbs = _pq.ivf_pq_build(
+        emb, "vec_id", "embedding", dim=64, n_lists=8, m=4, k=16,
+        coarse_iter=2, n_iter=1,
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return _pq.ivf_pq_topk(coded, coarse, cbs, q, n_probe=2, topk=25)
+
+
 # ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
@@ -6751,6 +6844,11 @@ _GRADING_ORDER = [
     "q_pagerank",
     # -- streaming-defined sketch (batch twin of sketch_ingest_writer) ---
     "q_count_min_sketch",
+    # r9 rotation: the grouped KMV sketch (one-pass per-group bottom-k,
+    # xxh64 chain + partitioned rank cut replayed in SQL) joins the
+    # sketch family; q_first_group_orders (simple window shape, graded
+    # green since r1, parity op also pytest-pinned) moves to the tail.
+    "q_kmv_distinct_grouped",
     # -- window / rank family --------------------------------------------
     "q_topk_orders_per_customer",
     "q_rank_functions",
@@ -6762,9 +6860,10 @@ _GRADING_ORDER = [
     # shapes, long green, still full-registry-checked in the tail) swaps
     # out for the deterministic-Lloyd clustering oracle class.
     "q_kmeans_clusters",
-    "q_first_group_orders",
-    "q_priority_late_orders",
-    "q_top_return_customers",
+    # (r9: q_first_group_orders / q_priority_late_orders /
+    # q_top_return_customers rotated to the tail — simple filter/agg and
+    # join shapes whose families keep 8+ graded representatives — for
+    # the r8 families that had never been driver-graded, below)
     # -- reference-parity operators ---------------------------------------
     "q_concat_with_keys",
     "q_concat_schema_coercion",
@@ -6786,8 +6885,8 @@ _GRADING_ORDER = [
     # swaps out for the SemDeDup pruning oracle class (clustering +
     # ranking + within-cluster pair pruning replayed in SQL).
     "q_semdedup_kmeans",
-    # -- streaming batch-twins --------------------------------------------
-    "q_events_hourly_windows",
+    # -- streaming batch-twins (r9: hourly tumbling windows rotated to
+    # the tail; the family stays graded via the session-gap shape) ------
     "q_events_user_sessions",
     # -- dedup / similarity -------------------------------------------------
     "q_dedup_exact",
@@ -6796,13 +6895,24 @@ _GRADING_ORDER = [
     "q_dedup_clusters",
     "q_embedding_near_dup",
     "q_similarity_topk",
-    # -- text analytics ----------------------------------------------------
-    "q_text_stats",
-    "q_language_id",
+    # r9 rotation: the PQ family enters the graded window — ADC scoring
+    # (4 subspace trainings replayed in SQL) and the new IVF×PQ
+    # composition (coarse Lloyd + probe-list selection + restricted ADC
+    # scan, fully replayed). Slots from q_text_stats / q_language_id
+    # (expression-only row-local shapes, graded green since r1).
+    "q_pq_adc_scores",
+    "q_similarity_ivf_pq",
+    # -- text analytics (r9: C4 line-level cleaning replaces the two
+    # rotated expression shapes as the family's graded representative;
+    # q_chunk_documents rotated out — row-local chunking, long green) --
+    "q_c4_line_clean",
     "q_tfidf_top_terms",
     "q_hard_negatives",
-    "q_chunk_documents",
+    # r9: the multi-table SRP recall lever, never driver-graded before
+    "q_hard_negatives_srp_multi",
     "q_corpus_clean_pipeline",
+    # r9: suffix-matched domain blocklist (explode + broadcast semi-join)
+    "q_domain_filter",
     "q_dedup_incremental",
     "q_decontaminate",
     # r5: DSIR importance weighting replaces one of the many graded join
@@ -6821,6 +6931,9 @@ _GRADING_ORDER = [
     # the full registry; the one-pass data-contract audit is its most
     # production-shaped representative) ------------------------------------
     "q_constraint_audit",
+    # r9: categorical PSI drift (reference-anchored category space) —
+    # the profiling family's second graded representative
+    "q_psi_drift_categorical",
     # ---- end of the driver's 50-slot graded window ----------------------
     "q_customers_with_open_orders",
     "q_outer_join_order_counts",
@@ -6931,28 +7044,27 @@ _GRADING_ORDER = [
     "q_pagerank_directed",
     # r6: span-level decontamination, redaction half
     "q_redacted_corpus",
-    # r8: multi-table SRP (the recall lever), full bit-exact oracle
-    "q_hard_negatives_srp_multi",
     # r8: suffix-array-style exact-substring dedup (composed + incremental
     # forms; the spans form itself is in the graded window)
     "q_self_dedup_corpus",
     "q_self_dedup_incremental",
-    # r8: C4 line-level cleaning (Gopher line flags covered in pytest)
-    "q_c4_line_clean",
-    # r8: suffix-matched domain blocklist (first-pass crawl filter)
-    "q_domain_filter",
-    # r8: product quantization (4 subspace codebooks + ADC scoring),
-    # full bit-exact oracle replaying all four trainings; too heavy for
-    # a graded slot at sf0.01 (~26 s incl. oracle), full-checked here
-    "q_pq_adc_scores",
-    # r8: PSI drift gates (numeric bins + reference-anchored categories)
+    # r8: PSI drift gate, numeric bins (categorical form graded, r9)
     "q_psi_drift",
-    "q_psi_drift_categorical",
     # r8: bottom-k (KMV) sketch family — mergeable distinct count and
     # deterministic hash-sample quantiles, xxh64 chain replayed in SQL
+    # (grouped form graded, r9)
     "q_kmv_distinct",
     "q_sample_quantiles",
-    "q_kmv_distinct_grouped",
+    # r9: rotated OUT of the graded window (long-green shapes whose
+    # families keep graded representatives) to admit the six r8 families
+    # above plus q_similarity_ivf_pq; still full-registry-checked here
+    "q_first_group_orders",
+    "q_priority_late_orders",
+    "q_top_return_customers",
+    "q_events_hourly_windows",
+    "q_text_stats",
+    "q_language_id",
+    "q_chunk_documents",
     # r8 rotation (3): rotated OUT of the graded window for the
     # kmeans/SemDeDup oracle classes (see window comments)
     "q_null_semantics",

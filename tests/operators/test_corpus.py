@@ -1076,6 +1076,70 @@ class TestHotGramGuard:
         assert "isnull(__hotdup" in plan
         assert "Window" in plan
 
+    def test_sampled_detection_regime_identical(self, spark):
+        """max_df >= 128 engages the 1/S row-sample detection path
+        (S > 1); results must still match the unguarded window exactly,
+        and a 400-carrier boilerplate gram must be detected hot."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.corpus import (
+            _split_hot_verdict,
+            self_dedup_spans,
+            shingle_hash64,
+        )
+
+        header = "licensed under the apache license version two"
+        df = spark.createDataFrame(
+            [(i, header + f" unique{i} body{i}") for i in range(1, 401)],
+            "doc_id bigint, text string",
+        )
+        unguarded = self._collect_spans(
+            self_dedup_spans(df, "doc_id", "text", n=4, max_df=None)
+        )
+        guarded = self._collect_spans(
+            self_dedup_spans(df, "doc_id", "text", n=4, max_df=128)
+        )
+        assert guarded == unguarded
+        grams = df.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(
+                shingle_hash64("text", n=4, distinct=False)
+            ).alias("pos", "g"),
+        )
+        hot_flags, cold = _split_hot_verdict(grams, 2, 128)
+        assert hot_flags is not None
+        # the header's grams (400 occurrences >> max_df) route hot; the
+        # unique{i} body{i} tail grams stay cold
+        assert hot_flags.where(F.col("__hotdup")).count() > 0
+
+    def test_clean_corpus_early_exits_to_plain_window(self, spark):
+        """No gram near max_df -> detection finds no candidate and the
+        split returns (None, grams): the caller runs the plain window,
+        paying only the checkpoint + sampled-detection probe."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.corpus import (
+            _split_hot_verdict,
+            self_dedup_spans,
+            shingle_hash64,
+        )
+
+        df = self._boilerplate_corpus(spark)
+        grams = df.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(
+                shingle_hash64("text", n=4, distinct=False)
+            ).alias("pos", "g"),
+        )
+        hot_flags, cold = _split_hot_verdict(grams, 2, 10_000)
+        assert hot_flags is None
+        assert cold.count() == grams.count()
+        assert self._collect_spans(
+            self_dedup_spans(df, "doc_id", "text", n=4, max_df=10_000)
+        ) == self._collect_spans(
+            self_dedup_spans(df, "doc_id", "text", n=4, max_df=None)
+        )
+
     def test_single_doc_hot_repetition_is_not_a_duplicate(self, spark):
         """A gram repeated >= max_df times within ONE document is hot by
         occurrence count but has one carrier — no spans."""

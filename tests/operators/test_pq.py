@@ -109,3 +109,126 @@ class TestIdTypeGenerality:
         codes, _ = pq.pq_build(df, dim=8, m=2, k=2, n_iter=1, method="blas")
         assert dict(codes.dtypes)["id"] == "int"
         assert codes.count() == len(VECS)
+
+
+class TestIvfPq:
+    """ivf_pq_build / ivf_pq_topk — the composed FAISS-style serving
+    shape: deterministic coarse lists + PQ codes + probed ADC scan."""
+
+    def _spread(self, spark, n=40, dim=8):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)]
+            for i in range(n)
+        ]
+        return _emb_df(spark, vecs), vecs
+
+    def test_coded_carries_list_matching_coarse_kmeans(self, spark):
+        from ons_utils_spark.operators.semantic import kmeans_lloyd
+
+        df, _ = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        assert set(coded.columns) == {"id", "codes", "__list"}
+        assigned, cents = kmeans_lloyd(df, k=4, n_iter=1)
+        assert cents == coarse
+        want = {r["vec_id"]: r["__cluster"] for r in assigned.collect()}
+        got = {r["id"]: r["__list"] for r in coded.collect()}
+        assert got == want
+
+    def test_full_probe_degenerates_to_pq_scan(self, spark):
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        q = vecs[0]
+        ivf = pq.ivf_pq_topk(
+            coded, coarse, cbs, q, n_probe=4, topk=40
+        ).collect()
+        plain = pq.pq_adc_topk(coded, cbs, q, topk=40).collect()
+        assert [(r["id"], r["adc_dist"]) for r in ivf] == [
+            (r["id"], r["adc_dist"]) for r in plain
+        ]
+
+    def test_probe_restricts_scan_to_nearest_lists(self, spark):
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        from ons_utils_spark.operators.semantic import _py_dot
+
+        q = vecs[3]
+        qq = _py_dot(q, q)
+        probe = sorted(
+            (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+            for j, c in enumerate(coarse)
+        )[0][1]
+        got_ids = {
+            r["id"]
+            for r in pq.ivf_pq_topk(
+                coded, coarse, cbs, q, n_probe=1, topk=40
+            ).collect()
+        }
+        from pyspark.sql import functions as F
+
+        member_ids = {
+            r["id"] for r in coded.where(F.col("__list") == probe).collect()
+        }
+        assert got_ids == member_ids  # topk >= list size: exact list scan
+
+
+class TestSampledTraining:
+    """train_on: codebooks fit on a deterministic slice, the FULL corpus
+    still encoded — the documented 100 TB practice, now expressible."""
+
+    def test_fraction_equals_explicit_hash_subset(self, spark):
+        from pyspark.sql import functions as F
+
+        df = _emb_df(
+            spark,
+            [[(i * 5 + j) % 7 / 3.0 for j in range(8)] for i in range(30)],
+        )
+        subset = df.where(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000))
+            < F.lit(500_000)
+        )
+        frac_codes, frac_cbs = pq.pq_build(
+            df, dim=8, m=2, k=2, n_iter=1, train_on=0.5
+        )
+        df_codes, df_cbs = pq.pq_build(
+            df, dim=8, m=2, k=2, n_iter=1, train_on=subset
+        )
+        assert frac_cbs == df_cbs
+        assert frac_codes.count() == 30  # full corpus encoded
+        a = {r["id"]: list(r["codes"]) for r in frac_codes.collect()}
+        b = {r["id"]: list(r["codes"]) for r in df_codes.collect()}
+        assert a == b
+
+    def test_sample_trained_codes_are_nearest_centroid(self, spark):
+        from ons_utils_spark.operators.semantic import _py_dot
+
+        df = _emb_df(
+            spark,
+            [[(i * 5 + j) % 7 / 3.0 for j in range(8)] for i in range(30)],
+        )
+        codes, cbs = pq.pq_build(
+            df, dim=8, m=2, k=2, n_iter=1, train_on=0.5
+        )
+        vecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in df.collect()
+        }
+        for r in codes.collect():
+            for i in range(2):
+                sub = vecs[r["id"]][i * 4:(i + 1) * 4]
+                dists = [
+                    _py_dot(sub, sub) + _py_dot(c, c) - 2 * _py_dot(sub, c)
+                    for c in cbs[i]
+                ]
+                want = min(range(2), key=lambda j: (dists[j], j))
+                assert r["codes"][i] == want
+
+    def test_bad_fraction_raises(self, spark):
+        df = _emb_df(spark, [[float(j) for j in range(8)]])
+        with pytest.raises(ValueError, match="fraction"):
+            pq.pq_build(df, dim=8, m=2, k=1, train_on=1.5)

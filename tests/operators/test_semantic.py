@@ -212,3 +212,41 @@ class TestDegenerateInputs:
             clusters.setdefault(r["cluster"], []).append(r)
         for members in clusters.values():
             assert any(m["kept"] for m in members)
+
+
+class TestSampledTraining:
+    def test_full_assignment_against_sample_trained_centroids(self, spark):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.semantic import (
+            _py_dot,
+            kmeans_lloyd,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float((i * 3) % 5), float((i + 1) % 4)])
+             for i in range(24)],
+            "vec_id bigint, embedding array<float>",
+        )
+        assigned, cents = kmeans_lloyd(
+            df, k=2, n_iter=1, train_on=0.5, method="literal"
+        )
+        rows = assigned.collect()
+        assert len(rows) == 24  # FULL corpus assigned
+        # centroids match training on the explicit hash subset
+        subset = df.where(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000))
+            < F.lit(500_000)
+        )
+        _, cents_subset = kmeans_lloyd(
+            subset, k=2, n_iter=1, method="literal"
+        )
+        assert cents == cents_subset
+        # and every row is assigned to its true argmin centroid
+        for r in rows:
+            v = [float(x) for x in r["embedding"]]
+            dists = [
+                _py_dot(v, v) + _py_dot(c, c) - 2 * _py_dot(v, c)
+                for c in cents
+            ]
+            assert r["__cluster"] == min(range(2), key=lambda j: (dists[j], j))

@@ -766,14 +766,35 @@ def apply_span_redaction(
     ).drop("__sid")
     # Per token index i: a replacement marker where a span starts (NULL
     # when dropping), NULL (dropped) where covered but not a start, the
-    # token otherwise.
-    marker = "NULL" if replacement is None else "{!r}".format(replacement)
-    rewrite = (
-        "concat_ws(' ', filter(transform(__toks, (t, i) -> CASE "
-        "WHEN exists(__spans, s -> s.span_start = i) THEN {marker} "
-        "WHEN exists(__spans, s -> i >= s.span_start AND i < s.span_end) "
-        "THEN NULL ELSE t END), x -> x IS NOT NULL))"
-    ).format(marker=marker)
+    # token otherwise. The marker travels as a BOUND literal column —
+    # never spliced into an expression string, so any replacement text
+    # (quotes, backslashes) survives regardless of the session's
+    # escapedStringLiterals parsing mode.
+    marker = (
+        F.lit(None).cast("string") if replacement is None
+        else F.lit(replacement)
+    )
+
+    def _per_token(t, i):
+        spans_arr = F.col("__spans")
+        starts = F.exists(spans_arr, lambda s: s["span_start"] == i)
+        covered = F.exists(
+            spans_arr,
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        )
+        return (
+            F.when(starts, marker)
+            .when(covered, F.lit(None).cast("string"))
+            .otherwise(t)
+        )
+
+    rewrite = F.concat_ws(
+        " ",
+        F.filter(
+            F.transform(F.col("__toks"), _per_token),
+            lambda x: x.isNotNull(),
+        ),
+    )
     return (
         joined.withColumn(
             "__spans",
@@ -788,7 +809,7 @@ def apply_span_redaction(
         .withColumn(
             text_col,
             F.when(F.size("__spans") == 0, F.col(text_col)).otherwise(
-                F.expr(rewrite)
+                rewrite
             ),
         )
         .drop("__spans", "__toks")

@@ -358,7 +358,9 @@ def psi_drift(
 
     Current-snapshot rows OUTSIDE the reference range clamp into the
     edge bins — drift mass must be counted, not dropped (dropping it is
-    the classic silent-PSI bug). NULLs are excluded on both sides.
+    the classic silent-PSI bug). NULLs are excluded on both sides. An
+    empty, all-NULL, or CONSTANT reference raises — zero-width bins
+    would fold every row into one bucket and score any shift 0.
 
     Scale: one min/max pass over the reference (1-row broadcast fold),
     one |bins|-key partial aggregate per side, joins against a
@@ -385,19 +387,32 @@ def psi_drift(
     # An empty/all-NULL snapshot cannot anchor bins (NULL bounds would
     # silently clamp everything into the top bucket) or normalize shares
     # (0/0 -> NaN psi_terms a drift gate would swallow) — fail loudly.
-    if bounds.first()["__lo"] is None:
+    # A CONSTANT reference (min == max) is the same failure wearing a
+    # different hat: zero-width bins fold both snapshots into bucket 0,
+    # so arbitrarily large shifts score PSI = 0 — exactly the class of
+    # failure the gate exists to catch.
+    b_row = bounds.first()
+    if b_row["__lo"] is None:
         raise ValueError(
             f"reference snapshot has no non-null {col!r} rows — "
             "PSI bins cannot be anchored"
         )
+    if b_row["__lo"] == b_row["__hi"]:
+        raise ValueError(
+            f"reference snapshot of {col!r} is constant "
+            f"(min == max == {b_row['__lo']}) — equal-width PSI bins "
+            "cannot be anchored and any shift would silently score 0; "
+            "treat the column as categorical (psi_drift_categorical) "
+            "instead"
+        )
 
     def bucketize(data: SparkDF, n_col: str) -> SparkDF:
         d = data.join(F.broadcast(bounds))
+        # width > 0 is guaranteed by the constant-reference guard above.
         width = (F.col("__hi") - F.col("__lo")) / bins
         raw = F.floor((F.col("__x") - F.col("__lo")) / width)
         b = (
-            F.when(width == 0, F.lit(0))
-            .otherwise(F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw)))
+            F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
             .cast("int")
         )
         return d.select(b.alias("bucket")).groupBy("bucket").agg(

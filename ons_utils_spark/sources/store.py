@@ -188,6 +188,14 @@ def compact_store(merged: SparkDF, path: str) -> None:
             filesystem.move(aside, dst)  # crashed between renames
         else:
             filesystem.delete_dir(aside)  # crashed before cleanup
+    # Fail BEFORE the staged rewrite: moving a missing live store would
+    # otherwise surface as an opaque pyarrow error only after the
+    # staging directory was fully written (and left behind).
+    if filesystem.get_file_info(dst).type == pafs.FileType.NotFound:
+        raise ValueError(
+            f"store does not exist at {path!r} — compact_store rewrites "
+            "an existing delta store; create it with an append first"
+        )
     # Cut lineage BEFORE touching the directory the plan reads from:
     # a lazy plan re-scanned after the swap would read its own output
     # (or nothing). localCheckpoint materializes to executor storage.

@@ -1216,6 +1216,24 @@ class TestHotGramGuard:
 
 
 class TestRedactionDropSemantics:
+    def test_replacement_with_quotes_and_backslashes(self, spark):
+        """The marker is a BOUND literal, not text spliced into an
+        expression string — a replacement mixing both quote styles and
+        backslashes must land verbatim under any parser mode."""
+        from ons_utils_spark.operators.corpus import apply_span_redaction
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id bigint, text string"
+        )
+        spans = spark.createDataFrame(
+            [(1, 1, 4)], "id bigint, span_start int, span_end int"
+        )
+        nasty = "[\"it's\\redacted\"]"
+        out = apply_span_redaction(
+            corpus, spans, "doc_id", "text", replacement=nasty
+        ).collect()[0]["text"]
+        assert out == f"a {nasty} e"
+
     def test_replacement_none_drops_tokens(self, spark):
         from ons_utils_spark.operators.corpus import apply_span_redaction
 

@@ -248,15 +248,18 @@ class TestPsiDrift:
         total = sum(r["psi_term"] for r in rows.values())
         assert total > 0.25                        # a full collapse is "shifted"
 
-    def test_constant_reference_column(self, spark):
+    def test_constant_reference_raises(self, spark):
+        """A constant reference (min == max) used to fold BOTH snapshots
+        into bucket 0, so an arbitrarily large shift scored PSI = 0 —
+        the silent failure the gate exists to catch. It now raises."""
+        import pytest as _pytest
+
         from ons_utils_spark.operators.profiling import psi_drift
 
         ref = self._mk(spark, [7.0] * 20)
-        cur = self._mk(spark, [7.0] * 10)
-        rows = psi_drift(ref, cur, "v", bins=3).collect()
-        by_b = {r["bucket"]: r for r in rows}
-        assert by_b[0]["n_ref"] == 20 and by_b[0]["n_cur"] == 10
-        assert by_b[0]["psi_term"] == 0.0
+        cur = self._mk(spark, [1000.0] * 10)  # fully shifted
+        with _pytest.raises(ValueError, match="constant"):
+            psi_drift(ref, cur, "v", bins=3).collect()
 
     def test_nulls_dropped_and_validation(self, spark):
         import pytest as _pytest

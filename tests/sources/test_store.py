@@ -131,6 +131,20 @@ class TestCompaction:
         ]
         assert parts == ["batch_id=-1"]
 
+    def test_missing_store_raises_before_staging(self, spark, tmp_path):
+        """Compacting a never-created store fails up front with a clear
+        error — not an opaque pyarrow move() failure after the staged
+        rewrite was already written and left behind."""
+        import pytest
+
+        from ons_utils_spark.sources.store import compact_store
+
+        merged = spark.createDataFrame([(1, 2)], "a int, b int")
+        missing = str(tmp_path / "never_created")
+        with pytest.raises(ValueError, match="store does not exist"):
+            compact_store(merged, missing)
+        assert not (tmp_path / "never_created.__compact_tmp").exists()
+
     def test_store_keeps_accepting_appends_after_compaction(
         self, spark, tmp_path
     ):

@@ -253,3 +253,38 @@ def gram_index_ingest_writer(
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def kmv_ingest_writer(
+    stream_df,
+    key_col: str,
+    store_path: str,
+    checkpoint_dir: str,
+    k: int = 1024,
+):
+    """Maintain a bottom-k (KMV) distinct-count sketch over a stream —
+    e.g. a live "distinct users/URLs seen" estimator that batch
+    analytics read with ``sketches.load_kmv``/``kmv_distinct`` while
+    ingestion keeps running.
+
+    Same durable recipe as the other three stores
+    (:func:`sketch_ingest_writer` / :func:`bloom_ingest_writer` /
+    :func:`gram_index_ingest_writer`; shared layout in
+    ``sources/store.py``): each micro-batch's bottom-k delta writes its
+    own ``batch_id`` partition (``operators/sketches.py::
+    kmv_append_batch``), a checkpointed replay overwrites exactly its
+    partition, and the loader re-folds the union on read. Bottom-k
+    union is mergeable AND idempotent (re-folding identical hash rows
+    changes nothing), so like the Bloom OR even a plain double-append
+    could not corrupt the estimate — the partition overwrite keeps the
+    store tidy under at-least-once retries anyway.
+    """
+    from ons_utils_spark.operators.sketches import kmv_append_batch
+
+    def process(batch, batch_id: int) -> None:
+        kmv_append_batch(batch, key_col, store_path, k=k, batch_id=batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -394,3 +394,71 @@ class TestStreamingGramIndexMaintenance:
         )
         assert via_store == via_batch
         assert {r[0] for r in via_store} == {10}
+
+
+class TestStreamingKmvMaintenance:
+    def test_streamed_kmv_equals_batch_and_replay_is_idempotent(
+        self, spark, tmp_path
+    ):
+        """Two micro-batches append bottom-k deltas; the loaded sketch
+        must equal a one-shot batch build (mergeability), and a REPLAY
+        of an already-written batch_id must leave the folded sketch
+        unchanged (partition overwrite + idempotent union — the
+        at-least-once -> effectively-exactly-once recipe)."""
+        from ons_utils_spark.operators.sketches import (
+            bottomk_sketch,
+            kmv_append_batch,
+            kmv_distinct,
+            load_kmv,
+        )
+        from ons_utils_spark.streaming.ingest import kmv_ingest_writer
+
+        stream_dir = str(tmp_path / "in")
+        store = str(tmp_path / "kmv")
+        ckpt = str(tmp_path / "ckpt")
+        rows1 = [(k,) for k in range(40)]
+        rows2 = [(k,) for k in range(20, 70)]
+        for rows in (rows1, rows2):
+            spark.createDataFrame(rows, "k bigint").coalesce(1).write.mode(
+                "append"
+            ).parquet(stream_dir)
+
+        stream = (
+            spark.readStream.schema("k bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            kmv_ingest_writer(stream, "k", store, ckpt, k=16)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        streamed = sorted(
+            map(tuple, load_kmv(spark, store, 16).collect())
+        )
+        whole = sorted(
+            map(
+                tuple,
+                bottomk_sketch(
+                    spark.createDataFrame(rows1 + rows2, "k bigint"), "k", 16
+                ).collect(),
+            )
+        )
+        assert streamed == whole
+        est_before = kmv_distinct(load_kmv(spark, store, 16), 16).collect()
+
+        # Replay batch 0 (same batch_id, same rows): the partition is
+        # overwritten in place and the folded sketch must not move.
+        kmv_append_batch(
+            spark.createDataFrame(rows1, "k bigint"), "k", store, k=16,
+            batch_id=0,
+        )
+        assert sorted(
+            map(tuple, load_kmv(spark, store, 16).collect())
+        ) == streamed
+        assert (
+            kmv_distinct(load_kmv(spark, store, 16), 16).collect()
+            == est_before
+        )

@@ -163,6 +163,22 @@ def run_trial() -> dict:
     spark.range(50_000_000).selectExpr("bit_xor(xxhash64(id)) s").collect()
     calibration = round(time.perf_counter() - t0, 3)
 
+    # Latency floor: the fixed cost of scheduling ONE near-empty job
+    # (10 rows, noop sink). Host THROUGHPUT (the calibration above) and
+    # per-job LATENCY drift independently on a shared VM, and the
+    # sub-second headline queries are latency-bound — r8's apparent
+    # q_similarity_topk "normalized regression" was this: dividing a
+    # latency-bound query by a throughput probe (see SCALING.md r9).
+    # Median of 3 — a single scheduling hiccup would poison the floor.
+    floors = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(10).coalesce(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        floors.append(time.perf_counter() - t0)
+    latency_floor = round(sorted(floors)[1], 3)
+
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
@@ -205,6 +221,7 @@ def run_trial() -> dict:
         "steady_total": round(sum(steady.values()), 3),
         "queries_steady": steady,
         "calibration_sec": calibration,
+        "latency_floor_sec": latency_floor,
     }
 
 
@@ -272,6 +289,7 @@ def emit(out: dict) -> None:
             "steady_total",
             "n_trials",
             "calibration_sec",
+            "latency_floor_sec",
             "value_norm",
             "shared16_norm",
             "shared16_steady_norm",
@@ -360,6 +378,9 @@ def main() -> None:
             for t in trials
         ],
         "calibration_sec": median([t["calibration_sec"] for t in trials]),
+        "latency_floor_sec": median(
+            [t.get("latency_floor_sec", 0.0) for t in trials]
+        ),
     }
     emit(add_normalized(out, trials))
 

@@ -342,15 +342,19 @@ def cluster_summary(
     n_iter: int = 2,
     round_dp: int = 6,
     method: str = "auto",
+    train_on: "SparkDF | float | None" = None,
 ) -> SparkDF:
     """Per-cluster profile → ``(cluster, n_members, centroid_norm)``.
 
     ``centroid_norm`` is the L2 norm of the (rounded, deterministic)
     final centroid — a drift/degeneracy signal; ``n_members`` is the
     skew profile to consult before the quadratic SemDeDup phase.
+    ``train_on`` passes through to :func:`kmeans_lloyd` — sizes still
+    count the FULL input against the sample-trained centroids.
     """
     assigned, cents = kmeans_lloyd(
-        df, id_col, vec_col, k, n_iter, round_dp, method=method
+        df, id_col, vec_col, k, n_iter, round_dp, method=method,
+        train_on=train_on,
     )
     spark = df.sparkSession
     # Round via F.round (half away from zero, matching DuckDB's round in

@@ -6233,6 +6233,7 @@ def _kmeans_ctes(
     vec_sql: str = "CAST(embedding AS DOUBLE[])",
     suffix: str = "",
     with_prefix: bool = True,
+    train_join: str = "",
 ) -> str:
     """DuckDB CTE chain reproducing kmeans_lloyd bit-for-bit.
 
@@ -6247,7 +6248,11 @@ def _kmeans_ctes(
     ``vec_sql`` is the vector expression over ``embeddings`` (a slice of
     it for product quantization's per-subspace chains); ``suffix`` tags
     every CTE name so multiple chains compose in one statement (the
-    final assignment CTE is ``af{suffix}``).
+    final assignment CTE is ``af{suffix}``). ``train_join`` names an
+    id-table CTE the caller defined earlier in the statement: when set,
+    seed selection and the Lloyd iterations read only rows whose id
+    appears there (the SQL image of ``kmeans_lloyd(train_on=...)``),
+    while the final assignment ``af{suffix}`` still covers every row.
     """
     kn = _semantic.KNUTH_HASH
     s = suffix
@@ -6257,15 +6262,24 @@ def _kmeans_ctes(
                list_dot_product({vec_sql},
                                 {vec_sql}) AS vv
         FROM embeddings)""",
+    ]
+    train_src = f"v{s}"
+    if train_join:
+        train_src = f"vt{s}"
+        ctes.append(
+            f"""vt{s} AS (
+            SELECT v.* FROM v{s} v JOIN {train_join} t ON v.id = t.id)"""
+        )
+    ctes.append(
         f"""c0{s} AS (
         SELECT row_number() OVER (
                    ORDER BY (CAST(id AS HUGEINT) * {kn}) % 4294967296, id
                ) - 1 AS cid,
                vec AS cvec
-        FROM (SELECT id, vec FROM v{s}
+        FROM (SELECT id, vec FROM {train_src}
               ORDER BY (CAST(id AS HUGEINT) * {kn}) % 4294967296, id
-              LIMIT {k}))""",
-    ]
+              LIMIT {k}))"""
+    )
     prev = f"c0{s}"
     for i in range(1, n_iter + 1):
         ctes.append(
@@ -6275,7 +6289,7 @@ def _kmeans_ctes(
                        row_number() OVER (PARTITION BY v.id ORDER BY
                            v.vv + list_dot_product(c.cvec, c.cvec)
                            - 2 * list_dot_product(v.vec, c.cvec), c.cid) AS rn
-                FROM v{s} v CROSS JOIN {prev} c)
+                FROM {train_src} v CROSS JOIN {prev} c)
             WHERE rn = 1)"""
         )
         ctes.append(
@@ -6810,6 +6824,56 @@ def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq.ivf_pq_topk(coded, coarse, cbs, q, n_probe=2, topk=25)
 
 
+def _kmeans_sampled_oracle(k: int, n_iter: int, dp: int,
+                           frac_ppm: int) -> str:
+    """DuckDB twin of cluster_summary(train_on=frac): the xxh64 chain
+    recomputes Spark's ``pmod(xxhash64(vec_id), 1e6)`` sample filter
+    bit-for-bit (signed hash reconstructed from the chain's unsigned
+    value), the Lloyd chain trains on that id set only, and the final
+    assignment covers the full table — the operator's exact contract."""
+    pre = _kmv_hash_cte("vec_id", "embeddings")
+    # Spark's xxhash64 is SIGNED and pmod is the non-negative remainder;
+    # the chain yields the UNSIGNED value, so fold back before the mod.
+    signed = (
+        "(CASE WHEN kh >= 9223372036854775808 "
+        "THEN kh - 18446744073709551616 ELSE kh END)"
+    )
+    pre += f""",
+    tids AS (SELECT key AS id FROM hashed
+             WHERE (({signed} % 1000000) + 1000000) % 1000000
+                   < {frac_ppm})"""
+    body = _kmeans_ctes(k, n_iter, dp, with_prefix=False,
+                        train_join="tids")
+    return pre + ",\n" + body + f"""
+    SELECT a.cid AS cluster, count(*) AS n_members,
+           any_value(round(sqrt(list_dot_product(c.cvec, c.cvec)), {dp}))
+               AS centroid_norm
+    FROM af a JOIN c{n_iter} c ON a.cid = c.cid
+    GROUP BY a.cid
+    ORDER BY cluster
+    """
+
+
+@register(
+    "q_kmeans_sampled",
+    oracle=_kmeans_sampled_oracle(8, 2, 6, 500_000),
+    description="Sample-trained k-means (operators/semantic.py::"
+    "cluster_summary(train_on=0.5) -> kmeans_lloyd): seeds and both "
+    "Lloyd iterations fit on the deterministic id-hash half of the "
+    "table (pmod(xxhash64(id), 1e6) < 5e5 — partitioning-invariant, "
+    "unlike df.sample), then the FULL table is assigned to the "
+    "sample-trained centroids. This is the documented 100 TB practice "
+    "— centroids need ~100k vectors, not the corpus — now expressible "
+    "AND oracle-checked: the SQL twin replays the xxh64 sample filter, "
+    "the restricted training, and the full assignment bit-for-bit.",
+)
+def q_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _semantic.cluster_summary(
+        emb, "vec_id", "embedding", k=8, n_iter=2, train_on=0.5
+    ).orderBy("cluster")
+
+
 # ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
@@ -7055,6 +7119,9 @@ _GRADING_ORDER = [
     # (grouped form graded, r9)
     "q_kmv_distinct",
     "q_sample_quantiles",
+    # r9: sample-trained k-means — the train_on contract (sampled fit,
+    # full assignment) with the xxh64 filter replayed in SQL
+    "q_kmeans_sampled",
     # r9: rotated OUT of the graded window (long-green shapes whose
     # families keep graded representatives) to admit the six r8 families
     # above plus q_similarity_ivf_pq; still full-registry-checked here

@@ -1,0 +1,128 @@
+"""IVF×PQ recall probe: recall@10 of the probed-list ADC scan against
+the exact COSINE top-10 (the contract `similarity.cosine_topk` serves),
+sweeping n_probe at the PQ config SCALING.md states as the default for
+this data shape (m=16, k=256 + rerank).
+
+The probe grades the COMPOSITION: how much recall does list pruning
+give up on top of PQ's own quantization loss, and does the ADC top-100
+rerank window still capture the truth set. Build is the real operator
+(`pq.ivf_pq_build`, deterministic Lloyd coarse + per-subspace
+codebooks); query-side scoring is numpy replaying exactly the operator
+arithmetic (probe lists by squared L2 to coarse centroids, LUT-gather
+ADC over probed rows only), because 50 queries × 8 configs through
+Spark would measure scheduling, not recall.
+
+Two fixtures, because list pruning's value is entirely a function of
+cluster structure: the raw sf embeddings (weakly separated near-unit
+vectors — the stress case) and, with ``--clustered``, the same
+10×-jittered replica the IVF/SRP recall probes use (each vector gets 9
+near-copies — the dedup/near-dup retrieval shape IVF exists for).
+
+Usage: python tools/ivf_pq_recall_probe.py [sf_dir] [--clustered]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+CLUSTERED = "--clustered" in sys.argv
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _pos[0] if _pos else "/root/testdata/sf0.1"
+K = 10
+N_QUERIES = 50
+N_LISTS = 32 if CLUSTERED else 16  # match the r8 IVF probe's 20k sizing
+M, K_CODES, N_ITER = 16, 256, 2
+PROBES = (1, 2, 4, 8, N_LISTS)
+
+
+def main() -> None:
+    import numpy as np
+
+    from ons_utils_spark.operators import pq
+    from ons_utils_spark.session import get_session
+
+    spark = get_session(app_name="ivf_pq_recall_probe")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if CLUSTERED:
+        from pyspark.sql import DataFrame, functions as F
+        import functools
+
+        copies = []
+        for i in range(10):
+            jitter = (
+                f"transform(embedding, (x, j) -> float(x + 0.02 * "
+                f"sin(vec_id * 31 + j * 7 + {i} * 13)))"
+            )
+            copies.append(emb.select(
+                (F.col("vec_id") * 10 + i).alias("vec_id"),
+                F.expr(jitter).alias("embedding"),
+            ))
+        emb = functools.reduce(DataFrame.unionByName, copies)
+
+    t0 = time.time()
+    coded, coarse, cbs = pq.ivf_pq_build(
+        emb, dim=64, n_lists=N_LISTS, m=M, k=K_CODES,
+        coarse_iter=2, n_iter=N_ITER, method="blas",
+    )
+    rows = coded.collect()
+    build_s = time.time() - t0
+
+    raw = {r["vec_id"]: list(map(float, r["embedding"]))
+           for r in emb.collect()}
+    ids = np.array(sorted(raw))
+    X = np.array([raw[i] for i in ids])
+    n, dim = X.shape
+    by_id = {r["id"]: (list(r["codes"]), r["__list"]) for r in rows}
+    codes = np.array([by_id[i][0] for i in ids])
+    lists = np.array([by_id[i][1] for i in ids])
+    C = [np.asarray(cb) for cb in cbs]
+    G = np.asarray(coarse)
+    sub_d = dim // M
+
+    norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+    rng = np.random.default_rng(42)
+    q_idx = rng.choice(n, size=N_QUERIES, replace=False)
+
+    results = {}
+    for n_probe in PROBES:
+        hits = rerank_hits = cand_total = 0
+        for qi in q_idx:
+            q = X[qi]
+            cos = (X @ q) / (norms * norms[qi])
+            cos[qi] = -np.inf
+            truth = set(ids[np.argsort(-cos)[:K]])
+            gd = np.einsum("ij,ij->i", G, G) + q @ q - 2.0 * (G @ q)
+            probe = set(np.lexsort((np.arange(N_LISTS), gd))[:n_probe])
+            mask = np.isin(lists, list(probe))
+            mask[np.searchsorted(ids, ids[qi])] = False
+            adc = np.zeros(n)
+            for s in range(M):
+                qs = q[s * sub_d:(s + 1) * sub_d]
+                lut = (np.einsum("ij,ij->i", C[s], C[s]) + qs @ qs
+                       - 2.0 * (C[s] @ qs))
+                adc += lut[codes[:, s]]
+            adc[~mask] = np.inf
+            order = np.argsort(adc)
+            hits += len(truth & set(ids[order[:K]]))
+            rerank_hits += len(truth & set(ids[order[:10 * K]]))
+            cand_total += int(mask.sum())
+        results[f"n_probe={n_probe}"] = {
+            "recall@10": round(hits / (K * N_QUERIES), 3),
+            "recall@10_in_adc100": round(rerank_hits / (K * N_QUERIES), 3),
+            "avg_candidates": round(cand_total / N_QUERIES, 1),
+            "scan_fraction": round(cand_total / N_QUERIES / n, 3),
+        }
+        print(json.dumps({f"n_probe={n_probe}": results[f"n_probe={n_probe}"]}),
+              flush=True)
+    print(json.dumps({"config": f"IVF{N_LISTS},PQ m={M},k={K_CODES}",
+                      "build_s": round(build_s, 1), "results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -572,7 +572,7 @@ def gram_index(
     Build once per corpus version; at scale, write it BUCKETED by ``g``
     (``sources/write.py``) so every ingest's membership join is
     co-located, no index shuffle per batch."""
-    return (
+    out = (
         df.select(
             F.col(id_col).alias("id"),
             F.explode(shingle_hash64(text_col, n=n)).alias("g"),
@@ -581,6 +581,11 @@ def gram_index(
         .agg(F.min("id").alias("keeper"))
         .withColumn("n", F.lit(int(n)))
     )
+    # Known-single-n by construction: tag so consumers skip the
+    # distinct-stamp validation aggregate (it would re-run this frame's
+    # full groupBy just to read a literal).
+    out._ons_gram_index_n = int(n)
+    return out
 
 
 def gram_index_append_batch(
@@ -608,12 +613,18 @@ def load_gram_index(spark, store_path: str) -> SparkDF:
     gram, the recorded ``n`` carried through) — feed it to
     :func:`self_dedup_spans_incremental`, which validates ``n``."""
     raw = spark.read.parquet(store_path)
-    _assert_single_n(raw)
-    return (
+    stamp = _assert_single_n(raw)
+    out = (
         raw.select("g", "keeper", "n")
         .groupBy("g")
         .agg(F.min("keeper").alias("keeper"), F.min("n").alias("n"))
     )
+    if stamp is not None:
+        # Validated against the RAW store (a cheap RLE column scan) —
+        # tag so per-ingest consumers don't re-run the validation as a
+        # full aggregate over this grouped frame.
+        out._ons_gram_index_n = stamp
+    return out
 
 
 def _assert_single_n(index: SparkDF) -> "int | None":
@@ -622,16 +633,21 @@ def _assert_single_n(index: SparkDF) -> "int | None":
     accidentally appended at two shingle sizes would otherwise fold to
     ``min(n)`` per gram and pass or fail downstream validation
     nondeterministically while its grams silently match nothing — so a
-    mix raises, naming every ``n`` found. One aggregate over the
-    stamp column only (constant, RLE — a metadata-cheap scan)."""
+    mix raises, naming every ``n`` found. Partly-unstamped rows (NULL
+    mixed with a value — a legacy writer's partition) raise too, with
+    the NULL called out rather than an opaque sort TypeError. One
+    aggregate over the stamp column only (constant, RLE — a
+    metadata-cheap scan over the raw store; index CONSTRUCTORS tag
+    their frames so consumers skip this, see
+    :func:`self_dedup_spans_incremental`)."""
     if "n" not in index.columns:
         return None
-    stamps = sorted(
-        r["n"] for r in index.select("n").distinct().collect()
-    )
-    if len(stamps) > 1:
+    vals = [r["n"] for r in index.select("n").distinct().collect()]
+    stamps = sorted(v for v in vals if v is not None)
+    if len(stamps) > 1 or (stamps and None in vals):
+        shown = stamps + (["NULL"] if None in vals else [])
         raise ValueError(
-            f"gram index mixes shingle sizes n={stamps} — an index is "
+            f"gram index mixes shingle sizes n={shown} — an index is "
             "only valid at ONE n (hashes chained at different sizes "
             "match nothing); rebuild the store at a single n"
         )
@@ -665,10 +681,12 @@ def self_dedup_spans_incremental(
     If ``index`` carries the ``n`` stamp (every index this module
     builds does), it is validated against this call's ``n`` — hashes
     chained at different shingle sizes silently match NOTHING, so a
-    mismatch would otherwise report a duplicate-free batch. The check
-    aggregates DISTINCT stamps (not an arbitrary row), so a store
-    accidentally appended at two sizes raises deterministically, naming
-    both values.
+    mismatch would otherwise report a duplicate-free batch. Frames from
+    :func:`gram_index` / :func:`load_gram_index` carry a
+    known-validated tag, so the per-ingest check is a Python attribute
+    read; a foreign index frame pays one DISTINCT-stamp aggregate (not
+    an arbitrary row), so a store accidentally appended at two sizes
+    raises deterministically, naming both values.
 
     ``max_df`` guards the within-batch keeper window against hot grams
     exactly as in :func:`self_dedup_spans`; the index membership join
@@ -676,7 +694,9 @@ def self_dedup_spans_incremental(
     sort-merge streams the hot gram's batch rows without buffering and
     AQE can split the partition.
     """
-    stamp = _assert_single_n(index)
+    stamp = getattr(index, "_ons_gram_index_n", None)
+    if stamp is None:
+        stamp = _assert_single_n(index)
     if stamp is not None and stamp != n:
         raise ValueError(
             f"gram index was built at n={stamp} but this "

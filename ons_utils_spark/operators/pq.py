@@ -100,7 +100,10 @@ def pq_build(
     if train_on is None:
         tslices = slices
     elif isinstance(train_on, SparkDF):
-        tslices = _slice(train_on, ())
+        # Checkpoint like the corpus slices: the training frame feeds
+        # every one of the m kmeans fits (seeds + per-iteration means),
+        # ~m*(n_iter+1) executions of its lineage otherwise.
+        tslices = _slice(train_on, ()).localCheckpoint(eager=True)
     else:
         tslices = resolve_train(slices, train_on, "id")
 

@@ -358,9 +358,10 @@ def psi_drift(
 
     Current-snapshot rows OUTSIDE the reference range clamp into the
     edge bins — drift mass must be counted, not dropped (dropping it is
-    the classic silent-PSI bug). NULLs are excluded on both sides. An
-    empty, all-NULL, or CONSTANT reference raises — zero-width bins
-    would fold every row into one bucket and score any shift 0.
+    the classic silent-PSI bug). NULLs and NaNs are excluded on both
+    sides (a reference NaN would otherwise poison the min/max bounds).
+    An empty, all-NULL/NaN, or CONSTANT reference raises — zero-width
+    bins would fold every row into one bucket and score any shift 0.
 
     Scale: one min/max pass over the reference (1-row broadcast fold),
     one |bins|-key partial aggregate per side, joins against a
@@ -372,11 +373,16 @@ def psi_drift(
         raise ValueError(f"bins must be >= 1, got {bins}")
 
     spark = ref.sparkSession
+    # NaN is excluded like NULL on BOTH sides — a single NaN in the
+    # reference would otherwise poison the bounds (Spark max() ranks NaN
+    # above every double), make width NaN, and fold every row of both
+    # snapshots into bucket 0: PSI = 0 under any shift, silently.
+    valid = lambda c: c.isNotNull() & ~F.isnan(c)  # noqa: E731
     rx = ref.select(F.col(col).cast("double").alias("__x")).where(
-        F.col("__x").isNotNull()
+        valid(F.col("__x"))
     )
     cx = cur.select(F.col(col).cast("double").alias("__x")).where(
-        F.col("__x").isNotNull()
+        valid(F.col("__x"))
     )
     # 1-row frame consumed by BOTH bucketize passes — materialized once
     # so neither re-derives the min/max scan (and the final plan reads

@@ -1214,6 +1214,49 @@ class TestHotGramGuard:
             with pytest.raises(ValueError, match=r"n=\[4, 5\]"):
                 load_gram_index(spark, d + "/idx")
 
+    def test_partly_unstamped_index_raises_naming_null(self, spark):
+        """NULL stamps mixed with a value (a legacy writer's partition)
+        raise the clear mixed-sizes error, not a sort TypeError."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.corpus import (
+            gram_index,
+            self_dedup_spans_incremental,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "one two three four five six seven")],
+            "doc_id bigint, text string",
+        )
+        stamped = gram_index(docs, "doc_id", "text", n=4)
+        unstamped = stamped.withColumn("n", F.lit(None).cast("int"))
+        mixed = stamped.unionByName(unstamped)
+        with pytest.raises(ValueError, match=r"NULL"):
+            self_dedup_spans_incremental(docs, mixed, "doc_id", "text", n=4)
+
+    def test_constructor_frames_skip_revalidation(self, spark):
+        """gram_index / load_gram_index tag their frames with the known
+        n, so per-ingest validation is an attribute read, not a full
+        aggregate over the index."""
+        import tempfile
+
+        from ons_utils_spark.operators.corpus import (
+            gram_index,
+            gram_index_append_batch,
+            load_gram_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "one two three four five six seven")],
+            "doc_id bigint, text string",
+        )
+        idx = gram_index(docs, "doc_id", "text", n=4)
+        assert idx._ons_gram_index_n == 4
+        with tempfile.TemporaryDirectory() as d:
+            gram_index_append_batch(docs, "doc_id", "text", d + "/s", n=4)
+            loaded = load_gram_index(spark, d + "/s")
+            assert loaded._ons_gram_index_n == 4
+
 
 class TestRedactionDropSemantics:
     def test_replacement_with_quotes_and_backslashes(self, spark):

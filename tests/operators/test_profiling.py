@@ -261,6 +261,33 @@ class TestPsiDrift:
         with _pytest.raises(ValueError, match="constant"):
             psi_drift(ref, cur, "v", bins=3).collect()
 
+    def test_reference_nan_does_not_poison_bounds(self, spark):
+        """A NaN in the reference is excluded like NULL — it would
+        otherwise become the max bound (Spark ranks NaN above every
+        double), make every bin width NaN, fold both snapshots into
+        bucket 0, and score an arbitrarily large shift PSI = 0."""
+        from ons_utils_spark.operators.profiling import psi_drift
+
+        ref = self._mk(spark, [float(x) for x in range(100)] + [float("nan")])
+        cur = self._mk(spark, [10_000.0 + x for x in range(100)])
+        rows = psi_drift(ref, cur, "v", bins=5).collect()
+        total = sum(r["psi_term"] for r in rows)
+        assert total > 0.25  # the shift is SEEN
+        # all current mass clamps into the top bin; NaN row not counted
+        by_b = {r["bucket"]: r for r in rows}
+        assert by_b[4]["n_cur"] == 100
+        assert sum(r["n_ref"] for r in rows) == 100
+
+    def test_all_nan_reference_raises(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.profiling import psi_drift
+
+        ref = self._mk(spark, [float("nan")] * 5)
+        cur = self._mk(spark, [1.0, 2.0])
+        with _pytest.raises(ValueError, match="no non-null"):
+            psi_drift(ref, cur, "v", bins=3)
+
     def test_nulls_dropped_and_validation(self, spark):
         import pytest as _pytest
         from ons_utils_spark.operators.profiling import psi_drift

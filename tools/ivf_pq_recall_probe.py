@@ -108,10 +108,17 @@ def main() -> None:
                        - 2.0 * (C[s] @ qs))
                 adc += lut[codes[:, s]]
             adc[~mask] = np.inf
+            n_cand = int(mask.sum())
+            # Cap both windows at the candidate count: argsort ranks
+            # the inf (never-scanned) rows after the candidates, and
+            # counting those as "captured" would inflate recall
+            # whenever a probe returns fewer than 10*K candidates.
             order = np.argsort(adc)
-            hits += len(truth & set(ids[order[:K]]))
-            rerank_hits += len(truth & set(ids[order[:10 * K]]))
-            cand_total += int(mask.sum())
+            hits += len(truth & set(ids[order[:min(K, n_cand)]]))
+            rerank_hits += len(
+                truth & set(ids[order[:min(10 * K, n_cand)]])
+            )
+            cand_total += n_cand
         results[f"n_probe={n_probe}"] = {
             "recall@10": round(hits / (K * N_QUERIES), 3),
             "recall@10_in_adc100": round(rerank_hits / (K * N_QUERIES), 3),

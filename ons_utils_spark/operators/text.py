@@ -14,7 +14,7 @@ plan).
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column as SparkCol, functions as F
 
@@ -620,3 +620,119 @@ def c4_line_clean(
     for b in banned_doc:
         out = out.where(~F.contains(F.col("__lower"), F.lit(b.lower())))
     return out.drop("__lower").where(F.col("n_kept") >= F.lit(min_lines))
+
+
+def bm25_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: "Sequence[str]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """Okapi BM25 document scores for a literal term query →
+    ``(id, bm25)`` rows for every document matching ≥ 1 query term.
+
+    Robertson/Lucene form: ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    b·dl/avgdl))`` with ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``
+    (always positive). The retrieval primitive behind query-driven
+    corpus curation — pull the documents most relevant to a benchmark
+    topic for targeted decontamination review, or mine domain-specific
+    training slices by keyword profile.
+
+    Determinism (and DuckDB oracle parity, ``q_bm25_topk``): ``avgdl``
+    is an exact integer token-count sum divided once (never a streamed
+    float mean), and the per-document score is built as one conditional
+    aggregate COLUMN per query term added in fixed left-to-right order
+    — each sums at most one (id, term) row, so no float reduction
+    order exists anywhere in the plan.
+
+    Scale: tokens filter to the query vocabulary BEFORE the shuffle
+    (map-side ``isin`` over a literal set — the corpus never shuffles
+    full text), document frequencies are a ≤ |query|-row broadcast,
+    and N/avgdl fold in as the package's usual 1-row broadcast
+    aggregate. One corpus scan.
+    """
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    from pyspark.sql import functions as F
+
+    seen: set = set()
+    qt = [
+        t for t in (str(x).lower() for x in query_terms)
+        if not (t in seen or seen.add(t))
+    ]
+    if not qt:
+        raise ValueError("query_terms must contain at least one term")
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(tokenize(text_col), F.array()).alias("__toks"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (
+            F.sum(F.size("__toks")).cast("double") / F.count(F.lit(1))
+        ).alias("__avgdl"),
+    )
+    base = toks.select(
+        "id",
+        F.size("__toks").alias("__dl"),
+        F.explode("__toks").alias("term"),
+    ).where(F.col("term").isin(qt))
+    # The query-term TF table feeds both the document-frequency
+    # aggregate and the scoring join — materialized once (it is tiny:
+    # only query-vocabulary hits survive the filter) so each consumer
+    # doesn't re-scan and re-tokenize the corpus.
+    tf = (
+        base.groupBy("id", "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    hits = tf.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0)
+        - F.lit(float(b))
+        + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(float(k1) + 1.0)) / denom
+    per_term = [
+        F.sum(F.when(F.col("term") == F.lit(t), contrib)).alias(f"__s{i}")
+        for i, t in enumerate(qt)
+    ]
+    scored = hits.groupBy("id").agg(*per_term)
+    total = _reduce(
+        _add,
+        [F.coalesce(F.col(f"__s{i}"), F.lit(0.0)) for i in range(len(qt))],
+    )
+    return scored.select("id", F.round(total, round_dp).alias("bm25"))
+
+
+def bm25_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: "Sequence[str]",
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """Top-``k`` documents by :func:`bm25_scores` (ties by id — fully
+    deterministic). Plans as TakeOrderedAndProject over the scored
+    rows: per-partition heaps, no global sort."""
+    from pyspark.sql import functions as F
+
+    return (
+        bm25_scores(df, id_col, text_col, query_terms, k1, b, round_dp)
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(topk)
+    )

@@ -6874,6 +6874,60 @@ def q_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
+_BM25_TERMS = ("vector", "stream", "merge")
+
+
+@register(
+    "q_bm25_topk",
+    oracle=_TOKS_CTE
+    + f""",
+    stats AS (
+        SELECT count(*) AS n,
+               sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
+        FROM toks),
+    base AS (
+        SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
+               unnest(toks) AS term
+        FROM toks),
+    qhits AS (SELECT * FROM base
+              WHERE term IN {_BM25_TERMS!r}),
+    tf AS (SELECT id, dl, term, count(*) AS tf
+           FROM qhits GROUP BY id, dl, term),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT t.id, t.term,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+        FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s),
+    scored AS (
+        SELECT id,
+               round(coalesce(sum(CASE WHEN term = 'vector' THEN c END), 0.0)
+                   + coalesce(sum(CASE WHEN term = 'stream' THEN c END), 0.0)
+                   + coalesce(sum(CASE WHEN term = 'merge' THEN c END), 0.0),
+                   6) AS bm25
+        FROM contrib GROUP BY id)
+    SELECT id, bm25 FROM scored ORDER BY bm25 DESC, id LIMIT 10
+    """,
+    description="Okapi BM25 top-10 retrieval (operators/text.py::"
+    "bm25_topk) for the literal query {vector, stream, merge} — the "
+    "retrieval primitive behind query-driven corpus curation (pull the "
+    "documents most relevant to a benchmark topic for targeted "
+    "decontamination review, or mine domain slices by keyword "
+    "profile). Deterministic by construction: exact-integer avgdl, "
+    "per-term conditional-aggregate columns added in fixed order (no "
+    "float reduction order exists in the plan), ties by id; the oracle "
+    "replays idf/tf/length normalization bit-for-bit. Scale: tokens "
+    "filter to the query vocabulary BEFORE any shuffle, document "
+    "frequencies are a |query|-row broadcast, N/avgdl fold in as the "
+    "usual 1-row broadcast aggregate — one corpus scan, top-k as "
+    "TakeOrderedAndProject.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _text.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, topk=10)
+
+
 # ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
@@ -7122,6 +7176,8 @@ _GRADING_ORDER = [
     # r9: sample-trained k-means — the train_on contract (sampled fit,
     # full assignment) with the xxh64 filter replayed in SQL
     "q_kmeans_sampled",
+    # r9: Okapi BM25 retrieval — query-driven corpus curation
+    "q_bm25_topk",
     # r9: rotated OUT of the graded window (long-green shapes whose
     # families keep graded representatives) to admit the six r8 families
     # above plus q_similarity_ivf_pq; still full-registry-checked here

@@ -521,3 +521,89 @@ class TestC4PageLevelRules:
             .collect()[0]
         )
         assert row["n_lines"] == 0 and row["passes"]
+
+
+class TestBm25:
+    """bm25_scores / bm25_topk — Okapi BM25 retrieval semantics."""
+
+    def _corpus(self, spark):
+        docs = [
+            (1, "spark spark spark spark spark engine"),   # tf saturation
+            (2, "spark engine"),                           # short doc
+            (3, "a very long document about nothing at all " * 5
+                + "spark"),                                # long doc, tf=1
+            (4, "rareword appears here once"),             # rare term
+            (5, "filler tokens with no query words"),
+        ]
+        return spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def test_matching_docs_only_and_ordering(self, spark):
+        from ons_utils_spark.operators.text import bm25_scores
+
+        df = self._corpus(spark)
+        rows = {r["id"]: r["bm25"]
+                for r in bm25_scores(df, "doc_id", "text", ["spark"]).collect()}
+        assert set(rows) == {1, 2, 3}
+        # tf grows the score but sub-linearly; length normalization
+        # penalizes the long doc at equal tf
+        assert rows[1] > rows[2] > rows[3]
+        assert rows[1] < 5 * rows[3]  # saturation: 5x tf != 5x score
+
+    def test_rare_term_outweighs_common(self, spark):
+        from ons_utils_spark.operators.text import bm25_scores
+
+        df = self._corpus(spark)
+        rows = {r["id"]: r["bm25"]
+                for r in bm25_scores(
+                    df, "doc_id", "text", ["spark", "rareword"]
+                ).collect()}
+        # doc 4 matches only the rarer term (df=1 vs df=3) once; doc 2
+        # matches the common term once in a comparably short doc
+        assert rows[4] > rows[2]
+
+    def test_multi_term_is_sum_of_single_terms(self, spark):
+        from ons_utils_spark.operators.text import bm25_scores
+
+        df = self._corpus(spark)
+        both = {r["id"]: r["bm25"]
+                for r in bm25_scores(
+                    df, "doc_id", "text", ["spark", "rareword"]
+                ).collect()}
+        s1 = {r["id"]: r["bm25"]
+              for r in bm25_scores(df, "doc_id", "text", ["spark"]).collect()}
+        s2 = {r["id"]: r["bm25"]
+              for r in bm25_scores(
+                  df, "doc_id", "text", ["rareword"]
+              ).collect()}
+        for i, v in both.items():
+            assert abs(v - (s1.get(i, 0.0) + s2.get(i, 0.0))) < 1e-5
+
+    def test_partitioning_invariant(self, spark):
+        from ons_utils_spark.operators.text import bm25_topk
+
+        df = self._corpus(spark)
+        a = bm25_topk(df.coalesce(1), "doc_id", "text",
+                      ["spark", "rareword"]).collect()
+        b = bm25_topk(df.repartition(7), "doc_id", "text",
+                      ["spark", "rareword"]).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_query_casefold_and_dedupe(self, spark):
+        from ons_utils_spark.operators.text import bm25_scores
+
+        df = self._corpus(spark)
+        plain = {r["id"]: r["bm25"]
+                 for r in bm25_scores(df, "doc_id", "text",
+                                      ["spark"]).collect()}
+        fancy = {r["id"]: r["bm25"]
+                 for r in bm25_scores(df, "doc_id", "text",
+                                      ["SPARK", "Spark", "spark"]).collect()}
+        assert plain == fancy
+
+    def test_empty_query_raises(self, spark):
+        import pytest
+
+        from ons_utils_spark.operators.text import bm25_scores
+
+        with pytest.raises(ValueError, match="at least one term"):
+            bm25_scores(self._corpus(spark), "doc_id", "text", [])

@@ -57,6 +57,9 @@ ALLOWED = {
     # (profiling.py:74-77, corpus.py:445) — same idiom as tfidf above: the
     # nested loop's build side is a single aggregate row.
     ("q_heavy_hitters", "BroadcastNestedLoopJoin"),
+    # BM25 folds the 1-row (N, avgdl) corpus aggregate into the scoring
+    # plan — the same bounded fold idiom as tfidf/heavy_hitters.
+    ("q_bm25_topk", "BroadcastNestedLoopJoin"),
     ("q_price_histogram", "BroadcastNestedLoopJoin"),
     ("q_vocab_coverage", "BroadcastNestedLoopJoin"),
     # The temperature-mixture anchor window runs over the |groups|-row

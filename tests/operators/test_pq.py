@@ -232,3 +232,59 @@ class TestSampledTraining:
         df = _emb_df(spark, [[float(j) for j in range(8)]])
         with pytest.raises(ValueError, match="fraction"):
             pq.pq_build(df, dim=8, m=2, k=1, train_on=1.5)
+
+
+class TestIvfPqPartitionPruning:
+    def test_list_partitioned_probe_prunes_partitions(self, spark, tmp_path):
+        """The serving claim made in ivf_pq_build's docstring, tested:
+        coded written partitioned by __list -> an n_probe filter reads
+        only the probed partition directories (partition pruning at the
+        scan, not a post-scan filter)."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.sources.write import write_table
+
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        df = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        path = str(tmp_path / "coded")
+        write_table(coded, path, partition_by="__list")
+        stored = spark.read.parquet(path)
+
+        q = vecs[0]
+        top = pq.ivf_pq_topk(stored, coarse, cbs, q, n_probe=1, topk=5)
+        rows = top.collect()
+        assert rows  # sanity: the probed list is non-empty
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        # partition pruning: the __list predicate lands in the scan's
+        # PartitionFilters (directory-level, pre-IO), NOT PushedFilters
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "__list" in pf.group(1), plan[:800]
+        # and the probed-list scan physically touches ONE directory
+        from ons_utils_spark.operators.semantic import _py_dot
+
+        qq = _py_dot(q, q)
+        probe = sorted(
+            (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+            for j, c in enumerate(coarse)
+        )[0][1]
+        dirs = {
+            r[0].rsplit("/", 2)[-2]
+            for r in stored.where(F.col("__list") == probe)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        assert dirs == {f"__list={probe}"}
+        # and the pruned probe agrees with the unpartitioned scan
+        direct = pq.ivf_pq_topk(coded, coarse, cbs, q, n_probe=1, topk=5)
+        assert [tuple(r) for r in rows] == [
+            tuple(r) for r in direct.collect()
+        ]

@@ -228,6 +228,7 @@ def ivf_pq_build(
     round_dp: int = 6,
     method: str = "auto",
     train_on: "SparkDF | float | None" = None,
+    by_residual: bool = False,
 ) -> Tuple[SparkDF, List[List[float]], List[List[List[float]]]]:
     """IVF×PQ: coarse-quantize into ``n_lists`` inverted lists, PQ-encode
     every vector — the FAISS ``IVFx,PQy`` serving shape (Jégou et al.
@@ -238,11 +239,19 @@ def ivf_pq_build(
     (deterministic Lloyd — :func:`semantic.kmeans_lloyd`, so the DuckDB
     oracle replays it; swap :func:`similarity.ivf_build`'s ``pyspark.ml``
     KMeans in production if approximate centroids are acceptable), and
-    ``codes`` the ``m`` subspace code indices. Vectors are encoded RAW
-    (FAISS ``by_residual=False``): residual encoding (PQ over
-    ``vec − coarse_centroid``) squeezes more recall per byte but couples
-    the codebooks to the coarse step — with the probe/recall numbers in
-    SCALING.md raw encoding already reranks clean at these dims.
+    ``codes`` the ``m`` subspace code indices.
+
+    ``by_residual=False`` encodes RAW vectors; ``by_residual=True`` is
+    the FAISS default refinement — codebooks train on and codes encode
+    the RESIDUAL ``vec − coarse_centroid[__list]`` (an exact elementwise
+    ``zip_with`` subtraction, so determinism and oracle parity are
+    untouched). Residuals concentrate near the origin, so the same code
+    budget quantizes finer; the cost is codebooks coupled to the coarse
+    step (retrain both together) and per-probed-list query LUTs at
+    serving time (``n_probe × m × k`` driver-side distances instead of
+    ``m × k``). Measured gain in SCALING.md §IVF×PQ. Pass the SAME flag
+    to :func:`ivf_pq_topk` — codes from one geometry scored in the
+    other are meaningless.
 
     Scale story: ONE extra assignment pass over :func:`pq_build` — the
     list id rides through encoding via ``carry_cols``, no join back. At
@@ -256,9 +265,30 @@ def ivf_pq_build(
         df, id_col, vec_col, k=n_lists, n_iter=coarse_iter,
         round_dp=round_dp, method=method, train_on=train_on,
     )
+    src = assigned.withColumn("__list", F.col("__cluster"))
+    enc_col = vec_col
+    if by_residual and isinstance(train_on, SparkDF):
+        raise ValueError(
+            "by_residual=True cannot take a raw-vector training "
+            "DataFrame — the codebooks train on residuals, which depend "
+            "on this build's coarse assignment; pass a fraction instead "
+            "(the id-hash sample applies after the residual transform)"
+        )
+    if by_residual:
+        cents = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in coarse
+        ])
+        src = src.withColumn(
+            "__rvec",
+            F.zip_with(
+                F.col(vec_col),
+                F.element_at(cents, F.col("__list") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+        enc_col = "__rvec"
     coded, codebooks = pq_build(
-        assigned.withColumn("__list", F.col("__cluster")),
-        id_col, vec_col, dim=dim, m=m, k=k, n_iter=n_iter,
+        src, id_col, enc_col, dim=dim, m=m, k=k, n_iter=n_iter,
         round_dp=round_dp, method=method, train_on=train_on,
         carry_cols=("__list",),
     )
@@ -273,6 +303,7 @@ def ivf_pq_topk(
     n_probe: int = 2,
     topk: int = 10,
     round_dp: int = 6,
+    by_residual: bool = False,
 ) -> SparkDF:
     """Approximate top-``k`` from an IVF×PQ index: ADC-score only the
     ``n_probe`` lists whose coarse centroids are nearest the query.
@@ -285,6 +316,13 @@ def ivf_pq_topk(
     query cost is ``n_probe/n_lists`` of the corpus at ``m`` lookups
     per row, and top-k plans as TakeOrderedAndProject.
     ``n_probe == n_lists`` degenerates to the full PQ scan.
+
+    ``by_residual=True`` scores codes built by
+    :func:`ivf_pq_build(by_residual=True)`: the LUT is built per probed
+    list from the QUERY residual ``q − coarse_centroid[list]`` (FAISS's
+    IVFADC), so each row's ``m`` lookups index a (probe-position,
+    code) table — still a row-local expression, ``n_probe × m × k``
+    driver-side distances to prepare. Must match the build flag.
     """
     q = [float(v) for v in query_vec]
     qq = _py_dot(q, q)
@@ -293,11 +331,48 @@ def ivf_pq_topk(
         for j, c in enumerate(coarse_centroids)
     )
     probe = [j for _, j in by_dist[:n_probe]]
-    return (
-        pq_adc_scores(
-            coded.where(F.col("__list").isin(probe)), codebooks, q, round_dp
+    if not by_residual:
+        return (
+            pq_adc_scores(
+                coded.where(F.col("__list").isin(probe)),
+                codebooks, q, round_dp,
+            )
+            .select("id", "adc_dist")
+            .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
+            .limit(topk)
         )
-        .select("id", "adc_dist")
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    # Per probed list: query residual, then the usual per-subspace LUT.
+    luts: List[List[List[float]]] = []  # [probe_pos][subspace][code]
+    for lst in probe:
+        qr = [qv - cv for qv, cv in zip(q, coarse_centroids[lst])]
+        per_sub = []
+        for i in range(m):
+            qs = qr[i * sub_d:(i + 1) * sub_d]
+            qsqs = _py_dot(qs, qs)
+            per_sub.append([
+                qsqs + _py_dot(c, c) - 2 * _py_dot(qs, c)
+                for c in codebooks[i]
+            ])
+        luts.append(per_sub)
+    pos = F.array_position(
+        F.array(*[F.lit(int(lst)) for lst in probe]), F.col("__list")
+    )
+    score = None
+    for i in range(m):
+        table_i = F.array(*[
+            F.array(*[F.lit(v) for v in luts[p][i]])
+            for p in range(len(probe))
+        ])
+        term = F.element_at(
+            F.element_at(table_i, pos.cast("int")),
+            F.element_at(F.col("codes"), i + 1) + 1,
+        )
+        score = term if score is None else score + term
+    return (
+        coded.where(F.col("__list").isin(probe))
+        .select("id", F.round(score, round_dp).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
         .limit(topk)
     )

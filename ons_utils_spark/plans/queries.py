@@ -6234,6 +6234,8 @@ def _kmeans_ctes(
     suffix: str = "",
     with_prefix: bool = True,
     train_join: str = "",
+    src_sql: str = "embeddings",
+    id_sql: str = "vec_id",
 ) -> str:
     """DuckDB CTE chain reproducing kmeans_lloyd bit-for-bit.
 
@@ -6258,10 +6260,10 @@ def _kmeans_ctes(
     s = suffix
     ctes = [
         f"""v{s} AS (
-        SELECT vec_id AS id, {vec_sql} AS vec,
+        SELECT {id_sql} AS id, {vec_sql} AS vec,
                list_dot_product({vec_sql},
                                 {vec_sql}) AS vv
-        FROM embeddings)""",
+        FROM {src_sql})""",
     ]
     train_src = f"v{s}"
     if train_join:
@@ -6874,6 +6876,111 @@ def q_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
+def _ivf_pq_residual_oracle(n_lists: int, coarse_iter: int, m: int,
+                            k: int, n_iter: int, dp: int, dim: int,
+                            query_id: int, n_probe: int,
+                            topk: int) -> str:
+    """DuckDB twin of the RESIDUAL IVF×PQ path (FAISS IVFADC,
+    ``by_residual=True``): the coarse chain assigns every vector, a
+    ``res`` CTE materializes the exact elementwise residuals, the
+    per-subspace Lloyd chains train ON the residual slices, and the
+    query side rebuilds one LUT per (probed list, subspace) from the
+    query residual — all the same sequential-fold dot products, so the
+    scores replay bit-for-bit."""
+    sub_d = dim // m
+    chains = [_kmeans_ctes(
+        n_lists, coarse_iter, dp, suffix="_c", with_prefix=False,
+    )]
+    chains.append(f"""res AS (
+        SELECT id, cid,
+               list_transform(generate_series(1, {dim}),
+                              i -> vec[i] - cvec[i]) AS rvec
+        FROM af_c)""")
+    for i in range(m):
+        lo, hi = i * sub_d + 1, (i + 1) * sub_d
+        chains.append(_kmeans_ctes(
+            k, n_iter, dp, vec_sql=f"rvec[{lo}:{hi}]", suffix=f"_s{i}",
+            with_prefix=False, src_sql="res", id_sql="id",
+        ))
+    tail = [f"""qvf AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS vec,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS qq
+        FROM embeddings WHERE vec_id = {query_id})"""]
+    tail.append(f"""probe AS (
+        SELECT c.cid FROM c{coarse_iter}_c c CROSS JOIN qvf
+        ORDER BY qvf.qq + list_dot_product(c.cvec, c.cvec)
+                 - 2 * list_dot_product(qvf.vec, c.cvec), c.cid
+        LIMIT {n_probe})""")
+    tail.append(f"""qres AS (
+        SELECT p.cid,
+               list_transform(generate_series(1, {dim}),
+                              i -> qvf.vec[i] - cc.cvec[i]) AS qr
+        FROM probe p JOIN c{coarse_iter}_c cc ON p.cid = cc.cid
+        CROSS JOIN qvf)""")
+    for i in range(m):
+        lo, hi = i * sub_d + 1, (i + 1) * sub_d
+        tail.append(f"""lut_s{i} AS (
+            SELECT q.cid AS plist, c.cid AS code,
+                   list_dot_product(q.qr[{lo}:{hi}], q.qr[{lo}:{hi}])
+                   + list_dot_product(c.cvec, c.cvec)
+                   - 2 * list_dot_product(q.qr[{lo}:{hi}], c.cvec) AS dist
+            FROM qres q CROSS JOIN c{n_iter}_s{i} c)""")
+    code_cols = ", ".join(f"a{i}.cid AS c{i}" for i in range(m))
+    code_joins = " ".join(
+        f"JOIN af_s{i} a{i} ON a0.id = a{i}.id" for i in range(1, m)
+    )
+    score = " + ".join(f"l{i}.dist" for i in range(m))
+    lut_joins = " ".join(
+        f"JOIN lut_s{i} l{i} ON l{i}.plist = ac.cid AND l{i}.code = c.c{i}"
+        for i in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(chains + tail) + f""",
+        codes AS (
+            SELECT a0.id, {code_cols}
+            FROM af_s0 a0 {code_joins})
+        SELECT c.id, round({score}, {dp}) AS adc_dist
+        FROM codes c
+        JOIN af_c ac ON c.id = ac.id
+        JOIN probe p ON ac.cid = p.cid
+        {lut_joins}
+        ORDER BY adc_dist, c.id
+        LIMIT {topk}
+        """
+    )
+
+
+@register(
+    "q_similarity_ivf_pq_residual",
+    oracle=_ivf_pq_residual_oracle(8, 2, 4, 16, 1, 6, 64, 0, 2, 25),
+    description="Residual-encoded IVF×PQ (FAISS IVFADC, by_residual — "
+    "Jégou et al. §V-A; operators/pq.py::ivf_pq_build/ivf_pq_topk with "
+    "by_residual=True): codebooks train on and codes encode "
+    "vec − coarse_centroid (exact elementwise zip_with), so the same "
+    "4-code budget quantizes the origin-concentrated residual space "
+    "finer; the query builds one LUT per (probed list, subspace) from "
+    "its own residual. The oracle replays the coarse chain, the "
+    "residual transform, all four residual-space trainings, the "
+    "per-list query LUTs, and the restricted scan bit-for-bit — still "
+    "a row-local m-lookup scan at serving time (measured quantization "
+    "gain in SCALING.md §IVF×PQ).",
+)
+def q_similarity_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, coarse, cbs = _pq.ivf_pq_build(
+        emb, "vec_id", "embedding", dim=64, n_lists=8, m=4, k=16,
+        coarse_iter=2, n_iter=1, by_residual=True,
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return _pq.ivf_pq_topk(
+        coded, coarse, cbs, q, n_probe=2, topk=25, by_residual=True
+    )
+
+
 _BM25_TERMS = ("vector", "stream", "merge")
 
 
@@ -7178,6 +7285,9 @@ _GRADING_ORDER = [
     "q_kmeans_sampled",
     # r9: Okapi BM25 retrieval — query-driven corpus curation
     "q_bm25_topk",
+    # r9: residual-encoded IVF×PQ (FAISS IVFADC) — the raw-encoding
+    # composition's refinement; the spans form is in the graded window
+    "q_similarity_ivf_pq_residual",
     # r9: rotated OUT of the graded window (long-green shapes whose
     # families keep graded representatives) to admit the six r8 families
     # above plus q_similarity_ivf_pq; still full-registry-checked here

@@ -288,3 +288,98 @@ class TestIvfPqPartitionPruning:
         assert [tuple(r) for r in rows] == [
             tuple(r) for r in direct.collect()
         ]
+
+
+class TestIvfPqResidual:
+    """by_residual=True — FAISS IVFADC: codebooks over vec − coarse
+    centroid, per-probed-list query LUTs."""
+
+    def _spread(self, spark, n=40, dim=8):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)]
+            for i in range(n)
+        ]
+        return _emb_df(spark, vecs), vecs
+
+    def test_scores_match_python_reference(self, spark):
+        from ons_utils_spark.operators.semantic import _py_dot
+
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=True,
+        )
+        q = vecs[5]
+        rows = pq.ivf_pq_topk(
+            coded, coarse, cbs, q, n_probe=4, topk=40, by_residual=True
+        ).collect()
+        by_id = {r["id"]: (list(r["codes"]), r["__list"])
+                 for r in coded.collect()}
+
+        def expected(i):
+            codes, lst = by_id[i]
+            qr = [a - b for a, b in zip(q, coarse[lst])]
+            s = None
+            for si in range(2):
+                qs = qr[si * 4:(si + 1) * 4]
+                c = cbs[si][codes[si]]
+                t = (_py_dot(qs, qs) + _py_dot(c, c)
+                     - 2 * _py_dot(qs, c))
+                s = t if s is None else s + t
+            return round(s, 6)
+
+        assert rows and all(
+            abs(expected(r["id"]) - r["adc_dist"]) < 1e-9 for r in rows
+        )
+
+    def test_residual_reconstruction_tighter_than_raw(self, spark):
+        """The point of residual encoding: the self-query's ADC
+        distance (quantization error proxy) shrinks vs raw encoding."""
+        from pyspark.sql import functions as F
+
+        df, vecs = self._spread(spark)
+        q = vecs[0]
+        raw_coded, coarse_r, cbs_r = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        res_coded, coarse_s, cbs_s = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=True,
+        )
+        raw_self = {
+            r["id"]: r["adc_dist"]
+            for r in pq.ivf_pq_topk(
+                raw_coded, coarse_r, cbs_r, q, n_probe=4, topk=40
+            ).collect()
+        }[0]
+        res_self = {
+            r["id"]: r["adc_dist"]
+            for r in pq.ivf_pq_topk(
+                res_coded, coarse_s, cbs_s, q, n_probe=4, topk=40,
+                by_residual=True,
+            ).collect()
+        }[0]
+        assert res_self <= raw_self
+
+    def test_raw_train_frame_rejected(self, spark):
+        import pytest
+
+        df, _ = self._spread(spark)
+        with pytest.raises(ValueError, match="residual"):
+            pq.ivf_pq_build(
+                df, dim=8, n_lists=4, m=2, k=2, by_residual=True,
+                train_on=df,
+            )
+
+    def test_fraction_training_composes_with_residual(self, spark):
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=2, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=True, train_on=0.6,
+        )
+        assert coded.count() == 40  # full corpus still encoded
+        rows = pq.ivf_pq_topk(
+            coded, coarse, cbs, vecs[1], n_probe=2, topk=5,
+            by_residual=True,
+        ).collect()
+        assert len(rows) == 5

@@ -32,12 +32,17 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 CLUSTERED = "--clustered" in sys.argv
+RESIDUAL = "--residual" in sys.argv
 _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
 SF_DIR = _pos[0] if _pos else "/root/testdata/sf0.1"
 K = 10
 N_QUERIES = 50
+import os
+
 N_LISTS = 32 if CLUSTERED else 16  # match the r8 IVF probe's 20k sizing
-M, K_CODES, N_ITER = 16, 256, 2
+M = int(os.environ.get("IVFPQ_M", 16))
+K_CODES = int(os.environ.get("IVFPQ_K", 256))
+N_ITER = 2
 PROBES = (1, 2, 4, 8, N_LISTS)
 
 
@@ -69,6 +74,7 @@ def main() -> None:
     coded, coarse, cbs = pq.ivf_pq_build(
         emb, dim=64, n_lists=N_LISTS, m=M, k=K_CODES,
         coarse_iter=2, n_iter=N_ITER, method="blas",
+        by_residual=RESIDUAL,
     )
     rows = coded.collect()
     build_s = time.time() - t0
@@ -102,11 +108,25 @@ def main() -> None:
             mask = np.isin(lists, list(probe))
             mask[np.searchsorted(ids, ids[qi])] = False
             adc = np.zeros(n)
-            for s in range(M):
-                qs = q[s * sub_d:(s + 1) * sub_d]
-                lut = (np.einsum("ij,ij->i", C[s], C[s]) + qs @ qs
-                       - 2.0 * (C[s] @ qs))
-                adc += lut[codes[:, s]]
+            if RESIDUAL:
+                # IVFADC: one LUT per (probed list, subspace) from the
+                # query residual q − coarse_centroid[list].
+                for lst in probe:
+                    lmask = mask & (lists == lst)
+                    if not lmask.any():
+                        continue
+                    qr = q - G[lst]
+                    for s in range(M):
+                        qs = qr[s * sub_d:(s + 1) * sub_d]
+                        lut = (np.einsum("ij,ij->i", C[s], C[s])
+                               + qs @ qs - 2.0 * (C[s] @ qs))
+                        adc[lmask] += lut[codes[lmask, s]]
+            else:
+                for s in range(M):
+                    qs = q[s * sub_d:(s + 1) * sub_d]
+                    lut = (np.einsum("ij,ij->i", C[s], C[s]) + qs @ qs
+                           - 2.0 * (C[s] @ qs))
+                    adc += lut[codes[:, s]]
             adc[~mask] = np.inf
             n_cand = int(mask.sum())
             # Cap both windows at the candidate count: argsort ranks
@@ -127,7 +147,10 @@ def main() -> None:
         }
         print(json.dumps({f"n_probe={n_probe}": results[f"n_probe={n_probe}"]}),
               flush=True)
-    print(json.dumps({"config": f"IVF{N_LISTS},PQ m={M},k={K_CODES}",
+    label = f"IVF{N_LISTS},PQ m={M},k={K_CODES}" + (
+        ",residual" if RESIDUAL else ""
+    )
+    print(json.dumps({"config": label,
                       "build_s": round(build_s, 1), "results": results}))
 
 

@@ -736,3 +736,106 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col("id").asc())
         .limit(topk)
     )
+
+
+def bm25_batch_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    queries,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """BM25 top-``k`` documents for EVERY query in a query TABLE →
+    ``(query_id, id, bm25, rank)`` — the batch retrieval shape: score
+    all benchmark prompts / topic profiles against the corpus in one
+    job instead of one :func:`bm25_topk` driver round-trip per query.
+
+    ``queries`` is ``(query_id, terms array<string>)``. Same scoring
+    as :func:`bm25_scores`; document frequencies are per-term over the
+    corpus (query-independent, computed once however many queries share
+    a term).
+
+    Determinism: a query matches a VARIABLE number of terms per doc, so
+    the per-(query, doc) sum is taken in exact ``decimal(38,18)``
+    (order-independent — the package's kmeans-centroid trick) and cast
+    back once; ranks tie-break by doc id. The oracle replays it.
+
+    Scale: the corpus tokenizes ONCE; tokens semi-join the (broadcast)
+    union vocabulary of all queries map-side, so corpus volume through
+    the shuffle is query-vocabulary hits only; per-query fan-out
+    happens AFTER aggregation to (id, term) — the corpus is never
+    duplicated per query. Top-k is a window partitioned BY QUERY —
+    bounded partitions, never global.
+    """
+    from pyspark.sql import Window, functions as F
+
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(terms_col).alias("term"),
+        )
+        .select("qid", F.lower("term").alias("term"))
+        .distinct()
+    )
+    vocab = qt.select("term").distinct()
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(tokenize(text_col), F.array()).alias("__toks"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (
+            F.sum(F.size("__toks")).cast("double") / F.count(F.lit(1))
+        ).alias("__avgdl"),
+    )
+    base = toks.select(
+        "id",
+        F.size("__toks").alias("__dl"),
+        F.explode("__toks").alias("term"),
+    ).join(F.broadcast(vocab), "term", "left_semi")
+    tf = (
+        base.groupBy("id", "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    hits = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0)
+        - F.lit(float(b))
+        + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(float(k1) + 1.0)) / denom
+    scored = (
+        hits.select("qid", "id", contrib.alias("__c"))
+        .groupBy("qid", "id")
+        .agg(
+            F.round(
+                F.sum(F.col("__c").cast("decimal(38,18)")).cast("double"),
+                round_dp,
+            ).alias("bm25")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("bm25").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(F.col("qid").alias("query_id"), "id", "bm25", "rank")
+    )

@@ -7035,6 +7035,71 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, topk=10)
 
 
+@register(
+    "q_bm25_batch",
+    oracle=_TOKS_CTE
+    + """,
+    qdef AS (SELECT * FROM (VALUES
+        (1, ['vector', 'stream', 'merge']),
+        (2, ['customer', 'query'])) AS t(qid, terms)),
+    qterms AS (SELECT DISTINCT qid, term FROM (
+        SELECT qid, lower(unnest(terms)) AS term FROM qdef)),
+    stats AS (
+        SELECT count(*) AS n,
+               sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
+        FROM toks),
+    base AS (
+        SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
+               unnest(toks) AS term
+        FROM toks),
+    vhits AS (SELECT * FROM base
+              WHERE term IN (SELECT term FROM qterms)),
+    tf AS (SELECT id, dl, term, count(*) AS tf
+           FROM vhits GROUP BY id, dl, term),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT q.qid, t.id,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+        FROM tf t JOIN dfs d USING (term) JOIN qterms q USING (term)
+        CROSS JOIN stats s),
+    scored AS (
+        SELECT qid, id,
+               round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE),
+                     6) AS bm25
+        FROM contrib GROUP BY qid, id)
+    SELECT CAST(qid AS BIGINT) AS query_id, id, bm25,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY bm25 DESC, id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    description="Batch BM25 retrieval (operators/text.py::"
+    "bm25_batch_topk): top-5 documents for EVERY query in a query "
+    "table, one job — the production shape for scoring all benchmark "
+    "prompts / topic profiles at once. The corpus tokenizes once and "
+    "semi-joins the broadcast union vocabulary map-side; per-query "
+    "fan-out happens after the (id, term) aggregation, so the corpus "
+    "is never duplicated per query; document frequencies are computed "
+    "once however many queries share a term. The variable-width "
+    "per-(query, doc) sum is exact decimal(38,18) — order-independent, "
+    "bit-reproducible across partitionings and engines — and top-k is "
+    "a window PARTITIONED BY QUERY, never global. The oracle replays "
+    "every score.",
+)
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, ["vector", "stream", "merge"]), (2, ["customer", "query"])],
+        "query_id bigint, terms array<string>",
+    )
+    return _text.bm25_batch_topk(
+        docs, "doc_id", "text", queries, topk=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
@@ -7284,7 +7349,9 @@ _GRADING_ORDER = [
     # full assignment) with the xxh64 filter replayed in SQL
     "q_kmeans_sampled",
     # r9: Okapi BM25 retrieval — query-driven corpus curation
+    # (single query + the batch query-table form)
     "q_bm25_topk",
+    "q_bm25_batch",
     # r9: residual-encoded IVF×PQ (FAISS IVFADC) — the raw-encoding
     # composition's refinement; the spans form is in the graded window
     "q_similarity_ivf_pq_residual",

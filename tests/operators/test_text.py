@@ -607,3 +607,64 @@ class TestBm25:
 
         with pytest.raises(ValueError, match="at least one term"):
             bm25_scores(self._corpus(spark), "doc_id", "text", [])
+
+
+class TestBm25Batch:
+    def _corpus(self, spark):
+        docs = [
+            (1, "spark spark spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "a very long document about nothing at all " * 5
+                + "spark"),
+            (4, "rareword appears here once"),
+            (5, "filler tokens with no query words"),
+        ]
+        return spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def test_batch_matches_per_query_singles(self, spark):
+        from ons_utils_spark.operators.text import (
+            bm25_batch_topk,
+            bm25_topk,
+        )
+
+        df = self._corpus(spark)
+        queries = spark.createDataFrame(
+            [(10, ["spark"]), (20, ["rareword", "engine"])],
+            "query_id bigint, terms array<string>",
+        )
+        batch = bm25_batch_topk(df, "doc_id", "text", queries, topk=5)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["id"], r["bm25"])
+            )
+        for qid, terms in ((10, ["spark"]), (20, ["rareword", "engine"])):
+            single = bm25_topk(df, "doc_id", "text", terms, topk=5).collect()
+            want = [
+                (i + 1, r["id"]) for i, r in enumerate(single)
+            ]
+            have = [(rk, i) for rk, i, _ in sorted(got[qid])]
+            assert have == want
+            # scores agree (decimal-exact sum vs fixed-order adds — same
+            # value after rounding, modulo a last-ulp boundary)
+            by_id = {r["id"]: r["bm25"] for r in single}
+            for _, i, s in got[qid]:
+                assert abs(s - by_id[i]) < 2e-6
+
+    def test_rank_is_per_query_and_capped(self, spark):
+        from ons_utils_spark.operators.text import bm25_batch_topk
+
+        df = self._corpus(spark)
+        queries = spark.createDataFrame(
+            [(1, ["spark"]), (2, ["spark", "rareword"])],
+            "query_id bigint, terms array<string>",
+        )
+        rows = bm25_batch_topk(
+            df, "doc_id", "text", queries, topk=2
+        ).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
+                   for v in per_q.values())
+        assert set(per_q) == {1, 2}

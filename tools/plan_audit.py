@@ -60,6 +60,7 @@ ALLOWED = {
     # BM25 folds the 1-row (N, avgdl) corpus aggregate into the scoring
     # plan — the same bounded fold idiom as tfidf/heavy_hitters.
     ("q_bm25_topk", "BroadcastNestedLoopJoin"),
+    ("q_bm25_batch", "BroadcastNestedLoopJoin"),
     ("q_price_histogram", "BroadcastNestedLoopJoin"),
     ("q_vocab_coverage", "BroadcastNestedLoopJoin"),
     # The temperature-mixture anchor window runs over the |groups|-row

@@ -175,6 +175,30 @@ def _encode_blas(slices: SparkDF, m: int, codebooks, carry=()) -> SparkDF:
     return slices.mapInPandas(gen, schema)
 
 
+def _subspace_luts(
+    q: Sequence[float], codebooks: List[List[List[float]]]
+) -> List[List[float]]:
+    """Per-subspace ADC lookup tables for a query-like vector: exact
+    ``‖q_i − c_ij‖²`` via the same sequential-fold ``qq + cc − 2·q·c``
+    form every oracle replays. Shared by the raw and residual ADC
+    paths — the fold ORDER is load-bearing for bit parity, so there is
+    exactly one copy of it. Validates the vector length against the
+    codebook geometry (a silently-truncating ``zip`` would otherwise
+    return plausible-looking garbage scores)."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    if len(q) != m * sub_d:
+        raise ValueError(f"query dim {len(q)} != m*sub_d = {m * sub_d}")
+    luts = []
+    for i in range(m):
+        qs = q[i * sub_d:(i + 1) * sub_d]
+        qq = _py_dot(qs, qs)
+        luts.append([
+            qq + _py_dot(c, c) - 2 * _py_dot(qs, c) for c in codebooks[i]
+        ])
+    return luts
+
+
 def pq_adc_scores(
     codes: SparkDF,
     codebooks: List[List[List[float]]],
@@ -190,19 +214,8 @@ def pq_adc_scores(
     vector touched. Returns ``(id, codes, adc_dist)``.
     """
     m = len(codebooks)
-    sub_d = len(codebooks[0][0])
     q = [float(v) for v in query_vec]
-    if len(q) != m * sub_d:
-        raise ValueError(
-            f"query dim {len(q)} != m*sub_d = {m * sub_d}"
-        )
-    luts = []
-    for i in range(m):
-        qs = q[i * sub_d: (i + 1) * sub_d]
-        qq = _py_dot(qs, qs)
-        luts.append([
-            qq + _py_dot(c, c) - 2 * _py_dot(qs, c) for c in codebooks[i]
-        ])
+    luts = _subspace_luts(q, codebooks)
     score = None
     for i in range(m):
         term = F.element_at(
@@ -261,19 +274,21 @@ def ivf_pq_build(
     is the billion-vector serving play. Train both stages on a sample
     via ``train_on``.
     """
-    assigned, coarse = kmeans_lloyd(
-        df, id_col, vec_col, k=n_lists, n_iter=coarse_iter,
-        round_dp=round_dp, method=method, train_on=train_on,
-    )
-    src = assigned.withColumn("__list", F.col("__cluster"))
-    enc_col = vec_col
     if by_residual and isinstance(train_on, SparkDF):
+        # Argument check FIRST — the coarse training below is eager and
+        # expensive; an invalid call must not pay for it.
         raise ValueError(
             "by_residual=True cannot take a raw-vector training "
             "DataFrame — the codebooks train on residuals, which depend "
             "on this build's coarse assignment; pass a fraction instead "
             "(the id-hash sample applies after the residual transform)"
         )
+    assigned, coarse = kmeans_lloyd(
+        df, id_col, vec_col, k=n_lists, n_iter=coarse_iter,
+        round_dp=round_dp, method=method, train_on=train_on,
+    )
+    src = assigned.withColumn("__list", F.col("__cluster"))
+    enc_col = vec_col
     if by_residual:
         cents = F.array(*[
             F.array(*[F.lit(float(x)) for x in c]) for c in coarse
@@ -292,6 +307,12 @@ def ivf_pq_build(
         round_dp=round_dp, method=method, train_on=train_on,
         carry_cols=("__list",),
     )
+    # Geometry tag: codes from one geometry scored in the other are
+    # plausible-looking garbage, so ivf_pq_topk rejects a flag mismatch
+    # whenever the coded frame still carries this attribute (a table
+    # round-tripped through parquet loses it — the flag contract is
+    # then on the caller, as documented).
+    coded._ons_ivfpq_residual = bool(by_residual)
     return coded, coarse, codebooks
 
 
@@ -324,7 +345,20 @@ def ivf_pq_topk(
     code) table — still a row-local expression, ``n_probe × m × k``
     driver-side distances to prepare. Must match the build flag.
     """
+    built_residual = getattr(coded, "_ons_ivfpq_residual", None)
+    if built_residual is not None and built_residual != by_residual:
+        raise ValueError(
+            f"coded table was built with by_residual={built_residual} "
+            f"but this query scores with by_residual={by_residual} — "
+            "codes from one geometry scored in the other are "
+            "meaningless; pass the same flag to both"
+        )
     q = [float(v) for v in query_vec]
+    dim = len(codebooks) * len(codebooks[0][0])
+    if len(q) != dim:
+        # Checked BEFORE list selection: the probe-ordering dots zip()
+        # against the coarse centroids and would silently truncate.
+        raise ValueError(f"query dim {len(q)} != m*sub_d = {dim}")
     qq = _py_dot(q, q)
     by_dist = sorted(
         (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
@@ -342,20 +376,15 @@ def ivf_pq_topk(
             .limit(topk)
         )
     m = len(codebooks)
-    sub_d = len(codebooks[0][0])
-    # Per probed list: query residual, then the usual per-subspace LUT.
-    luts: List[List[List[float]]] = []  # [probe_pos][subspace][code]
-    for lst in probe:
-        qr = [qv - cv for qv, cv in zip(q, coarse_centroids[lst])]
-        per_sub = []
-        for i in range(m):
-            qs = qr[i * sub_d:(i + 1) * sub_d]
-            qsqs = _py_dot(qs, qs)
-            per_sub.append([
-                qsqs + _py_dot(c, c) - 2 * _py_dot(qs, c)
-                for c in codebooks[i]
-            ])
-        luts.append(per_sub)
+    # Per probed list: query residual, then the shared per-subspace LUT
+    # (one copy of the parity-critical fold, _subspace_luts).
+    luts: List[List[List[float]]] = [
+        _subspace_luts(
+            [qv - cv for qv, cv in zip(q, coarse_centroids[lst])],
+            codebooks,
+        )
+        for lst in probe
+    ]
     pos = F.array_position(
         F.array(*[F.lit(int(lst)) for lst in probe]), F.col("__list")
     )

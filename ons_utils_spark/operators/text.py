@@ -643,20 +643,21 @@ def bm25_scores(
 
     Determinism (and DuckDB oracle parity, ``q_bm25_topk``): ``avgdl``
     is an exact integer token-count sum divided once (never a streamed
-    float mean), and the per-document score is built as one conditional
-    aggregate COLUMN per query term added in fixed left-to-right order
-    — each sums at most one (id, term) row, so no float reduction
-    order exists anywhere in the plan.
+    float mean), and the per-document score sums its term contributions
+    in exact ``decimal(38,18)`` — order-independent, so the result is
+    bit-identical across partitionings and engines at ANY query width
+    (one aggregate column regardless of |query|; a per-term-column form
+    would grow the plan O(|query|)).
 
     Scale: tokens filter to the query vocabulary BEFORE the shuffle
     (map-side ``isin`` over a literal set — the corpus never shuffles
     full text), document frequencies are a ≤ |query|-row broadcast,
     and N/avgdl fold in as the package's usual 1-row broadcast
-    aggregate. One corpus scan.
+    aggregate. Two corpus passes — the stats aggregate and the gram
+    pass — and no pass materializes token arrays (cheaper at corpus
+    scale than checkpointing the tokenized form to save the second
+    read).
     """
-    from functools import reduce as _reduce
-    from operator import add as _add
-
     from pyspark.sql import functions as F
 
     seen: set = set()
@@ -704,16 +705,16 @@ def bm25_scores(
         + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
     )
     contrib = idf * (F.col("tf") * F.lit(float(k1) + 1.0)) / denom
-    per_term = [
-        F.sum(F.when(F.col("term") == F.lit(t), contrib)).alias(f"__s{i}")
-        for i, t in enumerate(qt)
-    ]
-    scored = hits.groupBy("id").agg(*per_term)
-    total = _reduce(
-        _add,
-        [F.coalesce(F.col(f"__s{i}"), F.lit(0.0)) for i in range(len(qt))],
+    return (
+        hits.select("id", contrib.alias("__c"))
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.col("__c").cast("decimal(38,18)")).cast("double"),
+                round_dp,
+            ).alias("bm25")
+        )
     )
-    return scored.select("id", F.round(total, round_dp).alias("bm25"))
 
 
 def bm25_topk(
@@ -765,12 +766,14 @@ def bm25_batch_topk(
     (order-independent — the package's kmeans-centroid trick) and cast
     back once; ranks tie-break by doc id. The oracle replays it.
 
-    Scale: the corpus tokenizes ONCE; tokens semi-join the (broadcast)
-    union vocabulary of all queries map-side, so corpus volume through
-    the shuffle is query-vocabulary hits only; per-query fan-out
-    happens AFTER aggregation to (id, term) — the corpus is never
-    duplicated per query. Top-k is a window partitioned BY QUERY —
-    bounded partitions, never global.
+    Scale: tokens semi-join the (broadcast) union vocabulary of all
+    queries map-side, so corpus volume through the shuffle is
+    query-vocabulary hits only; per-query fan-out happens AFTER
+    aggregation to (id, term) — the corpus is never duplicated per
+    query. Two corpus passes (stats + gram pass, as in
+    :func:`bm25_scores` — token arrays are never materialized), then
+    all downstream work is hit-sized. Top-k is a window partitioned BY
+    QUERY — bounded partitions, never global.
     """
     from pyspark.sql import Window, functions as F
 

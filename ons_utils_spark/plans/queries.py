@@ -6983,6 +6983,11 @@ def q_similarity_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ("vector", "stream", "merge")
 
+#: Both oracle fragments derive from the SAME tuple (a hardcoded twin
+#: desynchronizes the moment _BM25_TERMS is edited, and a 1-tuple's
+#: Python repr is invalid SQL).
+_BM25_IN = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
 
 @register(
     "q_bm25_topk",
@@ -6997,7 +7002,7 @@ _BM25_TERMS = ("vector", "stream", "merge")
                unnest(toks) AS term
         FROM toks),
     qhits AS (SELECT * FROM base
-              WHERE term IN {_BM25_TERMS!r}),
+              WHERE term IN {_BM25_IN}),
     tf AS (SELECT id, dl, term, count(*) AS tf
            FROM qhits GROUP BY id, dl, term),
     dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -7009,10 +7014,8 @@ _BM25_TERMS = ("vector", "stream", "merge")
         FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s),
     scored AS (
         SELECT id,
-               round(coalesce(sum(CASE WHEN term = 'vector' THEN c END), 0.0)
-                   + coalesce(sum(CASE WHEN term = 'stream' THEN c END), 0.0)
-                   + coalesce(sum(CASE WHEN term = 'merge' THEN c END), 0.0),
-                   6) AS bm25
+               round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE),
+                     6) AS bm25
         FROM contrib GROUP BY id)
     SELECT id, bm25 FROM scored ORDER BY bm25 DESC, id LIMIT 10
     """,
@@ -7022,8 +7025,8 @@ _BM25_TERMS = ("vector", "stream", "merge")
     "documents most relevant to a benchmark topic for targeted "
     "decontamination review, or mine domain slices by keyword "
     "profile). Deterministic by construction: exact-integer avgdl, "
-    "per-term conditional-aggregate columns added in fixed order (no "
-    "float reduction order exists in the plan), ties by id; the oracle "
+    "exact decimal(38,18) term-contribution sums (order-independent at "
+    "any query width), ties by id; the oracle "
     "replays idf/tf/length normalization bit-for-bit. Scale: tokens "
     "filter to the query vocabulary BEFORE any shuffle, document "
     "frequencies are a |query|-row broadcast, N/avgdl fold in as the "

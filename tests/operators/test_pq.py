@@ -383,3 +383,36 @@ class TestIvfPqResidual:
             by_residual=True,
         ).collect()
         assert len(rows) == 5
+
+
+class TestIvfPqGuards:
+    def _build(self, spark, **kw):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        df = _emb_df(spark, vecs)
+        return vecs, pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1, **kw
+        )
+
+    def test_geometry_flag_mismatch_raises(self, spark):
+        vecs, (coded, coarse, cbs) = self._build(spark, by_residual=True)
+        with pytest.raises(ValueError, match="by_residual"):
+            pq.ivf_pq_topk(coded, coarse, cbs, vecs[0], n_probe=2)
+        vecs, (coded, coarse, cbs) = self._build(spark)
+        with pytest.raises(ValueError, match="by_residual"):
+            pq.ivf_pq_topk(
+                coded, coarse, cbs, vecs[0], n_probe=2, by_residual=True
+            )
+
+    def test_wrong_query_dim_raises_both_paths(self, spark):
+        for flag in (False, True):
+            vecs, (coded, coarse, cbs) = self._build(
+                spark, by_residual=flag
+            )
+            with pytest.raises(ValueError, match="query dim"):
+                pq.ivf_pq_topk(
+                    coded, coarse, cbs, [1.0, 2.0], n_probe=2,
+                    by_residual=flag,
+                )

@@ -379,6 +379,13 @@ def _merge_hit_islands(hits: SparkDF, n: int) -> SparkDF:
     )
 
 
+# Max candidate-gram rows the hot-gram guard will broadcast (8-byte
+# hashes; ~50 MB collected at this cap, well under executor/driver
+# headroom). Above it the verdict joins run as shuffle joins — exact
+# either way, the cap only picks the physical strategy.
+_HOT_BROADCAST_CAP = 2_000_000
+
+
 def _split_hot_verdict(
     grams: SparkDF,
     min_docs: int,
@@ -428,9 +435,16 @@ def _split_hot_verdict(
     ``grams`` is localCheckpoint-ed (eager) because it feeds detection
     and both output branches — without it each consumer would re-scan
     the corpus and re-hash every shingle. The candidate broadcast is
-    bounded by construction: ≤ ``4·|grams| / max_df`` grams can clear
-    the sampled threshold (24 B/row) — raise ``max_df`` with corpus
-    size to keep it broadcastable.
+    bounded by construction (≤ ``4·|grams| / max_df`` grams can clear
+    the sampled threshold) but that bound is CORPUS-relative: a
+    quadrillion-gram corpus at the default ``max_df`` clears it with
+    hundreds of millions of candidates. The candidate COUNT is
+    therefore measured (the detection aggregate already ran — counting
+    its output is ~free), and past ``_HOT_BROADCAST_CAP`` rows the
+    verdict joins fall back to plain shuffle joins instead of failing
+    with an opaque broadcast/driver OOM — same exact results, one paid
+    shuffle. Raising ``max_df`` with corpus size keeps the fast
+    broadcast path.
     """
     grams = grams.localCheckpoint(eager=True)
     S = max(1, min(128, max_df // 64))
@@ -448,19 +462,25 @@ def _split_hot_verdict(
         .where(F.col("__sc") >= thresh)
         .select("g")
     )
-    if cand.limit(1).count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return None, grams
+    if n_cand <= _HOT_BROADCAST_CAP:
+        hint = F.broadcast
+    else:
+        def hint(d):
+            return d
     aggs = [F.min("id").alias("__keeper"), F.max("id").alias("__maxid")]
     if min_docs > 2:
         aggs.append(F.countDistinct("id").alias("__ndocs"))
-    per_gram = grams.join(F.broadcast(cand), "g").groupBy("g").agg(*aggs)
+    per_gram = grams.join(hint(cand), "g").groupBy("g").agg(*aggs)
     hot_dup = (
         (F.col("__ndocs") >= min_docs)
         if min_docs > 2
         else (F.col("__keeper") != F.col("__maxid"))
     )
     hot = per_gram.select("g", "__keeper", hot_dup.alias("__hotdup"))
-    tagged = grams.join(F.broadcast(hot), "g", "left")
+    tagged = grams.join(hint(hot), "g", "left")
     hot_flags = tagged.where(F.col("__hotdup").isNotNull())
     cold = tagged.where(F.col("__hotdup").isNull()).select("id", "pos", "g")
     return hot_flags, cold

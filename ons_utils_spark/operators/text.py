@@ -650,8 +650,11 @@ def bm25_scores(
     would grow the plan O(|query|)).
 
     Scale: tokens filter to the query vocabulary BEFORE the shuffle
-    (map-side ``isin`` over a literal set — the corpus never shuffles
-    full text), document frequencies are a ≤ |query|-row broadcast,
+    (broadcast semi-join against the |query|-row vocabulary — the same
+    predicate shape as :func:`bm25_batch_topk`, one code path; an
+    ``isin`` literal would bake O(|query|) terms into the plan for a
+    wide term profile), document frequencies are a ≤ |query|-row
+    broadcast,
     and N/avgdl fold in as the package's usual 1-row broadcast
     aggregate. Two corpus passes — the stats aggregate and the gram
     pass — and no pass materializes token arrays (cheaper at corpus
@@ -667,6 +670,9 @@ def bm25_scores(
     ]
     if not qt:
         raise ValueError("query_terms must contain at least one term")
+    vocab = df.sparkSession.createDataFrame(
+        [(t,) for t in qt], "term string"
+    )
 
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -682,7 +688,7 @@ def bm25_scores(
         "id",
         F.size("__toks").alias("__dl"),
         F.explode("__toks").alias("term"),
-    ).where(F.col("term").isin(qt))
+    ).join(F.broadcast(vocab), "term", "left_semi")
     # The query-term TF table feeds both the document-frequency
     # aggregate and the scoring join — materialized once (it is tiny:
     # only query-vocabulary hits survive the filter) so each consumer
@@ -756,10 +762,13 @@ def bm25_batch_topk(
     all benchmark prompts / topic profiles against the corpus in one
     job instead of one :func:`bm25_topk` driver round-trip per query.
 
-    ``queries`` is ``(query_id, terms array<string>)``. Same scoring
-    as :func:`bm25_scores`; document frequencies are per-term over the
-    corpus (query-independent, computed once however many queries share
-    a term).
+    ``queries`` is ``(query_id, terms array<string>)``; a NULL or
+    empty ``terms`` array raises up front (same contract as
+    :func:`bm25_scores` — the explode would otherwise silently drop
+    the query, masking a malformed query table as "no matches").
+    Same scoring as :func:`bm25_scores`; document frequencies are
+    per-term over the corpus (query-independent, computed once however
+    many queries share a term).
 
     Determinism: a query matches a VARIABLE number of terms per doc, so
     the per-(query, doc) sum is taken in exact ``decimal(38,18)``
@@ -776,6 +785,25 @@ def bm25_batch_topk(
     QUERY — bounded partitions, never global.
     """
     from pyspark.sql import Window, functions as F
+
+    # Contract parity with bm25_scores (which raises on an empty term
+    # list): a query whose terms array is NULL or empty would silently
+    # vanish in the explode below — "no matches" masking a malformed
+    # query table. The probe is one job over the (tiny) query table.
+    bad = (
+        queries.where(
+            F.col(terms_col).isNull() | (F.size(terms_col) == 0)
+        )
+        .select(F.col(query_id_col).alias("qid"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"query {bad[0]['qid']!r} has a NULL or empty {terms_col!r} "
+            "array — every query must carry at least one term (the "
+            "single-query bm25_scores raises the same way)"
+        )
 
     qt = (
         queries.select(

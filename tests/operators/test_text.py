@@ -668,3 +668,20 @@ class TestBm25Batch:
         assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
                    for v in per_q.values())
         assert set(per_q) == {1, 2}
+
+    def test_null_or_empty_terms_raise(self, spark):
+        # Contract parity with bm25_scores: a NULL/empty terms array
+        # would silently vanish in the explode ("no matches" masking a
+        # malformed query table) — must raise up front instead.
+        import pytest
+
+        from ons_utils_spark.operators.text import bm25_batch_topk
+
+        df = self._corpus(spark)
+        for bad_terms in (None, []):
+            queries = spark.createDataFrame(
+                [(1, ["spark"]), (2, bad_terms)],
+                "query_id bigint, terms array<string>",
+            )
+            with pytest.raises(ValueError, match="NULL or empty"):
+                bm25_batch_topk(df, "doc_id", "text", queries, topk=2)

@@ -28,7 +28,7 @@ sort). IVF partitioning composes on top: bucket by a coarse quantizer
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, NamedTuple, Sequence, Tuple
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
@@ -309,9 +309,13 @@ def ivf_pq_build(
     )
     # Geometry tag: codes from one geometry scored in the other are
     # plausible-looking garbage, so ivf_pq_topk rejects a flag mismatch
-    # whenever the coded frame still carries this attribute (a table
-    # round-tripped through parquet loses it — the flag contract is
-    # then on the caller, as documented).
+    # whenever the coded frame still carries this attribute. It is a
+    # PYTHON attribute on this specific DataFrame object — ANY
+    # DataFrame-producing call (select/where/cache, not just a parquet
+    # round-trip) returns a NEW object without it, silently disarming
+    # the guard. The durable contract is the saved index:
+    # save_ivf_pq_index persists the flag and ivf_pq_query scores with
+    # the STORED geometry, so serving paths never rely on this tag.
     coded._ons_ivfpq_residual = bool(by_residual)
     return coded, coarse, codebooks
 
@@ -359,6 +363,14 @@ def ivf_pq_topk(
         # Checked BEFORE list selection: the probe-ordering dots zip()
         # against the coarse centroids and would silently truncate.
         raise ValueError(f"query dim {len(q)} != m*sub_d = {dim}")
+    if coarse_centroids and len(coarse_centroids[0]) != dim:
+        # Same silent-truncation hazard from the other side: a coarse
+        # table wider than the query zip()s short in _py_dot (and in
+        # the residual subtraction), probing the wrong lists.
+        raise ValueError(
+            f"coarse centroid dim {len(coarse_centroids[0])} != "
+            f"codebook geometry m*sub_d = {dim}"
+        )
     qq = _py_dot(q, q)
     by_dist = sorted(
         (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
@@ -404,6 +416,247 @@ def ivf_pq_topk(
         .select("id", F.round(score, round_dp).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
         .limit(topk)
+    )
+
+
+class IvfPqIndex(NamedTuple):
+    """Durable IVF×PQ index artifact: everything a serving session needs
+    to answer queries WITHOUT retraining — the coarse centroids, the
+    per-subspace codebooks, and the geometry flags the build↔query guard
+    validates against. ``fingerprint`` is a content hash over all of it,
+    recomputed on :func:`load_ivf_pq_index` so a corrupted or
+    hand-edited store fails loudly instead of probing wrong lists.
+
+    Unlike the ``_ons_ivfpq_residual`` Python attribute (lost on any
+    DataFrame transformation), this carries ``by_residual`` IN the
+    artifact — :func:`ivf_pq_query` always scores with the stored
+    geometry. ``coarse_centroids == []`` is a valid plain-PQ index
+    (codebooks only; query it with :func:`pq_adc_topk`)."""
+
+    coarse_centroids: List[List[float]]
+    codebooks: List[List[List[float]]]
+    by_residual: bool
+    round_dp: int
+    fingerprint: str
+
+    @property
+    def n_lists(self) -> int:
+        return len(self.coarse_centroids)
+
+    @property
+    def m(self) -> int:
+        return len(self.codebooks)
+
+    @property
+    def k(self) -> int:
+        return len(self.codebooks[0])
+
+    @property
+    def sub_d(self) -> int:
+        return len(self.codebooks[0][0])
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.sub_d
+
+
+def _index_fingerprint(
+    coarse: List[List[float]],
+    codebooks: List[List[List[float]]],
+    by_residual: bool,
+    round_dp: int,
+) -> str:
+    """Deterministic content hash (sha256 hex, 16 chars) over the full
+    index payload. ``repr`` of a Python float is exact (shortest
+    round-trip form), so bit-identical codebooks hash identically and
+    any single-ulp corruption changes the digest."""
+    import hashlib
+
+    payload = repr((
+        [[float(x) for x in c] for c in coarse],
+        [[[float(x) for x in c] for c in cb] for cb in codebooks],
+        bool(by_residual),
+        int(round_dp),
+    ))
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
+
+
+def make_ivf_pq_index(
+    coarse_centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    by_residual: bool = False,
+    round_dp: int = 6,
+) -> IvfPqIndex:
+    """Wrap :func:`ivf_pq_build` (or :func:`pq_build`) outputs as a
+    fingerprinted :class:`IvfPqIndex`. Validates internal geometry —
+    ragged codebooks or coarse centroids whose width disagrees with
+    ``m × sub_d`` are rejected at construction, not at query time."""
+    if not codebooks or not codebooks[0] or not codebooks[0][0]:
+        raise ValueError("codebooks must be a non-empty m×k×sub_d list")
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub_d = len(codebooks[0][0])
+    for i, cb in enumerate(codebooks):
+        if len(cb) != k or any(len(c) != sub_d for c in cb):
+            raise ValueError(
+                f"codebook {i} is ragged — expected {k} centroids of "
+                f"dim {sub_d}"
+            )
+    coarse = [[float(x) for x in c] for c in coarse_centroids]
+    if coarse and any(len(c) != m * sub_d for c in coarse):
+        raise ValueError(
+            f"coarse centroid dim != codebook geometry m*sub_d = "
+            f"{m * sub_d}"
+        )
+    cbs = [[[float(x) for x in c] for c in cb] for cb in codebooks]
+    return IvfPqIndex(
+        coarse_centroids=coarse,
+        codebooks=cbs,
+        by_residual=bool(by_residual),
+        round_dp=int(round_dp),
+        fingerprint=_index_fingerprint(
+            coarse, cbs, by_residual, round_dp
+        ),
+    )
+
+
+_INDEX_FORMAT_VERSION = 1
+
+
+def save_ivf_pq_index(spark, index: IvfPqIndex, path: str) -> None:
+    """Persist an :class:`IvfPqIndex` as two small parquet tables under
+    ``path`` — ``vectors/`` (one row per coarse centroid / codebook
+    entry) and ``meta/`` (one row: geometry flags + fingerprint).
+
+    This is the artifact :mod:`sources.store` never had a shape for
+    (index payloads aren't mergeable deltas): a serving session calls
+    :func:`load_ivf_pq_index` instead of re-running ``m`` Lloyd fits,
+    and the build↔query geometry guard validates against the STORED
+    flags rather than a Python attribute that any transformation drops.
+    ``meta/`` is written LAST, so a crash mid-save leaves a store that
+    :func:`load_ivf_pq_index` rejects (no meta) rather than a silently
+    truncated index. Overwrites any index already at ``path`` (same
+    non-ACID stance as the rest of ``sources/`` — an ACID table format
+    is the production answer for concurrent readers).
+    """
+    rows = [
+        ("coarse", -1, j, c) for j, c in enumerate(index.coarse_centroids)
+    ] + [
+        ("codebook", i, j, c)
+        for i, cb in enumerate(index.codebooks)
+        for j, c in enumerate(cb)
+    ]
+    vectors = spark.createDataFrame(
+        rows, "component string, subspace int, idx int, vec array<double>"
+    )
+    meta = spark.createDataFrame(
+        [(
+            _INDEX_FORMAT_VERSION, index.by_residual, index.round_dp,
+            index.n_lists, index.m, index.k, index.sub_d,
+            index.fingerprint,
+        )],
+        "format_version int, by_residual boolean, round_dp int, "
+        "n_lists int, m int, k int, sub_d int, fingerprint string",
+    )
+    # coalesce(1): the whole payload is n_lists + m·k rows — a FAISS
+    # IVF65536,PQ16x8 geometry is ~70k rows, still one small file.
+    vectors.coalesce(1).write.mode("overwrite").parquet(f"{path}/vectors")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
+    """Load an index written by :func:`save_ivf_pq_index`, verifying the
+    stored fingerprint against a recomputation over the loaded payload —
+    round-tripped doubles are bit-exact in parquet, so any mismatch
+    means corruption or a hand-edited store, and querying with it would
+    return plausible-looking garbage. The collect is bounded by the
+    index geometry (``n_lists + m·k`` rows), never by corpus size."""
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"index meta at {path!r} has {len(meta_rows)} rows — "
+            "expected exactly 1; the store is corrupt or not an index"
+        )
+    meta = meta_rows[0]
+    if meta["format_version"] != _INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index at {path!r} has format_version "
+            f"{meta['format_version']} — this build reads "
+            f"{_INDEX_FORMAT_VERSION}"
+        )
+    rows = spark.read.parquet(f"{path}/vectors").collect()
+    coarse_rows = sorted(
+        (r["idx"], list(r["vec"])) for r in rows if r["component"] == "coarse"
+    )
+    cb_rows = {}
+    for r in rows:
+        if r["component"] == "codebook":
+            cb_rows.setdefault(r["subspace"], []).append(
+                (r["idx"], list(r["vec"]))
+            )
+    coarse = [v for _, v in coarse_rows]
+    codebooks = [
+        [v for _, v in sorted(cb_rows[i])] for i in sorted(cb_rows)
+    ]
+    if (
+        len(coarse) != meta["n_lists"]
+        or len(codebooks) != meta["m"]
+        or any(len(cb) != meta["k"] for cb in codebooks)
+        or any(len(c) != meta["sub_d"] for cb in codebooks for c in cb)
+        or sorted(cb_rows) != list(range(meta["m"]))
+        or [j for j, _ in coarse_rows] != list(range(meta["n_lists"]))
+    ):
+        raise ValueError(
+            f"index at {path!r} does not match its meta geometry "
+            f"(n_lists={meta['n_lists']}, m={meta['m']}, k={meta['k']}, "
+            f"sub_d={meta['sub_d']}) — the store is corrupt"
+        )
+    index = IvfPqIndex(
+        coarse_centroids=coarse,
+        codebooks=codebooks,
+        by_residual=bool(meta["by_residual"]),
+        round_dp=int(meta["round_dp"]),
+        fingerprint=meta["fingerprint"],
+    )
+    expected = _index_fingerprint(
+        coarse, codebooks, index.by_residual, index.round_dp
+    )
+    if expected != meta["fingerprint"]:
+        raise ValueError(
+            f"index at {path!r} fails its fingerprint check "
+            f"(stored {meta['fingerprint']}, recomputed {expected}) — "
+            "the payload was corrupted or edited after save"
+        )
+    return index
+
+
+def ivf_pq_query(
+    coded: SparkDF,
+    index: IvfPqIndex,
+    query_vec: Sequence[float],
+    n_probe: int = 2,
+    topk: int = 10,
+) -> SparkDF:
+    """:func:`ivf_pq_topk` driven by a (loaded) :class:`IvfPqIndex` —
+    the serving entry point: geometry, residual flag, and rounding all
+    come from the STORED artifact, so a session that never ran the
+    build cannot pass mismatched flags. ``coded`` is the persisted
+    coded table (id, codes, __list — written ``partitionBy("__list")``
+    so the probe prunes partitions)."""
+    if not index.coarse_centroids:
+        raise ValueError(
+            "index has no coarse centroids (plain-PQ index) — query it "
+            "with pq_adc_topk(coded, index.codebooks, ...)"
+        )
+    return ivf_pq_topk(
+        coded,
+        index.coarse_centroids,
+        index.codebooks,
+        query_vec,
+        n_probe=n_probe,
+        topk=topk,
+        round_dp=index.round_dp,
+        by_residual=index.by_residual,
     )
 
 

@@ -416,3 +416,130 @@ class TestIvfPqGuards:
                     coded, coarse, cbs, [1.0, 2.0], n_probe=2,
                     by_residual=flag,
                 )
+
+    def test_coarse_dim_mismatch_raises(self, spark):
+        # A coarse table WIDER than the query would silently zip-truncate
+        # in the probe-selection dots (and the residual subtraction),
+        # probing the wrong lists — must raise instead.
+        vecs, (coded, coarse, cbs) = self._build(spark)
+        wide = [c + [0.0, 0.0] for c in coarse]
+        with pytest.raises(ValueError, match="coarse centroid dim"):
+            pq.ivf_pq_topk(coded, wide, cbs, vecs[0], n_probe=2)
+
+
+class TestIndexPersistence:
+    def _build(self, spark, by_residual=False):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        df = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=by_residual,
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs, by_residual=by_residual)
+        return vecs, coded, idx
+
+    def test_round_trip_bit_identical(self, spark, tmp_path):
+        for flag in (False, True):
+            vecs, coded, idx = self._build(spark, by_residual=flag)
+            path = str(tmp_path / f"idx_{flag}")
+            pq.save_ivf_pq_index(spark, idx, path)
+            loaded = pq.load_ivf_pq_index(spark, path)
+            # The whole artifact survives: geometry, flags, fingerprint,
+            # every centroid double bit-for-bit.
+            assert loaded == idx
+            fresh = pq.ivf_pq_topk(
+                coded, idx.coarse_centroids, idx.codebooks, vecs[3],
+                n_probe=2, topk=5, by_residual=flag,
+            ).collect()
+            served = pq.ivf_pq_query(
+                coded, loaded, vecs[3], n_probe=2, topk=5
+            ).collect()
+            assert [tuple(r) for r in served] == [tuple(r) for r in fresh]
+
+    def test_loaded_flag_drives_scoring(self, spark, tmp_path):
+        # The serving path takes by_residual from the STORED artifact —
+        # no way to pass a mismatched flag, unlike the raw ivf_pq_topk
+        # call whose Python-attribute guard dies on any transformation.
+        vecs, coded, idx = self._build(spark, by_residual=True)
+        path = str(tmp_path / "idx_res")
+        pq.save_ivf_pq_index(spark, idx, path)
+        loaded = pq.load_ivf_pq_index(spark, path)
+        assert loaded.by_residual is True
+        # Survives a transformation that strips the Python attribute.
+        transformed = coded.select("id", "codes", "__list")
+        got = pq.ivf_pq_query(
+            transformed, loaded, vecs[0], n_probe=4, topk=3
+        ).collect()
+        assert len(got) == 3
+
+    def test_corrupted_payload_fails_fingerprint(self, spark, tmp_path):
+        vecs, coded, idx = self._build(spark)
+        path = str(tmp_path / "idx")
+        pq.save_ivf_pq_index(spark, idx, path)
+        # Overwrite the vectors table with a single-ulp perturbation of
+        # one centroid — same geometry, different content.
+        bad_cbs = [
+            [list(c) for c in cb] for cb in idx.codebooks
+        ]
+        import math
+
+        bad_cbs[0][0][0] = math.nextafter(bad_cbs[0][0][0], math.inf)
+        bad = pq.make_ivf_pq_index(
+            idx.coarse_centroids, bad_cbs, idx.by_residual, idx.round_dp
+        )
+        rows = [
+            ("coarse", -1, j, c)
+            for j, c in enumerate(bad.coarse_centroids)
+        ] + [
+            ("codebook", i, j, c)
+            for i, cb in enumerate(bad.codebooks)
+            for j, c in enumerate(cb)
+        ]
+        spark.createDataFrame(
+            rows,
+            "component string, subspace int, idx int, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/vectors")
+        with pytest.raises(ValueError, match="fingerprint"):
+            pq.load_ivf_pq_index(spark, path)
+
+    def test_partial_save_rejected(self, spark, tmp_path):
+        # meta/ is written last; a store without it (crash mid-save)
+        # must not load.
+        vecs, coded, idx = self._build(spark)
+        path = str(tmp_path / "idx")
+        pq.save_ivf_pq_index(spark, idx, path)
+        import shutil
+
+        shutil.rmtree(f"{path}/meta")
+        with pytest.raises(Exception):
+            pq.load_ivf_pq_index(spark, path)
+
+    def test_plain_pq_index_round_trip(self, spark, tmp_path):
+        df = _emb_df(
+            spark,
+            [[((i * 5 + j) % 7) / 6.0 for j in range(8)] for i in range(20)],
+        )
+        codes, cbs = pq.pq_build(df, dim=8, m=2, k=2, n_iter=1)
+        idx = pq.make_ivf_pq_index([], cbs)
+        path = str(tmp_path / "plain")
+        pq.save_ivf_pq_index(spark, idx, path)
+        loaded = pq.load_ivf_pq_index(spark, path)
+        assert loaded == idx
+        with pytest.raises(ValueError, match="plain-PQ"):
+            pq.ivf_pq_query(codes, loaded, [0.0] * 8)
+        top = pq.pq_adc_topk(codes, loaded.codebooks, [0.0] * 8, topk=2)
+        assert len(top.collect()) == 2
+
+    def test_make_index_validates_geometry(self, spark):
+        _, _, idx = self._build(spark)
+        ragged = [list(cb) for cb in idx.codebooks]
+        ragged[0] = ragged[0][:1]
+        with pytest.raises(ValueError, match="ragged"):
+            pq.make_ivf_pq_index(idx.coarse_centroids, ragged)
+        with pytest.raises(ValueError, match="coarse centroid dim"):
+            pq.make_ivf_pq_index(
+                [[0.0] * 5 for _ in range(4)], idx.codebooks
+            )

@@ -6981,6 +6981,54 @@ def q_similarity_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_similarity_ivf_pq_persisted",
+    oracle=_ivf_pq_residual_oracle(8, 2, 4, 16, 1, 6, 64, 7, 2, 20),
+    description="IVF×PQ served from a PERSISTED index artifact "
+    "(operators/pq.py::make_ivf_pq_index/save_ivf_pq_index/"
+    "load_ivf_pq_index/ivf_pq_query): the residual-encoded build's "
+    "coarse centroids + codebooks + geometry flags round-trip through "
+    "the two-table parquet store (vectors + meta, content-fingerprint "
+    "validated on load), and the query is answered by ivf_pq_query "
+    "driven ENTIRELY by the loaded artifact — the coded table is "
+    "re-selected first, stripping the in-session Python geometry tag, "
+    "so the stored by_residual flag alone picks the scoring path. "
+    "Bit-identical to the in-session q_similarity_ivf_pq_residual "
+    "plan at a different query point: the oracle replays the full "
+    "residual chain — persistence must not perturb a single double. "
+    "This is the serving story: a session that never trained anything "
+    "loads ~n_lists + m·k rows and answers queries.",
+)
+def q_similarity_ivf_pq_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, coarse, cbs = _pq.ivf_pq_build(
+        emb, "vec_id", "embedding", dim=64, n_lists=8, m=4, k=16,
+        coarse_iter=2, n_iter=1, by_residual=True,
+    )
+    idx = _pq.make_ivf_pq_index(coarse, cbs, by_residual=True)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    try:
+        _pq.save_ivf_pq_index(spark, idx, tmp)
+        loaded = _pq.load_ivf_pq_index(spark, tmp)
+    finally:
+        # load_ivf_pq_index collects the payload driver-side — the
+        # returned plan never touches the store again.
+        shutil.rmtree(tmp, ignore_errors=True)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    ]
+    return _pq.ivf_pq_query(
+        coded.select("id", "codes", "__list"), loaded, q,
+        n_probe=2, topk=20,
+    )
+
+
 _BM25_TERMS = ("vector", "stream", "merge")
 
 #: Both oracle fragments derive from the SAME tuple (a hardcoded twin
@@ -7117,19 +7165,19 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `no_oracle` rows.
 
 _GRADING_ORDER = [
-    # -- aggregation family --------------------------------------------
+    # -- aggregation family (r10: q_rollup_sales / q_grouping_sets /
+    # q_pivot_segment_by_status — graded green since r1, no shuffle
+    # shape left to regress — rotate to the tail; q1 stays as the
+    # family's graded representative) ----------------------------------
     "q1_pricing_summary",
-    "q_rollup_sales",
-    "q_grouping_sets",
-    "q_pivot_segment_by_status",
     # -- join family (r6: two of the eight graded join variants rotated
     # to the tail — semi/outer joins stay covered by q3/q5/anti shapes —
     # to make room for q_pagerank and q_count_min_sketch, the two
     # strongest oracle classes among the r5 families: a CTE-unrolled
-    # iterative recurrence and a bit-exact sketch-cell recomputation) --
-    "q3_shipping_priority",
+    # iterative recurrence and a bit-exact sketch-cell recomputation;
+    # r10: q3 and the distinct-combos parity shape follow — q5 keeps
+    # the TPC-H join family graded) ------------------------------------
     "q5_local_supplier_volume",
-    "q_nations_customers_and_suppliers",
     "q_asof_join",
     "q_range_join",
     "q_llm_data_pipeline",
@@ -7142,25 +7190,30 @@ _GRADING_ORDER = [
     # sketch family; q_first_group_orders (simple window shape, graded
     # green since r1, parity op also pytest-pinned) moves to the tail.
     "q_kmv_distinct_grouped",
-    # -- window / rank family --------------------------------------------
+    # -- window / rank family (r10: q_rank_functions and the year-span
+    # grouped-apply rotate to the tail — q_topk_orders_per_customer
+    # keeps window functions graded, q_grouped_apply_spend_share keeps
+    # the pandas grouped-apply parity op graded) -----------------------
     "q_topk_orders_per_customer",
-    "q_rank_functions",
     "q_fuzzy_name_pairs",
-    "q_year_span_ffill",
     "q_grouped_apply_spend_share",
     # -- TPC-H-style relational mix ---------------------------------------
     # r8 rotation (3): q_null_semantics (expression-only null-handling
     # shapes, long green, still full-registry-checked in the tail) swaps
     # out for the deterministic-Lloyd clustering oracle class.
     "q_kmeans_clusters",
+    # r10: sample-trained k-means (train_on contract, xxh64 filter
+    # replayed in SQL) — never driver-graded before
+    "q_kmeans_sampled",
     # (r9: q_first_group_orders / q_priority_late_orders /
     # q_top_return_customers rotated to the tail — simple filter/agg and
     # join shapes whose families keep 8+ graded representatives — for
     # the r8 families that had never been driver-graded, below)
-    # -- reference-parity operators ---------------------------------------
+    # -- reference-parity operators (r10: q_map_col_region_names — simple
+    # lookup join, graded green since r1 — rotates to the tail; the
+    # parity family keeps both concat shapes) --------------------------
     "q_concat_with_keys",
     "q_concat_schema_coercion",
-    "q_map_col_region_names",
     # r8 rotation: q_scalar_functions / q_json_props (long-green simple
     # expression shapes, still full-registry-checked in the tail) swap
     # out for the two strongest never-graded r6 oracle classes — Bloom
@@ -7173,6 +7226,9 @@ _GRADING_ORDER = [
     # replayed in SQL — takes the slot of q_array_diff (expression-only
     # zip_with shape, long green, still full-registry-checked).
     "q_self_dedup_spans",
+    # r10: the incremental exact-substring form (durable gram index,
+    # n-mix validated) — never driver-graded before
+    "q_self_dedup_incremental",
     # r8 rotation (3): q_except_all_priorities (bag-semantics set op,
     # long green; the union family stays graded via both q_concat_*)
     # swaps out for the SemDeDup pruning oracle class (clustering +
@@ -7188,6 +7244,10 @@ _GRADING_ORDER = [
     "q_dedup_clusters",
     "q_embedding_near_dup",
     "q_similarity_topk",
+    # r10: one-permutation MinHash (bit-exact lane oracle) and the
+    # SemDeDup composition — both never driver-graded before
+    "q_oph_minhash",
+    "q_semantic_dedup",
     # r9 rotation: the PQ family enters the graded window — ADC scoring
     # (4 subspace trainings replayed in SQL) and the new IVF×PQ
     # composition (coarse Lloyd + probe-list selection + restricted ADC
@@ -7195,11 +7255,19 @@ _GRADING_ORDER = [
     # (expression-only row-local shapes, graded green since r1).
     "q_pq_adc_scores",
     "q_similarity_ivf_pq",
+    # r10: the residual (IVFADC) refinement and the round's flagship —
+    # serving from the persisted, fingerprint-validated index artifact
+    "q_similarity_ivf_pq_residual",
+    "q_similarity_ivf_pq_persisted",
     # -- text analytics (r9: C4 line-level cleaning replaces the two
     # rotated expression shapes as the family's graded representative;
     # q_chunk_documents rotated out — row-local chunking, long green) --
     "q_c4_line_clean",
     "q_tfidf_top_terms",
+    # r10: Okapi BM25 retrieval (single + batch query-table forms) —
+    # the query-driven-curation primitives, never driver-graded before
+    "q_bm25_topk",
+    "q_bm25_batch",
     "q_hard_negatives",
     # r9: the multi-table SRP recall lever, never driver-graded before
     "q_hard_negatives_srp_multi",
@@ -7215,8 +7283,8 @@ _GRADING_ORDER = [
     # recomputation, the strongest check class in the registry.
     "q_dsir_weights",
     "q_view_to_click_attribution",
-    # -- sampling / mixture -------------------------------------------------
-    "q_hash_split",
+    # -- sampling / mixture (r10: q_hash_split — row-local hash bucketing,
+    # graded green since r1 — rotates to the tail) ----------------------
     "q_corpus_mixture",
     # -- multimodal ---------------------------------------------------------
     "q_multimodal_features",
@@ -7227,6 +7295,8 @@ _GRADING_ORDER = [
     # r9: categorical PSI drift (reference-anchored category space) —
     # the profiling family's second graded representative
     "q_psi_drift_categorical",
+    # r10: the numeric-bin PSI form — never driver-graded before
+    "q_psi_drift",
     # ---- end of the driver's 50-slot graded window ----------------------
     "q_customers_with_open_orders",
     "q_outer_join_order_counts",
@@ -7275,7 +7345,6 @@ _GRADING_ORDER = [
     "q_brand_quantity_revenue",
     "q_rich_idle_customers",
     "q_heavy_revenue_parts",
-    "q_semantic_dedup",
     "q_pack_sequences",
     "q_redact_pii",
     "q_priority_line_mix",
@@ -7330,34 +7399,32 @@ _GRADING_ORDER = [
     # r6: the SRP-bucketed hard-negatives scale path, full value oracle
     # (plane constants inlined; bucket+multiprobe+ranking replayed in SQL)
     "q_hard_negatives_srp",
-    # r6: one-permutation MinHash signatures, bit-exact lane oracle
-    "q_oph_minhash",
     # r6: directed PageRank with dangling-mass redistribution (oracle
     # unrolls the recurrence incl. a per-iteration dangling-mass CTE)
     "q_pagerank_directed",
     # r6: span-level decontamination, redaction half
     "q_redacted_corpus",
-    # r8: suffix-array-style exact-substring dedup (composed + incremental
-    # forms; the spans form itself is in the graded window)
+    # r8: suffix-array-style exact-substring dedup, composed form (the
+    # spans form and — r10 — the incremental form are graded)
     "q_self_dedup_corpus",
-    "q_self_dedup_incremental",
-    # r8: PSI drift gate, numeric bins (categorical form graded, r9)
-    "q_psi_drift",
     # r8: bottom-k (KMV) sketch family — mergeable distinct count and
     # deterministic hash-sample quantiles, xxh64 chain replayed in SQL
     # (grouped form graded, r9)
     "q_kmv_distinct",
     "q_sample_quantiles",
-    # r9: sample-trained k-means — the train_on contract (sampled fit,
-    # full assignment) with the xxh64 filter replayed in SQL
-    "q_kmeans_sampled",
-    # r9: Okapi BM25 retrieval — query-driven corpus curation
-    # (single query + the batch query-table form)
-    "q_bm25_topk",
-    "q_bm25_batch",
-    # r9: residual-encoded IVF×PQ (FAISS IVFADC) — the raw-encoding
-    # composition's refinement; the spans form is in the graded window
-    "q_similarity_ivf_pq_residual",
+    # r10: rotated OUT of the graded window (graded green since r1-r2,
+    # simple agg/join/window/lookup shapes whose families keep graded
+    # representatives — see the window comments) to admit the eight
+    # never-driver-graded classes plus q_similarity_ivf_pq_persisted
+    "q_rollup_sales",
+    "q_grouping_sets",
+    "q_pivot_segment_by_status",
+    "q3_shipping_priority",
+    "q_nations_customers_and_suppliers",
+    "q_rank_functions",
+    "q_year_span_ffill",
+    "q_hash_split",
+    "q_map_col_region_names",
     # r9: rotated OUT of the graded window (long-green shapes whose
     # families keep graded representatives) to admit the six r8 families
     # above plus q_similarity_ivf_pq; still full-registry-checked here

@@ -199,11 +199,84 @@ def _subspace_luts(
     return luts
 
 
+# Max TOTAL plan literals (m·k raw, n_probe·m·k residual) before
+# "auto" moves the ADC LUT fold off the literal-codegen path: measured
+# (tools/pq_lut_probe.py, min-of-4) 512 literals ≈ 0.21 s/query but
+# 4,096 ≈ 2.0 s and 32,768 (FAISS-standard m=16, k=256, n_probe=8)
+# ≈ 14.8 s — Catalyst/Janino pay per literal on EVERY query's fresh
+# plan. Past this cap the same fold runs as one Arrow pass (identical
+# IEEE add order, bit-identical scores — pinned in tests).
+_ADC_LITERAL_MAX = 1024
+
+
+def _resolve_adc_method(method: str, n_literals: int) -> str:
+    if method not in ("auto", "literal", "arrow"):
+        raise ValueError(
+            f"method must be 'auto', 'literal', or 'arrow' (got {method!r})"
+        )
+    if method == "auto":
+        return "literal" if n_literals <= _ADC_LITERAL_MAX else "arrow"
+    return method
+
+
+def _adc_arrow(
+    codes: SparkDF,
+    luts,
+    probe: "List[int] | None" = None,
+) -> SparkDF:
+    """One Arrow pass computing the ADC fold ``Σ_i LUT[..][codes[i]]``
+    as ``__adc_sum`` (unrounded — the caller rounds Spark-side, same
+    ``F.round`` as the literal path). The adds run per-subspace in the
+    SAME sequential order as the literal fold, elementwise in float64 —
+    bit-identical scores, only the execution engine differs.
+
+    ``probe=None`` is the raw path (``luts`` is ``m × k``);
+    with ``probe``, ``luts`` is ``n_probe × m × k`` and each row's
+    tables are picked by its ``__list``'s probe position (the residual
+    path — rows are already filtered to probed lists)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    lut_arr = np.asarray(luts, dtype=np.float64)
+    m = lut_arr.shape[0] if probe is None else lut_arr.shape[1]
+    pmap = None if probe is None else {int(l): p for p, l in enumerate(probe)}
+    schema = StructType(
+        list(codes.schema.fields) + [StructField("__adc_sum", DoubleType())]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            if probe is None:
+                s = lut_arr[0][C[:, 0]].copy()
+                for i in range(1, m):
+                    s = s + lut_arr[i][C[:, i]]
+            else:
+                pos = np.fromiter(
+                    (pmap[int(l)] for l in pdf["__list"]),
+                    dtype=np.int64, count=n,
+                )
+                s = lut_arr[pos, 0, C[:, 0]].copy()
+                for i in range(1, m):
+                    s = s + lut_arr[pos, i, C[:, i]]
+            out = pdf.copy()
+            out["__adc_sum"] = s
+            yield out
+
+    return codes.mapInPandas(gen, schema)
+
+
 def pq_adc_scores(
     codes: SparkDF,
     codebooks: List[List[List[float]]],
     query_vec: Sequence[float],
     round_dp: int = 6,
+    method: str = "auto",
 ) -> SparkDF:
     """Asymmetric distance of EVERY coded vector to ``query_vec``.
 
@@ -212,10 +285,23 @@ def pq_adc_scores(
     engines use) folds into a row-local expression: the score of a coded
     vector is ``Σ_i LUT[i][codes[i]]`` — ``m`` array lookups, no float
     vector touched. Returns ``(id, codes, adc_dist)``.
+
+    ``method``: ``"literal"`` folds the LUT as ``m × k`` plan literals
+    (whole-stage codegen, zero Python — right at small geometry);
+    ``"arrow"`` runs the same fold as one Arrow pass (right at
+    FAISS-standard k=256, where literal codegen pays seconds per plan —
+    measured in SCALING.md §PQ geometry); ``"auto"`` (default) switches
+    at ``_ADC_LITERAL_MAX`` total literals. Scores are bit-identical
+    either way (same IEEE add order; pinned in tests).
     """
     m = len(codebooks)
     q = [float(v) for v in query_vec]
     luts = _subspace_luts(q, codebooks)
+    if _resolve_adc_method(method, m * len(codebooks[0])) == "arrow":
+        return _adc_arrow(codes, luts).select(
+            "id", "codes",
+            F.round(F.col("__adc_sum"), round_dp).alias("adc_dist"),
+        )
     score = None
     for i in range(m):
         term = F.element_at(
@@ -329,6 +415,7 @@ def ivf_pq_topk(
     topk: int = 10,
     round_dp: int = 6,
     by_residual: bool = False,
+    method: str = "auto",
 ) -> SparkDF:
     """Approximate top-``k`` from an IVF×PQ index: ADC-score only the
     ``n_probe`` lists whose coarse centroids are nearest the query.
@@ -348,6 +435,12 @@ def ivf_pq_topk(
     IVFADC), so each row's ``m`` lookups index a (probe-position,
     code) table — still a row-local expression, ``n_probe × m × k``
     driver-side distances to prepare. Must match the build flag.
+
+    ``method`` picks the LUT fold engine (see :func:`pq_adc_scores`):
+    the residual path's literal count is ``n_probe × m × k``, so
+    FAISS-standard geometry (k=256, n_probe=8) trips the ``"auto"``
+    switch to the Arrow fold — measured 14.8 s → sub-second per query
+    (SCALING.md §PQ geometry), scores bit-identical.
     """
     built_residual = getattr(coded, "_ons_ivfpq_residual", None)
     if built_residual is not None and built_residual != by_residual:
@@ -381,13 +474,14 @@ def ivf_pq_topk(
         return (
             pq_adc_scores(
                 coded.where(F.col("__list").isin(probe)),
-                codebooks, q, round_dp,
+                codebooks, q, round_dp, method=method,
             )
             .select("id", "adc_dist")
             .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
             .limit(topk)
         )
     m = len(codebooks)
+    k = len(codebooks[0])
     # Per probed list: query residual, then the shared per-subspace LUT
     # (one copy of the parity-critical fold, _subspace_luts).
     luts: List[List[List[float]]] = [
@@ -397,6 +491,17 @@ def ivf_pq_topk(
         )
         for lst in probe
     ]
+    filtered = coded.where(F.col("__list").isin(probe))
+    if _resolve_adc_method(method, len(probe) * m * k) == "arrow":
+        return (
+            _adc_arrow(filtered, luts, probe=probe)
+            .select(
+                "id",
+                F.round(F.col("__adc_sum"), round_dp).alias("adc_dist"),
+            )
+            .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
+            .limit(topk)
+        )
     pos = F.array_position(
         F.array(*[F.lit(int(lst)) for lst in probe]), F.col("__list")
     )
@@ -412,7 +517,7 @@ def ivf_pq_topk(
         )
         score = term if score is None else score + term
     return (
-        coded.where(F.col("__list").isin(probe))
+        filtered
         .select("id", F.round(score, round_dp).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
         .limit(topk)
@@ -636,6 +741,7 @@ def ivf_pq_query(
     query_vec: Sequence[float],
     n_probe: int = 2,
     topk: int = 10,
+    method: str = "auto",
 ) -> SparkDF:
     """:func:`ivf_pq_topk` driven by a (loaded) :class:`IvfPqIndex` —
     the serving entry point: geometry, residual flag, and rounding all
@@ -657,6 +763,7 @@ def ivf_pq_query(
         topk=topk,
         round_dp=index.round_dp,
         by_residual=index.by_residual,
+        method=method,
     )
 
 
@@ -666,6 +773,7 @@ def pq_adc_topk(
     query_vec: Sequence[float],
     topk: int = 10,
     round_dp: int = 6,
+    method: str = "auto",
 ) -> SparkDF:
     """Asymmetric-distance top-``k``: smallest approximate squared L2.
 
@@ -673,7 +781,7 @@ def pq_adc_topk(
     heaps, no global sort.
     """
     return (
-        pq_adc_scores(codes, codebooks, query_vec, round_dp)
+        pq_adc_scores(codes, codebooks, query_vec, round_dp, method=method)
         .select("id", "adc_dist")
         .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
         .limit(topk)

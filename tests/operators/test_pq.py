@@ -543,3 +543,63 @@ class TestIndexPersistence:
             pq.make_ivf_pq_index(
                 [[0.0] * 5 for _ in range(4)], idx.codebooks
             )
+
+
+class TestAdcMethodSwitch:
+    """The LUT fold has two engines — literal codegen and one Arrow
+    pass — that must agree bit-for-bit (same IEEE add order)."""
+
+    def _build(self, spark, by_residual=False):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(60)
+        ]
+        df = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=4, coarse_iter=1, n_iter=1,
+            by_residual=by_residual,
+        )
+        return vecs, coded, coarse, cbs
+
+    def test_resolve_thresholds(self):
+        assert pq._resolve_adc_method("auto", pq._ADC_LITERAL_MAX) == "literal"
+        assert pq._resolve_adc_method("auto", pq._ADC_LITERAL_MAX + 1) == "arrow"
+        assert pq._resolve_adc_method("literal", 10**6) == "literal"
+        assert pq._resolve_adc_method("arrow", 1) == "arrow"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="method"):
+            pq._resolve_adc_method("blas", 1)
+
+    def test_raw_scores_bit_identical(self, spark):
+        vecs, coded, coarse, cbs = self._build(spark)
+        q = vecs[5]
+        lit = pq.pq_adc_scores(coded, cbs, q, method="literal")
+        arr = pq.pq_adc_scores(coded, cbs, q, method="arrow")
+        lit_rows = {r["id"]: r["adc_dist"] for r in lit.collect()}
+        arr_rows = {r["id"]: r["adc_dist"] for r in arr.collect()}
+        assert lit_rows == arr_rows  # exact equality, not approx
+
+    def test_residual_topk_bit_identical(self, spark):
+        vecs, coded, coarse, cbs = self._build(spark, by_residual=True)
+        q = vecs[9]
+        lit = pq.ivf_pq_topk(
+            coded, coarse, cbs, q, n_probe=3, topk=15,
+            by_residual=True, method="literal",
+        ).collect()
+        arr = pq.ivf_pq_topk(
+            coded, coarse, cbs, q, n_probe=3, topk=15,
+            by_residual=True, method="arrow",
+        ).collect()
+        assert [tuple(r) for r in lit] == [tuple(r) for r in arr]
+
+    def test_raw_topk_bit_identical_via_ivf(self, spark):
+        vecs, coded, coarse, cbs = self._build(spark)
+        q = vecs[2]
+        lit = pq.ivf_pq_topk(
+            coded, coarse, cbs, q, n_probe=2, topk=10, method="literal"
+        ).collect()
+        arr = pq.ivf_pq_topk(
+            coded, coarse, cbs, q, n_probe=2, topk=10, method="arrow"
+        ).collect()
+        assert [tuple(r) for r in lit] == [tuple(r) for r in arr]

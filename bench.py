@@ -181,13 +181,23 @@ def run_trial() -> dict:
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
+    n_jobs: dict[str, int] = {}
+    tracker = spark.sparkContext.statusTracker()
     for name in HEADLINE:
         q = QUERIES[name]
         # First run (the headline number, methodology unchanged since r1):
         # includes this query's whole-stage-codegen compile + JIT.
+        # The run is tagged with its own job group so the JOB COUNT is
+        # recoverable afterwards (public statusTracker API) — the
+        # latency-corrected channel needs per-query job counts to
+        # subtract the fixed scheduling cost (latency_floor × n_jobs)
+        # before normalizing by the throughput probe.
+        spark.sparkContext.setJobGroup(f"bench_{name}", name)
         t0 = time.perf_counter()
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        n_jobs[name] = len(tracker.getJobIdsForGroup(f"bench_{name}"))
+        spark.sparkContext.setJobGroup(f"bench_steady_{name}", name)
         # Second run: steady-state plan cost, what a resident engine
         # (repeated query shapes, warm code cache) would see. Recorded as a
         # secondary metric — NOT folded into `value`.
@@ -220,6 +230,7 @@ def run_trial() -> dict:
         "shared16_steady": round(sum(steady[n] for n in HEADLINE[:16]), 3),
         "steady_total": round(sum(steady.values()), 3),
         "queries_steady": steady,
+        "queries_n_jobs": n_jobs,
         "calibration_sec": calibration,
         "latency_floor_sec": latency_floor,
     }
@@ -233,16 +244,35 @@ def median(xs: list[float]) -> float:
 
 
 def add_normalized(out: dict, trials: "list[dict] | None" = None) -> dict:
-    """Attach calibration-normalized channels (r7 verdict ask #8).
+    """Attach calibration-normalized channels (r7 verdict ask #8) and
+    the LATENCY-CORRECTED channel that supersedes them (r9 verdict #5).
 
     The bench host's speed drifts ±30% between rounds and ±12% between
     trials, which makes raw cross-round per-query comparison useless —
     r7's 'regressions' were entirely host drift. Dividing each trial's
     query times by that SAME trial's calibration probe (a fixed Spark
-    job independent of this repo's code) cancels the drift; the medians
-    of those ratios are the cross-round per-query trend line, in units
-    of 'calibration seconds'.
+    job independent of this repo's code) cancels THROUGHPUT drift; but
+    per-job LATENCY (stage launch + codegen, ~0.07 s/job) drifts
+    INDEPENDENTLY of throughput on this shared VM, and sf0.1 queries
+    are largely latency-bound — dividing them by a throughput-only
+    probe manufactured phantom regressions in both the r8 and r9
+    readings. The corrected channel subtracts each query's estimated
+    fixed scheduling cost first::
+
+        norm_lc = max(t − latency_floor × n_jobs, 0) / calibration
+
+    with ``n_jobs`` counted per query via its job group. ``*_norm_lc``
+    is THE cross-round number (the compact tail says so); the
+    uncorrected ``*_norm`` channels stay for continuity with r7–r9.
     """
+
+    def _lc(t: dict, q: str) -> float:
+        jobs = t.get("queries_n_jobs", {}).get(q)
+        if jobs is None:
+            return t["queries"][q] / t["calibration_sec"]
+        corrected = t["queries"][q] - t["latency_floor_sec"] * jobs
+        return max(corrected, 0.0) / t["calibration_sec"]
+
     if trials:
         norm = {
             q: median(
@@ -250,17 +280,34 @@ def add_normalized(out: dict, trials: "list[dict] | None" = None) -> dict:
             )
             for q in out["queries"]
         }
+        norm_lc = {
+            q: median([_lc(t, q) for t in trials]) for q in out["queries"]
+        }
         s16_steady = median(
             [t["shared16_steady"] / t["calibration_sec"] for t in trials]
+        )
+        out["shared16_steady_min"] = min(
+            t["shared16_steady"] for t in trials
         )
     else:
         cal = out["calibration_sec"]
         norm = {q: round(v / cal, 3) for q, v in out["queries"].items()}
+        norm_lc = {q: round(_lc(out, q), 3) for q in out["queries"]}
         s16_steady = round(out["shared16_steady"] / cal, 3)
+        out["shared16_steady_min"] = out["shared16_steady"]
     out["queries_normalized"] = norm
     out["value_norm"] = round(sum(norm.values()), 3)
     out["shared16_norm"] = round(sum(norm[n] for n in HEADLINE[:16]), 3)
     out["shared16_steady_norm"] = s16_steady
+    out["queries_norm_lc"] = norm_lc
+    out["value_norm_lc"] = round(sum(norm_lc.values()), 3)
+    out["shared16_norm_lc"] = round(
+        sum(norm_lc[n] for n in HEADLINE[:16]), 3
+    )
+    # The comparison rule, stated where the numbers land: compare rounds
+    # on shared16_norm_lc (latency-corrected, throughput-normalized);
+    # shared16_steady_min is the secondary warm-plan floor.
+    out["authoritative"] = "shared16_norm_lc"
     return out
 
 
@@ -292,17 +339,22 @@ def emit(out: dict) -> None:
             "latency_floor_sec",
             "value_norm",
             "shared16_norm",
-            "shared16_steady_norm",
+            "value_norm_lc",
+            "shared16_norm_lc",
+            "shared16_steady_min",
+            "authoritative",
         )
         if k in out
     }
     # Per-query normalized values travel as a LIST aligned with the
     # `queries` key order — a second 28-key map would outgrow the
     # driver's ~2000-char tail window and null the whole parse (the r4
-    # incident); the full dict is on the record line above.
-    if "queries_normalized" in out:
-        compact["norm"] = [
-            out["queries_normalized"][q] for q in out["queries"]
+    # incident); the full dicts are on the record line above. The list
+    # carries the AUTHORITATIVE (latency-corrected) channel; the
+    # uncorrected per-query map stays on the record line only.
+    if "queries_norm_lc" in out:
+        compact["norm_lc"] = [
+            out["queries_norm_lc"][q] for q in out["queries"]
         ]
     print(json.dumps(compact))
 
@@ -364,6 +416,10 @@ def main() -> None:
         "shared16_steady": round(sum(qs_med[n] for n in HEADLINE[:16]), 3),
         "steady_total": round(sum(qs_med.values()), 3),
         "queries_steady": qs_med,
+        "queries_n_jobs": {
+            q: median([t.get("queries_n_jobs", {}).get(q, 0) for t in trials])
+            for q in t0["queries"]
+        },
         "n_trials": n_trials,
         # Per-trial headline numbers + calibration: the spread IS the
         # error bar, and calibration drift flags host slowdown vs code.

@@ -735,6 +735,52 @@ def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
     return index
 
 
+def save_ivf_pq_table(
+    coded: SparkDF,
+    index: IvfPqIndex,
+    path: str,
+) -> None:
+    """Persist the WHOLE IVF×PQ serving artifact in one call: the coded
+    table partitioned by ``__list`` under ``<path>/coded`` (so a probe's
+    ``__list IN (...)`` filter prunes whole partition directories — the
+    billion-vector serving layout) and the fingerprinted index under
+    ``<path>/index``. :func:`load_ivf_pq_table` restores both; a serving
+    session then answers queries having trained nothing and read only
+    ``n_lists + m·k`` index rows plus the probed partitions."""
+    if "__list" not in coded.columns:
+        raise ValueError(
+            "coded table has no __list column — save_ivf_pq_table "
+            "persists an IVF×PQ build (ivf_pq_build output); for plain "
+            "PQ codes save the index alone and write the codes yourself"
+        )
+    if not index.coarse_centroids:
+        raise ValueError(
+            "index has no coarse centroids (plain-PQ index) — it cannot "
+            "drive probe selection over a __list-partitioned table"
+        )
+    built_residual = getattr(coded, "_ons_ivfpq_residual", None)
+    if built_residual is not None and built_residual != index.by_residual:
+        raise ValueError(
+            f"coded table was built with by_residual={built_residual} "
+            f"but the index says by_residual={index.by_residual} — "
+            "persisting a mismatched pair would serve garbage distances"
+        )
+    coded.write.mode("overwrite").partitionBy("__list").parquet(
+        f"{path}/coded"
+    )
+    save_ivf_pq_index(coded.sparkSession, index, f"{path}/index")
+
+
+def load_ivf_pq_table(spark, path: str) -> Tuple[SparkDF, IvfPqIndex]:
+    """Load a serving artifact written by :func:`save_ivf_pq_table` →
+    ``(coded, index)`` ready for :func:`ivf_pq_query`. The index is
+    fingerprint-validated; the coded table is a plain partitioned
+    parquet read, so probe filters land in PartitionFilters."""
+    index = load_ivf_pq_index(spark, f"{path}/index")
+    coded = spark.read.parquet(f"{path}/coded")
+    return coded, index
+
+
 def ivf_pq_query(
     coded: SparkDF,
     index: IvfPqIndex,

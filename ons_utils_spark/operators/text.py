@@ -622,6 +622,26 @@ def c4_line_clean(
     return out.drop("__lower").where(F.col("n_kept") >= F.lit(min_lines))
 
 
+def _bm25_contrib(k1: float, b: float):
+    """The Okapi BM25 term-contribution expression shared by the
+    single-query and batch forms — ONE copy of the scoring formula, so
+    the two paths cannot drift. Expects columns ``tf``, ``df``, ``__n``,
+    ``__dl``, ``__avgdl`` in scope (the hits table both forms build)."""
+    from pyspark.sql import functions as F
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0)
+        - F.lit(float(b))
+        + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
+    )
+    return idf * (F.col("tf") * F.lit(float(k1) + 1.0)) / denom
+
+
 def bm25_scores(
     df,
     id_col: str,
@@ -700,17 +720,7 @@ def bm25_scores(
     )
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     hits = tf.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(stats))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("__n") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(float(k1)) * (
-        F.lit(1.0)
-        - F.lit(float(b))
-        + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
-    )
-    contrib = idf * (F.col("tf") * F.lit(float(k1) + 1.0)) / denom
+    contrib = _bm25_contrib(k1, b)
     return (
         hits.select("id", contrib.alias("__c"))
         .groupBy("id")
@@ -841,17 +851,7 @@ def bm25_batch_topk(
         .join(F.broadcast(qt), "term")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("__n") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(float(k1)) * (
-        F.lit(1.0)
-        - F.lit(float(b))
-        + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
-    )
-    contrib = idf * (F.col("tf") * F.lit(float(k1) + 1.0)) / denom
+    contrib = _bm25_contrib(k1, b)
     scored = (
         hits.select("qid", "id", contrib.alias("__c"))
         .groupBy("qid", "id")

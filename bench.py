@@ -289,12 +289,23 @@ def add_normalized(out: dict, trials: "list[dict] | None" = None) -> dict:
         out["shared16_steady_min"] = min(
             t["shared16_steady"] for t in trials
         )
+        # min-of-trials NORMALIZED per trial — raw min seconds would
+        # reintroduce the very host-throughput drift the channels exist
+        # to cancel (each trial divides by its OWN calibration).
+        out["shared16_steady_min_norm"] = round(
+            min(
+                t["shared16_steady"] / t["calibration_sec"]
+                for t in trials
+            ),
+            3,
+        )
     else:
         cal = out["calibration_sec"]
         norm = {q: round(v / cal, 3) for q, v in out["queries"].items()}
         norm_lc = {q: round(_lc(out, q), 3) for q in out["queries"]}
         s16_steady = round(out["shared16_steady"] / cal, 3)
         out["shared16_steady_min"] = out["shared16_steady"]
+        out["shared16_steady_min_norm"] = s16_steady
     out["queries_normalized"] = norm
     out["value_norm"] = round(sum(norm.values()), 3)
     out["shared16_norm"] = round(sum(norm[n] for n in HEADLINE[:16]), 3)
@@ -306,7 +317,8 @@ def add_normalized(out: dict, trials: "list[dict] | None" = None) -> dict:
     )
     # The comparison rule, stated where the numbers land: compare rounds
     # on shared16_norm_lc (latency-corrected, throughput-normalized);
-    # shared16_steady_min is the secondary warm-plan floor.
+    # shared16_steady_min_norm is the secondary warm-plan floor (each
+    # trial normalized by its own calibration, then min).
     out["authoritative"] = "shared16_norm_lc"
     return out
 
@@ -341,7 +353,7 @@ def emit(out: dict) -> None:
             "shared16_norm",
             "value_norm_lc",
             "shared16_norm_lc",
-            "shared16_steady_min",
+            "shared16_steady_min_norm",
             "authoritative",
         )
         if k in out

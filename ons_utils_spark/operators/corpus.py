@@ -456,11 +456,17 @@ def _split_hot_verdict(
             F.pmod(F.xxhash64("g", "id", "pos"), F.lit(S)) < F.lit(1)
         )
     )
+    # Checkpoint BEFORE counting: cand feeds the count, the verdict
+    # join, and (via hot) the tag join — uncheckpointed, each consumer
+    # would re-run the detection aggregate (the count alone would pay
+    # it once and the join again). One shuffle over the (already
+    # checkpointed) gram table, materialized once.
     cand = (
         sample.groupBy("g")
         .agg(F.count(F.lit(1)).alias("__sc"))
         .where(F.col("__sc") >= thresh)
         .select("g")
+        .localCheckpoint(eager=True)
     )
     n_cand = cand.count()
     if n_cand == 0:

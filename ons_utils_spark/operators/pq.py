@@ -200,13 +200,17 @@ def _subspace_luts(
 
 
 # Max TOTAL plan literals (m·k raw, n_probe·m·k residual) before
-# "auto" moves the ADC LUT fold off the literal-codegen path: measured
-# (tools/pq_lut_probe.py, min-of-4) 512 literals ≈ 0.21 s/query but
-# 4,096 ≈ 2.0 s and 32,768 (FAISS-standard m=16, k=256, n_probe=8)
-# ≈ 14.8 s — Catalyst/Janino pay per literal on EVERY query's fresh
-# plan. Past this cap the same fold runs as one Arrow pass (identical
-# IEEE add order, bit-identical scores — pinned in tests).
-_ADC_LITERAL_MAX = 1024
+# "auto" moves the ADC LUT fold off the literal-codegen path. Measured
+# crossover (tools/pq_lut_probe.py, min-of-4 interleaved, both paths
+# at every geometry): literal wins at 64–128 literals (0.18–0.24 s vs
+# 0.23–0.41 s), TIES at 512 (0.46 vs 0.44), loses 2× at 1,024
+# (0.71/0.54 s vs 0.38/0.28 s), 5× at 4,096, 39× at 32,768
+# (FAISS-standard m=16, k=256, n_probe=8: 15.2 s vs 0.39 s) —
+# Catalyst/Janino pay per literal on EVERY query's fresh plan. The cap
+# sits ON the measured tie point; past it the same fold runs as one
+# Arrow pass (identical IEEE add order, bit-identical scores — pinned
+# in tests).
+_ADC_LITERAL_MAX = 512
 
 
 def _resolve_adc_method(method: str, n_literals: int) -> str:
@@ -439,7 +443,7 @@ def ivf_pq_topk(
     ``method`` picks the LUT fold engine (see :func:`pq_adc_scores`):
     the residual path's literal count is ``n_probe × m × k``, so
     FAISS-standard geometry (k=256, n_probe=8) trips the ``"auto"``
-    switch to the Arrow fold — measured 14.8 s → sub-second per query
+    switch to the Arrow fold — measured 15.2 s → 0.39 s per query
     (SCALING.md §PQ geometry), scores bit-identical.
     """
     built_residual = getattr(coded, "_ons_ivfpq_residual", None)
@@ -456,13 +460,18 @@ def ivf_pq_topk(
         # Checked BEFORE list selection: the probe-ordering dots zip()
         # against the coarse centroids and would silently truncate.
         raise ValueError(f"query dim {len(q)} != m*sub_d = {dim}")
-    if coarse_centroids and len(coarse_centroids[0]) != dim:
+    bad_dim = next(
+        (len(c) for c in coarse_centroids if len(c) != dim), None
+    )
+    if bad_dim is not None:
         # Same silent-truncation hazard from the other side: a coarse
-        # table wider than the query zip()s short in _py_dot (and in
-        # the residual subtraction), probing the wrong lists.
+        # centroid wider than the query zip()s short in _py_dot (and in
+        # the residual subtraction), probing the wrong lists. EVERY row
+        # is checked — a ragged table truncates on whichever row is
+        # short, not just row 0.
         raise ValueError(
-            f"coarse centroid dim {len(coarse_centroids[0])} != "
-            f"codebook geometry m*sub_d = {dim}"
+            f"coarse centroid dim {bad_dim} != codebook geometry "
+            f"m*sub_d = {dim}"
         )
     qq = _py_dot(q, q)
     by_dist = sorted(
@@ -741,12 +750,23 @@ def save_ivf_pq_table(
     path: str,
 ) -> None:
     """Persist the WHOLE IVF×PQ serving artifact in one call: the coded
-    table partitioned by ``__list`` under ``<path>/coded`` (so a probe's
-    ``__list IN (...)`` filter prunes whole partition directories — the
-    billion-vector serving layout) and the fingerprinted index under
-    ``<path>/index``. :func:`load_ivf_pq_table` restores both; a serving
-    session then answers queries having trained nothing and read only
-    ``n_lists + m·k`` index rows plus the probed partitions."""
+    table partitioned by ``__list`` under
+    ``<path>/coded_<fingerprint>`` (so a probe's ``__list IN (...)``
+    filter prunes whole partition directories — the billion-vector
+    serving layout) and the fingerprinted index under ``<path>/index``.
+    :func:`load_ivf_pq_table` restores both; a serving session then
+    answers queries having trained nothing and read only
+    ``n_lists + m·k`` index rows plus the probed partitions.
+
+    Crash pairing: the coded directory is keyed by the index
+    fingerprint and written FIRST; the index write is the commit point.
+    A crash in between leaves the OLD index paired with the OLD coded
+    directory (both untouched) — the new ``coded_<fp>`` is invisible
+    until its index lands, so a torn re-save can never pair new codes
+    with stale codebooks (both internally self-consistent stores, but
+    garbage distances together). Superseded ``coded_*`` directories are
+    deleted best-effort after the commit; stragglers are harmless
+    (never read) and are retried on the next save."""
     if "__list" not in coded.columns:
         raise ValueError(
             "coded table has no __list column — save_ivf_pq_table "
@@ -766,18 +786,50 @@ def save_ivf_pq_table(
             "persisting a mismatched pair would serve garbage distances"
         )
     coded.write.mode("overwrite").partitionBy("__list").parquet(
-        f"{path}/coded"
+        f"{path}/coded_{index.fingerprint}"
     )
     save_ivf_pq_index(coded.sparkSession, index, f"{path}/index")
+    # Commit done — drop superseded coded_* generations (best-effort:
+    # a failure here leaves unread garbage, never a wrong answer).
+    from pyarrow import fs as pafs
+
+    from ons_utils_spark.sources.store import _resolve_fs
+
+    try:
+        filesystem, root = _resolve_fs(path)
+        keep = f"coded_{index.fingerprint}"
+        for info in filesystem.get_file_info(
+            pafs.FileSelector(root, recursive=False)
+        ):
+            if (
+                info.type == pafs.FileType.Directory
+                and info.base_name.startswith("coded_")
+                and info.base_name != keep
+            ):
+                filesystem.delete_dir(info.path)
+    except Exception:  # noqa: BLE001 — cleanup only, commit already done
+        pass
 
 
 def load_ivf_pq_table(spark, path: str) -> Tuple[SparkDF, IvfPqIndex]:
     """Load a serving artifact written by :func:`save_ivf_pq_table` →
     ``(coded, index)`` ready for :func:`ivf_pq_query`. The index is
-    fingerprint-validated; the coded table is a plain partitioned
-    parquet read, so probe filters land in PartitionFilters."""
+    fingerprint-validated and PICKS the coded generation (the
+    ``coded_<fingerprint>`` directory it was committed with) — a torn
+    save can therefore never serve mismatched pairs. The coded table is
+    a plain partitioned parquet read, so probe filters land in
+    PartitionFilters."""
     index = load_ivf_pq_index(spark, f"{path}/index")
-    coded = spark.read.parquet(f"{path}/coded")
+    coded_path = f"{path}/coded_{index.fingerprint}"
+    try:
+        coded = spark.read.parquet(coded_path)
+    except Exception as exc:
+        raise ValueError(
+            f"index at {path!r} points to coded generation "
+            f"{index.fingerprint} but {coded_path!r} is unreadable — "
+            "the store was torn by a crashed or manual edit; re-run "
+            "save_ivf_pq_table"
+        ) from exc
     return coded, index
 
 

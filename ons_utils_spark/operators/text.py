@@ -683,6 +683,12 @@ def bm25_scores(
     """
     from pyspark.sql import functions as F
 
+    if any(x is None for x in query_terms):
+        # str(None) would silently turn a malformed query into the
+        # literal term 'none' — same hazard class as the batch form's
+        # NULL-array guard.
+        raise ValueError("query_terms contains None — every term must "
+                         "be a string")
     seen: set = set()
     qt = [
         t for t in (str(x).lower() for x in query_terms)
@@ -773,9 +779,10 @@ def bm25_batch_topk(
     job instead of one :func:`bm25_topk` driver round-trip per query.
 
     ``queries`` is ``(query_id, terms array<string>)``; a NULL or
-    empty ``terms`` array raises up front (same contract as
-    :func:`bm25_scores` — the explode would otherwise silently drop
-    the query, masking a malformed query table as "no matches").
+    empty ``terms`` array — or a NULL term inside one — raises up
+    front (same contract as :func:`bm25_scores` — the explode/joins
+    would otherwise silently drop the query or term, masking a
+    malformed query table as "no matches").
     Same scoring as :func:`bm25_scores`; document frequencies are
     per-term over the corpus (query-independent, computed once however
     many queries share a term).
@@ -797,12 +804,16 @@ def bm25_batch_topk(
     from pyspark.sql import Window, functions as F
 
     # Contract parity with bm25_scores (which raises on an empty term
-    # list): a query whose terms array is NULL or empty would silently
-    # vanish in the explode below — "no matches" masking a malformed
-    # query table. The probe is one job over the (tiny) query table.
+    # list or a None term): a query whose terms array is NULL or empty
+    # would silently vanish in the explode below, and a NULL ELEMENT
+    # would silently drop in the term equi-joins (F.lower(NULL) is
+    # NULL) — "no matches" masking a malformed query table either way.
+    # The probe is one job over the (tiny) query table.
     bad = (
         queries.where(
-            F.col(terms_col).isNull() | (F.size(terms_col) == 0)
+            F.col(terms_col).isNull()
+            | (F.size(terms_col) == 0)
+            | F.exists(terms_col, lambda x: x.isNull())
         )
         .select(F.col(query_id_col).alias("qid"))
         .limit(1)
@@ -811,8 +822,9 @@ def bm25_batch_topk(
     if bad:
         raise ValueError(
             f"query {bad[0]['qid']!r} has a NULL or empty {terms_col!r} "
-            "array — every query must carry at least one term (the "
-            "single-query bm25_scores raises the same way)"
+            "array or a NULL term — every query must carry at least one "
+            "non-NULL term (the single-query bm25_scores raises the "
+            "same way)"
         )
 
     qt = (

@@ -666,3 +666,57 @@ class TestServingTable:
         no_list = coded.select("id", "codes")
         with pytest.raises(ValueError, match="__list"):
             pq.save_ivf_pq_table(no_list, idx, str(tmp_path / "z"))
+
+    def test_torn_resave_never_pairs_mismatched(self, spark, tmp_path):
+        # Simulate a crash between a re-save's coded write and its index
+        # write: the new coded generation lands but the OLD index stays.
+        # Load must serve the OLD self-consistent pair, and re-running
+        # the save must converge (and sweep the superseded generation).
+        vecs, coded, idx = self._build(spark, by_residual=True)
+        path = str(tmp_path / "serve")
+        pq.save_ivf_pq_table(coded, idx, path)
+        c0, i0 = pq.load_ivf_pq_table(spark, path)
+        baseline = pq.ivf_pq_query(
+            c0, i0, vecs[1], n_probe=2, topk=5
+        ).collect()
+
+        # A "retrained" artifact with different content (hence a new
+        # fingerprint): perturb one codebook value.
+        import math
+
+        cbs2 = [[list(c) for c in cb] for cb in idx.codebooks]
+        cbs2[0][0][0] = math.nextafter(cbs2[0][0][0], math.inf)
+        idx2 = pq.make_ivf_pq_index(
+            idx.coarse_centroids, cbs2, by_residual=True
+        )
+        assert idx2.fingerprint != idx.fingerprint
+        # Torn save: only the coded half of the new generation lands.
+        coded.write.mode("overwrite").partitionBy("__list").parquet(
+            f"{path}/coded_{idx2.fingerprint}"
+        )
+        loaded_coded, loaded_idx = pq.load_ivf_pq_table(spark, path)
+        assert loaded_idx == idx  # old pair, intact
+        got = pq.ivf_pq_query(
+            loaded_coded, loaded_idx, vecs[1], n_probe=2, topk=5
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in baseline]
+        # Completing the save commits the new pair and sweeps the old.
+        pq.save_ivf_pq_table(coded, idx2, path)
+        _, after = pq.load_ivf_pq_table(spark, path)
+        assert after == idx2
+        import os
+
+        gens = [
+            d for d in os.listdir(path) if d.startswith("coded_")
+        ]
+        assert gens == [f"coded_{idx2.fingerprint}"]
+
+    def test_missing_coded_generation_raises(self, spark, tmp_path):
+        vecs, coded, idx = self._build(spark)
+        path = str(tmp_path / "serve")
+        pq.save_ivf_pq_table(coded, idx, path)
+        import shutil
+
+        shutil.rmtree(f"{path}/coded_{idx.fingerprint}")
+        with pytest.raises(ValueError, match="torn"):
+            pq.load_ivf_pq_table(spark, path)

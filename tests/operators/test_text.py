@@ -685,3 +685,24 @@ class TestBm25Batch:
             )
             with pytest.raises(ValueError, match="NULL or empty"):
                 bm25_batch_topk(df, "doc_id", "text", queries, topk=2)
+
+    def test_null_term_element_raises(self, spark):
+        # A NULL element inside a terms array would silently drop in
+        # the term equi-joins (lower(NULL) is NULL) — must raise like
+        # the single-query form does for None.
+        import pytest
+
+        from ons_utils_spark.operators.text import (
+            bm25_batch_topk,
+            bm25_scores,
+        )
+
+        df = self._corpus(spark)
+        queries = spark.createDataFrame(
+            [(1, ["spark", None])],
+            "query_id bigint, terms array<string>",
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            bm25_batch_topk(df, "doc_id", "text", queries, topk=2)
+        with pytest.raises(ValueError, match="None"):
+            bm25_scores(df, "doc_id", "text", ["spark", None])

@@ -59,11 +59,17 @@ def main():
 
     from ons_utils_spark.operators import pq
 
+    # Total literal counts: m*k raw, n_probe*m*k residual. The 512- and
+    # 1024-literal geometries bracket _ADC_LITERAL_MAX from both sides —
+    # the threshold must sit on MEASURED points, not extrapolation.
     geoms = [
-        ("raw m=4 k=16 (512 lits)", 4, 16, 16, None),
-        ("raw m=16 k=256 (4k lits)", 16, 256, 4, None),
+        ("raw m=4 k=16 (64 lits)", 4, 16, 16, None),
+        ("raw m=8 k=64 (512 lits)", 8, 64, 8, None),
+        ("raw m=8 k=128 (1024 lits)", 8, 128, 8, None),
+        ("raw m=16 k=256 (4096 lits)", 16, 256, 4, None),
         ("res m=4 k=16 np=2 (128 lits)", 4, 16, 16, 2),
-        ("res m=16 k=256 np=8 (32k lits)", 16, 256, 4, 8),
+        ("res m=4 k=64 np=4 (1024 lits)", 4, 64, 16, 4),
+        ("res m=16 k=256 np=8 (32768 lits)", 16, 256, 4, 8),
     ]
     n_lists = 16
     results = {}

@@ -642,6 +642,22 @@ def _bm25_contrib(k1: float, b: float):
     return idf * (F.col("tf") * F.lit(float(k1) + 1.0)) / denom
 
 
+def _normalize_query_terms(query_terms: "Sequence[str]") -> "list[str]":
+    """Shared query-term normalization (None check, lowercase, ordered
+    dedupe) for every BM25 entry point — one contract, one copy."""
+    if any(x is None for x in query_terms):
+        raise ValueError("query_terms contains None — every term must "
+                         "be a string")
+    seen: set = set()
+    qt = [
+        t for t in (str(x).lower() for x in query_terms)
+        if not (t in seen or seen.add(t))
+    ]
+    if not qt:
+        raise ValueError("query_terms must contain at least one term")
+    return qt
+
+
 def bm25_scores(
     df,
     id_col: str,
@@ -683,19 +699,7 @@ def bm25_scores(
     """
     from pyspark.sql import functions as F
 
-    if any(x is None for x in query_terms):
-        # str(None) would silently turn a malformed query into the
-        # literal term 'none' — same hazard class as the batch form's
-        # NULL-array guard.
-        raise ValueError("query_terms contains None — every term must "
-                         "be a string")
-    seen: set = set()
-    qt = [
-        t for t in (str(x).lower() for x in query_terms)
-        if not (t in seen or seen.add(t))
-    ]
-    if not qt:
-        raise ValueError("query_terms must contain at least one term")
+    qt = _normalize_query_terms(query_terms)
     vocab = df.sparkSession.createDataFrame(
         [(t,) for t in qt], "term string"
     )
@@ -881,4 +885,156 @@ def bm25_batch_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
         .select(F.col("qid").alias("query_id"), "id", "bm25", "rank")
+    )
+
+
+def bm25_index_build(df, id_col: str, text_col: str):
+    """Build a durable BM25 inverted index → ``(postings, stats)``.
+
+    ``postings`` is one row per (document, distinct term):
+    ``(term, id, tf, dl)`` — term frequency and document length
+    DENORMALIZED onto every posting so a query never joins back to the
+    corpus. ``stats`` is ONE row ``(n, total_dl)`` of exact integers
+    (document count and total token count — ``avgdl`` is derived at
+    query time by the same single division :func:`bm25_scores` uses,
+    so indexed scores are bit-identical to corpus-scan scores).
+
+    This is the retrieval twin of the PQ serving artifact
+    (``pq.save_ivf_pq_table``): :func:`bm25_scores` re-tokenizes the
+    corpus per query profile — right for one-off curation pulls, wrong
+    for a query workload. Build once (one tokenize + one groupBy),
+    :func:`save_bm25_index` term-sorted, and every query reads only
+    its terms' row groups.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(tokenize(text_col), F.array()).alias("__toks"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("__toks")).alias("total_dl"),
+    )
+    postings = (
+        toks.select(
+            "id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy("term", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "id", "tf", "dl")
+    )
+    return postings, stats
+
+
+def save_bm25_index(postings, stats, path: str) -> None:
+    """Persist a BM25 index under ``path``: ``postings/`` range-sorted
+    by term (parquet row-group min/max stats on the sort column turn a
+    query's term filter into row-group PRUNING — the scan reads the
+    queried terms' neighborhoods, not the corpus vocabulary) and
+    ``stats/`` (one exact-integer row, written LAST so a partial save
+    cannot load)."""
+    (
+        postings.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_bm25_index(spark, path: str):
+    """Load a :func:`save_bm25_index` store → ``(postings, stats)``
+    ready for :func:`bm25_topk_indexed`. Validates the stats row count
+    (a torn or foreign store fails loudly, not with garbage scores)."""
+    stats = spark.read.parquet(f"{path}/stats")
+    n_rows = stats.count()
+    if n_rows != 1:
+        raise ValueError(
+            f"BM25 index stats at {path!r} has {n_rows} rows — expected "
+            "exactly 1; the store is torn or not a BM25 index"
+        )
+    return spark.read.parquet(f"{path}/postings"), stats
+
+
+# Above this many query terms the indexed scan swaps its pushdown
+# In-filter for a broadcast semi-join: the In list is what makes
+# row-group pruning work (it reaches the parquet reader), but it is
+# also O(|query|) plan literals — the wide-profile hazard the
+# corpus-scan forms avoid. 64 terms ≈ the point where the plan cost
+# outweighs pruning on a term-sorted store.
+_BM25_INDEX_ISIN_MAX = 64
+
+
+def bm25_scores_indexed(
+    postings,
+    stats,
+    query_terms: "Sequence[str]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """:func:`bm25_scores` answered from a prebuilt index — NO corpus
+    scan, no tokenize: filter the postings to the query terms, fold the
+    same shared contribution formula (:func:`_bm25_contrib`), sum in
+    exact ``decimal(38,18)``. Bit-identical to the corpus-scan form on
+    the same corpus (pinned in tests; the oracle twin is the same SQL).
+
+    The term filter is an ``isin`` literal up to
+    ``_BM25_INDEX_ISIN_MAX`` terms — on a term-SORTED store that
+    pushes into the parquet reader and prunes row groups, which a
+    semi-join cannot — and a broadcast semi-join past it (wide
+    profiles: bounded plan beats pruning).
+    """
+    from pyspark.sql import functions as F
+
+    qt = _normalize_query_terms(query_terms)
+    if len(qt) <= _BM25_INDEX_ISIN_MAX:
+        tf = postings.where(F.col("term").isin(qt))
+    else:
+        vocab = postings.sparkSession.createDataFrame(
+            [(t,) for t in qt], "term string"
+        )
+        tf = postings.join(F.broadcast(vocab), "term", "left_semi")
+    tf = tf.select(
+        "term", "id", "tf", F.col("dl").alias("__dl")
+    ).localCheckpoint(eager=True)
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    st = stats.select(
+        F.col("n").alias("__n"),
+        (F.col("total_dl").cast("double") / F.col("n")).alias("__avgdl"),
+    )
+    hits = tf.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(st))
+    contrib = _bm25_contrib(k1, b)
+    return (
+        hits.select("id", contrib.alias("__c"))
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.col("__c").cast("decimal(38,18)")).cast("double"),
+                round_dp,
+            ).alias("bm25")
+        )
+    )
+
+
+def bm25_topk_indexed(
+    postings,
+    stats,
+    query_terms: "Sequence[str]",
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """Top-``k`` by :func:`bm25_scores_indexed` (ties by id) — plans as
+    TakeOrderedAndProject over the index-served scores."""
+    from pyspark.sql import functions as F
+
+    return (
+        bm25_scores_indexed(postings, stats, query_terms, k1, b, round_dp)
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(topk)
     )

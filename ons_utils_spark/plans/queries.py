@@ -7151,6 +7151,72 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_IDX_TERMS = ("customer", "query")
+_BM25_IDX_IN = "(" + ", ".join(f"'{t}'" for t in _BM25_IDX_TERMS) + ")"
+
+
+@register(
+    "q_bm25_indexed",
+    oracle=_TOKS_CTE
+    + f""",
+    stats AS (
+        SELECT count(*) AS n,
+               sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
+        FROM toks),
+    base AS (
+        SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
+               unnest(toks) AS term
+        FROM toks),
+    qhits AS (SELECT * FROM base
+              WHERE term IN {_BM25_IDX_IN}),
+    tf AS (SELECT id, dl, term, count(*) AS tf
+           FROM qhits GROUP BY id, dl, term),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT t.id,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+        FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s),
+    scored AS (
+        SELECT id,
+               round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE),
+                     6) AS bm25
+        FROM contrib GROUP BY id)
+    SELECT id, bm25 FROM scored ORDER BY bm25 DESC, id LIMIT 15
+    """,
+    description="BM25 served from a PERSISTED inverted index "
+    "(operators/text.py::bm25_index_build/save_bm25_index/"
+    "load_bm25_index/bm25_topk_indexed): the corpus is tokenized ONCE "
+    "into (term, id, tf, dl) postings + a one-row exact-integer stats "
+    "table, saved term-SORTED (row-group min/max pruning turns the "
+    "query's term In-filter into reading only the queried terms' "
+    "neighborhoods), reloaded, and queried with NO corpus scan — the "
+    "retrieval twin of the PQ serving artifact. Scores fold through "
+    "the same shared contribution expression and exact decimal sums as "
+    "the corpus-scan form, so the result is bit-identical to "
+    "bm25_topk on the same corpus — the oracle is the same replay.",
+)
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    postings, stats = _text.bm25_index_build(docs, "doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="bm25_idx_")
+    try:
+        _text.save_bm25_index(postings, stats, tmp)
+        lp, ls = _text.load_bm25_index(spark, tmp)
+        # Materialize off the temp store before it is removed — the
+        # returned plan must not read deleted files when the driver
+        # collects it after this function returns.
+        lp = lp.localCheckpoint(eager=True)
+        ls = ls.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _text.bm25_topk_indexed(lp, ls, _BM25_IDX_TERMS, topk=15)
+
+
 _CURATION_TERMS = ("customer", "query", "stream")
 _CURATION_IN = "(" + ", ".join(f"'{t}'" for t in _CURATION_TERMS) + ")"
 
@@ -7545,6 +7611,11 @@ _GRADING_ORDER = [
     # (grouped form graded, r9)
     "q_kmv_distinct",
     "q_sample_quantiles",
+    # r10: BM25 from the persisted term-sorted inverted index — the
+    # retrieval serving artifact (window slots are full; the class is
+    # graded via q_bm25_topk/q_bm25_batch/q_curation_pipeline, and the
+    # full-registry gate covers this one)
+    "q_bm25_indexed",
     # r10: rotated OUT of the graded window (graded green since r1-r2,
     # simple agg/join/window/lookup shapes whose families keep graded
     # representatives — see the window comments) to admit the eight

@@ -706,3 +706,111 @@ class TestBm25Batch:
             bm25_batch_topk(df, "doc_id", "text", queries, topk=2)
         with pytest.raises(ValueError, match="None"):
             bm25_scores(df, "doc_id", "text", ["spark", None])
+
+
+class TestBm25Index:
+    """Durable inverted index: indexed scores must be BIT-identical to
+    the corpus-scan form, through a save/load round trip."""
+
+    def _corpus(self, spark):
+        docs = [
+            (1, "spark spark spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "a very long document about nothing at all " * 5
+                + "spark"),
+            (4, "rareword appears here once"),
+            (5, "filler tokens with no query words"),
+            (6, None),
+            (7, ""),
+        ]
+        return spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def test_indexed_equals_scan_bit_identical(self, spark):
+        from ons_utils_spark.operators.text import (
+            bm25_index_build,
+            bm25_topk,
+            bm25_topk_indexed,
+        )
+
+        df = self._corpus(spark)
+        postings, stats = bm25_index_build(df, "doc_id", "text")
+        for terms in (["spark"], ["rareword", "engine", "SPARK"]):
+            direct = bm25_topk(df, "doc_id", "text", terms, topk=5)
+            indexed = bm25_topk_indexed(postings, stats, terms, topk=5)
+            assert [tuple(r) for r in indexed.collect()] == [
+                tuple(r) for r in direct.collect()
+            ]
+
+    def test_save_load_round_trip(self, spark, tmp_path):
+        from ons_utils_spark.operators.text import (
+            bm25_index_build,
+            bm25_topk,
+            bm25_topk_indexed,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        df = self._corpus(spark)
+        postings, stats = bm25_index_build(df, "doc_id", "text")
+        path = str(tmp_path / "bm25")
+        save_bm25_index(postings, stats, path)
+        lp, ls = load_bm25_index(spark, path)
+        direct = bm25_topk(
+            df, "doc_id", "text", ["spark", "engine"], topk=5
+        ).collect()
+        served = bm25_topk_indexed(
+            lp, ls, ["spark", "engine"], topk=5
+        ).collect()
+        assert [tuple(r) for r in served] == [tuple(r) for r in direct]
+
+    def test_wide_profile_semi_join_path_matches(self, spark):
+        from ons_utils_spark.operators import text as T
+
+        df = self._corpus(spark)
+        postings, stats = T.bm25_index_build(df, "doc_id", "text")
+        terms = ["spark", "engine", "rareword"]
+        narrow = T.bm25_topk_indexed(postings, stats, terms, topk=5)
+        # Force the broadcast-semi-join branch with a tiny threshold.
+        orig = T._BM25_INDEX_ISIN_MAX
+        T._BM25_INDEX_ISIN_MAX = 1
+        try:
+            wide = T.bm25_topk_indexed(postings, stats, terms, topk=5)
+        finally:
+            T._BM25_INDEX_ISIN_MAX = orig
+        assert [tuple(r) for r in wide.collect()] == [
+            tuple(r) for r in narrow.collect()
+        ]
+
+    def test_torn_stats_raises(self, spark, tmp_path):
+        import pytest
+
+        from ons_utils_spark.operators.text import (
+            bm25_index_build,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        df = self._corpus(spark)
+        postings, stats = bm25_index_build(df, "doc_id", "text")
+        path = str(tmp_path / "bm25")
+        save_bm25_index(postings, stats, path)
+        stats.unionAll(stats).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/stats"
+        )
+        with pytest.raises(ValueError, match="expected exactly 1"):
+            load_bm25_index(spark, path)
+
+    def test_empty_and_none_terms_raise(self, spark):
+        import pytest
+
+        from ons_utils_spark.operators.text import (
+            bm25_index_build,
+            bm25_scores_indexed,
+        )
+
+        df = self._corpus(spark)
+        postings, stats = bm25_index_build(df, "doc_id", "text")
+        with pytest.raises(ValueError, match="at least one term"):
+            bm25_scores_indexed(postings, stats, [])
+        with pytest.raises(ValueError, match="None"):
+            bm25_scores_indexed(postings, stats, ["spark", None])

@@ -58,9 +58,12 @@ ALLOWED = {
     # nested loop's build side is a single aggregate row.
     ("q_heavy_hitters", "BroadcastNestedLoopJoin"),
     # BM25 folds the 1-row (N, avgdl) corpus aggregate into the scoring
-    # plan — the same bounded fold idiom as tfidf/heavy_hitters.
+    # plan — the same bounded fold idiom as tfidf/heavy_hitters. The
+    # indexed form folds the same 1-row stats table read from the
+    # persisted index store; curation inherits the fold from bm25_topk.
     ("q_bm25_topk", "BroadcastNestedLoopJoin"),
     ("q_bm25_batch", "BroadcastNestedLoopJoin"),
+    ("q_bm25_indexed", "BroadcastNestedLoopJoin"),
     ("q_price_histogram", "BroadcastNestedLoopJoin"),
     ("q_vocab_coverage", "BroadcastNestedLoopJoin"),
     # The temperature-mixture anchor window runs over the |groups|-row

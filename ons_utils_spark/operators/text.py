@@ -1038,3 +1038,138 @@ def bm25_topk_indexed(
         .orderBy(F.col("bm25").desc(), F.col("id").asc())
         .limit(topk)
     )
+
+
+def bm25_batch_topk_indexed(
+    postings,
+    stats,
+    queries,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """:func:`bm25_batch_topk` answered from a prebuilt index — the
+    whole query TABLE scored with no corpus scan: postings semi-join
+    the broadcast union vocabulary (a batch profile is inherently wide,
+    so the semi-join form — not the In-pushdown — is always right
+    here), per-query fan-out happens after the per-(id, term) rows, and
+    top-k is a window partitioned by query. Bit-identical to the
+    corpus-scan batch form (same shared contribution fold, same exact
+    decimal sums, same validation contract).
+    """
+    from pyspark.sql import Window, functions as F
+
+    bad = (
+        queries.where(
+            F.col(terms_col).isNull()
+            | (F.size(terms_col) == 0)
+            | F.exists(terms_col, lambda x: x.isNull())
+        )
+        .select(F.col(query_id_col).alias("qid"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"query {bad[0]['qid']!r} has a NULL or empty {terms_col!r} "
+            "array or a NULL term — every query must carry at least one "
+            "non-NULL term (the single-query bm25_scores raises the "
+            "same way)"
+        )
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(terms_col).alias("term"),
+        )
+        .select("qid", F.lower("term").alias("term"))
+        .distinct()
+    )
+    vocab = qt.select("term").distinct()
+    tf = (
+        postings.join(F.broadcast(vocab), "term", "left_semi")
+        .select("term", "id", "tf", F.col("dl").alias("__dl"))
+        .localCheckpoint(eager=True)
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    st = stats.select(
+        F.col("n").alias("__n"),
+        (F.col("total_dl").cast("double") / F.col("n")).alias("__avgdl"),
+    )
+    hits = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(st))
+    )
+    contrib = _bm25_contrib(k1, b)
+    scored = (
+        hits.select("qid", "id", contrib.alias("__c"))
+        .groupBy("qid", "id")
+        .agg(
+            F.round(
+                F.sum(F.col("__c").cast("decimal(38,18)")).cast("double"),
+                round_dp,
+            ).alias("bm25")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("bm25").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(F.col("qid").alias("query_id"), "id", "bm25", "rank")
+    )
+
+
+def bm25_index_append(
+    df,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    batch_id: "int | None" = None,
+) -> None:
+    """Append one batch of NEW documents to an incremental BM25 index —
+    two delta stores under ``store_path`` (the shared
+    ``sources/store.py`` recipe): ``postings/`` (this batch's
+    ``(term, id, tf, dl)`` rows) and ``stats/`` (this batch's one-row
+    ``(n, total_dl)`` — SUM-mergeable, like the Count-Min cells).
+
+    Contract: every document in a batch must be NEW to the store —
+    postings rows from distinct new-doc batches are disjoint, so the
+    loader's fold is a plain union, and the stats fold a plain sum.
+    Re-ingesting a document double-counts both (the same new-keys
+    contract as the incremental gram index). A streaming replay (same
+    ``batch_id``) statically overwrites exactly its own partition in
+    BOTH stores, so checkpointed at-least-once retries stay
+    exactly-once. The Count-Min compaction caveat applies to ``stats/``
+    (sum-merged): compact only while the writer is stopped.
+    """
+    from ons_utils_spark.sources.store import partitioned_delta_append
+
+    postings, stats = bm25_index_build(df, id_col, text_col)
+    partitioned_delta_append(
+        postings, f"{store_path}/postings", batch_id=batch_id
+    )
+    partitioned_delta_append(stats, f"{store_path}/stats", batch_id=batch_id)
+
+
+def load_bm25_index_incremental(spark, store_path: str):
+    """Fold an incremental BM25 index store → ``(postings, stats)``
+    ready for :func:`bm25_topk_indexed` /
+    :func:`bm25_batch_topk_indexed`. Postings from disjoint new-doc
+    batches union without conflict; the per-batch stats rows SUM into
+    the one exact-integer row the scorers expect — so after any number
+    of appends the served scores are bit-identical to a one-shot
+    :func:`bm25_index_build` over the full corpus (pinned in tests)."""
+    from pyspark.sql import functions as F
+
+    postings = spark.read.parquet(f"{store_path}/postings").select(
+        "term", "id", "tf", "dl"
+    )
+    stats = spark.read.parquet(f"{store_path}/stats").agg(
+        F.sum("n").alias("n"), F.sum("total_dl").alias("total_dl")
+    )
+    return postings, stats

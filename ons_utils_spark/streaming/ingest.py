@@ -288,3 +288,40 @@ def kmv_ingest_writer(
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def bm25_index_ingest_writer(
+    stream_df,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    checkpoint_dir: str,
+):
+    """Maintain an incremental BM25 inverted index over a document
+    stream — the retrieval-serving half of ``operators/text.py``'s
+    index family: as document shards land, each micro-batch's postings
+    + stats deltas append to the durable store, and batch retrieval
+    (``load_bm25_index_incremental`` → ``bm25_topk_indexed``) serves
+    query profiles against EVERYTHING ingested so far without ever
+    re-tokenizing the corpus.
+
+    Same durable recipe as the other stores (shared layout in
+    ``sources/store.py``): each micro-batch writes its own ``batch_id``
+    partition in BOTH delta stores (``text.bm25_index_append``), a
+    checkpointed replay overwrites exactly its partitions, and the
+    loader folds on read (postings union — disjoint by the new-docs
+    contract; stats sum). Unlike the min/OR-merged stores the stats
+    half is SUM-merged, so the Count-Min caveats apply: documents must
+    be new, and compaction only while the writer is stopped.
+    """
+    from ons_utils_spark.operators.text import bm25_index_append
+
+    def process(batch, batch_id: int) -> None:
+        bm25_index_append(
+            batch, id_col, text_col, store_path, batch_id=batch_id
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -814,3 +814,109 @@ class TestBm25Index:
             bm25_scores_indexed(postings, stats, [])
         with pytest.raises(ValueError, match="None"):
             bm25_scores_indexed(postings, stats, ["spark", None])
+
+
+class TestBm25BatchIndexed:
+    def _corpus(self, spark):
+        docs = [
+            (1, "spark spark spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "a very long document about nothing at all " * 5
+                + "spark"),
+            (4, "rareword appears here once"),
+            (5, "filler tokens with no query words"),
+        ]
+        return spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    def test_batch_indexed_equals_batch_scan(self, spark):
+        from ons_utils_spark.operators.text import (
+            bm25_batch_topk,
+            bm25_batch_topk_indexed,
+            bm25_index_build,
+        )
+
+        df = self._corpus(spark)
+        postings, stats = bm25_index_build(df, "doc_id", "text")
+        queries = spark.createDataFrame(
+            [(10, ["spark"]), (20, ["rareword", "engine"])],
+            "query_id bigint, terms array<string>",
+        )
+        scan = bm25_batch_topk(df, "doc_id", "text", queries, topk=5)
+        idx = bm25_batch_topk_indexed(postings, stats, queries, topk=5)
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        assert sorted(map(tuple, idx.collect()), key=lambda t: (t[0], t[3])) \
+            == sorted(map(tuple, scan.collect()), key=lambda t: (t[0], t[3]))
+
+    def test_batch_indexed_validates_queries(self, spark):
+        import pytest
+
+        from ons_utils_spark.operators.text import (
+            bm25_batch_topk_indexed,
+            bm25_index_build,
+        )
+
+        df = self._corpus(spark)
+        postings, stats = bm25_index_build(df, "doc_id", "text")
+        queries = spark.createDataFrame(
+            [(1, ["spark"]), (2, [None])],
+            "query_id bigint, terms array<string>",
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            bm25_batch_topk_indexed(postings, stats, queries, topk=2)
+
+
+class TestBm25IncrementalIndex:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_appends_equal_one_shot_build(self, spark, tmp_path):
+        from ons_utils_spark.operators.text import (
+            bm25_index_append,
+            bm25_index_build,
+            bm25_topk_indexed,
+            load_bm25_index_incremental,
+        )
+
+        b1 = [(1, "spark spark engine"), (2, "rareword here")]
+        b2 = [(3, "spark and filler words"), (4, "engine spark engine")]
+        store = str(tmp_path / "bm25inc")
+        bm25_index_append(self._docs(spark, b1), "doc_id", "text", store)
+        bm25_index_append(self._docs(spark, b2), "doc_id", "text", store)
+        postings, stats = load_bm25_index_incremental(spark, store)
+        whole_p, whole_s = bm25_index_build(
+            self._docs(spark, b1 + b2), "doc_id", "text"
+        )
+        terms = ["spark", "rareword"]
+        inc = bm25_topk_indexed(postings, stats, terms, topk=4).collect()
+        one = bm25_topk_indexed(whole_p, whole_s, terms, topk=4).collect()
+        assert [tuple(r) for r in inc] == [tuple(r) for r in one]
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from ons_utils_spark.operators.text import (
+            bm25_index_append,
+            bm25_topk_indexed,
+            load_bm25_index_incremental,
+        )
+
+        b1 = [(1, "spark spark engine"), (2, "rareword here")]
+        b2 = [(3, "spark and filler words")]
+        store = str(tmp_path / "bm25inc")
+        bm25_index_append(
+            self._docs(spark, b1), "doc_id", "text", store, batch_id=0
+        )
+        bm25_index_append(
+            self._docs(spark, b2), "doc_id", "text", store, batch_id=1
+        )
+        before = bm25_topk_indexed(
+            *load_bm25_index_incremental(spark, store), ["spark"], topk=4
+        ).collect()
+        # Replay batch 0: partition overwrite in BOTH stores — the
+        # folded index must not move (stats is SUM-merged, so a plain
+        # double-append WOULD corrupt it; the overwrite is load-bearing).
+        bm25_index_append(
+            self._docs(spark, b1), "doc_id", "text", store, batch_id=0
+        )
+        after = bm25_topk_indexed(
+            *load_bm25_index_incremental(spark, store), ["spark"], topk=4
+        ).collect()
+        assert [tuple(r) for r in after] == [tuple(r) for r in before]

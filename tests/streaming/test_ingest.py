@@ -462,3 +462,52 @@ class TestStreamingKmvMaintenance:
             kmv_distinct(load_kmv(spark, store, 16), 16).collect()
             == est_before
         )
+
+
+class TestStreamingBm25IndexMaintenance:
+    def test_streamed_index_equals_batch_build(self, spark, tmp_path):
+        """Two document micro-batches append postings + stats deltas;
+        retrieval from the folded store must be bit-identical to a
+        one-shot index build over the whole corpus (postings union is
+        disjoint by the new-docs contract; stats rows SUM)."""
+        from ons_utils_spark.operators.text import (
+            bm25_index_build,
+            bm25_topk_indexed,
+            load_bm25_index_incremental,
+        )
+        from ons_utils_spark.streaming.ingest import bm25_index_ingest_writer
+
+        stream_dir = str(tmp_path / "in")
+        store = str(tmp_path / "bm25")
+        ckpt = str(tmp_path / "ckpt")
+        rows1 = [(1, "spark spark engine"), (2, "rareword here once")]
+        rows2 = [(3, "spark and filler words"), (4, "engine spark engine")]
+        for rows in (rows1, rows2):
+            spark.createDataFrame(
+                rows, "doc_id bigint, text string"
+            ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            bm25_index_ingest_writer(stream, "doc_id", "text", store, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        postings, stats = load_bm25_index_incremental(spark, store)
+        whole_p, whole_s = bm25_index_build(
+            spark.createDataFrame(
+                rows1 + rows2, "doc_id bigint, text string"
+            ),
+            "doc_id",
+            "text",
+        )
+        terms = ["spark", "rareword", "engine"]
+        streamed = bm25_topk_indexed(postings, stats, terms, topk=4).collect()
+        batch = bm25_topk_indexed(whole_p, whole_s, terms, topk=4).collect()
+        assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]

@@ -920,3 +920,32 @@ class TestBm25IncrementalIndex:
             *load_bm25_index_incremental(spark, store), ["spark"], topk=4
         ).collect()
         assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+    def test_term_filter_pushes_into_postings_scan(self, spark, tmp_path):
+        # The store's whole point: the query's term In-filter must reach
+        # the parquet reader (PushedFilters) so row-group min/max stats
+        # on the SORTED term column prune. The scoring path executes the
+        # scan inside an eager checkpoint, so the assertion targets the
+        # same filter fragment the scorer builds.
+        import io
+        from contextlib import redirect_stdout
+
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.text import (
+            bm25_index_build,
+            save_bm25_index,
+        )
+
+        df = self._docs(
+            spark, [(1, "spark engine"), (2, "rareword appears")]
+        )
+        postings, stats = bm25_index_build(df, "doc_id", "text")
+        path = str(tmp_path / "bm25push")
+        save_bm25_index(postings, stats, path)
+        lp = spark.read.parquet(f"{path}/postings")
+        frag = lp.where(F.col("term").isin(["spark", "rareword"]))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            frag.explain(True)
+        assert "PushedFilters: [In(term" in buf.getvalue()

@@ -658,6 +658,83 @@ def _normalize_query_terms(query_terms: "Sequence[str]") -> "list[str]":
     return qt
 
 
+def _fold_bm25(hits, keys: "list[str]", k1: float, b: float,
+               round_dp: int):
+    """The parity-critical scoring fold shared by ALL four BM25 entry
+    points (scan/indexed × single/batch): select the grouping keys plus
+    the shared contribution expression, sum in exact ``decimal(38,18)``
+    (order-independent — the package's kmeans-centroid trick), cast back
+    once, round. One copy, four callers — the fold precision and
+    rounding cannot drift between forms."""
+    from pyspark.sql import functions as F
+
+    contrib = _bm25_contrib(k1, b)
+    return (
+        hits.select(*keys, contrib.alias("__c"))
+        .groupBy(*keys)
+        .agg(
+            F.round(
+                F.sum(F.col("__c").cast("decimal(38,18)")).cast("double"),
+                round_dp,
+            ).alias("bm25")
+        )
+    )
+
+
+def _query_table_vocab(queries, query_id_col: str, terms_col: str):
+    """Validate a batch query table and derive its ``(qt, vocab)``
+    frames — shared by the scan and indexed batch forms.
+
+    Raises on a NULL/empty terms array or a NULL term inside one
+    (contract parity with :func:`_normalize_query_terms`): the
+    explode/joins would otherwise silently drop the query or term,
+    masking a malformed query table as "no matches". The probe is one
+    job over the (tiny) query table."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        queries.where(
+            F.col(terms_col).isNull()
+            | (F.size(terms_col) == 0)
+            | F.exists(terms_col, lambda x: x.isNull())
+        )
+        .select(F.col(query_id_col).alias("qid"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"query {bad[0]['qid']!r} has a NULL or empty {terms_col!r} "
+            "array or a NULL term — every query must carry at least one "
+            "non-NULL term (the single-query bm25_scores raises the "
+            "same way)"
+        )
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(terms_col).alias("term"),
+        )
+        .select("qid", F.lower("term").alias("term"))
+        .distinct()
+    )
+    return qt, qt.select("term").distinct()
+
+
+def _per_query_topk(scored, topk: int):
+    """Per-query bounded top-k over ``(qid, id, bm25)`` — the window is
+    partitioned BY QUERY, never global; ties by doc id."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("bm25").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(F.col("qid").alias("query_id"), "id", "bm25", "rank")
+    )
+
+
 def bm25_scores(
     df,
     id_col: str,
@@ -730,17 +807,7 @@ def bm25_scores(
     )
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     hits = tf.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(stats))
-    contrib = _bm25_contrib(k1, b)
-    return (
-        hits.select("id", contrib.alias("__c"))
-        .groupBy("id")
-        .agg(
-            F.round(
-                F.sum(F.col("__c").cast("decimal(38,18)")).cast("double"),
-                round_dp,
-            ).alias("bm25")
-        )
-    )
+    return _fold_bm25(hits, ["id"], k1, b, round_dp)
 
 
 def bm25_topk(
@@ -805,41 +872,9 @@ def bm25_batch_topk(
     all downstream work is hit-sized. Top-k is a window partitioned BY
     QUERY — bounded partitions, never global.
     """
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
-    # Contract parity with bm25_scores (which raises on an empty term
-    # list or a None term): a query whose terms array is NULL or empty
-    # would silently vanish in the explode below, and a NULL ELEMENT
-    # would silently drop in the term equi-joins (F.lower(NULL) is
-    # NULL) — "no matches" masking a malformed query table either way.
-    # The probe is one job over the (tiny) query table.
-    bad = (
-        queries.where(
-            F.col(terms_col).isNull()
-            | (F.size(terms_col) == 0)
-            | F.exists(terms_col, lambda x: x.isNull())
-        )
-        .select(F.col(query_id_col).alias("qid"))
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            f"query {bad[0]['qid']!r} has a NULL or empty {terms_col!r} "
-            "array or a NULL term — every query must carry at least one "
-            "non-NULL term (the single-query bm25_scores raises the "
-            "same way)"
-        )
-
-    qt = (
-        queries.select(
-            F.col(query_id_col).alias("qid"),
-            F.explode(terms_col).alias("term"),
-        )
-        .select("qid", F.lower("term").alias("term"))
-        .distinct()
-    )
-    vocab = qt.select("term").distinct()
+    qt, vocab = _query_table_vocab(queries, query_id_col, terms_col)
 
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -867,25 +902,8 @@ def bm25_batch_topk(
         .join(F.broadcast(qt), "term")
         .crossJoin(F.broadcast(stats))
     )
-    contrib = _bm25_contrib(k1, b)
-    scored = (
-        hits.select("qid", "id", contrib.alias("__c"))
-        .groupBy("qid", "id")
-        .agg(
-            F.round(
-                F.sum(F.col("__c").cast("decimal(38,18)")).cast("double"),
-                round_dp,
-            ).alias("bm25")
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("bm25").desc(), F.col("id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-        .select(F.col("qid").alias("query_id"), "id", "bm25", "rank")
-    )
+    scored = _fold_bm25(hits, ["qid", "id"], k1, b, round_dp)
+    return _per_query_topk(scored, topk)
 
 
 def bm25_index_build(df, id_col: str, text_col: str):
@@ -894,28 +912,34 @@ def bm25_index_build(df, id_col: str, text_col: str):
     ``postings`` is one row per (document, distinct term):
     ``(term, id, tf, dl)`` — term frequency and document length
     DENORMALIZED onto every posting so a query never joins back to the
-    corpus. ``stats`` is ONE row ``(n, total_dl)`` of exact integers
-    (document count and total token count — ``avgdl`` is derived at
-    query time by the same single division :func:`bm25_scores` uses,
-    so indexed scores are bit-identical to corpus-scan scores).
+    corpus. ``stats`` is ONE row ``(n, total_dl, n_postings)`` of exact
+    integers: document count and total token count (``avgdl`` is
+    derived at query time by the same single division
+    :func:`bm25_scores` uses, so indexed scores are bit-identical to
+    corpus-scan scores) plus the POSTINGS ROW COUNT — the cross-store
+    consistency witness the loaders validate, so a torn save or append
+    (postings without their stats, or stale stats under fresh postings)
+    fails loudly instead of serving silently wrong idf/avgdl.
 
     This is the retrieval twin of the PQ serving artifact
     (``pq.save_ivf_pq_table``): :func:`bm25_scores` re-tokenizes the
     corpus per query profile — right for one-off curation pulls, wrong
-    for a query workload. Build once (one tokenize + one groupBy),
-    :func:`save_bm25_index` term-sorted, and every query reads only
-    its terms' row groups.
+    for a query workload. Build once, :func:`save_bm25_index`
+    term-sorted, and every query reads only its terms' row groups.
+
+    ONE corpus scan: the tokenized projection is checkpointed and feeds
+    both the postings aggregate and the stats aggregate (the scorers
+    rightly avoid materializing token arrays because they run per
+    query; a build runs once per corpus/batch, and the checkpoint
+    spills to executor disk). The postings aggregate is checkpointed
+    too — it feeds the write AND the ``n_postings`` count.
     """
     from pyspark.sql import functions as F
 
     toks = df.select(
         F.col(id_col).alias("id"),
         F.coalesce(tokenize(text_col), F.array()).alias("__toks"),
-    )
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size("__toks")).alias("total_dl"),
-    )
+    ).localCheckpoint(eager=True)
     postings = (
         toks.select(
             "id",
@@ -925,7 +949,13 @@ def bm25_index_build(df, id_col: str, text_col: str):
         .groupBy("term", "id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("term", "id", "tf", "dl")
+        .localCheckpoint(eager=True)
     )
+    n_postings = postings.count()
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("__toks")).alias("total_dl"),
+    ).withColumn("n_postings", F.lit(n_postings))
     return postings, stats
 
 
@@ -934,8 +964,15 @@ def save_bm25_index(postings, stats, path: str) -> None:
     by term (parquet row-group min/max stats on the sort column turn a
     query's term filter into row-group PRUNING — the scan reads the
     queried terms' neighborhoods, not the corpus vocabulary) and
-    ``stats/`` (one exact-integer row, written LAST so a partial save
-    cannot load)."""
+    ``stats/`` (one exact-integer row, written LAST).
+
+    Crash pairing: stats-last alone is NOT enough when overwriting an
+    existing index — a crash between the two overwrites leaves NEW
+    postings under the PREVIOUS save's stats, both individually intact.
+    The loader therefore validates stats' ``n_postings`` witness
+    against the actual postings row count; a torn overwrite fails
+    loudly on load (a rebuild of the IDENTICAL corpus collides on the
+    witness, but then the stats are also identical — harmless)."""
     (
         postings.repartitionByRange("term")
         .sortWithinPartitions("term")
@@ -948,7 +985,8 @@ def save_bm25_index(postings, stats, path: str) -> None:
 def load_bm25_index(spark, path: str):
     """Load a :func:`save_bm25_index` store → ``(postings, stats)``
     ready for :func:`bm25_topk_indexed`. Validates the stats row count
-    (a torn or foreign store fails loudly, not with garbage scores)."""
+    AND the ``n_postings`` cross-store witness, so a torn save (either
+    half missing or stale) fails loudly, not with garbage scores."""
     stats = spark.read.parquet(f"{path}/stats")
     n_rows = stats.count()
     if n_rows != 1:
@@ -956,7 +994,17 @@ def load_bm25_index(spark, path: str):
             f"BM25 index stats at {path!r} has {n_rows} rows — expected "
             "exactly 1; the store is torn or not a BM25 index"
         )
-    return spark.read.parquet(f"{path}/postings"), stats
+    postings = spark.read.parquet(f"{path}/postings")
+    want = stats.collect()[0]["n_postings"]
+    have = postings.count()
+    if have != want:
+        raise ValueError(
+            f"BM25 index at {path!r} is torn: stats expect {want} "
+            f"posting rows but the store holds {have} — a save crashed "
+            "between the postings and stats writes; re-run "
+            "save_bm25_index"
+        )
+    return postings, stats
 
 
 # Above this many query terms the indexed scan swaps its pushdown
@@ -966,6 +1014,34 @@ def load_bm25_index(spark, path: str):
 # corpus-scan forms avoid. 64 terms ≈ the point where the plan cost
 # outweighs pruning on a term-sorted store.
 _BM25_INDEX_ISIN_MAX = 64
+
+
+def _filter_postings_terms(postings, qt: "list[str]"):
+    """The indexed scan's term predicate — the branch the pushdown test
+    pins: an ``In`` literal up to ``_BM25_INDEX_ISIN_MAX`` terms (on a
+    term-SORTED store it reaches the parquet reader and prunes row
+    groups, which a semi-join cannot), a broadcast semi-join past it
+    (bounded plan for wide profiles)."""
+    from pyspark.sql import functions as F
+
+    if len(qt) <= _BM25_INDEX_ISIN_MAX:
+        return postings.where(F.col("term").isin(qt))
+    vocab = postings.sparkSession.createDataFrame(
+        [(t,) for t in qt], "term string"
+    )
+    return postings.join(F.broadcast(vocab), "term", "left_semi")
+
+
+def _index_stats_fold(stats):
+    """The stats table as the scorers' 1-row broadcast aggregate —
+    ``(__n, __avgdl)`` with the SAME exact-integer division
+    :func:`bm25_scores` uses, so indexed scores replay bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    return stats.select(
+        F.col("n").alias("__n"),
+        (F.col("total_dl").cast("double") / F.col("n")).alias("__avgdl"),
+    )
 
 
 def bm25_scores_indexed(
@@ -991,33 +1067,15 @@ def bm25_scores_indexed(
     from pyspark.sql import functions as F
 
     qt = _normalize_query_terms(query_terms)
-    if len(qt) <= _BM25_INDEX_ISIN_MAX:
-        tf = postings.where(F.col("term").isin(qt))
-    else:
-        vocab = postings.sparkSession.createDataFrame(
-            [(t,) for t in qt], "term string"
-        )
-        tf = postings.join(F.broadcast(vocab), "term", "left_semi")
-    tf = tf.select(
+    tf = _filter_postings_terms(postings, qt).select(
         "term", "id", "tf", F.col("dl").alias("__dl")
     ).localCheckpoint(eager=True)
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    st = stats.select(
-        F.col("n").alias("__n"),
-        (F.col("total_dl").cast("double") / F.col("n")).alias("__avgdl"),
+    hits = (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(_index_stats_fold(stats)))
     )
-    hits = tf.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(st))
-    contrib = _bm25_contrib(k1, b)
-    return (
-        hits.select("id", contrib.alias("__c"))
-        .groupBy("id")
-        .agg(
-            F.round(
-                F.sum(F.col("__c").cast("decimal(38,18)")).cast("double"),
-                round_dp,
-            ).alias("bm25")
-        )
-    )
+    return _fold_bm25(hits, ["id"], k1, b, round_dp)
 
 
 def bm25_topk_indexed(
@@ -1057,71 +1115,26 @@ def bm25_batch_topk_indexed(
     so the semi-join form — not the In-pushdown — is always right
     here), per-query fan-out happens after the per-(id, term) rows, and
     top-k is a window partitioned by query. Bit-identical to the
-    corpus-scan batch form (same shared contribution fold, same exact
-    decimal sums, same validation contract).
+    corpus-scan batch form — the validation, scoring fold, and top-k
+    window are the SAME shared helpers (:func:`_query_table_vocab`,
+    :func:`_fold_bm25`, :func:`_per_query_topk`), not copies.
     """
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
-    bad = (
-        queries.where(
-            F.col(terms_col).isNull()
-            | (F.size(terms_col) == 0)
-            | F.exists(terms_col, lambda x: x.isNull())
-        )
-        .select(F.col(query_id_col).alias("qid"))
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            f"query {bad[0]['qid']!r} has a NULL or empty {terms_col!r} "
-            "array or a NULL term — every query must carry at least one "
-            "non-NULL term (the single-query bm25_scores raises the "
-            "same way)"
-        )
-    qt = (
-        queries.select(
-            F.col(query_id_col).alias("qid"),
-            F.explode(terms_col).alias("term"),
-        )
-        .select("qid", F.lower("term").alias("term"))
-        .distinct()
-    )
-    vocab = qt.select("term").distinct()
+    qt, vocab = _query_table_vocab(queries, query_id_col, terms_col)
     tf = (
         postings.join(F.broadcast(vocab), "term", "left_semi")
         .select("term", "id", "tf", F.col("dl").alias("__dl"))
         .localCheckpoint(eager=True)
     )
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    st = stats.select(
-        F.col("n").alias("__n"),
-        (F.col("total_dl").cast("double") / F.col("n")).alias("__avgdl"),
-    )
     hits = (
         tf.join(F.broadcast(dfs), "term")
         .join(F.broadcast(qt), "term")
-        .crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(_index_stats_fold(stats)))
     )
-    contrib = _bm25_contrib(k1, b)
-    scored = (
-        hits.select("qid", "id", contrib.alias("__c"))
-        .groupBy("qid", "id")
-        .agg(
-            F.round(
-                F.sum(F.col("__c").cast("decimal(38,18)")).cast("double"),
-                round_dp,
-            ).alias("bm25")
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("bm25").desc(), F.col("id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-        .select(F.col("qid").alias("query_id"), "id", "bm25", "rank")
-    )
+    scored = _fold_bm25(hits, ["qid", "id"], k1, b, round_dp)
+    return _per_query_topk(scored, topk)
 
 
 def bm25_index_append(
@@ -1146,6 +1159,17 @@ def bm25_index_append(
     BOTH stores, so checkpointed at-least-once retries stay
     exactly-once. The Count-Min compaction caveat applies to ``stats/``
     (sum-merged): compact only while the writer is stopped.
+
+    Crash pairing: the two appends are not atomic — postings land
+    FIRST, and a crash before the stats append leaves a torn store,
+    which :func:`load_bm25_index_incremental` DETECTS (the summed
+    ``n_postings`` witness stops matching the postings row count) and
+    refuses to serve. Recovery: with an explicit ``batch_id``, simply
+    re-run the append — the partition overwrite repairs both halves;
+    sentinel (``batch_id=None``) appends are NOT retry-safe (a blind
+    re-run double-appends the postings that did land), so retryable
+    batch ingestion should always pass a unique non-negative
+    ``batch_id``.
     """
     from ons_utils_spark.sources.store import partitioned_delta_append
 
@@ -1163,13 +1187,32 @@ def load_bm25_index_incremental(spark, store_path: str):
     batches union without conflict; the per-batch stats rows SUM into
     the one exact-integer row the scorers expect — so after any number
     of appends the served scores are bit-identical to a one-shot
-    :func:`bm25_index_build` over the full corpus (pinned in tests)."""
+    :func:`bm25_index_build` over the full corpus (pinned in tests).
+
+    Cross-store consistency is VALIDATED on every load: the summed
+    ``n_postings`` witness must equal the postings row count, so a
+    torn append (postings without their stats row, from a crash
+    between the two writes) fails loudly instead of silently serving
+    undercounted ``n``/``avgdl`` — where a term's folded ``df`` could
+    even exceed ``n`` and NULL its idf."""
     from pyspark.sql import functions as F
 
     postings = spark.read.parquet(f"{store_path}/postings").select(
         "term", "id", "tf", "dl"
     )
     stats = spark.read.parquet(f"{store_path}/stats").agg(
-        F.sum("n").alias("n"), F.sum("total_dl").alias("total_dl")
+        F.sum("n").alias("n"),
+        F.sum("total_dl").alias("total_dl"),
+        F.sum("n_postings").alias("n_postings"),
     )
+    want = stats.collect()[0]["n_postings"]
+    have = postings.count()
+    if have != (want or 0):
+        raise ValueError(
+            f"incremental BM25 index at {store_path!r} is torn: stats "
+            f"expect {want} posting rows but the store holds {have} — "
+            "an append crashed between the postings and stats writes. "
+            "Re-run the append with its explicit batch_id to repair "
+            "(the partition overwrite replaces both halves)"
+        )
     return postings, stats

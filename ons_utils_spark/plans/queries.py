@@ -7209,8 +7209,15 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp, ls = _text.load_bm25_index(spark, tmp)
         # Materialize off the temp store before it is removed — the
         # returned plan must not read deleted files when the driver
-        # collects it after this function returns.
-        lp = lp.localCheckpoint(eager=True)
+        # collects it after this function returns. The checkpoint runs
+        # the scorer's own term predicate (the pushdown-able In filter,
+        # _filter_postings_terms) so the executed read IS the pruned
+        # row-group read the store exists for — checkpointing the raw
+        # table would materialize the whole index and bypass pruning;
+        # the scorer's later re-filter of these rows is a no-op.
+        lp = _text._filter_postings_terms(
+            lp, [t.lower() for t in _BM25_IDX_TERMS]
+        ).localCheckpoint(eager=True)
         ls = ls.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

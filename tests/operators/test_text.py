@@ -843,9 +843,10 @@ class TestBm25BatchIndexed:
         )
         scan = bm25_batch_topk(df, "doc_id", "text", queries, topk=5)
         idx = bm25_batch_topk_indexed(postings, stats, queries, topk=5)
-        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
-        assert sorted(map(tuple, idx.collect()), key=lambda t: (t[0], t[3])) \
-            == sorted(map(tuple, scan.collect()), key=lambda t: (t[0], t[3]))
+        key = lambda t: (t[0], t[3])  # noqa: E731 — (query_id, rank)
+        assert sorted(map(tuple, idx.collect()), key=key) == sorted(
+            map(tuple, scan.collect()), key=key
+        )
 
     def test_batch_indexed_validates_queries(self, spark):
         import pytest
@@ -926,26 +927,94 @@ class TestBm25IncrementalIndex:
         # the parquet reader (PushedFilters) so row-group min/max stats
         # on the SORTED term column prune. The scoring path executes the
         # scan inside an eager checkpoint, so the assertion targets the
-        # same filter fragment the scorer builds.
+        # SCORER'S OWN predicate helper (_filter_postings_terms — the
+        # exact code bm25_scores_indexed runs), not a hand-built
+        # fragment that would pass whatever the scorer does.
         import io
         from contextlib import redirect_stdout
 
-        from pyspark.sql import functions as F
-
-        from ons_utils_spark.operators.text import (
-            bm25_index_build,
-            save_bm25_index,
-        )
+        from ons_utils_spark.operators import text as T
 
         df = self._docs(
             spark, [(1, "spark engine"), (2, "rareword appears")]
         )
-        postings, stats = bm25_index_build(df, "doc_id", "text")
+        postings, stats = T.bm25_index_build(df, "doc_id", "text")
         path = str(tmp_path / "bm25push")
-        save_bm25_index(postings, stats, path)
+        T.save_bm25_index(postings, stats, path)
         lp = spark.read.parquet(f"{path}/postings")
-        frag = lp.where(F.col("term").isin(["spark", "rareword"]))
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            frag.explain(True)
-        assert "PushedFilters: [In(term" in buf.getvalue()
+
+        def plan_of(frag):
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                frag.explain(True)
+            return buf.getvalue()
+
+        narrow = plan_of(T._filter_postings_terms(lp, ["spark", "rareword"]))
+        assert "PushedFilters: [In(term" in narrow
+        # Past the cap the helper must swap to the semi-join (bounded
+        # plan, no In literal on the scan).
+        orig = T._BM25_INDEX_ISIN_MAX
+        T._BM25_INDEX_ISIN_MAX = 1
+        try:
+            wide = plan_of(
+                T._filter_postings_terms(lp, ["spark", "rareword"])
+            )
+        finally:
+            T._BM25_INDEX_ISIN_MAX = orig
+        assert "PushedFilters: [In(term" not in wide
+
+    def test_torn_save_detected(self, spark, tmp_path):
+        # Overwrite-crash simulation: NEW postings land but the stats
+        # overwrite never runs — the stale stats row is internally
+        # intact (1 row), so only the n_postings witness catches it.
+        import pytest
+
+        from ons_utils_spark.operators.text import (
+            bm25_index_build,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        old = self._docs(spark, [(1, "spark engine")])
+        new = self._docs(
+            spark,
+            [(1, "spark engine"), (2, "rareword appears here often")],
+        )
+        path = str(tmp_path / "bm25torn")
+        op, os_ = bm25_index_build(old, "doc_id", "text")
+        save_bm25_index(op, os_, path)
+        np_, _ = bm25_index_build(new, "doc_id", "text")
+        # Torn re-save: postings overwritten, stats not.
+        (
+            np_.repartitionByRange("term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+        with pytest.raises(ValueError, match="torn"):
+            load_bm25_index(spark, path)
+
+    def test_torn_append_detected(self, spark, tmp_path):
+        # Append-crash simulation: a batch's postings land but its
+        # stats delta never does — the incremental loader's witness
+        # check must refuse to serve undercounted n/avgdl.
+        import pytest
+
+        from ons_utils_spark.operators.text import (
+            bm25_index_append,
+            bm25_index_build,
+            load_bm25_index_incremental,
+        )
+        from ons_utils_spark.sources.store import partitioned_delta_append
+
+        store = str(tmp_path / "bm25inc_torn")
+        bm25_index_append(
+            self._docs(spark, [(1, "spark engine")]),
+            "doc_id", "text", store, batch_id=0,
+        )
+        p2, _ = bm25_index_build(
+            self._docs(spark, [(2, "rareword appears")]), "doc_id", "text"
+        )
+        partitioned_delta_append(p2, f"{store}/postings", batch_id=1)
+        with pytest.raises(ValueError, match="torn"):
+            load_bm25_index_incremental(spark, store)

@@ -865,6 +865,178 @@ def ivf_pq_query(
     )
 
 
+def ivf_pq_batch_topk(
+    coded: SparkDF,
+    index: IvfPqIndex,
+    queries: SparkDF,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    topk: int = 10,
+) -> SparkDF:
+    """Approximate top-``k`` for EVERY query in a query TABLE →
+    ``(query_id, id, adc_dist)`` — the batch retrieval shape for the
+    IVF×PQ family (the ANN twin of ``text.bm25_batch_topk``): score a
+    whole probe workload in one job instead of one :func:`ivf_pq_query`
+    driver round-trip per query.
+
+    The query table is DRIVER-sized by contract (a probe workload —
+    thousands of rows, not a corpus) and is collected once: probe
+    selection and LUT construction are the same driver arithmetic as
+    the single-query path (one :func:`_subspace_luts` per query ×
+    probed list on the residual path — the one parity-critical fold).
+    The scan reads the UNION of all queries' probed lists (a
+    pushdown-able ``__list IN (...)`` — partition pruning still holds
+    on a ``__list``-partitioned table), and one Arrow pass scores each
+    row against exactly the queries probing its list, in the same
+    sequential IEEE add order as the literal fold.
+
+    Top-k is exact and scalable: scores round Spark-side (the same
+    ``F.round``), then a TWO-PHASE per-query window — phase 1 ranks
+    within (query, deterministic id-hash salt) buckets and keeps
+    ``topk`` per bucket, phase 2 ranks the ≤ ``64·topk`` survivors per
+    query — so no single reducer ever sees a query's full probed-row
+    stream, and the final (rounded dist, id) ordering is identical to
+    the single-query ``orderBy().limit()``. Per query, results are
+    bit-identical to :func:`ivf_pq_query` (pinned in tests).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rows = queries.select(query_id_col, vec_col).collect()
+    if not rows:
+        raise ValueError("queries table is empty — nothing to retrieve")
+    qids = [r[0] for r in rows]
+    if len(set(qids)) != len(qids):
+        raise ValueError(f"duplicate {query_id_col!r} values in queries")
+    m, k = index.m, index.k
+    dim = index.dim
+    cbs = index.codebooks
+    coarse = index.coarse_centroids
+    if not coarse:
+        raise ValueError(
+            "index has no coarse centroids (plain-PQ index) — batch "
+            "retrieval needs probe selection over __list"
+        )
+    probes: List[List[int]] = []
+    luts_per_q = []
+    for r in rows:
+        q = [float(v) for v in r[vec_col]]
+        if len(q) != dim:
+            raise ValueError(
+                f"query {r[0]!r} dim {len(q)} != index dim {dim}"
+            )
+        qq = _py_dot(q, q)
+        by_dist = sorted(
+            (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+            for j, c in enumerate(coarse)
+        )
+        probe = [j for _, j in by_dist[:n_probe]]
+        probes.append(probe)
+        if index.by_residual:
+            luts_per_q.append([
+                _subspace_luts(
+                    [qv - cv for qv, cv in zip(q, coarse[lst])], cbs
+                )
+                for lst in probe
+            ])
+        else:
+            luts_per_q.append(_subspace_luts(q, cbs))
+    union_lists = sorted({lst for p in probes for lst in p})
+    filtered = coded.where(F.col("__list").isin(union_lists))
+
+    qid_field = queries.schema[query_id_col].dataType
+    schema = StructType([
+        StructField("qid", qid_field),
+        StructField("id", coded.schema["id"].dataType),
+        StructField("__adc_sum", DoubleType()),
+    ])
+    n_q = len(rows)
+    by_residual = index.by_residual
+    lut_arrs = [np.asarray(l, dtype=np.float64) for l in luts_per_q]
+    probe_sets = [
+        ({int(l): p for p, l in enumerate(pr)} if by_residual
+         else set(int(l) for l in pr))
+        for pr in probes
+    ]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            lists = pdf["__list"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            out_qid, out_id, out_s = [], [], []
+            for qi in range(n_q):
+                if by_residual:
+                    pmap = probe_sets[qi]
+                    mask = np.fromiter(
+                        (int(l) in pmap for l in lists), dtype=bool,
+                        count=n,
+                    )
+                    if not mask.any():
+                        continue
+                    pos = np.fromiter(
+                        (pmap[int(l)] for l in lists[mask]),
+                        dtype=np.int64,
+                    )
+                    Cm = C[mask]
+                    lut = lut_arrs[qi]
+                    s = lut[pos, 0, Cm[:, 0]].copy()
+                    for i in range(1, m):
+                        s = s + lut[pos, i, Cm[:, i]]
+                else:
+                    pset = probe_sets[qi]
+                    mask = np.fromiter(
+                        (int(l) in pset for l in lists), dtype=bool,
+                        count=n,
+                    )
+                    if not mask.any():
+                        continue
+                    Cm = C[mask]
+                    lut = lut_arrs[qi]
+                    s = lut[0][Cm[:, 0]].copy()
+                    for i in range(1, m):
+                        s = s + lut[i][Cm[:, i]]
+                nm = int(mask.sum())
+                out_qid.append(np.full(nm, qids[qi]))
+                out_id.append(ids[mask])
+                out_s.append(s)
+            if not out_qid:
+                continue
+            yield pd.DataFrame({
+                "qid": np.concatenate(out_qid),
+                "id": np.concatenate(out_id),
+                "__adc_sum": np.concatenate(out_s),
+            })
+
+    scored = filtered.mapInPandas(gen, schema).select(
+        "qid", "id", F.round(F.col("__adc_sum"), index.round_dp).alias(
+            "adc_dist"
+        ),
+    )
+    salt = F.pmod(F.xxhash64("id"), F.lit(64))
+    w1 = Window.partitionBy("qid", salt).orderBy(
+        F.col("adc_dist").asc(), F.col("id").asc()
+    )
+    pre = scored.withColumn("__r1", F.row_number().over(w1)).where(
+        F.col("__r1") <= topk
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist").asc(), F.col("id").asc()
+    )
+    return (
+        pre.withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= topk)
+        .select(F.col("qid").alias(query_id_col), "id", "adc_dist")
+    )
+
+
 def pq_adc_topk(
     codes: SparkDF,
     codebooks: List[List[List[float]]],

@@ -6826,6 +6826,47 @@ def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq.ivf_pq_topk(coded, coarse, cbs, q, n_probe=2, topk=25)
 
 
+@register(
+    "q_similarity_ivf_pq_batch",
+    oracle=f"""
+    SELECT CAST(0 AS BIGINT) AS query_id, t.id, t.adc_dist
+    FROM ({_ivf_pq_oracle(8, 2, 4, 16, 1, 6, 64, 0, 2, 12)}) t
+    UNION ALL
+    SELECT CAST(7 AS BIGINT) AS query_id, t.id, t.adc_dist
+    FROM ({_ivf_pq_oracle(8, 2, 4, 16, 1, 6, 64, 7, 2, 12)}) t
+    ORDER BY query_id, adc_dist, id
+    """,
+    description="Batch ANN retrieval (operators/pq.py::"
+    "ivf_pq_batch_topk) — the query-table form of IVF×PQ serving, the "
+    "ANN twin of bm25_batch_topk: a whole probe workload (queries "
+    "vec_id 0 and 7) answered in ONE job. Probe selection and LUT "
+    "construction are the same driver arithmetic as the single-query "
+    "path; the scan reads the UNION of all probed lists (pushdown-able "
+    "__list IN — partition pruning holds), one Arrow pass scores each "
+    "row against exactly the queries probing its list in the literal "
+    "fold's IEEE add order, and top-k is an exact TWO-PHASE per-query "
+    "window (id-hash salt buckets, then ≤64·topk survivors per query) "
+    "— no reducer sees a query's full probed stream. The oracle "
+    "replays BOTH queries' full single-query chains (coarse Lloyd, "
+    "probe selection, subspace trainings, restricted ADC scan) and "
+    "unions them — per-query results must be bit-identical to the "
+    "single-query path.",
+)
+def q_similarity_ivf_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, coarse, cbs = _pq.ivf_pq_build(
+        emb, "vec_id", "embedding", dim=64, n_lists=8, m=4, k=16,
+        coarse_iter=2, n_iter=1,
+    )
+    idx = _pq.make_ivf_pq_index(coarse, cbs)
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _pq.ivf_pq_batch_topk(
+        coded, idx, queries, n_probe=2, topk=12
+    ).orderBy("query_id", "adc_dist", "id")
+
+
 def _kmeans_sampled_oracle(k: int, n_iter: int, dp: int,
                            frac_ppm: int) -> str:
     """DuckDB twin of cluster_summary(train_on=frac): the xxh64 chain
@@ -7623,6 +7664,10 @@ _GRADING_ORDER = [
     # graded via q_bm25_topk/q_bm25_batch/q_curation_pipeline, and the
     # full-registry gate covers this one)
     "q_bm25_indexed",
+    # r10: batch ANN retrieval — a query TABLE through IVF×PQ in one
+    # job (window full; the family is graded via the raw, residual,
+    # and persisted single-query forms)
+    "q_similarity_ivf_pq_batch",
     # r10: rotated OUT of the graded window (graded green since r1-r2,
     # simple agg/join/window/lookup shapes whose families keep graded
     # representatives — see the window comments) to admit the eight

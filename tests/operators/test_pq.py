@@ -720,3 +720,82 @@ class TestServingTable:
         shutil.rmtree(f"{path}/coded_{idx.fingerprint}")
         with pytest.raises(ValueError, match="torn"):
             pq.load_ivf_pq_table(spark, path)
+
+
+class TestIvfPqBatch:
+    """ivf_pq_batch_topk: a whole query table in one job, per-query
+    results bit-identical to the single-query serving path."""
+
+    def _build(self, spark, by_residual=False):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(60)
+        ]
+        df = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=4, coarse_iter=1, n_iter=1,
+            by_residual=by_residual,
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs, by_residual=by_residual)
+        return vecs, coded, idx
+
+    def _queries(self, spark, vecs, ids):
+        return spark.createDataFrame(
+            [(i, vecs[i]) for i in ids],
+            "query_id bigint, embedding array<double>",
+        )
+
+    def test_batch_equals_singles_both_paths(self, spark):
+        for flag in (False, True):
+            vecs, coded, idx = self._build(spark, by_residual=flag)
+            qdf = self._queries(spark, vecs, [3, 17, 42])
+            batch = pq.ivf_pq_batch_topk(
+                coded, idx, qdf, n_probe=2, topk=7
+            ).collect()
+            got = {}
+            for r in batch:
+                got.setdefault(r["query_id"], []).append(
+                    (r["adc_dist"], r["id"])
+                )
+            for qid in (3, 17, 42):
+                single = pq.ivf_pq_query(
+                    coded, idx, vecs[qid], n_probe=2, topk=7
+                ).collect()
+                want = [(r["adc_dist"], r["id"]) for r in single]
+                assert sorted(got[qid]) == want, f"qid={qid} flag={flag}"
+
+    def test_validation(self, spark):
+        vecs, coded, idx = self._build(spark)
+        empty = spark.createDataFrame(
+            [], "query_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="empty"):
+            pq.ivf_pq_batch_topk(coded, idx, empty)
+        dup = spark.createDataFrame(
+            [(1, vecs[0]), (1, vecs[1])],
+            "query_id bigint, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            pq.ivf_pq_batch_topk(coded, idx, dup)
+        short = spark.createDataFrame(
+            [(1, [0.0, 1.0])], "query_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="dim"):
+            pq.ivf_pq_batch_topk(coded, idx, short)
+        plain = pq.make_ivf_pq_index([], idx.codebooks)
+        with pytest.raises(ValueError, match="coarse"):
+            pq.ivf_pq_batch_topk(
+                coded, plain, self._queries(spark, vecs, [0])
+            )
+
+    def test_from_persisted_serving_table(self, spark, tmp_path):
+        vecs, coded, idx = self._build(spark, by_residual=True)
+        path = str(tmp_path / "serve")
+        pq.save_ivf_pq_table(coded, idx, path)
+        lc, li = pq.load_ivf_pq_table(spark, path)
+        qdf = self._queries(spark, vecs, [5, 9])
+        served = pq.ivf_pq_batch_topk(lc, li, qdf, n_probe=3, topk=4)
+        fresh = pq.ivf_pq_batch_topk(coded, idx, qdf, n_probe=3, topk=4)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )

@@ -223,6 +223,26 @@ def _resolve_adc_method(method: str, n_literals: int) -> str:
     return method
 
 
+def _np_adc_fold(lut_arr, C, pos=None):
+    """THE numpy image of the literal ADC fold — sequential per-subspace
+    float64 adds in the same IEEE order as the Catalyst expression.
+    Shared by :func:`_adc_arrow` and :func:`ivf_pq_batch_topk`'s scorer
+    (one copy of the parity-critical fold, like :func:`_subspace_luts`
+    on the driver side). ``pos=None`` is the raw path (``lut_arr`` is
+    ``m × k``); with ``pos`` (per-row probe positions), ``lut_arr`` is
+    ``n_probe × m × k`` — the residual path."""
+    m = lut_arr.shape[0] if pos is None else lut_arr.shape[1]
+    if pos is None:
+        s = lut_arr[0][C[:, 0]].copy()
+        for i in range(1, m):
+            s = s + lut_arr[i][C[:, i]]
+    else:
+        s = lut_arr[pos, 0, C[:, 0]].copy()
+        for i in range(1, m):
+            s = s + lut_arr[pos, i, C[:, i]]
+    return s
+
+
 def _adc_arrow(
     codes: SparkDF,
     luts,
@@ -242,32 +262,25 @@ def _adc_arrow(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     lut_arr = np.asarray(luts, dtype=np.float64)
-    m = lut_arr.shape[0] if probe is None else lut_arr.shape[1]
     pmap = None if probe is None else {int(l): p for p, l in enumerate(probe)}
     schema = StructType(
         list(codes.schema.fields) + [StructField("__adc_sum", DoubleType())]
     )
 
     def gen(batches):
-        import pandas as pd
-
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
             if probe is None:
-                s = lut_arr[0][C[:, 0]].copy()
-                for i in range(1, m):
-                    s = s + lut_arr[i][C[:, i]]
+                s = _np_adc_fold(lut_arr, C)
             else:
                 pos = np.fromiter(
                     (pmap[int(l)] for l in pdf["__list"]),
                     dtype=np.int64, count=n,
                 )
-                s = lut_arr[pos, 0, C[:, 0]].copy()
-                for i in range(1, m):
-                    s = s + lut_arr[pos, i, C[:, i]]
+                s = _np_adc_fold(lut_arr, C, pos)
             out = pdf.copy()
             out["__adc_sum"] = s
             yield out
@@ -904,13 +917,23 @@ def ivf_pq_batch_topk(
     from pyspark.sql import Window
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    built_residual = getattr(coded, "_ons_ivfpq_residual", None)
+    if built_residual is not None and built_residual != index.by_residual:
+        # Same guard as ivf_pq_topk/save_ivf_pq_table — residual codes
+        # scored with raw LUTs (or vice versa) are plausible-looking
+        # garbage distances, never an error downstream.
+        raise ValueError(
+            f"coded table was built with by_residual={built_residual} "
+            f"but the index says by_residual={index.by_residual} — "
+            "codes from one geometry scored in the other are meaningless"
+        )
     rows = queries.select(query_id_col, vec_col).collect()
     if not rows:
         raise ValueError("queries table is empty — nothing to retrieve")
     qids = [r[0] for r in rows]
     if len(set(qids)) != len(qids):
         raise ValueError(f"duplicate {query_id_col!r} values in queries")
-    m, k = index.m, index.k
+    m = index.m
     dim = index.dim
     cbs = index.codebooks
     coarse = index.coarse_centroids
@@ -922,6 +945,14 @@ def ivf_pq_batch_topk(
     probes: List[List[int]] = []
     luts_per_q = []
     for r in rows:
+        if r[vec_col] is None or any(v is None for v in r[vec_col]):
+            # Contract parity with bm25_batch_topk's query validation —
+            # a malformed query row raises with ITS id, not an opaque
+            # float(None) traceback.
+            raise ValueError(
+                f"query {r[0]!r} has a NULL {vec_col!r} vector or a "
+                "NULL element — every query needs a complete vector"
+            )
         q = [float(v) for v in r[vec_col]]
         if len(q) != dim:
             raise ValueError(
@@ -955,11 +986,17 @@ def ivf_pq_batch_topk(
     n_q = len(rows)
     by_residual = index.by_residual
     lut_arrs = [np.asarray(l, dtype=np.float64) for l in luts_per_q]
-    probe_sets = [
-        ({int(l): p for p, l in enumerate(pr)} if by_residual
-         else set(int(l) for l in pr))
-        for pr in probes
-    ]
+    # Per-query probe-position lookup tables over the list-id space:
+    # pos_luts[qi][list_id] = the list's position in query qi's probe
+    # order, -1 if not probed. Row→query membership then vectorizes to
+    # one numpy gather per (batch, query) — no interpreted per-row
+    # membership tests (O(n_q · n) Python was measured as the
+    # bottleneck shape at probe-workload scale).
+    n_lists = index.n_lists
+    pos_luts = np.full((n_q, n_lists), -1, dtype=np.int64)
+    for qi, pr in enumerate(probes):
+        for p, lst in enumerate(pr):
+            pos_luts[qi][lst] = p
 
     def gen(batches):
         import pandas as pd
@@ -969,42 +1006,19 @@ def ivf_pq_batch_topk(
             if n == 0:
                 continue
             C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
-            lists = pdf["__list"].to_numpy()
+            lists = pdf["__list"].to_numpy(dtype=np.int64)
             ids = pdf["id"].to_numpy()
             out_qid, out_id, out_s = [], [], []
             for qi in range(n_q):
-                if by_residual:
-                    pmap = probe_sets[qi]
-                    mask = np.fromiter(
-                        (int(l) in pmap for l in lists), dtype=bool,
-                        count=n,
-                    )
-                    if not mask.any():
-                        continue
-                    pos = np.fromiter(
-                        (pmap[int(l)] for l in lists[mask]),
-                        dtype=np.int64,
-                    )
-                    Cm = C[mask]
-                    lut = lut_arrs[qi]
-                    s = lut[pos, 0, Cm[:, 0]].copy()
-                    for i in range(1, m):
-                        s = s + lut[pos, i, Cm[:, i]]
-                else:
-                    pset = probe_sets[qi]
-                    mask = np.fromiter(
-                        (int(l) in pset for l in lists), dtype=bool,
-                        count=n,
-                    )
-                    if not mask.any():
-                        continue
-                    Cm = C[mask]
-                    lut = lut_arrs[qi]
-                    s = lut[0][Cm[:, 0]].copy()
-                    for i in range(1, m):
-                        s = s + lut[i][Cm[:, i]]
-                nm = int(mask.sum())
-                out_qid.append(np.full(nm, qids[qi]))
+                pos = pos_luts[qi][lists]
+                mask = pos >= 0
+                if not mask.any():
+                    continue
+                Cm = C[mask]
+                s = _np_adc_fold(
+                    lut_arrs[qi], Cm, pos[mask] if by_residual else None
+                )
+                out_qid.append(np.full(int(mask.sum()), qids[qi]))
                 out_id.append(ids[mask])
                 out_s.append(s)
             if not out_qid:

@@ -912,14 +912,17 @@ def bm25_index_build(df, id_col: str, text_col: str):
     ``postings`` is one row per (document, distinct term):
     ``(term, id, tf, dl)`` — term frequency and document length
     DENORMALIZED onto every posting so a query never joins back to the
-    corpus. ``stats`` is ONE row ``(n, total_dl, n_postings)`` of exact
-    integers: document count and total token count (``avgdl`` is
-    derived at query time by the same single division
-    :func:`bm25_scores` uses, so indexed scores are bit-identical to
-    corpus-scan scores) plus the POSTINGS ROW COUNT — the cross-store
-    consistency witness the loaders validate, so a torn save or append
-    (postings without their stats, or stale stats under fresh postings)
-    fails loudly instead of serving silently wrong idf/avgdl.
+    corpus. ``stats`` is ONE row ``(n, total_dl, n_postings,
+    postings_xor)`` of exact integers: document count and total token
+    count (``avgdl`` is derived at query time by the same single
+    division :func:`bm25_scores` uses, so indexed scores are
+    bit-identical to corpus-scan scores) plus the cross-store
+    consistency WITNESS the loaders validate — the postings row count
+    AND the ``bit_xor(xxhash64(term, id, tf, dl))`` content hash
+    (order-independent, mergeable across batches by xor). A torn save
+    or append — postings without their stats, or stale stats under
+    fresh postings, even at a COINCIDING row count — fails loudly on
+    load instead of serving silently wrong idf/avgdl.
 
     This is the retrieval twin of the PQ serving artifact
     (``pq.save_ivf_pq_table``): :func:`bm25_scores` re-tokenizes the
@@ -951,11 +954,20 @@ def bm25_index_build(df, id_col: str, text_col: str):
         .select("term", "id", "tf", "dl")
         .localCheckpoint(eager=True)
     )
-    n_postings = postings.count()
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size("__toks")).alias("total_dl"),
-    ).withColumn("n_postings", F.lit(n_postings))
+    witness = postings.agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64("term", "id", "tf", "dl")), F.lit(0)
+        ).alias("__px"),
+    ).collect()[0]
+    stats = (
+        toks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("__toks")).alias("total_dl"),
+        )
+        .withColumn("n_postings", F.lit(witness["__np"]))
+        .withColumn("postings_xor", F.lit(witness["__px"]))
+    )
     return postings, stats
 
 
@@ -982,12 +994,44 @@ def save_bm25_index(postings, stats, path: str) -> None:
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def _check_postings_witness(postings, want_n, want_xor, where: str,
+                            repair: str) -> None:
+    """Validate the (count, content-xor) cross-store witness — shared by
+    both loaders. The xor catches tears the count alone cannot (a stale
+    stats row whose posting count happens to coincide with the new
+    postings — e.g. a reworded corpus with the same (term, id) shape)."""
+    from pyspark.sql import functions as F
+
+    have = postings.agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64("term", "id", "tf", "dl")), F.lit(0)
+        ).alias("__px"),
+    ).collect()[0]
+    if have["__np"] != want_n or have["__px"] != want_xor:
+        raise ValueError(
+            f"BM25 index at {where} is torn: stats expect "
+            f"{want_n} posting rows (content xor {want_xor}) but the "
+            f"store holds {have['__np']} (xor {have['__px']}) — a "
+            f"write crashed between the postings and stats halves. "
+            f"{repair}"
+        )
+
+
 def load_bm25_index(spark, path: str):
     """Load a :func:`save_bm25_index` store → ``(postings, stats)``
     ready for :func:`bm25_topk_indexed`. Validates the stats row count
-    AND the ``n_postings`` cross-store witness, so a torn save (either
-    half missing or stale) fails loudly, not with garbage scores."""
+    AND the (count, content-xor) cross-store witness, so a torn save —
+    either half missing or stale, even at a coinciding row count —
+    fails loudly, not with garbage scores."""
     stats = spark.read.parquet(f"{path}/stats")
+    if "n_postings" not in stats.columns or "postings_xor" not in stats.columns:
+        raise ValueError(
+            f"BM25 index stats at {path!r} lacks the consistency "
+            "witness columns (n_postings, postings_xor) — a pre-witness "
+            "or foreign store; rebuild it with bm25_index_build + "
+            "save_bm25_index"
+        )
     n_rows = stats.count()
     if n_rows != 1:
         raise ValueError(
@@ -995,15 +1039,11 @@ def load_bm25_index(spark, path: str):
             "exactly 1; the store is torn or not a BM25 index"
         )
     postings = spark.read.parquet(f"{path}/postings")
-    want = stats.collect()[0]["n_postings"]
-    have = postings.count()
-    if have != want:
-        raise ValueError(
-            f"BM25 index at {path!r} is torn: stats expect {want} "
-            f"posting rows but the store holds {have} — a save crashed "
-            "between the postings and stats writes; re-run "
-            "save_bm25_index"
-        )
+    row = stats.collect()[0]
+    _check_postings_witness(
+        postings, row["n_postings"], row["postings_xor"], repr(path),
+        "Re-run save_bm25_index.",
+    )
     return postings, stats
 
 
@@ -1190,29 +1230,42 @@ def load_bm25_index_incremental(spark, store_path: str):
     :func:`bm25_index_build` over the full corpus (pinned in tests).
 
     Cross-store consistency is VALIDATED on every load: the summed
-    ``n_postings`` witness must equal the postings row count, so a
-    torn append (postings without their stats row, from a crash
-    between the two writes) fails loudly instead of silently serving
-    undercounted ``n``/``avgdl`` — where a term's folded ``df`` could
-    even exceed ``n`` and NULL its idf."""
+    ``n_postings`` count AND the xor-merged ``postings_xor`` content
+    hash must match the postings store (disjoint batches make xor the
+    exact merge), so a torn append — postings without their stats row,
+    from a crash between the two writes, even at a coinciding count —
+    fails loudly instead of silently serving undercounted
+    ``n``/``avgdl``, where a term's folded ``df`` could even exceed
+    ``n`` and NULL its idf."""
     from pyspark.sql import functions as F
 
+    raw_stats = spark.read.parquet(f"{store_path}/stats")
+    if (
+        "n_postings" not in raw_stats.columns
+        or "postings_xor" not in raw_stats.columns
+    ):
+        raise ValueError(
+            f"incremental BM25 index at {store_path!r} lacks the "
+            "consistency witness columns (n_postings, postings_xor) — "
+            "a pre-witness or foreign store; re-ingest through "
+            "bm25_index_append"
+        )
     postings = spark.read.parquet(f"{store_path}/postings").select(
         "term", "id", "tf", "dl"
     )
-    stats = spark.read.parquet(f"{store_path}/stats").agg(
+    stats = raw_stats.agg(
         F.sum("n").alias("n"),
         F.sum("total_dl").alias("total_dl"),
-        F.sum("n_postings").alias("n_postings"),
+        F.coalesce(F.sum("n_postings"), F.lit(0)).alias("n_postings"),
+        F.coalesce(F.bit_xor("postings_xor"), F.lit(0)).alias(
+            "postings_xor"
+        ),
     )
-    want = stats.collect()[0]["n_postings"]
-    have = postings.count()
-    if have != (want or 0):
-        raise ValueError(
-            f"incremental BM25 index at {store_path!r} is torn: stats "
-            f"expect {want} posting rows but the store holds {have} — "
-            "an append crashed between the postings and stats writes. "
-            "Re-run the append with its explicit batch_id to repair "
-            "(the partition overwrite replaces both halves)"
-        )
+    row = stats.collect()[0]
+    _check_postings_witness(
+        postings, row["n_postings"], row["postings_xor"],
+        repr(store_path),
+        "Re-run the append with its explicit batch_id to repair (the "
+        "partition overwrite replaces both halves).",
+    )
     return postings, stats

@@ -1018,3 +1018,71 @@ class TestBm25IncrementalIndex:
         partitioned_delta_append(p2, f"{store}/postings", batch_id=1)
         with pytest.raises(ValueError, match="torn"):
             load_bm25_index_incremental(spark, store)
+
+    def test_equal_count_tear_detected_by_xor(self, spark, tmp_path):
+        # A torn overwrite where the NEW postings coincidentally have
+        # the SAME row count as the stale stats expect — the count
+        # witness passes; only the content xor catches it.
+        import pytest
+
+        from ons_utils_spark.operators.text import (
+            bm25_index_build,
+            load_bm25_index,
+            save_bm25_index,
+        )
+
+        old = self._docs(spark, [(1, "spark engine"), (2, "rareword")])
+        # Same (term, id) shape count: 3 postings either way, but
+        # different dl/tf content.
+        new = self._docs(
+            spark, [(1, "spark spark engine"), (2, "rareword")]
+        )
+        path = str(tmp_path / "bm25xor")
+        op, os_ = bm25_index_build(old, "doc_id", "text")
+        np_, ns_ = bm25_index_build(new, "doc_id", "text")
+        assert (
+            os_.collect()[0]["n_postings"]
+            == ns_.collect()[0]["n_postings"]
+        )
+        save_bm25_index(op, os_, path)
+        (
+            np_.repartitionByRange("term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+        with pytest.raises(ValueError, match="torn"):
+            load_bm25_index(spark, path)
+
+    def test_pre_witness_store_clear_error(self, spark, tmp_path):
+        # A store whose stats lack the witness columns (older/foreign
+        # format) must fail with a rebuild hint, not an opaque
+        # missing-field error.
+        import pytest
+
+        from ons_utils_spark.operators.text import (
+            bm25_index_build,
+            load_bm25_index,
+            load_bm25_index_incremental,
+            save_bm25_index,
+        )
+
+        df = self._docs(spark, [(1, "spark engine")])
+        postings, stats = bm25_index_build(df, "doc_id", "text")
+        path = str(tmp_path / "bm25old")
+        save_bm25_index(postings, stats, path)
+        stats.select("n", "total_dl").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/stats")
+        with pytest.raises(ValueError, match="witness"):
+            load_bm25_index(spark, path)
+        # Incremental loader: same contract.
+        from ons_utils_spark.sources.store import partitioned_delta_append
+
+        store = str(tmp_path / "bm25old_inc")
+        partitioned_delta_append(postings, f"{store}/postings")
+        partitioned_delta_append(
+            stats.select("n", "total_dl"), f"{store}/stats"
+        )
+        with pytest.raises(ValueError, match="witness"):
+            load_bm25_index_incremental(spark, store)

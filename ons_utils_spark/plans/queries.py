@@ -7421,8 +7421,9 @@ _GRADING_ORDER = [
     # r10: q3 and the distinct-combos parity shape follow — q5 keeps
     # the TPC-H join family graded) ------------------------------------
     "q5_local_supplier_volume",
-    "q_asof_join",
-    "q_range_join",
+    # (r11: q_asof_join / q_range_join — graded green since r1, the join
+    # family keeps q5 plus the salted/bucketed tail coverage — rotate to
+    # the tail to admit this round's never-graded classes)
     "q_llm_data_pipeline",
     # -- iterative / graph ------------------------------------------------
     "q_pagerank",
@@ -7456,7 +7457,8 @@ _GRADING_ORDER = [
     # lookup join, graded green since r1 — rotates to the tail; the
     # parity family keeps both concat shapes) --------------------------
     "q_concat_with_keys",
-    "q_concat_schema_coercion",
+    # (r11: q_concat_schema_coercion rotates to the tail — the parity
+    # family keeps q_concat_with_keys and q_grouped_apply_spend_share)
     # r8 rotation: q_scalar_functions / q_json_props (long-green simple
     # expression shapes, still full-registry-checked in the tail) swap
     # out for the two strongest never-graded r6 oracle classes — Bloom
@@ -7477,16 +7479,22 @@ _GRADING_ORDER = [
     # swaps out for the SemDeDup pruning oracle class (clustering +
     # ranking + within-cluster pair pruning replayed in SQL).
     "q_semdedup_kmeans",
-    # -- streaming batch-twins (r9: hourly tumbling windows rotated to
-    # the tail; the family stays graded via the session-gap shape) ------
-    "q_events_user_sessions",
-    # -- dedup / similarity -------------------------------------------------
-    "q_dedup_exact",
-    "q_ngram_jaccard_pairs",
+    # -- streaming batch-twins (r11: the session-gap shape rotates to the
+    # tail; the family stays graded via q_count_min_sketch and
+    # q_view_to_click_attribution) --------------------------------------
+    # -- event analytics (r11 rotation in: funnel conversion and the SCD2
+    # user-state history — strong oracle classes, never driver-graded) --
+    "q_funnel_conversion",
+    "q_user_state_history",
+    # -- dedup / similarity (r11: q_dedup_exact / q_ngram_jaccard_pairs /
+    # q_embedding_near_dup / q_similarity_topk rotate to the tail — the
+    # family keeps minhash/OPH/clusters/self-dedup/semantic graded, and
+    # the n-gram class enters via the asymmetric containment form) ------
     "q_dedup_minhash",
     "q_dedup_clusters",
-    "q_embedding_near_dup",
-    "q_similarity_topk",
+    # r11: asymmetric n-gram containment (bit-exact xxh64 shingle oracle)
+    # — never driver-graded before
+    "q_containment_pairs",
     # r10: one-permutation MinHash (bit-exact lane oracle) and the
     # SemDeDup composition — both never driver-graded before
     "q_oph_minhash",
@@ -7502,6 +7510,13 @@ _GRADING_ORDER = [
     # serving from the persisted, fingerprint-validated index artifact
     "q_similarity_ivf_pq_residual",
     "q_similarity_ivf_pq_persisted",
+    # r11: batch ANN retrieval (query TABLE through IVF×PQ in one job,
+    # union-of-probes pushdown) — landed after the r10 rotation commit,
+    # never driver-graded before
+    "q_similarity_ivf_pq_batch",
+    # r11: the SRP-bucketed hard-negatives scale path (full value oracle,
+    # plane constants inlined) — never driver-graded before
+    "q_hard_negatives_srp",
     # -- text analytics (r9: C4 line-level cleaning replaces the two
     # rotated expression shapes as the family's graded representative;
     # q_chunk_documents rotated out — row-local chunking, long green) --
@@ -7512,17 +7527,30 @@ _GRADING_ORDER = [
     # the query-driven-curation primitives, never driver-graded before
     "q_bm25_topk",
     "q_bm25_batch",
+    # r11: BM25 served from the persisted term-sorted inverted index —
+    # landed after the r10 rotation commit, never driver-graded before
+    "q_bm25_indexed",
+    # r11: Gopher quality gates + bigram LM perplexity — the two
+    # strongest never-graded text-quality oracle classes
+    "q_gopher_quality",
+    "q_bigram_logprob",
     # r10: the fused retrieval-era curation pipeline (BM25 -> span-level
     # decontamination -> redaction, chained-CTE oracle)
     "q_curation_pipeline",
     "q_hard_negatives",
     # r9: the multi-table SRP recall lever, never driver-graded before
     "q_hard_negatives_srp_multi",
-    "q_corpus_clean_pipeline",
+    # (r11: q_corpus_clean_pipeline and q_decontaminate rotate to the
+    # tail — the cleaning/decontamination families keep q_c4_line_clean,
+    # q_decontaminate_bloom, q_contaminated_spans, q_curation_pipeline
+    # and q_llm_data_pipeline graded)
     # r9: suffix-matched domain blocklist (explode + broadcast semi-join)
     "q_domain_filter",
     "q_dedup_incremental",
-    "q_decontaminate",
+    # r11: mergeable HLL distinct-count and the equi-depth histogram —
+    # the two strongest never-graded sketch/profiling oracle classes
+    "q_hll_mergeable",
+    "q_equi_depth_histogram",
     # r5: DSIR importance weighting replaces one of the many graded join
     # variants (q_lonely_late_suppliers moved to the tail; the join
     # family keeps 8+ graded shapes) — data SELECTION is a first-class
@@ -7545,21 +7573,29 @@ _GRADING_ORDER = [
     # r10: the numeric-bin PSI form — never driver-graded before
     "q_psi_drift",
     # ---- end of the driver's 50-slot graded window ----------------------
+    # r11: rotated OUT of the graded window (graded green since r1-r9,
+    # shapes whose families keep graded representatives — see the window
+    # comments) to admit the ten never-driver-graded classes above
+    "q_asof_join",
+    "q_range_join",
+    "q_concat_schema_coercion",
+    "q_events_user_sessions",
+    "q_dedup_exact",
+    "q_ngram_jaccard_pairs",
+    "q_embedding_near_dup",
+    "q_similarity_topk",
+    "q_corpus_clean_pipeline",
+    "q_decontaminate",
     "q_customers_with_open_orders",
     "q_outer_join_order_counts",
     "q_stateful_dedup_first",
     "q_lonely_late_suppliers",
     "q_big_spender_orders",
-    "q_gopher_quality",
     "q_token_entropy",
-    "q_bigram_logprob",
-    "q_funnel_conversion",
     "q_retention_cohorts",
-    "q_user_state_history",
     "q_resample_daily",
     "q_resample_ffill",
     "q_resample_interp",
-    "q_hll_mergeable",
     "q_nation_trade_volume",
     "q_large_volume_orders",
     "q_group_sample",
@@ -7605,7 +7641,6 @@ _GRADING_ORDER = [
     "q_span_dedup",
     "q_training_order",
     "q_model_scores",
-    "q_containment_pairs",
     "q_salted_join",
     "q_quantized_embeddings",
     "q_rollup_cascade",
@@ -7640,12 +7675,8 @@ _GRADING_ORDER = [
     "q_group_percentiles",
     "q_forecast_revenue_change",
     # (q_pagerank and q_count_min_sketch moved into the graded window, r6)
-    "q_equi_depth_histogram",
     "q_small_quantity_selfjoin",
     "q_random_projection",
-    # r6: the SRP-bucketed hard-negatives scale path, full value oracle
-    # (plane constants inlined; bucket+multiprobe+ranking replayed in SQL)
-    "q_hard_negatives_srp",
     # r6: directed PageRank with dangling-mass redistribution (oracle
     # unrolls the recurrence incl. a per-iteration dangling-mass CTE)
     "q_pagerank_directed",
@@ -7659,15 +7690,8 @@ _GRADING_ORDER = [
     # (grouped form graded, r9)
     "q_kmv_distinct",
     "q_sample_quantiles",
-    # r10: BM25 from the persisted term-sorted inverted index — the
-    # retrieval serving artifact (window slots are full; the class is
-    # graded via q_bm25_topk/q_bm25_batch/q_curation_pipeline, and the
-    # full-registry gate covers this one)
-    "q_bm25_indexed",
-    # r10: batch ANN retrieval — a query TABLE through IVF×PQ in one
-    # job (window full; the family is graded via the raw, residual,
-    # and persisted single-query forms)
-    "q_similarity_ivf_pq_batch",
+    # (q_bm25_indexed and q_similarity_ivf_pq_batch moved into the
+    # graded window, r11)
     # r10: rotated OUT of the graded window (graded green since r1-r2,
     # simple agg/join/window/lookup shapes whose families keep graded
     # representatives — see the window comments) to admit the eight

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame as SparkDF, functions as F
 
 from ons_utils_spark.functions.arrays import array_dot
 from ons_utils_spark.operators.semantic import (
+    _assign,
     _py_dot,
     _resolve_method,
     kmeans_lloyd,
@@ -119,22 +120,30 @@ def pq_build(
         codebooks.append(cents)
 
     if method == "literal":
-        code_cols = []
-        for i in range(m):
-            entries = []
-            vec = F.col(f"sub{i}")
-            vv = array_dot(vec, vec)
-            for j, c in enumerate(codebooks[i]):
-                clit = F.array(*[F.lit(float(x)) for x in c])
-                dist = vv + F.lit(_py_dot(c, c)) - 2 * array_dot(vec, clit)
-                entries.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
-            code_cols.append(F.array_min(F.array(*entries))["j"])
-        codes = slices.select(
-            "id", F.array(*code_cols).alias("codes"), *carry
-        )
+        codes = _encode_literal(slices, m, codebooks, carry)
     else:
         codes = _encode_blas(slices, m, codebooks, carry)
     return codes, codebooks
+
+
+def _encode_literal(slices: SparkDF, m: int, codebooks, carry=()) -> SparkDF:
+    """Codegen argmin over literal codebook centroids — the bit-exact
+    small-k encode path. Same per-centroid ``vv + c·c − 2·v·c`` fold and
+    struct-ordered ``array_min`` tie-break (lower code wins) as
+    :func:`semantic._assign_literal`; shared by :func:`pq_build` and
+    :func:`ivf_pq_encode` so build-time and append-time codes come from
+    ONE copy of the parity-critical expression."""
+    code_cols = []
+    for i in range(m):
+        entries = []
+        vec = F.col(f"sub{i}")
+        vv = array_dot(vec, vec)
+        for j, c in enumerate(codebooks[i]):
+            clit = F.array(*[F.lit(float(x)) for x in c])
+            dist = vv + F.lit(_py_dot(c, c)) - 2 * array_dot(vec, clit)
+            entries.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
+        code_cols.append(F.array_min(F.array(*entries))["j"])
+    return slices.select("id", F.array(*code_cols).alias("codes"), *carry)
 
 
 def _encode_blas(slices: SparkDF, m: int, codebooks, carry=()) -> SparkDF:
@@ -755,6 +764,84 @@ def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
             "the payload was corrupted or edited after save"
         )
     return index
+
+
+def ivf_pq_encode(
+    df: SparkDF,
+    index: IvfPqIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> SparkDF:
+    """Encode vectors with a STORED index — NO training. Returns the
+    same ``(id, codes, __list)`` shape as :func:`ivf_pq_build`, produced
+    from the index's coarse centroids and codebooks alone.
+
+    This is the maintenance primitive the serving table was missing:
+    corpora grow, and re-training (m Lloyd fits + a coarse fit) for
+    every new batch both wastes the fits and INVALIDATES every
+    already-encoded vector (new codebooks ⇒ new codes ⇒ full rewrite).
+    Encoding against the stored geometry instead is one scan of the NEW
+    batch — :func:`ivf_pq_table_append` uses it to grow a persisted
+    serving table in place, and ``streaming/ingest.py``'s
+    ``ivf_pq_ingest_writer`` to maintain one from a stream.
+
+    Bit parity: the coarse assignment is the same ``__vv + c·c − 2·v·c``
+    argmin (``semantic._assign``) as :func:`ivf_pq_build`'s final
+    Lloyd assignment, the residual transform the same exact ``zip_with``
+    subtraction, and the code argmin the same shared
+    :func:`_encode_literal` / :func:`_encode_blas` — so for a FIXED
+    index, encoding a batch here is bit-identical to having included it
+    in the one-shot build (pinned in tests; per-row arithmetic has no
+    cross-row dependence once the centroids are frozen). ``method``
+    resolves per stage exactly as the build does: by ``n_lists`` for
+    the coarse argmin, by ``k`` for the code argmin.
+    """
+    if not index.coarse_centroids:
+        raise ValueError(
+            "index has no coarse centroids (plain-PQ index) — "
+            "ivf_pq_encode produces (id, codes, __list); encode plain "
+            "PQ codes with pq_build's codebooks instead"
+        )
+    coarse_method = _resolve_method(method, index.n_lists)
+    vecs = df.withColumn(
+        "__vv", array_dot(F.col(vec_col), F.col(vec_col))
+    )
+    src = _assign(
+        vecs, vec_col, index.coarse_centroids, coarse_method
+    ).withColumn("__list", F.col("__cluster"))
+    enc_col = vec_col
+    if index.by_residual:
+        cents = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in index.coarse_centroids
+        ])
+        src = src.withColumn(
+            "__rvec",
+            F.zip_with(
+                F.col(vec_col),
+                F.element_at(cents, F.col("__list") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+        enc_col = "__rvec"
+    sub_d = index.sub_d
+    m = index.m
+    # No checkpoint (unlike pq_build's slice projection): encode-only
+    # feeds exactly one pass, so materializing it would only add I/O.
+    slices = src.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.slice(F.col(enc_col), i * sub_d + 1, sub_d).alias(f"sub{i}")
+            for i in range(m)
+        ],
+        "__list",
+    )
+    if _resolve_method(method, index.k) == "literal":
+        coded = _encode_literal(slices, m, index.codebooks, ("__list",))
+    else:
+        coded = _encode_blas(slices, m, index.codebooks, ("__list",))
+    return coded
 
 
 def save_ivf_pq_table(

@@ -799,3 +799,62 @@ class TestIvfPqBatch:
         assert sorted(map(tuple, served.collect())) == sorted(
             map(tuple, fresh.collect())
         )
+
+
+class TestIvfPqEncode:
+    """ivf_pq_encode — encoding NEW vectors against a STORED index must
+    be bit-identical to having included them in the one-shot build (the
+    append primitive's core contract: per-row arithmetic has no
+    cross-row dependence once the centroids are frozen)."""
+
+    def _vecs(self, n=40, dim=8):
+        return [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)]
+            for i in range(n)
+        ]
+
+    @pytest.mark.parametrize("by_residual", [False, True])
+    @pytest.mark.parametrize("method", ["literal", "blas"])
+    def test_encode_matches_oneshot_build(self, spark, by_residual, method):
+        vecs = self._vecs()
+        full = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=by_residual, method=method,
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs, by_residual=by_residual)
+        # Encode the BACK half as a standalone batch with the stored
+        # index — rows 20+ never influence each other's codes.
+        batch = full.where("vec_id >= 20")
+        enc = pq.ivf_pq_encode(batch, idx, method=method)
+        want = {
+            r["id"]: (list(r["codes"]), r["__list"])
+            for r in coded.where("id >= 20").collect()
+        }
+        got = {
+            r["id"]: (list(r["codes"]), r["__list"])
+            for r in enc.collect()
+        }
+        assert got == want
+
+    def test_encode_output_shape(self, spark):
+        vecs = self._vecs()
+        full = _emb_df(spark, vecs)
+        _, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        enc = pq.ivf_pq_encode(full.limit(3), idx)
+        assert enc.columns == ["id", "codes", "__list"]
+        rows = enc.collect()
+        assert len(rows) == 3
+        assert all(len(r["codes"]) == idx.m for r in rows)
+        assert all(0 <= r["__list"] < idx.n_lists for r in rows)
+
+    def test_plain_pq_index_rejected(self, spark):
+        vecs = self._vecs()
+        full = _emb_df(spark, vecs)
+        _, cbs = pq.pq_build(full, dim=8, m=2, k=2, n_iter=1)
+        plain = pq.make_ivf_pq_index([], cbs)
+        with pytest.raises(ValueError, match="coarse"):
+            pq.ivf_pq_encode(full, plain)

@@ -419,17 +419,40 @@ def ivf_pq_build(
         round_dp=round_dp, method=method, train_on=train_on,
         carry_cols=("__list",),
     )
-    # Geometry tag: codes from one geometry scored in the other are
-    # plausible-looking garbage, so ivf_pq_topk rejects a flag mismatch
-    # whenever the coded frame still carries this attribute. It is a
-    # PYTHON attribute on this specific DataFrame object — ANY
-    # DataFrame-producing call (select/where/cache, not just a parquet
-    # round-trip) returns a NEW object without it, silently disarming
-    # the guard. The durable contract is the saved index:
-    # save_ivf_pq_index persists the flag and ivf_pq_query scores with
-    # the STORED geometry, so serving paths never rely on this tag.
-    coded._ons_ivfpq_residual = bool(by_residual)
-    return coded, coarse, codebooks
+    # Geometry tag IN DATA: codes from one geometry scored in the other
+    # are plausible-looking garbage, so every scorer rejects a flag
+    # mismatch via _coded_residual_flag. The flag rides as COLUMN
+    # METADATA on `codes` — part of the schema, so it survives
+    # select/filter/cache AND a parquet round-trip (unlike the Python
+    # attribute this replaces, which any DataFrame-producing call
+    # silently dropped, disarming the guard for in-session tables).
+    # The saved index remains the durable authority: ivf_pq_query
+    # always scores with the STORED geometry.
+    return _tag_residual(coded, by_residual), coarse, codebooks
+
+
+def _tag_residual(coded: SparkDF, by_residual: bool) -> SparkDF:
+    """Stamp the build geometry onto the coded table as column metadata
+    (see :func:`ivf_pq_build`'s tag comment)."""
+    return coded.withMetadata(
+        "codes", {"ons_ivfpq_residual": bool(by_residual)}
+    )
+
+
+def _coded_residual_flag(coded: SparkDF) -> "bool | None":
+    """The coded table's build-geometry flag, or ``None`` when unknown.
+
+    Reads the ``codes`` column metadata stamped by :func:`ivf_pq_build`
+    / :func:`ivf_pq_encode`; falls back to the legacy
+    ``_ons_ivfpq_residual`` Python attribute for frames produced by
+    older builds that are still alive in a session."""
+    try:
+        md = coded.schema["codes"].metadata
+    except Exception:  # noqa: BLE001 — no codes column: not a coded table
+        md = None
+    if md and "ons_ivfpq_residual" in md:
+        return bool(md["ons_ivfpq_residual"])
+    return getattr(coded, "_ons_ivfpq_residual", None)
 
 
 def ivf_pq_topk(
@@ -468,7 +491,7 @@ def ivf_pq_topk(
     switch to the Arrow fold — measured 15.2 s → 0.39 s per query
     (SCALING.md §PQ geometry), scores bit-identical.
     """
-    built_residual = getattr(coded, "_ons_ivfpq_residual", None)
+    built_residual = _coded_residual_flag(coded)
     if built_residual is not None and built_residual != by_residual:
         raise ValueError(
             f"coded table was built with by_residual={built_residual} "
@@ -563,11 +586,11 @@ class IvfPqIndex(NamedTuple):
     recomputed on :func:`load_ivf_pq_index` so a corrupted or
     hand-edited store fails loudly instead of probing wrong lists.
 
-    Unlike the ``_ons_ivfpq_residual`` Python attribute (lost on any
-    DataFrame transformation), this carries ``by_residual`` IN the
-    artifact — :func:`ivf_pq_query` always scores with the stored
-    geometry. ``coarse_centroids == []`` is a valid plain-PQ index
-    (codebooks only; query it with :func:`pq_adc_topk`)."""
+    Like the coded table's ``codes``-column metadata tag, this carries
+    ``by_residual`` IN the artifact — :func:`ivf_pq_query` always
+    scores with the stored geometry. ``coarse_centroids == []`` is a
+    valid plain-PQ index (codebooks only; query it with
+    :func:`pq_adc_topk`)."""
 
     coarse_centroids: List[List[float]]
     codebooks: List[List[List[float]]]
@@ -659,7 +682,10 @@ def make_ivf_pq_index(
 _INDEX_FORMAT_VERSION = 1
 
 
-def save_ivf_pq_index(spark, index: IvfPqIndex, path: str) -> None:
+def save_ivf_pq_index(
+    spark, index: IvfPqIndex, path: str,
+    coded_generation: "str | None" = None,
+) -> None:
     """Persist an :class:`IvfPqIndex` as two small parquet tables under
     ``path`` — ``vectors/`` (one row per coarse centroid / codebook
     entry) and ``meta/`` (one row: geometry flags + fingerprint).
@@ -674,6 +700,10 @@ def save_ivf_pq_index(spark, index: IvfPqIndex, path: str) -> None:
     truncated index. Overwrites any index already at ``path`` (same
     non-ACID stance as the rest of ``sources/`` — an ACID table format
     is the production answer for concurrent readers).
+
+    ``coded_generation`` is :func:`save_ivf_pq_table`'s commit record —
+    the name of the coded directory THIS index write pairs with
+    (fingerprint + per-save nonce). NULL for standalone index stores.
     """
     rows = [
         ("coarse", -1, j, c) for j, c in enumerate(index.coarse_centroids)
@@ -689,10 +719,11 @@ def save_ivf_pq_index(spark, index: IvfPqIndex, path: str) -> None:
         [(
             _INDEX_FORMAT_VERSION, index.by_residual, index.round_dp,
             index.n_lists, index.m, index.k, index.sub_d,
-            index.fingerprint,
+            index.fingerprint, coded_generation,
         )],
         "format_version int, by_residual boolean, round_dp int, "
-        "n_lists int, m int, k int, sub_d int, fingerprint string",
+        "n_lists int, m int, k int, sub_d int, fingerprint string, "
+        "coded_generation string",
     )
     # coalesce(1): the whole payload is n_lists + m·k rows — a FAISS
     # IVF65536,PQ16x8 geometry is ~70k rows, still one small file.
@@ -841,7 +872,7 @@ def ivf_pq_encode(
         coded = _encode_literal(slices, m, index.codebooks, ("__list",))
     else:
         coded = _encode_blas(slices, m, index.codebooks, ("__list",))
-    return coded
+    return _tag_residual(coded, index.by_residual)
 
 
 def save_ivf_pq_table(
@@ -859,14 +890,20 @@ def save_ivf_pq_table(
     ``n_lists + m·k`` index rows plus the probed partitions.
 
     Crash pairing: the coded directory is keyed by the index
-    fingerprint and written FIRST; the index write is the commit point.
-    A crash in between leaves the OLD index paired with the OLD coded
-    directory (both untouched) — the new ``coded_<fp>`` is invisible
-    until its index lands, so a torn re-save can never pair new codes
-    with stale codebooks (both internally self-consistent stores, but
-    garbage distances together). Superseded ``coded_*`` directories are
+    fingerprint PLUS a per-save nonce and written FIRST; the index
+    write (which records that generation name) is the commit point. A
+    crash in between leaves the OLD index paired with the OLD coded
+    generation (both untouched — the nonce means even a SAME-INDEX
+    re-save or a re-encoded/grown corpus never overwrites the live
+    directory in place, closing the partial-overwrite tear a
+    fingerprint-only key had). Superseded ``coded_*`` directories are
     deleted best-effort after the commit; stragglers are harmless
-    (never read) and are retried on the next save."""
+    (never read) and are retried on the next save.
+
+    Layout: rows land under ``batch_id=-1/__list=<j>/`` — the same
+    two-level partitioning :func:`ivf_pq_table_append` grows batch by
+    batch, so a base save plus any number of appends stay ONE
+    partition-discoverable table with ``__list`` pruning intact."""
     if "__list" not in coded.columns:
         raise ValueError(
             "coded table has no __list column — save_ivf_pq_table "
@@ -878,17 +915,26 @@ def save_ivf_pq_table(
             "index has no coarse centroids (plain-PQ index) — it cannot "
             "drive probe selection over a __list-partitioned table"
         )
-    built_residual = getattr(coded, "_ons_ivfpq_residual", None)
+    built_residual = _coded_residual_flag(coded)
     if built_residual is not None and built_residual != index.by_residual:
         raise ValueError(
             f"coded table was built with by_residual={built_residual} "
             f"but the index says by_residual={index.by_residual} — "
             "persisting a mismatched pair would serve garbage distances"
         )
-    coded.write.mode("overwrite").partitionBy("__list").parquet(
-        f"{path}/coded_{index.fingerprint}"
+    import uuid
+
+    generation = f"{index.fingerprint}_{uuid.uuid4().hex[:8]}"
+    (
+        coded.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "__list")
+        .parquet(f"{path}/coded_{generation}")
     )
-    save_ivf_pq_index(coded.sparkSession, index, f"{path}/index")
+    save_ivf_pq_index(
+        coded.sparkSession, index, f"{path}/index",
+        coded_generation=generation,
+    )
     # Commit done — drop superseded coded_* generations (best-effort:
     # a failure here leaves unread garbage, never a wrong answer).
     from pyarrow import fs as pafs
@@ -897,7 +943,7 @@ def save_ivf_pq_table(
 
     try:
         filesystem, root = _resolve_fs(path)
-        keep = f"coded_{index.fingerprint}"
+        keep = f"coded_{generation}"
         for info in filesystem.get_file_info(
             pafs.FileSelector(root, recursive=False)
         ):
@@ -911,26 +957,127 @@ def save_ivf_pq_table(
         pass
 
 
+def _table_generation(spark, path: str, index: IvfPqIndex) -> str:
+    """The coded generation the index at ``<path>/index`` committed
+    with. Falls back to the pre-nonce name ``<fingerprint>`` for stores
+    written before the generation column existed (their coded dir was
+    keyed by fingerprint alone)."""
+    meta = spark.read.parquet(f"{path}/index/meta")
+    gen = None
+    if "coded_generation" in meta.columns:
+        gen = meta.collect()[0]["coded_generation"]
+    return gen if gen is not None else index.fingerprint
+
+
 def load_ivf_pq_table(spark, path: str) -> Tuple[SparkDF, IvfPqIndex]:
-    """Load a serving artifact written by :func:`save_ivf_pq_table` →
-    ``(coded, index)`` ready for :func:`ivf_pq_query`. The index is
-    fingerprint-validated and PICKS the coded generation (the
-    ``coded_<fingerprint>`` directory it was committed with) — a torn
-    save can therefore never serve mismatched pairs. The coded table is
-    a plain partitioned parquet read, so probe filters land in
-    PartitionFilters."""
+    """Load a serving artifact written by :func:`save_ivf_pq_table`
+    (plus any :func:`ivf_pq_table_append` batches) → ``(coded, index)``
+    ready for :func:`ivf_pq_query`. The index is fingerprint-validated
+    and PICKS the coded generation (the nonce-keyed directory it was
+    committed with) — a torn save, including a same-index re-save, can
+    therefore never serve mismatched or partially-written pairs. The
+    coded table is a plain partitioned parquet read projected back to
+    ``(id, codes, __list)`` — the ``batch_id`` growth partitioning is a
+    storage detail — and probe filters still land in PartitionFilters."""
     index = load_ivf_pq_index(spark, f"{path}/index")
-    coded_path = f"{path}/coded_{index.fingerprint}"
+    generation = _table_generation(spark, path, index)
+    coded_path = f"{path}/coded_{generation}"
     try:
         coded = spark.read.parquet(coded_path)
     except Exception as exc:
         raise ValueError(
             f"index at {path!r} points to coded generation "
-            f"{index.fingerprint} but {coded_path!r} is unreadable — "
+            f"{generation} but {coded_path!r} is unreadable — "
             "the store was torn by a crashed or manual edit; re-run "
             "save_ivf_pq_table"
         ) from exc
+    if "batch_id" in coded.columns:
+        coded = coded.select("id", "codes", "__list")
     return coded, index
+
+
+def ivf_pq_table_append(
+    df: SparkDF,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: "int | None" = None,
+    method: str = "auto",
+) -> None:
+    """Append one batch of NEW vectors to a :func:`save_ivf_pq_table`
+    store: encode them with the STORED index (:func:`ivf_pq_encode` —
+    no retraining, so every already-persisted code stays valid) and
+    land them as a ``batch_id`` partition inside the live coded
+    generation. After any number of appends,
+    :func:`load_ivf_pq_table` serves the union — bit-identical to a
+    one-shot build-and-save over the full corpus (pinned in tests),
+    with ``__list`` partition pruning intact.
+
+    Contract (the :func:`ons_utils_spark.operators.text.
+    bm25_index_append` twin): every vector in a batch must be NEW to
+    the store — appended rows are plain additional serving rows, so
+    re-ingesting an id serves duplicate candidates. A streaming replay
+    (same non-negative ``batch_id``) statically overwrites exactly its
+    own partition, making checkpointed at-least-once retries
+    exactly-once; sentinel appends (``batch_id=None``, landing in
+    ``batch_id=-1``) are NOT retry-safe. A crash mid-append leaves at
+    worst a partial ``batch_id`` partition (the base generation and
+    the index are untouched) — re-running the append with its explicit
+    ``batch_id`` repairs it.
+
+    The batch is validated in ONE aggregate pass before anything is
+    written: empty batches, NULL vectors/elements, and dimension
+    mismatches against the stored geometry all raise — a durable store
+    must never absorb rows the scorer would turn into garbage
+    distances or worker-side errors.
+    """
+    spark = df.sparkSession
+    index = load_ivf_pq_index(spark, f"{store_path}/index")
+    generation = _table_generation(spark, store_path, index)
+    if generation == index.fingerprint:
+        raise ValueError(
+            f"store at {store_path!r} uses the pre-generation layout "
+            "(coded directory keyed by fingerprint alone, no batch_id "
+            "partitioning) — appending would corrupt partition "
+            "discovery; re-save it once with save_ivf_pq_table"
+        )
+    if batch_id is not None and int(batch_id) < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}) — negative ids "
+            "collide with the base-save sentinel partition batch_id=-1"
+        )
+    bad_vec = (
+        F.col(vec_col).isNull()
+        | (F.size(vec_col) != index.dim)
+        | F.exists(vec_col, lambda x: x.isNull())
+    )
+    chk = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(bad_vec.cast("int")).alias("bad"),
+    ).collect()[0]
+    if chk["n"] == 0:
+        raise ValueError("append batch is empty — nothing to encode")
+    if chk["bad"]:
+        raise ValueError(
+            f"append batch has {chk['bad']} row(s) whose {vec_col!r} is "
+            f"NULL, has a NULL element, or is not {index.dim}-dim — the "
+            "stored index cannot encode them; fix the batch upstream"
+        )
+    coded = ivf_pq_encode(df, index, id_col, vec_col, method=method)
+    target = f"{store_path}/coded_{generation}"
+    if batch_id is None:
+        (
+            coded.withColumn("batch_id", F.lit(-1))
+            .write.mode("append")
+            .partitionBy("batch_id", "__list")
+            .parquet(target)
+        )
+        return
+    (
+        coded.write.mode("overwrite")
+        .partitionBy("__list")
+        .parquet(f"{target}/batch_id={int(batch_id)}")
+    )
 
 
 def ivf_pq_query(
@@ -1004,7 +1151,7 @@ def ivf_pq_batch_topk(
     from pyspark.sql import Window
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    built_residual = getattr(coded, "_ons_ivfpq_residual", None)
+    built_residual = _coded_residual_flag(coded)
     if built_residual is not None and built_residual != index.by_residual:
         # Same guard as ivf_pq_topk/save_ivf_pq_table — residual codes
         # scored with raw LUTs (or vice versa) are plausible-looking

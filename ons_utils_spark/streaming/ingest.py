@@ -325,3 +325,45 @@ def bm25_index_ingest_writer(
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def ivf_pq_ingest_writer(
+    stream_df,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+    checkpoint_dir: "str | None" = None,
+):
+    """Maintain a persisted IVF×PQ serving table over a vector stream —
+    the ANN twin of :func:`bm25_index_ingest_writer`: as embedding
+    shards land, each micro-batch is encoded with the STORED index
+    (``operators/pq.py::ivf_pq_encode`` — no retraining, every
+    already-served code stays valid) and appended as its own
+    ``batch_id`` partition inside the live coded generation
+    (``ivf_pq_table_append``). ``load_ivf_pq_table`` →
+    ``ivf_pq_query``/``ivf_pq_batch_topk`` then serve everything
+    ingested so far, bit-identical to a one-shot build over the full
+    corpus.
+
+    The store must already exist (``save_ivf_pq_table`` — the index is
+    trained once, offline, on a representative sample; that is the
+    FAISS operating model, and what keeps streaming maintenance a pure
+    one-scan encode). A checkpointed replay statically overwrites
+    exactly its own ``batch_id`` partition, making at-least-once
+    delivery effectively exactly-once; the new-vectors contract of
+    ``ivf_pq_table_append`` applies per micro-batch.
+    """
+
+    def process(batch, batch_id: int) -> None:
+        from ons_utils_spark.operators.pq import ivf_pq_table_append
+
+        ivf_pq_table_append(
+            batch, store_path, id_col=id_col, vec_col=vec_col,
+            batch_id=batch_id, method=method,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -690,9 +690,15 @@ class TestServingTable:
             idx.coarse_centroids, cbs2, by_residual=True
         )
         assert idx2.fingerprint != idx.fingerprint
-        # Torn save: only the coded half of the new generation lands.
-        coded.write.mode("overwrite").partitionBy("__list").parquet(
-            f"{path}/coded_{idx2.fingerprint}"
+        # Torn save: only the coded half of the new generation lands
+        # (generation = fingerprint + per-save nonce).
+        from pyspark.sql import functions as F
+
+        (
+            coded.withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "__list")
+            .parquet(f"{path}/coded_{idx2.fingerprint}_deadbeef")
         )
         loaded_coded, loaded_idx = pq.load_ivf_pq_table(spark, path)
         assert loaded_idx == idx  # old pair, intact
@@ -700,7 +706,8 @@ class TestServingTable:
             loaded_coded, loaded_idx, vecs[1], n_probe=2, topk=5
         ).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in baseline]
-        # Completing the save commits the new pair and sweeps the old.
+        # Completing the save commits the new pair and sweeps every
+        # superseded generation (including the torn one).
         pq.save_ivf_pq_table(coded, idx2, path)
         _, after = pq.load_ivf_pq_table(spark, path)
         assert after == idx2
@@ -709,7 +716,9 @@ class TestServingTable:
         gens = [
             d for d in os.listdir(path) if d.startswith("coded_")
         ]
-        assert gens == [f"coded_{idx2.fingerprint}"]
+        assert len(gens) == 1
+        assert gens[0].startswith(f"coded_{idx2.fingerprint}_")
+        assert gens[0] != f"coded_{idx2.fingerprint}_deadbeef"
 
     def test_missing_coded_generation_raises(self, spark, tmp_path):
         vecs, coded, idx = self._build(spark)
@@ -717,7 +726,12 @@ class TestServingTable:
         pq.save_ivf_pq_table(coded, idx, path)
         import shutil
 
-        shutil.rmtree(f"{path}/coded_{idx.fingerprint}")
+        import os
+
+        gen_dir = next(
+            d for d in os.listdir(path) if d.startswith("coded_")
+        )
+        shutil.rmtree(f"{path}/{gen_dir}")
         with pytest.raises(ValueError, match="torn"):
             pq.load_ivf_pq_table(spark, path)
 
@@ -858,3 +872,182 @@ class TestIvfPqEncode:
         plain = pq.make_ivf_pq_index([], cbs)
         with pytest.raises(ValueError, match="coarse"):
             pq.ivf_pq_encode(full, plain)
+
+
+class TestIvfPqTableAppend:
+    """ivf_pq_table_append — growing a persisted serving table with
+    stored-index encoding: union ≡ one-shot build, replay idempotence,
+    pruning intact."""
+
+    def _vecs(self, n=40, dim=8):
+        return [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)]
+            for i in range(n)
+        ]
+
+    def _split_store(self, spark, tmp_path, by_residual=True):
+        """Index trained on the FULL corpus; base save holds the front
+        half, the back half arrives later as appends."""
+        vecs = self._vecs()
+        full = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=by_residual,
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs, by_residual=by_residual)
+        path = str(tmp_path / "serve")
+        pq.save_ivf_pq_table(coded.where("id < 20"), idx, path)
+        return vecs, full, coded, idx, path
+
+    @pytest.mark.parametrize("by_residual", [False, True])
+    def test_append_union_equals_oneshot(
+        self, spark, tmp_path, by_residual
+    ):
+        vecs, full, coded, idx, path = self._split_store(
+            spark, tmp_path, by_residual
+        )
+        pq.ivf_pq_table_append(
+            full.where("vec_id >= 20 and vec_id < 30"), path, batch_id=0
+        )
+        pq.ivf_pq_table_append(
+            full.where("vec_id >= 30"), path, batch_id=1
+        )
+        lc, li = pq.load_ivf_pq_table(spark, path)
+        assert li == idx
+        got = sorted(
+            (r["id"], tuple(r["codes"]), r["__list"]) for r in lc.collect()
+        )
+        want = sorted(
+            (r["id"], tuple(r["codes"]), r["__list"])
+            for r in coded.collect()
+        )
+        assert got == want
+        # Serving through the grown table == serving the one-shot build.
+        grown = pq.ivf_pq_query(lc, li, vecs[25], n_probe=2, topk=8)
+        fresh = pq.ivf_pq_query(coded, li, vecs[25], n_probe=2, topk=8)
+        assert [tuple(r) for r in grown.collect()] == [
+            tuple(r) for r in fresh.collect()
+        ]
+
+    def test_replay_same_batch_id_is_idempotent(self, spark, tmp_path):
+        vecs, full, coded, idx, path = self._split_store(spark, tmp_path)
+        batch = full.where("vec_id >= 20")
+        pq.ivf_pq_table_append(batch, path, batch_id=3)
+        pq.ivf_pq_table_append(batch, path, batch_id=3)  # replay
+        lc, _ = pq.load_ivf_pq_table(spark, path)
+        assert lc.count() == 40  # no double-counting
+        assert lc.select("id").distinct().count() == 40
+
+    def test_sentinel_append_lands_and_serves(self, spark, tmp_path):
+        vecs, full, coded, idx, path = self._split_store(spark, tmp_path)
+        pq.ivf_pq_table_append(full.where("vec_id >= 20"), path)
+        lc, _ = pq.load_ivf_pq_table(spark, path)
+        assert lc.count() == 40
+
+    def test_probe_pruning_survives_appends(self, spark, tmp_path):
+        vecs, full, coded, idx, path = self._split_store(spark, tmp_path)
+        pq.ivf_pq_table_append(full.where("vec_id >= 20"), path, batch_id=0)
+        lc, li = pq.load_ivf_pq_table(spark, path)
+        plan = pq.ivf_pq_query(
+            lc, li, vecs[2], n_probe=2, topk=5
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "__list" in plan.split("PartitionFilters", 1)[1][:200]
+
+    def test_bad_batches_rejected_before_write(self, spark, tmp_path):
+        vecs, full, coded, idx, path = self._split_store(spark, tmp_path)
+        empty = full.where("vec_id < 0")
+        with pytest.raises(ValueError, match="empty"):
+            pq.ivf_pq_table_append(empty, path, batch_id=0)
+        short = spark.createDataFrame(
+            [(99, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="8-dim"):
+            pq.ivf_pq_table_append(short, path, batch_id=0)
+        nul = spark.createDataFrame(
+            [(99, [1.0, None, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            pq.ivf_pq_table_append(nul, path, batch_id=0)
+        with pytest.raises(ValueError, match="batch_id"):
+            pq.ivf_pq_table_append(
+                full.where("vec_id >= 20"), path, batch_id=-2
+            )
+        # Nothing landed: the base table is untouched.
+        lc, _ = pq.load_ivf_pq_table(spark, path)
+        assert lc.count() == 20
+
+    def test_pre_generation_store_rejected(self, spark, tmp_path):
+        # A store whose index lacks the coded_generation record (r10
+        # layout: coded dir keyed by fingerprint, __list at the root) —
+        # appending batch_id dirs into it would corrupt discovery.
+        vecs = self._vecs()
+        full = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        path = str(tmp_path / "legacy")
+        coded.write.mode("overwrite").partitionBy("__list").parquet(
+            f"{path}/coded_{idx.fingerprint}"
+        )
+        pq.save_ivf_pq_index(spark, idx, f"{path}/index")
+        # The legacy pair still loads and serves...
+        lc, li = pq.load_ivf_pq_table(spark, path)
+        assert lc.count() == 40 and li == idx
+        # ...but appends are refused until a re-save migrates it.
+        with pytest.raises(ValueError, match="pre-generation"):
+            pq.ivf_pq_table_append(full.limit(1), path, batch_id=0)
+
+
+class TestResidualFlagInData:
+    """The by_residual geometry guard must survive DataFrame
+    transformations and parquet round-trips — it rides as codes-column
+    metadata, not a Python attribute."""
+
+    def _build(self, spark, by_residual):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        df = _emb_df(spark, vecs)
+        return vecs, pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=by_residual,
+        )
+
+    def test_guard_survives_select_and_cache(self, spark):
+        vecs, (coded, coarse, cbs) = self._build(spark, by_residual=True)
+        reshaped = coded.select("id", "codes", "__list").cache()
+        try:
+            with pytest.raises(ValueError, match="by_residual"):
+                pq.ivf_pq_topk(reshaped, coarse, cbs, vecs[0], n_probe=2)
+        finally:
+            reshaped.unpersist()
+
+    def test_guard_survives_filter_and_batch_path(self, spark):
+        vecs, (coded, coarse, cbs) = self._build(spark, by_residual=False)
+        idx = pq.make_ivf_pq_index(coarse, cbs, by_residual=True)
+        filtered = coded.where("id >= 0")
+        qdf = spark.createDataFrame(
+            [(1, vecs[0])], "query_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="by_residual"):
+            pq.ivf_pq_batch_topk(filtered, idx, qdf)
+
+    def test_guard_survives_parquet_round_trip(self, spark, tmp_path):
+        vecs, (coded, coarse, cbs) = self._build(spark, by_residual=True)
+        p = str(tmp_path / "codes")
+        coded.write.parquet(p)
+        back = spark.read.parquet(p)
+        with pytest.raises(ValueError, match="by_residual"):
+            pq.ivf_pq_topk(back, coarse, cbs, vecs[0], n_probe=2)
+
+    def test_matching_flag_passes_after_reshape(self, spark):
+        vecs, (coded, coarse, cbs) = self._build(spark, by_residual=True)
+        rows = pq.ivf_pq_topk(
+            coded.select("id", "codes", "__list"), coarse, cbs, vecs[0],
+            n_probe=2, topk=5, by_residual=True,
+        ).collect()
+        assert len(rows) == 5

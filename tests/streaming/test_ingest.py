@@ -511,3 +511,66 @@ class TestStreamingBm25IndexMaintenance:
         streamed = bm25_topk_indexed(postings, stats, terms, topk=4).collect()
         batch = bm25_topk_indexed(whole_p, whole_s, terms, topk=4).collect()
         assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+class TestStreamingIvfPqMaintenance:
+    def test_streamed_table_equals_oneshot_build(self, spark, tmp_path):
+        """Vector micro-batches encoded with the STORED index and
+        appended as batch_id partitions; serving from the grown table
+        must be bit-identical to a one-shot build-and-save over the
+        whole corpus (per-row encode has no cross-row dependence once
+        the index is frozen)."""
+        from ons_utils_spark.operators import pq
+        from ons_utils_spark.streaming.ingest import ivf_pq_ingest_writer
+
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=True,
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs, by_residual=True)
+        store = str(tmp_path / "serve")
+        # Base save: the front half; the back half arrives as a stream.
+        pq.save_ivf_pq_table(coded.where("id < 20"), idx, store)
+
+        stream_dir = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        for lo, hi in ((20, 30), (30, 40)):
+            full.where(
+                f"vec_id >= {lo} and vec_id < {hi}"
+            ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            ivf_pq_ingest_writer(stream, store, checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        lc, li = pq.load_ivf_pq_table(spark, store)
+        assert li == idx
+        got = sorted(
+            (r["id"], tuple(r["codes"]), r["__list"]) for r in lc.collect()
+        )
+        want = sorted(
+            (r["id"], tuple(r["codes"]), r["__list"])
+            for r in coded.collect()
+        )
+        assert got == want
+        served = pq.ivf_pq_query(lc, li, vecs[33], n_probe=2, topk=6)
+        fresh = pq.ivf_pq_query(coded, li, vecs[33], n_probe=2, topk=6)
+        assert [tuple(r) for r in served.collect()] == [
+            tuple(r) for r in fresh.collect()
+        ]

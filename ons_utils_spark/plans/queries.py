@@ -6920,17 +6920,25 @@ def q_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_pq_residual_oracle(n_lists: int, coarse_iter: int, m: int,
                             k: int, n_iter: int, dp: int, dim: int,
                             query_id: int, n_probe: int,
-                            topk: int) -> str:
+                            topk: int, pre_ctes: str = "",
+                            train_join: str = "") -> str:
     """DuckDB twin of the RESIDUAL IVF×PQ path (FAISS IVFADC,
     ``by_residual=True``): the coarse chain assigns every vector, a
     ``res`` CTE materializes the exact elementwise residuals, the
     per-subspace Lloyd chains train ON the residual slices, and the
     query side rebuilds one LUT per (probed list, subspace) from the
     query residual — all the same sequential-fold dot products, so the
-    scores replay bit-for-bit."""
+    scores replay bit-for-bit.
+
+    ``train_join`` (an id CTE supplied via ``pre_ctes``) restricts the
+    coarse AND per-subspace trainings to those ids while every row is
+    still assigned/encoded — the SQL image of building the index on a
+    base corpus and encoding appended rows with the STORED index
+    (``ivf_pq_encode``: per-row arithmetic, so append ≡ one-shot)."""
     sub_d = dim // m
-    chains = [_kmeans_ctes(
+    chains = ([pre_ctes] if pre_ctes else []) + [_kmeans_ctes(
         n_lists, coarse_iter, dp, suffix="_c", with_prefix=False,
+        train_join=train_join,
     )]
     chains.append(f"""res AS (
         SELECT id, cid,
@@ -6942,6 +6950,7 @@ def _ivf_pq_residual_oracle(n_lists: int, coarse_iter: int, m: int,
         chains.append(_kmeans_ctes(
             k, n_iter, dp, vec_sql=f"rvec[{lo}:{hi}]", suffix=f"_s{i}",
             with_prefix=False, src_sql="res", id_sql="id",
+            train_join=train_join,
         ))
     tail = [f"""qvf AS (
         SELECT CAST(embedding AS DOUBLE[]) AS vec,
@@ -7068,6 +7077,76 @@ def q_similarity_ivf_pq_persisted(
         coded.select("id", "codes", "__list"), loaded, q,
         n_probe=2, topk=20,
     )
+
+
+@register(
+    "q_similarity_ivf_pq_incremental",
+    oracle=_ivf_pq_residual_oracle(
+        8, 2, 4, 16, 1, 6, 64, 311, 2, 20,
+        pre_ctes="tids AS (SELECT vec_id AS id FROM embeddings "
+        "WHERE vec_id < 300)",
+        train_join="tids",
+    ),
+    description="Incrementally-grown IVF×PQ serving table "
+    "(operators/pq.py::save_ivf_pq_table + ivf_pq_table_append + "
+    "load_ivf_pq_table): the residual index trains on the FIRST 300 "
+    "vectors only, the base save persists those, and the rest of the "
+    "corpus arrives as an appended batch encoded with the STORED "
+    "index (ivf_pq_encode — coarse assignment, residual transform and "
+    "code argmin all replay the build's exact arithmetic, so the "
+    "grown table is bit-identical to a one-shot build; the appended "
+    "batch lands as a replay-idempotent batch_id partition). The "
+    "query vector is itself an APPENDED row (vec_id 311) — retrieval "
+    "must see rows the index never trained on. The oracle replays the "
+    "base-restricted trainings (train_join over the full residual "
+    "chain) and the full-corpus encode+probe bit-for-bit. The probed "
+    "fragment is localCheckpoint'd so the store tempdir can be "
+    "removed before the driver collects (pruning itself is pinned in "
+    "TestIvfPqTableAppend::test_probe_pruning_survives_appends).",
+)
+def q_similarity_ivf_pq_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ons_utils_spark.operators.semantic import _py_dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < 300)
+    coded, coarse, cbs = _pq.ivf_pq_build(
+        base, "vec_id", "embedding", dim=64, n_lists=8, m=4, k=16,
+        coarse_iter=2, n_iter=1, by_residual=True,
+    )
+    idx = _pq.make_ivf_pq_index(coarse, cbs, by_residual=True)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_inc_")
+    try:
+        _pq.save_ivf_pq_table(coded, idx, tmp)
+        _pq.ivf_pq_table_append(
+            emb.where(F.col("vec_id") >= 300), tmp, batch_id=0
+        )
+        lc, li = _pq.load_ivf_pq_table(spark, tmp)
+        q = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 311)
+            .collect()[0]["embedding"]
+        ]
+        # The same deterministic probe selection ivf_pq_query performs,
+        # so the checkpointed fragment is exactly the pruned read (the
+        # inner isin over it is then a no-op filter).
+        qq = _py_dot(q, q)
+        probe = [
+            j for _, j in sorted(
+                (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+                for j, c in enumerate(li.coarse_centroids)
+            )[:2]
+        ]
+        frag = lc.where(F.col("__list").isin(probe)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _pq.ivf_pq_query(frag, li, q, n_probe=2, topk=20)
 
 
 _BM25_TERMS = ("vector", "stream", "merge")
@@ -7514,6 +7593,12 @@ _GRADING_ORDER = [
     # union-of-probes pushdown) — landed after the r10 rotation commit,
     # never driver-graded before
     "q_similarity_ivf_pq_batch",
+    # r11: the incrementally-GROWN serving table (ivf_pq_table_append:
+    # stored-index encoding, replay-idempotent batch partitions; the
+    # query vector is itself an appended row). Slot from
+    # q_dedup_incremental — the incremental-store family keeps this
+    # plus q_self_dedup_incremental graded.
+    "q_similarity_ivf_pq_incremental",
     # r11: the SRP-bucketed hard-negatives scale path (full value oracle,
     # plane constants inlined) — never driver-graded before
     "q_hard_negatives_srp",
@@ -7546,7 +7631,6 @@ _GRADING_ORDER = [
     # and q_llm_data_pipeline graded)
     # r9: suffix-matched domain blocklist (explode + broadcast semi-join)
     "q_domain_filter",
-    "q_dedup_incremental",
     # r11: mergeable HLL distinct-count and the equi-depth histogram —
     # the two strongest never-graded sketch/profiling oracle classes
     "q_hll_mergeable",
@@ -7578,6 +7662,7 @@ _GRADING_ORDER = [
     # comments) to admit the ten never-driver-graded classes above
     "q_asof_join",
     "q_range_join",
+    "q_dedup_incremental",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

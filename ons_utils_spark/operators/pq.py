@@ -221,6 +221,14 @@ def _subspace_luts(
 # in tests).
 _ADC_LITERAL_MAX = 512
 
+#: Cap on the batch-ANN LUT payload (n_q × [n_probe ×] m × k doubles)
+#: shipped in the mapInPandas closure — pickled once per task, so a
+#: multi-GB payload is an executor-OOM hazard long before it is a
+#: driver one. 512 MiB ≈ 16k residual queries at FAISS-standard
+#: m=16, k=256, n_probe=8; past it the call raises a sized error —
+#: per-query results are independent, so callers chunk and union.
+_BATCH_LUT_MAX_BYTES = 512 << 20
+
 
 def _resolve_adc_method(method: str, n_literals: int) -> str:
     if method not in ("auto", "literal", "arrow"):
@@ -252,6 +260,105 @@ def _np_adc_fold(lut_arr, C, pos=None):
     return s
 
 
+def _fold_dots(A, B):
+    """Pairwise dot products with :func:`_py_dot`'s exact IEEE
+    semantics, vectorized dimension-major: ``out[..., j]`` accumulates
+    ``A[..., d] * B[j, d]`` in ``d`` order — one multiply rounding plus
+    one add rounding per step, the same two roundings in the same
+    order as the interpreted fold (numpy's multiply and add are
+    separate ufuncs, never fused into an FMA). ``A`` is ``(..., d)``,
+    ``B`` is ``(k, d)`` → ``(..., k)``. This is what lets the batch
+    driver stage be numpy-fast AND bit-identical to the single-query
+    path's per-pair ``_py_dot`` loops (pinned in tests)."""
+    import numpy as np
+
+    out = np.zeros(A.shape[:-1] + (B.shape[0],), dtype=np.float64)
+    for d in range(A.shape[-1]):
+        out += A[..., d, None] * B[:, d]
+    return out
+
+
+def _fold_sq(A):
+    """``_py_dot(v, v)`` for every row of ``A`` (any leading shape),
+    same dimension-major sequential order as :func:`_fold_dots`."""
+    import numpy as np
+
+    out = np.zeros(A.shape[:-1], dtype=np.float64)
+    for d in range(A.shape[-1]):
+        out += A[..., d] * A[..., d]
+    return out
+
+
+def _codes_matrix(codes_series, ids):
+    """The ``codes`` column of an Arrow batch → ``(n, m)`` int64 matrix.
+
+    NULL codes (a NULL array or a NULL element — Arrow ships the latter
+    as NaN in a float lane) raise a DESCRIPTIVE error naming the first
+    offending id. This is the Arrow half of the scorers' malformed-
+    coded-table contract: the literal fold's ``element_at`` over a
+    NULL-derived index is undefined under codegen (measured: it can
+    return an arbitrary in-range element, i.e. a plausible-looking
+    garbage score — see the guard in :func:`pq_adc_scores`), so BOTH
+    engines fail loudly instead of diverging silently."""
+    import numpy as np
+
+    lst = codes_series.tolist()
+
+    def _bad(rid):
+        return ValueError(
+            f"coded table has a NULL codes entry at id {rid!r} "
+            "— codes must be complete int arrays; rebuild or "
+            "re-encode the offending rows"
+        )
+
+    try:
+        arr = np.asarray(lst)
+    except ValueError:
+        arr = np.asarray(lst, dtype=object)
+    if arr.dtype == object or arr.ndim != 2:
+        for rid, c in zip(ids, lst):
+            if c is None or any(v is None or v != v for v in c):
+                raise _bad(rid)
+        raise ValueError(
+            "coded table has ragged codes arrays — every row must "
+            f"carry the same m code entries (got shapes like "
+            f"{[len(c) for c in lst[:3]]})"
+        )
+    if np.issubdtype(arr.dtype, np.floating):
+        # Arrow ships list<int> containing nulls as a float lane with
+        # NaN — casting that to int64 is silent garbage (int64 min),
+        # so NaN must be caught BEFORE the cast.
+        nan_rows = np.isnan(arr).any(axis=1)
+        if nan_rows.any():
+            raise _bad(ids.to_numpy()[nan_rows][0])
+    return arr.astype(np.int64, copy=False)
+
+
+def _guard_literal_score(score):
+    """Wrap a literal-fold ADC score so NULL codes raise the same
+    descriptive error as :func:`_codes_matrix` instead of evaluating
+    ``element_at`` over a NULL-derived index — which Spark codegen
+    leaves UNDEFINED (measured on 4.1: it can return an arbitrary
+    in-range LUT entry, a silently-wrong score that survives top-k)."""
+    bad = F.col("codes").isNull() | F.exists(
+        F.col("codes"), lambda x: x.isNull()
+    )
+    return F.when(
+        ~bad, score
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("coded table has a NULL codes entry at id "),
+                F.col("id").cast("string"),
+                F.lit(
+                    " — codes must be complete int arrays; rebuild or "
+                    "re-encode the offending rows"
+                ),
+            )
+        ).cast("double")
+    )
+
+
 def _adc_arrow(
     codes: SparkDF,
     luts,
@@ -281,7 +388,7 @@ def _adc_arrow(
             n = len(pdf)
             if n == 0:
                 continue
-            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            C = _codes_matrix(pdf["codes"], pdf["id"])
             if probe is None:
                 s = _np_adc_fold(lut_arr, C)
             else:
@@ -336,7 +443,8 @@ def pq_adc_scores(
         )
         score = term if score is None else score + term
     return codes.select(
-        "id", "codes", F.round(score, round_dp).alias("adc_dist")
+        "id", "codes",
+        F.round(_guard_literal_score(score), round_dp).alias("adc_dist"),
     )
 
 
@@ -572,7 +680,12 @@ def ivf_pq_topk(
         score = term if score is None else score + term
     return (
         filtered
-        .select("id", F.round(score, round_dp).alias("adc_dist"))
+        .select(
+            "id",
+            F.round(_guard_literal_score(score), round_dp).alias(
+                "adc_dist"
+            ),
+        )
         .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
         .limit(topk)
     )
@@ -1128,15 +1241,26 @@ def ivf_pq_batch_topk(
     driver round-trip per query.
 
     The query table is DRIVER-sized by contract (a probe workload —
-    thousands of rows, not a corpus) and is collected once: probe
-    selection and LUT construction are the same driver arithmetic as
-    the single-query path (one :func:`_subspace_luts` per query ×
-    probed list on the residual path — the one parity-critical fold).
+    thousands of rows, not a corpus) and is collected once. Probe
+    selection and LUT construction are VECTORIZED driver arithmetic:
+    one dimension-major numpy fold per stage (``_fold_dots`` /
+    ``_fold_sq``), which accumulates each dot product in the SAME
+    sequential IEEE order as the single-query path's ``_py_dot`` —
+    bit-identical probe choices and LUT values (pinned in tests),
+    minutes-to-subsecond at 10k+ queries vs the interpreted per-pair
+    loop it replaced (measured in SCALING.md §batch ANN). Total LUT
+    memory is capped (``_BATCH_LUT_MAX_BYTES``): past it the call
+    raises a sized error telling the caller to chunk the query table —
+    chunks compose exactly because per-query results are independent.
     The scan reads the UNION of all queries' probed lists (a
     pushdown-able ``__list IN (...)`` — partition pruning still holds
     on a ``__list``-partitioned table), and one Arrow pass scores each
     row against exactly the queries probing its list, in the same
-    sequential IEEE add order as the literal fold.
+    sequential IEEE add order as the literal fold. Per-query probe
+    membership ships as ``n_q × n_probe`` sorted lists + positions
+    (searchsorted lookup per batch), never as an ``n_q × n_lists``
+    dense matrix — the closure stays bounded by the probe workload at
+    any ``n_lists``.
 
     Top-k is exact and scalable: scores round Spark-side (the same
     ``F.round``), then a TWO-PHASE per-query window — phase 1 ranks
@@ -1176,10 +1300,24 @@ def ivf_pq_batch_topk(
             "index has no coarse centroids (plain-PQ index) — batch "
             "retrieval needs probe selection over __list"
         )
-    probes: List[List[int]] = []
-    luts_per_q = []
+    n_q = len(rows)
+    by_residual = index.by_residual
+    k = index.k
+    sub_d = index.sub_d
+    lut_bytes = n_q * (n_probe if by_residual else 1) * m * k * 8
+    if lut_bytes > _BATCH_LUT_MAX_BYTES:
+        raise ValueError(
+            f"batch LUTs for {n_q} queries at this geometry "
+            f"(m={m}, k={k}"
+            + (f", n_probe={n_probe} residual" if by_residual else "")
+            + f") need {lut_bytes >> 20} MiB — over the "
+            f"{_BATCH_LUT_MAX_BYTES >> 20} MiB closure cap. Chunk the "
+            "query table and union the results: per-query results are "
+            "independent, so chunks compose exactly."
+        )
     for r in rows:
-        if r[vec_col] is None or any(v is None for v in r[vec_col]):
+        x = r[vec_col]
+        if x is None or any(v is None for v in x):
             # Contract parity with bm25_batch_topk's query validation —
             # a malformed query row raises with ITS id, not an opaque
             # float(None) traceback.
@@ -1187,29 +1325,60 @@ def ivf_pq_batch_topk(
                 f"query {r[0]!r} has a NULL {vec_col!r} vector or a "
                 "NULL element — every query needs a complete vector"
             )
-        q = [float(v) for v in r[vec_col]]
-        if len(q) != dim:
+        if len(x) != dim:
             raise ValueError(
-                f"query {r[0]!r} dim {len(q)} != index dim {dim}"
+                f"query {r[0]!r} dim {len(x)} != index dim {dim}"
             )
-        qq = _py_dot(q, q)
-        by_dist = sorted(
-            (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
-            for j, c in enumerate(coarse)
-        )
-        probe = [j for _, j in by_dist[:n_probe]]
-        probes.append(probe)
-        if index.by_residual:
-            luts_per_q.append([
-                _subspace_luts(
-                    [qv - cv for qv, cv in zip(q, coarse[lst])], cbs
-                )
-                for lst in probe
-            ])
-        else:
-            luts_per_q.append(_subspace_luts(q, cbs))
-    union_lists = sorted({lst for p in probes for lst in p})
+    # Vectorized probe selection + LUT construction — the dimension-
+    # major folds (_fold_dots/_fold_sq) reproduce _py_dot's sequential
+    # IEEE order exactly, so probe choices and LUT values are
+    # bit-identical to the single-query path (pinned in tests); the
+    # stable argsort reproduces sorted((dist, j))'s low-id tie-break.
+    # The O(n_q · dim) validation loop above stays interpreted for
+    # per-qid error attribution — it is linear, not the quadratic
+    # n_q × n_lists / n_q × n_probe × m × k arithmetic that made the
+    # interpreted driver stage minutes at 10k+ queries.
+    Q = np.asarray(
+        [[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64
+    )
+    CC = np.asarray(coarse, dtype=np.float64)
+    dist = (
+        _fold_sq(Q)[:, None] + _fold_sq(CC)[None, :]
+    ) - 2.0 * _fold_dots(Q, CC)
+    probe_mat = np.argsort(dist, axis=1, kind="stable")[:, :n_probe]
+    np_eff = probe_mat.shape[1]
+    union_lists = sorted(int(v) for v in np.unique(probe_mat))
     filtered = coded.where(F.col("__list").isin(union_lists))
+
+    cb_arrs = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    cc_subs = [_fold_sq(cb) for cb in cb_arrs]
+    if by_residual:
+        # (n_q, n_probe, dim) query residuals — the same exact
+        # elementwise subtraction as the per-list Python loop.
+        R = Q[:, None, :] - CC[probe_mat]
+        lut_all = np.empty((n_q, np_eff, m, k), dtype=np.float64)
+        for i in range(m):
+            Rs = R[..., i * sub_d:(i + 1) * sub_d]
+            lut_all[:, :, i, :] = (
+                _fold_sq(Rs)[..., None] + cc_subs[i]
+            ) - 2.0 * _fold_dots(Rs, cb_arrs[i])
+    else:
+        lut_all = np.empty((n_q, m, k), dtype=np.float64)
+        for i in range(m):
+            Qs = Q[:, i * sub_d:(i + 1) * sub_d]
+            lut_all[:, i, :] = (
+                _fold_sq(Qs)[:, None] + cc_subs[i]
+            ) - 2.0 * _fold_dots(Qs, cb_arrs[i])
+    # Row→query probe membership ships as per-query SORTED probe lists
+    # plus their positions in probe order (for residual LUT indexing):
+    # a searchsorted per (batch, query) replaces both the interpreted
+    # per-row membership test (measured bottleneck) and the dense
+    # n_q × n_lists position matrix it was first replaced with (a
+    # multi-GB closure at FAISS-scale n_lists).
+    probe_argsort = np.argsort(probe_mat, axis=1, kind="stable").astype(
+        np.int64
+    )
+    probe_sorted = np.take_along_axis(probe_mat, probe_argsort, axis=1)
 
     qid_field = queries.schema[query_id_col].dataType
     schema = StructType([
@@ -1217,20 +1386,6 @@ def ivf_pq_batch_topk(
         StructField("id", coded.schema["id"].dataType),
         StructField("__adc_sum", DoubleType()),
     ])
-    n_q = len(rows)
-    by_residual = index.by_residual
-    lut_arrs = [np.asarray(l, dtype=np.float64) for l in luts_per_q]
-    # Per-query probe-position lookup tables over the list-id space:
-    # pos_luts[qi][list_id] = the list's position in query qi's probe
-    # order, -1 if not probed. Row→query membership then vectorizes to
-    # one numpy gather per (batch, query) — no interpreted per-row
-    # membership tests (O(n_q · n) Python was measured as the
-    # bottleneck shape at probe-workload scale).
-    n_lists = index.n_lists
-    pos_luts = np.full((n_q, n_lists), -1, dtype=np.int64)
-    for qi, pr in enumerate(probes):
-        for p, lst in enumerate(pr):
-            pos_luts[qi][lst] = p
 
     def gen(batches):
         import pandas as pd
@@ -1239,19 +1394,23 @@ def ivf_pq_batch_topk(
             n = len(pdf)
             if n == 0:
                 continue
-            C = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            C = _codes_matrix(pdf["codes"], pdf["id"])
             lists = pdf["__list"].to_numpy(dtype=np.int64)
             ids = pdf["id"].to_numpy()
             out_qid, out_id, out_s = [], [], []
             for qi in range(n_q):
-                pos = pos_luts[qi][lists]
-                mask = pos >= 0
+                sl = probe_sorted[qi]
+                si = np.minimum(
+                    np.searchsorted(sl, lists), np_eff - 1
+                )
+                mask = sl[si] == lists
                 if not mask.any():
                     continue
                 Cm = C[mask]
-                s = _np_adc_fold(
-                    lut_arrs[qi], Cm, pos[mask] if by_residual else None
+                pos = (
+                    probe_argsort[qi][si[mask]] if by_residual else None
                 )
+                s = _np_adc_fold(lut_all[qi], Cm, pos)
                 out_qid.append(np.full(int(mask.sum()), qids[qi]))
                 out_id.append(ids[mask])
                 out_s.append(s)

@@ -1051,3 +1051,72 @@ class TestResidualFlagInData:
             n_probe=2, topk=5, by_residual=True,
         ).collect()
         assert len(rows) == 5
+
+
+class TestNullCodesContract:
+    """Malformed coded tables (NULL codes array or element) must raise
+    the SAME descriptive error from every fold engine. The literal
+    fold's element_at over a NULL-derived index is UNDEFINED under
+    codegen (measured on Spark 4.1: it can return an arbitrary
+    in-range LUT entry — a plausible-looking garbage score that
+    survives top-k), so silence is not an option on either path."""
+
+    def _poisoned(self, spark):
+        df = _emb_df(spark, VECS)
+        codes, cbs = pq.pq_build(df, dim=8, m=2, k=2, n_iter=1)
+        from pyspark.sql import functions as F
+
+        poisoned = codes.withColumn(
+            "codes",
+            F.when(
+                F.col("id") == 3,
+                F.array(F.lit(None).cast("int"), F.lit(0)),
+            ).otherwise(F.col("codes")),
+        )
+        return poisoned, cbs
+
+    @pytest.mark.parametrize("method", ["literal", "arrow"])
+    def test_null_code_element_raises_descriptively(self, spark, method):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException, SparkRuntimeException
+
+        poisoned, cbs = self._poisoned(spark)
+        with pytest.raises(
+            (Py4JJavaError, PythonException, SparkRuntimeException),
+            match="NULL codes entry at id 3",
+        ):
+            pq.pq_adc_scores(poisoned, cbs, VECS[0], method=method).collect()
+
+    def test_clean_rows_unaffected_by_guard(self, spark):
+        df = _emb_df(spark, VECS)
+        codes, cbs = pq.pq_build(df, dim=8, m=2, k=2, n_iter=1)
+        lit = pq.pq_adc_scores(codes, cbs, VECS[0], method="literal")
+        arw = pq.pq_adc_scores(codes, cbs, VECS[0], method="arrow")
+        assert sorted(map(tuple, lit.collect())) == sorted(
+            map(tuple, arw.collect())
+        )
+
+
+class TestBatchLutCap:
+    def test_oversized_batch_raises_sized_error(self, spark):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        df = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        qdf = spark.createDataFrame(
+            [(1, vecs[0])], "query_id bigint, embedding array<double>"
+        )
+        import ons_utils_spark.operators.pq as pqmod
+
+        old = pqmod._BATCH_LUT_MAX_BYTES
+        pqmod._BATCH_LUT_MAX_BYTES = 8  # force the cap
+        try:
+            with pytest.raises(ValueError, match="MiB.*[Cc]hunk"):
+                pq.ivf_pq_batch_topk(coded, idx, qdf)
+        finally:
+            pqmod._BATCH_LUT_MAX_BYTES = old

@@ -428,8 +428,20 @@ def main() -> None:
         "shared16_steady": round(sum(qs_med[n] for n in HEADLINE[:16]), 3),
         "steady_total": round(sum(qs_med.values()), 3),
         "queries_steady": qs_med,
+        # min of per-trial counts, skipping trials that lack the field:
+        # job counts are deterministic per query, so min == mode on
+        # clean trials; a median over even trial counts yields fake
+        # half-integers, and defaulting a missing trial to 0 would
+        # deflate the count and INFLATE the latency-corrected channel.
         "queries_n_jobs": {
-            q: median([t.get("queries_n_jobs", {}).get(q, 0) for t in trials])
+            q: min(
+                [
+                    t["queries_n_jobs"][q]
+                    for t in trials
+                    if q in t.get("queries_n_jobs", {})
+                ]
+                or [0]
+            )
             for q in t0["queries"]
         },
         "n_trials": n_trials,

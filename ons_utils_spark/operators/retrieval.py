@@ -1,0 +1,151 @@
+"""Hybrid retrieval: reciprocal-rank fusion over ranked candidate
+lists from heterogeneous retrievers (lexical BM25 + ANN embeddings).
+
+LLM-data-pipeline extension (no reference analogue — the reference's
+surface stops at relational utilities, SURVEY.md §2). RRF (Cormack,
+Clarke & Büttcher, SIGIR 2009): fuse rankings by summing
+``1 / (k0 + rank)`` per system — rank-only fusion, so incomparable
+score scales (a BM25 log-idf sum vs an ADC squared distance) need no
+calibration, and a document strong in EITHER list surfaces.
+
+Scale story: fusion is k-row work. Each input is already a per-query
+top-k list (``topk × n_queries`` rows — the retrievers did the
+corpus-scale work behind their indexes), so the rank windows are over
+k-row partitions, the outer join is between k-row tables, and the
+whole fused plan is driver-trivial no matter the corpus size. The
+expensive halves (`bm25_batch_topk_indexed`, `ivf_pq_batch_topk`)
+each scan only their own pruned store.
+
+Determinism: ranks order by (score, id) — bit-reproducible given the
+retrievers' deterministic scores; the RRF sum folds the systems in
+caller order as a fixed ``coalesce(c0,0) + coalesce(c1,0) + …``
+expression (no groupBy re-association), so the fused score is
+bit-reproducible too and the DuckDB oracle replays it exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame as SparkDF, Window, functions as F
+
+
+def rrf_fuse(
+    ranked_lists: Sequence[Tuple[SparkDF, str, bool]],
+    query_id_col: str = "query_id",
+    id_col: str = "id",
+    k0: int = 60,
+    topk: int = 10,
+    round_dp: int = 6,
+) -> SparkDF:
+    """Reciprocal-rank fusion of per-query ranked candidate lists →
+    ``(query_id, id, rrf, rank)``.
+
+    ``ranked_lists`` is a sequence of ``(df, order_col, ascending)``:
+    each ``df`` holds per-query candidates (typically a retriever's
+    top-k output) and is ranked HERE by ``(order_col [asc|desc],
+    id asc)`` — recomputing the rank from the score column keeps the
+    fusion independent of whether a retriever happens to expose its
+    own rank column, and pins the tie-break. A candidate absent from
+    a system's list contributes 0 from that system (standard RRF over
+    truncated lists). ``k0`` is RRF's smoothing constant (60 in the
+    paper; it damps the head so one system's #1 cannot drown the
+    other's consensus).
+
+    The systems' contributions add in CALLER ORDER as one fixed
+    expression — at two or three systems a full outer join per system
+    beats a union + groupBy sum AND keeps the float addition order
+    deterministic (a groupBy sum re-associates per partitioning).
+    """
+    if not ranked_lists:
+        raise ValueError("ranked_lists is empty — nothing to fuse")
+    fused = None
+    for i, (df, order_col, ascending) in enumerate(ranked_lists):
+        order = (
+            F.col(order_col).asc() if ascending else F.col(order_col).desc()
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            order, F.col(id_col).asc()
+        )
+        contrib = (
+            df.select(query_id_col, id_col, order_col)
+            .withColumn("__r", F.row_number().over(w))
+            .select(
+                query_id_col,
+                id_col,
+                (F.lit(1.0) / (F.lit(int(k0)) + F.col("__r"))).alias(
+                    f"__c{i}"
+                ),
+            )
+        )
+        fused = (
+            contrib
+            if fused is None
+            else fused.join(contrib, [query_id_col, id_col], "full_outer")
+        )
+    rrf = None
+    for i in range(len(ranked_lists)):
+        term = F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+        rrf = term if rrf is None else rrf + term
+    scored = fused.select(
+        query_id_col, id_col, F.round(rrf, round_dp).alias("rrf")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= topk)
+        .select(
+            query_id_col, id_col, "rrf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def hybrid_batch_topk(
+    postings: SparkDF,
+    stats: SparkDF,
+    coded: SparkDF,
+    index,
+    queries: SparkDF,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    vec_col: str = "embedding",
+    retriever_topk: int = 20,
+    n_probe: int = 2,
+    topk: int = 10,
+    k0: int = 60,
+    round_dp: int = 6,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> SparkDF:
+    """Hybrid lexical + ANN retrieval for a whole query TABLE, fused by
+    RRF → ``(query_id, id, rrf, rank)`` — both serving stores in one
+    query: each row of ``queries`` carries a term profile
+    (``terms_col``) AND an embedding (``vec_col``); the BM25 inverted
+    index answers the lexical half (`bm25_batch_topk_indexed` — pruned
+    postings read, no corpus scan) and the IVF×PQ table the ANN half
+    (`ivf_pq_batch_topk` — union-of-probes pruned scan, one Arrow
+    pass). Each retriever returns its ``retriever_topk`` per query;
+    fusion is k-row work (module docstring). The lexical list ranks by
+    (bm25 desc, id), the ANN list by (adc_dist asc, id), and the RRF
+    sum folds lexical-then-ANN — all deterministic, oracle-replayable.
+    """
+    from ons_utils_spark.operators.pq import ivf_pq_batch_topk
+    from ons_utils_spark.operators.text import bm25_batch_topk_indexed
+
+    lex = bm25_batch_topk_indexed(
+        postings, stats, queries.select(query_id_col, terms_col),
+        query_id_col=query_id_col, terms_col=terms_col,
+        topk=retriever_topk, k1=k1, b=b, round_dp=round_dp,
+    )
+    ann = ivf_pq_batch_topk(
+        coded, index, queries.select(query_id_col, vec_col),
+        query_id_col=query_id_col, vec_col=vec_col,
+        n_probe=n_probe, topk=retriever_topk,
+    )
+    return rrf_fuse(
+        [(lex, "bm25", False), (ann, "adc_dist", True)],
+        query_id_col=query_id_col, k0=k0, topk=topk, round_dp=round_dp,
+    )

@@ -7344,6 +7344,176 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bm25_topk_indexed(lp, ls, _BM25_IDX_TERMS, topk=15)
 
 
+#: Hybrid-retrieval query workload: (qid, term profile, query vec_id).
+#: Both oracle halves and the Spark query derive from this one tuple.
+_HYBRID_QUERIES = (
+    (1, ("vector", "stream", "merge"), 3),
+    (2, ("customer", "query"), 7),
+)
+_HYBRID_QDEF = ", ".join(
+    "(" + str(qid) + ", [" + ", ".join(f"'{t}'" for t in terms) + "])"
+    for qid, terms, _ in _HYBRID_QUERIES
+)
+_HYBRID_RETRIEVER_TOPK = 10
+
+
+def _hybrid_ann_half(qid: int, vec_id: int) -> str:
+    """One query's ANN ranked list: the full single-query IVF×PQ oracle
+    as a subquery (the q_similarity_ivf_pq_batch composition trick),
+    ranked by (adc_dist, id) — rrf_fuse's exact ordering."""
+    inner = _ivf_pq_oracle(
+        8, 2, 4, 16, 1, 6, 64, vec_id, 2, _HYBRID_RETRIEVER_TOPK
+    )
+    return f"""
+        SELECT {qid} AS qid, t.id,
+               row_number() OVER (ORDER BY t.adc_dist, t.id) AS r
+        FROM ({inner}) t"""
+
+
+@register(
+    "q_hybrid_retrieval",
+    oracle=_TOKS_CTE
+    + f""",
+    qdef AS (SELECT * FROM (VALUES {_HYBRID_QDEF}) AS t(qid, terms)),
+    qterms AS (SELECT DISTINCT qid, term FROM (
+        SELECT qid, lower(unnest(terms)) AS term FROM qdef)),
+    stats AS (
+        SELECT count(*) AS n,
+               sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
+        FROM toks),
+    base AS (
+        SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
+               unnest(toks) AS term
+        FROM toks),
+    vhits AS (SELECT * FROM base
+              WHERE term IN (SELECT term FROM qterms)),
+    tf AS (SELECT id, dl, term, count(*) AS tf
+           FROM vhits GROUP BY id, dl, term),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT q.qid, t.id,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+        FROM tf t JOIN dfs d USING (term) JOIN qterms q USING (term)
+        CROSS JOIN stats s),
+    lscored AS (
+        SELECT qid, id,
+               round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE),
+                     6) AS bm25
+        FROM contrib GROUP BY qid, id),
+    lexr AS (
+        SELECT qid, id, r FROM (
+            SELECT qid, id, row_number() OVER (
+                PARTITION BY qid ORDER BY bm25 DESC, id) AS r
+            FROM lscored)
+        WHERE r <= {_HYBRID_RETRIEVER_TOPK}),
+    annr AS ({" UNION ALL ".join(
+        _hybrid_ann_half(qid, vid) for qid, _, vid in _HYBRID_QUERIES
+    )}),
+    fused AS (
+        SELECT COALESCE(l.qid, a.qid) AS qid,
+               COALESCE(l.id, a.id) AS id,
+               round(COALESCE(1.0 / (60 + l.r), 0.0)
+                     + COALESCE(1.0 / (60 + a.r), 0.0), 6) AS rrf
+        FROM lexr l FULL OUTER JOIN annr a
+          ON l.qid = a.qid AND l.id = a.id)
+    SELECT CAST(qid AS BIGINT) AS query_id, id, rrf,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY rrf DESC, id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    description="Hybrid lexical + ANN retrieval fused by reciprocal-"
+    "rank fusion (operators/retrieval.py::hybrid_batch_topk -> "
+    "rrf_fuse; Cormack et al., SIGIR 2009) — BOTH serving stores in "
+    "one query: the term-sorted BM25 inverted index answers each "
+    "query's lexical half with a pruned postings read (build/save/"
+    "load round-trip, q_bm25_indexed's checkpoint-the-pruned-fragment "
+    "recipe) and the persisted __list-partitioned IVF×PQ table the "
+    "ANN half (save/load round-trip, union-of-probes fragment "
+    "checkpointed the same way); each retriever's top-10 is ranked by "
+    "its own score with id tie-break, and rrf = 1/(60+r_lex) + "
+    "1/(60+r_ann) folds in fixed order — rank-only fusion, so the "
+    "incomparable score scales need no calibration and fusion is "
+    "k-row work after the corpus-scale halves. The oracle replays the "
+    "batch BM25 scoring, BOTH queries' full single-query IVF×PQ "
+    "chains, both rankings, the full-outer-join fold, and the fused "
+    "top-10 bit-for-bit.",
+)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ons_utils_spark.operators import retrieval as _retrieval
+    from ons_utils_spark.operators.semantic import _py_dot
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.where(
+            F.col("vec_id").isin([v for _, _, v in _HYBRID_QUERIES])
+        ).collect()
+    }
+    queries = spark.createDataFrame(
+        [
+            (qid, [t for t in terms], qvecs[vid])
+            for qid, terms, vid in _HYBRID_QUERIES
+        ],
+        "query_id bigint, terms array<string>, embedding array<double>",
+    )
+
+    postings, stats = _text.bm25_index_build(docs, "doc_id", "text")
+    coded, coarse, cbs = _pq.ivf_pq_build(
+        emb, "vec_id", "embedding", dim=64, n_lists=8, m=4, k=16,
+        coarse_iter=2, n_iter=1,
+    )
+    idx = _pq.make_ivf_pq_index(coarse, cbs)
+    tmp = tempfile.mkdtemp(prefix="hybrid_idx_")
+    try:
+        _text.save_bm25_index(postings, stats, f"{tmp}/bm25")
+        lp, ls = _text.load_bm25_index(spark, f"{tmp}/bm25")
+        union_vocab = sorted({
+            t.lower() for _, terms, _ in _HYBRID_QUERIES for t in terms
+        })
+        # Materialize both stores' PRUNED fragments before the tempdir
+        # goes away (the driver collects after this function returns):
+        # the lexical read is the scorer's own term predicate, the ANN
+        # read the union of both queries' probe lists — each checkpoint
+        # executes exactly the pruned scan its store exists for, and
+        # the operators' internal re-filters of these rows are no-ops.
+        lp = _text._filter_postings_terms(lp, union_vocab).localCheckpoint(
+            eager=True
+        )
+        ls = ls.localCheckpoint(eager=True)
+
+        _pq.save_ivf_pq_table(coded, idx, f"{tmp}/ann")
+        lc, li = _pq.load_ivf_pq_table(spark, f"{tmp}/ann")
+        union_probes = sorted({
+            j
+            for q in qvecs.values()
+            for _, j in sorted(
+                (
+                    _py_dot(q, q) + _py_dot(c, c) - 2 * _py_dot(q, c),
+                    j,
+                )
+                for j, c in enumerate(li.coarse_centroids)
+            )[:2]
+        })
+        frag = lc.where(
+            F.col("__list").isin(union_probes)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _retrieval.hybrid_batch_topk(
+        lp, ls, frag, li, queries,
+        retriever_topk=_HYBRID_RETRIEVER_TOPK, n_probe=2, topk=10,
+    ).orderBy("query_id", "rank")
+
+
 _CURATION_TERMS = ("customer", "query", "stream")
 _CURATION_IN = "(" + ", ".join(f"'{t}'" for t in _CURATION_TERMS) + ")"
 
@@ -7615,6 +7785,12 @@ _GRADING_ORDER = [
     # r11: BM25 served from the persisted term-sorted inverted index —
     # landed after the r10 rotation commit, never driver-graded before
     "q_bm25_indexed",
+    # r11: hybrid lexical+ANN retrieval fused by RRF — BOTH serving
+    # stores exercised in one query. Slot from q_domain_filter (simple
+    # explode + semi-join; the web family keeps q_url_dedup-class
+    # coverage in the full registry and the filter shape is graded via
+    # the curation/clean pipelines).
+    "q_hybrid_retrieval",
     # r11: Gopher quality gates + bigram LM perplexity — the two
     # strongest never-graded text-quality oracle classes
     "q_gopher_quality",
@@ -7629,8 +7805,6 @@ _GRADING_ORDER = [
     # tail — the cleaning/decontamination families keep q_c4_line_clean,
     # q_decontaminate_bloom, q_contaminated_spans, q_curation_pipeline
     # and q_llm_data_pipeline graded)
-    # r9: suffix-matched domain blocklist (explode + broadcast semi-join)
-    "q_domain_filter",
     # r11: mergeable HLL distinct-count and the equi-depth histogram —
     # the two strongest never-graded sketch/profiling oracle classes
     "q_hll_mergeable",
@@ -7663,6 +7837,7 @@ _GRADING_ORDER = [
     "q_asof_join",
     "q_range_join",
     "q_dedup_incremental",
+    "q_domain_filter",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

@@ -1,0 +1,112 @@
+"""Tests for hybrid retrieval fusion (operators/retrieval.py)."""
+
+import pytest
+
+from ons_utils_spark.operators import pq, retrieval, text
+
+
+class TestRrfFuse:
+    def _lists(self, spark):
+        lex = spark.createDataFrame(
+            [(1, 10, 5.0), (1, 11, 3.0), (1, 12, 1.0),
+             (2, 20, 9.0), (2, 21, 2.0)],
+            "query_id bigint, id bigint, bm25 double",
+        )
+        ann = spark.createDataFrame(
+            [(1, 11, 0.1), (1, 13, 0.2), (1, 10, 0.9),
+             (2, 21, 0.3), (2, 22, 0.4)],
+            "query_id bigint, id bigint, adc_dist double",
+        )
+        return lex, ann
+
+    def test_exact_rrf_values(self, spark):
+        lex, ann = self._lists(spark)
+        out = retrieval.rrf_fuse(
+            [(lex, "bm25", False), (ann, "adc_dist", True)], topk=10
+        ).collect()
+        got = {(r["query_id"], r["id"]): r["rrf"] for r in out}
+        # q1 lex ranks: 10->1, 11->2, 12->3; ann ranks: 11->1, 13->2, 10->3
+        assert got[(1, 10)] == round(1.0 / 61 + 1.0 / 63, 6)
+        assert got[(1, 11)] == round(1.0 / 62 + 1.0 / 61, 6)
+        assert got[(1, 12)] == round(1.0 / 63, 6)   # lex only
+        assert got[(1, 13)] == round(1.0 / 62, 6)   # ann only
+        # consensus beats either single strong rank
+        ranks = {(r["query_id"], r["id"]): r["rank"] for r in out}
+        assert ranks[(1, 11)] == 1
+
+    def test_topk_and_tiebreak(self, spark):
+        # Two docs with identical single-system ranks in different
+        # systems fuse to the SAME rrf — lower id must rank first.
+        lex = spark.createDataFrame(
+            [(1, 5, 2.0)], "query_id bigint, id bigint, s double"
+        )
+        ann = spark.createDataFrame(
+            [(1, 3, 2.0)], "query_id bigint, id bigint, s double"
+        )
+        out = retrieval.rrf_fuse(
+            [(lex, "s", False), (ann, "s", False)], topk=1
+        ).collect()
+        assert len(out) == 1 and out[0]["id"] == 3
+
+    def test_empty_input_raises(self, spark):
+        with pytest.raises(ValueError, match="empty"):
+            retrieval.rrf_fuse([])
+
+    def test_three_systems_fold_in_order(self, spark):
+        dfs = [
+            spark.createDataFrame(
+                [(1, 7, float(i + 1))], "query_id bigint, id bigint, s double"
+            )
+            for i in range(3)
+        ]
+        out = retrieval.rrf_fuse(
+            [(d, "s", False) for d in dfs], topk=5
+        ).collect()
+        assert out[0]["rrf"] == round((1.0 / 61 + 1.0 / 61) + 1.0 / 61, 6)
+
+
+class TestHybridBatchTopk:
+    def test_matches_manual_composition(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta doc{i} " + ("spark " * (i % 3)))
+             for i in range(30)],
+            "doc_id bigint, text string",
+        )
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(30)
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        postings, stats = text.bm25_index_build(docs, "doc_id", "text")
+        coded, coarse, cbs = pq.ivf_pq_build(
+            emb, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        queries = spark.createDataFrame(
+            [(1, ["spark", "alpha"], vecs[2]),
+             (2, ["beta"], vecs[9])],
+            "query_id bigint, terms array<string>, embedding array<double>",
+        )
+        fused = retrieval.hybrid_batch_topk(
+            postings, stats, coded, idx, queries,
+            retriever_topk=8, n_probe=2, topk=5,
+        )
+        lex = text.bm25_batch_topk_indexed(
+            postings, stats, queries.select("query_id", "terms"), topk=8
+        )
+        ann = pq.ivf_pq_batch_topk(
+            coded, idx, queries.select("query_id", "embedding"),
+            n_probe=2, topk=8,
+        )
+        manual = retrieval.rrf_fuse(
+            [(lex, "bm25", False), (ann, "adc_dist", True)], topk=5
+        )
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, manual.collect())
+        )
+        rows = fused.collect()
+        assert rows and all(r["rank"] <= 5 for r in rows)
+        assert {r["query_id"] for r in rows} == {1, 2}

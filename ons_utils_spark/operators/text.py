@@ -1269,3 +1269,40 @@ def load_bm25_index_incremental(spark, store_path: str):
         "partition overwrite replaces both halves).",
     )
     return postings, stats
+
+
+def bm25_index_compact(spark, store_path: str) -> None:
+    """Compact an incremental BM25 index — the maintenance half of the
+    append-only contract (``sources/store.py::compact_store``, applied
+    to BOTH delta stores): a long-lived index accumulates one
+    ``batch_id`` partition per append until partition DISCOVERY — not
+    the merge-on-read fold — dominates load time; compaction collapses
+    each store to a single sentinel partition holding exactly what the
+    loader serves (postings: the disjoint-batch union; stats: the one
+    summed exact-integer row).
+
+    The (count, content-xor) witness SURVIVES the rewrite by
+    construction: compaction never changes values, only layout — the
+    compacted stats row's ``n_postings``/``postings_xor`` are the very
+    sums/xors the loader validated against the postings union it is
+    rewriting, so after compaction (and after any crash window inside
+    it — each half's rename-aside swap repairs itself on the next run,
+    and a store caught between the two halves still folds to the same
+    numbers) the witness check still passes and served scores are
+    unchanged (pinned in tests: append ×3 → compact → load ≡ one-shot
+    build, and a post-compaction append still folds in).
+
+    **Writer-stopped caveat** (the ``compact_store`` Count-Min rule —
+    ``stats/`` is SUM-merged): compact only while the streaming writer
+    is stopped AND its checkpoint has advanced past every batch being
+    compacted. A checkpointed replay of a compacted ``batch_id`` can
+    no longer overwrite its own partition — it would re-APPEND those
+    documents' postings and re-SUM their stats, double-counting both.
+    """
+    from ons_utils_spark.sources.store import compact_store
+
+    # Loading validates the witness FIRST — a torn store must fail
+    # loudly here, not get its inconsistency baked into a compaction.
+    postings, stats = load_bm25_index_incremental(spark, store_path)
+    compact_store(postings, f"{store_path}/postings")
+    compact_store(stats, f"{store_path}/stats")

@@ -1086,3 +1086,88 @@ class TestBm25IncrementalIndex:
         )
         with pytest.raises(ValueError, match="witness"):
             load_bm25_index_incremental(spark, store)
+
+
+class TestBm25IndexCompaction:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_compact_preserves_scores_and_witness(self, spark, tmp_path):
+        """append ×3 → compact → load ≡ one-shot build (the witness
+        validates on load, so passing load IS the witness check), the
+        store collapses to sentinel partitions, and a post-compaction
+        append still folds in."""
+        import os
+
+        from ons_utils_spark.operators.text import (
+            bm25_index_append,
+            bm25_index_build,
+            bm25_index_compact,
+            bm25_topk_indexed,
+            load_bm25_index_incremental,
+        )
+
+        b1 = [(1, "spark spark engine"), (2, "rareword here")]
+        b2 = [(3, "spark and filler words"), (4, "engine spark engine")]
+        b3 = [(5, "rareword spark"), (6, "plain filler text")]
+        b4 = [(7, "engine rareword engine")]
+        store = str(tmp_path / "bm25inc")
+        for i, b in enumerate((b1, b2, b3)):
+            bm25_index_append(
+                self._docs(spark, b), "doc_id", "text", store, batch_id=i
+            )
+        bm25_index_compact(spark, store)
+        # Layout collapsed to the sentinel partition in both stores.
+        for half in ("postings", "stats"):
+            parts = sorted(
+                d for d in os.listdir(f"{store}/{half}")
+                if d.startswith("batch_id=")
+            )
+            assert parts == ["batch_id=-1"], (half, parts)
+        # Served scores identical to a one-shot build (load validates
+        # the summed witness against the rewritten postings).
+        postings, stats = load_bm25_index_incremental(spark, store)
+        whole_p, whole_s = bm25_index_build(
+            self._docs(spark, b1 + b2 + b3), "doc_id", "text"
+        )
+        terms = ["spark", "rareword", "engine"]
+        inc = bm25_topk_indexed(postings, stats, terms, topk=6).collect()
+        one = bm25_topk_indexed(whole_p, whole_s, terms, topk=6).collect()
+        assert [tuple(r) for r in inc] == [tuple(r) for r in one]
+        # The compacted store keeps accepting appends.
+        bm25_index_append(
+            self._docs(spark, b4), "doc_id", "text", store, batch_id=9
+        )
+        postings, stats = load_bm25_index_incremental(spark, store)
+        whole_p, whole_s = bm25_index_build(
+            self._docs(spark, b1 + b2 + b3 + b4), "doc_id", "text"
+        )
+        inc = bm25_topk_indexed(postings, stats, terms, topk=7).collect()
+        one = bm25_topk_indexed(whole_p, whole_s, terms, topk=7).collect()
+        assert [tuple(r) for r in inc] == [tuple(r) for r in one]
+
+    def test_compact_refuses_torn_store(self, spark, tmp_path):
+        """Compaction must not bake a torn store's inconsistency into a
+        rewrite — the pre-compaction load fails the witness first."""
+        import shutil
+
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.text import (
+            bm25_index_append,
+            bm25_index_compact,
+        )
+
+        store = str(tmp_path / "bm25inc")
+        bm25_index_append(
+            self._docs(spark, [(1, "spark engine"), (2, "rareword")]),
+            "doc_id", "text", store, batch_id=0,
+        )
+        bm25_index_append(
+            self._docs(spark, [(3, "spark filler")]),
+            "doc_id", "text", store, batch_id=1,
+        )
+        # Tear it: drop one postings partition, keep its stats row.
+        shutil.rmtree(f"{store}/postings/batch_id=1")
+        with _pytest.raises(ValueError, match="torn"):
+            bm25_index_compact(spark, store)

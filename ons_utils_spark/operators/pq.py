@@ -224,9 +224,10 @@ _ADC_LITERAL_MAX = 512
 #: Cap on the batch-ANN LUT payload (n_q × [n_probe ×] m × k doubles)
 #: shipped in the mapInPandas closure — pickled once per task, so a
 #: multi-GB payload is an executor-OOM hazard long before it is a
-#: driver one. 512 MiB ≈ 16k residual queries at FAISS-standard
-#: m=16, k=256, n_probe=8; past it the call raises a sized error —
-#: per-query results are independent, so callers chunk and union.
+#: driver one. 512 MiB ≈ 2k residual queries (n_probe=8) or 16k raw
+#: queries at FAISS-standard m=16, k=256; past it the call raises a
+#: sized error — per-query results are independent, so callers chunk
+#: and union.
 _BATCH_LUT_MAX_BYTES = 512 << 20
 
 
@@ -510,17 +511,7 @@ def ivf_pq_build(
     src = assigned.withColumn("__list", F.col("__cluster"))
     enc_col = vec_col
     if by_residual:
-        cents = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in coarse
-        ])
-        src = src.withColumn(
-            "__rvec",
-            F.zip_with(
-                F.col(vec_col),
-                F.element_at(cents, F.col("__list") + 1),
-                lambda a, b: a - b,
-            ),
-        )
+        src = _residual_transform(src, vec_col, coarse)
         enc_col = "__rvec"
     coded, codebooks = pq_build(
         src, id_col, enc_col, dim=dim, m=m, k=k, n_iter=n_iter,
@@ -537,6 +528,25 @@ def ivf_pq_build(
     # The saved index remains the durable authority: ivf_pq_query
     # always scores with the STORED geometry.
     return _tag_residual(coded, by_residual), coarse, codebooks
+
+
+def _residual_transform(src: SparkDF, vec_col: str, coarse) -> SparkDF:
+    """Attach ``__rvec = vec − coarse_centroid[__list]`` — the exact
+    elementwise ``zip_with`` subtraction both the build and the
+    stored-index encode run. ONE copy: append ≡ one-shot bit parity
+    rides on this expression staying identical between the two
+    call sites (same rule as :func:`_encode_literal`)."""
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in coarse
+    ])
+    return src.withColumn(
+        "__rvec",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cents, F.col("__list") + 1),
+            lambda a, b: a - b,
+        ),
+    )
 
 
 def _tag_residual(coded: SparkDF, by_residual: bool) -> SparkDF:
@@ -851,6 +861,13 @@ def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
     means corruption or a hand-edited store, and querying with it would
     return plausible-looking garbage. The collect is bounded by the
     index geometry (``n_lists + m·k`` rows), never by corpus size."""
+    return _load_index_with_meta(spark, path)[0]
+
+
+def _load_index_with_meta(spark, path: str):
+    """:func:`load_ivf_pq_index` plus the raw meta row — the table
+    loaders need ``coded_generation`` without paying a second read of
+    the meta parquet."""
     meta_rows = spark.read.parquet(f"{path}/meta").collect()
     if len(meta_rows) != 1:
         raise ValueError(
@@ -907,7 +924,7 @@ def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
             f"(stored {meta['fingerprint']}, recomputed {expected}) — "
             "the payload was corrupted or edited after save"
         )
-    return index
+    return index, meta
 
 
 def ivf_pq_encode(
@@ -956,18 +973,7 @@ def ivf_pq_encode(
     ).withColumn("__list", F.col("__cluster"))
     enc_col = vec_col
     if index.by_residual:
-        cents = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c])
-            for c in index.coarse_centroids
-        ])
-        src = src.withColumn(
-            "__rvec",
-            F.zip_with(
-                F.col(vec_col),
-                F.element_at(cents, F.col("__list") + 1),
-                lambda a, b: a - b,
-            ),
-        )
+        src = _residual_transform(src, vec_col, index.coarse_centroids)
         enc_col = "__rvec"
     sub_d = index.sub_d
     m = index.m
@@ -1070,15 +1076,14 @@ def save_ivf_pq_table(
         pass
 
 
-def _table_generation(spark, path: str, index: IvfPqIndex) -> str:
-    """The coded generation the index at ``<path>/index`` committed
-    with. Falls back to the pre-nonce name ``<fingerprint>`` for stores
-    written before the generation column existed (their coded dir was
-    keyed by fingerprint alone)."""
-    meta = spark.read.parquet(f"{path}/index/meta")
-    gen = None
-    if "coded_generation" in meta.columns:
-        gen = meta.collect()[0]["coded_generation"]
+def _table_generation(meta, index: IvfPqIndex) -> str:
+    """The coded generation an index's (already-loaded) meta row
+    committed with. Falls back to the pre-nonce name ``<fingerprint>``
+    for stores written before the generation column existed (their
+    coded dir was keyed by fingerprint alone)."""
+    gen = (
+        meta["coded_generation"] if "coded_generation" in meta else None
+    )
     return gen if gen is not None else index.fingerprint
 
 
@@ -1092,8 +1097,8 @@ def load_ivf_pq_table(spark, path: str) -> Tuple[SparkDF, IvfPqIndex]:
     coded table is a plain partitioned parquet read projected back to
     ``(id, codes, __list)`` — the ``batch_id`` growth partitioning is a
     storage detail — and probe filters still land in PartitionFilters."""
-    index = load_ivf_pq_index(spark, f"{path}/index")
-    generation = _table_generation(spark, path, index)
+    index, meta = _load_index_with_meta(spark, f"{path}/index")
+    generation = _table_generation(meta, index)
     coded_path = f"{path}/coded_{generation}"
     try:
         coded = spark.read.parquet(coded_path)
@@ -1139,14 +1144,18 @@ def ivf_pq_table_append(
     ``batch_id`` repairs it.
 
     The batch is validated in ONE aggregate pass before anything is
-    written: empty batches, NULL vectors/elements, and dimension
-    mismatches against the stored geometry all raise — a durable store
-    must never absorb rows the scorer would turn into garbage
-    distances or worker-side errors.
+    written: NULL vectors/elements and dimension mismatches against
+    the stored geometry raise — a durable store must never absorb rows
+    the scorer would turn into garbage distances or worker-side
+    errors. An empty SENTINEL batch raises too (a caller mistake); an
+    empty batch WITH an id instead truncates its own partition — the
+    replay-truncate rule, so a replay whose rows now filter out still
+    erases the first attempt's rows and a streaming maintainer never
+    crash-loops on an empty micro-batch.
     """
     spark = df.sparkSession
-    index = load_ivf_pq_index(spark, f"{store_path}/index")
-    generation = _table_generation(spark, store_path, index)
+    index, meta = _load_index_with_meta(spark, f"{store_path}/index")
+    generation = _table_generation(meta, index)
     if generation == index.fingerprint:
         raise ValueError(
             f"store at {store_path!r} uses the pre-generation layout "
@@ -1168,7 +1177,14 @@ def ivf_pq_table_append(
         F.count(F.lit(1)).alias("n"),
         F.sum(bad_vec.cast("int")).alias("bad"),
     ).collect()[0]
-    if chk["n"] == 0:
+    if chk["n"] == 0 and batch_id is None:
+        # An empty SENTINEL append is a caller mistake (nothing to
+        # encode, nothing it could repair). An empty batch WITH an id
+        # falls through: the partitioned_delta_append replay-truncate
+        # rule — a checkpointed replay whose rows now come out empty
+        # must still overwrite (truncate) its own partition, or stale
+        # rows from the first attempt survive; and a streaming
+        # maintainer must not crash-loop on an empty micro-batch.
         raise ValueError("append batch is empty — nothing to encode")
     if chk["bad"]:
         raise ValueError(
@@ -1223,6 +1239,52 @@ def ivf_pq_query(
         by_residual=index.by_residual,
         method=method,
     )
+
+
+def _batch_driver_stage(Q, coarse, codebooks, n_probe, by_residual):
+    """The batch-ANN driver stage: vectorized probe selection + LUT
+    construction → ``(probe_mat, lut_all)``. ONE copy, called by
+    :func:`ivf_pq_batch_topk` AND by the parity witness
+    ``tools/batch_ann_driver_probe.py`` — the probe asserts that THIS
+    function's probe choices and LUT doubles are bit-identical to the
+    interpreted ``_py_dot``/``_subspace_luts`` arithmetic, so the
+    assertion covers production, not a re-implementation.
+
+    ``Q`` is the ``(n_q, dim)`` float64 query matrix; the folds are
+    dimension-major (:func:`_fold_dots`/:func:`_fold_sq` — same
+    sequential IEEE rounding order as ``_py_dot``), the stable argsort
+    reproduces ``sorted((dist, j))``'s low-id tie-break, and the
+    residual subtraction is the same one-op elementwise form as the
+    per-list Python loop."""
+    import numpy as np
+
+    CC = np.asarray(coarse, dtype=np.float64)
+    dist = (
+        _fold_sq(Q)[:, None] + _fold_sq(CC)[None, :]
+    ) - 2.0 * _fold_dots(Q, CC)
+    probe_mat = np.argsort(dist, axis=1, kind="stable")[:, :n_probe]
+    cb_arrs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    cc_subs = [_fold_sq(cb) for cb in cb_arrs]
+    m = len(cb_arrs)
+    k, sub_d = cb_arrs[0].shape
+    n_q = Q.shape[0]
+    np_eff = probe_mat.shape[1]
+    if by_residual:
+        R = Q[:, None, :] - CC[probe_mat]
+        lut_all = np.empty((n_q, np_eff, m, k), dtype=np.float64)
+        for i in range(m):
+            Rs = R[..., i * sub_d:(i + 1) * sub_d]
+            lut_all[:, :, i, :] = (
+                _fold_sq(Rs)[..., None] + cc_subs[i]
+            ) - 2.0 * _fold_dots(Rs, cb_arrs[i])
+    else:
+        lut_all = np.empty((n_q, m, k), dtype=np.float64)
+        for i in range(m):
+            Qs = Q[:, i * sub_d:(i + 1) * sub_d]
+            lut_all[:, i, :] = (
+                _fold_sq(Qs)[:, None] + cc_subs[i]
+            ) - 2.0 * _fold_dots(Qs, cb_arrs[i])
+    return probe_mat, lut_all
 
 
 def ivf_pq_batch_topk(
@@ -1303,13 +1365,13 @@ def ivf_pq_batch_topk(
     n_q = len(rows)
     by_residual = index.by_residual
     k = index.k
-    sub_d = index.sub_d
-    lut_bytes = n_q * (n_probe if by_residual else 1) * m * k * 8
+    np_cap = min(int(n_probe), len(coarse))
+    lut_bytes = n_q * (np_cap if by_residual else 1) * m * k * 8
     if lut_bytes > _BATCH_LUT_MAX_BYTES:
         raise ValueError(
             f"batch LUTs for {n_q} queries at this geometry "
             f"(m={m}, k={k}"
-            + (f", n_probe={n_probe} residual" if by_residual else "")
+            + (f", n_probe={np_cap} residual" if by_residual else "")
             + f") need {lut_bytes >> 20} MiB — over the "
             f"{_BATCH_LUT_MAX_BYTES >> 20} MiB closure cap. Chunk the "
             "query table and union the results: per-query results are "
@@ -1341,34 +1403,12 @@ def ivf_pq_batch_topk(
     Q = np.asarray(
         [[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64
     )
-    CC = np.asarray(coarse, dtype=np.float64)
-    dist = (
-        _fold_sq(Q)[:, None] + _fold_sq(CC)[None, :]
-    ) - 2.0 * _fold_dots(Q, CC)
-    probe_mat = np.argsort(dist, axis=1, kind="stable")[:, :n_probe]
+    probe_mat, lut_all = _batch_driver_stage(
+        Q, coarse, cbs, n_probe, by_residual
+    )
     np_eff = probe_mat.shape[1]
     union_lists = sorted(int(v) for v in np.unique(probe_mat))
     filtered = coded.where(F.col("__list").isin(union_lists))
-
-    cb_arrs = [np.asarray(cb, dtype=np.float64) for cb in cbs]
-    cc_subs = [_fold_sq(cb) for cb in cb_arrs]
-    if by_residual:
-        # (n_q, n_probe, dim) query residuals — the same exact
-        # elementwise subtraction as the per-list Python loop.
-        R = Q[:, None, :] - CC[probe_mat]
-        lut_all = np.empty((n_q, np_eff, m, k), dtype=np.float64)
-        for i in range(m):
-            Rs = R[..., i * sub_d:(i + 1) * sub_d]
-            lut_all[:, :, i, :] = (
-                _fold_sq(Rs)[..., None] + cc_subs[i]
-            ) - 2.0 * _fold_dots(Rs, cb_arrs[i])
-    else:
-        lut_all = np.empty((n_q, m, k), dtype=np.float64)
-        for i in range(m):
-            Qs = Q[:, i * sub_d:(i + 1) * sub_d]
-            lut_all[:, i, :] = (
-                _fold_sq(Qs)[:, None] + cc_subs[i]
-            ) - 2.0 * _fold_dots(Qs, cb_arrs[i])
     # Row→query probe membership ships as per-query SORTED probe lists
     # plus their positions in probe order (for residual LUT indexing):
     # a searchsorted per (batch, query) replaces both the interpreted

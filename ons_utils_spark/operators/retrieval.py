@@ -140,6 +140,11 @@ def hybrid_batch_topk(
         query_id_col=query_id_col, terms_col=terms_col,
         topk=retriever_topk, k1=k1, b=b, round_dp=round_dp,
     )
+    if query_id_col != "query_id":
+        # The BM25 batch scorers emit a fixed "query_id" output column
+        # whatever the input name; realign so rrf_fuse's join keys and
+        # the ANN half (which echoes the caller's name) agree.
+        lex = lex.withColumnRenamed("query_id", query_id_col)
     ann = ivf_pq_batch_topk(
         coded, index, queries.select(query_id_col, vec_col),
         query_id_col=query_id_col, vec_col=vec_col,

@@ -330,10 +330,10 @@ def bm25_index_ingest_writer(
 def ivf_pq_ingest_writer(
     stream_df,
     store_path: str,
+    checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "auto",
-    checkpoint_dir: "str | None" = None,
 ):
     """Maintain a persisted IVF×PQ serving table over a vector stream —
     the ANN twin of :func:`bm25_index_ingest_writer`: as embedding
@@ -351,8 +351,13 @@ def ivf_pq_ingest_writer(
     FAISS operating model, and what keeps streaming maintenance a pure
     one-scan encode). A checkpointed replay statically overwrites
     exactly its own ``batch_id`` partition, making at-least-once
-    delivery effectively exactly-once; the new-vectors contract of
-    ``ivf_pq_table_append`` applies per micro-batch.
+    delivery effectively exactly-once — which is why
+    ``checkpoint_dir`` is REQUIRED (like the BM25 twin): without a
+    checkpoint a restarted source re-numbers batches from 0, and the
+    batch_id overwrites would land different row sets than the first
+    run's partitions, silently duplicating or dropping vectors. Empty
+    micro-batches truncate their own partition (the append's
+    replay-truncate rule) instead of failing the query.
     """
 
     def process(batch, batch_id: int) -> None:
@@ -363,7 +368,7 @@ def ivf_pq_ingest_writer(
             batch_id=batch_id, method=method,
         )
 
-    writer = stream_df.writeStream.foreachBatch(process)
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -957,8 +957,10 @@ class TestIvfPqTableAppend:
     def test_bad_batches_rejected_before_write(self, spark, tmp_path):
         vecs, full, coded, idx, path = self._split_store(spark, tmp_path)
         empty = full.where("vec_id < 0")
+        # Sentinel-empty raises; empty WITH an id is replay-truncate
+        # (pinned in TestAppendEdgeSemantics).
         with pytest.raises(ValueError, match="empty"):
-            pq.ivf_pq_table_append(empty, path, batch_id=0)
+            pq.ivf_pq_table_append(empty, path)
         short = spark.createDataFrame(
             [(99, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
         )
@@ -1118,5 +1120,66 @@ class TestBatchLutCap:
         try:
             with pytest.raises(ValueError, match="MiB.*[Cc]hunk"):
                 pq.ivf_pq_batch_topk(coded, idx, qdf)
+        finally:
+            pqmod._BATCH_LUT_MAX_BYTES = old
+
+
+class TestAppendEdgeSemantics:
+    """Review fixes pinned: empty-batch replay-truncate, and the LUT
+    cap using the EFFECTIVE probe count."""
+
+    def _store(self, spark, tmp_path):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        path = str(tmp_path / "serve")
+        pq.save_ivf_pq_table(coded.where("id < 20"), idx, path)
+        return vecs, full, idx, path
+
+    def test_empty_batch_with_id_truncates_partition(
+        self, spark, tmp_path
+    ):
+        vecs, full, idx, path = self._store(spark, tmp_path)
+        batch = full.where("vec_id >= 20")
+        pq.ivf_pq_table_append(batch, path, batch_id=4)
+        lc, _ = pq.load_ivf_pq_table(spark, path)
+        assert lc.count() == 40
+        # Replay of batch 4 whose rows now filter out: must TRUNCATE
+        # the partition (stale rows gone), not raise.
+        pq.ivf_pq_table_append(
+            full.where("vec_id < 0"), path, batch_id=4
+        )
+        lc, _ = pq.load_ivf_pq_table(spark, path)
+        assert lc.count() == 20
+        # Sentinel-empty is still a loud caller mistake.
+        with pytest.raises(ValueError, match="empty"):
+            pq.ivf_pq_table_append(full.where("vec_id < 0"), path)
+
+    def test_lut_cap_uses_effective_probe_count(self, spark, tmp_path):
+        # n_probe far above n_lists must not inflate the cap estimate:
+        # the real LUT is bounded by n_lists.
+        vecs, full, idx, path = self._store(spark, tmp_path)
+        lc, li = pq.load_ivf_pq_table(spark, path)
+        qdf = spark.createDataFrame(
+            [(1, vecs[0])], "query_id bigint, embedding array<double>"
+        )
+        import ons_utils_spark.operators.pq as pqmod
+
+        old = pqmod._BATCH_LUT_MAX_BYTES
+        # Cap sized to fit the n_lists=4-bounded payload but not a
+        # naive n_probe=1000 estimate (residual would be the sharper
+        # case, but raw exercises the same min()).
+        pqmod._BATCH_LUT_MAX_BYTES = 1 * 2 * 2 * 8  # n_q*m*k*8 exactly
+        try:
+            rows = pq.ivf_pq_batch_topk(
+                lc, li, qdf, n_probe=1000, topk=3
+            ).collect()
+            assert rows
         finally:
             pqmod._BATCH_LUT_MAX_BYTES = old

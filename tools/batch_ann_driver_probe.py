@@ -24,8 +24,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from ons_utils_spark.operators.pq import (  # noqa: E402
-    _fold_dots,
-    _fold_sq,
+    _batch_driver_stage,
     _subspace_luts,
 )
 from ons_utils_spark.operators.semantic import _py_dot  # noqa: E402
@@ -59,20 +58,10 @@ def old_driver_stage(Q, coarse, cbs):
 
 
 def new_driver_stage(Qa, CCa, cb_arrs):
-    """The r11 vectorized stage, verbatim arithmetic."""
-    dist = (
-        _fold_sq(Qa)[:, None] + _fold_sq(CCa)[None, :]
-    ) - 2.0 * _fold_dots(Qa, CCa)
-    probe_mat = np.argsort(dist, axis=1, kind="stable")[:, :N_PROBE]
-    cc_subs = [_fold_sq(cb) for cb in cb_arrs]
-    R = Qa[:, None, :] - CCa[probe_mat]
-    lut_all = np.empty((len(Qa), N_PROBE, M, K), dtype=np.float64)
-    for i in range(M):
-        Rs = R[..., i * SUB_D:(i + 1) * SUB_D]
-        lut_all[:, :, i, :] = (
-            _fold_sq(Rs)[..., None] + cc_subs[i]
-        ) - 2.0 * _fold_dots(Rs, cb_arrs[i])
-    return probe_mat, lut_all
+    """The PRODUCTION vectorized stage — pq._batch_driver_stage itself,
+    so the parity assertion below covers the shipped code, not a
+    re-implementation of it."""
+    return _batch_driver_stage(Qa, CCa, cb_arrs, N_PROBE, True)
 
 
 def main() -> None:

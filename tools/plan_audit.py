@@ -64,6 +64,9 @@ ALLOWED = {
     ("q_bm25_topk", "BroadcastNestedLoopJoin"),
     ("q_bm25_batch", "BroadcastNestedLoopJoin"),
     ("q_bm25_indexed", "BroadcastNestedLoopJoin"),
+    # Hybrid RRF inherits the lexical half's 1-row stats fold; the
+    # fusion itself is equi-joins over k-row ranked lists.
+    ("q_hybrid_retrieval", "BroadcastNestedLoopJoin"),
     ("q_price_histogram", "BroadcastNestedLoopJoin"),
     ("q_vocab_coverage", "BroadcastNestedLoopJoin"),
     # The temperature-mixture anchor window runs over the |groups|-row

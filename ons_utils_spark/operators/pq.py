@@ -1503,3 +1503,52 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
         .limit(topk)
     )
+
+
+def ivf_pq_batch_topk_chunked(
+    coded: SparkDF,
+    index: IvfPqIndex,
+    queries: SparkDF,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    topk: int = 10,
+    chunk_queries: "int | None" = None,
+) -> SparkDF:
+    """:func:`ivf_pq_batch_topk` for workloads past the LUT closure
+    cap: split the query table into cap-sized chunks, run each as its
+    own batch job, union the results — EXACT, not approximate, because
+    per-query results are independent (each query's top-k depends only
+    on its own probes against the corpus).
+
+    ``chunk_queries`` defaults to the largest count whose LUT payload
+    fits ``_BATCH_LUT_MAX_BYTES`` at this index's geometry — the same
+    arithmetic the cap error uses, so the default NEVER trips it. The
+    chunk filter is an ``isin`` over that chunk's query ids (the query
+    table is driver-sized by the batch contract, so the literal list
+    is bounded by the same contract). Wall-clock is chunks × one batch
+    job; prefer the unchunked form whenever the workload fits.
+    """
+    per_q_luts = (
+        min(int(n_probe), index.n_lists) if index.by_residual else 1
+    ) * index.m * index.k * 8
+    if chunk_queries is None:
+        chunk_queries = max(1, _BATCH_LUT_MAX_BYTES // per_q_luts)
+    if chunk_queries < 1:
+        raise ValueError(f"chunk_queries must be >= 1 (got {chunk_queries})")
+    qids = [r[0] for r in queries.select(query_id_col).collect()]
+    if not qids:
+        raise ValueError("queries table is empty — nothing to retrieve")
+    if len(set(qids)) != len(qids):
+        raise ValueError(f"duplicate {query_id_col!r} values in queries")
+    out = None
+    for i in range(0, len(qids), int(chunk_queries)):
+        part = queries.where(
+            F.col(query_id_col).isin(qids[i:i + int(chunk_queries)])
+        )
+        res = ivf_pq_batch_topk(
+            coded, index, part, query_id_col=query_id_col,
+            vec_col=vec_col, n_probe=n_probe, topk=topk,
+        )
+        out = res if out is None else out.unionByName(res)
+    return out

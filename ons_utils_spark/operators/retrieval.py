@@ -37,6 +37,7 @@ def rrf_fuse(
     k0: int = 60,
     topk: int = 10,
     round_dp: int = 6,
+    weights: "Sequence[float] | None" = None,
 ) -> SparkDF:
     """Reciprocal-rank fusion of per-query ranked candidate lists →
     ``(query_id, id, rrf, rank)``.
@@ -56,9 +57,21 @@ def rrf_fuse(
     expression — at two or three systems a full outer join per system
     beats a union + groupBy sum AND keeps the float addition order
     deterministic (a groupBy sum re-associates per partitioning).
+
+    ``weights`` (one per system, default all 1.0) is weighted RRF:
+    system ``i`` contributes ``w_i / (k0 + rank)`` — the standard
+    lever when one retriever is trusted more (e.g. upweight lexical
+    for code corpora). ``w = 1.0`` is bit-identical to unweighted.
     """
     if not ranked_lists:
         raise ValueError("ranked_lists is empty — nothing to fuse")
+    if weights is None:
+        weights = [1.0] * len(ranked_lists)
+    if len(weights) != len(ranked_lists):
+        raise ValueError(
+            f"weights has {len(weights)} entries for "
+            f"{len(ranked_lists)} ranked lists — one weight per system"
+        )
     fused = None
     for i, (df, order_col, ascending) in enumerate(ranked_lists):
         order = (
@@ -73,9 +86,10 @@ def rrf_fuse(
             .select(
                 query_id_col,
                 id_col,
-                (F.lit(1.0) / (F.lit(int(k0)) + F.col("__r"))).alias(
-                    f"__c{i}"
-                ),
+                (
+                    F.lit(float(weights[i]))
+                    / (F.lit(int(k0)) + F.col("__r"))
+                ).alias(f"__c{i}"),
             )
         )
         fused = (

@@ -1183,3 +1183,57 @@ class TestAppendEdgeSemantics:
             assert rows
         finally:
             pqmod._BATCH_LUT_MAX_BYTES = old
+
+
+class TestChunkedBatch:
+    def test_chunked_equals_unchunked(self, spark):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        df = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=True,
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs, by_residual=True)
+        qdf = spark.createDataFrame(
+            [(i, vecs[i]) for i in (0, 5, 9, 13)],
+            "query_id bigint, embedding array<double>",
+        )
+        whole = pq.ivf_pq_batch_topk(coded, idx, qdf, n_probe=2, topk=6)
+        chunked = pq.ivf_pq_batch_topk_chunked(
+            coded, idx, qdf, n_probe=2, topk=6, chunk_queries=1
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, chunked.collect())
+        )
+        # The default chunk size never trips the cap error.
+        auto = pq.ivf_pq_batch_topk_chunked(
+            coded, idx, qdf, n_probe=2, topk=6
+        )
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_empty_and_duplicates_raise(self, spark):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        df = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        empty = spark.createDataFrame(
+            [], "query_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="empty"):
+            pq.ivf_pq_batch_topk_chunked(coded, idx, empty)
+        dup = spark.createDataFrame(
+            [(1, vecs[0]), (1, vecs[1])],
+            "query_id bigint, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            pq.ivf_pq_batch_topk_chunked(coded, idx, dup)

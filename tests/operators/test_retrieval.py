@@ -110,3 +110,43 @@ class TestHybridBatchTopk:
         rows = fused.collect()
         assert rows and all(r["rank"] <= 5 for r in rows)
         assert {r["query_id"] for r in rows} == {1, 2}
+
+
+class TestWeightedRrf:
+    def test_weights_scale_contributions(self, spark):
+        lex = spark.createDataFrame(
+            [(1, 10, 5.0)], "query_id bigint, id bigint, s double"
+        )
+        ann = spark.createDataFrame(
+            [(1, 10, 0.1)], "query_id bigint, id bigint, s double"
+        )
+        out = retrieval.rrf_fuse(
+            [(lex, "s", False), (ann, "s", True)], topk=3,
+            weights=[2.0, 0.5],
+        ).collect()
+        assert out[0]["rrf"] == round(2.0 / 61 + 0.5 / 61, 6)
+
+    def test_unit_weights_bit_identical_to_default(self, spark):
+        lex = spark.createDataFrame(
+            [(1, 10, 5.0), (1, 11, 3.0)],
+            "query_id bigint, id bigint, s double",
+        )
+        ann = spark.createDataFrame(
+            [(1, 11, 0.1), (1, 12, 0.2)],
+            "query_id bigint, id bigint, s double",
+        )
+        default = retrieval.rrf_fuse(
+            [(lex, "s", False), (ann, "s", True)], topk=5
+        ).collect()
+        unit = retrieval.rrf_fuse(
+            [(lex, "s", False), (ann, "s", True)], topk=5,
+            weights=[1.0, 1.0],
+        ).collect()
+        assert [tuple(r) for r in default] == [tuple(r) for r in unit]
+
+    def test_weight_count_mismatch_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, 5.0)], "query_id bigint, id bigint, s double"
+        )
+        with pytest.raises(ValueError, match="one weight per system"):
+            retrieval.rrf_fuse([(df, "s", False)], weights=[1.0, 2.0])

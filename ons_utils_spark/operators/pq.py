@@ -1045,8 +1045,13 @@ def save_ivf_pq_table(
 
     generation = f"{index.fingerprint}_{uuid.uuid4().hex[:8]}"
     (
+        # static overwrite for the same reason as ivf_pq_table_append:
+        # the nonce makes the target fresh, but a session's dynamic
+        # partitionOverwriteMode must never change what a re-save of
+        # an existing path means.
         coded.withColumn("batch_id", F.lit(-1))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("batch_id", "__list")
         .parquet(f"{path}/coded_{generation}")
     )
@@ -1203,7 +1208,14 @@ def ivf_pq_table_append(
         )
         return
     (
+        # partitionOverwriteMode pinned STATIC at the writer: under a
+        # session's dynamic mode, a replay would only overwrite the
+        # __list partitions present in THIS run's rows — an empty
+        # replay would delete nothing and a different __list spread
+        # would leave stale partitions behind, breaking the
+        # replay-truncate guarantee the docstring makes.
         coded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("__list")
         .parquet(f"{target}/batch_id={int(batch_id)}")
     )
@@ -1239,6 +1251,34 @@ def ivf_pq_query(
         by_residual=index.by_residual,
         method=method,
     )
+
+
+def _check_query_ids(qids, query_id_col: str) -> None:
+    """Shared batch-entry validation: a NULL query id would silently
+    vanish from any downstream ``isin``/equi-join (SQL NULL never
+    matches), and duplicates make per-query top-k ambiguous — both
+    raise up front, in the plain and chunked entry points alike."""
+    if not qids:
+        raise ValueError("queries table is empty — nothing to retrieve")
+    if any(q is None for q in qids):
+        raise ValueError(
+            f"queries table has a NULL {query_id_col!r} — NULL ids "
+            "never match joins or filters and would silently drop the "
+            "query from the results"
+        )
+    if len(set(qids)) != len(qids):
+        raise ValueError(f"duplicate {query_id_col!r} values in queries")
+
+
+def _per_query_lut_bytes(index: IvfPqIndex, n_probe: int) -> int:
+    """LUT payload per query at this index's geometry — ONE copy of
+    the cap arithmetic, shared by :func:`ivf_pq_batch_topk`'s closure
+    cap and :func:`ivf_pq_batch_topk_chunked`'s default chunk size (so
+    the chunked default can never trip the cap it sizes against)."""
+    probes = (
+        min(int(n_probe), index.n_lists) if index.by_residual else 1
+    )
+    return probes * index.m * index.k * 8
 
 
 def _batch_driver_stage(Q, coarse, codebooks, n_probe, by_residual):
@@ -1348,11 +1388,8 @@ def ivf_pq_batch_topk(
             "codes from one geometry scored in the other are meaningless"
         )
     rows = queries.select(query_id_col, vec_col).collect()
-    if not rows:
-        raise ValueError("queries table is empty — nothing to retrieve")
+    _check_query_ids([r[0] for r in rows], query_id_col)
     qids = [r[0] for r in rows]
-    if len(set(qids)) != len(qids):
-        raise ValueError(f"duplicate {query_id_col!r} values in queries")
     m = index.m
     dim = index.dim
     cbs = index.codebooks
@@ -1365,17 +1402,20 @@ def ivf_pq_batch_topk(
     n_q = len(rows)
     by_residual = index.by_residual
     k = index.k
-    np_cap = min(int(n_probe), len(coarse))
-    lut_bytes = n_q * (np_cap if by_residual else 1) * m * k * 8
+    lut_bytes = n_q * _per_query_lut_bytes(index, n_probe)
     if lut_bytes > _BATCH_LUT_MAX_BYTES:
         raise ValueError(
             f"batch LUTs for {n_q} queries at this geometry "
             f"(m={m}, k={k}"
-            + (f", n_probe={np_cap} residual" if by_residual else "")
+            + (
+                f", n_probe={min(int(n_probe), len(coarse))} residual"
+                if by_residual else ""
+            )
             + f") need {lut_bytes >> 20} MiB — over the "
-            f"{_BATCH_LUT_MAX_BYTES >> 20} MiB closure cap. Chunk the "
-            "query table and union the results: per-query results are "
-            "independent, so chunks compose exactly."
+            f"{_BATCH_LUT_MAX_BYTES >> 20} MiB closure cap. Use "
+            "ivf_pq_batch_topk_chunked (or chunk and union yourself): "
+            "per-query results are independent, so chunks compose "
+            "exactly."
         )
     for r in rows:
         x = r[vec_col]
@@ -1522,30 +1562,30 @@ def ivf_pq_batch_topk_chunked(
     on its own probes against the corpus).
 
     ``chunk_queries`` defaults to the largest count whose LUT payload
-    fits ``_BATCH_LUT_MAX_BYTES`` at this index's geometry — the same
-    arithmetic the cap error uses, so the default NEVER trips it. The
-    chunk filter is an ``isin`` over that chunk's query ids (the query
-    table is driver-sized by the batch contract, so the literal list
-    is bounded by the same contract). Wall-clock is chunks × one batch
-    job; prefer the unchunked form whenever the workload fits.
+    fits ``_BATCH_LUT_MAX_BYTES`` at this index's geometry — the SAME
+    helper the cap error uses (:func:`_per_query_lut_bytes`), so the
+    default can never trip it. The query table is collected ONCE
+    (driver-sized by the batch contract) and each chunk re-ships as a
+    local DataFrame — the caller's query plan is never re-executed per
+    chunk, and rows cannot drift between the id pass and the chunk
+    pass under a non-deterministic upstream plan. Wall-clock is
+    chunks × one batch job; prefer the unchunked form whenever the
+    workload fits.
     """
-    per_q_luts = (
-        min(int(n_probe), index.n_lists) if index.by_residual else 1
-    ) * index.m * index.k * 8
     if chunk_queries is None:
-        chunk_queries = max(1, _BATCH_LUT_MAX_BYTES // per_q_luts)
+        chunk_queries = max(
+            1, _BATCH_LUT_MAX_BYTES // _per_query_lut_bytes(index, n_probe)
+        )
     if chunk_queries < 1:
         raise ValueError(f"chunk_queries must be >= 1 (got {chunk_queries})")
-    qids = [r[0] for r in queries.select(query_id_col).collect()]
-    if not qids:
-        raise ValueError("queries table is empty — nothing to retrieve")
-    if len(set(qids)) != len(qids):
-        raise ValueError(f"duplicate {query_id_col!r} values in queries")
+    spark = queries.sparkSession
+    projected = queries.select(query_id_col, vec_col)
+    rows = projected.collect()
+    _check_query_ids([r[0] for r in rows], query_id_col)
     out = None
-    for i in range(0, len(qids), int(chunk_queries)):
-        part = queries.where(
-            F.col(query_id_col).isin(qids[i:i + int(chunk_queries)])
-        )
+    step = int(chunk_queries)
+    for i in range(0, len(rows), step):
+        part = spark.createDataFrame(rows[i:i + step], projected.schema)
         res = ivf_pq_batch_topk(
             coded, index, part, query_id_col=query_id_col,
             vec_col=vec_col, n_probe=n_probe, topk=topk,

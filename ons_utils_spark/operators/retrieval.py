@@ -133,6 +133,7 @@ def hybrid_batch_topk(
     round_dp: int = 6,
     k1: float = 1.2,
     b: float = 0.75,
+    weights: "Tuple[float, float] | None" = None,
 ) -> SparkDF:
     """Hybrid lexical + ANN retrieval for a whole query TABLE, fused by
     RRF → ``(query_id, id, rrf, rank)`` — both serving stores in one
@@ -145,6 +146,8 @@ def hybrid_batch_topk(
     fusion is k-row work (module docstring). The lexical list ranks by
     (bm25 desc, id), the ANN list by (adc_dist asc, id), and the RRF
     sum folds lexical-then-ANN — all deterministic, oracle-replayable.
+    ``weights`` is ``(w_lexical, w_ann)`` for weighted RRF (see
+    :func:`rrf_fuse`); ``None`` = unweighted.
     """
     from ons_utils_spark.operators.pq import ivf_pq_batch_topk
     from ons_utils_spark.operators.text import bm25_batch_topk_indexed
@@ -167,4 +170,5 @@ def hybrid_batch_topk(
     return rrf_fuse(
         [(lex, "bm25", False), (ann, "adc_dist", True)],
         query_id_col=query_id_col, k0=k0, topk=topk, round_dp=round_dp,
+        weights=weights,
     )

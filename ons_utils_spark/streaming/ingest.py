@@ -330,6 +330,7 @@ def bm25_index_ingest_writer(
 def ivf_pq_ingest_writer(
     stream_df,
     store_path: str,
+    *,
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -1161,24 +1161,33 @@ class TestAppendEdgeSemantics:
         with pytest.raises(ValueError, match="empty"):
             pq.ivf_pq_table_append(full.where("vec_id < 0"), path)
 
-    def test_lut_cap_uses_effective_probe_count(self, spark, tmp_path):
+    def test_lut_cap_uses_effective_probe_count(self, spark):
         # n_probe far above n_lists must not inflate the cap estimate:
-        # the real LUT is bounded by n_lists.
-        vecs, full, idx, path = self._store(spark, tmp_path)
-        lc, li = pq.load_ivf_pq_table(spark, path)
+        # the real LUT is bounded by n_lists. Only the RESIDUAL path
+        # multiplies by the probe count, so the store must be
+        # by_residual=True or this test pins nothing.
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=True,
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs, by_residual=True)
         qdf = spark.createDataFrame(
             [(1, vecs[0])], "query_id bigint, embedding array<double>"
         )
         import ons_utils_spark.operators.pq as pqmod
 
         old = pqmod._BATCH_LUT_MAX_BYTES
-        # Cap sized to fit the n_lists=4-bounded payload but not a
-        # naive n_probe=1000 estimate (residual would be the sharper
-        # case, but raw exercises the same min()).
-        pqmod._BATCH_LUT_MAX_BYTES = 1 * 2 * 2 * 8  # n_q*m*k*8 exactly
+        # Fits the n_lists=4-bounded payload exactly; a naive
+        # n_probe=1000 estimate would be 250x over and raise.
+        pqmod._BATCH_LUT_MAX_BYTES = 1 * 4 * 2 * 2 * 8
         try:
             rows = pq.ivf_pq_batch_topk(
-                lc, li, qdf, n_probe=1000, topk=3
+                coded, idx, qdf, n_probe=1000, topk=3
             ).collect()
             assert rows
         finally:
@@ -1237,3 +1246,57 @@ class TestChunkedBatch:
         )
         with pytest.raises(ValueError, match="duplicate"):
             pq.ivf_pq_batch_topk_chunked(coded, idx, dup)
+
+
+class TestReviewFixPins:
+    def _store(self, spark, tmp_path):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        path = str(tmp_path / "serve")
+        pq.save_ivf_pq_table(coded.where("id < 20"), idx, path)
+        return vecs, full, idx, path
+
+    def test_replay_truncate_survives_dynamic_overwrite_mode(
+        self, spark, tmp_path
+    ):
+        """The batch_id overwrite pins partitionOverwriteMode=static at
+        the writer: under a session's DYNAMIC mode an empty replay
+        would otherwise delete nothing and stale rows would survive."""
+        vecs, full, idx, path = self._store(spark, tmp_path)
+        key = "spark.sql.sources.partitionOverwriteMode"
+        old = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            pq.ivf_pq_table_append(
+                full.where("vec_id >= 20"), path, batch_id=2
+            )
+            lc, _ = pq.load_ivf_pq_table(spark, path)
+            assert lc.count() == 40
+            pq.ivf_pq_table_append(
+                full.where("vec_id < 0"), path, batch_id=2
+            )
+            lc, _ = pq.load_ivf_pq_table(spark, path)
+            assert lc.count() == 20  # stale rows truncated
+        finally:
+            spark.conf.set(key, old)
+
+    def test_null_query_id_rejected_both_entry_points(
+        self, spark, tmp_path
+    ):
+        vecs, full, idx, path = self._store(spark, tmp_path)
+        lc, li = pq.load_ivf_pq_table(spark, path)
+        qdf = spark.createDataFrame(
+            [(None, vecs[0]), (1, vecs[1])],
+            "query_id bigint, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="NULL.*query_id"):
+            pq.ivf_pq_batch_topk(lc, li, qdf)
+        with pytest.raises(ValueError, match="NULL.*query_id"):
+            pq.ivf_pq_batch_topk_chunked(lc, li, qdf)

@@ -150,3 +150,41 @@ class TestWeightedRrf:
         )
         with pytest.raises(ValueError, match="one weight per system"):
             retrieval.rrf_fuse([(df, "s", False)], weights=[1.0, 2.0])
+
+    def test_hybrid_plumbs_weights(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "alpha spark" if i % 2 else "alpha beta")
+             for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(20)
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        postings, stats = text.bm25_index_build(docs, "doc_id", "text")
+        coded, coarse, cbs = pq.ivf_pq_build(
+            emb, dim=8, n_lists=2, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        queries = spark.createDataFrame(
+            [(1, ["spark"], vecs[2])],
+            "query_id bigint, terms array<string>, embedding array<double>",
+        )
+        weighted = retrieval.hybrid_batch_topk(
+            postings, stats, coded, idx, queries,
+            retriever_topk=5, topk=5, weights=(3.0, 0.0),
+        ).collect()
+        lex_only = text.bm25_batch_topk_indexed(
+            postings, stats, queries.select("query_id", "terms"), topk=5
+        ).collect()
+        # With the ANN weight zeroed, the fused ORDER must be the
+        # lexical order restricted to fused candidates.
+        fused_rank = {r["id"]: r["rank"] for r in weighted}
+        lex_rank = {r["id"]: r["rank"] for r in lex_only}
+        lex_docs = [r["id"] for r in weighted if r["id"] in lex_rank]
+        assert lex_docs == sorted(lex_docs, key=lambda d: lex_rank[d])
+        assert any(r["rrf"] == round(3.0 / 61, 6) for r in weighted)

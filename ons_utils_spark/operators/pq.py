@@ -1592,3 +1592,40 @@ def ivf_pq_batch_topk_chunked(
         )
         out = res if out is None else out.unionByName(res)
     return out
+
+
+def ivf_pq_table_compact(spark, store_path: str) -> None:
+    """Compact an incrementally-grown IVF×PQ serving table — the ANN
+    twin of ``text.bm25_index_compact``: every :func:`ivf_pq_table_append`
+    leaves one ``batch_id`` partition inside the live coded generation,
+    and on a long-lived store partition DISCOVERY (batches × lists
+    directories), not the read itself, comes to dominate load time.
+    Compaction collapses the generation to the sentinel
+    ``batch_id=-1/__list=<j>/`` layout — exactly what
+    :func:`load_ivf_pq_table` serves, so values are unchanged, probe
+    pruning keeps its directory structure, and the rewrite promotes
+    via ``compact_store``'s crash-repairing rename-aside swap. The
+    index artifact is untouched (codes don't change), so the
+    generation pairing stays committed throughout.
+
+    **Writer-stopped caveat** (same as the BM25 twin): a checkpointed
+    replay of a compacted ``batch_id`` can no longer overwrite its own
+    partition — it would re-APPEND those vectors as duplicate serving
+    rows. Compact only while the streaming maintainer is stopped and
+    its checkpoint has advanced past every batch being compacted.
+    """
+    from ons_utils_spark.sources.store import compact_store
+
+    index, meta = _load_index_with_meta(spark, f"{store_path}/index")
+    generation = _table_generation(meta, index)
+    if generation == index.fingerprint:
+        raise ValueError(
+            f"store at {store_path!r} uses the pre-generation layout "
+            "(no batch_id partitioning) — there is nothing to compact; "
+            "re-save it once with save_ivf_pq_table to migrate"
+        )
+    coded, _ = load_ivf_pq_table(spark, store_path)
+    compact_store(
+        coded, f"{store_path}/coded_{generation}",
+        partition_cols=("batch_id", "__list"),
+    )

@@ -134,7 +134,11 @@ def partitioned_delta_append(
     delta.write.mode("overwrite").parquet(f"{path}/batch_id={int(batch_id)}")
 
 
-def compact_store(merged: SparkDF, path: str) -> None:
+def compact_store(
+    merged: SparkDF,
+    path: str,
+    partition_cols: "tuple[str, ...]" = ("batch_id",),
+) -> None:
     """Rewrite a delta store as ONE merged delta — the maintenance half
     of the append-only contract.
 
@@ -163,6 +167,12 @@ def compact_store(merged: SparkDF, path: str) -> None:
     loader — the caller materializes it BEFORE the swap moves its
     input (this function forces that with a local checkpoint if the
     plan is still lazy).
+
+    ``partition_cols`` is the store's physical partitioning, always
+    led by ``batch_id`` (the sentinel layout); stores with a second
+    pruning level — the IVF×PQ serving table's ``__list`` — pass
+    ``("batch_id", "__list")`` so the compacted rewrite keeps the
+    probe-pruning directory structure.
 
     **Streaming replay caveat**: compaction folds every ``batch_id``
     partition into the sentinel, so a checkpointed ``foreachBatch``
@@ -199,12 +209,18 @@ def compact_store(merged: SparkDF, path: str) -> None:
     # Cut lineage BEFORE touching the directory the plan reads from:
     # a lazy plan re-scanned after the swap would read its own output
     # (or nothing). localCheckpoint materializes to executor storage.
+    if partition_cols[:1] != ("batch_id",):
+        raise ValueError(
+            f"partition_cols must lead with 'batch_id' (got "
+            f"{partition_cols!r}) — the sentinel layout is the store "
+            "contract"
+        )
     merged = merged.localCheckpoint(eager=True)
     staging = path.rstrip("/") + ".__compact_tmp"
     (
         merged.withColumn("batch_id", F.lit(-1))
         .write.mode("overwrite")
-        .partitionBy("batch_id")
+        .partitionBy(*partition_cols)
         .parquet(staging)
     )
     _, src = _resolve_fs(staging)

@@ -1300,3 +1300,79 @@ class TestReviewFixPins:
             pq.ivf_pq_batch_topk(lc, li, qdf)
         with pytest.raises(ValueError, match="NULL.*query_id"):
             pq.ivf_pq_batch_topk_chunked(lc, li, qdf)
+
+
+class TestIvfPqTableCompaction:
+    def test_compact_preserves_serving_and_accepts_appends(
+        self, spark, tmp_path
+    ):
+        import os
+
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=True,
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs, by_residual=True)
+        path = str(tmp_path / "serve")
+        pq.save_ivf_pq_table(coded.where("id < 15"), idx, path)
+        pq.ivf_pq_table_append(
+            full.where("vec_id >= 15 and vec_id < 25"), path, batch_id=0
+        )
+        pq.ivf_pq_table_append(
+            full.where("vec_id >= 25 and vec_id < 32"), path, batch_id=1
+        )
+        lc0, li0 = pq.load_ivf_pq_table(spark, path)
+        before = pq.ivf_pq_query(
+            lc0, li0, vecs[20], n_probe=2, topk=8
+        ).collect()
+        pq.ivf_pq_table_compact(spark, path)
+        gen_dir = next(
+            d for d in os.listdir(path) if d.startswith("coded_")
+        )
+        parts = sorted(
+            d for d in os.listdir(f"{path}/{gen_dir}")
+            if d.startswith("batch_id=")
+        )
+        assert parts == ["batch_id=-1"]
+        lc, li = pq.load_ivf_pq_table(spark, path)
+        assert li == idx
+        after = pq.ivf_pq_query(lc, li, vecs[20], n_probe=2, topk=8)
+        assert [tuple(r) for r in after.collect()] == [
+            tuple(r) for r in before
+        ]
+        # Probe pruning still lands in PartitionFilters on the
+        # compacted layout.
+        plan = pq.ivf_pq_query(
+            lc, li, vecs[2], n_probe=2, topk=5
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "__list" in plan.split("PartitionFilters", 1)[1][:200]
+        # And the compacted store keeps accepting appends.
+        pq.ivf_pq_table_append(
+            full.where("vec_id >= 32"), path, batch_id=7
+        )
+        lc, _ = pq.load_ivf_pq_table(spark, path)
+        assert lc.count() == 40
+
+    def test_pre_generation_store_refused(self, spark, tmp_path):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        path = str(tmp_path / "legacy")
+        coded.write.mode("overwrite").partitionBy("__list").parquet(
+            f"{path}/coded_{idx.fingerprint}"
+        )
+        pq.save_ivf_pq_index(spark, idx, f"{path}/index")
+        with pytest.raises(ValueError, match="pre-generation"):
+            pq.ivf_pq_table_compact(spark, path)

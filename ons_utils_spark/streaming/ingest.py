@@ -373,3 +373,60 @@ def ivf_pq_ingest_writer(
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def hybrid_ingest_writer(
+    stream_df,
+    bm25_store_path: str,
+    ivf_pq_store_path: str,
+    *,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    method: str = "auto",
+):
+    """Maintain BOTH retrieval stores from ONE document stream — each
+    micro-batch carries text AND an embedding per document, and one
+    ``foreachBatch`` hook appends its postings/stats deltas to the
+    incremental BM25 index (``text.bm25_index_append``) and its
+    stored-index-encoded codes to the IVF×PQ serving table
+    (``pq.ivf_pq_table_append``). ``retrieval.hybrid_batch_topk`` then
+    serves fused lexical+ANN retrieval over everything ingested so far
+    — the end-to-end streaming story for hybrid corpus curation.
+
+    Exactly-once per store: both appends key their writes by the SAME
+    micro-batch id, and each is individually replay-idempotent (static
+    partition overwrite), so a retry that crashed BETWEEN the two
+    appends simply re-runs both — the BM25 halves repair via their
+    partition overwrites, the coded batch partition likewise. The two
+    stores are never transactionally coupled (no cross-store witness):
+    a reader between the two appends of a fresh batch can see the
+    batch lexically but not in ANN (or vice versa) for one micro-batch
+    interval — acceptable for retrieval serving, and self-healing on
+    the next trigger. The IVF×PQ store must exist
+    (``save_ivf_pq_table`` — index trained offline, the FAISS model);
+    the BM25 store is created by its first append. The per-store
+    contracts apply: new documents only, checkpoint REQUIRED.
+    """
+
+    def process(batch, batch_id: int) -> None:
+        from ons_utils_spark.operators.pq import ivf_pq_table_append
+        from ons_utils_spark.operators.text import bm25_index_append
+
+        # The batch feeds two jobs (tokenize+aggregate, encode+write);
+        # materialize once so a source re-read cannot diverge between
+        # the two stores' views of the same batch_id.
+        batch = batch.localCheckpoint(eager=True)
+        bm25_index_append(
+            batch, id_col, text_col, bm25_store_path, batch_id=batch_id
+        )
+        ivf_pq_table_append(
+            batch, ivf_pq_store_path, id_col=id_col, vec_col=vec_col,
+            batch_id=batch_id, method=method,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -574,3 +574,80 @@ class TestStreamingIvfPqMaintenance:
         assert [tuple(r) for r in served.collect()] == [
             tuple(r) for r in fresh.collect()
         ]
+
+
+class TestHybridIngestWriter:
+    def test_streamed_hybrid_equals_oneshot(self, spark, tmp_path):
+        """One document stream (text + embedding) maintains BOTH
+        retrieval stores; hybrid RRF over the folded stores must be
+        bit-identical to in-session one-shot builds over the full
+        corpus."""
+        from ons_utils_spark.operators import pq, retrieval, text
+        from ons_utils_spark.streaming.ingest import hybrid_ingest_writer
+
+        texts = [
+            "spark engine merge", "rareword vector stream",
+            "spark filler words", "engine spark engine",
+            "vector vector merge", "plain text here",
+            "stream merge spark", "rareword again",
+        ]
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(len(texts))
+        ]
+        rows = [
+            (i, texts[i], [float(x) for x in vecs[i]])
+            for i in range(len(texts))
+        ]
+        schema = "doc_id bigint, text string, embedding array<double>"
+        full = spark.createDataFrame(rows, schema)
+
+        # Index trained offline on the FIRST half; ANN base save holds
+        # that half, the BM25 store starts empty.
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, "doc_id", "embedding", dim=8, n_lists=2, m=2, k=2,
+            coarse_iter=1, n_iter=1,
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        ann_store = str(tmp_path / "ann")
+        pq.save_ivf_pq_table(coded.where("id < 0"), idx, ann_store)
+
+        stream_dir = str(tmp_path / "in")
+        for lo, hi in ((0, 4), (4, 8)):
+            full.where(
+                f"doc_id >= {lo} and doc_id < {hi}"
+            ).coalesce(1).write.mode("append").parquet(stream_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        bm25_store = str(tmp_path / "bm25")
+        q = (
+            hybrid_ingest_writer(
+                stream, bm25_store, ann_store,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        lp, ls = text.load_bm25_index_incremental(spark, bm25_store)
+        lc, li = pq.load_ivf_pq_table(spark, ann_store)
+        queries = spark.createDataFrame(
+            [(1, ["spark", "rareword"], [float(x) for x in vecs[1]])],
+            "query_id bigint, terms array<string>, "
+            "embedding array<double>",
+        )
+        streamed = retrieval.hybrid_batch_topk(
+            lp, ls, lc, li, queries, retriever_topk=5, topk=5
+        )
+        whole_p, whole_s = text.bm25_index_build(full, "doc_id", "text")
+        fresh = retrieval.hybrid_batch_topk(
+            whole_p, whole_s, coded, idx, queries,
+            retriever_topk=5, topk=5,
+        )
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )

@@ -1110,9 +1110,13 @@ def load_ivf_pq_table(spark, path: str) -> Tuple[SparkDF, IvfPqIndex]:
     except Exception as exc:
         raise ValueError(
             f"index at {path!r} points to coded generation "
-            f"{generation} but {coded_path!r} is unreadable — "
-            "the store was torn by a crashed or manual edit; re-run "
-            "save_ivf_pq_table"
+            f"{generation} but {coded_path!r} is unreadable — either "
+            "the store was torn by a crashed or manual edit (re-run "
+            "save_ivf_pq_table), or the base save was EMPTY and "
+            "nothing has been appended yet (an empty parquet write "
+            "carries no schema; the bootstrap-from-stream pattern is "
+            "fine, but the first ivf_pq_table_append must land before "
+            "the first load)"
         ) from exc
     if "batch_id" in coded.columns:
         coded = coded.select("id", "codes", "__list")

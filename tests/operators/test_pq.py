@@ -1376,3 +1376,26 @@ class TestIvfPqTableCompaction:
         pq.save_ivf_pq_index(spark, idx, f"{path}/index")
         with pytest.raises(ValueError, match="pre-generation"):
             pq.ivf_pq_table_compact(spark, path)
+
+
+class TestEmptyBootstrapStore:
+    def test_empty_base_save_then_append_then_load(self, spark, tmp_path):
+        """Bootstrap-from-stream: an EMPTY base save is legal, the
+        first load before any append fails with a message naming the
+        bootstrap case, and after the first append the store serves."""
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = _emb_df(spark, vecs)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            full, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        path = str(tmp_path / "boot")
+        pq.save_ivf_pq_table(coded.where("id < 0"), idx, path)
+        with pytest.raises(ValueError, match="EMPTY.*append"):
+            pq.load_ivf_pq_table(spark, path)
+        pq.ivf_pq_table_append(full, path, batch_id=0)
+        lc, li = pq.load_ivf_pq_table(spark, path)
+        assert li == idx and lc.count() == 40

@@ -701,6 +701,95 @@ def ivf_pq_topk(
     )
 
 
+#: Largest candidate shortlist pushed into the raw-vector fetch as an
+#: ``In`` literal filter. The list is what reaches the parquet reader
+#: (row-group stats pruning on an id-sorted/partitioned table); past it
+#: the plan-literal cost outweighs pruning and the fetch falls back to a
+#: broadcast hash join on the same driver-held shortlist — the BM25
+#: vocabulary predicate's threshold pattern (text.py::_filter_postings_terms).
+_REFINE_ISIN_MAX = 1024
+
+
+def ivf_pq_topk_refined(
+    coded: SparkDF,
+    coarse_centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    query_vec: Sequence[float],
+    source: SparkDF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    topk: int = 10,
+    refine_factor: int = 4,
+    round_dp: int = 6,
+    by_residual: bool = False,
+    method: str = "auto",
+) -> SparkDF:
+    """Two-stage ANN serving: compressed shortlist + exact re-rank —
+    FAISS's ``IndexRefineFlat`` pattern, the standard recall repair for
+    PQ's lossy distances.
+
+    Stage 1 (compressed): :func:`ivf_pq_topk` retrieves
+    ``refine_factor × topk`` candidates by approximate ADC distance —
+    probe pruning + ``m`` lookups per row, never touching a float
+    vector.  Stage 2 (exact): the shortlist (≤ ``refine_factor·topk``
+    rows — driver-sized by construction, this is the collect bound) is
+    fetched from the RAW vector table and re-ranked by exact squared L2
+    ``qq + v·v − 2·q·v`` (the same fold form and IEEE order every other
+    engine path uses, JVM-side via ``zip_with``/``aggregate``), and the
+    final ``topk`` is exact over the shortlist.
+
+    The raw fetch pushes the candidate ids into the ``source`` scan as
+    an ``In`` literal up to :data:`_REFINE_ISIN_MAX` ids — on an
+    id-sorted or id-partitioned vector table that is row-group /
+    partition pruning, so the fetch reads ~``refine_factor·topk`` rows
+    of a 100 TB table, not the table.  A wider shortlist falls back to
+    a broadcast hash join on the same driver-held rows (bounded plan).
+
+    Returns ``(id, adc_dist, exact_dist)`` ordered by ``exact_dist``
+    asc, ties by id — ``adc_dist`` is carried so recall diagnostics can
+    see how far the compressed ordering was from the exact one.
+    """
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    cand_rows = ivf_pq_topk(
+        coded, coarse_centroids, codebooks, query_vec,
+        n_probe=n_probe, topk=refine_factor * topk, round_dp=round_dp,
+        by_residual=by_residual, method=method,
+    ).collect()
+    spark = coded.sparkSession
+    cand = spark.createDataFrame(
+        [(r["id"], float(r["adc_dist"])) for r in cand_rows],
+        "id bigint, adc_dist double",
+    )
+    ids = [r["id"] for r in cand_rows]
+    fetched = (
+        source.where(F.col(id_col).isin(ids))
+        if len(ids) <= _REFINE_ISIN_MAX
+        else source.join(
+            F.broadcast(cand.select(F.col("id").alias(id_col))),
+            id_col, "left_semi",
+        )
+    )
+    q = [float(v) for v in query_vec]
+    q_arr = F.array(*[F.lit(v) for v in q])
+    qq = _py_dot(q, q)
+    vec = F.col(vec_col)
+    exact = (
+        F.lit(qq) + array_dot(vec, vec) - F.lit(2.0) * array_dot(q_arr, vec)
+    )
+    return (
+        fetched.select(
+            F.col(id_col).alias("id"),
+            F.round(exact, round_dp).alias("exact_dist"),
+        )
+        .join(F.broadcast(cand), "id")
+        .select("id", "adc_dist", "exact_dist")
+        .orderBy(F.col("exact_dist").asc(), F.col("id").asc())
+        .limit(topk)
+    )
+
+
 class IvfPqIndex(NamedTuple):
     """Durable IVF×PQ index artifact: everything a serving session needs
     to answer queries WITHOUT retraining — the coarse centroids, the

@@ -7149,6 +7149,57 @@ def q_similarity_ivf_pq_incremental(
     return _pq.ivf_pq_query(frag, li, q, n_probe=2, topk=20)
 
 
+@register(
+    "q_similarity_ivf_pq_refined",
+    oracle=f"""
+    SELECT c.id, c.adc_dist,
+           round(qv.qq
+                 + list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))
+                 - 2 * list_dot_product(qv.vec,
+                                        CAST(e.embedding AS DOUBLE[])),
+                 6) AS exact_dist
+    FROM ({_ivf_pq_oracle(8, 2, 4, 16, 1, 6, 64, 0, 2, 40)}) c
+    JOIN embeddings e ON e.vec_id = c.id
+    CROSS JOIN (
+        SELECT CAST(embedding AS DOUBLE[]) AS vec,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS qq
+        FROM embeddings WHERE vec_id = 0) qv
+    ORDER BY exact_dist, c.id
+    LIMIT 10
+    """,
+    description="Refined ANN serving (FAISS IndexRefineFlat; "
+    "operators/pq.py::ivf_pq_topk_refined): the compressed IVF×PQ "
+    "shortlist (refine_factor×topk = 40 candidates by ADC distance) is "
+    "re-ranked by EXACT squared L2 against the raw vectors — the "
+    "standard recall repair for PQ's lossy distances, paying the float "
+    "read for only ~refine_factor·topk rows. The candidate ids are "
+    "pushed into the raw-vector scan as an In literal (row-group / "
+    "partition pruning on an id-organized table; broadcast-join "
+    "fallback past 1024 ids), so at 100 TB the refine stage reads 40 "
+    "vectors, not the corpus. The oracle replays the full compressed "
+    "chain (coarse Lloyd, probe selection, subspace trainings, "
+    "restricted ADC scan, the 40-candidate cut) and the exact re-rank "
+    "bit-for-bit. Recall vs exact cosine is measured in SCALING.md.",
+)
+def q_similarity_ivf_pq_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, coarse, cbs = _pq.ivf_pq_build(
+        emb, "vec_id", "embedding", dim=64, n_lists=8, m=4, k=16,
+        coarse_iter=2, n_iter=1,
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return _pq.ivf_pq_topk_refined(
+        coded, coarse, cbs, q, emb, n_probe=2, topk=10, refine_factor=4
+    )
+
+
 _BM25_TERMS = ("vector", "stream", "merge")
 
 #: Both oracle fragments derive from the SAME tuple (a hardcoded twin
@@ -7769,6 +7820,11 @@ _GRADING_ORDER = [
     # q_dedup_incremental — the incremental-store family keeps this
     # plus q_self_dedup_incremental graded.
     "q_similarity_ivf_pq_incremental",
+    # r11: refined ANN serving (compressed shortlist + exact re-rank,
+    # FAISS IndexRefineFlat) — the recall-repair stage, full-chain
+    # oracle. Slot from q_hard_negatives (exact all-block grid, graded
+    # green r9–r10; the family keeps both SRP forms graded below).
+    "q_similarity_ivf_pq_refined",
     # r11: the SRP-bucketed hard-negatives scale path (full value oracle,
     # plane constants inlined) — never driver-graded before
     "q_hard_negatives_srp",
@@ -7798,7 +7854,8 @@ _GRADING_ORDER = [
     # r10: the fused retrieval-era curation pipeline (BM25 -> span-level
     # decontamination -> redaction, chained-CTE oracle)
     "q_curation_pipeline",
-    "q_hard_negatives",
+    # (r11: q_hard_negatives rotates to the tail — exact all-block grid,
+    # graded green r9–r10; its slot admits the refined-ANN class above)
     # r9: the multi-table SRP recall lever, never driver-graded before
     "q_hard_negatives_srp_multi",
     # (r11: q_corpus_clean_pipeline and q_decontaminate rotate to the
@@ -7838,6 +7895,7 @@ _GRADING_ORDER = [
     "q_range_join",
     "q_dedup_incremental",
     "q_domain_filter",
+    "q_hard_negatives",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

@@ -1399,3 +1399,122 @@ class TestEmptyBootstrapStore:
         pq.ivf_pq_table_append(full, path, batch_id=0)
         lc, li = pq.load_ivf_pq_table(spark, path)
         assert li == idx and lc.count() == 40
+
+
+class TestIvfPqRefined:
+    """ivf_pq_topk_refined — compressed shortlist + exact re-rank
+    (FAISS IndexRefineFlat shape)."""
+
+    def _spread(self, spark, n=40, dim=8):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)]
+            for i in range(n)
+        ]
+        return _emb_df(spark, vecs), vecs
+
+    def _exact(self, q, v, dp=6):
+        from ons_utils_spark.operators.semantic import _py_dot
+
+        return round(
+            _py_dot(q, q) + _py_dot(v, v) - 2 * _py_dot(q, v), dp
+        )
+
+    def test_full_shortlist_equals_exact_over_probed_lists(self, spark):
+        """With the shortlist covering every probed vector, the refined
+        top-k IS the exact squared-L2 top-k over the probed lists."""
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        q = vecs[5]
+        got = pq.ivf_pq_topk_refined(
+            coded, coarse, cbs, q, df,
+            n_probe=4, topk=5, refine_factor=8,  # 40 >= corpus
+        ).collect()
+        assert [r["id"] for r in got] == [
+            i for _, i in sorted(
+                (self._exact(q, v), i) for i, v in enumerate(vecs)
+            )[:5]
+        ]
+        for r in got:
+            assert r["exact_dist"] == pytest.approx(
+                self._exact(q, vecs[r["id"]])
+            )
+
+    def test_output_shape_and_ordering(self, spark):
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        out = pq.ivf_pq_topk_refined(
+            coded, coarse, cbs, vecs[0], df, n_probe=2, topk=4
+        )
+        assert out.columns == ["id", "adc_dist", "exact_dist"]
+        rows = out.collect()
+        dists = [r["exact_dist"] for r in rows]
+        assert dists == sorted(dists)
+        assert len(rows) <= 4
+
+    def test_refine_factor_one_reranks_the_adc_topk(self, spark):
+        """refine_factor=1: same id SET as the plain ADC top-k, order by
+        exact distance instead."""
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        q = vecs[7]
+        adc = pq.ivf_pq_topk(
+            coded, coarse, cbs, q, n_probe=2, topk=6
+        ).collect()
+        ref = pq.ivf_pq_topk_refined(
+            coded, coarse, cbs, q, df, n_probe=2, topk=6, refine_factor=1
+        ).collect()
+        assert {r["id"] for r in ref} == {r["id"] for r in adc}
+        assert {r["id"]: r["adc_dist"] for r in ref} == {
+            r["id"]: r["adc_dist"] for r in adc
+        }
+
+    def test_broadcast_fallback_bit_identical(self, spark, monkeypatch):
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        q = vecs[3]
+        via_isin = pq.ivf_pq_topk_refined(
+            coded, coarse, cbs, q, df, n_probe=2, topk=5
+        ).collect()
+        monkeypatch.setattr(pq, "_REFINE_ISIN_MAX", 0)
+        via_join = pq.ivf_pq_topk_refined(
+            coded, coarse, cbs, q, df, n_probe=2, topk=5
+        ).collect()
+        assert [tuple(r) for r in via_isin] == [tuple(r) for r in via_join]
+
+    def test_residual_geometry_reranks_too(self, spark):
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1,
+            by_residual=True,
+        )
+        q = vecs[11]
+        cand = pq.ivf_pq_topk(
+            coded, coarse, cbs, q, n_probe=2, topk=10, by_residual=True
+        ).collect()
+        ref = pq.ivf_pq_topk_refined(
+            coded, coarse, cbs, q, df,
+            n_probe=2, topk=5, refine_factor=2, by_residual=True,
+        ).collect()
+        assert {r["id"] for r in ref} <= {r["id"] for r in cand}
+        want = sorted(
+            (self._exact(q, vecs[r["id"]]), r["id"]) for r in cand
+        )[:5]
+        assert [r["id"] for r in ref] == [i for _, i in want]
+
+    def test_refine_factor_validated(self, spark):
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        with pytest.raises(ValueError, match="refine_factor"):
+            pq.ivf_pq_topk_refined(
+                coded, coarse, cbs, vecs[0], df, refine_factor=0
+            )

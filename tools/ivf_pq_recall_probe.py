@@ -97,7 +97,7 @@ def main() -> None:
 
     results = {}
     for n_probe in PROBES:
-        hits = rerank_hits = cand_total = 0
+        hits = rerank_hits = refined_hits = cand_total = 0
         for qi in q_idx:
             q = X[qi]
             cos = (X @ q) / (norms * norms[qi])
@@ -135,13 +135,21 @@ def main() -> None:
             # whenever a probe returns fewer than 10*K candidates.
             order = np.argsort(adc)
             hits += len(truth & set(ids[order[:min(K, n_cand)]]))
-            rerank_hits += len(
-                truth & set(ids[order[:min(10 * K, n_cand)]])
-            )
+            window = order[:min(10 * K, n_cand)]
+            rerank_hits += len(truth & set(ids[window]))
+            # What ivf_pq_topk_refined actually returns: the window
+            # re-ranked by EXACT squared L2, cut to K. (Truth is cosine;
+            # the gap between refined and in-window recall is the
+            # L2-vs-cosine metric mismatch on unnormalized vectors.)
+            diff = X[window] - q
+            d2 = np.einsum("ij,ij->i", diff, diff)
+            refined = window[np.lexsort((ids[window], d2))[:K]]
+            refined_hits += len(truth & set(ids[refined]))
             cand_total += n_cand
         results[f"n_probe={n_probe}"] = {
             "recall@10": round(hits / (K * N_QUERIES), 3),
             "recall@10_in_adc100": round(rerank_hits / (K * N_QUERIES), 3),
+            "refined_recall@10": round(refined_hits / (K * N_QUERIES), 3),
             "avg_candidates": round(cand_total / N_QUERIES, 1),
             "scan_fraction": round(cand_total / N_QUERIES / n, 3),
         }

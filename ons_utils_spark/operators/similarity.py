@@ -243,6 +243,129 @@ def dequantize_embeddings(
     )
 
 
+#: Largest candidate shortlist mmr_rerank will greedy-select over. MMR
+#: is O(n_cand × k × d) driver arithmetic over a retrieval output — a
+#: shortlist wider than this is a retrieval bug, not a rerank workload,
+#: and silently accepting it turns a k-row stage into a driver stall.
+_MMR_MAX_CANDIDATES = 4096
+
+
+def mmr_rerank(
+    candidates: SparkDF,
+    vectors: SparkDF,
+    k: int = 10,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cand_id_col: str = "id",
+    score_col: str = "cos_sim",
+    round_dp: int = 6,
+) -> SparkDF:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998) of a retrieval shortlist: greedily pick ``k`` items maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — the standard diversity
+    stage between retrieval and selection (near-duplicate results waste
+    curation budget; MMR spends it on coverage).
+
+    ``candidates`` is a retrieval output (``cosine_topk``, BM25 top-k,
+    ``ivf_pq_topk_refined``, an RRF fusion…) carrying ``(cand_id_col,
+    score_col)`` — ≤ :data:`_MMR_MAX_CANDIDATES` rows by contract (the
+    collect bound; a sized error past it). ``vectors`` supplies the
+    embeddings for the pairwise similarity term; the fetch pushes the
+    candidate ids into the scan as an ``In`` literal — row-group
+    pruning, so this stage reads ~shortlist-many rows of a 100 TB
+    table. Selection itself is driver-side greedy (``O(n_cand · k ·
+    d)`` — MMR is inherently sequential: pick ``i`` depends on picks
+    ``1..i−1``; at shortlist scale the driver IS the right executor).
+
+    Pairwise similarities are sequential-fold cosines (``_py_dot``
+    order — bit-identical to the engines' ``zip_with``/``aggregate``
+    and DuckDB's ``list_dot_product``), relevance is used exactly as
+    given (already rounded by the retrieval stage), and only the final
+    ``mmr_score`` is rounded — Spark-side, so an unrolled-CTE SQL
+    oracle replays every pick and score bit-for-bit. The first pick's
+    diversity term is 0 (empty selected set).
+
+    Returns ``(rank, id, mmr_score)`` in selection order. Zero-norm
+    candidate vectors raise (their cosine is undefined and any default
+    would be an arbitrary, silent ranking choice).
+    """
+    import math
+
+    from ons_utils_spark.operators.semantic import _py_dot
+
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    n_cand = candidates.count()
+    if n_cand > _MMR_MAX_CANDIDATES:
+        raise ValueError(
+            f"mmr_rerank got {n_cand} candidates — the greedy stage is "
+            f"driver-side and contract-bounded at {_MMR_MAX_CANDIDATES}; "
+            "tighten the retrieval top-k (or raise the bound consciously)"
+        )
+    cand_rows = candidates.select(cand_id_col, score_col).collect()
+    rel = {r[cand_id_col]: float(r[score_col]) for r in cand_rows}
+    ids = [r[cand_id_col] for r in cand_rows]
+    spark = candidates.sparkSession
+    # id dtype follows the candidates (bigint vec ids, string doc ids…)
+    id_type = candidates.schema[cand_id_col].dataType.simpleString()
+    out_schema = f"rank int, id {id_type}, mmr_score double"
+    if not ids:
+        return spark.createDataFrame([], out_schema)
+    vec_rows = (
+        vectors.where(F.col(id_col).isin(ids))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    vecs = {r["id"]: [float(x) for x in r["v"]] for r in vec_rows}
+    missing = [i for i in ids if i not in vecs]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} candidate id(s) have no vector in the "
+            f"vectors table (first: {missing[:5]}) — MMR needs every "
+            "candidate's embedding for the diversity term"
+        )
+    norms = {}
+    for i in ids:
+        norms[i] = math.sqrt(_py_dot(vecs[i], vecs[i]))
+        if norms[i] == 0.0:
+            raise ValueError(
+                f"candidate id {i} has a zero-norm vector — cosine "
+                "similarity is undefined; drop or re-embed it upstream"
+            )
+
+    def _sim(a, b):
+        return _py_dot(vecs[a], vecs[b]) / (norms[a] * norms[b])
+
+    one_minus = 1 - lambda_
+    remaining = sorted(ids)
+    max_sim = {i: 0.0 for i in ids}  # max sim to the selected set so far
+    picked = []  # (rank, id, raw mmr score)
+    for rank in range(1, min(k, len(ids)) + 1):
+        # Deterministic tie-break by id: max() keeps the FIRST maximal
+        # element and `remaining` is id-sorted.
+        best = max(
+            remaining, key=lambda i: lambda_ * rel[i] - one_minus * max_sim[i]
+        )
+        picked.append(
+            (rank, best, lambda_ * rel[best] - one_minus * max_sim[best])
+        )
+        remaining.remove(best)
+        for i in remaining:
+            s = _sim(i, best)
+            # rank==1 overwrites unconditionally: the pre-seeded 0.0 is
+            # the EMPTY-set convention for pick 1 only — from one
+            # selected item on, max_sim is the true max over sims
+            # (which can be negative).
+            if rank == 1 or s > max_sim[i]:
+                max_sim[i] = s
+    return spark.createDataFrame(picked, out_schema).select(
+        "rank", "id", F.round(F.col("mmr_score"), round_dp).alias(
+            "mmr_score"
+        ),
+    )
+
+
 def hard_negatives_blocked(
     df: SparkDF,
     id_col: str,

@@ -7200,6 +7200,90 @@ def q_similarity_ivf_pq_refined(
     )
 
 
+def _mmr_oracle(n_cand: int, k: int, lam: float, query_id: int,
+                dp: int) -> str:
+    """DuckDB twin of cosine_topk + mmr_rerank: the candidate CTE is
+    the rounded-cosine top-``n_cand`` (q_similarity_topk's expression),
+    pair similarities are UNROUNDED sequential-fold cosines (both
+    engines compute the same doubles — only the final score rounds),
+    and the greedy selection is unrolled into ``k`` pick-CTEs, each
+    ``ORDER BY mmr DESC, id LIMIT 1`` over the not-yet-selected set —
+    the SQL image of the driver's max() with id tie-break. Every CTE is MATERIALIZED: sel_i references sel_{i-1} twice and DuckDB inlines plain CTEs, so the un-materialized chain re-evaluates the cosine candidate cut 2^k times (measured: minutes at k=8; materialized: 0.05 s)."""
+    cos = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.v) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(q.v, q.v)))"
+    )
+    ctes = [f"""qv AS MATERIALIZED (
+        SELECT CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id = {query_id})""",
+            f"""cand AS MATERIALIZED (
+        SELECT e.vec_id AS id, round({cos}, {dp}) AS rel,
+               CAST(e.embedding AS DOUBLE[]) AS v
+        FROM embeddings e CROSS JOIN qv q
+        WHERE e.vec_id <> {query_id}
+        ORDER BY rel DESC, id LIMIT {n_cand})""",
+            """ps AS MATERIALIZED (
+        SELECT a.id AS ia, b.id AS ib,
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS sim
+        FROM cand a JOIN cand b ON a.id <> b.id)""",
+            f"""s1 AS MATERIALIZED (
+        SELECT id, {lam!r} * rel - (1 - {lam!r}) * 0 AS mmr
+        FROM cand ORDER BY mmr DESC, id LIMIT 1)""",
+            "sel1 AS MATERIALIZED (SELECT id FROM s1)"]
+    for i in range(2, k + 1):
+        ctes.append(f"""s{i} AS MATERIALIZED (
+        SELECT c.id, {lam!r} * c.rel - (1 - {lam!r}) * max(p.sim) AS mmr
+        FROM cand c JOIN ps p ON p.ia = c.id
+        WHERE p.ib IN (SELECT id FROM sel{i - 1})
+          AND c.id NOT IN (SELECT id FROM sel{i - 1})
+        GROUP BY c.id, c.rel
+        ORDER BY mmr DESC, c.id LIMIT 1)""")
+        ctes.append(f"""sel{i} AS MATERIALIZED (
+        SELECT id FROM sel{i - 1} UNION ALL SELECT id FROM s{i})""")
+    picks = "\n    UNION ALL ".join(
+        f"SELECT {i} AS rank, id, mmr FROM s{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT rank, id, round(mmr, {dp}) AS mmr_score
+        FROM ({picks}) ORDER BY rank
+        """
+    )
+
+
+@register(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(25, 8, 0.7, 0, 6),
+    description="MMR diversity re-rank (Carbonell & Goldstein, SIGIR "
+    "1998; operators/similarity.py::mmr_rerank): the exact-cosine "
+    "top-25 for query vec_id=0 is greedily re-ranked to 8 picks "
+    "maximizing λ·relevance − (1−λ)·max-similarity-to-selected (λ=0.7) "
+    "— the standard diversity stage between retrieval and curation "
+    "selection (near-duplicate results waste curation budget). "
+    "Selection is driver-side greedy over the contract-bounded "
+    "shortlist (MMR is inherently sequential; the corpus-side work "
+    "already happened in retrieval — the vector fetch is an In-pushdown "
+    "reading ~25 rows). The oracle replays the candidate cut, every "
+    "pairwise cosine, all 8 greedy picks and their scores bit-for-bit "
+    "as an unrolled CTE chain.",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cand = _sim.cosine_topk(emb.where(F.col("vec_id") != 0), q, k=25)
+    return _sim.mmr_rerank(cand, emb, k=8, lambda_=0.7)
+
+
 _BM25_TERMS = ("vector", "stream", "merge")
 
 #: Both oracle fragments derive from the SAME tuple (a hardcoded twin
@@ -7739,7 +7823,9 @@ _GRADING_ORDER = [
     # keeps window functions graded, q_grouped_apply_spend_share keeps
     # the pandas grouped-apply parity op graded) -----------------------
     "q_topk_orders_per_customer",
-    "q_fuzzy_name_pairs",
+    # (r11: q_fuzzy_name_pairs rotates to the tail — row-local
+    # Levenshtein/soundex expression join, graded green since r1; its
+    # slot admits the MMR greedy-selection oracle class below)
     "q_grouped_apply_spend_share",
     # -- TPC-H-style relational mix ---------------------------------------
     # r8 rotation (3): q_null_semantics (expression-only null-handling
@@ -7825,6 +7911,10 @@ _GRADING_ORDER = [
     # oracle. Slot from q_hard_negatives (exact all-block grid, graded
     # green r9–r10; the family keeps both SRP forms graded below).
     "q_similarity_ivf_pq_refined",
+    # r11: MMR diversity re-rank — a brand-new oracle class (greedy
+    # sequential selection, unrolled pick-CTE chain). Slot from
+    # q_fuzzy_name_pairs above.
+    "q_mmr_rerank",
     # r11: the SRP-bucketed hard-negatives scale path (full value oracle,
     # plane constants inlined) — never driver-graded before
     "q_hard_negatives_srp",
@@ -7896,6 +7986,7 @@ _GRADING_ORDER = [
     "q_dedup_incremental",
     "q_domain_filter",
     "q_hard_negatives",
+    "q_fuzzy_name_pairs",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

@@ -220,3 +220,104 @@ class TestRandomProjection:
 
         with _pytest.raises(ValueError, match="dims"):
             random_projection_reduce(self._emb(spark), in_dim=32, out_dim=0)
+
+
+class TestMmrRerank:
+    """mmr_rerank — greedy diversity selection over a retrieval
+    shortlist (driver-side by contract)."""
+
+    def _fixture(self, spark):
+        # 1 and 2 are near-duplicates aligned with the query; 3 is
+        # orthogonal; 5 sits between. Pure relevance ranks 1, 2, 5, 3;
+        # diversity should pull 3/5 ahead of the near-dup 2.
+        df = _vectors(spark)
+        q = [1.0, 0.0, 0.0, 0.0]
+        return df, cosine_topk(df, q, k=5), q
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from ons_utils_spark.operators.similarity import mmr_rerank
+
+        df, cand, _ = self._fixture(spark)
+        got = mmr_rerank(cand, df, k=3, lambda_=1.0).collect()
+        want = [r["id"] for r in cand.collect()][:3]
+        assert [r["id"] for r in got] == want
+        assert [r["rank"] for r in got] == [1, 2, 3]
+
+    def test_diversity_demotes_near_duplicate(self, spark):
+        from ons_utils_spark.operators.similarity import mmr_rerank
+
+        df, cand, _ = self._fixture(spark)
+        # λ=0.5 with query == vector 1 is degenerate (rel(d) ==
+        # sim(d, pick1) → every mmr is exactly 0); 0.3 weights
+        # diversity enough that the near-dup 2 (cos ~0.994 to pick 1)
+        # must fall behind the dissimilar candidates.
+        got = [r["id"] for r in mmr_rerank(
+            cand, df, k=3, lambda_=0.3
+        ).collect()]
+        assert got[0] == 1
+        assert got[1] != 2 and got[2] != 2
+
+    def test_first_pick_score_is_lambda_times_rel(self, spark):
+        from ons_utils_spark.operators.similarity import mmr_rerank
+
+        df, cand, _ = self._fixture(spark)
+        got = mmr_rerank(cand, df, k=1, lambda_=0.7).collect()
+        top_rel = cand.collect()[0]["cos_sim"]
+        assert got[0]["mmr_score"] == pytest.approx(0.7 * top_rel)
+
+    def test_k_wider_than_shortlist_returns_all(self, spark):
+        from ons_utils_spark.operators.similarity import mmr_rerank
+
+        df, cand, _ = self._fixture(spark)
+        assert mmr_rerank(cand, df, k=50, lambda_=0.7).count() == 5
+
+    def test_candidate_cap_raises_sized_error(self, spark, monkeypatch):
+        from ons_utils_spark.operators import similarity as sim
+
+        df, cand, _ = self._fixture(spark)
+        monkeypatch.setattr(sim, "_MMR_MAX_CANDIDATES", 3)
+        with pytest.raises(ValueError, match="5 candidates.*bounded at 3"):
+            sim.mmr_rerank(cand, df, k=2)
+
+    def test_missing_vector_raises(self, spark):
+        from ons_utils_spark.operators.similarity import mmr_rerank
+        from pyspark.sql import functions as F
+
+        df, cand, _ = self._fixture(spark)
+        with pytest.raises(ValueError, match="no vector"):
+            mmr_rerank(cand, df.where(F.col("vec_id") != 3), k=3)
+
+    def test_zero_norm_vector_raises(self, spark):
+        from ons_utils_spark.operators.similarity import mmr_rerank
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+        cand = spark.createDataFrame(
+            [(1, 1.0), (2, 0.5)], "id bigint, cos_sim double"
+        )
+        with pytest.raises(ValueError, match="zero-norm"):
+            mmr_rerank(cand, df, k=2)
+
+    def test_lambda_validated(self, spark):
+        from ons_utils_spark.operators.similarity import mmr_rerank
+
+        df, cand, _ = self._fixture(spark)
+        with pytest.raises(ValueError, match="lambda_"):
+            mmr_rerank(cand, df, lambda_=1.5)
+
+    def test_string_ids_supported(self, spark):
+        from ons_utils_spark.operators.similarity import mmr_rerank
+
+        vecs = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+            "doc_id string, embedding array<float>",
+        )
+        cand = spark.createDataFrame(
+            [("a", 0.9), ("b", 0.8), ("c", 0.3)], "id string, cos_sim double"
+        )
+        got = mmr_rerank(
+            cand, vecs, k=2, lambda_=0.5, id_col="doc_id"
+        ).collect()
+        assert got[0]["id"] == "a" and got[1]["id"] == "c"

@@ -243,6 +243,135 @@ def dequantize_embeddings(
     )
 
 
+def sq_train(
+    df: SparkDF,
+    dim: int,
+    vec_col: str = "embedding",
+) -> "tuple[list[float], list[float]]":
+    """Train a per-dimension scalar quantizer (FAISS
+    ``IndexScalarQuantizer`` / SQ8 family): the corpus ``min``/``max``
+    of every dimension, in ONE aggregation pass (``2·dim`` partial
+    min/max aggregates — map-side combine, no shuffle wider than the
+    final 1-row reduce).
+
+    Complements :func:`quantize_embeddings` (per-VECTOR symmetric
+    scale, storage-oriented): the per-DIMENSION affine grid is trained
+    on the corpus, so codes from different rows are comparable and a
+    query can be scored directly against codes (:func:`sq_adc_topk`)
+    without reconstructing vectors. Train on a sample at scale —
+    min/max need ~10⁵ rows, not the corpus.
+
+    Returns ``(vmin, vmax)`` — two ``dim``-length lists of doubles.
+    """
+    aggs = []
+    for i in range(dim):
+        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        aggs.append(F.min(e).alias(f"mn{i}"))
+        aggs.append(F.max(e).alias(f"mx{i}"))
+    row = df.agg(*aggs).collect()[0]
+    if row[0] is None:
+        raise ValueError("sq_train on an empty corpus — nothing to train")
+    return (
+        [float(row[f"mn{i}"]) for i in range(dim)],
+        [float(row[f"mx{i}"]) for i in range(dim)],
+    )
+
+
+def _sq_deltas(vmin: "list[float]", vmax: "list[float]") -> "list[float]":
+    """Per-dimension grid step ``(max − min) / 255``; 0 for constant
+    dimensions (their code is pinned to 0 and decode returns ``vmin``)."""
+    return [
+        (mx - mn) / 255 if mx > mn else 0.0
+        for mn, mx in zip(vmin, vmax)
+    ]
+
+
+def sq_encode(
+    df: SparkDF,
+    vmin: "list[float]",
+    vmax: "list[float]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> SparkDF:
+    """Encode vectors on the trained per-dimension grid:
+    ``code_i = clamp(floor((x_i − vmin_i) / Δ_i + 0.5), 0, 255)`` —
+    floor-based half-up rounding (the tie mode every engine computes
+    identically), values outside the trained range clamp to the grid
+    edges (exactly how FAISS SQ handles out-of-sample values). 32 GB of
+    float32 becomes 8 GB of codes; one row-local projection, zero
+    shuffle, zero Python.
+
+    Returns ``(id, codes array<int>)``.
+    """
+    if len(vmin) != len(vmax):
+        raise ValueError(
+            f"vmin/vmax length mismatch: {len(vmin)} vs {len(vmax)}"
+        )
+    deltas = _sq_deltas(vmin, vmax)
+    mn_arr = F.array(*[F.lit(v) for v in vmin])
+    # Division form (not a precomputed 1/Δ multiply): an external SQL
+    # auditor computes (x − mn) / Δ, and the two differ in IEEE.
+    d_arr = F.array(*[F.lit(d) for d in deltas])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    shifted = F.zip_with(v, mn_arr, lambda x, mn: x - mn)
+    codes = F.zip_with(
+        shifted,
+        d_arr,
+        lambda s, d: F.when(d == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(s / d + F.lit(0.5)).cast("int"), F.lit(0)
+                ),
+                F.lit(255),
+            )
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def sq_adc_topk(
+    codes: SparkDF,
+    vmin: "list[float]",
+    vmax: "list[float]",
+    query_vec: Sequence[float],
+    topk: int = 10,
+    round_dp: int = 6,
+) -> SparkDF:
+    """Asymmetric top-``k`` against SQ codes: exact squared L2 between
+    the full-precision query and each DECODED vector
+    ``x̂_i = vmin_i + code_i·Δ_i`` — computed directly on the codes
+    (``(q_i − x̂_i)²`` summed left-to-right), never materializing a
+    float vector column. Row-local ``zip_with``/``aggregate`` fold in
+    whole-stage codegen; top-k plans as TakeOrderedAndProject. The scan
+    reads 8-bit-grid ints — 4× less IO than the raw float table, with
+    per-dimension fidelity PQ's subspace centroids trade away (SQ8 is
+    the high-recall/low-compression point of the codec family; compose
+    with IVF lists for pruning exactly like PQ).
+
+    Returns ``(id, adc_dist)`` ascending, ties by id.
+    """
+    q = [float(x) for x in query_vec]
+    if len(q) != len(vmin):
+        raise ValueError(f"query dim {len(q)} != trained dim {len(vmin)}")
+    deltas = _sq_deltas(vmin, vmax)
+    mn_arr = F.array(*[F.lit(v) for v in vmin])
+    d_arr = F.array(*[F.lit(d) for d in deltas])
+    q_arr = F.array(*[F.lit(v) for v in q])
+    scaled = F.zip_with(
+        F.col("codes"), d_arr, lambda c, d: c.cast("double") * d
+    )
+    decoded = F.zip_with(scaled, mn_arr, lambda s, mn: mn + s)
+    diffs = F.zip_with(q_arr, decoded, lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        codes.select(
+            "id", F.round(dist, round_dp).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
+        .limit(topk)
+    )
+
+
 #: Largest candidate shortlist mmr_rerank will greedy-select over. MMR
 #: is O(n_cand × k × d) driver arithmetic over a retrieval output — a
 #: shortlist wider than this is a retrieval bug, not a rerank workload,

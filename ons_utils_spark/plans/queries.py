@@ -7200,6 +7200,77 @@ def q_similarity_ivf_pq_refined(
     )
 
 
+def _sq8_oracle(dim: int, query_id: int, topk: int, dp: int) -> str:
+    """DuckDB twin of sq_train + sq_encode + sq_adc_topk: one stats CTE
+    with the 2·dim corpus min/max aggregates, the per-dimension grid
+    step with the constant-dimension zero guard, floor-based half-up
+    encoding with edge clamps, and the decoded squared-L2 sum in the
+    engines' left-to-right IEEE order."""
+    e = "CAST(e.embedding AS DOUBLE[])"
+    stats = ", ".join(
+        f"min({e}[{i + 1}]) AS mn{i}, max({e}[{i + 1}]) AS mx{i}"
+        for i in range(dim)
+    )
+    deltas = ", ".join(
+        f"CASE WHEN mx{i} > mn{i} THEN (mx{i} - mn{i}) / 255 "
+        f"ELSE 0 END AS d{i}"
+        for i in range(dim)
+    )
+    codes = ", ".join(
+        f"CASE WHEN s.d{i} = 0 THEN 0 ELSE "
+        f"least(greatest(CAST(floor(({e}[{i + 1}] - s.mn{i}) / s.d{i} "
+        f"+ 0.5) AS INT), 0), 255) END AS c{i}"
+        for i in range(dim)
+    )
+    terms = " + ".join(
+        f"(qv.v[{i + 1}] - (s.mn{i} + (enc.c{i} * s.d{i}))) * "
+        f"(qv.v[{i + 1}] - (s.mn{i} + (enc.c{i} * s.d{i})))"
+        for i in range(dim)
+    )
+    return f"""
+    WITH st AS (SELECT {stats} FROM embeddings e),
+    sd AS (SELECT *, {deltas} FROM st),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id = {query_id}),
+    enc AS (SELECT e.vec_id AS id, {codes}
+            FROM embeddings e CROSS JOIN sd s)
+    SELECT enc.id, round({terms}, {dp}) AS adc_dist
+    FROM enc CROSS JOIN sd s CROSS JOIN qv
+    ORDER BY adc_dist, enc.id
+    LIMIT {topk}
+    """
+
+
+@register(
+    "q_similarity_sq8",
+    oracle=_sq8_oracle(64, 0, 25, 6),
+    description="Trained scalar quantization (FAISS "
+    "IndexScalarQuantizer SQ8; operators/similarity.py::sq_train/"
+    "sq_encode/sq_adc_topk): per-DIMENSION corpus min/max grids (ONE "
+    "aggregation pass, 128 partial aggregates, no shuffle), every "
+    "vector encoded to 64 8-bit-grid codes (floor-based half-up "
+    "rounding — the tie mode every engine computes identically — with "
+    "edge clamps and a constant-dimension zero guard), and query "
+    "vec_id=0 answered by exact squared L2 against the DECODED grid "
+    "points, computed directly on the codes in one row-local "
+    "zip_with/aggregate fold. The codec-family complement of PQ: "
+    "per-dimension fidelity at 4x compression vs subspace centroids at "
+    "16-64x; composes with IVF lists the same way. The oracle replays "
+    "training, encoding, and every distance bit-for-bit.",
+)
+def q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vmin, vmax = _sim.sq_train(emb, dim=64)
+    codes = _sim.sq_encode(emb, vmin, vmax)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return _sim.sq_adc_topk(codes, vmin, vmax, q, topk=25)
+
+
 def _mmr_oracle(n_cand: int, k: int, lam: float, query_id: int,
                 dp: int) -> str:
     """DuckDB twin of cosine_topk + mmr_rerank: the candidate CTE is
@@ -7963,9 +8034,11 @@ _GRADING_ORDER = [
     # recomputation, the strongest check class in the registry.
     "q_dsir_weights",
     "q_view_to_click_attribution",
-    # -- sampling / mixture (r10: q_hash_split — row-local hash bucketing,
-    # graded green since r1 — rotates to the tail) ----------------------
-    "q_corpus_mixture",
+    # (r11: q_corpus_mixture rotates to the tail — the sampling family
+    # keeps q_dsir_weights graded; its slot admits the trained-SQ8
+    # codec class, a brand-new oracle family: corpus min/max grids +
+    # clamped half-up encoding + decoded-distance replay)
+    "q_similarity_sq8",
     # -- multimodal ---------------------------------------------------------
     "q_multimodal_features",
     # -- profiling (r4 verdict ask #7: the family was hash-green only in
@@ -7987,6 +8060,7 @@ _GRADING_ORDER = [
     "q_domain_filter",
     "q_hard_negatives",
     "q_fuzzy_name_pairs",
+    "q_corpus_mixture",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

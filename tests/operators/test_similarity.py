@@ -321,3 +321,109 @@ class TestMmrRerank:
             cand, vecs, k=2, lambda_=0.5, id_col="doc_id"
         ).collect()
         assert got[0]["id"] == "a" and got[1]["id"] == "c"
+
+
+class TestScalarQuantizer:
+    """sq_train / sq_encode / sq_adc_topk — trained per-dimension SQ8."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, [0.0, 10.0, 5.0]),
+                (2, [1.0, 20.0, 5.0]),
+                (3, [0.5, 15.0, 5.0]),
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    def test_train_is_per_dimension_min_max(self, spark):
+        from ons_utils_spark.operators.similarity import sq_train
+
+        vmin, vmax = sq_train(self._df(spark), dim=3)
+        assert vmin == [0.0, 10.0, 5.0]
+        assert vmax == [1.0, 20.0, 5.0]
+
+    def test_encode_pins_grid_edges(self, spark):
+        from ons_utils_spark.operators.similarity import sq_encode, sq_train
+
+        df = self._df(spark)
+        vmin, vmax = sq_train(df, dim=3)
+        by_id = {
+            r["id"]: list(r["codes"])
+            for r in sq_encode(df, vmin, vmax).collect()
+        }
+        assert by_id[1][0] == 0 and by_id[2][0] == 255  # dim-0 min/max
+        assert by_id[1][1] == 0 and by_id[2][1] == 255  # dim-1 min/max
+        assert by_id[3][0] == 128  # 0.5 of the grid, half-up
+
+    def test_constant_dimension_codes_zero(self, spark):
+        from ons_utils_spark.operators.similarity import sq_encode, sq_train
+
+        df = self._df(spark)
+        vmin, vmax = sq_train(df, dim=3)
+        codes = sq_encode(df, vmin, vmax).collect()
+        assert all(list(r["codes"])[2] == 0 for r in codes)
+
+    def test_out_of_range_values_clamp(self, spark):
+        from ons_utils_spark.operators.similarity import sq_encode
+
+        extra = spark.createDataFrame(
+            [(9, [-5.0, 100.0, 5.0])], "vec_id bigint, embedding array<float>"
+        )
+        codes = sq_encode(extra, [0.0, 10.0, 5.0], [1.0, 20.0, 5.0]).collect()
+        assert list(codes[0]["codes"])[:2] == [0, 255]
+
+    def test_reconstruction_error_bounded_by_half_step(self, spark):
+        from ons_utils_spark.operators.similarity import sq_encode, sq_train
+
+        import random
+
+        rng = random.Random(7)
+        vecs = [
+            (i, [rng.uniform(-3, 3) for _ in range(4)]) for i in range(50)
+        ]
+        df = spark.createDataFrame(
+            vecs, "vec_id bigint, embedding array<float>"
+        )
+        vmin, vmax = sq_train(df, dim=4)
+        deltas = [(mx - mn) / 255 for mn, mx in zip(vmin, vmax)]
+        raw = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in df.collect()
+        }
+        for r in sq_encode(df, vmin, vmax).collect():
+            for j, c in enumerate(r["codes"]):
+                decoded = vmin[j] + c * deltas[j]
+                assert abs(decoded - raw[r["id"]][j]) <= deltas[j] / 2 + 1e-9
+
+    def test_adc_topk_finds_nearest_on_separated_data(self, spark):
+        from ons_utils_spark.operators.similarity import (
+            sq_adc_topk, sq_encode, sq_train,
+        )
+
+        # Two far-apart clusters; grid error << cluster separation, so
+        # SQ ADC ordering == exact ordering.
+        vecs = [(i, [10.0 + i * 0.1, 0.0]) for i in range(5)]
+        vecs += [(10 + i, [-10.0 - i * 0.1, 0.0]) for i in range(5)]
+        df = spark.createDataFrame(
+            vecs, "vec_id bigint, embedding array<float>"
+        )
+        vmin, vmax = sq_train(df, dim=2)
+        codes = sq_encode(df, vmin, vmax)
+        got = sq_adc_topk(codes, vmin, vmax, [10.0, 0.0], topk=5).collect()
+        assert [r["id"] for r in got] == [0, 1, 2, 3, 4]
+        assert got[0]["adc_dist"] < 0.01
+
+    def test_validation(self, spark):
+        from ons_utils_spark.operators.similarity import (
+            sq_adc_topk, sq_encode, sq_train,
+        )
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="empty corpus"):
+            sq_train(df.where("vec_id > 99"), dim=3)
+        with pytest.raises(ValueError, match="length mismatch"):
+            sq_encode(df, [0.0], [1.0, 2.0])
+        vmin, vmax = sq_train(df, dim=3)
+        with pytest.raises(ValueError, match="query dim"):
+            sq_adc_topk(sq_encode(df, vmin, vmax), vmin, vmax, [1.0])

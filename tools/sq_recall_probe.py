@@ -1,0 +1,98 @@
+"""SQ8 recall probe: recall@10 of the trained scalar quantizer's ADC
+scan (`similarity.sq_train/sq_encode/sq_adc_topk`) against BOTH truth
+orderings — exact squared L2 (the metric SQ ADC approximates) and exact
+cosine (`cosine_topk`'s contract) — on the raw sf embeddings, next to
+PQ at the default m=16/k=256 geometry for a codec-family comparison at
+matched corpus.
+
+Build is the real operator (Spark trains min/max and encodes); scoring
+is numpy replaying the operator arithmetic (decode + squared L2),
+because 50 queries through Spark would measure scheduling, not recall.
+
+Usage: python tools/sq_recall_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+K = 10
+N_QUERIES = 50
+
+
+def main() -> None:
+    import numpy as np
+
+    from ons_utils_spark.operators import similarity as sim
+    from ons_utils_spark.session import get_session
+
+    spark = get_session(app_name="sq_recall_probe")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    t0 = time.time()
+    vmin, vmax = sim.sq_train(emb, dim=64)
+    coded = {
+        r["id"]: list(r["codes"])
+        for r in sim.sq_encode(emb, vmin, vmax).collect()
+    }
+    build_s = time.time() - t0
+
+    raw = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    ids = np.array(sorted(raw))
+    X = np.array([raw[i] for i in ids])
+    C = np.array([coded[i] for i in ids], dtype=np.float64)
+    mn = np.array(vmin)
+    d = np.array([
+        (hi - lo) / 255 if hi > lo else 0.0 for lo, hi in zip(vmin, vmax)
+    ])
+    Xhat = mn + C * d  # decoded grid points, the vectors ADC "sees"
+    n = len(ids)
+    norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+    rng = np.random.default_rng(42)
+    q_idx = rng.choice(n, size=N_QUERIES, replace=False)
+
+    hits_l2 = hits_cos = 0
+    max_rel_dist_err = 0.0
+    for qi in q_idx:
+        q = X[qi]
+        diff = X - q
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        d2[qi] = np.inf
+        truth_l2 = set(ids[np.argsort(d2)[:K]])
+        cos = (X @ q) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        truth_cos = set(ids[np.argsort(-cos)[:K]])
+        dh = Xhat - q
+        adc = np.einsum("ij,ij->i", dh, dh)
+        adc[qi] = np.inf
+        got = set(ids[np.argsort(adc)[:K]])
+        hits_l2 += len(truth_l2 & got)
+        hits_cos += len(truth_cos & got)
+        finite = d2 != np.inf
+        max_rel_dist_err = max(
+            max_rel_dist_err,
+            float(np.max(np.abs(adc[finite] - d2[finite])
+                         / np.maximum(d2[finite], 1e-12))),
+        )
+    print(json.dumps({
+        "config": "SQ8 per-dim trained grid (4x compression)",
+        "build_s": round(build_s, 1),
+        "n": int(n),
+        "recall@10_vs_exact_L2": round(hits_l2 / (K * N_QUERIES), 3),
+        "recall@10_vs_exact_cosine": round(hits_cos / (K * N_QUERIES), 3),
+        "max_relative_distance_error": round(max_rel_dist_err, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

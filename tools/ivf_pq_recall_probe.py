@@ -33,6 +33,9 @@ sys.path.insert(0, str(REPO))
 
 CLUSTERED = "--clustered" in sys.argv
 RESIDUAL = "--residual" in sys.argv
+# L2-normalize at ingest: exact-L2 and cosine orderings coincide on the
+# unit sphere, so the refined re-rank's metric-mismatch gap must close.
+NORMALIZED = "--normalized" in sys.argv
 _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
 SF_DIR = _pos[0] if _pos else "/root/testdata/sf0.1"
 K = 10
@@ -69,6 +72,20 @@ def main() -> None:
                 F.expr(jitter).alias("embedding"),
             ))
         emb = functools.reduce(DataFrame.unionByName, copies)
+
+    if NORMALIZED:
+        from pyspark.sql import functions as F
+
+        emb = emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> float(x / "
+                "sqrt(aggregate(zip_with(transform(embedding, "
+                "y -> cast(y as double)), transform(embedding, "
+                "y -> cast(y as double)), (a, b) -> a * b), 0d, "
+                "(acc, v) -> acc + v))))"
+            ).alias("embedding"),
+        )
 
     t0 = time.time()
     coded, coarse, cbs = pq.ivf_pq_build(
@@ -157,7 +174,7 @@ def main() -> None:
               flush=True)
     label = f"IVF{N_LISTS},PQ m={M},k={K_CODES}" + (
         ",residual" if RESIDUAL else ""
-    )
+    ) + (",normalized" if NORMALIZED else "")
     print(json.dumps({"config": label,
                       "build_s": round(build_s, 1), "results": results}))
 

@@ -7286,15 +7286,23 @@ def _mmr_oracle(n_cand: int, k: int, lam: float, query_id: int,
         "CAST(e.embedding AS DOUBLE[]))) * "
         "sqrt(list_dot_product(q.v, q.v)))"
     )
-    ctes = [f"""qv AS MATERIALIZED (
-        SELECT CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id = {query_id})""",
-            f"""cand AS MATERIALIZED (
+    cand_sql = f"""
         SELECT e.vec_id AS id, round({cos}, {dp}) AS rel,
                CAST(e.embedding AS DOUBLE[]) AS v
-        FROM embeddings e CROSS JOIN qv q
+        FROM embeddings e CROSS JOIN (
+            SELECT CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id = {query_id}) q
         WHERE e.vec_id <> {query_id}
-        ORDER BY rel DESC, id LIMIT {n_cand})""",
+        ORDER BY rel DESC, id LIMIT {n_cand}"""
+    return _mmr_steps(cand_sql, k, lam, dp)
+
+
+def _mmr_steps(cand_sql: str, k: int, lam: float, dp: int) -> str:
+    """The unrolled greedy-pick chain over ANY ``(id, rel, v)``
+    candidate subquery — shared by the cosine-shortlist oracle above
+    and the hybrid-retrieval composition (whose candidates come from
+    the full RRF replay)."""
+    ctes = [f"cand AS MATERIALIZED ({cand_sql})",
             """ps AS MATERIALIZED (
         SELECT a.id AS ia, b.id AS ib,
                list_dot_product(a.v, b.v)
@@ -7720,6 +7728,44 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@register(
+    "q_hybrid_mmr_pipeline",
+    oracle=None,  # composed below, after q_hybrid_retrieval's oracle exists
+    description="Fused retrieval-quality pipeline: hybrid lexical+ANN "
+    "retrieval (both index stores, RRF fusion — q_hybrid_retrieval's "
+    "exact chain) followed by MMR diversity re-rank of query 0's fused "
+    "top-10 (λ=0.6, 5 picks) over the embedding space. Candidates "
+    "without an embedding row cannot be diversified and are filtered "
+    "by a left-semi join BEFORE the greedy stage (the BM25 half can "
+    "surface doc ids outside the embedded subset). Every post-fusion "
+    "stage is k-row work; the oracle composes the full 30 KB RRF "
+    "replay with the unrolled greedy pick-CTE chain — retrieval "
+    "scores, fusion folds, pairwise cosines, and all 5 picks "
+    "bit-for-bit.",
+)
+def q_hybrid_mmr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fused = q_hybrid_retrieval(spark, sf_dir)
+    cand = fused.where(F.col("query_id") == 0).join(
+        emb.select(F.col("vec_id").alias("id")), "id", "left_semi"
+    )
+    return _sim.mmr_rerank(cand, emb, k=5, lambda_=0.6, score_col="rrf")
+
+
+# The composed oracle references q_hybrid_retrieval's registered oracle
+# text; attach it now that both pieces exist.
+QUERIES["q_hybrid_mmr_pipeline"].oracle = _mmr_steps(
+    f"""
+        SELECT h.id, h.rrf AS rel, CAST(e2.embedding AS DOUBLE[]) AS v
+        FROM ({QUERIES["q_hybrid_retrieval"].oracle}) h
+        JOIN embeddings e2 ON e2.vec_id = h.id
+        WHERE h.query_id = 0""",
+    5, 0.6, 6,
+)
+
+
 _CURATION_TERMS = ("customer", "query", "stream")
 _CURATION_IN = "(" + ", ".join(f"'{t}'" for t in _CURATION_TERMS) + ")"
 
@@ -8061,6 +8107,10 @@ _GRADING_ORDER = [
     "q_hard_negatives",
     "q_fuzzy_name_pairs",
     "q_corpus_mixture",
+    # r11, tail: the hybrid->MMR composition — its constituent classes
+    # (RRF fusion, greedy MMR) are both graded in the window via
+    # q_hybrid_retrieval and q_mmr_rerank
+    "q_hybrid_mmr_pipeline",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

@@ -7200,12 +7200,12 @@ def q_similarity_ivf_pq_refined(
     )
 
 
-def _sq8_oracle(dim: int, query_id: int, topk: int, dp: int) -> str:
-    """DuckDB twin of sq_train + sq_encode + sq_adc_topk: one stats CTE
-    with the 2·dim corpus min/max aggregates, the per-dimension grid
-    step with the constant-dimension zero guard, floor-based half-up
-    encoding with edge clamps, and the decoded squared-L2 sum in the
-    engines' left-to-right IEEE order."""
+def _sq_fragments(dim: int) -> "tuple[str, str, str, str]":
+    """The four generated SQL fragments shared by every SQ oracle:
+    corpus min/max aggregates, grid steps (constant-dimension zero
+    guard), floor-based half-up encode with edge clamps, and the
+    decoded squared-L2 term sum in the engines' left-to-right IEEE
+    order."""
     e = "CAST(e.embedding AS DOUBLE[])"
     stats = ", ".join(
         f"min({e}[{i + 1}]) AS mn{i}, max({e}[{i + 1}]) AS mx{i}"
@@ -7227,6 +7227,12 @@ def _sq8_oracle(dim: int, query_id: int, topk: int, dp: int) -> str:
         f"(qv.v[{i + 1}] - (s.mn{i} + (enc.c{i} * s.d{i})))"
         for i in range(dim)
     )
+    return stats, deltas, codes, terms
+
+
+def _sq8_oracle(dim: int, query_id: int, topk: int, dp: int) -> str:
+    """DuckDB twin of sq_train + sq_encode + sq_adc_topk (full scan)."""
+    stats, deltas, codes, terms = _sq_fragments(dim)
     return f"""
     WITH st AS (SELECT {stats} FROM embeddings e),
     sd AS (SELECT *, {deltas} FROM st),
@@ -7269,6 +7275,76 @@ def q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
     return _sim.sq_adc_topk(codes, vmin, vmax, q, topk=25)
+
+
+def _ivf_sq_oracle(n_lists: int, coarse_iter: int, dim: int,
+                   query_id: int, n_probe: int, topk: int,
+                   dp: int) -> str:
+    """DuckDB twin of ivf_sq_build + ivf_sq_topk: the coarse Lloyd
+    chain and probe selection are :func:`_ivf_pq_oracle`'s, the SQ
+    training/encode/distance fragments are :func:`_sq_fragments`', and
+    the final scan joins codes → coarse assignment → probe so only
+    probed-list vectors are scored — the SQL image of the ``__list IN``
+    pushdown."""
+    chains = _kmeans_ctes(
+        n_lists, coarse_iter, dp, suffix="_c", with_prefix=False,
+    )
+    stats, deltas, codes, terms = _sq_fragments(dim)
+    return f"""
+    WITH {chains},
+    st AS (SELECT {stats} FROM embeddings e),
+    sd AS (SELECT *, {deltas} FROM st),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id = {query_id}),
+    qvf AS (SELECT CAST(embedding AS DOUBLE[]) AS vec,
+                   list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) AS qq
+            FROM embeddings WHERE vec_id = {query_id}),
+    probe AS (
+        SELECT c.cid FROM c{coarse_iter}_c c CROSS JOIN qvf
+        ORDER BY qvf.qq + list_dot_product(c.cvec, c.cvec)
+                 - 2 * list_dot_product(qvf.vec, c.cvec), c.cid
+        LIMIT {n_probe}),
+    enc AS (SELECT e.vec_id AS id, {codes}
+            FROM embeddings e CROSS JOIN sd s)
+    SELECT enc.id, round({terms}, {dp}) AS adc_dist
+    FROM enc
+    JOIN af_c ac ON enc.id = ac.id
+    JOIN probe p ON ac.cid = p.cid
+    CROSS JOIN sd s CROSS JOIN qv
+    ORDER BY adc_dist, enc.id
+    LIMIT {topk}
+    """
+
+
+@register(
+    "q_similarity_ivf_sq",
+    oracle=_ivf_sq_oracle(8, 2, 64, 0, 2, 25, 6),
+    description="IVF×SQ composed ANN serving (FAISS IVFx,SQ8; "
+    "operators/similarity.py::ivf_sq_build/ivf_sq_topk): the corpus is "
+    "coarse-quantized into 8 inverted lists by the deterministic Lloyd "
+    "(__list carried through encoding — no join back), every vector "
+    "SQ8-encoded on the corpus-trained per-dimension grid, and query "
+    "vec_id=0 answered by decoded-squared-L2-scoring ONLY the 2 "
+    "nearest lists. The high-recall point of the codec×pruning matrix "
+    "(SQ8 0.984 recall@10 at 4× vs PQ 0.62 at 16×, SCALING.md §SQ8); "
+    "unlike IVF×PQ there is NO per-query table build — the decode "
+    "constants are the stored grid. The oracle replays the coarse "
+    "Lloyd, the probe selection, the grid training, the clamped "
+    "encode, and every decoded distance bit-for-bit.",
+)
+def q_similarity_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+        emb, dim=64, n_lists=8, coarse_iter=2,
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return _sim.ivf_sq_topk(coded, coarse, vmin, vmax, q, n_probe=2, topk=25)
 
 
 def _mmr_oracle(n_cand: int, k: int, lam: float, query_id: int,
@@ -8111,6 +8187,10 @@ _GRADING_ORDER = [
     # (RRF fusion, greedy MMR) are both graded in the window via
     # q_hybrid_retrieval and q_mmr_rerank
     "q_hybrid_mmr_pipeline",
+    # r11, tail: IVF×SQ — both constituent classes (coarse-Lloyd probe
+    # pruning, SQ8 grid codec) are graded via q_similarity_ivf_pq and
+    # q_similarity_sq8
+    "q_similarity_ivf_sq",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

@@ -427,3 +427,96 @@ class TestScalarQuantizer:
         vmin, vmax = sq_train(df, dim=3)
         with pytest.raises(ValueError, match="query dim"):
             sq_adc_topk(sq_encode(df, vmin, vmax), vmin, vmax, [1.0])
+
+
+class TestIvfSq:
+    """ivf_sq_build / ivf_sq_topk — the IVF×SQ composed serving shape."""
+
+    def _spread(self, spark, n=40, dim=8):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)]
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        return df, vecs
+
+    def test_coded_carries_list_matching_coarse_kmeans(self, spark):
+        from ons_utils_spark.operators.semantic import kmeans_lloyd
+        from ons_utils_spark.operators.similarity import ivf_sq_build
+
+        df, _ = self._spread(spark)
+        coded, coarse, vmin, vmax = ivf_sq_build(
+            df, dim=8, n_lists=4, coarse_iter=1
+        )
+        assert set(coded.columns) == {"id", "codes", "__list"}
+        assigned, cents = kmeans_lloyd(df, k=4, n_iter=1)
+        assert cents == coarse
+        want = {r["vec_id"]: r["__cluster"] for r in assigned.collect()}
+        got = {r["id"]: r["__list"] for r in coded.collect()}
+        assert got == want
+
+    def test_full_probe_degenerates_to_sq_scan(self, spark):
+        from ons_utils_spark.operators.similarity import (
+            ivf_sq_build, ivf_sq_topk, sq_adc_topk, sq_encode,
+        )
+
+        df, vecs = self._spread(spark)
+        coded, coarse, vmin, vmax = ivf_sq_build(
+            df, dim=8, n_lists=4, coarse_iter=1
+        )
+        q = vecs[0]
+        ivf = ivf_sq_topk(
+            coded, coarse, vmin, vmax, q, n_probe=4, topk=40
+        ).collect()
+        plain = sq_adc_topk(
+            sq_encode(df, vmin, vmax), vmin, vmax, q, topk=40
+        ).collect()
+        assert [(r["id"], r["adc_dist"]) for r in ivf] == [
+            (r["id"], r["adc_dist"]) for r in plain
+        ]
+
+    def test_probe_restricts_scan_to_nearest_list(self, spark):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.semantic import _py_dot
+        from ons_utils_spark.operators.similarity import (
+            ivf_sq_build, ivf_sq_topk,
+        )
+
+        df, vecs = self._spread(spark)
+        coded, coarse, vmin, vmax = ivf_sq_build(
+            df, dim=8, n_lists=4, coarse_iter=1
+        )
+        q = vecs[3]
+        qq = _py_dot(q, q)
+        probe = sorted(
+            (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+            for j, c in enumerate(coarse)
+        )[0][1]
+        got_ids = {
+            r["id"]
+            for r in ivf_sq_topk(
+                coded, coarse, vmin, vmax, q, n_probe=1, topk=40
+            ).collect()
+        }
+        member_ids = {
+            r["id"] for r in coded.where(F.col("__list") == probe).collect()
+        }
+        assert got_ids == member_ids
+
+    def test_dim_guards(self, spark):
+        from ons_utils_spark.operators.similarity import (
+            ivf_sq_build, ivf_sq_topk,
+        )
+
+        df, vecs = self._spread(spark)
+        coded, coarse, vmin, vmax = ivf_sq_build(
+            df, dim=8, n_lists=4, coarse_iter=1
+        )
+        with pytest.raises(ValueError, match="query dim"):
+            ivf_sq_topk(coded, coarse, vmin, vmax, [1.0, 2.0])
+        with pytest.raises(ValueError, match="centroid dim"):
+            ivf_sq_topk(coded, [[1.0, 2.0]], vmin, vmax, vecs[0])

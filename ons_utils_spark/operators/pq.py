@@ -1687,6 +1687,84 @@ def ivf_pq_batch_topk_chunked(
     return out
 
 
+def ivf_pq_batch_topk_refined(
+    coded: SparkDF,
+    index: IvfPqIndex,
+    queries: SparkDF,
+    source: SparkDF,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    source_vec_col: str = "embedding",
+    n_probe: int = 2,
+    topk: int = 10,
+    refine_factor: int = 4,
+    round_dp: int = 6,
+) -> SparkDF:
+    """Batch twin of :func:`ivf_pq_topk_refined`: every query in the
+    table gets its compressed ``refine_factor × topk`` shortlist from
+    ONE :func:`ivf_pq_batch_topk` job, then all shortlists are exact-
+    re-ranked together — one raw-vector fetch for the UNION of
+    candidate ids (an ``In`` pushdown up to :data:`_REFINE_ISIN_MAX`
+    ids, broadcast semi-join past it), one join, one per-query window
+    over ≤ ``refine_factor·topk``-row partitions. The exact distance is
+    computed fully in-plan (``q·q + v·v − 2·q·v``, each dot the same
+    sequential ``zip_with``/``aggregate`` fold), so per query the
+    result is bit-identical to the single-query refined path given the
+    batch ≡ singles candidate parity the batch scorer pins.
+
+    Returns ``(query_id, id, adc_dist, exact_dist)`` ordered by
+    ``(query_id, exact_dist, id)``, ``topk`` rows per query.
+    """
+    from pyspark.sql import Window
+
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    cand = ivf_pq_batch_topk(
+        coded, index, queries, query_id_col=query_id_col, vec_col=vec_col,
+        n_probe=n_probe, topk=refine_factor * topk,
+    ).localCheckpoint(eager=True)
+    # The shortlist union is bounded by n_queries × refine_factor×topk
+    # (the query table is driver-sized by the batch contract), so the
+    # distinct-id collect is too.
+    ids = [r["id"] for r in cand.select("id").distinct().collect()]
+    fetched = (
+        source.where(F.col(id_col).isin(ids))
+        if len(ids) <= _REFINE_ISIN_MAX
+        else source.join(
+            F.broadcast(cand.select(F.col("id").alias(id_col)).distinct()),
+            id_col, "left_semi",
+        )
+    )
+    fetched = fetched.select(
+        F.col(id_col).alias("id"), F.col(source_vec_col).alias("__vec")
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    exact = (
+        array_dot("__qvec", "__qvec")
+        + array_dot("__vec", "__vec")
+        - F.lit(2.0) * array_dot("__qvec", F.col("__vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("id").asc()
+    )
+    return (
+        cand.join(F.broadcast(fetched), "id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "id", "adc_dist",
+            F.round(exact, round_dp).alias("exact_dist"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= topk)
+        .drop("__rn")
+        .orderBy("query_id", "exact_dist", "id")
+    )
+
+
 def ivf_pq_table_compact(spark, store_path: str) -> None:
     """Compact an incrementally-grown IVF×PQ serving table — the ANN
     twin of ``text.bm25_index_compact``: every :func:`ivf_pq_table_append`

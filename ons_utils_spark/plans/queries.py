@@ -7149,9 +7149,14 @@ def q_similarity_ivf_pq_incremental(
     return _pq.ivf_pq_query(frag, li, q, n_probe=2, topk=20)
 
 
-@register(
-    "q_similarity_ivf_pq_refined",
-    oracle=f"""
+def _ivf_pq_refined_oracle(query_id: int, cand_topk: int,
+                           topk: int) -> str:
+    """DuckDB twin of ivf_pq_topk_refined: the full compressed chain's
+    ``cand_topk`` shortlist (:func:`_ivf_pq_oracle`), exact-re-ranked
+    against the raw vectors. Shared by the single-query and batch
+    refined registrations (the batch oracle unions per-query replays —
+    per query the two paths are bit-identical by construction)."""
+    return f"""
     SELECT c.id, c.adc_dist,
            round(qv.qq
                  + list_dot_product(CAST(e.embedding AS DOUBLE[]),
@@ -7159,16 +7164,21 @@ def q_similarity_ivf_pq_incremental(
                  - 2 * list_dot_product(qv.vec,
                                         CAST(e.embedding AS DOUBLE[])),
                  6) AS exact_dist
-    FROM ({_ivf_pq_oracle(8, 2, 4, 16, 1, 6, 64, 0, 2, 40)}) c
+    FROM ({_ivf_pq_oracle(8, 2, 4, 16, 1, 6, 64, query_id, 2, cand_topk)}) c
     JOIN embeddings e ON e.vec_id = c.id
     CROSS JOIN (
         SELECT CAST(embedding AS DOUBLE[]) AS vec,
                list_dot_product(CAST(embedding AS DOUBLE[]),
                                 CAST(embedding AS DOUBLE[])) AS qq
-        FROM embeddings WHERE vec_id = 0) qv
+        FROM embeddings WHERE vec_id = {query_id}) qv
     ORDER BY exact_dist, c.id
-    LIMIT 10
-    """,
+    LIMIT {topk}
+    """
+
+
+@register(
+    "q_similarity_ivf_pq_refined",
+    oracle=_ivf_pq_refined_oracle(0, 40, 10),
     description="Refined ANN serving (FAISS IndexRefineFlat; "
     "operators/pq.py::ivf_pq_topk_refined): the compressed IVF×PQ "
     "shortlist (refine_factor×topk = 40 candidates by ADC distance) is "
@@ -7197,6 +7207,45 @@ def q_similarity_ivf_pq_refined(
     ]
     return _pq.ivf_pq_topk_refined(
         coded, coarse, cbs, q, emb, n_probe=2, topk=10, refine_factor=4
+    )
+
+
+@register(
+    "q_similarity_ivf_pq_batch_refined",
+    oracle=f"""
+    SELECT CAST(0 AS BIGINT) AS query_id, t.id, t.adc_dist, t.exact_dist
+    FROM ({_ivf_pq_refined_oracle(0, 24, 6)}) t
+    UNION ALL
+    SELECT CAST(7 AS BIGINT) AS query_id, t.id, t.adc_dist, t.exact_dist
+    FROM ({_ivf_pq_refined_oracle(7, 24, 6)}) t
+    ORDER BY query_id, exact_dist, id
+    """,
+    description="Batch refined ANN serving (operators/pq.py::"
+    "ivf_pq_batch_topk_refined): every query in the table (vec_id 0 "
+    "and 7) gets its compressed 24-candidate shortlist from ONE "
+    "ivf_pq_batch_topk job, then all shortlists are exact-re-ranked "
+    "together — one union-of-candidates raw-vector fetch (In "
+    "pushdown), one join, per-query windows over 24-row partitions. "
+    "The exact distance is computed fully in-plan with the same "
+    "sequential folds as the single-query refined path, so per query "
+    "the batch result is bit-identical to it — which is exactly what "
+    "the oracle asserts by unioning both queries' single-query refined "
+    "replays.",
+)
+def q_similarity_ivf_pq_batch_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, coarse, cbs = _pq.ivf_pq_build(
+        emb, "vec_id", "embedding", dim=64, n_lists=8, m=4, k=16,
+        coarse_iter=2, n_iter=1,
+    )
+    idx = _pq.make_ivf_pq_index(coarse, cbs)
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _pq.ivf_pq_batch_topk_refined(
+        coded, idx, queries, emb, n_probe=2, topk=6, refine_factor=4
     )
 
 
@@ -8191,6 +8240,9 @@ _GRADING_ORDER = [
     # pruning, SQ8 grid codec) are graded via q_similarity_ivf_pq and
     # q_similarity_sq8
     "q_similarity_ivf_sq",
+    # r11, tail: batch refined ANN — constituent classes graded via
+    # q_similarity_ivf_pq_batch and q_similarity_ivf_pq_refined
+    "q_similarity_ivf_pq_batch_refined",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

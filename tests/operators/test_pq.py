@@ -1518,3 +1518,69 @@ class TestIvfPqRefined:
             pq.ivf_pq_topk_refined(
                 coded, coarse, cbs, vecs[0], df, refine_factor=0
             )
+
+
+class TestIvfPqBatchRefined:
+    """ivf_pq_batch_topk_refined — per query bit-identical to the
+    single-query refined path."""
+
+    def _spread(self, spark, n=40, dim=8):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)]
+            for i in range(n)
+        ]
+        return _emb_df(spark, vecs), vecs
+
+    def _build(self, spark):
+        df, vecs = self._spread(spark)
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        return df, vecs, coded, coarse, cbs, pq.make_ivf_pq_index(coarse, cbs)
+
+    def test_batch_equals_singles(self, spark):
+        df, vecs, coded, coarse, cbs, idx = self._build(spark)
+        qids = [3, 11]
+        queries = df.where(df.vec_id.isin(qids)).select(
+            df.vec_id.alias("query_id"), "embedding"
+        )
+        batch = pq.ivf_pq_batch_topk_refined(
+            coded, idx, queries, df, n_probe=2, topk=4, refine_factor=3
+        ).collect()
+        for qid in qids:
+            single = pq.ivf_pq_topk_refined(
+                coded, coarse, cbs, vecs[qid], df,
+                n_probe=2, topk=4, refine_factor=3,
+            ).collect()
+            got = [
+                (r["id"], r["adc_dist"], r["exact_dist"])
+                for r in batch if r["query_id"] == qid
+            ]
+            want = [
+                (r["id"], r["adc_dist"], r["exact_dist"]) for r in single
+            ]
+            assert got == want
+
+    def test_broadcast_fallback_bit_identical(self, spark, monkeypatch):
+        df, vecs, coded, coarse, cbs, idx = self._build(spark)
+        queries = df.where(df.vec_id.isin([0, 7])).select(
+            df.vec_id.alias("query_id"), "embedding"
+        )
+        a = pq.ivf_pq_batch_topk_refined(
+            coded, idx, queries, df, n_probe=2, topk=3
+        ).collect()
+        monkeypatch.setattr(pq, "_REFINE_ISIN_MAX", 0)
+        b = pq.ivf_pq_batch_topk_refined(
+            coded, idx, queries, df, n_probe=2, topk=3
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_refine_factor_validated(self, spark):
+        df, vecs, coded, coarse, cbs, idx = self._build(spark)
+        queries = df.limit(1).select(
+            df.vec_id.alias("query_id"), "embedding"
+        )
+        with pytest.raises(ValueError, match="refine_factor"):
+            pq.ivf_pq_batch_topk_refined(
+                coded, idx, queries, df, refine_factor=0
+            )

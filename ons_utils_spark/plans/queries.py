@@ -8020,6 +8020,84 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_retrieve_rerank_pipeline",
+    oracle=_TOKS_CTE
+    + f""",
+    stats AS (
+        SELECT count(*) AS n,
+               sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
+        FROM toks),
+    base AS (
+        SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
+               unnest(toks) AS term
+        FROM toks),
+    qhits AS (SELECT * FROM base
+              WHERE term IN {_BM25_IN}),
+    tf AS (SELECT id, dl, term, count(*) AS tf
+           FROM qhits GROUP BY id, dl, term),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT t.id, t.term,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+        FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s),
+    scored AS (
+        SELECT id,
+               round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE),
+                     6) AS bm25
+        FROM contrib GROUP BY id),
+    retrieved AS (
+        SELECT id, bm25 FROM scored ORDER BY bm25 DESC, id LIMIT 25),
+    mtoks AS (
+        SELECT r.id, r.bm25, coalesce(d.text, '') AS text,
+               list_filter(string_split_regex(
+                   lower(trim(coalesce(d.text, ''))), '\\s+'),
+                           t -> t <> '') AS ts
+        FROM retrieved r JOIN documents d ON d.doc_id = r.id)
+    SELECT id, bm25,
+           round(1.0 / (1.0 + exp(-(
+               CASE WHEN len(ts) = 0 THEN 0.0
+                    ELSE 4.0 * len(list_filter(ts, t -> list_contains(
+                        ['the','a','and','of','to','in','is','on','for',
+                         'with'], t)))::DOUBLE / len(ts) END
+               + length(text) / 1000.0 - 2.0
+           ))), 6) AS model_score
+    FROM mtoks
+    ORDER BY model_score DESC, id
+    LIMIT 10
+    """,
+    description="Retrieve-then-rerank pipeline (the two-stage ranking "
+    "shape behind every modern retrieval system): BM25 pulls the 25 "
+    "most relevant documents for the literal query (one pruned corpus "
+    "scan, TakeOrderedAndProject), then the Arrow-batched model "
+    "(operators/inference.py::batch_score — the declared-fake "
+    "SQL-expressible classifier) re-scores ONLY the 25-row slice and "
+    "the final order is by model score. The retrieved slice is "
+    "checkpointed once; the neural stage's cost is k-row, not corpus — "
+    "at 100 TB the expensive model touches 25 documents. The oracle "
+    "chains the full BM25 replay with the fake model's closed form "
+    "over the retrieved ids.",
+)
+def q_retrieve_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.inference import batch_score
+
+    docs = _t(spark, sf_dir, "documents")
+    retrieved = _text.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, topk=25)
+    ret_docs = (
+        docs.select(F.col("doc_id").alias("id"), "text")
+        .join(F.broadcast(retrieved), "id")
+        .localCheckpoint(eager=True)
+    )
+    return (
+        batch_score(ret_docs, "text", out_col="__ms")
+        .select("id", "bm25", F.round("__ms", 6).alias("model_score"))
+        .orderBy(F.col("model_score").desc(), F.col("id").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order
 # ---------------------------------------------------------------------------
@@ -8243,6 +8321,9 @@ _GRADING_ORDER = [
     # r11, tail: batch refined ANN — constituent classes graded via
     # q_similarity_ivf_pq_batch and q_similarity_ivf_pq_refined
     "q_similarity_ivf_pq_batch_refined",
+    # r11, tail: retrieve-then-rerank — constituent classes graded via
+    # q_bm25_topk and (full-registry) q_model_scores
+    "q_retrieve_rerank_pipeline",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

@@ -319,13 +319,17 @@ def sq_encode(
     codes = F.zip_with(
         shifted,
         d_arr,
+        # Clamp BEFORE the int cast: a value far outside the trained
+        # range floors to a huge number whose double->int cast is
+        # engine-defined (Spark saturates, ANSI SQL errors) — clamped
+        # to [0, 255] first, the cast is exact everywhere.
         lambda s, d: F.when(d == 0.0, F.lit(0)).otherwise(
             F.least(
                 F.greatest(
-                    F.floor(s / d + F.lit(0.5)).cast("int"), F.lit(0)
+                    F.floor(s / d + F.lit(0.5)), F.lit(0).cast("bigint")
                 ),
-                F.lit(255),
-            )
+                F.lit(255).cast("bigint"),
+            ).cast("int")
         ),
     )
     return df.select(

@@ -7265,10 +7265,13 @@ def _sq_fragments(dim: int) -> "tuple[str, str, str, str]":
         f"ELSE 0 END AS d{i}"
         for i in range(dim)
     )
+    # Clamp BEFORE the int cast (mirrors sq_encode): a far-out-of-range
+    # value floors to a double whose int cast would ERROR here while
+    # Spark saturates — clamped first, the cast is exact in both.
     codes = ", ".join(
         f"CASE WHEN s.d{i} = 0 THEN 0 ELSE "
-        f"least(greatest(CAST(floor(({e}[{i + 1}] - s.mn{i}) / s.d{i} "
-        f"+ 0.5) AS INT), 0), 255) END AS c{i}"
+        f"CAST(least(greatest(floor(({e}[{i + 1}] - s.mn{i}) / s.d{i} "
+        f"+ 0.5), 0), 255) AS INT) END AS c{i}"
         for i in range(dim)
     )
     terms = " + ".join(

@@ -752,16 +752,17 @@ def ivf_pq_topk_refined(
     """
     if refine_factor < 1:
         raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
-    cand_rows = ivf_pq_topk(
+    stage1 = ivf_pq_topk(
         coded, coarse_centroids, codebooks, query_vec,
         n_probe=n_probe, topk=refine_factor * topk, round_dp=round_dp,
         by_residual=by_residual, method=method,
-    ).collect()
-    spark = coded.sparkSession
-    cand = spark.createDataFrame(
-        [(r["id"], float(r["adc_dist"])) for r in cand_rows],
-        "id bigint, adc_dist double",
     )
+    cand_rows = stage1.collect()
+    spark = coded.sparkSession
+    # Rebuild the shortlist from the collected rows under stage 1's OWN
+    # schema — the id dtype follows the coded table (int/bigint/string),
+    # same generality contract as the rest of the family.
+    cand = spark.createDataFrame(cand_rows, stage1.schema)
     ids = [r["id"] for r in cand_rows]
     fetched = (
         source.where(F.col(id_col).isin(ids))

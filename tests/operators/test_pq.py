@@ -1584,3 +1584,23 @@ class TestIvfPqBatchRefined:
             pq.ivf_pq_batch_topk_refined(
                 coded, idx, queries, df, refine_factor=0
             )
+
+
+class TestRefinedIdTypeGenerality:
+    def test_int_ids_preserved_through_refine(self, spark):
+        df = spark.createDataFrame(
+            [
+                (i, [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)])
+                for i in range(40)
+            ],
+            "vec_id int, embedding array<float>",
+        )
+        coded, coarse, cbs = pq.ivf_pq_build(
+            df, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        q = [((3 * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+        out = pq.ivf_pq_topk_refined(
+            coded, coarse, cbs, q, df, n_probe=2, topk=4
+        )
+        assert dict(out.dtypes)["id"] == "int"
+        assert out.count() > 0

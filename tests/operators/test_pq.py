@@ -1604,3 +1604,36 @@ class TestRefinedIdTypeGenerality:
         )
         assert dict(out.dtypes)["id"] == "int"
         assert out.count() > 0
+
+
+class TestRefinedFetchPushdown:
+    def test_shortlist_in_filter_reaches_the_source_scan(
+        self, spark, tmp_path
+    ):
+        """The refine stage's contract is a PRUNED raw-vector read: the
+        candidate ids must land in the parquet scan's filters (below
+        the cap), not in a post-scan Filter over a full read."""
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        _emb_df(spark, vecs).write.parquet(str(tmp_path / "emb"))
+        src = spark.read.parquet(str(tmp_path / "emb"))
+        coded, coarse, cbs = pq.ivf_pq_build(
+            src, dim=8, n_lists=4, m=2, k=2, coarse_iter=1, n_iter=1
+        )
+        out = pq.ivf_pq_topk_refined(
+            coded, coarse, cbs, vecs[5], src, n_probe=2, topk=3
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln and "emb" in ln
+        ]
+        assert scan_lines, plan
+        assert any(
+            "In(vec_id" in ln or "INSET" in ln for ln in scan_lines
+        ), (
+            "shortlist In-filter did not reach the raw-vector scan:\n"
+            + "\n".join(scan_lines)
+        )

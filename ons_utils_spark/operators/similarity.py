@@ -23,7 +23,7 @@ Scale story:
 from __future__ import annotations
 
 import random
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
@@ -464,6 +464,173 @@ def ivf_sq_topk(
     return sq_adc_topk(
         coded.where(F.col("__list").isin(probe)),
         vmin, vmax, q, topk=topk, round_dp=round_dp,
+    )
+
+
+class SqIndex(NamedTuple):
+    """Durable IVF×SQ index artifact — the SQ twin of
+    :class:`pq.IvfPqIndex`: everything a serving session needs to
+    answer queries WITHOUT retraining (coarse centroids + the trained
+    per-dimension grid), fingerprinted so a corrupted store fails
+    loudly. ``coarse_centroids == []`` is a valid plain-SQ index
+    (query it with :func:`sq_adc_topk`)."""
+
+    coarse_centroids: "list[list[float]]"
+    vmin: "list[float]"
+    vmax: "list[float]"
+    round_dp: int
+    fingerprint: str
+
+    @property
+    def n_lists(self) -> int:
+        return len(self.coarse_centroids)
+
+    @property
+    def dim(self) -> int:
+        return len(self.vmin)
+
+
+def _sq_fingerprint(coarse, vmin, vmax, round_dp: int) -> str:
+    """sha256 hex (16 chars) over the exact payload — ``repr`` of a
+    float is its shortest round-trip form, so bit-identical grids hash
+    identically and single-ulp corruption changes the digest."""
+    import hashlib
+
+    payload = repr((
+        [[float(x) for x in c] for c in coarse],
+        [float(x) for x in vmin],
+        [float(x) for x in vmax],
+        int(round_dp),
+    ))
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
+
+
+def make_sq_index(
+    coarse_centroids: "list[list[float]]",
+    vmin: "list[float]",
+    vmax: "list[float]",
+    round_dp: int = 6,
+) -> SqIndex:
+    """Wrap :func:`ivf_sq_build` (or :func:`sq_train`) outputs as a
+    fingerprinted :class:`SqIndex`, validating geometry up front."""
+    if not vmin or len(vmin) != len(vmax):
+        raise ValueError(
+            f"vmin/vmax must be equal-length non-empty: "
+            f"{len(vmin)} vs {len(vmax)}"
+        )
+    if any(hi < lo for lo, hi in zip(vmin, vmax)):
+        raise ValueError("vmax < vmin on some dimension — not a trained grid")
+    dim = len(vmin)
+    coarse = [[float(x) for x in c] for c in coarse_centroids]
+    if coarse and any(len(c) != dim for c in coarse):
+        raise ValueError(f"coarse centroid dim != grid dim {dim}")
+    mn = [float(x) for x in vmin]
+    mx = [float(x) for x in vmax]
+    return SqIndex(
+        coarse_centroids=coarse, vmin=mn, vmax=mx,
+        round_dp=int(round_dp),
+        fingerprint=_sq_fingerprint(coarse, mn, mx, round_dp),
+    )
+
+
+_SQ_INDEX_FORMAT_VERSION = 1
+
+
+def save_sq_index(spark, index: SqIndex, path: str) -> None:
+    """Persist a :class:`SqIndex` as two small parquet tables under
+    ``path`` — ``vectors/`` (coarse centroids + the two grid rows) and
+    ``meta/`` (geometry + fingerprint), meta written LAST so a crash
+    mid-save leaves a store :func:`load_sq_index` rejects rather than
+    a silently truncated index. Same non-ACID overwrite stance as the
+    PQ index store."""
+    rows = [
+        ("coarse", j, c) for j, c in enumerate(index.coarse_centroids)
+    ] + [("vmin", 0, index.vmin), ("vmax", 0, index.vmax)]
+    vectors = spark.createDataFrame(
+        rows, "component string, idx int, vec array<double>"
+    )
+    meta = spark.createDataFrame(
+        [(
+            _SQ_INDEX_FORMAT_VERSION, index.round_dp, index.n_lists,
+            index.dim, index.fingerprint,
+        )],
+        "format_version int, round_dp int, n_lists int, dim int, "
+        "fingerprint string",
+    )
+    vectors.coalesce(1).write.mode("overwrite").parquet(f"{path}/vectors")
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_sq_index(spark, path: str) -> SqIndex:
+    """Load an index written by :func:`save_sq_index`, verifying the
+    stored fingerprint against a recomputation over the loaded payload
+    (parquet round-trips doubles bit-exactly — a mismatch means
+    corruption, and serving with it would return plausible-looking
+    garbage). The collect is index-geometry-sized."""
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"SQ index meta at {path!r} has {len(meta_rows)} rows — "
+            "expected exactly 1; the store is corrupt or not an index"
+        )
+    meta = meta_rows[0]
+    if meta["format_version"] != _SQ_INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"SQ index at {path!r} has format_version "
+            f"{meta['format_version']} — this build reads "
+            f"{_SQ_INDEX_FORMAT_VERSION}"
+        )
+    rows = spark.read.parquet(f"{path}/vectors").collect()
+    coarse_rows = sorted(
+        (r["idx"], [float(x) for x in r["vec"]])
+        for r in rows if r["component"] == "coarse"
+    )
+    grids = {
+        r["component"]: [float(x) for x in r["vec"]]
+        for r in rows if r["component"] in ("vmin", "vmax")
+    }
+    coarse = [v for _, v in coarse_rows]
+    if (
+        "vmin" not in grids or "vmax" not in grids
+        or len(grids["vmin"]) != meta["dim"]
+        or len(grids["vmax"]) != meta["dim"]
+        or len(coarse) != meta["n_lists"]
+        or [j for j, _ in coarse_rows] != list(range(meta["n_lists"]))
+        or any(len(c) != meta["dim"] for c in coarse)
+    ):
+        raise ValueError(
+            f"SQ index at {path!r} does not match its meta geometry "
+            f"(n_lists={meta['n_lists']}, dim={meta['dim']}) — the "
+            "store is corrupt"
+        )
+    got = _sq_fingerprint(
+        coarse, grids["vmin"], grids["vmax"], meta["round_dp"]
+    )
+    if got != meta["fingerprint"]:
+        raise ValueError(
+            f"SQ index at {path!r} fails its fingerprint check "
+            f"(stored {meta['fingerprint']}, recomputed {got}) — "
+            "refusing to serve from a corrupted index"
+        )
+    return SqIndex(
+        coarse_centroids=coarse, vmin=grids["vmin"], vmax=grids["vmax"],
+        round_dp=int(meta["round_dp"]), fingerprint=got,
+    )
+
+
+def ivf_sq_query(
+    coded: SparkDF,
+    index: SqIndex,
+    query_vec: Sequence[float],
+    n_probe: int = 2,
+    topk: int = 10,
+) -> SparkDF:
+    """Serve a query from a loaded :class:`SqIndex` — always scores
+    with the STORED grid and centroids (the durable authority), same
+    contract as :func:`pq.ivf_pq_query`."""
+    return ivf_sq_topk(
+        coded, index.coarse_centroids, index.vmin, index.vmax,
+        query_vec, n_probe=n_probe, topk=topk, round_dp=index.round_dp,
     )
 
 

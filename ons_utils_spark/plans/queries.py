@@ -7399,6 +7399,58 @@ def q_similarity_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_sq_topk(coded, coarse, vmin, vmax, q, n_probe=2, topk=25)
 
 
+@register(
+    "q_similarity_ivf_sq_persisted",
+    oracle=_ivf_sq_oracle(8, 2, 64, 0, 2, 25, 6),
+    description="IVF×SQ serving from the durable, fingerprint-validated "
+    "index artifact (operators/similarity.py::make_sq_index/"
+    "save_sq_index/load_sq_index/ivf_sq_query): the trained grid and "
+    "coarse centroids round-trip through a two-table parquet store "
+    "(meta written LAST — a torn save is rejected at load, and the "
+    "fingerprint recomputation refuses corrupted payloads), and the "
+    "query is answered with the STORED parameters. The oracle is the "
+    "full in-session IVF×SQ replay — persistence must not perturb a "
+    "single double.",
+)
+def q_similarity_ivf_sq_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ons_utils_spark.operators import similarity as _sim
+    from ons_utils_spark.operators.semantic import _py_dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+        emb, dim=64, n_lists=8, coarse_iter=2,
+    )
+    idx = _sim.make_sq_index(coarse, vmin, vmax)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    tmp = tempfile.mkdtemp(prefix="ivfsq_idx_")
+    try:
+        _sim.save_sq_index(spark, idx, tmp)
+        li = _sim.load_sq_index(spark, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # The coded table is in-session; only the index round-trips. Probe
+    # with the LOADED parameters.
+    qq = _py_dot(q, q)
+    probe = [
+        j for _, j in sorted(
+            (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+            for j, c in enumerate(li.coarse_centroids)
+        )[:2]
+    ]
+    frag = coded.where(F.col("__list").isin(probe)).localCheckpoint(
+        eager=True
+    )
+    return _sim.ivf_sq_query(frag, li, q, n_probe=2, topk=25)
+
+
 def _mmr_oracle(n_cand: int, k: int, lam: float, query_id: int,
                 dp: int) -> str:
     """DuckDB twin of cosine_topk + mmr_rerank: the candidate CTE is
@@ -8327,6 +8379,9 @@ _GRADING_ORDER = [
     # r11, tail: retrieve-then-rerank — constituent classes graded via
     # q_bm25_topk and (full-registry) q_model_scores
     "q_retrieve_rerank_pipeline",
+    # r11, tail: IVF×SQ served from the durable SqIndex — the persisted
+    # class is graded via q_similarity_ivf_pq_persisted
+    "q_similarity_ivf_sq_persisted",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

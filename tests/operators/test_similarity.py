@@ -520,3 +520,98 @@ class TestIvfSq:
             ivf_sq_topk(coded, coarse, vmin, vmax, [1.0, 2.0])
         with pytest.raises(ValueError, match="centroid dim"):
             ivf_sq_topk(coded, [[1.0, 2.0]], vmin, vmax, vecs[0])
+
+
+class TestSqIndexPersistence:
+    """make_sq_index / save_sq_index / load_sq_index / ivf_sq_query."""
+
+    def _index(self, spark):
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        from ons_utils_spark.operators.similarity import (
+            ivf_sq_build, make_sq_index,
+        )
+
+        coded, coarse, vmin, vmax = ivf_sq_build(
+            df, dim=8, n_lists=4, coarse_iter=1
+        )
+        return df, vecs, coded, make_sq_index(coarse, vmin, vmax)
+
+    def test_round_trip_bit_identity(self, spark, tmp_path):
+        from ons_utils_spark.operators.similarity import (
+            ivf_sq_query, load_sq_index, save_sq_index,
+        )
+
+        df, vecs, coded, idx = self._index(spark)
+        save_sq_index(spark, idx, str(tmp_path / "sq"))
+        li = load_sq_index(spark, str(tmp_path / "sq"))
+        assert li == idx  # NamedTuple equality: every double + fingerprint
+        a = ivf_sq_query(coded, idx, vecs[5], topk=8).collect()
+        b = ivf_sq_query(coded, li, vecs[5], topk=8).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_torn_save_rejected(self, spark, tmp_path):
+        """vectors/ without meta/ (the crash-mid-save state: meta is
+        written LAST) must not load."""
+        from ons_utils_spark.operators.similarity import (
+            load_sq_index, save_sq_index,
+        )
+
+        import shutil
+
+        df, vecs, coded, idx = self._index(spark)
+        save_sq_index(spark, idx, str(tmp_path / "sq"))
+        shutil.rmtree(str(tmp_path / "sq" / "meta"))
+        with pytest.raises(Exception):
+            load_sq_index(spark, str(tmp_path / "sq"))
+
+    def test_corrupted_payload_fails_fingerprint(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.similarity import (
+            load_sq_index, save_sq_index,
+        )
+
+        df, vecs, coded, idx = self._index(spark)
+        path = str(tmp_path / "sq")
+        save_sq_index(spark, idx, path)
+        vectors = spark.read.parquet(f"{path}/vectors").collect()
+        rows = [
+            (
+                r["component"], r["idx"],
+                [v + 1e-9 for v in r["vec"]]
+                if r["component"] == "vmin" else list(r["vec"]),
+            )
+            for r in vectors
+        ]
+        spark.createDataFrame(
+            rows, "component string, idx int, vec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/vectors")
+        with pytest.raises(ValueError, match="fingerprint"):
+            load_sq_index(spark, path)
+
+    def test_make_index_validates(self, spark):
+        from ons_utils_spark.operators.similarity import make_sq_index
+
+        with pytest.raises(ValueError, match="equal-length"):
+            make_sq_index([], [0.0], [1.0, 2.0])
+        with pytest.raises(ValueError, match="vmax < vmin"):
+            make_sq_index([], [1.0], [0.0])
+        with pytest.raises(ValueError, match="centroid dim"):
+            make_sq_index([[1.0, 2.0]], [0.0], [1.0])
+
+    def test_plain_sq_index_no_lists(self, spark, tmp_path):
+        from ons_utils_spark.operators.similarity import (
+            load_sq_index, make_sq_index, save_sq_index,
+        )
+
+        idx = make_sq_index([], [0.0, -1.0], [1.0, 2.0])
+        assert idx.n_lists == 0 and idx.dim == 2
+        save_sq_index(spark, idx, str(tmp_path / "plain"))
+        assert load_sq_index(spark, str(tmp_path / "plain")) == idx

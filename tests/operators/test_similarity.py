@@ -615,3 +615,57 @@ class TestSqIndexPersistence:
         assert idx.n_lists == 0 and idx.dim == 2
         save_sq_index(spark, idx, str(tmp_path / "plain"))
         assert load_sq_index(spark, str(tmp_path / "plain")) == idx
+
+
+class TestIvfSqPartitionPruning:
+    def test_list_partitioned_probe_prunes_partitions(self, spark, tmp_path):
+        """The same serving claim as the PQ twin: an IVF×SQ coded table
+        written partitioned by __list answers a probe via directory-
+        level partition pruning, bit-identical to the in-session scan."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.semantic import _py_dot
+        from ons_utils_spark.operators.similarity import (
+            ivf_sq_build, ivf_sq_topk,
+        )
+        from ons_utils_spark.sources.write import write_table
+
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        coded, coarse, vmin, vmax = ivf_sq_build(
+            df, dim=8, n_lists=4, coarse_iter=1
+        )
+        path = str(tmp_path / "coded")
+        write_table(coded, path, partition_by="__list")
+        stored = spark.read.parquet(path)
+
+        q = vecs[0]
+        top = ivf_sq_topk(stored, coarse, vmin, vmax, q, n_probe=1, topk=5)
+        rows = top.collect()
+        assert rows
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "__list" in pf.group(1), plan[:800]
+        qq = _py_dot(q, q)
+        probe = sorted(
+            (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+            for j, c in enumerate(coarse)
+        )[0][1]
+        dirs = {
+            r[0].rsplit("/", 2)[-2]
+            for r in stored.where(F.col("__list") == probe)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        assert dirs == {f"__list={probe}"}
+        direct = ivf_sq_topk(coded, coarse, vmin, vmax, q, n_probe=1, topk=5)
+        assert [tuple(r) for r in rows] == [tuple(r) for r in direct.collect()]

@@ -618,6 +618,49 @@ def load_sq_index(spark, path: str) -> SqIndex:
     )
 
 
+def ivf_sq_encode(
+    df: SparkDF,
+    index: SqIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> SparkDF:
+    """Encode NEW vectors with a STORED :class:`SqIndex` — no training.
+    The maintenance primitive for a growing IVF×SQ corpus, mirroring
+    :func:`pq.ivf_pq_encode`: the coarse assignment is the same
+    ``v·v + c·c − 2·v·c`` argmin (``semantic._assign``) as
+    :func:`ivf_sq_build`'s final Lloyd assignment, the grid encode the
+    same :func:`sq_encode` expression — so for a FIXED index, encoding
+    a batch here is bit-identical to having included it in the one-shot
+    build (per-row arithmetic, no cross-row dependence once the
+    centroids and grid are frozen; pinned in tests). New values outside
+    the trained range clamp to the grid edges — exactly FAISS SQ's
+    out-of-sample behavior, and the reason a sampled/stale grid stays
+    serviceable as the corpus drifts.
+
+    Returns the same ``(id, codes, __list)`` shape as
+    :func:`ivf_sq_build`.
+    """
+    from ons_utils_spark.operators.semantic import _assign, _resolve_method
+
+    if not index.coarse_centroids:
+        raise ValueError(
+            "index has no coarse centroids (plain-SQ index) — encode "
+            "plain SQ codes with sq_encode(vmin, vmax) instead"
+        )
+    coarse_method = _resolve_method(method, index.n_lists)
+    vecs = df.withColumn(
+        "__vv", array_dot(F.col(vec_col), F.col(vec_col))
+    )
+    src = _assign(
+        vecs, vec_col, index.coarse_centroids, coarse_method
+    ).withColumn("__list", F.col("__cluster"))
+    return sq_encode(
+        src, index.vmin, index.vmax, id_col=id_col, vec_col=vec_col,
+        carry_cols=("__list",),
+    )
+
+
 def ivf_sq_query(
     coded: SparkDF,
     index: SqIndex,

@@ -669,3 +669,67 @@ class TestIvfSqPartitionPruning:
         assert dirs == {f"__list={probe}"}
         direct = ivf_sq_topk(coded, coarse, vmin, vmax, q, n_probe=1, topk=5)
         assert [tuple(r) for r in rows] == [tuple(r) for r in direct.collect()]
+
+
+class TestIvfSqEncode:
+    def test_encode_with_stored_index_matches_one_shot_build(self, spark):
+        """For a FIXED index, encoding a held-out batch with
+        ivf_sq_encode must equal the one-shot build's rows for those
+        ids — the append ≡ build bit-parity contract."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.similarity import (
+            ivf_sq_build, ivf_sq_encode, make_sq_index,
+        )
+
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        base = full.where(F.col("vec_id") < 30)
+        # Index trained on the BASE only (grids + centroids frozen),
+        # then the one-shot encode of the FULL corpus under that index
+        # is the parity reference for encoding the held-out batch.
+        coded_base, coarse, vmin, vmax = ivf_sq_build(
+            base, dim=8, n_lists=4, coarse_iter=1
+        )
+        idx = make_sq_index(coarse, vmin, vmax)
+        reference = {
+            r["id"]: (list(r["codes"]), r["__list"])
+            for r in ivf_sq_encode(full, idx).collect()
+        }
+        batch = ivf_sq_encode(full.where(F.col("vec_id") >= 30), idx)
+        got = {
+            r["id"]: (list(r["codes"]), r["__list"])
+            for r in batch.collect()
+        }
+        assert set(got) == set(range(30, 40))
+        for i, v in got.items():
+            assert v == reference[i]
+        # and the base rows re-encoded under the same index equal the
+        # build's own coded rows
+        built = {
+            r["id"]: (list(r["codes"]), r["__list"])
+            for r in coded_base.collect()
+        }
+        re_enc = {
+            r["id"]: (list(r["codes"]), r["__list"])
+            for r in ivf_sq_encode(base, idx).collect()
+        }
+        assert re_enc == built
+
+    def test_plain_index_rejected(self, spark):
+        from ons_utils_spark.operators.similarity import (
+            ivf_sq_encode, make_sq_index,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.5, 0.5])], "vec_id bigint, embedding array<float>"
+        )
+        idx = make_sq_index([], [0.0, 0.0], [1.0, 1.0])
+        with pytest.raises(ValueError, match="plain-SQ"):
+            ivf_sq_encode(df, idx)

@@ -832,6 +832,72 @@ def bm25_topk(
     )
 
 
+def bm25_prf_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: "Sequence[str]",
+    topk: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """Pseudo-relevance-feedback retrieval (RM3-family, Lavrenko &
+    Croft 2001 / Abdul-Jaleel et al. 2004 simplified to deterministic
+    TF feedback): run the literal query, mine the ``fb_terms`` most
+    frequent NEW terms from the ``fb_docs`` top documents, and re-run
+    BM25 with the expanded query — the standard recall lever when a
+    curation keyword profile under-describes its topic (the feedback
+    docs supply the vocabulary the curator didn't).
+
+    Fully deterministic and externally replayable: the feedback cut is
+    the rounded-score (bm25 desc, id) top-``fb_docs``; expansion terms
+    rank by (occurrence count desc, term asc) over the SHARED
+    :func:`tokenize` stream with the original terms excluded; both
+    collected sets are contract-bounded (``fb_docs`` ids, ``fb_terms``
+    strings). Scale: the feedback-term pass reads only the ``fb_docs``
+    documents (an id ``In`` pushdown), so the total cost is two BM25
+    passes + one k-doc scan — and the second pass can serve from the
+    inverted index (`bm25_topk_indexed`) in production since the
+    expanded query is just a wider term list.
+
+    Returns the stage-2 ``(id, bm25)`` top-``topk``.
+    """
+    from pyspark.sql import functions as F
+
+    qt = _normalize_query_terms(query_terms)
+    fb_ids = [
+        r["id"]
+        for r in bm25_topk(
+            df, id_col, text_col, qt, topk=fb_docs, k1=k1, b=b,
+            round_dp=round_dp,
+        ).collect()
+    ]
+    expansion: "list[str]" = []
+    if fb_ids:
+        expansion = [
+            r["term"]
+            for r in (
+                df.where(F.col(id_col).isin(fb_ids))
+                .select(F.explode(
+                    F.coalesce(tokenize(text_col), F.array())
+                ).alias("term"))
+                .where(~F.col("term").isin(list(qt)))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("w"))
+                .orderBy(F.col("w").desc(), F.col("term").asc())
+                .limit(fb_terms)
+                .collect()
+            )
+        ]
+    return bm25_topk(
+        df, id_col, text_col, list(qt) + expansion, topk=topk,
+        k1=k1, b=b, round_dp=round_dp,
+    )
+
+
 def bm25_batch_topk(
     df,
     id_col: str,

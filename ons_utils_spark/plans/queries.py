@@ -7600,6 +7600,75 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, topk=10)
 
 
+def _bm25_chain(suffix: str, vocab_pred: str, dp: int = 6) -> str:
+    """One BM25 scoring chain (qhits→tf→dfs→contrib→scored) over the
+    shared exploded ``base`` CTE, with the vocabulary predicate
+    ``vocab_pred`` — emitted twice by the PRF oracle (original and
+    expanded queries), once by everything else."""
+    return f"""
+    qh{suffix} AS (SELECT * FROM base WHERE {vocab_pred}),
+    tf{suffix} AS (SELECT id, dl, term, count(*) AS tf
+           FROM qh{suffix} GROUP BY id, dl, term),
+    dfs{suffix} AS (SELECT term, count(*) AS df FROM tf{suffix}
+                    GROUP BY term),
+    contrib{suffix} AS (
+        SELECT t.id,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+        FROM tf{suffix} t JOIN dfs{suffix} d USING (term)
+        CROSS JOIN stats s),
+    scored{suffix} AS (
+        SELECT id,
+               round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE),
+                     {dp}) AS bm25
+        FROM contrib{suffix} GROUP BY id)"""
+
+
+@register(
+    "q_bm25_prf",
+    oracle=_TOKS_CTE
+    + f""",
+    stats AS (
+        SELECT count(*) AS n,
+               sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
+        FROM toks),
+    base AS (
+        SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
+               unnest(toks) AS term
+        FROM toks),
+    {_bm25_chain("1", f"term IN {_BM25_IN}")},
+    fb AS (SELECT id FROM scored1 ORDER BY bm25 DESC, id LIMIT 10),
+    fbt AS (
+        SELECT b.term, count(*) AS w
+        FROM base b JOIN fb ON b.id = fb.id
+        WHERE b.term NOT IN {_BM25_IN}
+        GROUP BY b.term),
+    expq AS (SELECT term FROM fbt ORDER BY w DESC, term LIMIT 5),
+    {_bm25_chain("2",
+                 f"term IN {_BM25_IN} OR term IN (SELECT term FROM expq)")}
+    SELECT id, bm25 FROM scored2 ORDER BY bm25 DESC, id LIMIT 10
+    """,
+    description="Pseudo-relevance-feedback retrieval (RM3-family, "
+    "Lavrenko & Croft 2001, deterministic TF feedback; "
+    "operators/text.py::bm25_prf_topk): BM25 runs the literal query "
+    "{vector, stream, merge}, mines the 5 most frequent NEW terms from "
+    "the top-10 documents (count desc, term asc — fully deterministic), "
+    "and re-runs BM25 with the expanded query — the standard recall "
+    "lever when a curation keyword profile under-describes its topic. "
+    "The feedback-term pass reads only the 10 feedback docs (id In "
+    "pushdown); both collected sets are contract-bounded. The oracle "
+    "replays BOTH scoring chains, the feedback cut, and the expansion "
+    "ranking bit-for-bit.",
+)
+def q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _text.bm25_prf_topk(
+        docs, "doc_id", "text", _BM25_TERMS,
+        topk=10, fb_docs=10, fb_terms=5,
+    )
+
+
 @register(
     "q_bm25_batch",
     oracle=_TOKS_CTE
@@ -8382,6 +8451,9 @@ _GRADING_ORDER = [
     # r11, tail: IVF×SQ served from the durable SqIndex — the persisted
     # class is graded via q_similarity_ivf_pq_persisted
     "q_similarity_ivf_sq_persisted",
+    # r11, tail: pseudo-relevance-feedback expansion — the BM25 scoring
+    # class is graded via q_bm25_topk/q_bm25_batch/q_bm25_indexed
+    "q_bm25_prf",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

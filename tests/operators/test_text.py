@@ -1171,3 +1171,57 @@ class TestBm25IndexCompaction:
         shutil.rmtree(f"{store}/postings/batch_id=1")
         with _pytest.raises(ValueError, match="torn"):
             bm25_index_compact(spark, store)
+
+
+class TestBm25Prf:
+    """bm25_prf_topk — deterministic pseudo-relevance feedback."""
+
+    def _docs(self, spark):
+        # Docs 1-3 contain the query term plus the co-occurring word
+        # "engine"; doc 4 talks only about engines (no query term) —
+        # expansion must surface it, the plain query cannot.
+        rows = [
+            (1, "spark engine engine fast"),
+            (2, "spark engine scalable"),
+            (3, "spark engine distributed"),
+            (4, "engine engine engine tuning"),
+            (5, "unrelated words entirely here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_expansion_surfaces_feedback_vocabulary(self, spark):
+        from ons_utils_spark.operators.text import bm25_prf_topk, bm25_topk
+
+        docs = self._docs(spark)
+        plain_ids = {
+            r["id"] for r in bm25_topk(
+                docs, "doc_id", "text", ["spark"], topk=5
+            ).collect()
+        }
+        assert 4 not in plain_ids
+        prf_ids = {
+            r["id"] for r in bm25_prf_topk(
+                docs, "doc_id", "text", ["spark"],
+                topk=5, fb_docs=3, fb_terms=1,
+            ).collect()
+        }
+        # "engine" is the most frequent non-query term in the feedback
+        # docs; the expanded query must retrieve doc 4.
+        assert 4 in prf_ids
+
+    def test_deterministic(self, spark):
+        from ons_utils_spark.operators.text import bm25_prf_topk
+
+        docs = self._docs(spark)
+        a = bm25_prf_topk(docs, "doc_id", "text", ["spark"], topk=5).collect()
+        b = bm25_prf_topk(docs, "doc_id", "text", ["spark"], topk=5).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_no_feedback_hits_degrades_to_plain_query(self, spark):
+        from ons_utils_spark.operators.text import bm25_prf_topk
+
+        docs = self._docs(spark)
+        out = bm25_prf_topk(
+            docs, "doc_id", "text", ["nonexistentterm"], topk=5
+        ).collect()
+        assert out == []

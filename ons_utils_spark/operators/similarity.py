@@ -27,7 +27,11 @@ from typing import NamedTuple, Sequence
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
-from ons_utils_spark.functions.arrays import array_dot, cosine_similarity
+from ons_utils_spark.functions.arrays import (
+    array_dot,
+    array_l2_norm,
+    cosine_similarity,
+)
 
 
 def cosine_topk(
@@ -240,6 +244,49 @@ def dequantize_embeddings(
     return df.withColumn(
         out_col,
         F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )
+
+
+def normalize_embeddings(
+    df: SparkDF,
+    vec_col: str = "embedding",
+    out_col: "str | None" = None,
+) -> SparkDF:
+    """L2-normalize an embedding column (``array<double>`` output) —
+    the ingest-time transform that makes exact-L2 and cosine orderings
+    coincide, so every distance-based stage downstream (IVF lists, PQ
+    ADC, the refined exact re-rank, SQ grids) serves the cosine
+    contract exactly (measured: the refined-recall metric-mismatch gap
+    closes to zero on normalized vectors, SCALING.md §Refined serving).
+
+    Row-local ``zip_with``/``aggregate`` fold — zero shuffle, zero
+    Python; the norm is materialized as a column first so Spark's
+    lambda-blind subexpression elimination can't re-evaluate the O(d)
+    fold once per element. Zero vectors raise at the first action (a
+    silent NULL or 0-vector would corrupt every downstream distance).
+    """
+    out = out_col or vec_col
+    norm = array_l2_norm(F.col(vec_col))
+    return (
+        df.withColumn(
+            "__norm",
+            F.when(
+                norm == 0.0,
+                F.raise_error(F.concat(
+                    F.lit("normalize_embeddings: zero-norm vector — "
+                          "cosine is undefined; drop or re-embed it "
+                          "upstream"),
+                )),
+            ).otherwise(norm),
+        )
+        .withColumn(
+            out,
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double") / F.col("__norm"),
+            ),
+        )
+        .drop("__norm")
     )
 
 

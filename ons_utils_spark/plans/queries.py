@@ -7451,6 +7451,48 @@ def q_similarity_ivf_sq_persisted(
     return _sim.ivf_sq_query(frag, li, q, n_probe=2, topk=25)
 
 
+@register(
+    "q_normalized_similarity",
+    oracle="""
+    WITH nv AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_dot_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])))) AS v
+        FROM embeddings),
+    qv AS (SELECT v FROM nv WHERE vec_id = 0)
+    SELECT nv.vec_id AS id,
+           round(list_dot_product(nv.v, q.v)
+                 / (sqrt(list_dot_product(nv.v, nv.v))
+                    * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim
+    FROM nv CROSS JOIN qv q
+    WHERE nv.vec_id <> 0
+    ORDER BY cos_sim DESC, id
+    LIMIT 10
+    """,
+    description="Ingest-time L2 normalization feeding exact retrieval "
+    "(operators/similarity.py::normalize_embeddings): the row-local "
+    "transform SCALING.md §Refined serving recommends — on the unit "
+    "sphere exact-L2 and cosine orderings coincide, so every "
+    "distance-based serving stage downstream answers the cosine "
+    "contract exactly. One zip_with/aggregate fold per row, the norm "
+    "materialized as a column so Spark's lambda-blind subexpression "
+    "elimination can't make it O(d²); zero vectors raise. The oracle "
+    "replays the normalization and the cosine top-10 bit-for-bit.",
+)
+def q_normalized_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators import similarity as _sim
+
+    emb = _sim.normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return _sim.cosine_topk(emb.where(F.col("vec_id") != 0), q, k=10)
+
+
 def _mmr_oracle(n_cand: int, k: int, lam: float, query_id: int,
                 dp: int) -> str:
     """DuckDB twin of cosine_topk + mmr_rerank: the candidate CTE is
@@ -8454,6 +8496,9 @@ _GRADING_ORDER = [
     # r11, tail: pseudo-relevance-feedback expansion — the BM25 scoring
     # class is graded via q_bm25_topk/q_bm25_batch/q_bm25_indexed
     "q_bm25_prf",
+    # r11, tail: ingest-time L2 normalization (row-local transform; the
+    # cosine retrieval class keeps full-registry coverage)
+    "q_normalized_similarity",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

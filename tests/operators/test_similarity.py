@@ -733,3 +733,66 @@ class TestIvfSqEncode:
         idx = make_sq_index([], [0.0, 0.0], [1.0, 1.0])
         with pytest.raises(ValueError, match="plain-SQ"):
             ivf_sq_encode(df, idx)
+
+
+class TestNormalizeEmbeddings:
+    def test_unit_norm_and_order_preserved(self, spark):
+        from ons_utils_spark.operators.similarity import (
+            cosine_topk, normalize_embeddings,
+        )
+
+        df = _vectors(spark)
+        out = normalize_embeddings(df).collect()
+        import math
+
+        for r in out:
+            n = math.sqrt(sum(x * x for x in r["embedding"]))
+            assert n == pytest.approx(1.0, abs=1e-12)
+        # cosine ordering is invariant under normalization
+        q = [1.0, 0.0, 0.0, 0.0]
+        a = [r["id"] for r in cosine_topk(df, q, k=5).collect()]
+        b = [
+            r["id"]
+            for r in cosine_topk(normalize_embeddings(df), q, k=5).collect()
+        ]
+        assert a == b
+
+    def test_l2_equals_cosine_order_after_normalization(self, spark):
+        """The operator's whole point: on the unit sphere, squared-L2
+        ascending == cosine descending."""
+        from ons_utils_spark.operators.similarity import normalize_embeddings
+
+        rows = {
+            r["id"]: [float(x) for x in r["embedding"]]
+            for r in normalize_embeddings(_vectors(spark)).select(
+                "vec_id", "embedding"
+            ).withColumnRenamed("vec_id", "id").collect()
+        }
+        import math
+
+        q = rows[1]
+        by_l2 = sorted(
+            (sum((a - b) ** 2 for a, b in zip(q, v)), i)
+            for i, v in rows.items() if i != 1
+        )
+        by_cos = sorted(
+            (-sum(a * b for a, b in zip(q, v)), i)
+            for i, v in rows.items() if i != 1
+        )
+        assert [i for _, i in by_l2] == [i for _, i in by_cos]
+
+    def test_zero_vector_raises(self, spark):
+        from ons_utils_spark.operators.similarity import normalize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0])], "vec_id bigint, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="zero-norm"):
+            normalize_embeddings(df).collect()
+
+    def test_out_col_keeps_original(self, spark):
+        from ons_utils_spark.operators.similarity import normalize_embeddings
+
+        df = _vectors(spark)
+        out = normalize_embeddings(df, out_col="unit").columns
+        assert "embedding" in out and "unit" in out

@@ -898,6 +898,89 @@ def bm25_prf_topk(
     )
 
 
+def best_passage(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: "Sequence[str]",
+    window: int = 16,
+    stride: int = 8,
+):
+    """Best query-matching passage per document: fixed ``window``-token
+    spans at ``stride`` offsets, scored by query-term occurrences, the
+    top span per document returned as ``(id, start, score, passage)``
+    (docs with zero hits are absent). The snippet stage of a retrieval
+    pipeline — BM25 says WHICH document, this says WHERE in it — and
+    the span-miner for passage-level curation (extract the topical
+    window, not the whole doc).
+
+    Deterministic and integer/string-exact (no floats anywhere):
+    windows start at multiples of ``stride``; score = hit-token count;
+    ties break to the EARLIEST window. Scale: tokens filter to the
+    query vocabulary before the shuffle, so the window-scoring join is
+    per-document tiny (hit positions × dl/stride starts), and the
+    passage slice joins back to one tokenized projection — everything
+    shuffles on the doc id only.
+    """
+    from pyspark.sql import Window, functions as F
+
+    if window < 1 or stride < 1:
+        raise ValueError(
+            f"window and stride must be >= 1, got {window}, {stride}"
+        )
+    qt = _normalize_query_terms(query_terms)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(tokenize(text_col), F.array()).alias("__toks"),
+    ).localCheckpoint(eager=True)  # feeds hits, window starts, AND the
+    # final passage slice — one tokenize, three consumers
+    hits = (
+        toks.select("id", F.posexplode("__toks").alias("pos", "term"))
+        .where(F.col("term").isin(qt))
+        .select("id", "pos")
+    )
+    wins = toks.select(
+        "id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("__toks") - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("s"),
+    )
+    scored = (
+        wins.join(
+            hits,
+            (wins["id"] == hits["id"])
+            & (hits["pos"] >= wins["s"])
+            & (hits["pos"] < wins["s"] + window),
+        )
+        .groupBy(wins["id"].alias("id"), "s")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("s").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        best.join(toks, "id")
+        .select(
+            "id",
+            F.col("s").alias("start"),
+            "score",
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("s") + 1, window)
+            ).alias("passage"),
+        )
+        .orderBy("id")
+    )
+
+
 def bm25_batch_topk(
     df,
     id_col: str,

@@ -7668,6 +7668,54 @@ def _bm25_chain(suffix: str, vocab_pred: str, dp: int = 6) -> str:
 
 
 @register(
+    "q_best_passage",
+    oracle=_TOKS_CTE
+    + f""",
+    hits AS (
+        SELECT id, pos FROM (
+            SELECT doc_id AS id,
+                   unnest(generate_series(1, len(toks))) AS i, toks
+            FROM toks)
+        , LATERAL (SELECT i - 1 AS pos, toks[i] AS term) l
+        WHERE l.term IN {_BM25_IN}),
+    wins AS (
+        SELECT doc_id AS id,
+               unnest(generate_series(0, greatest(len(toks) - 1, 0), 8))
+                   AS s
+        FROM toks),
+    scored AS (
+        SELECT w.id, w.s, count(*) AS score
+        FROM wins w JOIN hits h
+          ON h.id = w.id AND h.pos >= w.s AND h.pos < w.s + 16
+        GROUP BY w.id, w.s),
+    best AS (
+        SELECT id, s, score FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY id ORDER BY score DESC, s) = 1)
+    SELECT b.id, b.s AS start, b.score,
+           array_to_string(t.toks[b.s + 1 : b.s + 16], ' ') AS passage
+    FROM best b JOIN toks t ON t.doc_id = b.id
+    ORDER BY b.id
+    """,
+    description="Best-passage extraction (operators/text.py::"
+    "best_passage): per document, the 16-token window (stride 8) with "
+    "the most {vector, stream, merge} occurrences — BM25 says WHICH "
+    "document, this says WHERE in it; the span-miner for "
+    "passage-level curation. Integer/string-exact end to end (no "
+    "floats): hit counting, earliest-window tie-break, and the token "
+    "slice replay identically in SQL. Scale: tokens filter to the "
+    "query vocabulary before any shuffle, the scoring join is "
+    "per-document tiny, one tokenized projection feeds all three "
+    "consumers.",
+)
+def q_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _text.best_passage(
+        docs, "doc_id", "text", _BM25_TERMS, window=16, stride=8
+    )
+
+
+@register(
     "q_bm25_prf",
     oracle=_TOKS_CTE
     + f""",
@@ -8499,6 +8547,10 @@ _GRADING_ORDER = [
     # r11, tail: ingest-time L2 normalization (row-local transform; the
     # cosine retrieval class keeps full-registry coverage)
     "q_normalized_similarity",
+    # r11, tail: best-passage extraction (integer/string-exact snippet
+    # mining; the positional-gram class is graded via
+    # q_contaminated_spans)
+    "q_best_passage",
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",

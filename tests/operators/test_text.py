@@ -1225,3 +1225,67 @@ class TestBm25Prf:
             docs, "doc_id", "text", ["nonexistentterm"], topk=5
         ).collect()
         assert out == []
+
+
+class TestBestPassage:
+    def _docs(self, spark):
+        rows = [
+            # hits clustered at positions 16-18 -> window s=16 wins
+            (1, "a b c d e f g h i j k l m n o p spark spark spark z"),
+            # one hit at pos 0: windows s=0 wins (earliest tie-break
+            # over any other covering window)
+            (2, "spark a b c d e f g h i j"),
+            (3, "no hits here at all"),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_picks_densest_window_and_slices_it(self, spark):
+        from ons_utils_spark.operators.text import best_passage
+
+        out = {
+            r["id"]: r
+            for r in best_passage(
+                self._docs(spark), "doc_id", "text", ["spark"],
+                window=8, stride=8,
+            ).collect()
+        }
+        assert set(out) == {1, 2}  # doc 3 has no hits
+        assert out[1]["start"] == 16 and out[1]["score"] == 3
+        assert out[1]["passage"].split() == ["spark", "spark", "spark", "z"]
+        assert out[2]["start"] == 0 and out[2]["score"] == 1
+        assert out[2]["passage"].split()[0] == "spark"
+
+    def test_tie_breaks_to_earliest_window(self, spark):
+        from ons_utils_spark.operators.text import best_passage
+
+        df = spark.createDataFrame(
+            # one hit in window s=0 (pos 1) and one in s=8 (pos 9):
+            # equal score 1 -> earliest start wins
+            [(1, "x spark a b c d e f g spark h i")],
+            "doc_id bigint, text string",
+        )
+        r = best_passage(
+            df, "doc_id", "text", ["spark"], window=8, stride=8
+        ).collect()[0]
+        assert r["start"] == 0
+
+    def test_overlapping_strides_catch_straddlers(self, spark):
+        from ons_utils_spark.operators.text import best_passage
+
+        # Two hits at pos 6,7 straddle the s=0/s=8 boundary less well
+        # than the overlapping s=4 window that contains both plus pos 11.
+        df = spark.createDataFrame(
+            [(1, "a b c d e f spark spark c d e spark f g h i")],
+            "doc_id bigint, text string",
+        )
+        r = best_passage(
+            df, "doc_id", "text", ["spark"], window=8, stride=4
+        ).collect()[0]
+        assert r["start"] == 4 and r["score"] == 3
+
+    def test_validation(self, spark):
+        from ons_utils_spark.operators.text import best_passage
+
+        df = self._docs(spark)
+        with pytest.raises(ValueError, match="window and stride"):
+            best_passage(df, "doc_id", "text", ["spark"], window=0)

@@ -22,9 +22,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+IVF = "--ivf" in sys.argv
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _pos[0] if _pos else "/root/testdata/sf0.1"
 K = 10
 N_QUERIES = 50
+N_LISTS = 16
+PROBES = (1, 2, 4, 8, N_LISTS)
 
 
 def main() -> None:
@@ -37,11 +41,20 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     t0 = time.time()
-    vmin, vmax = sim.sq_train(emb, dim=64)
-    coded = {
-        r["id"]: list(r["codes"])
-        for r in sim.sq_encode(emb, vmin, vmax).collect()
-    }
+    lists = None
+    if IVF:
+        coded_df, coarse, vmin, vmax = sim.ivf_sq_build(
+            emb, dim=64, n_lists=N_LISTS, coarse_iter=2,
+        )
+        rows_ = coded_df.collect()
+        coded = {r["id"]: list(r["codes"]) for r in rows_}
+        lists = {r["id"]: r["__list"] for r in rows_}
+    else:
+        vmin, vmax = sim.sq_train(emb, dim=64)
+        coded = {
+            r["id"]: list(r["codes"])
+            for r in sim.sq_encode(emb, vmin, vmax).collect()
+        }
     build_s = time.time() - t0
 
     raw = {
@@ -60,6 +73,48 @@ def main() -> None:
     norms = np.sqrt(np.einsum("ij,ij->i", X, X))
     rng = np.random.default_rng(42)
     q_idx = rng.choice(n, size=N_QUERIES, replace=False)
+
+    if IVF:
+        import numpy as _np
+
+        L = _np.array([lists[i] for i in ids])
+        G = _np.asarray(
+            [[float(x) for x in c] for c in coarse]
+        )
+        results = {}
+        for n_probe in PROBES:
+            hits = cand_total = 0
+            for qi in q_idx:
+                q = X[qi]
+                cos = (X @ q) / (norms * norms[qi])
+                cos[qi] = -_np.inf
+                truth = set(ids[_np.argsort(-cos)[:K]])
+                gd = (_np.einsum("ij,ij->i", G, G) + q @ q
+                      - 2.0 * (G @ q))
+                probe = set(
+                    _np.lexsort((_np.arange(N_LISTS), gd))[:n_probe]
+                )
+                mask = _np.isin(L, list(probe))
+                mask[_np.searchsorted(ids, ids[qi])] = False
+                dh = Xhat - q
+                adc = _np.einsum("ij,ij->i", dh, dh)
+                adc[~mask] = _np.inf
+                n_cand = int(mask.sum())
+                got = set(ids[_np.argsort(adc)[:min(K, n_cand)]])
+                hits += len(truth & got)
+                cand_total += n_cand
+            results[f"n_probe={n_probe}"] = {
+                "recall@10": round(hits / (K * N_QUERIES), 3),
+                "scan_fraction": round(cand_total / N_QUERIES / n, 3),
+            }
+            print(json.dumps(
+                {f"n_probe={n_probe}": results[f"n_probe={n_probe}"]}
+            ), flush=True)
+        print(json.dumps({
+            "config": f"IVF{N_LISTS},SQ8", "build_s": round(build_s, 1),
+            "n": int(n), "results": results,
+        }))
+        return
 
     hits_l2 = hits_cos = 0
     max_rel_dist_err = 0.0

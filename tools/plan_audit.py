@@ -64,6 +64,10 @@ ALLOWED = {
     ("q_bm25_topk", "BroadcastNestedLoopJoin"),
     ("q_bm25_batch", "BroadcastNestedLoopJoin"),
     ("q_bm25_indexed", "BroadcastNestedLoopJoin"),
+    # PRF's stage-2 (expanded-query) scan is the same bm25_scores fold;
+    # stage 1 hides behind the contract-bounded collects, stage 2's
+    # 1-row stats broadcast lands in the final plan.
+    ("q_bm25_prf", "BroadcastNestedLoopJoin"),
     # Hybrid RRF inherits the lexical half's 1-row stats fold; the
     # fusion itself is equi-joins over k-row ranked lists.
     ("q_hybrid_retrieval", "BroadcastNestedLoopJoin"),

@@ -1601,6 +1601,21 @@ def ivf_pq_batch_topk(
             "adc_dist"
         ),
     )
+    return _two_phase_batch_topk(scored, topk, query_id_col)
+
+
+def _two_phase_batch_topk(scored, topk: int, query_id_col: str):
+    """The batch scorers' exact scalable per-query top-k over
+    ``(qid, id, adc_dist)``: phase 1 ranks within (query, deterministic
+    id-hash salt) buckets and keeps ``topk`` per bucket, phase 2 ranks
+    the ≤ ``64·topk`` survivors per query — no single reducer ever
+    sees a query's full probed-row stream, and the final (rounded
+    dist, id) ordering is identical to the single-query
+    ``orderBy().limit()``. Shared by :func:`ivf_pq_batch_topk` and
+    ``similarity.ivf_sq_batch_topk`` — one copy of the
+    exactness-critical reduction."""
+    from pyspark.sql import Window
+
     salt = F.pmod(F.xxhash64("id"), F.lit(64))
     w1 = Window.partitionBy("qid", salt).orderBy(
         F.col("adc_dist").asc(), F.col("id").asc()

@@ -117,6 +117,74 @@ def rrf_fuse(
     )
 
 
+def check_hybrid_store_sync(
+    spark, bm25_store_path: str, ivf_pq_store_path: str,
+) -> "Tuple[int | None, int | None]":
+    """Compare the two hybrid stores' ``max(batch_id)`` high-water
+    marks and WARN (never refuse) on divergence — making
+    ``hybrid_ingest_writer``'s documented one-trigger read skew
+    OBSERVABLE instead of silent: the maintainer appends both stores
+    under the SAME micro-batch id, so a lag of one batch is legal
+    between the two appends of a live trigger, but a maintainer that
+    died permanently between them leaves one store ahead FOREVER, and
+    nothing else would ever say so.
+
+    Returns ``(bm25_max, ann_max)`` (``None`` for a store with no
+    batch partitions yet). Cost: two partition-column aggregates —
+    file listing, no data read. Skew is legal, so serving proceeds;
+    the warning tells the operator to restart (or repair) the
+    maintainer, whose replay of the missing batch heals the lag.
+    """
+    import warnings
+
+    from ons_utils_spark.operators.pq import (
+        _load_index_with_meta, _table_generation,
+    )
+
+    bm25_max = (
+        spark.read.parquet(f"{bm25_store_path}/stats")
+        .agg(F.max("batch_id"))
+        .collect()[0][0]
+    )
+    index, meta = _load_index_with_meta(
+        spark, f"{ivf_pq_store_path}/index"
+    )
+    generation = _table_generation(meta, index)
+    coded = spark.read.parquet(
+        f"{ivf_pq_store_path}/coded_{generation}"
+    )
+    ann_max = (
+        coded.agg(F.max("batch_id")).collect()[0][0]
+        if "batch_id" in coded.columns else None
+    )
+    if bm25_max != ann_max:
+        warnings.warn(
+            f"hybrid store skew: BM25 index at {bm25_store_path!r} has "
+            f"max batch_id {bm25_max} but the IVF×PQ table at "
+            f"{ivf_pq_store_path!r} has {ann_max} — legal for one "
+            "trigger interval while the maintainer runs, but if it is "
+            "stopped this lag is permanent; restarting it replays the "
+            "missing batch and heals the stores",
+            stacklevel=2,
+        )
+    return bm25_max, ann_max
+
+
+def load_hybrid_stores(spark, bm25_store_path: str, ivf_pq_store_path: str):
+    """Load BOTH hybrid serving stores for :func:`hybrid_batch_topk` →
+    ``(postings, stats, coded, index)`` — the incremental BM25 fold
+    (witness-validated) plus the IVF×PQ serving table — after running
+    :func:`check_hybrid_store_sync`, so a permanently-skewed pair warns
+    at the moment someone starts serving from it."""
+    from ons_utils_spark.operators.pq import load_ivf_pq_table
+    from ons_utils_spark.operators.text import load_bm25_index_incremental
+
+    check_hybrid_store_sync(spark, bm25_store_path, ivf_pq_store_path)
+    postings, stats = load_bm25_index_incremental(spark, bm25_store_path)
+    coded, index = load_ivf_pq_table(spark, ivf_pq_store_path)
+    return postings, stats, coded, index
+
+
 def hybrid_batch_topk(
     postings: SparkDF,
     stats: SparkDF,

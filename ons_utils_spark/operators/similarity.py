@@ -262,14 +262,29 @@ def normalize_embeddings(
     Row-local ``zip_with``/``aggregate`` fold — zero shuffle, zero
     Python; the norm is materialized as a column first so Spark's
     lambda-blind subexpression elimination can't re-evaluate the O(d)
-    fold once per element. Zero vectors raise at the first action (a
-    silent NULL or 0-vector would corrupt every downstream distance).
+    fold once per element. Zero vectors AND NULL vectors (a NULL
+    array, or a NULL element — either propagates a NULL norm, which
+    would otherwise flow a silent NULL output vector into every
+    downstream distance) raise at the first action.
     """
     out = out_col or vec_col
+    # Collision-safe temp name — a user column literally named __norm
+    # must not be silently consumed and dropped.
+    tmp = "__norm"
+    while tmp in df.columns:
+        tmp += "_"
     norm = array_l2_norm(F.col(vec_col))
+    # The NULL check must sit OUTSIDE any array lambda: transform(NULL,
+    # f) short-circuits to NULL without evaluating f (and Catalyst
+    # inlines the collapsed temp column into the lambda), so a guard
+    # folded into the norm column never fires for a NULL array. A
+    # top-level when() condition always evaluates.
+    has_null = F.col(vec_col).isNull() | F.coalesce(
+        F.exists(F.col(vec_col), lambda x: x.isNull()), F.lit(True)
+    )
     return (
         df.withColumn(
-            "__norm",
+            tmp,
             F.when(
                 norm == 0.0,
                 F.raise_error(F.concat(
@@ -281,12 +296,21 @@ def normalize_embeddings(
         )
         .withColumn(
             out,
-            F.transform(
-                F.col(vec_col),
-                lambda x: x.cast("double") / F.col("__norm"),
+            F.when(
+                has_null,
+                F.raise_error(F.concat(
+                    F.lit("normalize_embeddings: NULL vector or NULL "
+                          "element — the norm is undefined; drop or "
+                          "repair the row upstream"),
+                )).cast("array<double>"),
+            ).otherwise(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: x.cast("double") / F.col(tmp),
+                )
             ),
         )
-        .drop("__norm")
+        .drop(tmp)
     )
 
 
@@ -312,12 +336,32 @@ def sq_train(
     """
     aggs = []
     for i in range(dim):
-        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        # try_element_at: a short vector yields NULL here (not an ANSI
+        # out-of-bounds error mid-aggregate) so the malformed-corpus
+        # guard below owns the failure, with a real message.
+        e = F.try_element_at(F.col(vec_col), F.lit(i + 1)).cast("double")
         aggs.append(F.min(e).alias(f"mn{i}"))
         aggs.append(F.max(e).alias(f"mx{i}"))
+    # Malformed rows counted in the SAME one aggregation pass: min/max
+    # SKIP NULLs, so a mixed-length corpus (or NULL elements) would
+    # otherwise train a plausible grid that sq_encode's zip_with then
+    # silently truncates short rows against (ADVICE r11).
+    bad_vec = (
+        F.col(vec_col).isNull()
+        | (F.size(vec_col) != dim)
+        | F.exists(vec_col, lambda x: x.isNull())
+    )
+    aggs.append(F.sum(bad_vec.cast("int")).alias("__bad"))
     row = df.agg(*aggs).collect()[0]
-    if row[0] is None:
+    if row[0] is None and not row["__bad"]:
         raise ValueError("sq_train on an empty corpus — nothing to train")
+    if row["__bad"]:
+        raise ValueError(
+            f"sq_train: {row['__bad']} vector(s) are NULL, carry a NULL "
+            f"element, or are not {dim}-dim — training on them would "
+            "produce a grid sq_encode silently truncates short rows "
+            "against; fix the corpus upstream"
+        )
     return (
         [float(row[f"mn{i}"]) for i in range(dim)],
         [float(row[f"mx{i}"]) for i in range(dim)],
@@ -418,9 +462,16 @@ def sq_adc_topk(
     decoded = F.zip_with(scaled, mn_arr, lambda s, mn: mn + s)
     diffs = F.zip_with(q_arr, decoded, lambda a, b: (a - b) * (a - b))
     dist = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    # NULL codes raise with the offending id (pq._guard_literal_score —
+    # same message as the batch scorer's Arrow-side _codes_matrix), not
+    # a NULL distance that asc-sorts FIRST and silently tops the list.
+    from ons_utils_spark.operators.pq import _guard_literal_score
+
     return (
         codes.select(
-            "id", F.round(dist, round_dp).alias("adc_dist")
+            "id", F.round(_guard_literal_score(dist), round_dp).alias(
+                "adc_dist"
+            )
         )
         .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
         .limit(topk)
@@ -583,13 +634,21 @@ def make_sq_index(
 _SQ_INDEX_FORMAT_VERSION = 1
 
 
-def save_sq_index(spark, index: SqIndex, path: str) -> None:
+def save_sq_index(
+    spark, index: SqIndex, path: str,
+    coded_generation: "str | None" = None,
+) -> None:
     """Persist a :class:`SqIndex` as two small parquet tables under
     ``path`` — ``vectors/`` (coarse centroids + the two grid rows) and
     ``meta/`` (geometry + fingerprint), meta written LAST so a crash
     mid-save leaves a store :func:`load_sq_index` rejects rather than
     a silently truncated index. Same non-ACID overwrite stance as the
-    PQ index store."""
+    PQ index store.
+
+    ``coded_generation`` is :func:`save_sq_table`'s commit record —
+    the name of the coded directory THIS index write pairs with
+    (fingerprint + per-save nonce). NULL for standalone index stores.
+    """
     rows = [
         ("coarse", j, c) for j, c in enumerate(index.coarse_centroids)
     ] + [("vmin", 0, index.vmin), ("vmax", 0, index.vmax)]
@@ -599,10 +658,10 @@ def save_sq_index(spark, index: SqIndex, path: str) -> None:
     meta = spark.createDataFrame(
         [(
             _SQ_INDEX_FORMAT_VERSION, index.round_dp, index.n_lists,
-            index.dim, index.fingerprint,
+            index.dim, index.fingerprint, coded_generation,
         )],
         "format_version int, round_dp int, n_lists int, dim int, "
-        "fingerprint string",
+        "fingerprint string, coded_generation string",
     )
     vectors.coalesce(1).write.mode("overwrite").parquet(f"{path}/vectors")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -614,6 +673,13 @@ def load_sq_index(spark, path: str) -> SqIndex:
     (parquet round-trips doubles bit-exactly — a mismatch means
     corruption, and serving with it would return plausible-looking
     garbage). The collect is index-geometry-sized."""
+    return _load_sq_index_with_meta(spark, path)[0]
+
+
+def _load_sq_index_with_meta(spark, path: str):
+    """:func:`load_sq_index` plus the raw meta row — the table loaders
+    need ``coded_generation`` without a second read of the meta
+    parquet (the PQ family's ``_load_index_with_meta`` twin)."""
     meta_rows = spark.read.parquet(f"{path}/meta").collect()
     if len(meta_rows) != 1:
         raise ValueError(
@@ -659,10 +725,11 @@ def load_sq_index(spark, path: str) -> SqIndex:
             f"(stored {meta['fingerprint']}, recomputed {got}) — "
             "refusing to serve from a corrupted index"
         )
-    return SqIndex(
+    index = SqIndex(
         coarse_centroids=coarse, vmin=grids["vmin"], vmax=grids["vmax"],
         round_dp=int(meta["round_dp"]), fingerprint=got,
     )
+    return index, meta
 
 
 def ivf_sq_encode(
@@ -724,6 +791,352 @@ def ivf_sq_query(
     )
 
 
+def _require_ivf_sq_index(index: SqIndex, what: str) -> None:
+    if not index.coarse_centroids:
+        raise ValueError(
+            f"index has no coarse centroids (plain-SQ index) — {what} "
+            "needs probe selection over a __list-partitioned table; "
+            "use sq_adc_topk for plain-SQ serving"
+        )
+
+
+def save_sq_table(coded: SparkDF, index: SqIndex, path: str) -> None:
+    """Persist the WHOLE IVF×SQ serving artifact in one call — the SQ
+    twin of :func:`pq.save_ivf_pq_table`, same commit protocol: the
+    coded table lands partitioned ``batch_id=-1/__list=<j>/`` under a
+    fingerprint+nonce-keyed ``<path>/coded_<generation>`` directory
+    (probe filters prune whole partition directories; the nonce means
+    even a same-index re-save or a re-encoded corpus never overwrites
+    the live directory in place), and the index write — which records
+    that generation name — is the commit point. A crash in between
+    leaves the OLD index paired with the OLD coded generation, both
+    untouched. Superseded ``coded_*`` directories are deleted
+    best-effort after the commit; stragglers are never read.
+    """
+    if "__list" not in coded.columns:
+        raise ValueError(
+            "coded table has no __list column — save_sq_table persists "
+            "an IVF×SQ build (ivf_sq_build output); for plain SQ codes "
+            "save the index alone and write the codes yourself"
+        )
+    _require_ivf_sq_index(index, "save_sq_table")
+    import uuid
+
+    generation = f"{index.fingerprint}_{uuid.uuid4().hex[:8]}"
+    (
+        # Static overwrite: the nonce makes the target fresh, but a
+        # session's dynamic partitionOverwriteMode must never change
+        # what a re-save of an existing path means (the PQ rule).
+        coded.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id", "__list")
+        .parquet(f"{path}/coded_{generation}")
+    )
+    save_sq_index(
+        coded.sparkSession, index, f"{path}/index",
+        coded_generation=generation,
+    )
+    # Commit done — drop superseded coded_* generations (best-effort: a
+    # failure here leaves unread garbage, never a wrong answer).
+    from pyarrow import fs as pafs
+
+    from ons_utils_spark.sources.store import _resolve_fs
+
+    try:
+        filesystem, root = _resolve_fs(path)
+        keep = f"coded_{generation}"
+        for info in filesystem.get_file_info(
+            pafs.FileSelector(root, recursive=False)
+        ):
+            if (
+                info.type == pafs.FileType.Directory
+                and info.base_name.startswith("coded_")
+                and info.base_name != keep
+            ):
+                filesystem.delete_dir(info.path)
+    except Exception:  # noqa: BLE001 — cleanup only, commit already done
+        pass
+
+
+def _sq_table_generation(meta, store_path: str) -> str:
+    """The coded generation an SQ index's (already-loaded) meta row
+    committed with; raises for index-only stores (unlike the PQ
+    family there is no pre-nonce SQ table layout to fall back to)."""
+    gen = (
+        meta["coded_generation"] if "coded_generation" in meta else None
+    )
+    if gen is None:
+        raise ValueError(
+            f"SQ index at {store_path!r} carries no coded-generation "
+            "commit record — it is an index-only store "
+            "(save_sq_index), not a serving table; create one with "
+            "save_sq_table"
+        )
+    return gen
+
+
+def load_sq_table(spark, path: str) -> "tuple[SparkDF, SqIndex]":
+    """Load a serving artifact written by :func:`save_sq_table` (plus
+    any :func:`ivf_sq_table_append` batches) → ``(coded, index)`` ready
+    for :func:`ivf_sq_query` / :func:`ivf_sq_batch_topk`. The index is
+    fingerprint-validated and PICKS the coded generation it committed
+    with — a torn save can never serve a mismatched or partially
+    written pair. The ``batch_id`` growth partitioning is a storage
+    detail, projected away; ``__list`` probe filters still land in
+    PartitionFilters."""
+    index, meta = _load_sq_index_with_meta(spark, f"{path}/index")
+    generation = _sq_table_generation(meta, path)
+    coded_path = f"{path}/coded_{generation}"
+    try:
+        coded = spark.read.parquet(coded_path)
+    except Exception as exc:
+        raise ValueError(
+            f"SQ index at {path!r} points to coded generation "
+            f"{generation} but {coded_path!r} is unreadable — either "
+            "the store was torn by a crash or manual edit (re-run "
+            "save_sq_table), or the base save was EMPTY and nothing "
+            "has been appended yet (an empty parquet write carries no "
+            "schema; the first ivf_sq_table_append must land before "
+            "the first load)"
+        ) from exc
+    if "batch_id" in coded.columns:
+        coded = coded.select("id", "codes", "__list")
+    return coded, index
+
+
+def ivf_sq_table_append(
+    df: SparkDF,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: "int | None" = None,
+    method: str = "auto",
+) -> None:
+    """Append one batch of NEW vectors to a :func:`save_sq_table`
+    store — the SQ twin of :func:`pq.ivf_pq_table_append`, identical
+    contract: the batch is encoded with the STORED index
+    (:func:`ivf_sq_encode` — no retraining, every persisted code stays
+    valid; out-of-grid values clamp to the grid edges, FAISS SQ's
+    out-of-sample rule) and lands as a ``batch_id`` partition inside
+    the live coded generation, so :func:`load_sq_table` serves the
+    union bit-identically to a one-shot build-and-save (pinned in
+    tests) with ``__list`` pruning intact.
+
+    Every vector must be NEW to the store (appended rows are plain
+    additional serving rows). A streaming replay (same non-negative
+    ``batch_id``) statically overwrites exactly its own partition —
+    exactly-once under checkpointed retries; sentinel appends
+    (``batch_id=None`` → ``batch_id=-1``) are NOT retry-safe. The
+    batch is validated in ONE aggregate pass before anything is
+    written: NULL vectors/elements and dimension mismatches raise; an
+    empty SENTINEL batch raises (caller mistake); an empty batch WITH
+    an id truncates its own partition (the replay-truncate rule — a
+    streaming maintainer never crash-loops on an empty micro-batch).
+    """
+    spark = df.sparkSession
+    index, meta = _load_sq_index_with_meta(spark, f"{store_path}/index")
+    generation = _sq_table_generation(meta, store_path)
+    _require_ivf_sq_index(index, "ivf_sq_table_append")
+    if batch_id is not None and int(batch_id) < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}) — negative ids "
+            "collide with the base-save sentinel partition batch_id=-1"
+        )
+    bad_vec = (
+        F.col(vec_col).isNull()
+        | (F.size(vec_col) != index.dim)
+        | F.exists(vec_col, lambda x: x.isNull())
+    )
+    chk = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(bad_vec.cast("int")).alias("bad"),
+    ).collect()[0]
+    if chk["n"] == 0 and batch_id is None:
+        raise ValueError("append batch is empty — nothing to encode")
+    if chk["bad"]:
+        raise ValueError(
+            f"append batch has {chk['bad']} row(s) whose {vec_col!r} is "
+            f"NULL, has a NULL element, or is not {index.dim}-dim — the "
+            "stored index cannot encode them; fix the batch upstream"
+        )
+    coded = ivf_sq_encode(df, index, id_col, vec_col, method=method)
+    target = f"{store_path}/coded_{generation}"
+    if batch_id is None:
+        (
+            coded.withColumn("batch_id", F.lit(-1))
+            .write.mode("append")
+            .partitionBy("batch_id", "__list")
+            .parquet(target)
+        )
+        return
+    (
+        # partitionOverwriteMode pinned STATIC at the writer — the PQ
+        # twin's replay-truncate guarantee: a replay overwrites its
+        # WHOLE batch partition whatever __list spread this run has.
+        coded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("__list")
+        .parquet(f"{target}/batch_id={int(batch_id)}")
+    )
+
+
+def ivf_sq_table_compact(spark, store_path: str) -> None:
+    """Compact an incrementally-grown IVF×SQ serving table — the SQ
+    twin of :func:`pq.ivf_pq_table_compact`: collapse the generation's
+    ``batch_id`` partitions to the sentinel ``batch_id=-1/__list=<j>/``
+    layout via ``compact_store``'s crash-repairing rename-aside swap.
+    Values unchanged, ``__list`` pruning keeps its directory structure,
+    the index artifact (and its generation pairing) untouched.
+
+    **Writer-stopped caveat** (as for the PQ/BM25 twins): a
+    checkpointed replay of a compacted ``batch_id`` would re-APPEND
+    those vectors — compact only while the streaming maintainer is
+    stopped and its checkpoint has advanced past every compacted batch.
+    """
+    from ons_utils_spark.sources.store import compact_store
+
+    _, meta = _load_sq_index_with_meta(spark, f"{store_path}/index")
+    generation = _sq_table_generation(meta, store_path)
+    coded, _ = load_sq_table(spark, store_path)
+    compact_store(
+        coded, f"{store_path}/coded_{generation}",
+        partition_cols=("batch_id", "__list"),
+    )
+
+
+def ivf_sq_batch_topk(
+    coded: SparkDF,
+    index: SqIndex,
+    queries: SparkDF,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    topk: int = 10,
+) -> SparkDF:
+    """Approximate top-``k`` for EVERY query in a query TABLE →
+    ``(query_id, id, adc_dist)`` — the batch retrieval shape for the
+    IVF×SQ family, completing the codec matrix's serving parity with
+    :func:`pq.ivf_pq_batch_topk`.
+
+    SIMPLER than the PQ batch scorer by construction: SQ has no
+    per-query lookup tables — the decode constants are the stored grid,
+    shared by every query — so the driver stage is probe selection
+    only (one vectorized ``q·q + c·c − 2·q·c`` fold over the coarse
+    centroids, same dimension-major IEEE order as the single-query
+    ``_py_dot`` loop, stable argsort for the low-id tie-break) and the
+    mapInPandas closure ships just the grid + the query matrix +
+    per-query sorted probe lists (O(n_q · (dim + n_probe)) — no LUT
+    closure cap needed). The scan reads the UNION of all probed lists
+    (pushdown-able ``__list IN (...)`` — partition pruning holds on a
+    ``__list``-partitioned table); one Arrow pass decodes each batch's
+    codes ONCE (``x̂ = vmin + code·Δ``, the same two elementwise
+    roundings as the ``zip_with`` expression) and scores each row
+    against exactly the queries probing its list with the sequential
+    dimension-major squared-difference fold — bit-identical to
+    :func:`sq_adc_topk`'s ``aggregate`` fold (pinned in tests). NULL
+    codes raise with the offending id (``pq._codes_matrix`` — the same
+    message as the single-query guard). Top-k is the shared exact
+    two-phase per-query window (``pq._two_phase_batch_topk``). Per
+    query, results are bit-identical to :func:`ivf_sq_query`.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ons_utils_spark.operators.pq import (
+        _check_query_ids,
+        _codes_matrix,
+        _fold_dots,
+        _fold_sq,
+        _two_phase_batch_topk,
+    )
+
+    _require_ivf_sq_index(index, "batch retrieval")
+    rows = queries.select(query_id_col, vec_col).collect()
+    _check_query_ids([r[0] for r in rows], query_id_col)
+    qids = [r[0] for r in rows]
+    dim = index.dim
+    for r in rows:
+        x = r[vec_col]
+        if x is None or any(v is None for v in x):
+            raise ValueError(
+                f"query {r[0]!r} has a NULL {vec_col!r} vector or a "
+                "NULL element — every query needs a complete vector"
+            )
+        if len(x) != dim:
+            raise ValueError(
+                f"query {r[0]!r} dim {len(x)} != index dim {dim}"
+            )
+    n_q = len(rows)
+    Q = np.asarray(
+        [[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64
+    )
+    CC = np.asarray(index.coarse_centroids, dtype=np.float64)
+    dist = (
+        _fold_sq(Q)[:, None] + _fold_sq(CC)[None, :]
+    ) - 2.0 * _fold_dots(Q, CC)
+    probe_mat = np.argsort(dist, axis=1, kind="stable")[:, :n_probe]
+    np_eff = probe_mat.shape[1]
+    union_lists = sorted(int(v) for v in np.unique(probe_mat))
+    filtered = coded.where(F.col("__list").isin(union_lists))
+    probe_sorted = np.sort(probe_mat, axis=1)
+    mn = np.asarray(index.vmin, dtype=np.float64)
+    deltas = np.asarray(_sq_deltas(index.vmin, index.vmax), dtype=np.float64)
+    round_dp = index.round_dp
+
+    qid_field = queries.schema[query_id_col].dataType
+    schema = StructType([
+        StructField("qid", qid_field),
+        StructField("id", coded.schema["id"].dataType),
+        StructField("__adc_sum", DoubleType()),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            C = _codes_matrix(pdf["codes"], pdf["id"])
+            # Decode ONCE per batch, shared by every query: scaled =
+            # code·Δ then mn + scaled — the zip_with expression's two
+            # elementwise roundings in the same order.
+            decoded = mn[None, :] + C.astype(np.float64) * deltas[None, :]
+            lists = pdf["__list"].to_numpy(dtype=np.int64)
+            ids = pdf["id"].to_numpy()
+            out_qid, out_id, out_s = [], [], []
+            for qi in range(n_q):
+                sl = probe_sorted[qi]
+                si = np.minimum(np.searchsorted(sl, lists), np_eff - 1)
+                mask = sl[si] == lists
+                if not mask.any():
+                    continue
+                d = Q[qi][None, :] - decoded[mask]
+                sq = d * d
+                # Sequential dimension-major fold from 0.0 — the IEEE
+                # image of F.aggregate(diffs, 0.0, acc + x).
+                s = np.zeros(sq.shape[0], dtype=np.float64)
+                for di in range(sq.shape[1]):
+                    s += sq[:, di]
+                out_qid.append(np.full(int(mask.sum()), qids[qi]))
+                out_id.append(ids[mask])
+                out_s.append(s)
+            if not out_qid:
+                continue
+            yield pd.DataFrame({
+                "qid": np.concatenate(out_qid),
+                "id": np.concatenate(out_id),
+                "__adc_sum": np.concatenate(out_s),
+            })
+
+    scored = filtered.mapInPandas(gen, schema).select(
+        "qid", "id",
+        F.round(F.col("__adc_sum"), round_dp).alias("adc_dist"),
+    )
+    return _two_phase_batch_topk(scored, topk, query_id_col)
+
+
 #: Largest candidate shortlist mmr_rerank will greedy-select over. MMR
 #: is O(n_cand × k × d) driver arithmetic over a retrieval output — a
 #: shortlist wider than this is a retrieval bug, not a rerank workload,
@@ -777,16 +1190,38 @@ def mmr_rerank(
 
     if not 0.0 <= lambda_ <= 1.0:
         raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
-    n_cand = candidates.count()
+    # ONE execution of the candidates lineage (ADVICE r11: the previous
+    # count()+collect() pair re-ran the whole upstream retrieval chain
+    # — two index-store reads + fusion in the hybrid pipeline — once
+    # per action): checkpoint the k-row projection, then the bound
+    # check and the collect both read the materialized rows.
+    cand = candidates.select(cand_id_col, score_col).localCheckpoint(
+        eager=True
+    )
+    n_cand = cand.count()
     if n_cand > _MMR_MAX_CANDIDATES:
         raise ValueError(
             f"mmr_rerank got {n_cand} candidates — the greedy stage is "
             f"driver-side and contract-bounded at {_MMR_MAX_CANDIDATES}; "
             "tighten the retrieval top-k (or raise the bound consciously)"
         )
-    cand_rows = candidates.select(cand_id_col, score_col).collect()
+    cand_rows = cand.collect()
     rel = {r[cand_id_col]: float(r[score_col]) for r in cand_rows}
     ids = [r[cand_id_col] for r in cand_rows]
+    if len(rel) != len(ids):
+        # A duplicate id would keep both entries in `ids` but collapse
+        # to one rel — the greedy loop could then pick the same id
+        # twice (ADVICE r11). Duplicates mean a malformed shortlist.
+        import collections
+
+        dupes = [
+            i for i, c in collections.Counter(ids).items() if c > 1
+        ]
+        raise ValueError(
+            f"mmr_rerank got duplicate candidate id(s) (first: "
+            f"{dupes[:5]}) — a retrieval shortlist must be unique "
+            "per id; dedup it upstream"
+        )
     spark = candidates.sparkSession
     # id dtype follows the candidates (bigint vec ids, string doc ids…)
     id_type = candidates.schema[cand_id_col].dataType.simpleString()

@@ -898,6 +898,114 @@ def bm25_prf_topk(
     )
 
 
+def bm25_prf_topk_indexed(
+    postings,
+    stats,
+    query_terms: "Sequence[str]",
+    topk: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """:func:`bm25_prf_topk` answered ENTIRELY from a prebuilt inverted
+    index — zero corpus scans, zero tokenizes: stage 1 is
+    :func:`bm25_topk_indexed` (pruned postings read), the expansion
+    terms are mined from the POSTINGS of the ``fb_docs`` feedback
+    documents (``Σ tf`` per term is exactly the token-occurrence count
+    the scan form explodes the raw text for — the index denormalized
+    it at build time), and stage 2 re-runs the indexed scorer with the
+    wider term list. Bit-identical to the scan form on the same corpus
+    (indexed scoring ≡ scan scoring is pinned; the expansion ranking
+    sums the same integers) — measured speedup in SCALING.md §PRF.
+
+    The feedback-postings read filters by document id, not term — on a
+    term-sorted store that is one un-pruned pass over the postings
+    (index-sized, not corpus-sized); a deployment doing heavy PRF
+    should keep a second id-sorted postings copy, the standard
+    row/column-organization trade.
+
+    Returns the stage-2 ``(id, bm25)`` top-``topk``.
+    """
+    from pyspark.sql import functions as F
+
+    qt = _normalize_query_terms(query_terms)
+    fb_ids = [
+        r["id"]
+        for r in bm25_topk_indexed(
+            postings, stats, qt, topk=fb_docs, k1=k1, b=b,
+            round_dp=round_dp,
+        ).collect()
+    ]
+    expansion: "list[str]" = []
+    if fb_ids:
+        expansion = [
+            r["term"]
+            for r in (
+                postings.where(F.col("id").isin(fb_ids))
+                .where(~F.col("term").isin(list(qt)))
+                .groupBy("term")
+                .agg(F.sum("tf").alias("w"))
+                .orderBy(F.col("w").desc(), F.col("term").asc())
+                .limit(fb_terms)
+                .collect()
+            )
+        ]
+    return bm25_topk_indexed(
+        postings, stats, list(qt) + expansion, topk=topk,
+        k1=k1, b=b, round_dp=round_dp,
+    )
+
+
+def retrieve_passages(
+    df,
+    postings,
+    stats,
+    id_col: str,
+    text_col: str,
+    query_terms: "Sequence[str]",
+    topk: int = 10,
+    window: int = 16,
+    stride: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """Retrieve-then-extract: :func:`bm25_topk_indexed` picks the
+    ``topk`` documents from the inverted index (no corpus scan), then
+    :func:`best_passage` mines each retrieved document's best
+    query-matching span — with the retrieved ids pushed into the
+    corpus scan as an ``In`` literal BEFORE the tokenize, so passage
+    extraction tokenizes ``topk`` documents of a 100 TB corpus, never
+    the corpus (the ``q_curation_pipeline`` slice pattern).
+
+    Returns ``(id, bm25, start, score, passage)`` ordered by
+    ``(bm25 desc, id)`` — every retrieved document is present (a
+    positive BM25 score implies ≥ 1 query-term hit, so
+    :func:`best_passage` always finds a window).
+    """
+    from pyspark.sql import functions as F
+
+    qt = _normalize_query_terms(query_terms)
+    stage1 = bm25_topk_indexed(
+        postings, stats, qt, topk=topk, k1=k1, b=b, round_dp=round_dp
+    )
+    cand_rows = stage1.collect()
+    spark = df.sparkSession
+    cand = spark.createDataFrame(cand_rows, stage1.schema)
+    ids = [r["id"] for r in cand_rows]
+    sliced = df.where(F.col(id_col).isin(ids))
+    passages = best_passage(
+        sliced, id_col, text_col, qt, window=window, stride=stride
+    )
+    return (
+        passages.join(F.broadcast(cand), "id")
+        .select("id", "bm25", "start", "score", "passage")
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+    )
+
+
 def best_passage(
     df,
     id_col: str,
@@ -927,6 +1035,15 @@ def best_passage(
     if window < 1 or stride < 1:
         raise ValueError(
             f"window and stride must be >= 1, got {window}, {stride}"
+        )
+    if window < stride:
+        # Positions in [s+window, s+stride) would be covered by NO
+        # window — a document whose only hits fall in such a gap would
+        # silently vanish from the output (ADVICE r11).
+        raise ValueError(
+            f"window ({window}) must be >= stride ({stride}) — a "
+            "smaller window leaves token positions no span covers, "
+            "silently dropping documents whose hits fall in the gaps"
         )
     qt = _normalize_query_terms(query_terms)
     toks = df.select(

@@ -375,6 +375,47 @@ def ivf_pq_ingest_writer(
     )
 
 
+def ivf_sq_ingest_writer(
+    stream_df,
+    store_path: str,
+    *,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+):
+    """Maintain a persisted IVF×SQ serving table over a vector stream —
+    the SQ twin of :func:`ivf_pq_ingest_writer`, identical contract:
+    each micro-batch is encoded with the STORED index
+    (``operators/similarity.py::ivf_sq_encode`` — no retraining,
+    out-of-grid values clamp to the grid edges) and appended as its own
+    ``batch_id`` partition inside the live coded generation
+    (``ivf_sq_table_append``). ``load_sq_table`` → ``ivf_sq_query`` /
+    ``ivf_sq_batch_topk`` then serve everything ingested so far,
+    bit-identical to a one-shot build over the full corpus.
+
+    The store must already exist (``save_sq_table`` — grid and coarse
+    centroids trained once, offline). A checkpointed replay statically
+    overwrites exactly its own ``batch_id`` partition — at-least-once
+    delivery becomes effectively exactly-once — which is why
+    ``checkpoint_dir`` is REQUIRED; empty micro-batches truncate their
+    own partition (the append's replay-truncate rule).
+    """
+
+    def process(batch, batch_id: int) -> None:
+        from ons_utils_spark.operators.similarity import ivf_sq_table_append
+
+        ivf_sq_table_append(
+            batch, store_path, id_col=id_col, vec_col=vec_col,
+            batch_id=batch_id, method=method,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def hybrid_ingest_writer(
     stream_df,
     bm25_store_path: str,

@@ -322,6 +322,19 @@ class TestMmrRerank:
         ).collect()
         assert got[0]["id"] == "a" and got[1]["id"] == "c"
 
+    def test_duplicate_candidate_ids_raise(self, spark):
+        """ADVICE r11: a duplicate id would collapse in the rel dict
+        while staying twice in the pick list — the greedy loop could
+        select the same id twice. Malformed shortlists must raise."""
+        from ons_utils_spark.operators.similarity import mmr_rerank
+
+        df = _vectors(spark)
+        cand = spark.createDataFrame(
+            [(1, 1.0), (1, 0.9), (3, 0.5)], "id bigint, cos_sim double"
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            mmr_rerank(cand, df, k=2)
+
 
 class TestScalarQuantizer:
     """sq_train / sq_encode / sq_adc_topk — trained per-dimension SQ8."""
@@ -796,3 +809,381 @@ class TestNormalizeEmbeddings:
         df = _vectors(spark)
         out = normalize_embeddings(df, out_col="unit").columns
         assert "embedding" in out and "unit" in out
+
+    def test_null_vector_or_element_raises(self, spark):
+        """ADVICE r11: NULL arrays / NULL elements must raise like the
+        zero vector does, not flow a silent NULL output vector."""
+        from ons_utils_spark.operators.similarity import normalize_embeddings
+
+        null_arr = spark.createDataFrame(
+            [(1, None)], "vec_id bigint, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="NULL"):
+            normalize_embeddings(null_arr).collect()
+        null_el = spark.createDataFrame(
+            [(1, [1.0, None])], "vec_id bigint, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="NULL"):
+            normalize_embeddings(null_el).collect()
+
+    def test_user_norm_column_survives(self, spark):
+        """ADVICE r11: the internal temp column must not clobber (or
+        silently drop) a user column literally named __norm."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.similarity import normalize_embeddings
+
+        df = _vectors(spark).withColumn("__norm", F.lit(42.0))
+        out = normalize_embeddings(df, out_col="unit")
+        assert "__norm" in out.columns
+        assert out.select("__norm").distinct().collect()[0][0] == 42.0
+
+
+class TestSqTrainGuards:
+    def test_short_vector_names_dimension(self, spark):
+        """ADVICE r11: vectors shorter than dim must raise a sized
+        error naming the dimension, not a raw float(None) TypeError
+        (and never train a grid sq_encode would truncate against)."""
+        from ons_utils_spark.operators.similarity import sq_train
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match="not 3-dim"):
+            sq_train(df, dim=3)
+
+    def test_null_element_names_dimension(self, spark):
+        from ons_utils_spark.operators.similarity import sq_train
+
+        df = spark.createDataFrame(
+            [(1, [1.0, None]), (2, [1.0, None])],
+            "vec_id bigint, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            sq_train(df, dim=2)
+
+
+def _sq_split_store(spark, tmp_path, n=40, dim=8):
+    """Index trained on the FULL corpus; base save holds the front
+    half, the back half arrives later as appends — the SQ twin of
+    test_pq.TestIvfPqTableAppend._split_store."""
+    from ons_utils_spark.operators.similarity import (
+        ivf_sq_build, make_sq_index, save_sq_table,
+    )
+
+    vecs = [
+        [((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)]
+        for i in range(n)
+    ]
+    full = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    coded, coarse, vmin, vmax = ivf_sq_build(
+        full, dim=dim, n_lists=4, coarse_iter=1
+    )
+    idx = make_sq_index(coarse, vmin, vmax)
+    path = str(tmp_path / "serve")
+    save_sq_table(coded.where("id < 20"), idx, path)
+    return vecs, full, coded, idx, path
+
+
+class TestSqTableAppend:
+    """save_sq_table / ivf_sq_table_append / load_sq_table — the SQ
+    serving-table maintenance parity with the PQ twin: union ≡ one-shot
+    build, replay idempotence, pruning intact."""
+
+    def test_append_union_equals_oneshot(self, spark, tmp_path):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, idx, path = _sq_split_store(spark, tmp_path)
+        sim.ivf_sq_table_append(
+            full.where("vec_id >= 20 and vec_id < 30"), path, batch_id=0
+        )
+        sim.ivf_sq_table_append(full.where("vec_id >= 30"), path, batch_id=1)
+        lc, li = sim.load_sq_table(spark, path)
+        assert li == idx
+        got = sorted(
+            (r["id"], tuple(r["codes"]), r["__list"]) for r in lc.collect()
+        )
+        want = sorted(
+            (r["id"], tuple(r["codes"]), r["__list"])
+            for r in coded.collect()
+        )
+        assert got == want
+        grown = sim.ivf_sq_query(lc, li, vecs[25], n_probe=2, topk=8)
+        fresh = sim.ivf_sq_query(coded, li, vecs[25], n_probe=2, topk=8)
+        assert [tuple(r) for r in grown.collect()] == [
+            tuple(r) for r in fresh.collect()
+        ]
+
+    def test_replay_same_batch_id_is_idempotent(self, spark, tmp_path):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, idx, path = _sq_split_store(spark, tmp_path)
+        batch = full.where("vec_id >= 20")
+        sim.ivf_sq_table_append(batch, path, batch_id=3)
+        sim.ivf_sq_table_append(batch, path, batch_id=3)  # replay
+        lc, _ = sim.load_sq_table(spark, path)
+        assert lc.count() == 40
+        assert lc.select("id").distinct().count() == 40
+
+    def test_empty_replay_truncates_own_partition(self, spark, tmp_path):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, idx, path = _sq_split_store(spark, tmp_path)
+        sim.ivf_sq_table_append(full.where("vec_id >= 20"), path, batch_id=5)
+        lc, _ = sim.load_sq_table(spark, path)
+        assert lc.count() == 40
+        # The replay's rows now filter to empty — it must still erase
+        # the first attempt's partition (the replay-truncate rule).
+        sim.ivf_sq_table_append(full.where("vec_id < 0"), path, batch_id=5)
+        lc, _ = sim.load_sq_table(spark, path)
+        assert lc.count() == 20
+
+    def test_sentinel_append_lands_and_serves(self, spark, tmp_path):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, idx, path = _sq_split_store(spark, tmp_path)
+        sim.ivf_sq_table_append(full.where("vec_id >= 20"), path)
+        lc, _ = sim.load_sq_table(spark, path)
+        assert lc.count() == 40
+
+    def test_probe_pruning_survives_appends(self, spark, tmp_path):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, idx, path = _sq_split_store(spark, tmp_path)
+        sim.ivf_sq_table_append(full.where("vec_id >= 20"), path, batch_id=0)
+        lc, li = sim.load_sq_table(spark, path)
+        plan = sim.ivf_sq_query(
+            lc, li, vecs[2], n_probe=2, topk=5
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "__list" in plan.split("PartitionFilters", 1)[1][:200]
+
+    def test_bad_batches_rejected_before_write(self, spark, tmp_path):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, idx, path = _sq_split_store(spark, tmp_path)
+        with pytest.raises(ValueError, match="empty"):
+            sim.ivf_sq_table_append(full.where("vec_id < 0"), path)
+        short = spark.createDataFrame(
+            [(99, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="8-dim"):
+            sim.ivf_sq_table_append(short, path, batch_id=0)
+        nul = spark.createDataFrame(
+            [(99, [1.0, None, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            sim.ivf_sq_table_append(nul, path, batch_id=0)
+        with pytest.raises(ValueError, match="batch_id"):
+            sim.ivf_sq_table_append(
+                full.where("vec_id >= 20"), path, batch_id=-2
+            )
+        lc, _ = sim.load_sq_table(spark, path)
+        assert lc.count() == 20
+
+    def test_index_only_store_refused(self, spark, tmp_path):
+        """A save_sq_index store (no coded-generation commit record) is
+        not a serving table — loads and appends must say so."""
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, idx, path = _sq_split_store(spark, tmp_path)
+        iopath = str(tmp_path / "index_only")
+        sim.save_sq_index(spark, idx, f"{iopath}/index")
+        with pytest.raises(ValueError, match="index-only"):
+            sim.load_sq_table(spark, iopath)
+        with pytest.raises(ValueError, match="index-only"):
+            sim.ivf_sq_table_append(full.limit(1), iopath, batch_id=0)
+
+    def test_resave_never_tears_live_generation(self, spark, tmp_path):
+        """Same-index re-save writes a FRESH nonce-keyed generation and
+        re-commits — the old directory is never overwritten in place."""
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, idx, path = _sq_split_store(spark, tmp_path)
+        sim.save_sq_table(coded, idx, path)  # full re-save, same index
+        lc, li = sim.load_sq_table(spark, path)
+        assert li == idx and lc.count() == 40
+
+    def test_out_of_grid_appends_clamp_not_error(self, spark, tmp_path):
+        """Vectors outside the trained grid clamp to the edges (FAISS
+        SQ out-of-sample rule) — the reason a stale grid stays
+        serviceable as the corpus drifts."""
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, idx, path = _sq_split_store(spark, tmp_path)
+        wild = spark.createDataFrame(
+            [(99, [99.0] * 8), (100, [-99.0] * 8)],
+            "vec_id bigint, embedding array<double>",
+        )
+        sim.ivf_sq_table_append(wild, path, batch_id=0)
+        lc, _ = sim.load_sq_table(spark, path)
+        rows = {r["id"]: list(r["codes"]) for r in lc.collect()}
+        assert rows[99] == [255] * 8
+        assert rows[100] == [0] * 8
+
+
+class TestIvfSqTableCompact:
+    def test_compact_preserves_values_and_layout(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, idx, path = _sq_split_store(spark, tmp_path)
+        sim.ivf_sq_table_append(
+            full.where("vec_id >= 20 and vec_id < 30"), path, batch_id=0
+        )
+        sim.ivf_sq_table_append(full.where("vec_id >= 30"), path, batch_id=1)
+        before = sorted(
+            map(tuple, sim.load_sq_table(spark, path)[0].collect())
+        )
+        sim.ivf_sq_table_compact(spark, path)
+        lc, li = sim.load_sq_table(spark, path)
+        assert sorted(map(tuple, lc.collect())) == before
+        assert li == idx
+        # All rows collapsed into the sentinel batch partition.
+        gen_dir = sim._sq_table_generation(
+            sim._load_sq_index_with_meta(spark, f"{path}/index")[1], path
+        )
+        raw = spark.read.parquet(f"{path}/coded_{gen_dir}")
+        assert raw.select("batch_id").distinct().collect()[0][0] == -1
+        # A post-compaction append still folds in.
+        wild = spark.createDataFrame(
+            [(99, [0.5] * 8)], "vec_id bigint, embedding array<double>"
+        )
+        sim.ivf_sq_table_append(wild, path, batch_id=7)
+        assert sim.load_sq_table(spark, path)[0].count() == 41
+
+
+class TestIvfSqBatchTopk:
+    """ivf_sq_batch_topk — the batch scorer completing SQ serving
+    parity: per query bit-identical to the single-query path."""
+
+    def _built(self, spark):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        coded, coarse, vmin, vmax = sim.ivf_sq_build(
+            df, dim=8, n_lists=4, coarse_iter=1
+        )
+        return vecs, coded, sim.make_sq_index(coarse, vmin, vmax)
+
+    def test_batch_matches_single_query_bitwise(self, spark):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, coded, idx = self._built(spark)
+        qids = [0, 7, 13]
+        qdf = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in qids],
+            "query_id bigint, embedding array<double>",
+        )
+        batch = {
+            (r["query_id"], r["id"], r["adc_dist"])
+            for r in sim.ivf_sq_batch_topk(
+                coded, idx, qdf, n_probe=2, topk=6
+            ).collect()
+        }
+        singles = set()
+        for i in qids:
+            for r in sim.ivf_sq_query(
+                coded, idx, vecs[i], n_probe=2, topk=6
+            ).collect():
+                singles.add((i, r["id"], r["adc_dist"]))
+        assert batch == singles
+
+    def test_full_probe_batch_is_exact_sq_scan(self, spark):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, coded, idx = self._built(spark)
+        qdf = spark.createDataFrame(
+            [(3, [float(x) for x in vecs[3]])],
+            "query_id bigint, embedding array<double>",
+        )
+        batch = sim.ivf_sq_batch_topk(
+            coded, idx, qdf, n_probe=4, topk=40
+        ).collect()
+        plain = sim.sq_adc_topk(
+            coded, idx.vmin, idx.vmax, vecs[3], topk=40
+        ).collect()
+        assert sorted((r["id"], r["adc_dist"]) for r in batch) == sorted(
+            (r["id"], r["adc_dist"]) for r in plain
+        )
+
+    def test_query_validation(self, spark):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, coded, idx = self._built(spark)
+        dup = spark.createDataFrame(
+            [(1, [0.0] * 8), (1, [0.1] * 8)],
+            "query_id bigint, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            sim.ivf_sq_batch_topk(coded, idx, dup)
+        short = spark.createDataFrame(
+            [(1, [0.0, 1.0])], "query_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="dim"):
+            sim.ivf_sq_batch_topk(coded, idx, short)
+        nul = spark.createDataFrame(
+            [(1, None)], "query_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            sim.ivf_sq_batch_topk(coded, idx, nul)
+        empty = spark.createDataFrame(
+            [], "query_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="empty"):
+            sim.ivf_sq_batch_topk(coded, idx, empty)
+
+    def test_null_codes_raise_descriptively(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.errors import PythonException
+
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, coded, idx = self._built(spark)
+        poisoned = coded.withColumn(
+            "codes",
+            F.when(
+                F.col("id") == 3, F.lit(None).cast("array<int>")
+            ).otherwise(F.col("codes")),
+        )
+        qdf = spark.createDataFrame(
+            [(1, [float(x) for x in vecs[3]])],
+            "query_id bigint, embedding array<double>",
+        )
+        with pytest.raises(Exception, match="NULL codes entry at id 3"):
+            sim.ivf_sq_batch_topk(
+                poisoned, idx, qdf, n_probe=4, topk=5
+            ).collect()
+
+    def test_single_query_null_codes_raise_too(self, spark):
+        """The single-query zip_with fold must fail as loudly as the
+        batch Arrow path — a NULL distance would asc-sort FIRST and
+        silently top the list."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, coded, idx = self._built(spark)
+        poisoned = coded.withColumn(
+            "codes",
+            F.when(
+                F.col("id") == 3, F.lit(None).cast("array<int>")
+            ).otherwise(F.col("codes")),
+        )
+        with pytest.raises(Exception, match="NULL codes entry at id 3"):
+            sim.sq_adc_topk(
+                poisoned, idx.vmin, idx.vmax, vecs[3], topk=5
+            ).collect()

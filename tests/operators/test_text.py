@@ -1226,6 +1226,103 @@ class TestBm25Prf:
         ).collect()
         assert out == []
 
+    def test_indexed_prf_matches_scan_form_bitwise(self, spark):
+        """bm25_prf_topk_indexed — both stages + the expansion mining
+        answered from the inverted index must reproduce the corpus-scan
+        PRF exactly (Σ tf over the feedback docs' postings IS the
+        occurrence count the scan form explodes raw text for)."""
+        from ons_utils_spark.operators.text import (
+            bm25_index_build, bm25_prf_topk, bm25_prf_topk_indexed,
+        )
+
+        docs = self._docs(spark)
+        postings, stats = bm25_index_build(docs, "doc_id", "text")
+        for terms, fb in ((["spark"], (3, 1)), (["spark"], (10, 5)),
+                          (["nonexistentterm"], (3, 2))):
+            scan = bm25_prf_topk(
+                docs, "doc_id", "text", terms, topk=5,
+                fb_docs=fb[0], fb_terms=fb[1],
+            ).collect()
+            idxd = bm25_prf_topk_indexed(
+                postings, stats, terms, topk=5,
+                fb_docs=fb[0], fb_terms=fb[1],
+            ).collect()
+            assert [tuple(r) for r in idxd] == [tuple(r) for r in scan]
+
+
+class TestRetrievePassages:
+    def test_composed_stage_matches_manual_composition(self, spark):
+        """retrieve_passages ≡ indexed top-k then best_passage over the
+        retrieved slice, with the bm25 score joined on."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.text import (
+            best_passage, bm25_index_build, bm25_topk_indexed,
+            retrieve_passages,
+        )
+
+        rows = [
+            (1, "spark engine engine fast spark model"),
+            (2, "spark engine scalable"),
+            (3, "unrelated words entirely here"),
+            (4, "engine tuning engine"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        postings, stats = bm25_index_build(docs, "doc_id", "text")
+        got = retrieve_passages(
+            docs, postings, stats, "doc_id", "text", ["spark", "engine"],
+            topk=3, window=4, stride=2,
+        ).collect()
+        want_scores = {
+            r["id"]: r["bm25"]
+            for r in bm25_topk_indexed(
+                postings, stats, ["spark", "engine"], topk=3
+            ).collect()
+        }
+        want_pass = {
+            r["id"]: (r["start"], r["score"], r["passage"])
+            for r in best_passage(
+                docs.where(F.col("doc_id").isin(list(want_scores))),
+                "doc_id", "text", ["spark", "engine"],
+                window=4, stride=2,
+            ).collect()
+        }
+        assert {r["id"] for r in got} == set(want_scores)
+        for r in got:
+            assert r["bm25"] == want_scores[r["id"]]
+            assert (r["start"], r["score"], r["passage"]) == want_pass[
+                r["id"]
+            ]
+        # ordered by (bm25 desc, id)
+        assert [r["id"] for r in got] == [
+            i for i, _ in sorted(
+                want_scores.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+        ]
+
+    def test_never_tokenizes_unretrieved_docs(self, spark):
+        """The corpus read carries the retrieved-id In filter — the
+        passage stage must not touch (or emit) unretrieved docs."""
+        from ons_utils_spark.operators.text import (
+            bm25_index_build, retrieve_passages,
+        )
+
+        rows = [
+            (1, "spark engine"), (2, "spark spark spark"),
+            (3, "spark here too"), (4, "no hits at all"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        postings, stats = bm25_index_build(docs, "doc_id", "text")
+        out = retrieve_passages(
+            docs, postings, stats, "doc_id", "text", ["spark"],
+            topk=2, window=4, stride=4,
+        ).collect()
+        # Only the 2 retrieved docs appear — and the id In filter sits
+        # UNDER best_passage's tokenize checkpoint, so the passage
+        # stage materialized exactly the retrieved slice (the output
+        # ids are the indexed top-2, not every hit-bearing doc).
+        assert sorted(r["id"] for r in out) == [1, 2]
+
 
 class TestBestPassage:
     def _docs(self, spark):
@@ -1289,3 +1386,14 @@ class TestBestPassage:
         df = self._docs(spark)
         with pytest.raises(ValueError, match="window and stride"):
             best_passage(df, "doc_id", "text", ["spark"], window=0)
+
+    def test_window_smaller_than_stride_raises(self, spark):
+        """ADVICE r11: window < stride leaves positions no span covers
+        — hits there would silently never count."""
+        from ons_utils_spark.operators.text import best_passage
+
+        df = self._docs(spark)
+        with pytest.raises(ValueError, match="window.*stride"):
+            best_passage(
+                df, "doc_id", "text", ["spark"], window=4, stride=8
+            )

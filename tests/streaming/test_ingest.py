@@ -576,6 +576,66 @@ class TestStreamingIvfPqMaintenance:
         ]
 
 
+class TestStreamingIvfSqMaintenance:
+    def test_streamed_table_equals_oneshot_build(self, spark, tmp_path):
+        """The SQ twin of TestStreamingIvfPqMaintenance: vector
+        micro-batches encoded with the STORED SqIndex and appended as
+        batch_id partitions; serving from the grown table must be
+        bit-identical to a one-shot build over the whole corpus."""
+        from ons_utils_spark.operators import similarity as sim
+        from ons_utils_spark.streaming.ingest import ivf_sq_ingest_writer
+
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        coded, coarse, vmin, vmax = sim.ivf_sq_build(
+            full, dim=8, n_lists=4, coarse_iter=1
+        )
+        idx = sim.make_sq_index(coarse, vmin, vmax)
+        store = str(tmp_path / "serve")
+        sim.save_sq_table(coded.where("id < 20"), idx, store)
+
+        stream_dir = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        for lo, hi in ((20, 30), (30, 40)):
+            full.where(
+                f"vec_id >= {lo} and vec_id < {hi}"
+            ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            ivf_sq_ingest_writer(stream, store, checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        lc, li = sim.load_sq_table(spark, store)
+        assert li == idx
+        got = sorted(
+            (r["id"], tuple(r["codes"]), r["__list"]) for r in lc.collect()
+        )
+        want = sorted(
+            (r["id"], tuple(r["codes"]), r["__list"])
+            for r in coded.collect()
+        )
+        assert got == want
+        served = sim.ivf_sq_query(lc, li, vecs[33], n_probe=2, topk=6)
+        fresh = sim.ivf_sq_query(coded, li, vecs[33], n_probe=2, topk=6)
+        assert [tuple(r) for r in served.collect()] == [
+            tuple(r) for r in fresh.collect()
+        ]
+
+
 class TestHybridIngestWriter:
     def test_streamed_hybrid_equals_oneshot(self, spark, tmp_path):
         """One document stream (text + embedding) maintains BOTH

@@ -97,6 +97,16 @@ HEADLINE = [
     # quadratic self-join) — regressions in the literal-centroid codegen
     # argmin or the cluster-bounded join show up here.
     "q_semdedup_kmeans",
+    # Round-12 additions (VERDICT r11 ask #3): the retrieval SERVING
+    # stack enters the tracked bench — indexed BM25 (term-sorted store
+    # build + pruned In-pushdown read), batch ANN (vectorized driver
+    # stage + union-of-probes Arrow scan + two-phase window), and the
+    # hybrid RRF fusion over both index stores. Appended at the TAIL so
+    # the shared-16 channel stays comparable across rounds; a lost
+    # In-pushdown or broken __list pruning now moves a tracked number.
+    "q_bm25_indexed",
+    "q_similarity_ivf_pq_batch",
+    "q_hybrid_retrieval",
 ]
 
 

@@ -1468,7 +1468,6 @@ def ivf_pq_batch_topk(
     bit-identical to :func:`ivf_pq_query` (pinned in tests).
     """
     import numpy as np
-    from pyspark.sql import Window
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     built_residual = _coded_residual_flag(coded)

@@ -7331,20 +7331,33 @@ def q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_sq_oracle(n_lists: int, coarse_iter: int, dim: int,
                    query_id: int, n_probe: int, topk: int,
-                   dp: int) -> str:
+                   dp: int, pre_ctes: str = "",
+                   train_join: str = "",
+                   stats_where: str = "") -> str:
     """DuckDB twin of ivf_sq_build + ivf_sq_topk: the coarse Lloyd
     chain and probe selection are :func:`_ivf_pq_oracle`'s, the SQ
     training/encode/distance fragments are :func:`_sq_fragments`', and
     the final scan joins codes → coarse assignment → probe so only
     probed-list vectors are scored — the SQL image of the ``__list IN``
-    pushdown."""
+    pushdown.
+
+    ``train_join`` (an id CTE supplied via ``pre_ctes``) restricts the
+    coarse Lloyd's training to those ids, and ``stats_where`` restricts
+    the grid's min/max pass the same way, while every row is still
+    assigned and encoded — the SQL image of building on a base corpus
+    and encoding appended rows with the STORED index
+    (``ivf_sq_encode``: per-row arithmetic, values outside the trained
+    grid clamp to the edges — the codes fragment already clamps)."""
     chains = _kmeans_ctes(
         n_lists, coarse_iter, dp, suffix="_c", with_prefix=False,
+        train_join=train_join,
     )
+    if pre_ctes:
+        chains = pre_ctes + ",\n" + chains
     stats, deltas, codes, terms = _sq_fragments(dim)
     return f"""
     WITH {chains},
-    st AS (SELECT {stats} FROM embeddings e),
+    st AS (SELECT {stats} FROM embeddings e {stats_where}),
     sd AS (SELECT *, {deltas} FROM st),
     qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id = {query_id}),
@@ -7449,6 +7462,117 @@ def q_similarity_ivf_sq_persisted(
         eager=True
     )
     return _sim.ivf_sq_query(frag, li, q, n_probe=2, topk=25)
+
+
+@register(
+    "q_similarity_ivf_sq_batch",
+    oracle=f"""
+    SELECT CAST(0 AS BIGINT) AS query_id, t.id, t.adc_dist
+    FROM ({_ivf_sq_oracle(8, 2, 64, 0, 2, 12, 6)}) t
+    UNION ALL
+    SELECT CAST(7 AS BIGINT) AS query_id, t.id, t.adc_dist
+    FROM ({_ivf_sq_oracle(8, 2, 64, 7, 2, 12, 6)}) t
+    ORDER BY query_id, adc_dist, id
+    """,
+    description="Batch IVF×SQ retrieval (operators/similarity.py::"
+    "ivf_sq_batch_topk) — the query-table serving shape that completes "
+    "the SQ family's parity with ivf_pq_batch_topk: a whole probe "
+    "workload (queries vec_id 0 and 7) answered in ONE job. Simpler "
+    "than the PQ batch scorer by construction — SQ has no per-query "
+    "LUTs (the decode constants are the stored grid), so the driver "
+    "stage is vectorized probe selection only and the closure ships "
+    "just grid + query matrix + sorted probe lists. The scan reads the "
+    "union of all probed lists (pushdown-able __list IN), one Arrow "
+    "pass decodes each batch's codes ONCE and scores each row against "
+    "exactly the queries probing its list in the zip_with fold's IEEE "
+    "order, and top-k is the shared exact two-phase per-query window. "
+    "The oracle replays BOTH queries' full single-query chains and "
+    "unions them — per-query results must be bit-identical to the "
+    "single-query path.",
+)
+def q_similarity_ivf_sq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+        emb, dim=64, n_lists=8, coarse_iter=2,
+    )
+    idx = _sim.make_sq_index(coarse, vmin, vmax)
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.ivf_sq_batch_topk(
+        coded, idx, queries, n_probe=2, topk=12
+    ).orderBy("query_id", "adc_dist", "id")
+
+
+@register(
+    "q_similarity_ivf_sq_incremental",
+    oracle=_ivf_sq_oracle(
+        8, 2, 64, 311, 2, 20, 6,
+        pre_ctes="tids AS (SELECT vec_id AS id FROM embeddings "
+        "WHERE vec_id < 300)",
+        train_join="tids",
+        stats_where="WHERE e.vec_id < 300",
+    ),
+    description="Incrementally-grown IVF×SQ serving table "
+    "(operators/similarity.py::save_sq_table + ivf_sq_table_append + "
+    "load_sq_table): the coarse centroids AND the per-dimension grid "
+    "train on the FIRST 300 vectors only, the base save persists "
+    "those, and the rest of the corpus arrives as an appended batch "
+    "encoded with the STORED SqIndex (ivf_sq_encode — same coarse "
+    "argmin and grid-encode expressions as the build, so the grown "
+    "table is bit-identical to a one-shot encode; out-of-grid values "
+    "clamp to the edges, FAISS SQ's out-of-sample rule; the batch "
+    "lands as a replay-idempotent batch_id partition). The query "
+    "vector is itself an APPENDED row (vec_id 311). The oracle "
+    "replays the base-restricted coarse training (train_join) and "
+    "grid min/max (stats WHERE), then the full-corpus clamped encode "
+    "+ probe bit-for-bit. The probed fragment is localCheckpoint'd so "
+    "the store tempdir can be removed before the driver collects "
+    "(pruning is pinned in TestSqTableAppend::"
+    "test_probe_pruning_survives_appends).",
+)
+def q_similarity_ivf_sq_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ons_utils_spark.operators import similarity as _sim
+    from ons_utils_spark.operators.semantic import _py_dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < 300)
+    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+        base, dim=64, n_lists=8, coarse_iter=2,
+    )
+    idx = _sim.make_sq_index(coarse, vmin, vmax)
+    tmp = tempfile.mkdtemp(prefix="ivfsq_inc_")
+    try:
+        _sim.save_sq_table(coded, idx, tmp)
+        _sim.ivf_sq_table_append(
+            emb.where(F.col("vec_id") >= 300), tmp, batch_id=0
+        )
+        lc, li = _sim.load_sq_table(spark, tmp)
+        q = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 311)
+            .collect()[0]["embedding"]
+        ]
+        qq = _py_dot(q, q)
+        probe = [
+            j for _, j in sorted(
+                (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+                for j, c in enumerate(li.coarse_centroids)
+            )[:2]
+        ]
+        frag = lc.where(F.col("__list").isin(probe)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _sim.ivf_sq_query(frag, li, q, n_probe=2, topk=20)
 
 
 @register(
@@ -7716,8 +7840,73 @@ def q_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_bm25_prf",
+    "q_retrieve_passages",
     oracle=_TOKS_CTE
+    + f""",
+    stats AS (
+        SELECT count(*) AS n,
+               sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
+        FROM toks),
+    base AS (
+        SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
+               unnest(toks) AS term
+        FROM toks),
+    {_bm25_chain("1", f"term IN {_BM25_IN}")},
+    ret AS (SELECT id, bm25 FROM scored1 ORDER BY bm25 DESC, id LIMIT 8),
+    hits AS (
+        SELECT id, pos FROM (
+            SELECT t.doc_id AS id,
+                   unnest(generate_series(1, len(t.toks))) AS i, t.toks
+            FROM toks t JOIN ret ON ret.id = t.doc_id)
+        , LATERAL (SELECT i - 1 AS pos, toks[i] AS term) l
+        WHERE l.term IN {_BM25_IN}),
+    wins AS (
+        SELECT t.doc_id AS id,
+               unnest(generate_series(0, greatest(len(t.toks) - 1, 0), 8))
+                   AS s
+        FROM toks t JOIN ret ON ret.id = t.doc_id),
+    pscored AS (
+        SELECT w.id, w.s, count(*) AS score
+        FROM wins w JOIN hits h
+          ON h.id = w.id AND h.pos >= w.s AND h.pos < w.s + 16
+        GROUP BY w.id, w.s),
+    best AS (
+        SELECT id, s, score FROM pscored
+        QUALIFY row_number() OVER (
+            PARTITION BY id ORDER BY score DESC, s) = 1)
+    SELECT b.id, r.bm25, b.s AS start, b.score,
+           array_to_string(t.toks[b.s + 1 : b.s + 16], ' ') AS passage
+    FROM best b JOIN ret r ON r.id = b.id JOIN toks t ON t.doc_id = b.id
+    ORDER BY r.bm25 DESC, b.id
+    """,
+    description="Retrieve-then-extract (operators/text.py::"
+    "retrieve_passages) — the r11 verdict's best-passage→retrieval "
+    "integration: the inverted index picks the top-8 documents for "
+    "{vector, stream, merge} (pruned postings read, no corpus scan), "
+    "then best_passage mines each retrieved document's densest "
+    "16-token window with the retrieved ids pushed into the corpus "
+    "read as an In literal BEFORE the tokenize — passage extraction "
+    "tokenizes 8 documents of a 100 TB corpus, never the corpus (the "
+    "q_curation_pipeline slice pattern). Every retrieved doc is "
+    "present by construction (positive BM25 ⇒ ≥1 hit ⇒ a best "
+    "window). The oracle replays the scoring chain, the top-8 cut, "
+    "and the restricted window mining bit-for-bit.",
+)
+def q_retrieve_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    postings, stats = _text.bm25_index_build(docs, "doc_id", "text")
+    return _text.retrieve_passages(
+        docs, postings, stats, "doc_id", "text", _BM25_TERMS,
+        topk=8, window=16, stride=8,
+    )
+
+
+#: The PRF oracle — shared verbatim by the corpus-scan form
+#: (q_bm25_prf) and the index-served form (q_bm25_prf_indexed): the
+#: two operators are bit-identical by contract, so one replay checks
+#: both.
+_BM25_PRF_ORACLE = (
+    _TOKS_CTE
     + f""",
     stats AS (
         SELECT count(*) AS n,
@@ -7738,7 +7927,13 @@ def q_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_bm25_chain("2",
                  f"term IN {_BM25_IN} OR term IN (SELECT term FROM expq)")}
     SELECT id, bm25 FROM scored2 ORDER BY bm25 DESC, id LIMIT 10
-    """,
+    """
+)
+
+
+@register(
+    "q_bm25_prf",
+    oracle=_BM25_PRF_ORACLE,
     description="Pseudo-relevance-feedback retrieval (RM3-family, "
     "Lavrenko & Croft 2001, deterministic TF feedback; "
     "operators/text.py::bm25_prf_topk): BM25 runs the literal query "
@@ -7756,6 +7951,30 @@ def q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bm25_prf_topk(
         docs, "doc_id", "text", _BM25_TERMS,
         topk=10, fb_docs=10, fb_terms=5,
+    )
+
+
+@register(
+    "q_bm25_prf_indexed",
+    oracle=_BM25_PRF_ORACLE,
+    description="Pseudo-relevance feedback served ENTIRELY from the "
+    "inverted index (operators/text.py::bm25_prf_topk_indexed) — the "
+    "production PRF shape the r11 verdict asked for: stage 1 is the "
+    "indexed BM25 top-10 (pruned postings read), the 5 expansion "
+    "terms are mined from the feedback docs' POSTINGS (sum(tf) per "
+    "term IS the token-occurrence count the scan form explodes raw "
+    "text for — the index denormalized it at build time), and stage 2 "
+    "re-runs the indexed scorer with the wider term list. Zero corpus "
+    "scans, zero tokenizes. Bit-identical to the scan-form PRF by "
+    "construction, so the oracle is the SAME full scan-form replay "
+    "(both scoring chains, the feedback cut, the expansion ranking) — "
+    "measured indexed-vs-scan speedup in SCALING.md §PRF.",
+)
+def q_bm25_prf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    postings, stats = _text.bm25_index_build(docs, "doc_id", "text")
+    return _text.bm25_prf_topk_indexed(
+        postings, stats, _BM25_TERMS, topk=10, fb_docs=10, fb_terms=5,
     )
 
 
@@ -8326,194 +8545,126 @@ def q_retrieve_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `no_oracle` rows.
 
 _GRADING_ORDER = [
-    # -- aggregation family (r10: q_rollup_sales / q_grouping_sets /
-    # q_pivot_segment_by_status — graded green since r1, no shuffle
-    # shape left to regress — rotate to the tail; q1 stays as the
-    # family's graded representative) ----------------------------------
+    # ================= r12 graded window (first 50) ====================
+    # r12 rotation (VERDICT r11 ask #2): sixteen slots turn over — the
+    # twelve never-driver-graded classes the verdict named (this
+    # round's SQ/retrieval flagships plus the long-never-graded heavies
+    # q_self_dedup_corpus / q_url_dedup / q_pagerank_directed /
+    # q_variant_props) and the four brand-new r12 queries enter; sixteen
+    # long-green shapes whose families keep graded representatives
+    # rotate to the tail (named at the head of the tail section).
+    # -- aggregation family: q1 stays as the graded representative ------
     "q1_pricing_summary",
-    # -- join family (r6: two of the eight graded join variants rotated
-    # to the tail — semi/outer joins stay covered by q3/q5/anti shapes —
-    # to make room for q_pagerank and q_count_min_sketch, the two
-    # strongest oracle classes among the r5 families: a CTE-unrolled
-    # iterative recurrence and a bit-exact sketch-cell recomputation;
-    # r10: q3 and the distinct-combos parity shape follow — q5 keeps
-    # the TPC-H join family graded) ------------------------------------
-    "q5_local_supplier_volume",
-    # (r11: q_asof_join / q_range_join — graded green since r1, the join
-    # family keeps q5 plus the salted/bucketed tail coverage — rotate to
-    # the tail to admit this round's never-graded classes)
+    # -- fused pipelines (q_curation_pipeline rotates out after two
+    # green rounds; the family keeps the flagship plus the two
+    # retrieval-era compositions below) ---------------------------------
     "q_llm_data_pipeline",
-    # -- iterative / graph ------------------------------------------------
+    # -- iterative / graph: both PageRank forms — the directed variant
+    # (dangling-mass redistribution CTE) had never been graded ----------
     "q_pagerank",
-    # -- streaming-defined sketch (batch twin of sketch_ingest_writer) ---
-    "q_count_min_sketch",
-    # r9 rotation: the grouped KMV sketch (one-pass per-group bottom-k,
-    # xxh64 chain + partitioned rank cut replayed in SQL) joins the
-    # sketch family; q_first_group_orders (simple window shape, graded
-    # green since r1, parity op also pytest-pinned) moves to the tail.
-    "q_kmv_distinct_grouped",
-    # -- window / rank family (r10: q_rank_functions and the year-span
-    # grouped-apply rotate to the tail — q_topk_orders_per_customer
-    # keeps window functions graded, q_grouped_apply_spend_share keeps
-    # the pandas grouped-apply parity op graded) -----------------------
+    "q_pagerank_directed",
+    # -- window / rank + pandas grouped-apply parity --------------------
     "q_topk_orders_per_customer",
-    # (r11: q_fuzzy_name_pairs rotates to the tail — row-local
-    # Levenshtein/soundex expression join, graded green since r1; its
-    # slot admits the MMR greedy-selection oracle class below)
     "q_grouped_apply_spend_share",
-    # -- TPC-H-style relational mix ---------------------------------------
-    # r8 rotation (3): q_null_semantics (expression-only null-handling
-    # shapes, long green, still full-registry-checked in the tail) swaps
-    # out for the deterministic-Lloyd clustering oracle class.
-    "q_kmeans_clusters",
-    # r10: sample-trained k-means (train_on contract, xxh64 filter
-    # replayed in SQL) — never driver-graded before
+    # -- clustering: the sample-trained form keeps the Lloyd chain
+    # graded (q_kmeans_clusters long green; q_semdedup_kmeans below
+    # also replays the full chain) --------------------------------------
     "q_kmeans_sampled",
-    # (r9: q_first_group_orders / q_priority_late_orders /
-    # q_top_return_customers rotated to the tail — simple filter/agg and
-    # join shapes whose families keep 8+ graded representatives — for
-    # the r8 families that had never been driver-graded, below)
-    # -- reference-parity operators (r10: q_map_col_region_names — simple
-    # lookup join, graded green since r1 — rotates to the tail; the
-    # parity family keeps both concat shapes) --------------------------
+    # -- reference-parity operators -------------------------------------
     "q_concat_with_keys",
-    # (r11: q_concat_schema_coercion rotates to the tail — the parity
-    # family keeps q_concat_with_keys and q_grouped_apply_spend_share)
-    # r8 rotation: q_scalar_functions / q_json_props (long-green simple
-    # expression shapes, still full-registry-checked in the tail) swap
-    # out for the two strongest never-graded r6 oracle classes — Bloom
-    # decontamination (bit-exact seed-chain recomputation in SQL) and
-    # span-level surgical decontamination (interval algebra).
-    "q_decontaminate_bloom",
+    # -- decontamination: the span form keeps interval algebra graded
+    # (q_decontaminate_bloom green r8-r11; Bloom stays covered via the
+    # pipelines and the full registry) ----------------------------------
     "q_contaminated_spans",
-    # r8 rotation (2): the round's flagship addition — suffix-array-
-    # style exact-substring dedup, keeper selection + island merge
-    # replayed in SQL — takes the slot of q_array_diff (expression-only
-    # zip_with shape, long green, still full-registry-checked).
-    "q_self_dedup_spans",
-    # r10: the incremental exact-substring form (durable gram index,
-    # n-mix validated) — never driver-graded before
+    # -- exact-substring dedup: the incremental store form plus the
+    # never-graded composed corpus rewrite (q_self_dedup_spans green
+    # r8-r11 rotates out) ----------------------------------------------
     "q_self_dedup_incremental",
-    # r8 rotation (3): q_except_all_priorities (bag-semantics set op,
-    # long green; the union family stays graded via both q_concat_*)
-    # swaps out for the SemDeDup pruning oracle class (clustering +
-    # ranking + within-cluster pair pruning replayed in SQL).
+    "q_self_dedup_corpus",
     "q_semdedup_kmeans",
-    # -- streaming batch-twins (r11: the session-gap shape rotates to the
-    # tail; the family stays graded via q_count_min_sketch and
-    # q_view_to_click_attribution) --------------------------------------
-    # -- event analytics (r11 rotation in: funnel conversion and the SCD2
-    # user-state history — strong oracle classes, never driver-graded) --
+    # -- event analytics (entered r11, stay) ----------------------------
     "q_funnel_conversion",
     "q_user_state_history",
-    # -- dedup / similarity (r11: q_dedup_exact / q_ngram_jaccard_pairs /
-    # q_embedding_near_dup / q_similarity_topk rotate to the tail — the
-    # family keeps minhash/OPH/clusters/self-dedup/semantic graded, and
-    # the n-gram class enters via the asymmetric containment form) ------
-    "q_dedup_minhash",
+    # -- dedup / similarity (q_dedup_minhash green since r1 rotates out;
+    # clusters keeps the LSH-postings family graded) --------------------
     "q_dedup_clusters",
-    # r11: asymmetric n-gram containment (bit-exact xxh64 shingle oracle)
-    # — never driver-graded before
     "q_containment_pairs",
-    # r10: one-permutation MinHash (bit-exact lane oracle) and the
-    # SemDeDup composition — both never driver-graded before
     "q_oph_minhash",
     "q_semantic_dedup",
-    # r9 rotation: the PQ family enters the graded window — ADC scoring
-    # (4 subspace trainings replayed in SQL) and the new IVF×PQ
-    # composition (coarse Lloyd + probe-list selection + restricted ADC
-    # scan, fully replayed). Slots from q_text_stats / q_language_id
-    # (expression-only row-local shapes, graded green since r1).
-    "q_pq_adc_scores",
-    "q_similarity_ivf_pq",
-    # r10: the residual (IVFADC) refinement and the round's flagship —
-    # serving from the persisted, fingerprint-validated index artifact
+    # r12: URL canonicalization dedup — never driver-graded before
+    "q_url_dedup",
+    # -- ANN serving, PQ codec family (q_pq_adc_scores and the plain
+    # IVF x PQ form green r9-r11 rotate out; residual / persisted /
+    # batch / incremental / refined keep every serving stage graded,
+    # and the batch-refined composition enters) -------------------------
     "q_similarity_ivf_pq_residual",
     "q_similarity_ivf_pq_persisted",
-    # r11: batch ANN retrieval (query TABLE through IVF×PQ in one job,
-    # union-of-probes pushdown) — landed after the r10 rotation commit,
-    # never driver-graded before
     "q_similarity_ivf_pq_batch",
-    # r11: the incrementally-GROWN serving table (ivf_pq_table_append:
-    # stored-index encoding, replay-idempotent batch partitions; the
-    # query vector is itself an appended row). Slot from
-    # q_dedup_incremental — the incremental-store family keeps this
-    # plus q_self_dedup_incremental graded.
     "q_similarity_ivf_pq_incremental",
-    # r11: refined ANN serving (compressed shortlist + exact re-rank,
-    # FAISS IndexRefineFlat) — the recall-repair stage, full-chain
-    # oracle. Slot from q_hard_negatives (exact all-block grid, graded
-    # green r9–r10; the family keeps both SRP forms graded below).
     "q_similarity_ivf_pq_refined",
-    # r11: MMR diversity re-rank — a brand-new oracle class (greedy
-    # sequential selection, unrolled pick-CTE chain). Slot from
-    # q_fuzzy_name_pairs above.
+    "q_similarity_ivf_pq_batch_refined",
+    # -- ANN serving, SQ codec family — r12 closes serving parity: the
+    # whole matrix row enters the window (trained grid, IVF x SQ,
+    # persisted SqIndex, batch scorer, incrementally-grown table) -------
+    "q_similarity_sq8",
+    "q_similarity_ivf_sq",
+    "q_similarity_ivf_sq_persisted",
+    "q_similarity_ivf_sq_batch",
+    "q_similarity_ivf_sq_incremental",
+    # -- ingest-time normalization feeding exact retrieval --------------
+    "q_normalized_similarity",
     "q_mmr_rerank",
-    # r11: the SRP-bucketed hard-negatives scale path (full value oracle,
-    # plane constants inlined) — never driver-graded before
     "q_hard_negatives_srp",
-    # -- text analytics (r9: C4 line-level cleaning replaces the two
-    # rotated expression shapes as the family's graded representative;
-    # q_chunk_documents rotated out — row-local chunking, long green) --
-    # (r10: q_tfidf_top_terms rotates to the tail — the text family
-    # keeps q_c4_line_clean plus the three retrieval shapes below)
-    "q_c4_line_clean",
-    # r10: Okapi BM25 retrieval (single + batch query-table forms) —
-    # the query-driven-curation primitives, never driver-graded before
-    "q_bm25_topk",
-    "q_bm25_batch",
-    # r11: BM25 served from the persisted term-sorted inverted index —
-    # landed after the r10 rotation commit, never driver-graded before
+    # -- lexical retrieval: the indexed form anchors the family
+    # (q_bm25_topk / q_bm25_batch green r10-r11 rotate out — indexed
+    # scoring is bit-identical to scan scoring by construction, and the
+    # PRF forms below re-exercise both stages) --------------------------
     "q_bm25_indexed",
-    # r11: hybrid lexical+ANN retrieval fused by RRF — BOTH serving
-    # stores exercised in one query. Slot from q_domain_filter (simple
-    # explode + semi-join; the web family keeps q_url_dedup-class
-    # coverage in the full registry and the filter shape is graded via
-    # the curation/clean pipelines).
+    "q_bm25_prf",
+    "q_bm25_prf_indexed",
+    "q_best_passage",
+    "q_retrieve_passages",
+    # -- hybrid retrieval + rerank compositions -------------------------
     "q_hybrid_retrieval",
-    # r11: Gopher quality gates + bigram LM perplexity — the two
-    # strongest never-graded text-quality oracle classes
+    "q_hybrid_mmr_pipeline",
+    "q_retrieve_rerank_pipeline",
+    # -- text quality ---------------------------------------------------
     "q_gopher_quality",
     "q_bigram_logprob",
-    # r10: the fused retrieval-era curation pipeline (BM25 -> span-level
-    # decontamination -> redaction, chained-CTE oracle)
-    "q_curation_pipeline",
-    # (r11: q_hard_negatives rotates to the tail — exact all-block grid,
-    # graded green r9–r10; its slot admits the refined-ANN class above)
-    # r9: the multi-table SRP recall lever, never driver-graded before
-    "q_hard_negatives_srp_multi",
-    # (r11: q_corpus_clean_pipeline and q_decontaminate rotate to the
-    # tail — the cleaning/decontamination families keep q_c4_line_clean,
-    # q_decontaminate_bloom, q_contaminated_spans, q_curation_pipeline
-    # and q_llm_data_pipeline graded)
-    # r11: mergeable HLL distinct-count and the equi-depth histogram —
-    # the two strongest never-graded sketch/profiling oracle classes
+    # -- sketches / profiling (q_count_min_sketch and the grouped KMV
+    # rotate out after 3+ green rounds; HLL + equi-depth keep the
+    # mergeable-sketch classes graded) ----------------------------------
     "q_hll_mergeable",
     "q_equi_depth_histogram",
-    # r5: DSIR importance weighting replaces one of the many graded join
-    # variants (q_lonely_late_suppliers moved to the tail; the join
-    # family keeps 8+ graded shapes) — data SELECTION is a first-class
-    # LLM-pipeline capability and its oracle is a full bit-exact hash
-    # recomputation, the strongest check class in the registry.
-    "q_dsir_weights",
+    # -- streaming batch-twin representative ----------------------------
     "q_view_to_click_attribution",
-    # (r11: q_corpus_mixture rotates to the tail — the sampling family
-    # keeps q_dsir_weights graded; its slot admits the trained-SQ8
-    # codec class, a brand-new oracle family: corpus min/max grids +
-    # clamped half-up encoding + decoded-distance replay)
-    "q_similarity_sq8",
-    # -- multimodal ---------------------------------------------------------
+    # -- multimodal -----------------------------------------------------
     "q_multimodal_features",
-    # -- profiling (r4 verdict ask #7: the family was hash-green only in
-    # the full registry; the one-pass data-contract audit is its most
-    # production-shaped representative) ------------------------------------
-    "q_constraint_audit",
-    # r9: categorical PSI drift (reference-anchored category space) —
-    # the profiling family's second graded representative
+    # -- profiling drift ------------------------------------------------
     "q_psi_drift_categorical",
-    # r10: the numeric-bin PSI form — never driver-graded before
     "q_psi_drift",
+    # r12: Variant semi-structured path extraction — never driver-graded
+    "q_variant_props",
     # ---- end of the driver's 50-slot graded window ----------------------
+    # r12: rotated OUT of the graded window (long-green shapes; every
+    # family keeps graded representatives — see the window comments).
+    # All remain oracle-checked every round via CORRECTNESS_FULL.
+    "q5_local_supplier_volume",
+    "q_count_min_sketch",
+    "q_kmv_distinct_grouped",
+    "q_kmeans_clusters",
+    "q_decontaminate_bloom",
+    "q_self_dedup_spans",
+    "q_dedup_minhash",
+    "q_pq_adc_scores",
+    "q_similarity_ivf_pq",
+    "q_bm25_topk",
+    "q_bm25_batch",
+    "q_c4_line_clean",
+    "q_dsir_weights",
+    "q_constraint_audit",
+    "q_curation_pipeline",
+    "q_hard_negatives_srp_multi",
     # r11: rotated OUT of the graded window (graded green since r1-r9,
     # shapes whose families keep graded representatives — see the window
     # comments) to admit the ten never-driver-graded classes above
@@ -8524,33 +8675,9 @@ _GRADING_ORDER = [
     "q_hard_negatives",
     "q_fuzzy_name_pairs",
     "q_corpus_mixture",
-    # r11, tail: the hybrid->MMR composition — its constituent classes
-    # (RRF fusion, greedy MMR) are both graded in the window via
-    # q_hybrid_retrieval and q_mmr_rerank
-    "q_hybrid_mmr_pipeline",
-    # r11, tail: IVF×SQ — both constituent classes (coarse-Lloyd probe
-    # pruning, SQ8 grid codec) are graded via q_similarity_ivf_pq and
-    # q_similarity_sq8
-    "q_similarity_ivf_sq",
-    # r11, tail: batch refined ANN — constituent classes graded via
-    # q_similarity_ivf_pq_batch and q_similarity_ivf_pq_refined
-    "q_similarity_ivf_pq_batch_refined",
-    # r11, tail: retrieve-then-rerank — constituent classes graded via
-    # q_bm25_topk and (full-registry) q_model_scores
-    "q_retrieve_rerank_pipeline",
-    # r11, tail: IVF×SQ served from the durable SqIndex — the persisted
-    # class is graded via q_similarity_ivf_pq_persisted
-    "q_similarity_ivf_sq_persisted",
-    # r11, tail: pseudo-relevance-feedback expansion — the BM25 scoring
-    # class is graded via q_bm25_topk/q_bm25_batch/q_bm25_indexed
-    "q_bm25_prf",
-    # r11, tail: ingest-time L2 normalization (row-local transform; the
-    # cosine retrieval class keeps full-registry coverage)
-    "q_normalized_similarity",
-    # r11, tail: best-passage extraction (integer/string-exact snippet
-    # mining; the positional-gram class is graded via
-    # q_contaminated_spans)
-    "q_best_passage",
+    # (the r11 tail block — IVF×SQ, batch-refined ANN, the retrieval
+    # compositions, PRF, normalization, best-passage — rotated INTO the
+    # r12 window above)
     "q_concat_schema_coercion",
     "q_events_user_sessions",
     "q_dedup_exact",
@@ -8617,7 +8744,6 @@ _GRADING_ORDER = [
     "q_salted_join",
     "q_quantized_embeddings",
     "q_rollup_cascade",
-    "q_variant_props",
     "q_kfold_counts",
     # ---- r3 no_oracle holes, closed in r4: simhash has a full value-hash
     # oracle (xxhash64 reimplemented in DuckDB SQL); IVF and the approx
@@ -8636,7 +8762,6 @@ _GRADING_ORDER = [
     "q_repetition_stats",
     # -- r4 web-corpus additions -----------------------------------------
     "q_url_canonicalize",
-    "q_url_dedup",
     "q_heavy_hitters",
     "q_profile_columns",
     "q_temperature_mixture",
@@ -8650,14 +8775,10 @@ _GRADING_ORDER = [
     # (q_pagerank and q_count_min_sketch moved into the graded window, r6)
     "q_small_quantity_selfjoin",
     "q_random_projection",
-    # r6: directed PageRank with dangling-mass redistribution (oracle
-    # unrolls the recurrence incl. a per-iteration dangling-mass CTE)
-    "q_pagerank_directed",
+    # (q_pagerank_directed rotated into the r12 window)
     # r6: span-level decontamination, redaction half
     "q_redacted_corpus",
-    # r8: suffix-array-style exact-substring dedup, composed form (the
-    # spans form and — r10 — the incremental form are graded)
-    "q_self_dedup_corpus",
+    # (q_self_dedup_corpus rotated into the r12 window)
     # r8: bottom-k (KMV) sketch family — mergeable distinct count and
     # deterministic hash-sample quantiles, xxh64 chain replayed in SQL
     # (grouped form graded, r9)

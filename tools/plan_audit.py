@@ -66,8 +66,10 @@ ALLOWED = {
     ("q_bm25_indexed", "BroadcastNestedLoopJoin"),
     # PRF's stage-2 (expanded-query) scan is the same bm25_scores fold;
     # stage 1 hides behind the contract-bounded collects, stage 2's
-    # 1-row stats broadcast lands in the final plan.
+    # 1-row stats broadcast lands in the final plan. The indexed form's
+    # stage 2 folds the same 1-row stats table.
     ("q_bm25_prf", "BroadcastNestedLoopJoin"),
+    ("q_bm25_prf_indexed", "BroadcastNestedLoopJoin"),
     # Hybrid RRF inherits the lexical half's 1-row stats fold; the
     # fusion itself is equi-joins over k-row ranked lists.
     ("q_hybrid_retrieval", "BroadcastNestedLoopJoin"),

@@ -208,16 +208,24 @@ def hybrid_batch_topk(
     query: each row of ``queries`` carries a term profile
     (``terms_col``) AND an embedding (``vec_col``); the BM25 inverted
     index answers the lexical half (`bm25_batch_topk_indexed` — pruned
-    postings read, no corpus scan) and the IVF×PQ table the ANN half
-    (`ivf_pq_batch_topk` — union-of-probes pruned scan, one Arrow
-    pass). Each retriever returns its ``retriever_topk`` per query;
-    fusion is k-row work (module docstring). The lexical list ranks by
-    (bm25 desc, id), the ANN list by (adc_dist asc, id), and the RRF
-    sum folds lexical-then-ANN — all deterministic, oracle-replayable.
-    ``weights`` is ``(w_lexical, w_ann)`` for weighted RRF (see
-    :func:`rrf_fuse`); ``None`` = unweighted.
+    postings read, no corpus scan) and the ANN serving table the ANN
+    half. ``index`` picks the codec: an :class:`pq.IvfPqIndex` routes
+    to `ivf_pq_batch_topk` (union-of-probes pruned scan, one Arrow
+    pass), a :class:`similarity.SqIndex` to `ivf_sq_batch_topk` (same
+    shape, grid decode instead of LUTs) — RRF is rank-space, so the
+    fusion is codec-agnostic by construction and the serving matrix's
+    two families are interchangeable here. Each retriever returns its
+    ``retriever_topk`` per query; fusion is k-row work (module
+    docstring). The lexical list ranks by (bm25 desc, id), the ANN
+    list by (adc_dist asc, id), and the RRF sum folds lexical-then-ANN
+    — all deterministic, oracle-replayable. ``weights`` is
+    ``(w_lexical, w_ann)`` for weighted RRF (see :func:`rrf_fuse`);
+    ``None`` = unweighted.
     """
     from ons_utils_spark.operators.pq import ivf_pq_batch_topk
+    from ons_utils_spark.operators.similarity import (
+        SqIndex, ivf_sq_batch_topk,
+    )
     from ons_utils_spark.operators.text import bm25_batch_topk_indexed
 
     lex = bm25_batch_topk_indexed(
@@ -230,7 +238,11 @@ def hybrid_batch_topk(
         # whatever the input name; realign so rrf_fuse's join keys and
         # the ANN half (which echoes the caller's name) agree.
         lex = lex.withColumnRenamed("query_id", query_id_col)
-    ann = ivf_pq_batch_topk(
+    ann_scorer = (
+        ivf_sq_batch_topk if isinstance(index, SqIndex) else
+        ivf_pq_batch_topk
+    )
+    ann = ann_scorer(
         coded, index, queries.select(query_id_col, vec_col),
         query_id_col=query_id_col, vec_col=vec_col,
         n_probe=n_probe, topk=retriever_topk,

@@ -958,6 +958,111 @@ def bm25_prf_topk_indexed(
     )
 
 
+#: Largest feedback-doc id set pushed into the postings scan as an
+#: ``In`` literal by the batch PRF's expansion mining; past it the
+#: fetch falls back to a broadcast semi-join (the pq._REFINE_ISIN_MAX
+#: pattern — the list is what reaches the parquet reader, but it is
+#: also O(n) plan literals).
+_PRF_FB_ISIN_MAX = 1024
+
+
+def bm25_prf_batch_topk_indexed(
+    postings,
+    stats,
+    queries,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    topk: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+):
+    """Pseudo-relevance feedback for EVERY query in a query TABLE,
+    served from the inverted index → ``(query_id, id, bm25, rank)`` —
+    the production PRF shape: all profiles expand and re-retrieve in
+    THREE bounded jobs instead of ``3 × n_queries`` driver round-trips.
+
+    Stage 1 is one :func:`bm25_batch_topk_indexed` job (``fb_docs``
+    per query); expansion mining is ONE pass over the feedback docs'
+    postings (id ``In`` pushdown up to :data:`_PRF_FB_ISIN_MAX` ids,
+    broadcast semi-join past it) joined to the broadcast (qid, fb-doc)
+    map — a doc feeding several queries' feedback sets is read once —
+    grouped to ``Σ tf`` per (query, term), the query's OWN terms
+    anti-joined away, and cut to ``fb_terms`` per query by a window
+    ordered (weight desc, term asc); stage 2 is one more batch job
+    over the expanded profiles. Per query the result is bit-identical
+    to :func:`bm25_prf_topk_indexed` (and hence to the scan-form
+    :func:`bm25_prf_topk`) — same feedback cut, same expansion
+    ranking, same scoring folds (pinned in tests). A query whose
+    literal terms match nothing expands to nothing and returns no
+    rows, exactly like the single-query forms.
+    """
+    from pyspark.sql import Window, functions as F
+
+    spark = postings.sparkSession
+    stage1 = bm25_batch_topk_indexed(
+        postings, stats, queries, query_id_col=query_id_col,
+        terms_col=terms_col, topk=fb_docs, k1=k1, b=b, round_dp=round_dp,
+    )
+    # Both collects are contract-bounded: the query table is
+    # driver-sized (the batch contract) and stage 1 is ≤ n_q·fb_docs.
+    qrows = queries.select(query_id_col, terms_col).collect()
+    fb_rows = stage1.select("query_id", "id").collect()
+    fb_map = {}
+    for r in fb_rows:
+        fb_map.setdefault(r["query_id"], []).append(r["id"])
+    orig = {
+        r[query_id_col]: [t.lower() for t in r[terms_col]] for r in qrows
+    }
+    fb_ids = sorted({i for ids in fb_map.values() for i in ids})
+    expansion = {qid: [] for qid in orig}
+    if fb_ids:
+        qid_type = queries.schema[query_id_col].dataType.simpleString()
+        id_type = postings.schema["id"].dataType.simpleString()
+        pairs = spark.createDataFrame(
+            [(q, i) for q, ids in fb_map.items() for i in ids],
+            f"qid {qid_type}, id {id_type}",
+        )
+        own = spark.createDataFrame(
+            [(q, t) for q, ts in orig.items() for t in sorted(set(ts))],
+            f"qid {qid_type}, term string",
+        )
+        fetched = (
+            postings.where(F.col("id").isin(fb_ids))
+            if len(fb_ids) <= _PRF_FB_ISIN_MAX
+            else postings.join(
+                F.broadcast(pairs.select("id").distinct()), "id",
+                "left_semi",
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("w").desc(), F.col("term").asc()
+        )
+        mined = (
+            fetched.select("id", "term", "tf")
+            .join(F.broadcast(pairs), "id")
+            .groupBy("qid", "term")
+            .agg(F.sum("tf").alias("w"))
+            .join(F.broadcast(own), ["qid", "term"], "left_anti")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= fb_terms)
+            .select("qid", "term", "__rn")
+            .collect()
+        )
+        for r in sorted(mined, key=lambda r: (str(r["qid"]), r["__rn"])):
+            expansion[r["qid"]].append(r["term"])
+    expanded = spark.createDataFrame(
+        [(q, orig[q] + expansion[q]) for q in orig],
+        queries.select(query_id_col, terms_col).schema,
+    )
+    return bm25_batch_topk_indexed(
+        postings, stats, expanded, query_id_col=query_id_col,
+        terms_col=terms_col, topk=topk, k1=k1, b=b, round_dp=round_dp,
+    )
+
+
 def retrieve_passages(
     df,
     postings,

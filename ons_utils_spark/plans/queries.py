@@ -7901,13 +7901,16 @@ def q_retrieve_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: The PRF oracle — shared verbatim by the corpus-scan form
-#: (q_bm25_prf) and the index-served form (q_bm25_prf_indexed): the
-#: two operators are bit-identical by contract, so one replay checks
-#: both.
-_BM25_PRF_ORACLE = (
-    _TOKS_CTE
-    + f""",
+def _bm25_prf_oracle(in_list: str, topk: int = 10, fb_docs: int = 10,
+                     fb_terms: int = 5) -> str:
+    """The single-profile PRF replay for an arbitrary term ``IN`` list
+    — shared by the corpus-scan form (q_bm25_prf), the index-served
+    form (q_bm25_prf_indexed; the operators are bit-identical by
+    contract, so ONE replay checks both), and the batch form's
+    per-query branches (q_bm25_prf_batch unions two of these)."""
+    return (
+        _TOKS_CTE
+        + f""",
     stats AS (
         SELECT count(*) AS n,
                sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
@@ -7916,19 +7919,22 @@ _BM25_PRF_ORACLE = (
         SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
                unnest(toks) AS term
         FROM toks),
-    {_bm25_chain("1", f"term IN {_BM25_IN}")},
-    fb AS (SELECT id FROM scored1 ORDER BY bm25 DESC, id LIMIT 10),
+    {_bm25_chain("1", f"term IN {in_list}")},
+    fb AS (SELECT id FROM scored1 ORDER BY bm25 DESC, id LIMIT {fb_docs}),
     fbt AS (
         SELECT b.term, count(*) AS w
         FROM base b JOIN fb ON b.id = fb.id
-        WHERE b.term NOT IN {_BM25_IN}
+        WHERE b.term NOT IN {in_list}
         GROUP BY b.term),
-    expq AS (SELECT term FROM fbt ORDER BY w DESC, term LIMIT 5),
+    expq AS (SELECT term FROM fbt ORDER BY w DESC, term LIMIT {fb_terms}),
     {_bm25_chain("2",
-                 f"term IN {_BM25_IN} OR term IN (SELECT term FROM expq)")}
-    SELECT id, bm25 FROM scored2 ORDER BY bm25 DESC, id LIMIT 10
+                 f"term IN {in_list} OR term IN (SELECT term FROM expq)")}
+    SELECT id, bm25 FROM scored2 ORDER BY bm25 DESC, id LIMIT {topk}
     """
-)
+    )
+
+
+_BM25_PRF_ORACLE = _bm25_prf_oracle(_BM25_IN)
 
 
 @register(
@@ -7976,6 +7982,49 @@ def q_bm25_prf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bm25_prf_topk_indexed(
         postings, stats, _BM25_TERMS, topk=10, fb_docs=10, fb_terms=5,
     )
+
+
+def _prf_batch_half(qid: int, in_list: str) -> str:
+    inner = _bm25_prf_oracle(in_list, topk=5)
+    return f"""
+    SELECT CAST({qid} AS BIGINT) AS query_id, t.id, t.bm25,
+           CAST(row_number() OVER (ORDER BY t.bm25 DESC, t.id)
+                AS INTEGER) AS rank
+    FROM ({inner}) t"""
+
+
+@register(
+    "q_bm25_prf_batch",
+    oracle=f"""
+    {_prf_batch_half(1, _BM25_IN)}
+    UNION ALL
+    {_prf_batch_half(2, "('customer', 'query')")}
+    ORDER BY query_id, rank
+    """,
+    description="Batch index-served pseudo-relevance feedback "
+    "(operators/text.py::bm25_prf_batch_topk_indexed): every query "
+    "profile in a table expands and re-retrieves in THREE bounded "
+    "jobs — one batch indexed stage-1 (fb_docs per query), ONE "
+    "postings pass mining expansion terms for all queries at once "
+    "(id In-pushdown for the union of feedback docs, broadcast "
+    "(qid, doc) map so a doc feeding several queries' feedback reads "
+    "once, sum(tf) per (query, term), own-terms anti-join, per-query "
+    "window cut), and one batch stage-2 over the expanded profiles — "
+    "instead of 3×n_queries driver round-trips. Per query "
+    "bit-identical to the single-profile indexed PRF (and the scan "
+    "form), which is exactly what the oracle asserts by unioning both "
+    "profiles' full single-query PRF replays.",
+)
+def q_bm25_prf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    postings, stats = _text.bm25_index_build(docs, "doc_id", "text")
+    queries = spark.createDataFrame(
+        [(1, ["vector", "stream", "merge"]), (2, ["customer", "query"])],
+        "query_id bigint, terms array<string>",
+    )
+    return _text.bm25_prf_batch_topk_indexed(
+        postings, stats, queries, topk=5, fb_docs=10, fb_terms=5,
+    ).orderBy("query_id", "rank")
 
 
 @register(
@@ -8264,6 +8313,150 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _pq.save_ivf_pq_table(coded, idx, f"{tmp}/ann")
         lc, li = _pq.load_ivf_pq_table(spark, f"{tmp}/ann")
+        union_probes = sorted({
+            j
+            for q in qvecs.values()
+            for _, j in sorted(
+                (
+                    _py_dot(q, q) + _py_dot(c, c) - 2 * _py_dot(q, c),
+                    j,
+                )
+                for j, c in enumerate(li.coarse_centroids)
+            )[:2]
+        })
+        frag = lc.where(
+            F.col("__list").isin(union_probes)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _retrieval.hybrid_batch_topk(
+        lp, ls, frag, li, queries,
+        retriever_topk=_HYBRID_RETRIEVER_TOPK, n_probe=2, topk=10,
+    ).orderBy("query_id", "rank")
+
+
+def _hybrid_ann_half_sq(qid: int, vec_id: int) -> str:
+    """One query's ANN ranked list from the IVF×SQ chain — the SQ twin
+    of :func:`_hybrid_ann_half`, for the codec-agnostic fusion query."""
+    inner = _ivf_sq_oracle(8, 2, 64, vec_id, 2, _HYBRID_RETRIEVER_TOPK, 6)
+    return f"""
+        SELECT {qid} AS qid, t.id,
+               row_number() OVER (ORDER BY t.adc_dist, t.id) AS r
+        FROM ({inner}) t"""
+
+
+@register(
+    "q_hybrid_retrieval_sq",
+    oracle=_TOKS_CTE
+    + f""",
+    qdef AS (SELECT * FROM (VALUES {_HYBRID_QDEF}) AS t(qid, terms)),
+    qterms AS (SELECT DISTINCT qid, term FROM (
+        SELECT qid, lower(unnest(terms)) AS term FROM qdef)),
+    stats AS (
+        SELECT count(*) AS n,
+               sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
+        FROM toks),
+    base AS (
+        SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
+               unnest(toks) AS term
+        FROM toks),
+    vhits AS (SELECT * FROM base
+              WHERE term IN (SELECT term FROM qterms)),
+    tf AS (SELECT id, dl, term, count(*) AS tf
+           FROM vhits GROUP BY id, dl, term),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT q.qid, t.id,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+        FROM tf t JOIN dfs d USING (term) JOIN qterms q USING (term)
+        CROSS JOIN stats s),
+    lscored AS (
+        SELECT qid, id,
+               round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE),
+                     6) AS bm25
+        FROM contrib GROUP BY qid, id),
+    lexr AS (
+        SELECT qid, id, r FROM (
+            SELECT qid, id, row_number() OVER (
+                PARTITION BY qid ORDER BY bm25 DESC, id) AS r
+            FROM lscored)
+        WHERE r <= {_HYBRID_RETRIEVER_TOPK}),
+    annr AS ({" UNION ALL ".join(
+        _hybrid_ann_half_sq(qid, vid) for qid, _, vid in _HYBRID_QUERIES
+    )}),
+    fused AS (
+        SELECT COALESCE(l.qid, a.qid) AS qid,
+               COALESCE(l.id, a.id) AS id,
+               round(COALESCE(1.0 / (60 + l.r), 0.0)
+                     + COALESCE(1.0 / (60 + a.r), 0.0), 6) AS rrf
+        FROM lexr l FULL OUTER JOIN annr a
+          ON l.qid = a.qid AND l.id = a.id)
+    SELECT CAST(qid AS BIGINT) AS query_id, id, rrf,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY rrf DESC, id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    description="Hybrid retrieval with the SQ codec family as the ANN "
+    "half (operators/retrieval.py::hybrid_batch_topk dispatching on "
+    "the index type to similarity.ivf_sq_batch_topk): the serving "
+    "matrix's two families are interchangeable under RRF because "
+    "fusion is rank-space — this query proves it end-to-end with the "
+    "SAME query workload as q_hybrid_retrieval served from the "
+    "persisted IVF×SQ table (save/load_sq_table round-trip, "
+    "union-of-probes fragment checkpointed) instead of the IVF×PQ "
+    "one. The oracle replays the batch BM25 scoring, BOTH queries' "
+    "full single-query IVF×SQ chains (coarse Lloyd, probe selection, "
+    "grid training, clamped encode, decoded distances), both "
+    "rankings, the outer-join fold, and the fused top-10 bit-for-bit.",
+)
+def q_hybrid_retrieval_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ons_utils_spark.operators import retrieval as _retrieval
+    from ons_utils_spark.operators import similarity as _sim
+    from ons_utils_spark.operators.semantic import _py_dot
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.where(
+            F.col("vec_id").isin([v for _, _, v in _HYBRID_QUERIES])
+        ).collect()
+    }
+    queries = spark.createDataFrame(
+        [
+            (qid, [t for t in terms], qvecs[vid])
+            for qid, terms, vid in _HYBRID_QUERIES
+        ],
+        "query_id bigint, terms array<string>, embedding array<double>",
+    )
+
+    postings, stats = _text.bm25_index_build(docs, "doc_id", "text")
+    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+        emb, dim=64, n_lists=8, coarse_iter=2,
+    )
+    idx = _sim.make_sq_index(coarse, vmin, vmax)
+    tmp = tempfile.mkdtemp(prefix="hybrid_sq_")
+    try:
+        _text.save_bm25_index(postings, stats, f"{tmp}/bm25")
+        lp, ls = _text.load_bm25_index(spark, f"{tmp}/bm25")
+        union_vocab = sorted({
+            t.lower() for _, terms, _ in _HYBRID_QUERIES for t in terms
+        })
+        lp = _text._filter_postings_terms(lp, union_vocab).localCheckpoint(
+            eager=True
+        )
+        ls = ls.localCheckpoint(eager=True)
+
+        _sim.save_sq_table(coded, idx, f"{tmp}/ann")
+        lc, li = _sim.load_sq_table(spark, f"{tmp}/ann")
         union_probes = sorted({
             j
             for q in qvecs.values()
@@ -8665,6 +8858,12 @@ _GRADING_ORDER = [
     "q_constraint_audit",
     "q_curation_pipeline",
     "q_hard_negatives_srp_multi",
+    # r12, tail: batch indexed PRF and the SQ-backend hybrid — their
+    # constituent classes are all graded in the window
+    # (q_bm25_prf_indexed, q_similarity_ivf_sq_batch,
+    # q_hybrid_retrieval); full-registry checked every round
+    "q_bm25_prf_batch",
+    "q_hybrid_retrieval_sq",
     # r11: rotated OUT of the graded window (graded green since r1-r9,
     # shapes whose families keep graded representatives — see the window
     # comments) to admit the ten never-driver-graded classes above

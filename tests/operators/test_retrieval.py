@@ -111,6 +111,53 @@ class TestHybridBatchTopk:
         assert rows and all(r["rank"] <= 5 for r in rows)
         assert {r["query_id"] for r in rows} == {1, 2}
 
+    def test_sq_index_dispatches_to_sq_batch_scorer(self, spark):
+        """An SqIndex routes the ANN half through ivf_sq_batch_topk —
+        RRF is rank-space, so the codec families are interchangeable;
+        the fused output must equal the manual SQ composition."""
+        from ons_utils_spark.operators import similarity as sim
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta doc{i} " + ("spark " * (i % 3)))
+             for i in range(30)],
+            "doc_id bigint, text string",
+        )
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(30)
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        postings, stats = text.bm25_index_build(docs, "doc_id", "text")
+        coded, coarse, vmin, vmax = sim.ivf_sq_build(
+            emb, dim=8, n_lists=4, coarse_iter=1
+        )
+        idx = sim.make_sq_index(coarse, vmin, vmax)
+        queries = spark.createDataFrame(
+            [(1, ["spark", "alpha"], vecs[2]),
+             (2, ["beta"], vecs[9])],
+            "query_id bigint, terms array<string>, embedding array<double>",
+        )
+        fused = retrieval.hybrid_batch_topk(
+            postings, stats, coded, idx, queries,
+            retriever_topk=8, n_probe=2, topk=5,
+        )
+        lex = text.bm25_batch_topk_indexed(
+            postings, stats, queries.select("query_id", "terms"), topk=8
+        )
+        ann = sim.ivf_sq_batch_topk(
+            coded, idx, queries.select("query_id", "embedding"),
+            n_probe=2, topk=8,
+        )
+        manual = retrieval.rrf_fuse(
+            [(lex, "bm25", False), (ann, "adc_dist", True)], topk=5
+        )
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, manual.collect())
+        )
+
 
 class TestWeightedRrf:
     def test_weights_scale_contributions(self, spark):

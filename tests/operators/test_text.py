@@ -1226,6 +1226,44 @@ class TestBm25Prf:
         ).collect()
         assert out == []
 
+    def test_batch_indexed_prf_matches_singles_bitwise(self, spark):
+        """bm25_prf_batch_topk_indexed — per query bit-identical to the
+        single-profile indexed PRF (same feedback cut, same expansion
+        ranking, same scoring folds), including a profile whose
+        feedback sets OVERLAP another's (the shared doc is read once
+        via the (qid, doc) map) and one with no hits at all."""
+        from ons_utils_spark.operators.text import (
+            bm25_index_build, bm25_prf_batch_topk_indexed,
+            bm25_prf_topk_indexed,
+        )
+
+        docs = self._docs(spark)
+        postings, stats = bm25_index_build(docs, "doc_id", "text")
+        profiles = [
+            (1, ["spark"]),
+            (2, ["engine", "scalable"]),
+            (3, ["nonexistentterm"]),
+        ]
+        queries = spark.createDataFrame(
+            profiles, "query_id bigint, terms array<string>"
+        )
+        batch = bm25_prf_batch_topk_indexed(
+            postings, stats, queries, topk=4, fb_docs=3, fb_terms=2
+        ).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append(
+                (r["id"], r["bm25"], r["rank"])
+            )
+        for qid, terms in profiles:
+            single = bm25_prf_topk_indexed(
+                postings, stats, terms, topk=4, fb_docs=3, fb_terms=2
+            ).collect()
+            want = [
+                (r["id"], r["bm25"], i + 1) for i, r in enumerate(single)
+            ]
+            assert sorted(got.get(qid, [])) == sorted(want), qid
+
     def test_indexed_prf_matches_scan_form_bitwise(self, spark):
         """bm25_prf_topk_indexed — both stages + the expansion mining
         answered from the inverted index must reproduce the corpus-scan

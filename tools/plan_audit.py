@@ -70,9 +70,14 @@ ALLOWED = {
     # stage 2 folds the same 1-row stats table.
     ("q_bm25_prf", "BroadcastNestedLoopJoin"),
     ("q_bm25_prf_indexed", "BroadcastNestedLoopJoin"),
+    # The batch form's final plan is stage 2's batch indexed scorer —
+    # the same 1-row stats fold.
+    ("q_bm25_prf_batch", "BroadcastNestedLoopJoin"),
     # Hybrid RRF inherits the lexical half's 1-row stats fold; the
-    # fusion itself is equi-joins over k-row ranked lists.
+    # fusion itself is equi-joins over k-row ranked lists. The SQ-
+    # backend variant inherits the identical lexical half.
     ("q_hybrid_retrieval", "BroadcastNestedLoopJoin"),
+    ("q_hybrid_retrieval_sq", "BroadcastNestedLoopJoin"),
     ("q_price_histogram", "BroadcastNestedLoopJoin"),
     ("q_vocab_coverage", "BroadcastNestedLoopJoin"),
     # The temperature-mixture anchor window runs over the |groups|-row

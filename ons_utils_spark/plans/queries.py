@@ -8756,9 +8756,13 @@ _GRADING_ORDER = [
     # (dangling-mass redistribution CTE) had never been graded ----------
     "q_pagerank",
     "q_pagerank_directed",
-    # -- window / rank + pandas grouped-apply parity --------------------
-    "q_topk_orders_per_customer",
+    # -- pandas grouped-apply parity (q_topk_orders_per_customer, green
+    # r1-r11, rotates out — rank windows stay graded via the funnel,
+    # SCD2, retrieval top-k, and KMV-quantile shapes) --------------------
     "q_grouped_apply_spend_share",
+    # r12: deterministic hash-sample quantiles (bottom-k xxh64 chain
+    # replayed in SQL) — never driver-graded before
+    "q_sample_quantiles",
     # -- clustering: the sample-trained form keeps the Lloyd chain
     # graded (q_kmeans_clusters long green; q_semdedup_kmeans below
     # also replays the full chain) --------------------------------------
@@ -8833,9 +8837,12 @@ _GRADING_ORDER = [
     "q_view_to_click_attribution",
     # -- multimodal -----------------------------------------------------
     "q_multimodal_features",
-    # -- profiling drift ------------------------------------------------
+    # -- profiling drift (the numeric-bin form, green r10-r11, rotates
+    # out; the categorical form keeps the PSI class graded) --------------
     "q_psi_drift_categorical",
-    "q_psi_drift",
+    # r12: span-level decontamination's REDACTION half (interval
+    # algebra + surgical rewrite) — never driver-graded before
+    "q_redacted_corpus",
     # r12: Variant semi-structured path extraction — never driver-graded
     "q_variant_props",
     # ---- end of the driver's 50-slot graded window ----------------------
@@ -8843,6 +8850,8 @@ _GRADING_ORDER = [
     # family keeps graded representatives — see the window comments).
     # All remain oracle-checked every round via CORRECTNESS_FULL.
     "q5_local_supplier_volume",
+    "q_topk_orders_per_customer",
+    "q_psi_drift",
     "q_count_min_sketch",
     "q_kmv_distinct_grouped",
     "q_kmeans_clusters",
@@ -8974,15 +8983,11 @@ _GRADING_ORDER = [
     # (q_pagerank and q_count_min_sketch moved into the graded window, r6)
     "q_small_quantity_selfjoin",
     "q_random_projection",
-    # (q_pagerank_directed rotated into the r12 window)
-    # r6: span-level decontamination, redaction half
-    "q_redacted_corpus",
-    # (q_self_dedup_corpus rotated into the r12 window)
-    # r8: bottom-k (KMV) sketch family — mergeable distinct count and
-    # deterministic hash-sample quantiles, xxh64 chain replayed in SQL
-    # (grouped form graded, r9)
+    # (q_pagerank_directed, q_redacted_corpus, q_self_dedup_corpus, and
+    # q_sample_quantiles all rotated into the r12 window)
+    # r8: bottom-k (KMV) mergeable distinct count (xxh64 chain replayed
+    # in SQL; grouped form graded r9-r11, quantile form graded r12)
     "q_kmv_distinct",
-    "q_sample_quantiles",
     # (q_bm25_indexed and q_similarity_ivf_pq_batch moved into the
     # graded window, r11)
     # r10: rotated OUT of the graded window (graded green since r1-r2,

@@ -368,11 +368,23 @@ def sq_train(
     )
 
 
-def _sq_deltas(vmin: "list[float]", vmax: "list[float]") -> "list[float]":
-    """Per-dimension grid step ``(max − min) / 255``; 0 for constant
-    dimensions (their code is pinned to 0 and decode returns ``vmin``)."""
+def _sq_levels(bits: int) -> int:
+    """Grid level count for a bit width — FAISS's SQ4/SQ6/SQ8 family
+    generalized: codes live in ``[0, 2^bits − 1]``."""
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits must be in [2, 16], got {bits}")
+    return (1 << bits) - 1
+
+
+def _sq_deltas(
+    vmin: "list[float]", vmax: "list[float]", bits: int = 8,
+) -> "list[float]":
+    """Per-dimension grid step ``(max − min) / (2^bits − 1)``; 0 for
+    constant dimensions (their code is pinned to 0 and decode returns
+    ``vmin``)."""
+    levels = _sq_levels(bits)
     return [
-        (mx - mn) / 255 if mx > mn else 0.0
+        (mx - mn) / levels if mx > mn else 0.0
         for mn, mx in zip(vmin, vmax)
     ]
 
@@ -384,14 +396,18 @@ def sq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry_cols: Sequence[str] = (),
+    bits: int = 8,
 ) -> SparkDF:
     """Encode vectors on the trained per-dimension grid:
-    ``code_i = clamp(floor((x_i − vmin_i) / Δ_i + 0.5), 0, 255)`` —
-    floor-based half-up rounding (the tie mode every engine computes
+    ``code_i = clamp(floor((x_i − vmin_i) / Δ_i + 0.5), 0, 2^bits−1)``
+    — floor-based half-up rounding (the tie mode every engine computes
     identically), values outside the trained range clamp to the grid
     edges (exactly how FAISS SQ handles out-of-sample values). 32 GB of
-    float32 becomes 8 GB of codes; one row-local projection, zero
-    shuffle, zero Python.
+    float32 becomes 8 GB of codes at the SQ8 default; ``bits`` widens
+    the codec matrix to FAISS's SQ4/SQ6 points (the same trained grid —
+    min/max training is bit-width-independent — at 8×/5.3× compression
+    with measured recall in SCALING.md §SQ bit widths). One row-local
+    projection, zero shuffle, zero Python.
 
     Returns ``(id, codes array<int>, *carry_cols)`` — ``carry_cols``
     ride through the projection (e.g. an IVF ``__list``), no join back.
@@ -400,7 +416,8 @@ def sq_encode(
         raise ValueError(
             f"vmin/vmax length mismatch: {len(vmin)} vs {len(vmax)}"
         )
-    deltas = _sq_deltas(vmin, vmax)
+    levels = _sq_levels(bits)
+    deltas = _sq_deltas(vmin, vmax, bits=bits)
     mn_arr = F.array(*[F.lit(v) for v in vmin])
     # Division form (not a precomputed 1/Δ multiply): an external SQL
     # auditor computes (x − mn) / Δ, and the two differ in IEEE.
@@ -413,13 +430,13 @@ def sq_encode(
         # Clamp BEFORE the int cast: a value far outside the trained
         # range floors to a huge number whose double->int cast is
         # engine-defined (Spark saturates, ANSI SQL errors) — clamped
-        # to [0, 255] first, the cast is exact everywhere.
+        # to [0, levels] first, the cast is exact everywhere.
         lambda s, d: F.when(d == 0.0, F.lit(0)).otherwise(
             F.least(
                 F.greatest(
                     F.floor(s / d + F.lit(0.5)), F.lit(0).cast("bigint")
                 ),
-                F.lit(255).cast("bigint"),
+                F.lit(levels).cast("bigint"),
             ).cast("int")
         ),
     )
@@ -435,6 +452,7 @@ def sq_adc_topk(
     query_vec: Sequence[float],
     topk: int = 10,
     round_dp: int = 6,
+    bits: int = 8,
 ) -> SparkDF:
     """Asymmetric top-``k`` against SQ codes: exact squared L2 between
     the full-precision query and each DECODED vector
@@ -452,7 +470,7 @@ def sq_adc_topk(
     q = [float(x) for x in query_vec]
     if len(q) != len(vmin):
         raise ValueError(f"query dim {len(q)} != trained dim {len(vmin)}")
-    deltas = _sq_deltas(vmin, vmax)
+    deltas = _sq_deltas(vmin, vmax, bits=bits)
     mn_arr = F.array(*[F.lit(v) for v in vmin])
     d_arr = F.array(*[F.lit(d) for d in deltas])
     q_arr = F.array(*[F.lit(v) for v in q])
@@ -488,6 +506,7 @@ def ivf_sq_build(
     round_dp: int = 6,
     method: str = "auto",
     train_on: "SparkDF | float | None" = None,
+    bits: int = 8,
 ) -> "tuple[SparkDF, list[list[float]], list[float], list[float]]":
     """IVF×SQ: coarse-quantize into ``n_lists`` inverted lists, SQ8-
     encode every vector — FAISS's ``IVFx,SQ8`` shape, the high-recall
@@ -515,7 +534,7 @@ def ivf_sq_build(
     vmin, vmax = sq_train(df, dim, vec_col=vec_col)
     coded = sq_encode(
         src, vmin, vmax, id_col=id_col, vec_col=vec_col,
-        carry_cols=("__list",),
+        carry_cols=("__list",), bits=bits,
     )
     return coded, coarse, vmin, vmax
 
@@ -529,6 +548,7 @@ def ivf_sq_topk(
     n_probe: int = 2,
     topk: int = 10,
     round_dp: int = 6,
+    bits: int = 8,
 ) -> SparkDF:
     """Approximate top-``k`` from an IVF×SQ index: decoded-distance
     scan of only the ``n_probe`` nearest lists — :func:`pq.ivf_pq_topk`
@@ -561,7 +581,7 @@ def ivf_sq_topk(
     ]
     return sq_adc_topk(
         coded.where(F.col("__list").isin(probe)),
-        vmin, vmax, q, topk=topk, round_dp=round_dp,
+        vmin, vmax, q, topk=topk, round_dp=round_dp, bits=bits,
     )
 
 
@@ -578,6 +598,9 @@ class SqIndex(NamedTuple):
     vmax: "list[float]"
     round_dp: int
     fingerprint: str
+    #: Grid bit width (FAISS SQ4/SQ6/SQ8). Trailing default keeps every
+    #: pre-r12 construction site and store compatible.
+    bits: int = 8
 
     @property
     def n_lists(self) -> int:
@@ -588,18 +611,23 @@ class SqIndex(NamedTuple):
         return len(self.vmin)
 
 
-def _sq_fingerprint(coarse, vmin, vmax, round_dp: int) -> str:
+def _sq_fingerprint(coarse, vmin, vmax, round_dp: int,
+                    bits: int = 8) -> str:
     """sha256 hex (16 chars) over the exact payload — ``repr`` of a
     float is its shortest round-trip form, so bit-identical grids hash
-    identically and single-ulp corruption changes the digest."""
+    identically and single-ulp corruption changes the digest. ``bits``
+    joins the payload only when non-default, so every SQ8 store written
+    before the bit-width parameter existed keeps its valid
+    fingerprint."""
     import hashlib
 
-    payload = repr((
+    base = (
         [[float(x) for x in c] for c in coarse],
         [float(x) for x in vmin],
         [float(x) for x in vmax],
         int(round_dp),
-    ))
+    )
+    payload = repr(base if bits == 8 else base + (int(bits),))
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
 
 
@@ -608,6 +636,7 @@ def make_sq_index(
     vmin: "list[float]",
     vmax: "list[float]",
     round_dp: int = 6,
+    bits: int = 8,
 ) -> SqIndex:
     """Wrap :func:`ivf_sq_build` (or :func:`sq_train`) outputs as a
     fingerprinted :class:`SqIndex`, validating geometry up front."""
@@ -622,12 +651,14 @@ def make_sq_index(
     coarse = [[float(x) for x in c] for c in coarse_centroids]
     if coarse and any(len(c) != dim for c in coarse):
         raise ValueError(f"coarse centroid dim != grid dim {dim}")
+    _sq_levels(bits)  # range-validate up front
     mn = [float(x) for x in vmin]
     mx = [float(x) for x in vmax]
     return SqIndex(
         coarse_centroids=coarse, vmin=mn, vmax=mx,
         round_dp=int(round_dp),
-        fingerprint=_sq_fingerprint(coarse, mn, mx, round_dp),
+        fingerprint=_sq_fingerprint(coarse, mn, mx, round_dp, bits),
+        bits=int(bits),
     )
 
 
@@ -658,10 +689,10 @@ def save_sq_index(
     meta = spark.createDataFrame(
         [(
             _SQ_INDEX_FORMAT_VERSION, index.round_dp, index.n_lists,
-            index.dim, index.fingerprint, coded_generation,
+            index.dim, index.fingerprint, coded_generation, index.bits,
         )],
         "format_version int, round_dp int, n_lists int, dim int, "
-        "fingerprint string, coded_generation string",
+        "fingerprint string, coded_generation string, bits int",
     )
     vectors.coalesce(1).write.mode("overwrite").parquet(f"{path}/vectors")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -716,8 +747,10 @@ def _load_sq_index_with_meta(spark, path: str):
             f"(n_lists={meta['n_lists']}, dim={meta['dim']}) — the "
             "store is corrupt"
         )
+    # Pre-bit-width stores carry no bits column: they are SQ8.
+    bits = int(meta["bits"]) if "bits" in meta and meta["bits"] is not None else 8
     got = _sq_fingerprint(
-        coarse, grids["vmin"], grids["vmax"], meta["round_dp"]
+        coarse, grids["vmin"], grids["vmax"], meta["round_dp"], bits
     )
     if got != meta["fingerprint"]:
         raise ValueError(
@@ -727,7 +760,7 @@ def _load_sq_index_with_meta(spark, path: str):
         )
     index = SqIndex(
         coarse_centroids=coarse, vmin=grids["vmin"], vmax=grids["vmax"],
-        round_dp=int(meta["round_dp"]), fingerprint=got,
+        round_dp=int(meta["round_dp"]), fingerprint=got, bits=bits,
     )
     return index, meta
 
@@ -771,7 +804,7 @@ def ivf_sq_encode(
     ).withColumn("__list", F.col("__cluster"))
     return sq_encode(
         src, index.vmin, index.vmax, id_col=id_col, vec_col=vec_col,
-        carry_cols=("__list",),
+        carry_cols=("__list",), bits=index.bits,
     )
 
 
@@ -788,6 +821,7 @@ def ivf_sq_query(
     return ivf_sq_topk(
         coded, index.coarse_centroids, index.vmin, index.vmax,
         query_vec, n_probe=n_probe, topk=topk, round_dp=index.round_dp,
+        bits=index.bits,
     )
 
 
@@ -1081,7 +1115,10 @@ def ivf_sq_batch_topk(
     filtered = coded.where(F.col("__list").isin(union_lists))
     probe_sorted = np.sort(probe_mat, axis=1)
     mn = np.asarray(index.vmin, dtype=np.float64)
-    deltas = np.asarray(_sq_deltas(index.vmin, index.vmax), dtype=np.float64)
+    deltas = np.asarray(
+        _sq_deltas(index.vmin, index.vmax, bits=index.bits),
+        dtype=np.float64,
+    )
     round_dp = index.round_dp
 
     qid_field = queries.schema[query_id_col].dataType

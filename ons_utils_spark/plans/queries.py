@@ -7249,19 +7249,20 @@ def q_similarity_ivf_pq_batch_refined(
     )
 
 
-def _sq_fragments(dim: int) -> "tuple[str, str, str, str]":
+def _sq_fragments(dim: int, levels: int = 255) -> "tuple[str, str, str, str]":
     """The four generated SQL fragments shared by every SQ oracle:
     corpus min/max aggregates, grid steps (constant-dimension zero
     guard), floor-based half-up encode with edge clamps, and the
     decoded squared-L2 term sum in the engines' left-to-right IEEE
-    order."""
+    order. ``levels`` is the grid's top code (255 for SQ8, 15 for
+    SQ4 — the operator's ``bits`` parameter as ``2^bits − 1``)."""
     e = "CAST(e.embedding AS DOUBLE[])"
     stats = ", ".join(
         f"min({e}[{i + 1}]) AS mn{i}, max({e}[{i + 1}]) AS mx{i}"
         for i in range(dim)
     )
     deltas = ", ".join(
-        f"CASE WHEN mx{i} > mn{i} THEN (mx{i} - mn{i}) / 255 "
+        f"CASE WHEN mx{i} > mn{i} THEN (mx{i} - mn{i}) / {levels} "
         f"ELSE 0 END AS d{i}"
         for i in range(dim)
     )
@@ -7271,7 +7272,7 @@ def _sq_fragments(dim: int) -> "tuple[str, str, str, str]":
     codes = ", ".join(
         f"CASE WHEN s.d{i} = 0 THEN 0 ELSE "
         f"CAST(least(greatest(floor(({e}[{i + 1}] - s.mn{i}) / s.d{i} "
-        f"+ 0.5), 0), 255) AS INT) END AS c{i}"
+        f"+ 0.5), 0), {levels}) AS INT) END AS c{i}"
         for i in range(dim)
     )
     terms = " + ".join(
@@ -7282,9 +7283,11 @@ def _sq_fragments(dim: int) -> "tuple[str, str, str, str]":
     return stats, deltas, codes, terms
 
 
-def _sq8_oracle(dim: int, query_id: int, topk: int, dp: int) -> str:
-    """DuckDB twin of sq_train + sq_encode + sq_adc_topk (full scan)."""
-    stats, deltas, codes, terms = _sq_fragments(dim)
+def _sq8_oracle(dim: int, query_id: int, topk: int, dp: int,
+                levels: int = 255) -> str:
+    """DuckDB twin of sq_train + sq_encode + sq_adc_topk (full scan),
+    at any grid bit width via ``levels``."""
+    stats, deltas, codes, terms = _sq_fragments(dim, levels)
     return f"""
     WITH st AS (SELECT {stats} FROM embeddings e),
     sd AS (SELECT *, {deltas} FROM st),
@@ -7327,6 +7330,34 @@ def q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
     return _sim.sq_adc_topk(codes, vmin, vmax, q, topk=25)
+
+
+@register(
+    "q_similarity_sq4",
+    oracle=_sq8_oracle(64, 3, 25, 6, levels=15),
+    description="4-bit trained scalar quantization (FAISS SQ4; "
+    "operators/similarity.py::sq_encode/sq_adc_topk with bits=4): the "
+    "SAME corpus-trained min/max grid (training is bit-width "
+    "independent) quantized to 16 levels per dimension — 8× "
+    "compression, the low-memory end of the SQ bit-width axis "
+    "(measured recall ladder in SCALING.md §SQ bit widths; SQ4's "
+    "coarser grid is the standard FAISS trade when the memory budget "
+    "halves again). Query vec_id=3 answered by exact squared L2 "
+    "against the decoded 4-bit grid points, same row-local fold. The "
+    "oracle replays training, the 15-level clamped encode, and every "
+    "decoded distance bit-for-bit.",
+)
+def q_similarity_sq4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vmin, vmax = _sim.sq_train(emb, dim=64)
+    codes = _sim.sq_encode(emb, vmin, vmax, bits=4)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]
+    ]
+    return _sim.sq_adc_topk(codes, vmin, vmax, q, topk=25, bits=4)
 
 
 def _ivf_sq_oracle(n_lists: int, coarse_iter: int, dim: int,
@@ -8873,6 +8904,9 @@ _GRADING_ORDER = [
     # q_hybrid_retrieval); full-registry checked every round
     "q_bm25_prf_batch",
     "q_hybrid_retrieval_sq",
+    # r12, tail: the SQ4 bit-width point — the grid-codec class is
+    # graded via q_similarity_sq8 and the whole IVF×SQ window row
+    "q_similarity_sq4",
     # r11: rotated OUT of the graded window (graded green since r1-r9,
     # shapes whose families keep graded representatives — see the window
     # comments) to admit the ten never-driver-graded classes above

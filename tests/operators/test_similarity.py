@@ -1187,3 +1187,127 @@ class TestIvfSqBatchTopk:
             sim.sq_adc_topk(
                 poisoned, idx.vmin, idx.vmax, vecs[3], topk=5
             ).collect()
+
+
+class TestSqBitWidths:
+    """bits parameter (FAISS SQ4/SQ6/SQ8) through the SQ family."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, [0.0, 10.0, 5.0]),
+                (2, [1.0, 20.0, 5.0]),
+                (3, [0.5, 15.0, 5.0]),
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    def test_sq4_codes_are_16_level(self, spark):
+        from ons_utils_spark.operators.similarity import sq_encode, sq_train
+
+        df = self._df(spark)
+        vmin, vmax = sq_train(df, dim=3)
+        rows = {
+            r["id"]: list(r["codes"])
+            for r in sq_encode(df, vmin, vmax, bits=4).collect()
+        }
+        # dim 0: range [0,1], delta 1/15 -> codes 0, 15, round(0.5*15)=8
+        # (floor(7.5+0.5)=8); dim 2 constant -> 0
+        assert rows[1] == [0, 0, 0]
+        assert rows[2] == [15, 15, 0]
+        assert rows[3] == [8, 8, 0]
+
+    def test_adc_decodes_on_the_matching_grid(self, spark):
+        import math
+
+        from ons_utils_spark.operators.similarity import (
+            sq_adc_topk, sq_encode, sq_train,
+        )
+
+        df = self._df(spark)
+        vmin, vmax = sq_train(df, dim=3)
+        codes = sq_encode(df, vmin, vmax, bits=4)
+        got = {
+            r["id"]: r["adc_dist"]
+            for r in sq_adc_topk(
+                codes, vmin, vmax, [0.0, 10.0, 5.0], topk=3, bits=4
+            ).collect()
+        }
+        deltas = [(mx - mn) / 15 if mx > mn else 0.0
+                  for mn, mx in zip(vmin, vmax)]
+        raw = {1: [0.0, 10.0, 5.0], 2: [1.0, 20.0, 5.0],
+               3: [0.5, 15.0, 5.0]}
+        enc = {
+            i: [min(max(math.floor((x - mn) / d + 0.5), 0), 15) if d else 0
+                for x, mn, d in zip(v, vmin, deltas)]
+            for i, v in raw.items()
+        }
+        for i, cs in enc.items():
+            dec = [mn + c * d for c, mn, d in zip(cs, vmin, deltas)]
+            want = round(sum((a - b) ** 2
+                             for a, b in zip(raw[1], dec)), 6)
+            assert got[i] == want
+
+    def test_bits_validated(self, spark):
+        from ons_utils_spark.operators.similarity import sq_encode, sq_train
+
+        df = self._df(spark)
+        vmin, vmax = sq_train(df, dim=3)
+        with pytest.raises(ValueError, match="bits"):
+            sq_encode(df, vmin, vmax, bits=1)
+        with pytest.raises(ValueError, match="bits"):
+            sq_encode(df, vmin, vmax, bits=17)
+
+    def test_sq4_index_round_trip_and_serving(self, spark, tmp_path):
+        """A bits=4 SqIndex survives save/load (meta carries bits, the
+        fingerprint includes it), and the whole serving-table chain —
+        save_sq_table, append (encode with the STORED 4-bit grid),
+        batch scorer — runs on the 4-bit geometry."""
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        coded, coarse, vmin, vmax = sim.ivf_sq_build(
+            full, dim=8, n_lists=4, coarse_iter=1, bits=4
+        )
+        assert all(
+            all(0 <= c <= 15 for c in r["codes"]) for r in coded.collect()
+        )
+        idx = sim.make_sq_index(coarse, vmin, vmax, bits=4)
+        assert idx.bits == 4
+        path = str(tmp_path / "sq4")
+        sim.save_sq_table(coded.where("id < 30"), idx, path)
+        sim.ivf_sq_table_append(full.where("vec_id >= 30"), path, batch_id=0)
+        lc, li = sim.load_sq_table(spark, path)
+        assert li == idx and li.bits == 4
+        # grown table == one-shot encode under the stored 4-bit grid
+        got = sorted(map(tuple, lc.collect()))
+        want = sorted(map(tuple, sim.ivf_sq_encode(full, idx).collect()))
+        assert got == want
+        # batch == single on the 4-bit geometry
+        qdf = spark.createDataFrame(
+            [(5, [float(x) for x in vecs[5]])],
+            "query_id bigint, embedding array<double>",
+        )
+        batch = sim.ivf_sq_batch_topk(lc, li, qdf, n_probe=2, topk=6)
+        single = sim.ivf_sq_query(lc, li, vecs[5], n_probe=2, topk=6)
+        assert sorted((r["id"], r["adc_dist"]) for r in batch.collect()) \
+            == sorted((r["id"], r["adc_dist"]) for r in single.collect())
+
+    def test_sq8_fingerprint_unchanged_by_bits_field(self, spark):
+        """Every pre-r12 SQ8 store must keep validating: the default
+        bit width joins the fingerprint payload ONLY when non-8."""
+        from ons_utils_spark.operators.similarity import (
+            _sq_fingerprint, make_sq_index,
+        )
+
+        mn, mx = [0.0, -1.0], [1.0, 2.0]
+        legacy_style = _sq_fingerprint([], mn, mx, 6)  # no bits arg
+        assert make_sq_index([], mn, mx).fingerprint == legacy_style
+        assert make_sq_index([], mn, mx, bits=4).fingerprint != legacy_style

@@ -23,7 +23,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 IVF = "--ivf" in sys.argv
+BITS = 8
+if "--bits" in sys.argv:
+    BITS = int(sys.argv[sys.argv.index("--bits") + 1])
 _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+if "--bits" in sys.argv:
+    _pos = [a for a in _pos if a != str(BITS)]
 SF_DIR = _pos[0] if _pos else "/root/testdata/sf0.1"
 K = 10
 N_QUERIES = 50
@@ -53,7 +58,7 @@ def main() -> None:
         vmin, vmax = sim.sq_train(emb, dim=64)
         coded = {
             r["id"]: list(r["codes"])
-            for r in sim.sq_encode(emb, vmin, vmax).collect()
+            for r in sim.sq_encode(emb, vmin, vmax, bits=BITS).collect()
         }
     build_s = time.time() - t0
 
@@ -65,8 +70,10 @@ def main() -> None:
     X = np.array([raw[i] for i in ids])
     C = np.array([coded[i] for i in ids], dtype=np.float64)
     mn = np.array(vmin)
+    levels = (1 << BITS) - 1
     d = np.array([
-        (hi - lo) / 255 if hi > lo else 0.0 for lo, hi in zip(vmin, vmax)
+        (hi - lo) / levels if hi > lo else 0.0
+        for lo, hi in zip(vmin, vmax)
     ])
     Xhat = mn + C * d  # decoded grid points, the vectors ADC "sees"
     n = len(ids)
@@ -140,7 +147,8 @@ def main() -> None:
                          / np.maximum(d2[finite], 1e-12))),
         )
     print(json.dumps({
-        "config": "SQ8 per-dim trained grid (4x compression)",
+        "config": f"SQ{BITS} per-dim trained grid "
+                  f"({round(32 / BITS, 1)}x vs float32)",
         "build_s": round(build_s, 1),
         "n": int(n),
         "recall@10_vs_exact_L2": round(hits_l2 / (K * N_QUERIES), 3),

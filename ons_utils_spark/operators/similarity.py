@@ -470,16 +470,8 @@ def sq_adc_topk(
     q = [float(x) for x in query_vec]
     if len(q) != len(vmin):
         raise ValueError(f"query dim {len(q)} != trained dim {len(vmin)}")
-    deltas = _sq_deltas(vmin, vmax, bits=bits)
-    mn_arr = F.array(*[F.lit(v) for v in vmin])
-    d_arr = F.array(*[F.lit(d) for d in deltas])
     q_arr = F.array(*[F.lit(v) for v in q])
-    scaled = F.zip_with(
-        F.col("codes"), d_arr, lambda c, d: c.cast("double") * d
-    )
-    decoded = F.zip_with(scaled, mn_arr, lambda s, mn: mn + s)
-    diffs = F.zip_with(q_arr, decoded, lambda a, b: (a - b) * (a - b))
-    dist = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    dist = _sq_dist_expr(q_arr, vmin, vmax, bits)
     # NULL codes raise with the offending id (pq._guard_literal_score —
     # same message as the batch scorer's Arrow-side _codes_matrix), not
     # a NULL distance that asc-sorts FIRST and silently tops the list.
@@ -496,6 +488,24 @@ def sq_adc_topk(
     )
 
 
+def _sq_dist_expr(q_col, vmin, vmax, bits: int):
+    """The decoded squared-L2 fold between a query-array COLUMN and a
+    row's SQ codes: ``Σ_i (q_i − (vmin_i + code_i·Δ_i))²`` in the
+    left-to-right ``aggregate`` order. ONE copy of the parity-critical
+    expression — :func:`sq_adc_topk` binds ``q_col`` to a literal
+    array, the residual probe scan to the row's per-list query
+    residual (:func:`ivf_sq_topk` ``by_residual=True``)."""
+    deltas = _sq_deltas(vmin, vmax, bits=bits)
+    mn_arr = F.array(*[F.lit(v) for v in vmin])
+    d_arr = F.array(*[F.lit(d) for d in deltas])
+    scaled = F.zip_with(
+        F.col("codes"), d_arr, lambda c, d: c.cast("double") * d
+    )
+    decoded = F.zip_with(scaled, mn_arr, lambda s, mn: mn + s)
+    diffs = F.zip_with(q_col, decoded, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def ivf_sq_build(
     df: SparkDF,
     id_col: str = "vec_id",
@@ -507,6 +517,7 @@ def ivf_sq_build(
     method: str = "auto",
     train_on: "SparkDF | float | None" = None,
     bits: int = 8,
+    by_residual: bool = False,
 ) -> "tuple[SparkDF, list[list[float]], list[float], list[float]]":
     """IVF×SQ: coarse-quantize into ``n_lists`` inverted lists, SQ8-
     encode every vector — FAISS's ``IVFx,SQ8`` shape, the high-recall
@@ -521,9 +532,25 @@ def ivf_sq_build(
     carried column — no join back. Write ``coded`` partitioned by
     ``__list`` for probe-time partition pruning.
 
+    ``by_residual=True`` is FAISS's ``IndexIVFScalarQuantizer``
+    DEFAULT: the grid trains on and codes encode the RESIDUAL
+    ``vec − coarse_centroid[__list]`` (the exact ``zip_with``
+    subtraction shared with the PQ family, ``pq._residual_transform``
+    — one copy). Residuals concentrate near the origin, so the same
+    bit budget quantizes a narrower per-dimension range — finer steps,
+    better recall at partial probe (measured in SCALING.md §IVF×SQ
+    residual); the cost is a grid coupled to the coarse step and a
+    per-probed-list query residual at serving time. The coded table is
+    geometry-tagged in column METADATA (the PQ guard, shared) so
+    scoring with the wrong flag raises instead of returning
+    plausible-looking garbage.
+
     Returns ``(coded, coarse_centroids, vmin, vmax)`` with ``coded`` =
     ``(id, codes array<int>, __list)``.
     """
+    from ons_utils_spark.operators.pq import (
+        _residual_transform, _tag_residual,
+    )
     from ons_utils_spark.operators.semantic import kmeans_lloyd
 
     assigned, coarse = kmeans_lloyd(
@@ -531,12 +558,18 @@ def ivf_sq_build(
         round_dp=round_dp, method=method, train_on=train_on,
     )
     src = assigned.withColumn("__list", F.col("__cluster"))
-    vmin, vmax = sq_train(df, dim, vec_col=vec_col)
+    enc_col = vec_col
+    if by_residual:
+        src = _residual_transform(src, vec_col, coarse)
+        enc_col = "__rvec"
+        vmin, vmax = sq_train(src, dim, vec_col="__rvec")
+    else:
+        vmin, vmax = sq_train(df, dim, vec_col=vec_col)
     coded = sq_encode(
-        src, vmin, vmax, id_col=id_col, vec_col=vec_col,
+        src, vmin, vmax, id_col=id_col, vec_col=enc_col,
         carry_cols=("__list",), bits=bits,
     )
-    return coded, coarse, vmin, vmax
+    return _tag_residual(coded, by_residual), coarse, vmin, vmax
 
 
 def ivf_sq_topk(
@@ -549,6 +582,7 @@ def ivf_sq_topk(
     topk: int = 10,
     round_dp: int = 6,
     bits: int = 8,
+    by_residual: bool = False,
 ) -> SparkDF:
     """Approximate top-``k`` from an IVF×SQ index: decoded-distance
     scan of only the ``n_probe`` nearest lists — :func:`pq.ivf_pq_topk`
@@ -557,9 +591,27 @@ def ivf_sq_topk(
     stored grid, independent of the query). List selection is the same
     driver arithmetic (squared L2 to coarse centroids, ties by list
     id); the scan is a pushdown-able ``__list IN (...)`` filter.
+
+    ``by_residual=True`` scores codes built by
+    :func:`ivf_sq_build(by_residual=True)`: the scan compares each
+    row's decoded RESIDUAL to the query residual
+    ``q − coarse_centroid[list]`` — still a row-local expression, the
+    per-list query residuals folding in as ``n_probe × dim`` plan
+    literals picked by ``array_position`` on the row's ``__list``
+    (bounded by the probe count, never ``n_lists``). Must match the
+    build flag — the column-metadata geometry tag raises on mismatch.
     """
+    from ons_utils_spark.operators.pq import _coded_residual_flag
     from ons_utils_spark.operators.semantic import _py_dot
 
+    built = _coded_residual_flag(coded)
+    if built is not None and built != by_residual:
+        raise ValueError(
+            f"coded table was built with by_residual={built} but this "
+            f"query scores with by_residual={by_residual} — codes from "
+            "one geometry scored in the other are meaningless; pass "
+            "the same flag to both"
+        )
     q = [float(v) for v in query_vec]
     if len(q) != len(vmin):
         raise ValueError(f"query dim {len(q)} != trained dim {len(vmin)}")
@@ -579,9 +631,39 @@ def ivf_sq_topk(
             for j, c in enumerate(coarse_centroids)
         )[:n_probe]
     ]
-    return sq_adc_topk(
-        coded.where(F.col("__list").isin(probe)),
-        vmin, vmax, q, topk=topk, round_dp=round_dp, bits=bits,
+    if not by_residual:
+        return sq_adc_topk(
+            coded.where(F.col("__list").isin(probe)),
+            vmin, vmax, q, topk=topk, round_dp=round_dp, bits=bits,
+        )
+    # Per-probed-list query residual, computed driver-side with the
+    # same single IEEE subtraction the rows' residuals used; the row
+    # picks its list's residual by probe position — n_probe × dim
+    # literals in the plan.
+    qres = [
+        [qv - cv for qv, cv in zip(q, coarse_centroids[lst])]
+        for lst in probe
+    ]
+    qres_lits = F.array(*[
+        F.array(*[F.lit(v) for v in qr]) for qr in qres
+    ])
+    pos = F.array_position(
+        F.array(*[F.lit(int(lst)) for lst in probe]), F.col("__list")
+    )
+    q_col = F.element_at(qres_lits, pos.cast("int"))
+    dist = _sq_dist_expr(q_col, vmin, vmax, bits)
+    from ons_utils_spark.operators.pq import _guard_literal_score
+
+    return (
+        coded.where(F.col("__list").isin(probe))
+        .select(
+            "id",
+            F.round(_guard_literal_score(dist), round_dp).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
+        .limit(topk)
     )
 
 
@@ -601,6 +683,9 @@ class SqIndex(NamedTuple):
     #: Grid bit width (FAISS SQ4/SQ6/SQ8). Trailing default keeps every
     #: pre-r12 construction site and store compatible.
     bits: int = 8
+    #: Residual encoding (FAISS IndexIVFScalarQuantizer's default mode):
+    #: the grid was trained on and codes encode vec − coarse_centroid.
+    by_residual: bool = False
 
     @property
     def n_lists(self) -> int:
@@ -612,13 +697,13 @@ class SqIndex(NamedTuple):
 
 
 def _sq_fingerprint(coarse, vmin, vmax, round_dp: int,
-                    bits: int = 8) -> str:
+                    bits: int = 8, by_residual: bool = False) -> str:
     """sha256 hex (16 chars) over the exact payload — ``repr`` of a
     float is its shortest round-trip form, so bit-identical grids hash
-    identically and single-ulp corruption changes the digest. ``bits``
-    joins the payload only when non-default, so every SQ8 store written
-    before the bit-width parameter existed keeps its valid
-    fingerprint."""
+    identically and single-ulp corruption changes the digest.
+    Non-default geometry flags join the payload as TAGGED extras, so
+    every SQ8/raw store written before a flag existed keeps its valid
+    fingerprint while distinct geometries can never collide."""
     import hashlib
 
     base = (
@@ -627,7 +712,12 @@ def _sq_fingerprint(coarse, vmin, vmax, round_dp: int,
         [float(x) for x in vmax],
         int(round_dp),
     )
-    payload = repr(base if bits == 8 else base + (int(bits),))
+    extras = []
+    if bits != 8:
+        extras.append(("bits", int(bits)))
+    if by_residual:
+        extras.append(("by_residual", True))
+    payload = repr(base + tuple(extras) if extras else base)
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
 
 
@@ -637,6 +727,7 @@ def make_sq_index(
     vmax: "list[float]",
     round_dp: int = 6,
     bits: int = 8,
+    by_residual: bool = False,
 ) -> SqIndex:
     """Wrap :func:`ivf_sq_build` (or :func:`sq_train`) outputs as a
     fingerprinted :class:`SqIndex`, validating geometry up front."""
@@ -652,13 +743,20 @@ def make_sq_index(
     if coarse and any(len(c) != dim for c in coarse):
         raise ValueError(f"coarse centroid dim != grid dim {dim}")
     _sq_levels(bits)  # range-validate up front
+    if by_residual and not coarse:
+        raise ValueError(
+            "by_residual=True needs coarse centroids — a plain-SQ "
+            "index has no residual to encode against"
+        )
     mn = [float(x) for x in vmin]
     mx = [float(x) for x in vmax]
     return SqIndex(
         coarse_centroids=coarse, vmin=mn, vmax=mx,
         round_dp=int(round_dp),
-        fingerprint=_sq_fingerprint(coarse, mn, mx, round_dp, bits),
-        bits=int(bits),
+        fingerprint=_sq_fingerprint(
+            coarse, mn, mx, round_dp, bits, by_residual
+        ),
+        bits=int(bits), by_residual=bool(by_residual),
     )
 
 
@@ -690,9 +788,11 @@ def save_sq_index(
         [(
             _SQ_INDEX_FORMAT_VERSION, index.round_dp, index.n_lists,
             index.dim, index.fingerprint, coded_generation, index.bits,
+            index.by_residual,
         )],
         "format_version int, round_dp int, n_lists int, dim int, "
-        "fingerprint string, coded_generation string, bits int",
+        "fingerprint string, coded_generation string, bits int, "
+        "by_residual boolean",
     )
     vectors.coalesce(1).write.mode("overwrite").parquet(f"{path}/vectors")
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -747,10 +847,17 @@ def _load_sq_index_with_meta(spark, path: str):
             f"(n_lists={meta['n_lists']}, dim={meta['dim']}) — the "
             "store is corrupt"
         )
-    # Pre-bit-width stores carry no bits column: they are SQ8.
+    # Pre-flag stores carry no bits / by_residual columns: they are
+    # raw SQ8.
     bits = int(meta["bits"]) if "bits" in meta and meta["bits"] is not None else 8
+    by_residual = bool(
+        meta["by_residual"]
+        if "by_residual" in meta and meta["by_residual"] is not None
+        else False
+    )
     got = _sq_fingerprint(
-        coarse, grids["vmin"], grids["vmax"], meta["round_dp"], bits
+        coarse, grids["vmin"], grids["vmax"], meta["round_dp"], bits,
+        by_residual,
     )
     if got != meta["fingerprint"]:
         raise ValueError(
@@ -761,6 +868,7 @@ def _load_sq_index_with_meta(spark, path: str):
     index = SqIndex(
         coarse_centroids=coarse, vmin=grids["vmin"], vmax=grids["vmax"],
         round_dp=int(meta["round_dp"]), fingerprint=got, bits=bits,
+        by_residual=by_residual,
     )
     return index, meta
 
@@ -795,6 +903,10 @@ def ivf_sq_encode(
             "index has no coarse centroids (plain-SQ index) — encode "
             "plain SQ codes with sq_encode(vmin, vmax) instead"
         )
+    from ons_utils_spark.operators.pq import (
+        _residual_transform, _tag_residual,
+    )
+
     coarse_method = _resolve_method(method, index.n_lists)
     vecs = df.withColumn(
         "__vv", array_dot(F.col(vec_col), F.col(vec_col))
@@ -802,9 +914,16 @@ def ivf_sq_encode(
     src = _assign(
         vecs, vec_col, index.coarse_centroids, coarse_method
     ).withColumn("__list", F.col("__cluster"))
-    return sq_encode(
-        src, index.vmin, index.vmax, id_col=id_col, vec_col=vec_col,
-        carry_cols=("__list",), bits=index.bits,
+    enc_col = vec_col
+    if index.by_residual:
+        src = _residual_transform(src, vec_col, index.coarse_centroids)
+        enc_col = "__rvec"
+    return _tag_residual(
+        sq_encode(
+            src, index.vmin, index.vmax, id_col=id_col, vec_col=enc_col,
+            carry_cols=("__list",), bits=index.bits,
+        ),
+        index.by_residual,
     )
 
 
@@ -821,7 +940,7 @@ def ivf_sq_query(
     return ivf_sq_topk(
         coded, index.coarse_centroids, index.vmin, index.vmax,
         query_vec, n_probe=n_probe, topk=topk, round_dp=index.round_dp,
-        bits=index.bits,
+        bits=index.bits, by_residual=index.by_residual,
     )
 
 
@@ -854,6 +973,15 @@ def save_sq_table(coded: SparkDF, index: SqIndex, path: str) -> None:
             "save the index alone and write the codes yourself"
         )
     _require_ivf_sq_index(index, "save_sq_table")
+    from ons_utils_spark.operators.pq import _coded_residual_flag
+
+    built = _coded_residual_flag(coded)
+    if built is not None and built != index.by_residual:
+        raise ValueError(
+            f"coded table was built with by_residual={built} but the "
+            f"index says by_residual={index.by_residual} — persisting "
+            "a mismatched pair would serve garbage distances"
+        )
     import uuid
 
     generation = f"{index.fingerprint}_{uuid.uuid4().hex[:8]}"
@@ -1073,6 +1201,12 @@ def ivf_sq_batch_topk(
     message as the single-query guard). Top-k is the shared exact
     two-phase per-query window (``pq._two_phase_batch_topk``). Per
     query, results are bit-identical to :func:`ivf_sq_query`.
+
+    A ``by_residual`` index scores each row against ITS probing
+    query's per-list residual — the residuals are a driver-side
+    ``n_q × n_probe × dim`` matrix (same single IEEE subtraction as
+    the single-query path) and each row picks its probe POSITION via
+    the same searchsorted membership; still no per-query LUTs.
     """
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -1080,12 +1214,20 @@ def ivf_sq_batch_topk(
     from ons_utils_spark.operators.pq import (
         _check_query_ids,
         _codes_matrix,
+        _coded_residual_flag,
         _fold_dots,
         _fold_sq,
         _two_phase_batch_topk,
     )
 
     _require_ivf_sq_index(index, "batch retrieval")
+    built = _coded_residual_flag(coded)
+    if built is not None and built != index.by_residual:
+        raise ValueError(
+            f"coded table was built with by_residual={built} but the "
+            f"index says by_residual={index.by_residual} — codes from "
+            "one geometry scored in the other are meaningless"
+        )
     rows = queries.select(query_id_col, vec_col).collect()
     _check_query_ids([r[0] for r in rows], query_id_col)
     qids = [r[0] for r in rows]
@@ -1113,7 +1255,14 @@ def ivf_sq_batch_topk(
     np_eff = probe_mat.shape[1]
     union_lists = sorted(int(v) for v in np.unique(probe_mat))
     filtered = coded.where(F.col("__list").isin(union_lists))
-    probe_sorted = np.sort(probe_mat, axis=1)
+    # argsort + take_along_axis (not a plain sort): the residual path
+    # needs each row's PROBE POSITION to pick its query residual.
+    probe_argsort = np.argsort(probe_mat, axis=1, kind="stable").astype(
+        np.int64
+    )
+    probe_sorted = np.take_along_axis(probe_mat, probe_argsort, axis=1)
+    by_residual = index.by_residual
+    Qres = Q[:, None, :] - CC[probe_mat] if by_residual else None
     mn = np.asarray(index.vmin, dtype=np.float64)
     deltas = np.asarray(
         _sq_deltas(index.vmin, index.vmax, bits=index.bits),
@@ -1149,7 +1298,11 @@ def ivf_sq_batch_topk(
                 mask = sl[si] == lists
                 if not mask.any():
                     continue
-                d = Q[qi][None, :] - decoded[mask]
+                if by_residual:
+                    pos = probe_argsort[qi][si[mask]]
+                    d = Qres[qi][pos] - decoded[mask]
+                else:
+                    d = Q[qi][None, :] - decoded[mask]
                 sq = d * d
                 # Sequential dimension-major fold from 0.0 — the IEEE
                 # image of F.aggregate(diffs, 0.0, acc + x).

@@ -7443,6 +7443,113 @@ def q_similarity_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_sq_topk(coded, coarse, vmin, vmax, q, n_probe=2, topk=25)
 
 
+def _ivf_sq_residual_oracle(n_lists: int, coarse_iter: int, dim: int,
+                            query_id: int, n_probe: int, topk: int,
+                            dp: int, levels: int = 255) -> str:
+    """DuckDB twin of the RESIDUAL IVF×SQ path (FAISS
+    ``IndexIVFScalarQuantizer`` default, ``by_residual=True``): the
+    coarse chain assigns every vector, a ``res`` CTE materializes the
+    exact elementwise residuals, the GRID trains on the residuals'
+    min/max, codes encode residuals with the clamped half-up rule, and
+    each probed row's decoded residual is compared to the QUERY
+    residual for ITS list — all the same sequential folds, so every
+    distance replays bit-for-bit."""
+    chains = _kmeans_ctes(
+        n_lists, coarse_iter, dp, suffix="_c", with_prefix=False,
+    )
+    r = "r.rvec"
+    stats = ", ".join(
+        f"min({r}[{i + 1}]) AS mn{i}, max({r}[{i + 1}]) AS mx{i}"
+        for i in range(dim)
+    )
+    deltas = ", ".join(
+        f"CASE WHEN mx{i} > mn{i} THEN (mx{i} - mn{i}) / {levels} "
+        f"ELSE 0 END AS d{i}"
+        for i in range(dim)
+    )
+    codes = ", ".join(
+        f"CASE WHEN s.d{i} = 0 THEN 0 ELSE "
+        f"CAST(least(greatest(floor(({r}[{i + 1}] - s.mn{i}) / s.d{i} "
+        f"+ 0.5), 0), {levels}) AS INT) END AS c{i}"
+        for i in range(dim)
+    )
+    terms = " + ".join(
+        f"(q.qr[{i + 1}] - (s.mn{i} + (enc.c{i} * s.d{i}))) * "
+        f"(q.qr[{i + 1}] - (s.mn{i} + (enc.c{i} * s.d{i})))"
+        for i in range(dim)
+    )
+    return f"""
+    WITH {chains},
+    res AS (
+        SELECT id, cid,
+               list_transform(generate_series(1, {dim}),
+                              i -> vec[i] - cvec[i]) AS rvec
+        FROM af_c),
+    st AS (SELECT {stats} FROM res r),
+    sd AS (SELECT *, {deltas} FROM st),
+    qvf AS (SELECT CAST(embedding AS DOUBLE[]) AS vec,
+                   list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) AS qq
+            FROM embeddings WHERE vec_id = {query_id}),
+    probe AS (
+        SELECT c.cid FROM c{coarse_iter}_c c CROSS JOIN qvf
+        ORDER BY qvf.qq + list_dot_product(c.cvec, c.cvec)
+                 - 2 * list_dot_product(qvf.vec, c.cvec), c.cid
+        LIMIT {n_probe}),
+    qres AS (
+        SELECT p.cid,
+               list_transform(generate_series(1, {dim}),
+                              i -> qvf.vec[i] - cc.cvec[i]) AS qr
+        FROM probe p JOIN c{coarse_iter}_c cc ON p.cid = cc.cid
+        CROSS JOIN qvf),
+    enc AS (SELECT r.id, r.cid, {codes}
+            FROM res r CROSS JOIN sd s)
+    SELECT enc.id, round({terms}, {dp}) AS adc_dist
+    FROM enc
+    JOIN qres q ON enc.cid = q.cid
+    CROSS JOIN sd s
+    ORDER BY adc_dist, enc.id
+    LIMIT {topk}
+    """
+
+
+@register(
+    "q_similarity_ivf_sq_residual",
+    oracle=_ivf_sq_residual_oracle(8, 2, 64, 0, 2, 25, 6),
+    description="Residual-encoded IVF×SQ (FAISS "
+    "IndexIVFScalarQuantizer's DEFAULT mode, by_residual=True; "
+    "operators/similarity.py::ivf_sq_build/ivf_sq_topk): the grid "
+    "trains on and codes encode vec − coarse_centroid (the exact "
+    "zip_with subtraction SHARED with the PQ family — one copy), so "
+    "the same 8-bit budget quantizes the origin-concentrated residual "
+    "range finer; the probe scan compares each row's decoded residual "
+    "to the query residual for ITS list (n_probe×dim plan literals "
+    "picked by array_position — bounded by the probe count, never "
+    "n_lists; no per-query tables). Geometry rides as the shared "
+    "column-metadata tag, so a wrong-flag scorer raises. The oracle "
+    "replays the coarse chain, the residual transform, the "
+    "residual-trained grid, the clamped encode, the per-list query "
+    "residuals, and every decoded distance bit-for-bit.",
+)
+def q_similarity_ivf_sq_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ons_utils_spark.operators import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+        emb, dim=64, n_lists=8, coarse_iter=2, by_residual=True,
+    )
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return _sim.ivf_sq_topk(
+        coded, coarse, vmin, vmax, q, n_probe=2, topk=25,
+        by_residual=True,
+    )
+
+
 @register(
     "q_similarity_ivf_sq_persisted",
     oracle=_ivf_sq_oracle(8, 2, 64, 0, 2, 25, 6),
@@ -8907,6 +9014,10 @@ _GRADING_ORDER = [
     # r12, tail: the SQ4 bit-width point — the grid-codec class is
     # graded via q_similarity_sq8 and the whole IVF×SQ window row
     "q_similarity_sq4",
+    # r12, tail: residual IVF×SQ — the residual-geometry class is
+    # graded via q_similarity_ivf_pq_residual/_persisted and the SQ
+    # grid class via the five-window IVF×SQ row
+    "q_similarity_ivf_sq_residual",
     # r11: rotated OUT of the graded window (graded green since r1-r9,
     # shapes whose families keep graded representatives — see the window
     # comments) to admit the ten never-driver-graded classes above

@@ -1311,3 +1311,130 @@ class TestSqBitWidths:
         legacy_style = _sq_fingerprint([], mn, mx, 6)  # no bits arg
         assert make_sq_index([], mn, mx).fingerprint == legacy_style
         assert make_sq_index([], mn, mx, bits=4).fingerprint != legacy_style
+
+
+class TestIvfSqResidual:
+    """by_residual=True through the SQ family — FAISS
+    IndexIVFScalarQuantizer's default mode."""
+
+    def _built(self, spark, bits=8):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(40)
+        ]
+        full = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>",
+        )
+        coded, coarse, vmin, vmax = sim.ivf_sq_build(
+            full, dim=8, n_lists=4, coarse_iter=1, bits=bits,
+            by_residual=True,
+        )
+        idx = sim.make_sq_index(
+            coarse, vmin, vmax, bits=bits, by_residual=True
+        )
+        return vecs, full, coded, coarse, vmin, vmax, idx
+
+    def test_grid_trains_on_residuals(self, spark):
+        """The residual grid is centered near the origin — its range
+        must be strictly narrower than the raw grid's on this fixture
+        (that narrowing IS the mechanism of the recall gain)."""
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, coarse, vmin, vmax, idx = self._built(spark)
+        raw_vmin, raw_vmax = sim.sq_train(full, dim=8)
+        assert sum(mx - mn for mn, mx in zip(vmin, vmax)) < sum(
+            mx - mn for mn, mx in zip(raw_vmin, raw_vmax)
+        )
+
+    def test_exact_on_grid_distances(self, spark):
+        """Residual ADC distance == manually decoded residual distance
+        (python floats replaying the expression's op order)."""
+        import math
+
+        from ons_utils_spark.operators import similarity as sim
+        from ons_utils_spark.operators.semantic import _py_dot
+
+        vecs, full, coded, coarse, vmin, vmax, idx = self._built(spark)
+        q = vecs[5]
+        got = {
+            r["id"]: r["adc_dist"]
+            for r in sim.ivf_sq_topk(
+                coded, coarse, vmin, vmax, q, n_probe=4, topk=40,
+                by_residual=True,
+            ).collect()
+        }
+        deltas = [(mx - mn) / 255 if mx > mn else 0.0
+                  for mn, mx in zip(vmin, vmax)]
+        rows = {r["id"]: (list(r["codes"]), r["__list"])
+                for r in coded.collect()}
+        for i, (cs, lst) in rows.items():
+            qr = [a - b for a, b in zip(q, coarse[lst])]
+            dec = [mn + c * d for c, mn, d in zip(cs, vmin, deltas)]
+            want = 0.0
+            for a, b in zip(qr, dec):
+                want += (a - b) * (a - b)
+            assert got[i] == round(want, 6), i
+
+    def test_wrong_flag_raises_via_metadata_tag(self, spark):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, coarse, vmin, vmax, idx = self._built(spark)
+        reshaped = coded.select("id", "codes", "__list")
+        with pytest.raises(ValueError, match="by_residual"):
+            sim.ivf_sq_topk(reshaped, coarse, vmin, vmax, vecs[0])
+        with pytest.raises(ValueError, match="by_residual"):
+            sim.save_sq_table(
+                coded, sim.make_sq_index(coarse, vmin, vmax), "/tmp/x"
+            )
+
+    def test_store_roundtrip_append_and_batch(self, spark, tmp_path):
+        from ons_utils_spark.operators import similarity as sim
+
+        vecs, full, coded, coarse, vmin, vmax, idx = self._built(spark)
+        path = str(tmp_path / "res")
+        sim.save_sq_table(coded.where("id < 30"), idx, path)
+        sim.ivf_sq_table_append(full.where("vec_id >= 30"), path, batch_id=0)
+        lc, li = sim.load_sq_table(spark, path)
+        assert li == idx and li.by_residual
+        got = sorted(map(tuple, lc.collect()))
+        want = sorted(map(tuple, sim.ivf_sq_encode(full, idx).collect()))
+        assert got == want
+        qdf = spark.createDataFrame(
+            [(5, [float(x) for x in vecs[5]]),
+             (9, [float(x) for x in vecs[9]])],
+            "query_id bigint, embedding array<double>",
+        )
+        batch = {
+            (r["query_id"], r["id"], r["adc_dist"])
+            for r in sim.ivf_sq_batch_topk(
+                lc, li, qdf, n_probe=2, topk=6
+            ).collect()
+        }
+        singles = set()
+        for qid in (5, 9):
+            for r in sim.ivf_sq_query(
+                lc, li, vecs[qid], n_probe=2, topk=6
+            ).collect():
+                singles.add((qid, r["id"], r["adc_dist"]))
+        assert batch == singles
+
+    def test_plain_sq_index_rejects_residual(self, spark):
+        from ons_utils_spark.operators import similarity as sim
+
+        with pytest.raises(ValueError, match="residual"):
+            sim.make_sq_index([], [0.0], [1.0], by_residual=True)
+
+    def test_residual_fingerprint_distinct_and_sq8_stable(self, spark):
+        from ons_utils_spark.operators.similarity import (
+            _sq_fingerprint, make_sq_index,
+        )
+
+        coarse = [[0.0, 0.0], [1.0, 1.0]]
+        mn, mx = [0.0, -1.0], [1.0, 2.0]
+        raw = make_sq_index(coarse, mn, mx)
+        res = make_sq_index(coarse, mn, mx, by_residual=True)
+        assert raw.fingerprint != res.fingerprint
+        assert raw.fingerprint == _sq_fingerprint(coarse, mn, mx, 6)

@@ -23,6 +23,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 IVF = "--ivf" in sys.argv
+RESIDUAL = "--residual" in sys.argv
 BITS = 8
 if "--bits" in sys.argv:
     BITS = int(sys.argv[sys.argv.index("--bits") + 1])
@@ -49,7 +50,8 @@ def main() -> None:
     lists = None
     if IVF:
         coded_df, coarse, vmin, vmax = sim.ivf_sq_build(
-            emb, dim=64, n_lists=N_LISTS, coarse_iter=2,
+            emb, dim=64, n_lists=N_LISTS, coarse_iter=2, bits=BITS,
+            by_residual=RESIDUAL,
         )
         rows_ = coded_df.collect()
         coded = {r["id"]: list(r["codes"]) for r in rows_}
@@ -76,6 +78,15 @@ def main() -> None:
         for lo, hi in zip(vmin, vmax)
     ])
     Xhat = mn + C * d  # decoded grid points, the vectors ADC "sees"
+    # Residual build: the decoded value is a RESIDUAL — reconstruct the
+    # vector by adding the row's coarse centroid back (scoring q vs
+    # c[L]+decode(code) == scoring (q − c[L]) vs decode(code)).
+    if IVF and RESIDUAL:
+        import numpy as _np
+
+        _G = _np.asarray([[float(x) for x in c] for c in coarse])
+        _L = _np.array([lists[i] for i in ids])
+        Xhat = _G[_L] + Xhat
     n = len(ids)
     norms = np.sqrt(np.einsum("ij,ij->i", X, X))
     rng = np.random.default_rng(42)
@@ -118,7 +129,9 @@ def main() -> None:
                 {f"n_probe={n_probe}": results[f"n_probe={n_probe}"]}
             ), flush=True)
         print(json.dumps({
-            "config": f"IVF{N_LISTS},SQ8", "build_s": round(build_s, 1),
+            "config": f"IVF{N_LISTS},SQ{BITS}"
+                      + (",residual" if RESIDUAL else ""),
+            "build_s": round(build_s, 1),
             "n": int(n), "results": results,
         }))
         return

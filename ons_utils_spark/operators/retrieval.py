@@ -117,6 +117,42 @@ def rrf_fuse(
     )
 
 
+def ann_store_family(spark, store_path: str) -> str:
+    """Which codec family a persisted ANN serving store belongs to —
+    ``"pq"`` (:func:`pq.save_ivf_pq_table`) or ``"sq"``
+    (:func:`similarity.save_sq_table`) — read from the index meta's
+    SCHEMA (one footer read, no data): the PQ meta carries the subspace
+    geometry (``sub_d``), the SQ meta the grid dimension (``dim``).
+    Lets the hybrid maintainer and the skew witness serve either
+    family without the caller naming the codec."""
+    cols = spark.read.parquet(f"{store_path}/index/meta").columns
+    if "sub_d" in cols:
+        return "pq"
+    if "dim" in cols:
+        return "sq"
+    raise ValueError(
+        f"{store_path!r} is not an IVF×PQ or IVF×SQ serving store "
+        f"(index meta columns: {cols})"
+    )
+
+
+def _ann_store_generation(spark, store_path: str) -> str:
+    """The live coded generation of either family's store."""
+    if ann_store_family(spark, store_path) == "pq":
+        from ons_utils_spark.operators.pq import (
+            _load_index_with_meta, _table_generation,
+        )
+
+        index, meta = _load_index_with_meta(spark, f"{store_path}/index")
+        return _table_generation(meta, index)
+    from ons_utils_spark.operators.similarity import (
+        _load_sq_index_with_meta, _sq_table_generation,
+    )
+
+    _, meta = _load_sq_index_with_meta(spark, f"{store_path}/index")
+    return _sq_table_generation(meta, store_path)
+
+
 def check_hybrid_store_sync(
     spark, bm25_store_path: str, ivf_pq_store_path: str,
 ) -> "Tuple[int | None, int | None]":
@@ -134,22 +170,17 @@ def check_hybrid_store_sync(
     file listing, no data read. Skew is legal, so serving proceeds;
     the warning tells the operator to restart (or repair) the
     maintainer, whose replay of the missing batch heals the lag.
+    The ANN store may be either codec family (:func:`ann_store_family`
+    picks the loader).
     """
     import warnings
-
-    from ons_utils_spark.operators.pq import (
-        _load_index_with_meta, _table_generation,
-    )
 
     bm25_max = (
         spark.read.parquet(f"{bm25_store_path}/stats")
         .agg(F.max("batch_id"))
         .collect()[0][0]
     )
-    index, meta = _load_index_with_meta(
-        spark, f"{ivf_pq_store_path}/index"
-    )
-    generation = _table_generation(meta, index)
+    generation = _ann_store_generation(spark, ivf_pq_store_path)
     coded = spark.read.parquet(
         f"{ivf_pq_store_path}/coded_{generation}"
     )
@@ -173,15 +204,24 @@ def check_hybrid_store_sync(
 def load_hybrid_stores(spark, bm25_store_path: str, ivf_pq_store_path: str):
     """Load BOTH hybrid serving stores for :func:`hybrid_batch_topk` →
     ``(postings, stats, coded, index)`` — the incremental BM25 fold
-    (witness-validated) plus the IVF×PQ serving table — after running
-    :func:`check_hybrid_store_sync`, so a permanently-skewed pair warns
-    at the moment someone starts serving from it."""
-    from ons_utils_spark.operators.pq import load_ivf_pq_table
+    (witness-validated) plus the ANN serving table of EITHER codec
+    family (:func:`ann_store_family` picks the loader; the returned
+    index's type then routes :func:`hybrid_batch_topk`'s ANN half) —
+    after running :func:`check_hybrid_store_sync`, so a
+    permanently-skewed pair warns at the moment someone starts serving
+    from it."""
     from ons_utils_spark.operators.text import load_bm25_index_incremental
 
     check_hybrid_store_sync(spark, bm25_store_path, ivf_pq_store_path)
     postings, stats = load_bm25_index_incremental(spark, bm25_store_path)
-    coded, index = load_ivf_pq_table(spark, ivf_pq_store_path)
+    if ann_store_family(spark, ivf_pq_store_path) == "pq":
+        from ons_utils_spark.operators.pq import load_ivf_pq_table
+
+        coded, index = load_ivf_pq_table(spark, ivf_pq_store_path)
+    else:
+        from ons_utils_spark.operators.similarity import load_sq_table
+
+        coded, index = load_sq_table(spark, ivf_pq_store_path)
     return postings, stats, coded, index
 
 

@@ -441,18 +441,24 @@ def hybrid_ingest_writer(
     partition overwrite), so a retry that crashed BETWEEN the two
     appends simply re-runs both — the BM25 halves repair via their
     partition overwrites, the coded batch partition likewise. The two
-    stores are never transactionally coupled (no cross-store witness):
-    a reader between the two appends of a fresh batch can see the
-    batch lexically but not in ANN (or vice versa) for one micro-batch
-    interval — acceptable for retrieval serving, and self-healing on
-    the next trigger. The IVF×PQ store must exist
-    (``save_ivf_pq_table`` — index trained offline, the FAISS model);
-    the BM25 store is created by its first append. The per-store
-    contracts apply: new documents only, checkpoint REQUIRED.
+    stores are never transactionally coupled, but the lag is
+    OBSERVABLE: ``retrieval.check_hybrid_store_sync`` compares the two
+    ``max(batch_id)`` marks and warns at load/serve time — a reader
+    between the two appends of a fresh batch can see the batch
+    lexically but not in ANN (or vice versa) for one micro-batch
+    interval, which is acceptable for retrieval serving and
+    self-healing on the next trigger. The ANN store must exist
+    (``save_ivf_pq_table`` OR ``save_sq_table`` — index trained
+    offline, the FAISS model; the codec family is auto-detected from
+    the store meta, so the maintainer serves EITHER family) and the
+    BM25 store is created by its first append. The per-store contracts
+    apply: new documents only, checkpoint REQUIRED.
     """
+    from ons_utils_spark.operators.retrieval import ann_store_family
+
+    ann_family = ann_store_family(stream_df.sparkSession, ivf_pq_store_path)
 
     def process(batch, batch_id: int) -> None:
-        from ons_utils_spark.operators.pq import ivf_pq_table_append
         from ons_utils_spark.operators.text import bm25_index_append
 
         # The batch feeds two jobs (tokenize+aggregate, encode+write);
@@ -462,10 +468,22 @@ def hybrid_ingest_writer(
         bm25_index_append(
             batch, id_col, text_col, bm25_store_path, batch_id=batch_id
         )
-        ivf_pq_table_append(
-            batch, ivf_pq_store_path, id_col=id_col, vec_col=vec_col,
-            batch_id=batch_id, method=method,
-        )
+        if ann_family == "pq":
+            from ons_utils_spark.operators.pq import ivf_pq_table_append
+
+            ivf_pq_table_append(
+                batch, ivf_pq_store_path, id_col=id_col, vec_col=vec_col,
+                batch_id=batch_id, method=method,
+            )
+        else:
+            from ons_utils_spark.operators.similarity import (
+                ivf_sq_table_append,
+            )
+
+            ivf_sq_table_append(
+                batch, ivf_pq_store_path, id_col=id_col, vec_col=vec_col,
+                batch_id=batch_id, method=method,
+            )
 
     return (
         stream_df.writeStream.foreachBatch(process)

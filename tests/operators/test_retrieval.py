@@ -320,3 +320,36 @@ class TestHybridStoreSync:
             warnings.simplefilter("error")
             b, a = retrieval.check_hybrid_store_sync(spark, bm25, ann)
         assert b == 1 and a == 1
+
+    def test_skew_witness_serves_sq_stores_too(self, spark, tmp_path):
+        """check_hybrid_store_sync auto-detects the ANN family — an
+        IVF×SQ serving table is checked with the same witness."""
+        import warnings
+
+        from ons_utils_spark.operators import retrieval, text
+        from ons_utils_spark.operators import similarity as sim
+
+        full, bm25, _ = self._stores(spark, tmp_path)
+        vecs = {
+            r["doc_id"]: [float(x) for x in r["embedding"]]
+            for r in full.collect()
+        }
+        coded, coarse, vmin, vmax = sim.ivf_sq_build(
+            full, "doc_id", "embedding", dim=8, n_lists=2, coarse_iter=1
+        )
+        idx = sim.make_sq_index(coarse, vmin, vmax)
+        ann = str(tmp_path / "ann_sq")
+        sim.save_sq_table(coded.where("id < 0"), idx, ann)
+        assert retrieval.ann_store_family(spark, ann) == "sq"
+        sim.ivf_sq_table_append(
+            full.where("doc_id < 2"), ann, id_col="doc_id", batch_id=0
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            b, a = retrieval.check_hybrid_store_sync(spark, bm25, ann)
+        assert b == 0 and a == 0
+        text.bm25_index_append(
+            full.where("doc_id >= 2"), "doc_id", "text", bm25, batch_id=1
+        )
+        with pytest.warns(UserWarning, match="hybrid store skew"):
+            retrieval.check_hybrid_store_sync(spark, bm25, ann)

@@ -711,3 +711,80 @@ class TestHybridIngestWriter:
         assert sorted(map(tuple, streamed.collect())) == sorted(
             map(tuple, fresh.collect())
         )
+
+    def test_sq_store_auto_detected_and_maintained(self, spark, tmp_path):
+        """The hybrid maintainer auto-detects the ANN store's codec
+        family from the index meta: the SAME writer maintains an
+        IVF×SQ serving table, and hybrid RRF over the folded stores
+        (loaded via load_hybrid_stores, which also routes by family)
+        equals in-session one-shot builds."""
+        from ons_utils_spark.operators import retrieval, text
+        from ons_utils_spark.operators import similarity as sim
+        from ons_utils_spark.streaming.ingest import hybrid_ingest_writer
+
+        texts = [
+            "spark engine merge", "rareword vector stream",
+            "spark filler words", "engine spark engine",
+            "vector vector merge", "plain text here",
+            "stream merge spark", "rareword again",
+        ]
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(len(texts))
+        ]
+        rows = [
+            (i, texts[i], [float(x) for x in vecs[i]])
+            for i in range(len(texts))
+        ]
+        schema = "doc_id bigint, text string, embedding array<double>"
+        full = spark.createDataFrame(rows, schema)
+
+        coded, coarse, vmin, vmax = sim.ivf_sq_build(
+            full, "doc_id", "embedding", dim=8, n_lists=2, coarse_iter=1
+        )
+        idx = sim.make_sq_index(coarse, vmin, vmax)
+        ann_store = str(tmp_path / "ann_sq")
+        sim.save_sq_table(coded.where("id < 0"), idx, ann_store)
+        assert retrieval.ann_store_family(spark, ann_store) == "sq"
+
+        stream_dir = str(tmp_path / "in")
+        for lo, hi in ((0, 4), (4, 8)):
+            full.where(
+                f"doc_id >= {lo} and doc_id < {hi}"
+            ).coalesce(1).write.mode("append").parquet(stream_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        bm25_store = str(tmp_path / "bm25")
+        q = (
+            hybrid_ingest_writer(
+                stream, bm25_store, ann_store,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        lp, ls, lc, li = retrieval.load_hybrid_stores(
+            spark, bm25_store, ann_store
+        )
+        assert isinstance(li, sim.SqIndex)
+        queries = spark.createDataFrame(
+            [(1, ["spark", "rareword"], [float(x) for x in vecs[1]])],
+            "query_id bigint, terms array<string>, "
+            "embedding array<double>",
+        )
+        streamed = retrieval.hybrid_batch_topk(
+            lp, ls, lc, li, queries, retriever_topk=5, topk=5
+        )
+        whole_p, whole_s = text.bm25_index_build(full, "doc_id", "text")
+        fresh = retrieval.hybrid_batch_topk(
+            whole_p, whole_s, coded, idx, queries,
+            retriever_topk=5, topk=5,
+        )
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )

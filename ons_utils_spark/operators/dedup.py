@@ -745,10 +745,46 @@ def simhash_pairs(
     chunk, so a self-join on (chunk_idx, chunk_value) finds ALL such pairs
     (exact recall), then ``bit_count(xor)`` verifies.
     """
+    hashed = simhash_sketches(df, id_col, text_col, n=n)
+    return hamming_pairs(hashed, max_hamming=max_hamming)
+
+
+def hamming_pairs(
+    hashed: SparkDF,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    hash_col: str = "sh",
+) -> SparkDF:
+    """All pairs of a 64-bit-sketch table within a Hamming budget →
+    ``(id_a, id_b, hamming)`` — the pigeonhole banding factored out of
+    :func:`simhash_pairs` so ANY 64-bit perceptual sketch family can
+    reuse it (text SimHash, image dHash): the sketch is cut into
+    ``max_hamming + 1`` chunks; any pair within the budget must agree
+    on at least one chunk (exact recall), candidates come from
+    postings-list buckets per (chunk_idx, chunk_value), and
+    ``bit_count(xor)`` verifies."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63], got {max_hamming}"
+        )
     chunks = max_hamming + 1
     width = 64 // chunks
 
-    hashed = simhash_sketches(df, id_col, text_col, n=n)
+    hashed = hashed.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
+    )
+
+    def _chunk(i: int):
+        # max_hamming=0 → ONE 64-bit chunk: the mask (1<<64)−1 overflows
+        # a long literal, and the chunk IS the sketch — exact-duplicate
+        # grouping.
+        if width == 64:
+            return F.col("sh")
+        return (
+            F.shiftrightunsigned(F.col("sh"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+        )
+
     # Chunk positions unrolled in Python: Spark's shift functions take only
     # literal ints for the shift amount, and `chunks` is tiny (max_hamming+1).
     banded = hashed.select(
@@ -759,9 +795,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("sh"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk_val"),
+                        _chunk(i).alias("chunk_val"),
                     )
                     for i in range(chunks)
                 ]

@@ -364,6 +364,75 @@ def extract_features(
     return df.select("doc_id", payload_col).mapInPandas(featurize, out_schema)
 
 
+def image_dhash(
+    df: SparkDF,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 32,
+    height: int = 32,
+    hash_col: str = "dhash",
+) -> SparkDF:
+    """64-bit perceptual difference hash (dHash) of a binary payload
+    interpreted as a ``width × height`` row-major 8-bit grayscale image
+    — the standard perceptual-dedup sketch for image corpora (near-dup
+    images agree on most gradient signs, so Hamming distance on the
+    hash approximates visual similarity; pair it with
+    ``dedup.hamming_pairs`` for the banded near-dup join).
+
+    Fully deterministic and externally replayable (the oracle rebuilds
+    it from the payload's hex dump): (1) payloads shorter than
+    ``width·height`` bytes zero-pad, longer ones truncate; (2) the
+    image downsamples to a 9×8 grid by NEAREST-NEIGHBOR index
+    arithmetic (``src_x = ⌊x·width/9⌋``, ``src_y = ⌊y·height/8⌋`` —
+    pure integer ops, no resampling filter to disagree over); (3) bit
+    ``y·8 + x`` is set iff ``p(y,x) < p(y,x+1)``; (4) the 64 bits pack
+    into a signed BIGINT (two's complement — bit 63 contributes
+    ``−2^63``, the SimHash convention).
+
+    Arrow-batched ``mapInPandas`` over the binary column (the brief's
+    decode/feature plumbing — batch shape ``(id, payload)`` in,
+    ``(id, dhash)`` out), row-local, zero shuffle. Compose upstream
+    with :func:`decode_image`/:func:`resize_image` when payloads are
+    real encoded images rather than raw grayscale planes.
+
+    Returns ``(id_col, hash_col)``.
+    """
+    import numpy as np
+
+    if width < 9 or height < 8:
+        raise ValueError(
+            f"image must be at least 9x8 for a dHash grid, got "
+            f"{width}x{height}"
+        )
+    need = width * height
+    xs = (np.arange(9, dtype=np.int64) * width) // 9
+    ys = (np.arange(8, dtype=np.int64) * height) // 8
+    out_schema = f"{id_col} bigint, {hash_col} bigint"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload or b"")
+                if len(data) < need:
+                    data = data + b"\x00" * (need - len(data))
+                arr = np.frombuffer(
+                    data[:need], dtype=np.uint8
+                ).reshape(height, width)
+                g = arr[np.ix_(ys, xs)].astype(np.int64)
+                bits = (g[:, :-1] < g[:, 1:]).ravel()
+                val = 0
+                for k in range(64):
+                    if bits[k]:
+                        val |= 1 << k
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append((doc_id, val))
+            yield pd.DataFrame(rows, columns=[id_col, hash_col])
+
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
 def sample_frames(
     df: SparkDF,
     payload_col: str = "payload",

@@ -1366,6 +1366,92 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "real media models. Oracle rebuilds the histogram from the payload's "
     "hex dump in pure SQL.",
 )
+def _dhash_oracle(width: int, height: int, max_hamming: int) -> str:
+    """DuckDB twin of multimodal.image_dhash + dedup.hamming_pairs:
+    rebuild each payload's 64-bit dHash from its hex dump — only the
+    72 SAMPLED byte positions are decoded (nearest-neighbor index
+    arithmetic, zero-padding via the length guard), bits pack in two's
+    complement (bit 63 as −(2^63−1)−1: the literal 2^63 overflows
+    BIGINT) — then verify every pair by bit_count(xor) ≤ budget over
+    the all-pairs join (banding is an exact-recall optimization, so
+    all-pairs IS its semantics)."""
+    xs = [(x * width) // 9 for x in range(9)]
+    ys = [(y * height) // 8 for y in range(8)]
+    hexd = "'0123456789abcdef'"
+
+    def px(y: int, x: int) -> str:
+        src = ys[y] * width + xs[x]
+        c1, c2 = 2 * src + 1, 2 * src + 2
+        return (
+            f"CASE WHEN length(hx) >= {c2} THEN "
+            f"(strpos({hexd}, hx[{c1}])-1)*16 + "
+            f"(strpos({hexd}, hx[{c2}])-1) ELSE 0 END"
+        )
+
+    pos_terms = []
+    neg = None
+    for y in range(8):
+        for x in range(8):
+            k = y * 8 + x
+            bit = f"(CASE WHEN ({px(y, x)}) < ({px(y, x + 1)}) " \
+                  f"THEN 1 ELSE 0 END)"
+            if k < 63:
+                pos_terms.append(f"CAST({bit} AS BIGINT) * {1 << k}")
+            else:
+                neg = bit
+    val = (
+        "CAST(" + " + ".join(pos_terms) + " AS BIGINT) "
+        f"- CAST({neg} AS BIGINT) * 9223372036854775807 "
+        f"- CAST({neg} AS BIGINT)"
+    )
+    return f"""
+    WITH h AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+    d AS (SELECT doc_id, {val} AS v FROM h)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.v, b.v)) AS INTEGER) AS hamming
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.v, b.v)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q_image_dhash_dedup",
+    oracle=_dhash_oracle(32, 32, 3),
+    description="Perceptual image dedup via 64-bit difference hash "
+    "(operators/multimodal.py::image_dhash + the Hamming banding "
+    "factored out of SimHash, dedup.py::hamming_pairs): each binary "
+    "payload is interpreted as a 32×32 grayscale plane, "
+    "nearest-neighbor-downsampled to a 9×8 grid by pure index "
+    "arithmetic (no resampling filter to disagree over), and hashed "
+    "by gradient signs — near-dup images agree on most gradient "
+    "signs, so Hamming distance approximates visual similarity; "
+    "pigeonhole banding (4 chunks for budget 3) finds ALL "
+    "within-budget pairs without the quadratic self-join, then "
+    "bit_count(xor) verifies. The hash is an Arrow-batched "
+    "mapInPandas over the binary column (the real image-pipeline "
+    "plumbing; compose with decode_image/resize_image for encoded "
+    "formats), row-local, zero shuffle. The oracle rebuilds every "
+    "hash from the payload's hex dump — decoding ONLY the 72 sampled "
+    "byte positions — and verifies all pairs exactly.",
+)
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators.dedup import hamming_pairs
+
+    docs = _mm.attach_payload(_t(spark, sf_dir, "documents"), "text")
+    hashed = _mm.image_dhash(docs, width=32, height=32)
+    return (
+        hamming_pairs(
+            hashed, max_hamming=3, id_col="doc_id", hash_col="dhash"
+        )
+        .select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _mm.attach_payload(_t(spark, sf_dir, "documents"), "text")
     feats = _mm.extract_features(docs, dim=16)
@@ -9018,6 +9104,10 @@ _GRADING_ORDER = [
     # graded via q_similarity_ivf_pq_residual/_persisted and the SQ
     # grid class via the five-window IVF×SQ row
     "q_similarity_ivf_sq_residual",
+    # r12, tail: perceptual image dHash dedup — the banded-Hamming
+    # class is graded via q_dedup_simhash's long history and the
+    # multimodal plumbing via q_multimodal_features (in window)
+    "q_image_dhash_dedup",
     # r11: rotated OUT of the graded window (graded green since r1-r9,
     # shapes whose families keep graded representatives — see the window
     # comments) to admit the ten never-driver-graded classes above

@@ -574,3 +574,122 @@ class TestPngPaletteGrayscale:
         assert (rows[1]["width"], rows[1]["channels"]) == (3, 3)
         assert (rows[2]["width"], rows[2]["channels"]) == (2, 1)
         assert list(rows[2]["pixels"]) == [5, 250]
+
+
+class TestImageDhash:
+    """image_dhash — the 64-bit perceptual difference hash + its
+    banded Hamming near-dup composition."""
+
+    def _img_bytes(self, width, height, fn):
+        return bytes(fn(x, y) % 256 for y in range(height)
+                     for x in range(width))
+
+    def test_known_gradient_hash(self, spark):
+        """A strict left-to-right gradient sets EVERY dHash bit (each
+        right neighbor is brighter); a constant image sets none."""
+        from ons_utils_spark.operators.multimodal import image_dhash
+
+        grad = self._img_bytes(16, 8, lambda x, y: x * 10)
+        flat = self._img_bytes(16, 8, lambda x, y: 7)
+        df = spark.createDataFrame(
+            [(1, bytearray(grad)), (2, bytearray(flat))],
+            "doc_id bigint, payload binary",
+        )
+        got = {
+            r["doc_id"]: r["dhash"]
+            for r in image_dhash(df, width=16, height=8).collect()
+        }
+        assert got[1] == -1  # all 64 bits set, two's complement
+        assert got[2] == 0
+
+    def test_short_payload_zero_pads(self, spark):
+        from ons_utils_spark.operators.multimodal import image_dhash
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"")), (2, bytearray(b"\x00" * (16 * 8)))],
+            "doc_id bigint, payload binary",
+        )
+        got = {
+            r["doc_id"]: r["dhash"]
+            for r in image_dhash(df, width=16, height=8).collect()
+        }
+        assert got[1] == got[2] == 0
+
+    def test_minimum_geometry_validated(self, spark):
+        from ons_utils_spark.operators.multimodal import image_dhash
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x"))], "doc_id bigint, payload binary"
+        )
+        with pytest.raises(ValueError, match="9x8"):
+            image_dhash(df, width=8, height=8)
+
+    def test_near_dup_images_within_budget(self, spark):
+        """One flipped pixel in the sampled grid moves few gradient
+        signs — the perceptual property the hash exists for."""
+        from ons_utils_spark.operators.dedup import hamming_pairs
+        from ons_utils_spark.operators.multimodal import image_dhash
+
+        base = list(self._img_bytes(16, 8, lambda x, y: (x * 7 + y * 3)))
+        tweak = list(base)
+        tweak[3] = (tweak[3] + 40) % 256  # one sampled pixel
+        other = self._img_bytes(16, 8, lambda x, y: (x * x + 5 * y))
+        df = spark.createDataFrame(
+            [(1, bytearray(bytes(base))), (2, bytearray(bytes(tweak))),
+             (3, bytearray(other))],
+            "doc_id bigint, payload binary",
+        )
+        hashed = image_dhash(df, width=16, height=8)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_pairs(
+                hashed, max_hamming=4, id_col="doc_id", hash_col="dhash"
+            ).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+
+    def test_banding_matches_brute_force(self, spark):
+        """hamming_pairs (pigeonhole banding) must find EXACTLY the
+        pairs a brute-force all-pairs Hamming check finds."""
+        import itertools
+        import random
+
+        from ons_utils_spark.operators.dedup import hamming_pairs
+        from ons_utils_spark.operators.multimodal import image_dhash
+
+        rng = random.Random(3)
+        rows = [
+            (i, bytearray(bytes(rng.randrange(4) * 60
+                                for _ in range(16 * 8))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        hashed = image_dhash(df, width=16, height=8)
+        sketches = {r["doc_id"]: r["dhash"] for r in hashed.collect()}
+        for mh in (0, 3):
+            got = {
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in hamming_pairs(
+                    hashed, max_hamming=mh, id_col="doc_id",
+                    hash_col="dhash",
+                ).collect()
+            }
+            want = set()
+            for a, b in itertools.combinations(sorted(sketches), 2):
+                h = bin((sketches[a] ^ sketches[b]) & ((1 << 64) - 1)
+                        ).count("1")
+                if h <= mh:
+                    want.add((a, b, h))
+            assert got == want, mh
+
+    def test_max_hamming_validated(self, spark):
+        from ons_utils_spark.operators.dedup import hamming_pairs
+        from ons_utils_spark.operators.multimodal import image_dhash
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x" * 128))], "doc_id bigint, payload binary"
+        )
+        hashed = image_dhash(df, width=16, height=8)
+        with pytest.raises(ValueError, match="max_hamming"):
+            hamming_pairs(hashed, max_hamming=64, id_col="doc_id",
+                          hash_col="dhash")

@@ -1191,7 +1191,19 @@ def load_ivf_pq_table(spark, path: str) -> Tuple[SparkDF, IvfPqIndex]:
     therefore never serve mismatched or partially-written pairs. The
     coded table is a plain partitioned parquet read projected back to
     ``(id, codes, __list)`` — the ``batch_id`` growth partitioning is a
-    storage detail — and probe filters still land in PartitionFilters."""
+    storage detail — and probe filters still land in PartitionFilters.
+
+    Pending :func:`ivf_pq_table_delete` tombstones (if any) are applied
+    as a broadcast watermark anti-filter on the read — a map-side join
+    against one folded row per deleted id, so the common tombstone-free
+    store pays nothing and a store with pending deletes pays no extra
+    shuffle; ``__list`` partition pruning is untouched (the filter sits
+    above the scan). :func:`ivf_pq_table_compact` applies tombstones
+    physically and retires the substore."""
+    from ons_utils_spark.sources.store import (
+        apply_tombstones, load_tombstone_watermarks,
+    )
+
     index, meta = _load_index_with_meta(spark, f"{path}/index")
     generation = _table_generation(meta, index)
     coded_path = f"{path}/coded_{generation}"
@@ -1209,8 +1221,96 @@ def load_ivf_pq_table(spark, path: str) -> Tuple[SparkDF, IvfPqIndex]:
             "the first load)"
         ) from exc
     if "batch_id" in coded.columns:
-        coded = coded.select("id", "codes", "__list")
+        wm = load_tombstone_watermarks(
+            spark, _tombstones_path(path, generation)
+        )
+        coded = apply_tombstones(coded, wm).select("id", "codes", "__list")
     return coded, index
+
+
+def _tombstones_path(store_path: str, generation: str) -> str:
+    """The tombstone substore paired with one coded generation. The name
+    deliberately starts with ``coded_`` so :func:`save_ivf_pq_table`'s
+    post-commit sweep retires it together with the generation it
+    annotates — a re-save or a tombstone-applying compaction rebuilds
+    the live set from scratch, at which point stale deletes must not
+    outlive the rows they referred to."""
+    return f"{store_path}/coded_{generation}__tombstones"
+
+
+def ivf_pq_table_delete(
+    spark,
+    store_path: str,
+    ids: Sequence,
+    batch_id: int,
+) -> None:
+    """Delete vectors from a :func:`save_ivf_pq_table` store by id —
+    the maintenance operation between append and compaction (the GDPR /
+    stale-document path): a tombstone batch lands under the live coded
+    generation and every loader (:func:`load_ivf_pq_table`, and
+    therefore all serving entry points) filters the dead rows out;
+    :func:`ivf_pq_table_compact` later applies the deletes physically.
+    Nothing in the coded table or the index artifact is touched — a
+    delete is O(ids), never a rewrite.
+
+    Semantics (``sources/store.py::append_tombstones``): the tombstone
+    kills every row for that id written at or before ``batch_id``
+    (base-save rows included), and a LATER :func:`ivf_pq_table_append`
+    of the same id serves again — delete-then-reinsert is the update
+    idiom. ``batch_id`` is required and non-negative for exactly that
+    ordering reason; a streaming maintainer passes its micro-batch id
+    (replay statically overwrites the same tombstone partition —
+    exactly-once), and an append and a delete must NOT share a
+    ``batch_id`` (each would overwrite the other's partition on
+    replay). Deleting an id the store never held is a no-op filter,
+    not an error — the caller cannot be expected to know the live set.
+    """
+    index, meta = _load_index_with_meta(spark, f"{store_path}/index")
+    generation = _table_generation(meta, index)
+    if generation == index.fingerprint:
+        raise ValueError(
+            f"store at {store_path!r} uses the pre-generation layout "
+            "(no batch_id partitioning) — its rows carry no order for "
+            "the tombstone watermark to compare against; re-save it "
+            "once with save_ivf_pq_table"
+        )
+    _coded_table_delete(spark, store_path, generation, ids, batch_id)
+
+
+def _coded_table_delete(
+    spark, store_path: str, generation: str, ids: Sequence, batch_id: int
+) -> None:
+    """Validated tombstone append against one coded generation — shared
+    by :func:`ivf_pq_table_delete` and the SQ twin (the two table
+    layouts are identical below the index artifact)."""
+    from ons_utils_spark.sources.store import append_tombstones
+
+    ids = list(ids)
+    if not ids:
+        raise ValueError("delete batch is empty — nothing to tombstone")
+    if any(x is None for x in ids):
+        raise ValueError(
+            "delete batch holds a NULL id — a NULL never equi-joins, "
+            "so the delete would silently not happen"
+        )
+    if len(set(ids)) != len(ids):
+        raise ValueError("duplicate ids in delete batch")
+    # Tombstone ids are written in the coded table's own id dtype so the
+    # watermark equi-join never falls back to a cast (schema read only —
+    # one parquet footer, no data scan).
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = (
+        spark.read.parquet(f"{store_path}/coded_{generation}")
+        .schema["id"].dataType
+    )
+    ids_df = spark.createDataFrame(
+        [(x,) for x in ids],
+        StructType([StructField("id", id_type, nullable=False)]),
+    )
+    append_tombstones(
+        ids_df, _tombstones_path(store_path, generation), batch_id
+    )
 
 
 def ivf_pq_table_append(
@@ -1799,8 +1899,21 @@ def ivf_pq_table_compact(spark, store_path: str) -> None:
     partition — it would re-APPEND those vectors as duplicate serving
     rows. Compact only while the streaming maintainer is stopped and
     its checkpoint has advanced past every batch being compacted.
+
+    With pending :func:`ivf_pq_table_delete` tombstones, compaction
+    routes through :func:`save_ivf_pq_table` instead of the in-place
+    partition rewrite: the live (tombstone-filtered) rows land in a
+    FRESH nonce generation, the index write is the commit point, and
+    the post-commit sweep retires the old generation AND its tombstone
+    substore together. That pairing is what makes applying deletes
+    crash-safe — an in-place rewrite that then dropped the tombstones
+    would have a window where compacted rows (all rewritten to the
+    sentinel ``batch_id=-1``) are re-killed by the stale watermarks,
+    silently erasing every delete-then-reinsert row. A crash anywhere
+    here leaves the OLD generation + tombstones serving the identical
+    live set.
     """
-    from ons_utils_spark.sources.store import compact_store
+    from ons_utils_spark.sources.store import compact_store, dir_exists
 
     index, meta = _load_index_with_meta(spark, f"{store_path}/index")
     generation = _table_generation(meta, index)
@@ -1811,6 +1924,9 @@ def ivf_pq_table_compact(spark, store_path: str) -> None:
             "re-save it once with save_ivf_pq_table to migrate"
         )
     coded, _ = load_ivf_pq_table(spark, store_path)
+    if dir_exists(_tombstones_path(store_path, generation)):
+        save_ivf_pq_table(coded, index, store_path)
+        return
     compact_store(
         coded, f"{store_path}/coded_{generation}",
         partition_cols=("batch_id", "__list"),

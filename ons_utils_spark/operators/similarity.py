@@ -1046,7 +1046,15 @@ def load_sq_table(spark, path: str) -> "tuple[SparkDF, SqIndex]":
     with — a torn save can never serve a mismatched or partially
     written pair. The ``batch_id`` growth partitioning is a storage
     detail, projected away; ``__list`` probe filters still land in
-    PartitionFilters."""
+    PartitionFilters. Pending :func:`ivf_sq_table_delete` tombstones
+    are applied as the same broadcast watermark anti-filter the PQ
+    loader uses — nothing on the tombstone-free path, no extra shuffle
+    with pending deletes."""
+    from ons_utils_spark.operators.pq import _tombstones_path
+    from ons_utils_spark.sources.store import (
+        apply_tombstones, load_tombstone_watermarks,
+    )
+
     index, meta = _load_sq_index_with_meta(spark, f"{path}/index")
     generation = _sq_table_generation(meta, path)
     coded_path = f"{path}/coded_{generation}"
@@ -1063,8 +1071,33 @@ def load_sq_table(spark, path: str) -> "tuple[SparkDF, SqIndex]":
             "the first load)"
         ) from exc
     if "batch_id" in coded.columns:
-        coded = coded.select("id", "codes", "__list")
+        wm = load_tombstone_watermarks(
+            spark, _tombstones_path(path, generation)
+        )
+        coded = apply_tombstones(coded, wm).select("id", "codes", "__list")
     return coded, index
+
+
+def ivf_sq_table_delete(
+    spark,
+    store_path: str,
+    ids: "Sequence",
+    batch_id: int,
+) -> None:
+    """Delete vectors from a :func:`save_sq_table` store by id — the SQ
+    twin of :func:`pq.ivf_pq_table_delete`, identical contract and
+    shared machinery (``pq._coded_table_delete``): a tombstone batch
+    under the live coded generation kills every row for that id written
+    at or before ``batch_id``; a LATER :func:`ivf_sq_table_append` of
+    the same id serves again (delete-then-reinsert is the update
+    idiom); :func:`ivf_sq_table_compact` applies deletes physically via
+    a fresh-generation re-save. O(ids), never a rewrite; an append and
+    a delete must not share a ``batch_id``."""
+    from ons_utils_spark.operators.pq import _coded_table_delete
+
+    _, meta = _load_sq_index_with_meta(spark, f"{store_path}/index")
+    generation = _sq_table_generation(meta, store_path)
+    _coded_table_delete(spark, store_path, generation, ids, batch_id)
 
 
 def ivf_sq_table_append(
@@ -1155,12 +1188,23 @@ def ivf_sq_table_compact(spark, store_path: str) -> None:
     checkpointed replay of a compacted ``batch_id`` would re-APPEND
     those vectors — compact only while the streaming maintainer is
     stopped and its checkpoint has advanced past every compacted batch.
-    """
-    from ons_utils_spark.sources.store import compact_store
 
-    _, meta = _load_sq_index_with_meta(spark, f"{store_path}/index")
+    With pending :func:`ivf_sq_table_delete` tombstones, compaction
+    routes through :func:`save_sq_table` instead (the PQ rule, see
+    :func:`pq.ivf_pq_table_compact`): the live rows land in a fresh
+    nonce generation, the index commit retires the old generation and
+    its tombstones TOGETHER — an in-place rewrite would re-kill
+    delete-then-reinsert rows through the stale watermarks.
+    """
+    from ons_utils_spark.operators.pq import _tombstones_path
+    from ons_utils_spark.sources.store import compact_store, dir_exists
+
+    index, meta = _load_sq_index_with_meta(spark, f"{store_path}/index")
     generation = _sq_table_generation(meta, store_path)
     coded, _ = load_sq_table(spark, store_path)
+    if dir_exists(_tombstones_path(store_path, generation)):
+        save_sq_table(coded, index, store_path)
+        return
     compact_store(
         coded, f"{store_path}/coded_{generation}",
         partition_cols=("batch_id", "__list"),

@@ -1336,8 +1336,11 @@ def bm25_index_build(df, id_col: str, text_col: str):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.size("__toks")).alias("total_dl"),
         )
-        .withColumn("n_postings", F.lit(witness["__np"]))
-        .withColumn("postings_xor", F.lit(witness["__px"]))
+        # Cast explicitly: F.lit(python_int) types by VALUE (int32 when
+        # it fits), which would make the per-batch stats files disagree
+        # on width and break the loader's mergeSchema read.
+        .withColumn("n_postings", F.lit(witness["__np"]).cast("long"))
+        .withColumn("postings_xor", F.lit(witness["__px"]).cast("long"))
     )
     return postings, stats
 
@@ -1607,10 +1610,29 @@ def load_bm25_index_incremental(spark, store_path: str):
     from a crash between the two writes, even at a coinciding count —
     fails loudly instead of silently serving undercounted
     ``n``/``avgdl``, where a term's folded ``df`` could even exceed
-    ``n`` and NULL its idf."""
+    ``n`` and NULL its idf.
+
+    Pending :func:`bm25_index_delete` tombstones (if any) are applied
+    on read: the folded ``n``/``total_dl`` already carry the deletes'
+    exact negative stats deltas, and the postings read is filtered by
+    the broadcast per-id watermark (``sources/store.py::
+    apply_tombstones``) — served scores stay bit-identical to a
+    one-shot build over the LIVE corpus. The delete pairing has its own
+    witness: each delete's stats delta records its tombstone partition's
+    (count, content-xor), folded and validated against the actual
+    tombstone store here — a crash between a delete's two writes fails
+    loudly (re-run the delete with its ``batch_id`` to repair), never
+    serves rows without their stats decrement or vice versa."""
     from pyspark.sql import functions as F
 
-    raw_stats = spark.read.parquet(f"{store_path}/stats")
+    from ons_utils_spark.sources.store import (
+        apply_tombstones, dir_exists,
+    )
+
+    raw_stats = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{store_path}/stats")
+    )
     if (
         "n_postings" not in raw_stats.columns
         or "postings_xor" not in raw_stats.columns
@@ -1621,9 +1643,8 @@ def load_bm25_index_incremental(spark, store_path: str):
             "a pre-witness or foreign store; re-ingest through "
             "bm25_index_append"
         )
-    postings = spark.read.parquet(f"{store_path}/postings").select(
-        "term", "id", "tf", "dl"
-    )
+    raw_postings = spark.read.parquet(f"{store_path}/postings")
+    postings = raw_postings.select("term", "id", "tf", "dl")
     stats = raw_stats.agg(
         F.sum("n").alias("n"),
         F.sum("total_dl").alias("total_dl"),
@@ -1639,6 +1660,50 @@ def load_bm25_index_incremental(spark, store_path: str):
         "Re-run the append with its explicit batch_id to repair (the "
         "partition overwrite replaces both halves).",
     )
+    tomb_path = f"{store_path}/tombstones"
+    have_dir = dir_exists(tomb_path)
+    if have_dir or "n_tombstones" in raw_stats.columns:
+        if "n_tombstones" in raw_stats.columns:
+            trow = raw_stats.agg(
+                F.coalesce(F.sum("n_tombstones"), F.lit(0)).alias("nt"),
+                F.coalesce(F.bit_xor("tombstones_xor"), F.lit(0)).alias(
+                    "tx"
+                ),
+            ).collect()[0]
+            want_nt, want_tx = trow["nt"], trow["tx"]
+        else:
+            want_nt, want_tx = 0, 0
+        if have_dir:
+            tombs = spark.read.parquet(tomb_path)
+            have = tombs.agg(
+                F.count(F.lit(1)).alias("nt"),
+                F.coalesce(
+                    F.bit_xor(
+                        F.xxhash64("id", F.col("batch_id").cast("int"))
+                    ),
+                    F.lit(0),
+                ).alias("tx"),
+            ).collect()[0]
+        else:
+            tombs, have = None, {"nt": 0, "tx": 0}
+        if have["nt"] != want_nt or have["tx"] != want_tx:
+            raise ValueError(
+                f"BM25 index at {store_path!r} has a torn DELETE: the "
+                f"folded stats deltas expect {want_nt} tombstone row(s) "
+                f"(content xor {want_tx}) but the tombstone store holds "
+                f"{have['nt']} (xor {have['tx']}) — a delete crashed "
+                "between its tombstone and stats writes (or the "
+                "tombstone directory was edited). Re-run the delete "
+                "with its explicit batch_id to repair (both partitions "
+                "are statically overwritten)."
+            )
+        if tombs is not None and have["nt"]:
+            wm = tombs.groupBy("id").agg(
+                F.max("batch_id").alias("__dead_upto")
+            )
+            postings = apply_tombstones(raw_postings, wm).select(
+                "term", "id", "tf", "dl"
+            )
     return postings, stats
 
 
@@ -1670,10 +1735,232 @@ def bm25_index_compact(spark, store_path: str) -> None:
     no longer overwrite its own partition — it would re-APPEND those
     documents' postings and re-SUM their stats, double-counting both.
     """
-    from ons_utils_spark.sources.store import compact_store
+    from ons_utils_spark.sources.store import compact_store, dir_exists
 
+    if dir_exists(f"{store_path}/tombstones"):
+        raise ValueError(
+            f"BM25 index at {store_path!r} has pending delete "
+            "tombstones — the two per-substore rewrites cannot apply "
+            "them atomically (a crash between the halves would leave "
+            "live postings paired with decremented stats, or rewritten "
+            "sentinel rows re-killed by stale watermarks). Run "
+            "bm25_index_vacuum instead: it applies the deletes and "
+            "compacts in ONE whole-store promotion."
+        )
     # Loading validates the witness FIRST — a torn store must fail
     # loudly here, not get its inconsistency baked into a compaction.
     postings, stats = load_bm25_index_incremental(spark, store_path)
     compact_store(postings, f"{store_path}/postings")
     compact_store(stats, f"{store_path}/stats")
+
+
+def bm25_index_delete(
+    spark,
+    store_path: str,
+    ids: "Sequence",
+    batch_id: int,
+) -> None:
+    """Delete documents from an incremental BM25 index by id — the
+    retrieval twin of :func:`pq.ivf_pq_table_delete` (the GDPR /
+    stale-document maintenance path), adapted to this store's exact
+    corpus statistics. Two paired writes, both replay-idempotent
+    partition overwrites under the SAME ``batch_id``:
+
+    1. a tombstone batch under ``<store>/tombstones`` — the loader
+       filters every posting row whose document was deleted at or after
+       the row's own batch (``sources/store.py::append_tombstones``
+       semantics: a LATER :func:`bm25_index_append` of the same id
+       serves again — delete-then-reinsert is the update idiom);
+    2. a NEGATIVE stats delta under ``<store>/stats`` — exactly the
+       ``(n, total_dl)`` the dead documents contributed, computed here
+       from the store's live-as-of-``batch_id`` view (data batches
+       ≤ ``batch_id``, tombstones < ``batch_id`` — deterministic on
+       replay no matter what landed since), so folded idf/avgdl stay
+       bit-identical to a one-shot build over the live corpus. The
+       delta row also carries the tombstone partition's (count,
+       content-xor) witness; the loader validates it against the
+       actual tombstone store, so a crash BETWEEN the two writes fails
+       loudly on load (re-run the delete to repair) instead of serving
+       rows without their stats decrement.
+
+    Every requested id must be LIVE in the store as of ``batch_id`` —
+    an unknown id raises (unlike the ANN store, a silent no-op here
+    would desynchronize the stats the caller believes it adjusted),
+    and so does a zero-token document, whose membership in ``n`` the
+    postings layout cannot see; both are named in the error. An append
+    and a delete must NOT share a ``batch_id`` (each would overwrite
+    the other's stats partition on replay) — a stats partition already
+    holding an append's row raises. ``batch_id`` must be ≥ 0: a delete
+    is only meaningful relative to the append order. O(ids) driver
+    memory; the store is never rewritten (see :func:`bm25_index_vacuum`
+    for physical application)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from ons_utils_spark.sources.store import (
+        append_tombstones, dir_exists,
+    )
+
+    if batch_id is None or int(batch_id) < 0:
+        raise ValueError(
+            f"deletes require an explicit non-negative batch_id (got "
+            f"{batch_id}) — the tombstone watermark orders against "
+            "append batches"
+        )
+    batch_id = int(batch_id)
+    ids = list(ids)
+    if not ids:
+        raise ValueError("delete batch is empty — nothing to tombstone")
+    if any(x is None for x in ids):
+        raise ValueError(
+            "delete batch holds a NULL id — a NULL never equi-joins, "
+            "so the delete would silently not happen"
+        )
+    if len(set(ids)) != len(ids):
+        raise ValueError("duplicate ids in delete batch")
+    raw_postings = spark.read.parquet(f"{store_path}/postings")
+    # Refuse a batch_id collision with an APPEND before writing anything:
+    # both operations statically overwrite stats/batch_id=<id>, so
+    # sharing one would silently erase the other's stats row on replay.
+    stats_part = f"{store_path}/stats/batch_id={batch_id}"
+    if dir_exists(stats_part):
+        existing = spark.read.parquet(stats_part)
+        if (
+            "n_tombstones" not in existing.columns
+            or existing.where(F.col("n_postings") != 0).limit(1).count()
+        ):
+            raise ValueError(
+                f"batch_id {batch_id} already holds an APPEND's stats "
+                f"row at {store_path!r} — appends and deletes must use "
+                "distinct batch_ids (each statically overwrites its own "
+                "stats partition on replay)"
+            )
+    # The live-as-of-batch_id view: data batches <= batch_id, minus rows
+    # killed by EARLIER tombstones — later activity is excluded on both
+    # sides, so a checkpointed replay recomputes the identical delta.
+    id_type = raw_postings.schema["id"].dataType
+    ids_df = spark.createDataFrame(
+        [(x,) for x in ids],
+        StructType([StructField("id", id_type, nullable=False)]),
+    )
+    view = raw_postings.where(F.col("batch_id") <= batch_id)
+    tomb_path = f"{store_path}/tombstones"
+    if dir_exists(tomb_path):
+        prior = (
+            spark.read.parquet(tomb_path)
+            .where(F.col("batch_id") < batch_id)
+            .groupBy("id")
+            .agg(F.max("batch_id").alias("__dead_upto"))
+            .withColumnRenamed("id", "__tomb_id")
+        )
+        view = (
+            view.join(
+                F.broadcast(prior),
+                view["id"] == prior["__tomb_id"],
+                "left",
+            )
+            .where(
+                F.col("__dead_upto").isNull()
+                | (F.col("__dead_upto") < F.col("batch_id"))
+            )
+            .drop("__tomb_id", "__dead_upto")
+        )
+    dead = (
+        view.join(F.broadcast(ids_df.withColumnRenamed("id", "__del_id")),
+                  view["id"] == F.col("__del_id"), "left_semi")
+        .select("id", "dl")
+        .distinct()
+        .collect()
+    )
+    found = {r["id"] for r in dead}
+    missing = [x for x in ids if x not in found]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} id(s) in the delete batch are not live in "
+            f"the index as of batch {batch_id} (first few: "
+            f"{missing[:5]!r}) — either never ingested, already "
+            "deleted, appended only AFTER this batch_id, or a "
+            "zero-token document (invisible to the postings layout, so "
+            "its n-membership cannot be decremented; such documents "
+            "cannot be deleted from this store)"
+        )
+    n_delta = len(dead)
+    dl_delta = sum(r["dl"] for r in dead)
+    # Tombstones land FIRST; the stats delta (which carries the
+    # tombstone witness) is the commit point — the loader refuses the
+    # in-between state.
+    append_tombstones(ids_df, tomb_path, batch_id)
+    tx = (
+        ids_df.agg(
+            F.coalesce(
+                F.bit_xor(
+                    F.xxhash64("id", F.lit(batch_id).cast("int"))
+                ),
+                F.lit(0),
+            ).alias("tx")
+        ).collect()[0]["tx"]
+    )
+    delta = spark.createDataFrame(
+        [(-n_delta, -dl_delta, 0, 0, len(ids), tx)],
+        "n long, total_dl long, n_postings long, postings_xor long, "
+        "n_tombstones long, tombstones_xor long",
+    )
+    delta.write.mode("overwrite").parquet(stats_part)
+
+
+def bm25_index_vacuum(spark, store_path: str) -> None:
+    """Apply an incremental BM25 index's pending tombstones PHYSICALLY
+    and compact it, in one crash-safe whole-store promotion: rewrite
+    the live (tombstone-filtered) postings and the exact folded stats —
+    with the (count, content-xor) witness recomputed over the live rows
+    — into a staged sibling, then swap it in with the rename-aside
+    recipe (``sources/store.py::promote_staged_store``; debris from a
+    previous crashed vacuum is repaired on entry). The tombstone
+    substore vanishes with the old root — deletes, their stats deltas,
+    and the rows they killed retire TOGETHER, which is why this exists
+    instead of two per-substore ``compact_store`` calls (a crash
+    between those halves could pair live postings with decremented
+    stats, and rewriting survivors to the sentinel batch would re-kill
+    every delete-then-reinsert row under the stale watermarks — the
+    same hazard :func:`pq.ivf_pq_table_compact` routes around via a
+    fresh generation; this store has no generation pointer, so the
+    promotion unit is the store root).
+
+    Valid on a tombstone-free store too (then it is exactly a
+    compaction). The **writer-stopped caveat** applies doubly: a
+    checkpointed replay of any vacuumed batch — append or delete — can
+    no longer overwrite its own partition."""
+    from pyspark.sql import functions as F
+
+    from ons_utils_spark.sources.store import (
+        promote_staged_store, repair_swap_debris,
+    )
+
+    repair_swap_debris(store_path)
+    # Validates both witnesses and applies the watermark filter.
+    postings, stats = load_bm25_index_incremental(spark, store_path)
+    row = stats.collect()[0]
+    live = postings.agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64("term", "id", "tf", "dl")), F.lit(0)
+        ).alias("__px"),
+    ).collect()[0]
+    fresh_stats = spark.createDataFrame(
+        [(row["n"], row["total_dl"], live["__np"], live["__px"])],
+        "n long, total_dl long, n_postings long, postings_xor long",
+    )
+    staging = store_path.rstrip("/") + ".__vacuum_tmp"
+    (
+        postings.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{staging}/postings")
+    )
+    (
+        fresh_stats.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{staging}/stats")
+    )
+    promote_staged_store(store_path, staging, what="bm25_index_vacuum")

@@ -191,13 +191,7 @@ def compact_store(
             "loader's output, not the raw store read"
         )
     filesystem, dst = _resolve_fs(path)
-    aside = dst.rstrip("/") + ".__old"
-    # Repair debris from a previous crashed compaction FIRST.
-    if filesystem.get_file_info(aside).type != pafs.FileType.NotFound:
-        if filesystem.get_file_info(dst).type == pafs.FileType.NotFound:
-            filesystem.move(aside, dst)  # crashed between renames
-        else:
-            filesystem.delete_dir(aside)  # crashed before cleanup
+    repair_swap_debris(path)
     # Fail BEFORE the staged rewrite: moving a missing live store would
     # otherwise surface as an opaque pyarrow error only after the
     # staging directory was fully written (and left behind).
@@ -223,7 +217,37 @@ def compact_store(
         .partitionBy(*partition_cols)
         .parquet(staging)
     )
+    promote_staged_store(path, staging, what="compact_store")
+
+
+def repair_swap_debris(path: str) -> None:
+    """Repair the debris a crashed rename-aside promotion may have left
+    at ``path`` — run on ENTRY by every operation that promotes a
+    staged rewrite (:func:`compact_store`, the BM25 vacuum): aside
+    present + live missing ⇒ the crash hit between the two renames,
+    restore the aside; both present ⇒ the aside is superseded debris,
+    delete it."""
+    from pyarrow import fs as pafs
+
+    filesystem, dst = _resolve_fs(path)
+    aside = dst.rstrip("/") + ".__old"
+    if filesystem.get_file_info(aside).type != pafs.FileType.NotFound:
+        if filesystem.get_file_info(dst).type == pafs.FileType.NotFound:
+            filesystem.move(aside, dst)  # crashed between renames
+        else:
+            filesystem.delete_dir(aside)  # crashed before cleanup
+
+
+def promote_staged_store(path: str, staging: str, what: str) -> None:
+    """Swap a FULLY-WRITTEN staged directory in place of the live one
+    via rename-aside (live → ``.__old``, staged → live, drop the
+    aside) — two metadata ops, crash-recoverable at every window by
+    :func:`repair_swap_debris`, rollback on a failed promotion. The
+    caller must have finished writing ``staging`` and must not hold
+    lazy plans over ``path`` (checkpoint first)."""
+    filesystem, dst = _resolve_fs(path)
     _, src = _resolve_fs(staging)
+    aside = dst.rstrip("/") + ".__old"
     filesystem.move(dst, aside)
     try:
         filesystem.move(src, dst)
@@ -234,7 +258,119 @@ def compact_store(
         except Exception:  # noqa: BLE001
             recovered = f"original preserved at {aside} — recover manually"
         raise IOError(
-            f"compact_store: compacted store staged at {staging} but "
+            f"{what}: rewritten store staged at {staging} but "
             f"promoting it to {path} failed — {recovered}"
         ) from exc
     filesystem.delete_dir(aside)
+
+
+def dir_exists(path: str) -> bool:
+    """True iff ``path`` resolves to an existing directory — the shared
+    probe the tombstone-aware loaders use to decide whether a store has
+    pending deletes without paying a Spark read on the common
+    (tombstone-free) path."""
+    from pyarrow import fs as pafs
+
+    filesystem, resolved = _resolve_fs(path)
+    return (
+        filesystem.get_file_info(resolved).type == pafs.FileType.Directory
+    )
+
+
+def append_tombstones(ids: SparkDF, path: str, batch_id: int) -> None:
+    """Record one delete batch in a store's tombstone substore.
+
+    Tombstones are the delete half of the append-only contract: a row
+    ``(id)`` under ``batch_id=<id>`` meaning *every data row for this id
+    written at or before this point is dead*. Loaders fold them into a
+    per-id high-water mark (:func:`load_tombstone_watermarks`) and
+    filter with :func:`apply_tombstones`; compaction/vacuum applies
+    them physically and clears the substore.
+
+    ``batch_id`` is REQUIRED and non-negative — a delete only means
+    something relative to an ordering of appends, and the sentinel
+    partition (``-1``, base saves) is exactly the point with no order.
+    Batch callers pass any value ≥ the newest batch they want the
+    delete to cover (``0`` for a never-appended store); streaming
+    callers pass the micro-batch id, which makes a checkpointed replay
+    statically overwrite its own tombstone partition — exactly-once,
+    the same rule as data appends. Deleting an id the store never held
+    is legal (a tombstone is a filter, not a lookup); re-appending an
+    id at a LATER batch_id resurrects it (delete-then-reinsert is how
+    an update is expressed).
+    """
+    if batch_id is None or int(batch_id) < 0:
+        raise ValueError(
+            f"tombstones require an explicit non-negative batch_id "
+            f"(got {batch_id}) — a delete is only meaningful relative "
+            "to the append order, and the sentinel partition has none. "
+            "Pass a value >= the newest data batch the delete should "
+            "cover (0 for a store that was only base-saved)."
+        )
+    if ids.columns != ["id"]:
+        raise ValueError(
+            f"tombstone batch must be exactly one 'id' column (got "
+            f"{ids.columns}) — project before appending"
+        )
+    if ids.where(F.col("id").isNull()).limit(1).count():
+        raise ValueError(
+            "tombstone batch holds a NULL id — a NULL never equi-joins, "
+            "so the delete would silently not happen; fix the batch "
+            "upstream"
+        )
+    partitioned_delta_append(ids, path, batch_id=int(batch_id))
+
+
+def load_tombstone_watermarks(spark, path: str) -> "SparkDF | None":
+    """Fold a tombstone substore → ``(id, __dead_upto)`` — the max
+    tombstone ``batch_id`` per id, or ``None`` if the store has no
+    tombstone directory (the common fast path: loaders skip the join
+    entirely). NULL ids in the substore raise — a NULL watermark would
+    silently match nothing in the anti-filter and resurrect the row."""
+    if not dir_exists(path):
+        return None
+    tombs = spark.read.parquet(path)
+    bad = tombs.where(F.col("id").isNull()).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"tombstone store at {path!r} holds NULL ids — a NULL never "
+            "equi-joins, so the dead rows would silently keep serving; "
+            "the store was written outside append_tombstones (which "
+            "refuses NULLs) and must be repaired manually"
+        )
+    return tombs.groupBy("id").agg(
+        F.max("batch_id").alias("__dead_upto")
+    )
+
+
+def apply_tombstones(
+    rows: SparkDF, watermarks: "SparkDF | None", id_col: str = "id"
+) -> SparkDF:
+    """Filter a batch-partitioned data read down to its LIVE rows: a row
+    survives iff no tombstone for its id was issued at or after the
+    row's own ``batch_id`` (``__dead_upto >= batch_id`` kills — so a
+    tombstone at batch 5 erases the base save (-1) and batches ≤ 5,
+    while a re-append at batch 7 serves again). ``rows`` must still
+    carry its ``batch_id`` column; the watermark side is one folded row
+    per deleted id — broadcast, so the filter is a map-side join, never
+    a shuffle of the data read."""
+    if watermarks is None:
+        return rows
+    if "batch_id" not in rows.columns:
+        raise ValueError(
+            "apply_tombstones needs the data read's batch_id column — "
+            "read the store raw (before projecting the layout away)"
+        )
+    wm = watermarks.withColumnRenamed("id", "__tomb_id")
+    return (
+        rows.join(
+            F.broadcast(wm),
+            rows[id_col] == wm["__tomb_id"],
+            "left",
+        )
+        .where(
+            F.col("__dead_upto").isNull()
+            | (F.col("__dead_upto") < F.col("batch_id"))
+        )
+        .drop("__tomb_id", "__dead_upto")
+    )

@@ -1366,6 +1366,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "real media models. Oracle rebuilds the histogram from the payload's "
     "hex dump in pure SQL.",
 )
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _mm.attach_payload(_t(spark, sf_dir, "documents"), "text")
+    feats = _mm.extract_features(docs, dim=16)
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("f_sum"),
+    ).orderBy("doc_id")
+
+
 def _dhash_oracle(width: int, height: int, max_hamming: int) -> str:
     """DuckDB twin of multimodal.image_dhash + dedup.hamming_pairs:
     rebuild each payload's 64-bit dHash from its hex dump — only the
@@ -1450,16 +1462,6 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
-
-
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _mm.attach_payload(_t(spark, sf_dir, "documents"), "text")
-    feats = _mm.extract_features(docs, dim=16)
-    return feats.select(
-        "doc_id",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("f_sum"),
-    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -4563,6 +4565,116 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bigram_logprob(docs, "doc_id", "text").orderBy("id")
 
 
+def _bpe_oracle(train_where: str, n_merges: int) -> str:
+    """DuckDB twin of bpe.bpe_train + bpe_encode: the TRAINING LOOP
+    unrolls as CTE stages (the `_kmeans_ctes` trick applied to a
+    discrete algorithm) — stage k counts adjacent symbol pairs over the
+    word-frequency table's current states (with overlap, weighted by
+    freq), picks the best by (count DESC, a, b) — the driver loop's
+    exact (−count, pair-tuple) key — and advances every state with ONE
+    `replace`, which is left-to-right non-overlapping in SQL exactly
+    as in Python and the JVM (that shared semantics is what makes BPE
+    fully replayable: no floats anywhere, every value an integer or a
+    string). The encode replay then chains the same `replace`s over
+    every (doc, word) occurrence and re-aggregates per document.
+    `max_words` is deliberately un-hit at oracle scale (the cap is a
+    Zipf-tail bound for 100 TB corpora, not a semantic knob)."""
+    sep = "chr(31)"
+    init = f"rtrim(regexp_replace(word, '(.)', '\\1' || {sep}, 'g'), {sep})"
+    toks = (
+        "coalesce(list_filter(string_split_regex(lower(trim(text)), "
+        "'\\s+'), t -> t <> ''), [])"
+    )
+    parts = [
+        f"""w0 AS (
+        SELECT word, count(*) AS freq FROM (
+            SELECT unnest({toks}) AS word
+            FROM documents WHERE {train_where}) GROUP BY word)""",
+        f"s0 AS (SELECT {init} AS state, freq FROM w0)",
+    ]
+    for k in range(n_merges):
+        # MATERIALIZED throughout (the q_mmr_rerank lesson): DuckDB
+        # inlines plain CTEs per REFERENCE, and stage k+1 references
+        # stage k three times (state + two best-pair scalar subqueries)
+        # — inlining would re-evaluate the whole training chain 3^k
+        # times and exhaust file handles re-opening the parquet.
+        parts.append(f"""p{k} AS MATERIALIZED (
+            SELECT pr['a'] AS a, pr['b'] AS b, sum(freq) AS cnt
+            FROM (
+              SELECT unnest([{{'a': l[i], 'b': l[i+1]}}
+                             for i in generate_series(1, len(l)-1)]) AS pr,
+                     freq
+              FROM (SELECT string_split(state, {sep}) AS l, freq
+                    FROM s{k}))
+            GROUP BY 1, 2)""")
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT a, b FROM p{k} "
+            f"ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(f"""s{k + 1} AS MATERIALIZED (
+            SELECT replace(state, (SELECT a || {sep} || b FROM b{k}),
+                           (SELECT a || b FROM b{k})) AS state, freq
+            FROM s{k})""")
+    parts.append(f"""e0 AS MATERIALIZED (
+        SELECT doc_id, {init} AS state FROM (
+            SELECT doc_id, unnest({toks}) AS word FROM documents))""")
+    for k in range(n_merges):
+        parts.append(f"""e{k + 1} AS MATERIALIZED (
+            SELECT doc_id,
+                   replace(state, (SELECT a || {sep} || b FROM b{k}),
+                           (SELECT a || b FROM b{k})) AS state
+            FROM e{k})""")
+    parts.append(f"""agg AS (
+        SELECT doc_id, count(*)::INT AS n_tokens,
+               count(DISTINCT tok)::INT AS n_types
+        FROM (SELECT doc_id, unnest(string_split(state, {sep})) AS tok
+              FROM e{n_merges})
+        GROUP BY doc_id)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+    SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_types, 0) AS n_types
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """
+    )
+
+
+@register(
+    "q_bpe_tokenize",
+    oracle=_bpe_oracle("doc_id < 250", 12),
+    description="BPE tokenizer: distributed training + codegen encode "
+    "(operators/bpe.py::bpe_train/bpe_encode — Sennrich et al. 2016, "
+    "the GPT-2 tokenizer's algorithm): 12 merges learn on the first "
+    "250 documents' word-frequency table (ONE corpus aggregation — "
+    "the merge loop runs on the driver over UNIQUE words, the "
+    "production trainer shape, with a deterministic Zipf-head cap "
+    "bounding the collect), then the WHOLE corpus tokenizes through "
+    "the learned merges compiled into pure string expressions: "
+    "intersperse, one literal replace per merge, split — row-local "
+    "whole-stage codegen, zero Python, so encoding is a map-only scan "
+    "at any corpus size. Everything is integers and strings (ties by "
+    "count DESC then pair ASC), so the oracle replays the ENTIRE "
+    "training loop as unrolled CTE stages plus the encode chain, "
+    "bit-for-bit. Output: per-document subword counts over trained "
+    "AND unseen documents (the held-out half exercises out-of-"
+    "vocabulary behavior: unmerged character fallback).",
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ons_utils_spark.operators import bpe as _bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe.bpe_train(
+        docs.where(F.col("doc_id") < 250), "text", n_merges=12
+    )
+    enc = _bpe.bpe_encode(docs, "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_tokens"),
+        F.size(F.array_distinct("bpe_tokens")).alias("n_types"),
+    ).orderBy("doc_id")
+
+
 @register(
     "q_token_entropy",
     oracle=_TOKS_CTE
@@ -7007,7 +7119,8 @@ def _ivf_pq_residual_oracle(n_lists: int, coarse_iter: int, m: int,
                             k: int, n_iter: int, dp: int, dim: int,
                             query_id: int, n_probe: int,
                             topk: int, pre_ctes: str = "",
-                            train_join: str = "") -> str:
+                            train_join: str = "",
+                            scan_where: str = "") -> str:
     """DuckDB twin of the RESIDUAL IVF×PQ path (FAISS IVFADC,
     ``by_residual=True``): the coarse chain assigns every vector, a
     ``res`` CTE materializes the exact elementwise residuals, the
@@ -7020,7 +7133,10 @@ def _ivf_pq_residual_oracle(n_lists: int, coarse_iter: int, m: int,
     coarse AND per-subspace trainings to those ids while every row is
     still assigned/encoded — the SQL image of building the index on a
     base corpus and encoding appended rows with the STORED index
-    (``ivf_pq_encode``: per-row arithmetic, so append ≡ one-shot)."""
+    (``ivf_pq_encode``: per-row arithmetic, so append ≡ one-shot).
+    ``scan_where`` filters the final probed scan — the SQL image of
+    the tombstone watermark filter (``ivf_pq_table_delete``): dead ids
+    drop out of serving while training/encoding replay unchanged."""
     sub_d = dim // m
     chains = ([pre_ctes] if pre_ctes else []) + [_kmeans_ctes(
         n_lists, coarse_iter, dp, suffix="_c", with_prefix=False,
@@ -7081,6 +7197,7 @@ def _ivf_pq_residual_oracle(n_lists: int, coarse_iter: int, m: int,
         JOIN af_c ac ON c.id = ac.id
         JOIN probe p ON ac.cid = p.cid
         {lut_joins}
+        {f"WHERE {scan_where}" if scan_where else ""}
         ORDER BY adc_dist, c.id
         LIMIT {topk}
         """
@@ -7220,6 +7337,84 @@ def q_similarity_ivf_pq_incremental(
         # The same deterministic probe selection ivf_pq_query performs,
         # so the checkpointed fragment is exactly the pruned read (the
         # inner isin over it is then a no-op filter).
+        qq = _py_dot(q, q)
+        probe = [
+            j for _, j in sorted(
+                (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+                for j, c in enumerate(li.coarse_centroids)
+            )[:2]
+        ]
+        frag = lc.where(F.col("__list").isin(probe)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _pq.ivf_pq_query(frag, li, q, n_probe=2, topk=20)
+
+
+@register(
+    "q_similarity_ivf_pq_deletes",
+    oracle=_ivf_pq_residual_oracle(
+        8, 2, 4, 16, 1, 6, 64, 311, 2, 20,
+        pre_ctes="tids AS (SELECT vec_id AS id FROM embeddings "
+        "WHERE vec_id < 300)",
+        train_join="tids",
+        scan_where="c.id NOT IN (498, 217)",
+    ),
+    description="Tombstone deletes on the IVF×PQ serving table "
+    "(operators/pq.py::ivf_pq_table_delete + the watermark filter in "
+    "load_ivf_pq_table, semantics in sources/store.py::"
+    "append_tombstones): the incremental store (base save trains on "
+    "the first 300 vectors, the rest appended with the STORED index) "
+    "takes one delete batch killing a base row (217), an appended row "
+    "(498), and the query vector itself (311) — then 311 is "
+    "RE-APPENDED at a later batch_id, the update idiom, and must "
+    "serve again while 217/498 stay dead (the per-id max-batch "
+    "watermark kills rows written at or before the tombstone, spares "
+    "later ones). The oracle replays the base-restricted trainings "
+    "and the full-corpus encode, then drops exactly the two "
+    "dead-and-not-reinserted ids from the probed scan — the SQL image "
+    "of the broadcast watermark anti-filter. Scale: a delete is "
+    "O(ids) — one tombstone partition write, no table rewrite; the "
+    "serving read gains one map-side broadcast join and keeps __list "
+    "partition pruning (compaction applies deletes physically via a "
+    "fresh-generation re-save, pinned in tests).",
+)
+def q_similarity_ivf_pq_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ons_utils_spark.operators.semantic import _py_dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < 300)
+    coded, coarse, cbs = _pq.ivf_pq_build(
+        base, "vec_id", "embedding", dim=64, n_lists=8, m=4, k=16,
+        coarse_iter=2, n_iter=1, by_residual=True,
+    )
+    idx = _pq.make_ivf_pq_index(coarse, cbs, by_residual=True)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_del_")
+    try:
+        _pq.save_ivf_pq_table(coded, idx, tmp)
+        _pq.ivf_pq_table_append(
+            emb.where(F.col("vec_id") >= 300), tmp, batch_id=0
+        )
+        _pq.ivf_pq_table_delete(spark, tmp, [311, 498, 217], batch_id=1)
+        _pq.ivf_pq_table_append(
+            emb.where(F.col("vec_id") == 311), tmp, batch_id=2
+        )
+        lc, li = _pq.load_ivf_pq_table(spark, tmp)
+        q = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 311)
+            .collect()[0]["embedding"]
+        ]
+        # Deterministic probe selection (the q_similarity_ivf_pq_
+        # incremental pattern) so the checkpointed fragment IS the
+        # pruned read and the store tempdir can be removed before the
+        # driver collects.
         qq = _py_dot(q, q)
         probe = [
             j for _, j in sorted(
@@ -8389,6 +8584,90 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bm25_topk_indexed(lp, ls, _BM25_IDX_TERMS, topk=15)
 
 
+@register(
+    "q_bm25_indexed_deletes",
+    oracle=_TOKS_CTE.replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id NOT IN (94, 355)",
+    )
+    + f""",
+    stats AS (
+        SELECT count(*) AS n,
+               sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
+        FROM toks),
+    base AS (
+        SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
+               unnest(toks) AS term
+        FROM toks),
+    qhits AS (SELECT * FROM base
+              WHERE term IN {_BM25_IDX_IN}),
+    tf AS (SELECT id, dl, term, count(*) AS tf
+           FROM qhits GROUP BY id, dl, term),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT t.id,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+        FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s),
+    scored AS (
+        SELECT id,
+               round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE),
+                     6) AS bm25
+        FROM contrib GROUP BY id)
+    SELECT id, bm25 FROM scored ORDER BY bm25 DESC, id LIMIT 15
+    """,
+    description="Tombstone deletes on the incremental BM25 index "
+    "(operators/text.py::bm25_index_delete + the watermark filter and "
+    "delete witness in load_bm25_index_incremental): the store grows "
+    "as base (doc_id < 200) + one appended batch, then one delete "
+    "batch kills a base doc (94), an appended doc (355), and doc 83 — "
+    "which is RE-APPENDED at a later batch_id and must score again "
+    "(the update idiom). Unlike the ANN table a BM25 delete must keep "
+    "the SUM-merged exact corpus statistics honest: the delete writes "
+    "the dead documents' exact NEGATIVE (n, total_dl) delta (computed "
+    "from the live-as-of-batch view, deterministic on replay) plus a "
+    "(count, content-xor) tombstone witness the loader validates, so "
+    "served idf/avgdl — and therefore every score here — are "
+    "bit-identical to a one-shot index over the live corpus, which is "
+    "exactly what the oracle replays (the shared indexed-BM25 SQL "
+    "over documents minus the two dead ids). Scale: O(ids) per "
+    "delete, no store rewrite; bm25_index_vacuum applies tombstones "
+    "physically in one crash-safe whole-store promotion.",
+)
+def q_bm25_indexed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bm25_del_")
+    try:
+        _text.bm25_index_append(
+            docs.where(F.col("doc_id") < 200), "doc_id", "text", tmp
+        )
+        _text.bm25_index_append(
+            docs.where(F.col("doc_id") >= 200), "doc_id", "text", tmp,
+            batch_id=0,
+        )
+        _text.bm25_index_delete(spark, tmp, [94, 355, 83], batch_id=1)
+        _text.bm25_index_append(
+            docs.where(F.col("doc_id") == 83), "doc_id", "text", tmp,
+            batch_id=2,
+        )
+        lp, ls = _text.load_bm25_index_incremental(spark, tmp)
+        # Materialize the pruned, tombstone-filtered read off the temp
+        # store before it is removed (the q_bm25_indexed pattern — the
+        # checkpoint runs the scorer's own In-term predicate, so what
+        # executes IS the pruned read).
+        lp = _text._filter_postings_terms(
+            lp, [t.lower() for t in _BM25_IDX_TERMS]
+        ).localCheckpoint(eager=True)
+        ls = ls.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _text.bm25_topk_indexed(lp, ls, _BM25_IDX_TERMS, topk=15)
+
+
 #: Hybrid-retrieval query workload: (qid, term profile, query vec_id).
 #: Both oracle halves and the Spark query derive from this one tuple.
 _HYBRID_QUERIES = (
@@ -9003,8 +9282,8 @@ _GRADING_ORDER = [
     "q_self_dedup_incremental",
     "q_self_dedup_corpus",
     "q_semdedup_kmeans",
-    # -- event analytics (entered r11, stay) ----------------------------
-    "q_funnel_conversion",
+    # -- event analytics (q_funnel_conversion green r11 rotates out —
+    # the state-machine rep keeps the family graded) ---------------------
     "q_user_state_history",
     # -- dedup / similarity (q_dedup_minhash green since r1 rotates out;
     # clusters keeps the LSH-postings family graded) --------------------
@@ -9024,6 +9303,9 @@ _GRADING_ORDER = [
     "q_similarity_ivf_pq_incremental",
     "q_similarity_ivf_pq_refined",
     "q_similarity_ivf_pq_batch_refined",
+    # r12: tombstone deletes — the maintenance op between append and
+    # compaction, never driver-graded before (new this round)
+    "q_similarity_ivf_pq_deletes",
     # -- ANN serving, SQ codec family — r12 closes serving parity: the
     # whole matrix row enters the window (trained grid, IVF x SQ,
     # persisted SqIndex, batch scorer, incrementally-grown table) -------
@@ -9041,6 +9323,9 @@ _GRADING_ORDER = [
     # scoring is bit-identical to scan scoring by construction, and the
     # PRF forms below re-exercise both stages) --------------------------
     "q_bm25_indexed",
+    # r12: BM25 tombstone deletes — exact negative stats deltas + the
+    # delete witness, never driver-graded before (new this round)
+    "q_bm25_indexed_deletes",
     "q_bm25_prf",
     "q_bm25_prf_indexed",
     "q_best_passage",
@@ -9049,13 +9334,16 @@ _GRADING_ORDER = [
     "q_hybrid_retrieval",
     "q_hybrid_mmr_pipeline",
     "q_retrieve_rerank_pipeline",
-    # -- text quality ---------------------------------------------------
-    "q_gopher_quality",
+    # -- text quality (q_gopher_quality green r11 rotates out — the
+    # bigram-LM rep keeps the family graded) ------------------------------
     "q_bigram_logprob",
+    # r12: BPE tokenizer — distributed training + codegen encode, the
+    # whole training loop SQL-replayed (new this round, never graded)
+    "q_bpe_tokenize",
     # -- sketches / profiling (q_count_min_sketch and the grouped KMV
-    # rotate out after 3+ green rounds; HLL + equi-depth keep the
-    # mergeable-sketch classes graded) ----------------------------------
-    "q_hll_mergeable",
+    # rotate out after 3+ green rounds; q_hll_mergeable green r11
+    # rotates out too — equi-depth keeps the mergeable-sketch class
+    # graded) ------------------------------------------------------------
     "q_equi_depth_histogram",
     # -- streaming batch-twin representative ----------------------------
     "q_view_to_click_attribution",
@@ -9073,6 +9361,14 @@ _GRADING_ORDER = [
     # r12: rotated OUT of the graded window (long-green shapes; every
     # family keeps graded representatives — see the window comments).
     # All remain oracle-checked every round via CORRECTNESS_FULL.
+    # (q_funnel_conversion, q_hll_mergeable and q_gopher_quality, green
+    # r11, moved below mid-round to make room for the two
+    # tombstone-delete flagships and the BPE tokenizer — their families
+    # stay graded via q_user_state_history, q_equi_depth_histogram and
+    # q_bigram_logprob.)
+    "q_funnel_conversion",
+    "q_hll_mergeable",
+    "q_gopher_quality",
     "q5_local_supplier_volume",
     "q_topk_orders_per_customer",
     "q_psi_drift",

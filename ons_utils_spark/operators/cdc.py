@@ -1,0 +1,180 @@
+"""CDC apply for the retrieval serving stores: one change feed —
+insert / update / delete — maintains a BM25 index or an ANN coded
+table (or both, via the streaming writer in ``streaming/ingest.py``)
+exactly-once.
+
+This is the production shape of corpus maintenance: upstream systems
+emit change batches (a Debezium-style feed, a nightly diff from
+``incremental.table_diff``), and the serving stores must track them
+without rebuilds. The primitives already exist — replay-idempotent
+appends and tombstone deletes (``text.bm25_index_append`` /
+``bm25_index_delete``, ``pq.ivf_pq_table_append`` /
+``ivf_pq_table_delete``, SQ twins) — CDC apply is their composition
+plus one ordering trick:
+
+**The even/odd batch split.** An UPDATE is delete-then-reinsert, and
+both halves belong to the SAME change batch — but a tombstone kills
+every row written at or before its own batch id, so landing both at
+one id would kill the update's new version too. Logical change batch
+``B`` therefore maps to tombstone batch ``2B`` and insert batch
+``2B + 1``: deletes apply strictly before inserts within the batch
+(the standard CDC compaction order), the update's new row (at 2B+1)
+outlives its own tombstone (at 2B), batch ids stay monotone across
+batches, and a checkpointed replay statically overwrites exactly its
+two partitions — the appends' and deletes' existing exactly-once
+guarantees compose unchanged. The split also keeps the BM25 stats
+partitions collision-free (an append and a delete each own one
+``stats/batch_id=`` partition, and deletes and appends must never
+share one).
+
+No reference twin — the reference has no durable stores. The BM25
+apply is oracle-checked end to end (``q_bm25_cdc_upsert``: the SQL
+twin rebuilds the NET corpus after the change batch and replays
+indexed scoring over it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+#: Change-feed operation codes: insert (new id), update (existing id,
+#: new content), delete (existing id).
+CDC_OPS = ("I", "U", "D")
+
+
+def cdc_batch_ids(batch_id: int) -> "tuple[int, int]":
+    """Logical change batch → (tombstone batch, insert batch) under the
+    even/odd split. Exposed so tests and store inspectors can name the
+    physical partitions a change batch owns."""
+    if batch_id is None or int(batch_id) < 0:
+        raise ValueError(
+            f"CDC apply requires an explicit non-negative batch_id "
+            f"(got {batch_id}) — the split relies on the append order"
+        )
+    b = int(batch_id)
+    return 2 * b, 2 * b + 1
+
+
+def split_cdc_batch(
+    changes: SparkDF,
+    id_col: str,
+    op_col: str = "op",
+) -> "tuple[list, SparkDF]":
+    """Validate one change batch and split it → ``(delete_ids,
+    inserts)``: ids to tombstone (D and U rows — an update kills its
+    old version first) and the rows to append (I and U rows, ``op_col``
+    dropped). Unknown op codes and NULL ids raise; the delete-id list
+    is collected driver-side (bounded by the change batch — micro-batch
+    sized by contract, like every delete)."""
+    if op_col not in changes.columns:
+        raise ValueError(
+            f"change batch has no {op_col!r} column — every CDC row "
+            f"must carry one of {CDC_OPS}"
+        )
+    chk = changes.agg(
+        F.sum(
+            (~F.col(op_col).isin(list(CDC_OPS)))
+            .cast("int")
+        ).alias("bad_op"),
+        F.sum(F.col(id_col).isNull().cast("int")).alias("bad_id"),
+    ).collect()[0]
+    if chk["bad_op"]:
+        raise ValueError(
+            f"{chk['bad_op']} change row(s) carry an op outside "
+            f"{CDC_OPS} (or a NULL op) — fix the feed upstream"
+        )
+    if chk["bad_id"]:
+        raise ValueError(
+            f"{chk['bad_id']} change row(s) have a NULL {id_col!r} — "
+            "a NULL id can neither delete nor serve"
+        )
+    delete_ids = [
+        r["id"]
+        for r in changes.where(F.col(op_col).isin(["D", "U"]))
+        .select(F.col(id_col).alias("id"))
+        .distinct()
+        .collect()
+    ]
+    inserts = changes.where(F.col(op_col).isin(["I", "U"])).drop(op_col)
+    return delete_ids, inserts
+
+
+def bm25_index_apply_cdc(
+    changes: SparkDF,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    batch_id: int,
+    op_col: str = "op",
+) -> None:
+    """Apply one change batch to an incremental BM25 index. Deletes
+    (D + U old versions) land as tombstone batch ``2·batch_id`` with
+    their exact negative stats delta; inserts (I + U new versions) land
+    as append batch ``2·batch_id + 1`` — ALWAYS written, even empty, so
+    a replay whose inserts vanish still truncates its partition. The
+    per-primitive contracts hold: D/U ids must be live (unknown ids
+    raise — ``bm25_index_delete``'s stats-honesty rule), I ids must be
+    new. Replay of the same ``batch_id`` is exactly-once."""
+    del_batch, ins_batch = cdc_batch_ids(batch_id)
+    delete_ids, inserts = split_cdc_batch(changes, id_col, op_col)
+    if delete_ids:
+        from ons_utils_spark.operators.text import bm25_index_delete
+
+        bm25_index_delete(
+            changes.sparkSession, store_path, delete_ids,
+            batch_id=del_batch,
+        )
+    from ons_utils_spark.operators.text import bm25_index_append
+
+    bm25_index_append(
+        inserts, id_col, text_col, store_path, batch_id=ins_batch
+    )
+
+
+def ann_table_apply_cdc(
+    changes: SparkDF,
+    store_path: str,
+    id_col: str,
+    vec_col: str,
+    batch_id: int,
+    op_col: str = "op",
+    method: str = "auto",
+) -> None:
+    """Apply one change batch to a persisted ANN serving table (IVF×PQ
+    or IVF×SQ — the codec family is auto-detected from the store meta,
+    the ``hybrid_ingest_writer`` recipe). Same even/odd split as the
+    BM25 apply; deletes are pure tombstone filters (unknown ids are
+    legal no-ops there), inserts encode with the STORED index."""
+    from ons_utils_spark.operators.retrieval import ann_store_family
+
+    family = ann_store_family(changes.sparkSession, store_path)
+    del_batch, ins_batch = cdc_batch_ids(batch_id)
+    delete_ids, inserts = split_cdc_batch(changes, id_col, op_col)
+    if family == "pq":
+        from ons_utils_spark.operators.pq import (
+            ivf_pq_table_append, ivf_pq_table_delete,
+        )
+
+        if delete_ids:
+            ivf_pq_table_delete(
+                changes.sparkSession, store_path, delete_ids,
+                batch_id=del_batch,
+            )
+        ivf_pq_table_append(
+            inserts, store_path, id_col=id_col, vec_col=vec_col,
+            batch_id=ins_batch, method=method,
+        )
+    else:
+        from ons_utils_spark.operators.similarity import (
+            ivf_sq_table_append, ivf_sq_table_delete,
+        )
+
+        if delete_ids:
+            ivf_sq_table_delete(
+                changes.sparkSession, store_path, delete_ids,
+                batch_id=del_batch,
+            )
+        ivf_sq_table_append(
+            inserts, store_path, id_col=id_col, vec_col=vec_col,
+            batch_id=ins_batch, method=method,
+        )

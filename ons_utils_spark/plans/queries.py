@@ -8668,6 +8668,112 @@ def q_bm25_indexed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bm25_topk_indexed(lp, ls, _BM25_IDX_TERMS, topk=15)
 
 
+@register(
+    "q_bm25_cdc_upsert",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id < 200 AND doc_id NOT IN (1, 10, 94)
+        UNION ALL
+        SELECT doc_id, text FROM documents
+        WHERE doc_id >= 200 AND doc_id < 230
+        UNION ALL
+        SELECT doc_id, text || ' customer query customer' AS text
+        FROM documents WHERE doc_id IN (10, 94)
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM corpus),
+    stats AS (
+        SELECT count(*) AS n,
+               sum(coalesce(len(toks), 0))::DOUBLE / count(*) AS avgdl
+        FROM toks),
+    base AS (
+        SELECT doc_id AS id, coalesce(len(toks), 0) AS dl,
+               unnest(toks) AS term
+        FROM toks),
+    qhits AS (SELECT * FROM base
+              WHERE term IN {_BM25_IDX_IN}),
+    tf AS (SELECT id, dl, term, count(*) AS tf
+           FROM qhits GROUP BY id, dl, term),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT t.id,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) AS c
+        FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s),
+    scored AS (
+        SELECT id,
+               round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE),
+                     6) AS bm25
+        FROM contrib GROUP BY id)
+    SELECT id, bm25 FROM scored ORDER BY bm25 DESC, id LIMIT 15
+    """,
+    description="CDC apply on the incremental BM25 index "
+    "(operators/cdc.py::bm25_index_apply_cdc, composing "
+    "bm25_index_append + bm25_index_delete under the even/odd batch "
+    "split): the index builds on documents < 200, then ONE change "
+    "batch inserts docs 200–229 (I), rewrites docs 10 and 94 with new "
+    "text (U — delete-then-reinsert in one batch: the tombstones land "
+    "at batch 2B, the new versions at 2B+1, so an update outlives its "
+    "own tombstone), and drops doc 1 (D). Serving is then "
+    "bit-identical to a one-shot index over the NET corpus — exact "
+    "negative stats deltas keep idf/avgdl honest through the update — "
+    "which is exactly what the oracle replays: the post-change corpus "
+    "reconstructed in SQL (survivors + inserts + updated texts), then "
+    "the shared indexed-BM25 scoring chain. The updates append "
+    "query-term-bearing text, so every changed doc visibly moves the "
+    "ranking. Scale: a change batch costs O(batch) appends + O(ids) "
+    "tombstones, never a rebuild; replay of the same batch_id is "
+    "exactly-once across all four delta partitions.",
+)
+def q_bm25_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ons_utils_spark.operators.cdc import bm25_index_apply_cdc
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bm25_cdc_")
+    try:
+        _text.bm25_index_append(
+            docs.where(F.col("doc_id") < 200), "doc_id", "text", tmp
+        )
+        changes = (
+            docs.where(
+                (F.col("doc_id") >= 200) & (F.col("doc_id") < 230)
+            )
+            .select("doc_id", "text", F.lit("I").alias("op"))
+            .unionByName(
+                docs.where(F.col("doc_id").isin([10, 94])).select(
+                    "doc_id",
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" customer query customer"),
+                    ).alias("text"),
+                    F.lit("U").alias("op"),
+                )
+            )
+            .unionByName(
+                docs.where(F.col("doc_id") == 1).select(
+                    "doc_id", "text", F.lit("D").alias("op")
+                )
+            )
+        )
+        bm25_index_apply_cdc(changes, tmp, "doc_id", "text", batch_id=0)
+        lp, ls = _text.load_bm25_index_incremental(spark, tmp)
+        lp = _text._filter_postings_terms(
+            lp, [t.lower() for t in _BM25_IDX_TERMS]
+        ).localCheckpoint(eager=True)
+        ls = ls.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _text.bm25_topk_indexed(lp, ls, _BM25_IDX_TERMS, topk=15)
+
+
 #: Hybrid-retrieval query workload: (qid, term profile, query vec_id).
 #: Both oracle halves and the Spark query derive from this one tuple.
 _HYBRID_QUERIES = (
@@ -9281,7 +9387,6 @@ _GRADING_ORDER = [
     # r8-r11 rotates out) ----------------------------------------------
     "q_self_dedup_incremental",
     "q_self_dedup_corpus",
-    "q_semdedup_kmeans",
     # -- event analytics (q_funnel_conversion green r11 rotates out —
     # the state-machine rep keeps the family graded) ---------------------
     "q_user_state_history",
@@ -9326,6 +9431,9 @@ _GRADING_ORDER = [
     # r12: BM25 tombstone deletes — exact negative stats deltas + the
     # delete witness, never driver-graded before (new this round)
     "q_bm25_indexed_deletes",
+    # r12: CDC apply (insert/update/delete in one change batch under
+    # the even/odd split) — new this round
+    "q_bm25_cdc_upsert",
     "q_bm25_prf",
     "q_bm25_prf_indexed",
     "q_best_passage",
@@ -9361,14 +9469,16 @@ _GRADING_ORDER = [
     # r12: rotated OUT of the graded window (long-green shapes; every
     # family keeps graded representatives — see the window comments).
     # All remain oracle-checked every round via CORRECTNESS_FULL.
-    # (q_funnel_conversion, q_hll_mergeable and q_gopher_quality, green
-    # r11, moved below mid-round to make room for the two
-    # tombstone-delete flagships and the BPE tokenizer — their families
-    # stay graded via q_user_state_history, q_equi_depth_histogram and
-    # q_bigram_logprob.)
+    # (q_funnel_conversion, q_hll_mergeable, q_gopher_quality and
+    # q_semdedup_kmeans — all long- or multi-green — moved below
+    # mid-round to make room for the tombstone-delete flagships, the
+    # BPE tokenizer, and the CDC apply; their families stay graded via
+    # q_user_state_history, q_equi_depth_histogram, q_bigram_logprob,
+    # and q_kmeans_sampled + q_semantic_dedup.)
     "q_funnel_conversion",
     "q_hll_mergeable",
     "q_gopher_quality",
+    "q_semdedup_kmeans",
     "q5_local_supplier_volume",
     "q_topk_orders_per_customer",
     "q_psi_drift",

@@ -489,3 +489,58 @@ def hybrid_ingest_writer(
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def hybrid_cdc_ingest_writer(
+    stream_df,
+    bm25_store_path: str,
+    ann_store_path: str,
+    *,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    method: str = "auto",
+):
+    """Maintain BOTH retrieval stores from ONE CDC change stream — the
+    upsert-aware evolution of :func:`hybrid_ingest_writer`: each
+    micro-batch row carries an op code (``I``/``U``/``D``,
+    ``operators/cdc.py``), and one ``foreachBatch`` hook applies the
+    batch to the BM25 index (``bm25_index_apply_cdc``) and the ANN
+    serving table (``ann_table_apply_cdc`` — codec family auto-detected)
+    under the even/odd batch split: logical micro-batch ``B`` owns
+    tombstone partitions ``2B`` and insert partitions ``2B+1`` in every
+    store, so deletes apply strictly before inserts (updates work), and
+    a checkpointed replay statically overwrites exactly those
+    partitions in all four delta stores — at-least-once delivery stays
+    effectively exactly-once end to end.
+
+    The per-store contracts compose unchanged: D/U ids must be live in
+    the BM25 index (stats honesty), I ids must be new everywhere, the
+    ANN store must exist (index trained offline), checkpoint REQUIRED.
+    Cross-store lag is one trigger at most and observable via
+    ``retrieval.check_hybrid_store_sync`` (both stores advance their
+    ``max(batch_id)`` marks in lockstep under the split)."""
+
+    def process(batch, batch_id: int) -> None:
+        from ons_utils_spark.operators.cdc import (
+            ann_table_apply_cdc, bm25_index_apply_cdc,
+        )
+
+        # One materialization feeds both stores' views of the batch —
+        # a source re-read must not diverge between them.
+        batch = batch.localCheckpoint(eager=True)
+        bm25_index_apply_cdc(
+            batch, bm25_store_path, id_col, text_col,
+            batch_id=batch_id, op_col=op_col,
+        )
+        ann_table_apply_cdc(
+            batch, ann_store_path, id_col, vec_col,
+            batch_id=batch_id, op_col=op_col, method=method,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

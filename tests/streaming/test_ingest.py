@@ -788,3 +788,122 @@ class TestHybridIngestWriter:
         assert sorted(map(tuple, streamed.collect())) == sorted(
             map(tuple, fresh.collect())
         )
+
+
+class TestHybridCdcIngestWriter:
+    def test_streamed_changes_equal_oneshot_net_corpus(
+        self, spark, tmp_path
+    ):
+        """Two CDC micro-batches (inserts, then insert+update+delete)
+        through hybrid_cdc_ingest_writer: both stores must serve the
+        NET corpus bit-identically to one-shot builds — the update's
+        new text/vector lives, the deleted doc is gone, and the
+        even/odd split keeps every partition replay-owned."""
+        from ons_utils_spark.operators import pq, text
+        from ons_utils_spark.streaming.ingest import (
+            hybrid_cdc_ingest_writer,
+        )
+
+        texts = [
+            "spark engine merge", "rareword vector stream",
+            "spark filler words", "engine spark engine",
+            "vector vector merge", "plain text here",
+        ]
+        vecs = [
+            [((i * 7 + j * 3) % 11) / 10.0 for j in range(8)]
+            for i in range(8)
+        ]
+        schema = (
+            "doc_id bigint, text string, embedding array<double>, "
+            "op string"
+        )
+        batch0 = spark.createDataFrame(
+            [
+                (i, texts[i], [float(x) for x in vecs[i]], "I")
+                for i in range(4)
+            ],
+            schema,
+        )
+        upd_vec = [float(x) for x in vecs[6]]
+        batch1 = spark.createDataFrame(
+            [
+                (4, texts[4], [float(x) for x in vecs[4]], "I"),
+                (5, texts[5], [float(x) for x in vecs[5]], "I"),
+                (1, "rewritten rareword body", upd_vec, "U"),
+                (2, "", [0.0] * 8, "D"),
+            ],
+            schema,
+        )
+
+        # Index trained offline; ANN base save empty (bootstrap).
+        train = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(8)],
+            "doc_id bigint, embedding array<double>",
+        )
+        coded, coarse, cbs = pq.ivf_pq_build(
+            train, "doc_id", "embedding", dim=8, n_lists=2, m=2, k=2,
+            coarse_iter=1, n_iter=1,
+        )
+        idx = pq.make_ivf_pq_index(coarse, cbs)
+        ann_store = str(tmp_path / "ann")
+        pq.save_ivf_pq_table(coded.where("id < 0"), idx, ann_store)
+
+        stream_dir = str(tmp_path / "in")
+        batch0.coalesce(1).write.mode("append").parquet(stream_dir)
+        batch1.coalesce(1).write.mode("append").parquet(stream_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        bm25_store = str(tmp_path / "bm25")
+        q = (
+            hybrid_cdc_ingest_writer(
+                stream, bm25_store, ann_store,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        # Net corpus: 0, 3, 4, 5 original; 1 rewritten; 2 gone.
+        net_rows = [
+            (0, texts[0], [float(x) for x in vecs[0]]),
+            (3, texts[3], [float(x) for x in vecs[3]]),
+            (4, texts[4], [float(x) for x in vecs[4]]),
+            (5, texts[5], [float(x) for x in vecs[5]]),
+            (1, "rewritten rareword body", upd_vec),
+        ]
+        net = spark.createDataFrame(
+            net_rows, "doc_id bigint, text string, embedding array<double>"
+        )
+
+        lp, ls = text.load_bm25_index_incremental(spark, bm25_store)
+        p1, s1 = text.bm25_index_build(net, "doc_id", "text")
+        got_p = [
+            tuple(r)
+            for r in lp.select("term", "id", "tf", "dl")
+            .orderBy("term", "id").collect()
+        ]
+        want_p = [
+            tuple(r)
+            for r in p1.select("term", "id", "tf", "dl")
+            .orderBy("term", "id").collect()
+        ]
+        assert got_p == want_p
+        assert ls.collect()[0]["n"] == s1.collect()[0]["n"]
+
+        lc, li = pq.load_ivf_pq_table(spark, ann_store)
+        ids = {r["id"] for r in lc.select("id").collect()}
+        assert ids == {0, 1, 3, 4, 5}
+        want_coded = pq.ivf_pq_encode(
+            net, li, "doc_id", "embedding"
+        ).select("id", "codes", "__list")
+        got_q = pq.ivf_pq_query(lc, li, upd_vec, n_probe=2, topk=5)
+        want_q = pq.ivf_pq_query(
+            want_coded, li, upd_vec, n_probe=2, topk=5
+        )
+        assert [tuple(r) for r in got_q.orderBy("id").collect()] == [
+            tuple(r) for r in want_q.orderBy("id").collect()
+        ]

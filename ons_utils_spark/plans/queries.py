@@ -7645,7 +7645,8 @@ def _ivf_sq_oracle(n_lists: int, coarse_iter: int, dim: int,
                    query_id: int, n_probe: int, topk: int,
                    dp: int, pre_ctes: str = "",
                    train_join: str = "",
-                   stats_where: str = "") -> str:
+                   stats_where: str = "",
+                   scan_where: str = "") -> str:
     """DuckDB twin of ivf_sq_build + ivf_sq_topk: the coarse Lloyd
     chain and probe selection are :func:`_ivf_pq_oracle`'s, the SQ
     training/encode/distance fragments are :func:`_sq_fragments`', and
@@ -7689,6 +7690,7 @@ def _ivf_sq_oracle(n_lists: int, coarse_iter: int, dim: int,
     JOIN af_c ac ON enc.id = ac.id
     JOIN probe p ON ac.cid = p.cid
     CROSS JOIN sd s CROSS JOIN qv
+    {f"WHERE {scan_where}" if scan_where else ""}
     ORDER BY adc_dist, enc.id
     LIMIT {topk}
     """
@@ -7972,6 +7974,76 @@ def q_similarity_ivf_sq_incremental(
         _sim.save_sq_table(coded, idx, tmp)
         _sim.ivf_sq_table_append(
             emb.where(F.col("vec_id") >= 300), tmp, batch_id=0
+        )
+        lc, li = _sim.load_sq_table(spark, tmp)
+        q = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 311)
+            .collect()[0]["embedding"]
+        ]
+        qq = _py_dot(q, q)
+        probe = [
+            j for _, j in sorted(
+                (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+                for j, c in enumerate(li.coarse_centroids)
+            )[:2]
+        ]
+        frag = lc.where(F.col("__list").isin(probe)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _sim.ivf_sq_query(frag, li, q, n_probe=2, topk=20)
+
+
+@register(
+    "q_similarity_ivf_sq_deletes",
+    oracle=_ivf_sq_oracle(
+        8, 2, 64, 311, 2, 20, 6,
+        pre_ctes="tids AS (SELECT vec_id AS id FROM embeddings "
+        "WHERE vec_id < 300)",
+        train_join="tids",
+        stats_where="WHERE e.vec_id < 300",
+        scan_where="enc.id NOT IN (498, 34)",
+    ),
+    description="Tombstone deletes on the IVF×SQ serving table "
+    "(operators/similarity.py::ivf_sq_table_delete — the SQ twin of "
+    "q_similarity_ivf_pq_deletes, shared machinery pq._coded_table_"
+    "delete + the watermark filter in load_sq_table): the "
+    "incrementally-grown store takes one delete batch killing a base "
+    "row (34), an appended row (498), and the query vector itself "
+    "(311), which is then RE-APPENDED at a later batch_id and must "
+    "serve again while 34/498 stay dead. The oracle replays the "
+    "base-restricted coarse+grid trainings and the full-corpus "
+    "clamped encode, then drops exactly the two dead-and-not-"
+    "reinserted ids from the probed scan. Together with the PQ form "
+    "this pins delete semantics across BOTH codec families' serving "
+    "tables — the serving matrix's delete column has no open cells.",
+)
+def q_similarity_ivf_sq_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ons_utils_spark.operators import similarity as _sim
+    from ons_utils_spark.operators.semantic import _py_dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < 300)
+    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+        base, dim=64, n_lists=8, coarse_iter=2,
+    )
+    idx = _sim.make_sq_index(coarse, vmin, vmax)
+    tmp = tempfile.mkdtemp(prefix="ivfsq_del_")
+    try:
+        _sim.save_sq_table(coded, idx, tmp)
+        _sim.ivf_sq_table_append(
+            emb.where(F.col("vec_id") >= 300), tmp, batch_id=0
+        )
+        _sim.ivf_sq_table_delete(spark, tmp, [311, 498, 34], batch_id=1)
+        _sim.ivf_sq_table_append(
+            emb.where(F.col("vec_id") == 311), tmp, batch_id=2
         )
         lc, li = _sim.load_sq_table(spark, tmp)
         q = [
@@ -9378,10 +9450,9 @@ _GRADING_ORDER = [
     "q_kmeans_sampled",
     # -- reference-parity operators -------------------------------------
     "q_concat_with_keys",
-    # -- decontamination: the span form keeps interval algebra graded
-    # (q_decontaminate_bloom green r8-r11; Bloom stays covered via the
-    # pipelines and the full registry) ----------------------------------
-    "q_contaminated_spans",
+    # -- decontamination: q_contaminated_spans (green r10-r11) rotates
+    # out mid-round for the SQ-delete flagship — interval algebra stays
+    # graded via q_redacted_corpus, Bloom via the pipelines ---------------
     # -- exact-substring dedup: the incremental store form plus the
     # never-graded composed corpus rewrite (q_self_dedup_spans green
     # r8-r11 rotates out) ----------------------------------------------
@@ -9419,6 +9490,9 @@ _GRADING_ORDER = [
     "q_similarity_ivf_sq_persisted",
     "q_similarity_ivf_sq_batch",
     "q_similarity_ivf_sq_incremental",
+    # r12: SQ-family tombstone deletes — the delete column of the
+    # serving matrix graded for BOTH codecs (new this round)
+    "q_similarity_ivf_sq_deletes",
     # -- ingest-time normalization feeding exact retrieval --------------
     "q_normalized_similarity",
     "q_mmr_rerank",
@@ -9479,6 +9553,7 @@ _GRADING_ORDER = [
     "q_hll_mergeable",
     "q_gopher_quality",
     "q_semdedup_kmeans",
+    "q_contaminated_spans",
     "q5_local_supplier_volume",
     "q_topk_orders_per_customer",
     "q_psi_drift",

@@ -1931,3 +1931,206 @@ def ivf_pq_table_compact(spark, store_path: str) -> None:
         coded, f"{store_path}/coded_{generation}",
         partition_cols=("batch_id", "__list"),
     )
+
+
+def opq_train(
+    df: SparkDF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 10,
+    opq_iter: int = 8,
+    train_on: "SparkDF | float | None" = None,
+    max_train: int = 200_000,
+) -> List[List[float]]:
+    """Learn an OPQ rotation (Ge et al., *Optimized Product
+    Quantization*, CVPR 2013 — FAISS's ``OPQx`` pre-transform): an
+    orthogonal ``R`` such that PQ in the rotated space ``y = R·x``
+    loses less than PQ on the raw axes. PQ's blind-spot is the axis
+    split: correlated or unequal-variance dimensions make some
+    subspaces carry most of the distortion; the non-parametric OPQ
+    alternation fixes it by rotating variance into balance —
+    alternately (a) fit the ``m`` subspace codebooks in the current
+    rotation and (b) solve the orthogonal Procrustes problem
+    ``min_R ‖X·Rᵀ − decode(encode(X·Rᵀ))‖`` in closed form (one SVD).
+
+    Placement (the 100 TB design): training runs on the DRIVER over a
+    deterministic sample — codebooks and rotations need ~10⁵ vectors
+    (the :func:`semantic.resolve_train` contract; ``max_train`` refuses
+    an over-collected slice with a sized error), and the alternation is
+    ``opq_iter`` small dense problems, not cluster work. The CORPUS
+    never moves here: apply the learned ``R`` with
+    :func:`rotate_vectors` (one Arrow map over the scan) and feed the
+    rotated column to the UNCHANGED :func:`pq_build` /
+    :func:`ivf_pq_build` / serving-table stack — OPQ composes with the
+    whole PQ family, including residual encoding and the durable
+    stores, because it is just a change of basis ahead of them. Rotate
+    queries with the same ``R`` (driver-side, ``rotate_query``).
+    Orthogonality means exact L2 geometry is untouched — recall gains
+    are pure codec-error reductions (measured in SCALING.md §OPQ).
+
+    Internals are deterministic (id-ordered seeding, fixed iteration
+    counts, empty clusters keep their centroid) but NOT SQL-replayable
+    — the Procrustes step is an SVD, which is the one declared
+    non-oracle boundary in the PQ family; invariants (orthogonality,
+    monotone objective, recall) are pinned in pytest instead.
+    """
+    import numpy as np
+
+    sub_d = _check_geometry(dim, m)
+    if opq_iter < 1 or n_iter < 1:
+        raise ValueError(
+            f"opq_iter and n_iter must be >= 1 (got {opq_iter}, {n_iter})"
+        )
+    sample = resolve_train(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        train_on, "id",
+    )
+    rows = sample.orderBy("id").limit(int(max_train) + 1).collect()
+    if len(rows) > max_train:
+        raise ValueError(
+            f"OPQ training slice exceeds max_train={max_train} rows — "
+            "rotations need ~1e5 vectors, not the corpus; pass a "
+            "smaller train_on fraction or a pre-sampled DataFrame"
+        )
+    if len(rows) < k:
+        raise ValueError(
+            f"OPQ training slice has {len(rows)} rows < k={k} — "
+            "cannot seed the subspace codebooks"
+        )
+    bad = [r["id"] for r in rows if r["v"] is None or len(r["v"]) != dim
+           or any(x is None for x in r["v"])]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} training vector(s) are NULL, hold NULL "
+            f"elements, or are not {dim}-dim (first id: {bad[0]!r})"
+        )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+
+    def _lloyd(Y: "np.ndarray") -> "np.ndarray":
+        # Deterministic driver-side Lloyd: id-ordered seeds, argmin
+        # assignment (first-min ties, numpy's rule — the same the BLAS
+        # encode path uses), empty clusters keep their centroid.
+        C = Y[:k].copy()
+        for _ in range(n_iter):
+            d2 = (
+                np.einsum("ij,ij->i", Y, Y)[:, None]
+                + np.einsum("ij,ij->i", C, C)[None, :]
+                - 2.0 * (Y @ C.T)
+            )
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                mask = a == j
+                if mask.any():
+                    C[j] = Y[mask].mean(axis=0)
+        return C
+
+    def _encode_decode(Y: "np.ndarray", books) -> "np.ndarray":
+        out = np.empty_like(Y)
+        for i in range(m):
+            S = Y[:, i * sub_d:(i + 1) * sub_d]
+            C = books[i]
+            d2 = (
+                np.einsum("ij,ij->i", S, S)[:, None]
+                + np.einsum("ij,ij->i", C, C)[None, :]
+                - 2.0 * (S @ C.T)
+            )
+            out[:, i * sub_d:(i + 1) * sub_d] = C[d2.argmin(axis=1)]
+        return out
+
+    R = np.eye(dim)
+    for _ in range(int(opq_iter)):
+        Y = X @ R.T
+        books = [
+            _lloyd(Y[:, i * sub_d:(i + 1) * sub_d]) for i in range(m)
+        ]
+        Y_hat = _encode_decode(Y, books)
+        # Procrustes: min_R ||X R^T - Y_hat||_F over orthogonal R.
+        U, _, Vt = np.linalg.svd(X.T @ Y_hat)
+        R = (U @ Vt).T
+    return [[float(x) for x in row] for row in R]
+
+
+def rotate_vectors(
+    df: SparkDF,
+    vec_col: str,
+    rotation: "Sequence[Sequence[float]]",
+    out_col: "str | None" = None,
+) -> SparkDF:
+    """Apply a learned rotation to an embedding column — ``y = R·x``
+    per row, the corpus-side half of OPQ (and of any fixed linear
+    pre-transform: a PCA projection works the same way). One
+    Arrow-batched matmul over the scan: row-local, shuffle-free,
+    map-only at any corpus size (the ``semantic.py`` BLAS precedent —
+    per-batch ``X @ Rᵀ``). NULL vectors, NULL elements and
+    wrong-dimension rows raise with the offending count — a silent
+    NULL through a matmul would serve garbage distances downstream.
+
+    ``rotation`` is row-major (``rotation[j]`` is output dimension
+    ``j``'s weights). It is validated square; orthogonality is the
+    trainer's contract, not re-checked per call. Default overwrites
+    ``vec_col``; pass ``out_col`` to keep both."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, StructField
+
+    R = np.asarray(rotation, dtype=np.float64)
+    if R.ndim != 2 or R.shape[0] != R.shape[1]:
+        raise ValueError(
+            f"rotation must be a square matrix (got shape {R.shape})"
+        )
+    dim = R.shape[0]
+    target = out_col or vec_col
+    fields = [
+        StructField(f.name, f.dataType) for f in df.schema.fields
+        if f.name != target
+    ]
+    fields.append(StructField(target, ArrayType(DoubleType())))
+    from pyspark.sql.types import StructType
+
+    schema = StructType(fields)
+    names = [f.name for f in fields]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[vec_col].tolist()
+            bad = sum(
+                1 for v in vals
+                if v is None or len(v) != dim
+                or any(x is None for x in v)
+            )
+            if bad:
+                raise ValueError(
+                    f"{bad} row(s) have a NULL / NULL-element / "
+                    f"non-{dim}-dim {vec_col!r} — rotate_vectors "
+                    "cannot transform them; fix upstream"
+                )
+            Y = np.asarray(vals, dtype=np.float64) @ R.T
+            data = {
+                n: pdf[n] for n in names if n != target
+            }
+            data[target] = pd.Series(list(Y), index=pdf.index)
+            yield pd.DataFrame(data)
+
+    return df.mapInPandas(run, schema)
+
+
+def rotate_query(
+    q: Sequence[float], rotation: "Sequence[Sequence[float]]"
+) -> List[float]:
+    """Rotate one query vector with the same matrix the corpus was
+    rotated with (driver-side — queries are single rows)."""
+    import numpy as np
+
+    R = np.asarray(rotation, dtype=np.float64)
+    v = np.asarray(list(q), dtype=np.float64)
+    if v.shape[0] != R.shape[0]:
+        raise ValueError(
+            f"query dim {v.shape[0]} != rotation dim {R.shape[0]}"
+        )
+    return [float(x) for x in R @ v]

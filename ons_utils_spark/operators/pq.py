@@ -810,6 +810,16 @@ class IvfPqIndex(NamedTuple):
     by_residual: bool
     round_dp: int
     fingerprint: str
+    #: Optional OPQ rotation (:func:`opq_train`) — when set, the coarse
+    #: centroids, codebooks and coded table live in the ROTATED space
+    #: ``y = R·x``, and every index-driven entry point
+    #: (:func:`ivf_pq_query`, :func:`ivf_pq_batch_topk`,
+    #: :func:`ivf_pq_encode` — and therefore append / streaming / CDC)
+    #: applies ``R`` to raw inputs itself, so a serving session needs
+    #: no side-channel for the rotation. ``None`` = raw axes; absent
+    #: from the fingerprint then, so pre-rotation stores keep
+    #: validating (the ``bits``/``by_residual`` compatibility rule).
+    rotation: "List[List[float]] | None" = None
 
     @property
     def n_lists(self) -> int:
@@ -837,19 +847,25 @@ def _index_fingerprint(
     codebooks: List[List[List[float]]],
     by_residual: bool,
     round_dp: int,
+    rotation: "List[List[float]] | None" = None,
 ) -> str:
     """Deterministic content hash (sha256 hex, 16 chars) over the full
     index payload. ``repr`` of a Python float is exact (shortest
     round-trip form), so bit-identical codebooks hash identically and
-    any single-ulp corruption changes the digest."""
+    any single-ulp corruption changes the digest. The rotation joins
+    the payload ONLY when present — rotation-free stores keep their
+    pre-OPQ fingerprints."""
     import hashlib
 
-    payload = repr((
+    base = (
         [[float(x) for x in c] for c in coarse],
         [[[float(x) for x in c] for c in cb] for cb in codebooks],
         bool(by_residual),
         int(round_dp),
-    ))
+    )
+    if rotation is not None:
+        base = base + ([[float(x) for x in r] for r in rotation],)
+    payload = repr(base)
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
 
 
@@ -858,6 +874,7 @@ def make_ivf_pq_index(
     codebooks: List[List[List[float]]],
     by_residual: bool = False,
     round_dp: int = 6,
+    rotation: "Sequence[Sequence[float]] | None" = None,
 ) -> IvfPqIndex:
     """Wrap :func:`ivf_pq_build` (or :func:`pq_build`) outputs as a
     fingerprinted :class:`IvfPqIndex`. Validates internal geometry —
@@ -881,14 +898,32 @@ def make_ivf_pq_index(
             f"{m * sub_d}"
         )
     cbs = [[[float(x) for x in c] for c in cb] for cb in codebooks]
+    rot = None
+    if rotation is not None:
+        import numpy as np
+
+        R = np.asarray(rotation, dtype=np.float64)
+        dim = m * sub_d
+        if R.shape != (dim, dim):
+            raise ValueError(
+                f"rotation shape {R.shape} != index dim ({dim}, {dim})"
+            )
+        if not np.allclose(R @ R.T, np.eye(dim), atol=1e-6):
+            raise ValueError(
+                "rotation is not orthogonal (R·Rᵀ ≠ I within 1e-6) — "
+                "a non-orthogonal matrix would distort L2 geometry and "
+                "serve garbage distances; train it with opq_train"
+            )
+        rot = [[float(x) for x in row] for row in R]
     return IvfPqIndex(
         coarse_centroids=coarse,
         codebooks=cbs,
         by_residual=bool(by_residual),
         round_dp=int(round_dp),
         fingerprint=_index_fingerprint(
-            coarse, cbs, by_residual, round_dp
+            coarse, cbs, by_residual, round_dp, rot
         ),
+        rotation=rot,
     )
 
 
@@ -924,7 +959,13 @@ def save_ivf_pq_index(
         ("codebook", i, j, c)
         for i, cb in enumerate(index.codebooks)
         for j, c in enumerate(cb)
-    ]
+    ] + (
+        # OPQ rotation rides the same vectors table (one row per output
+        # dimension) — no meta schema change, so pre-rotation stores
+        # and loaders stay mutually compatible.
+        [("rotation", -1, j, r) for j, r in enumerate(index.rotation)]
+        if index.rotation is not None else []
+    )
     vectors = spark.createDataFrame(
         rows, "component string, subspace int, idx int, vec array<double>"
     )
@@ -985,6 +1026,11 @@ def _load_index_with_meta(spark, path: str):
     codebooks = [
         [v for _, v in sorted(cb_rows[i])] for i in sorted(cb_rows)
     ]
+    rot_rows = sorted(
+        (r["idx"], list(r["vec"]))
+        for r in rows if r["component"] == "rotation"
+    )
+    rotation = [v for _, v in rot_rows] or None
     if (
         len(coarse) != meta["n_lists"]
         or len(codebooks) != meta["m"]
@@ -992,6 +1038,16 @@ def _load_index_with_meta(spark, path: str):
         or any(len(c) != meta["sub_d"] for cb in codebooks for c in cb)
         or sorted(cb_rows) != list(range(meta["m"]))
         or [j for j, _ in coarse_rows] != list(range(meta["n_lists"]))
+        or (
+            rotation is not None
+            and (
+                [j for j, _ in rot_rows]
+                != list(range(meta["m"] * meta["sub_d"]))
+                or any(
+                    len(r) != meta["m"] * meta["sub_d"] for r in rotation
+                )
+            )
+        )
     ):
         raise ValueError(
             f"index at {path!r} does not match its meta geometry "
@@ -1004,9 +1060,10 @@ def _load_index_with_meta(spark, path: str):
         by_residual=bool(meta["by_residual"]),
         round_dp=int(meta["round_dp"]),
         fingerprint=meta["fingerprint"],
+        rotation=rotation,
     )
     expected = _index_fingerprint(
-        coarse, codebooks, index.by_residual, index.round_dp
+        coarse, codebooks, index.by_residual, index.round_dp, rotation
     )
     if expected != meta["fingerprint"]:
         raise ValueError(
@@ -1054,6 +1111,13 @@ def ivf_pq_encode(
             "ivf_pq_encode produces (id, codes, __list); encode plain "
             "PQ codes with pq_build's codebooks instead"
         )
+    if index.rotation is not None:
+        # OPQ store: centroids and codebooks live in the rotated space;
+        # raw batches rotate on the way in — the same rotate_vectors
+        # the build-time corpus went through, so append ≡ one-shot
+        # parity carries over to rotated stores (and therefore to the
+        # table append, streaming, and CDC paths that call here).
+        df = rotate_vectors(df, vec_col, index.rotation)
     coarse_method = _resolve_method(method, index.n_lists)
     vecs = df.withColumn(
         "__vv", array_dot(F.col(vec_col), F.col(vec_col))
@@ -1434,6 +1498,10 @@ def ivf_pq_query(
             "index has no coarse centroids (plain-PQ index) — query it "
             "with pq_adc_topk(coded, index.codebooks, ...)"
         )
+    if index.rotation is not None:
+        # OPQ store: the coded table lives in the rotated space — the
+        # raw query rotates here, so callers never handle R themselves.
+        query_vec = rotate_query(query_vec, index.rotation)
     return ivf_pq_topk(
         coded,
         index.coarse_centroids,
@@ -1636,6 +1704,12 @@ def ivf_pq_batch_topk(
     Q = np.asarray(
         [[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64
     )
+    if index.rotation is not None:
+        # Rotate per query with the SAME gemv rotate_query performs —
+        # a gemm over the whole matrix could round differently per
+        # BLAS kernel, and batch ≡ singles is pinned bit-exact.
+        R = np.asarray(index.rotation, dtype=np.float64)
+        Q = np.stack([R @ Q[i] for i in range(Q.shape[0])])
     probe_mat, lut_all = _batch_driver_stage(
         Q, coarse, cbs, n_probe, by_residual
     )

@@ -171,3 +171,107 @@ class TestOpqEndToEnd:
         # full probe + ADC: the query's own row must rank first (its
         # quantized self is the nearest reconstruction)
         assert res[0]["id"] == 7
+
+
+class TestRotationInTheIndexArtifact:
+    """OPQ's durable half: the rotation rides the IvfPqIndex, so a
+    serving session that loaded the store rotates raw queries and raw
+    append batches itself — no side-channel matrix."""
+
+    @pytest.fixture()
+    def rotated_store(self, spark, aniso, tmp_path):
+        df, X = aniso
+        R = PQ.opq_train(df, dim=DIM, m=4, k=16, n_iter=4, opq_iter=3)
+        base = df.where("vec_id < 400")
+        rot = PQ.rotate_vectors(base, "embedding", R)
+        coded, coarse, cbs = PQ.ivf_pq_build(
+            rot, "vec_id", "embedding", dim=DIM, n_lists=4, m=4, k=16,
+            coarse_iter=2, n_iter=1,
+        )
+        idx = PQ.make_ivf_pq_index(coarse, cbs, rotation=R)
+        path = str(tmp_path / "opq_store")
+        PQ.save_ivf_pq_table(coded, idx, path)
+        return path, R, df, X
+
+    def test_fingerprint_covers_the_rotation(self, spark, aniso):
+        df, _ = aniso
+        R = PQ.opq_train(df, dim=DIM, m=4, k=16, n_iter=4, opq_iter=2)
+        rot = PQ.rotate_vectors(df, "embedding", R)
+        _, coarse, cbs = PQ.ivf_pq_build(
+            rot, "vec_id", "embedding", dim=DIM, n_lists=4, m=4, k=16,
+            coarse_iter=1, n_iter=1,
+        )
+        plain = PQ.make_ivf_pq_index(coarse, cbs)
+        with_rot = PQ.make_ivf_pq_index(coarse, cbs, rotation=R)
+        assert plain.fingerprint != with_rot.fingerprint
+        assert with_rot.rotation == [[float(x) for x in r] for r in R]
+
+    def test_non_orthogonal_rotation_refused(self, spark, aniso):
+        df, _ = aniso
+        rot = PQ.rotate_vectors(df, "embedding", np.eye(DIM).tolist())
+        _, coarse, cbs = PQ.ivf_pq_build(
+            rot, "vec_id", "embedding", dim=DIM, n_lists=4, m=4, k=16,
+            coarse_iter=1, n_iter=1,
+        )
+        bad = (np.eye(DIM) * 2.0).tolist()
+        with pytest.raises(ValueError, match="orthogonal"):
+            PQ.make_ivf_pq_index(coarse, cbs, rotation=bad)
+        with pytest.raises(ValueError, match="shape"):
+            PQ.make_ivf_pq_index(
+                coarse, cbs, rotation=np.eye(DIM - 1).tolist()
+            )
+
+    def test_roundtrip_append_and_query_raw_inputs(
+        self, spark, aniso, rotated_store
+    ):
+        """A fresh session loads the store, appends a RAW batch, and
+        queries with a RAW vector — results must be bit-identical to
+        the manual pipeline that rotates everything by hand."""
+        path, R, df, X = rotated_store
+        PQ.ivf_pq_table_append(df.where("vec_id >= 400"), path, batch_id=0)
+        lc, li = PQ.load_ivf_pq_table(spark, path)
+        assert li.rotation == [[float(x) for x in r] for r in R]
+        q_raw = [float(x) for x in X[450]]
+        got = PQ.ivf_pq_query(lc, li, q_raw, n_probe=4, topk=10)
+        # manual: rotate the whole corpus, one-shot encode with the
+        # same stored geometry, query the rotated vector through the
+        # rotation-blind primitive
+        rot_all = PQ.rotate_vectors(df, "embedding", R)
+        blind = li._replace(rotation=None)
+        manual_coded = PQ.ivf_pq_encode(
+            rot_all, blind, "vec_id", "embedding"
+        ).select("id", "codes", "__list")
+        q_rot = PQ.rotate_query(q_raw, R)
+        want = PQ.ivf_pq_topk(
+            manual_coded, li.coarse_centroids, li.codebooks, q_rot,
+            n_probe=4, topk=10, round_dp=li.round_dp,
+        )
+        assert [tuple(r) for r in got.orderBy("id").collect()] == [
+            tuple(r) for r in want.orderBy("id").collect()
+        ]
+        # the appended query row itself serves (dist ~0 ranks first)
+        assert got.collect()[0]["id"] == 450
+
+    def test_batch_topk_rotates_bit_identically_to_singles(
+        self, spark, aniso, rotated_store
+    ):
+        path, R, df, X = rotated_store
+        lc, li = PQ.load_ivf_pq_table(spark, path)
+        queries = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in (5, 17)],
+            "query_id long, embedding array<double>",
+        )
+        batch = PQ.ivf_pq_batch_topk(lc, li, queries, n_probe=2, topk=8)
+        for qi in (5, 17):
+            single = PQ.ivf_pq_query(
+                lc, li, [float(x) for x in X[qi]], n_probe=2, topk=8
+            )
+            got = [
+                (r["id"], r["adc_dist"])
+                for r in batch.where(f"query_id = {qi}")
+                .orderBy("adc_dist", "id").collect()
+            ]
+            want = [
+                (r["id"], r["adc_dist"]) for r in single.collect()
+            ]
+            assert got == want

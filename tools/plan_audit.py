@@ -64,10 +64,11 @@ ALLOWED = {
     ("q_bm25_topk", "BroadcastNestedLoopJoin"),
     ("q_bm25_batch", "BroadcastNestedLoopJoin"),
     ("q_bm25_indexed", "BroadcastNestedLoopJoin"),
-    # The deletes form serves through the same indexed scorer — the
-    # identical 1-row folded-stats broadcast (the tombstone watermark
-    # filter itself is an equi-join, checkpointed away before serving).
+    # The deletes and CDC forms serve through the same indexed scorer —
+    # the identical 1-row folded-stats broadcast (tombstone watermark
+    # filters are equi-joins, checkpointed away before serving).
     ("q_bm25_indexed_deletes", "BroadcastNestedLoopJoin"),
+    ("q_bm25_cdc_upsert", "BroadcastNestedLoopJoin"),
     # PRF's stage-2 (expanded-query) scan is the same bm25_scores fold;
     # stage 1 hides behind the contract-bounded collects, stage 2's
     # 1-row stats broadcast lands in the final plan. The indexed form's

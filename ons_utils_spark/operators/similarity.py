@@ -686,6 +686,11 @@ class SqIndex(NamedTuple):
     #: Residual encoding (FAISS IndexIVFScalarQuantizer's default mode):
     #: the grid was trained on and codes encode vec − coarse_centroid.
     by_residual: bool = False
+    #: Optional OPQ-style rotation (``pq.opq_train``) — when set, the
+    #: centroids, grid and coded table live in the rotated space and
+    #: every index-driven entry point (query, batch, encode → append /
+    #: stream / CDC) rotates raw inputs itself, exactly as the PQ twin.
+    rotation: "list[list[float]] | None" = None
 
     @property
     def n_lists(self) -> int:
@@ -697,7 +702,8 @@ class SqIndex(NamedTuple):
 
 
 def _sq_fingerprint(coarse, vmin, vmax, round_dp: int,
-                    bits: int = 8, by_residual: bool = False) -> str:
+                    bits: int = 8, by_residual: bool = False,
+                    rotation=None) -> str:
     """sha256 hex (16 chars) over the exact payload — ``repr`` of a
     float is its shortest round-trip form, so bit-identical grids hash
     identically and single-ulp corruption changes the digest.
@@ -717,6 +723,10 @@ def _sq_fingerprint(coarse, vmin, vmax, round_dp: int,
         extras.append(("bits", int(bits)))
     if by_residual:
         extras.append(("by_residual", True))
+    if rotation is not None:
+        extras.append(
+            ("rotation", [[float(x) for x in r] for r in rotation])
+        )
     payload = repr(base + tuple(extras) if extras else base)
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
 
@@ -728,6 +738,7 @@ def make_sq_index(
     round_dp: int = 6,
     bits: int = 8,
     by_residual: bool = False,
+    rotation: "list[list[float]] | None" = None,
 ) -> SqIndex:
     """Wrap :func:`ivf_sq_build` (or :func:`sq_train`) outputs as a
     fingerprinted :class:`SqIndex`, validating geometry up front."""
@@ -750,13 +761,28 @@ def make_sq_index(
         )
     mn = [float(x) for x in vmin]
     mx = [float(x) for x in vmax]
+    rot = None
+    if rotation is not None:
+        import numpy as np
+
+        R = np.asarray(rotation, dtype=np.float64)
+        if R.shape != (dim, dim):
+            raise ValueError(
+                f"rotation shape {R.shape} != grid dim ({dim}, {dim})"
+            )
+        if not np.allclose(R @ R.T, np.eye(dim), atol=1e-6):
+            raise ValueError(
+                "rotation is not orthogonal (R·Rᵀ ≠ I within 1e-6) — "
+                "train it with pq.opq_train"
+            )
+        rot = [[float(x) for x in row] for row in R]
     return SqIndex(
         coarse_centroids=coarse, vmin=mn, vmax=mx,
         round_dp=int(round_dp),
         fingerprint=_sq_fingerprint(
-            coarse, mn, mx, round_dp, bits, by_residual
+            coarse, mn, mx, round_dp, bits, by_residual, rot
         ),
-        bits=int(bits), by_residual=bool(by_residual),
+        bits=int(bits), by_residual=bool(by_residual), rotation=rot,
     )
 
 
@@ -780,7 +806,13 @@ def save_sq_index(
     """
     rows = [
         ("coarse", j, c) for j, c in enumerate(index.coarse_centroids)
-    ] + [("vmin", 0, index.vmin), ("vmax", 0, index.vmax)]
+    ] + [("vmin", 0, index.vmin), ("vmax", 0, index.vmax)] + (
+        # the rotation rides the same vectors table (one row per output
+        # dimension) — no meta schema change, pre-rotation stores and
+        # loaders stay mutually compatible (the PQ twin's recipe)
+        [("rotation", j, r) for j, r in enumerate(index.rotation)]
+        if index.rotation is not None else []
+    )
     vectors = spark.createDataFrame(
         rows, "component string, idx int, vec array<double>"
     )
@@ -855,9 +887,23 @@ def _load_sq_index_with_meta(spark, path: str):
         if "by_residual" in meta and meta["by_residual"] is not None
         else False
     )
+    rot_rows = sorted(
+        (r["idx"], [float(x) for x in r["vec"]])
+        for r in rows if r["component"] == "rotation"
+    )
+    rotation = [v for _, v in rot_rows] or None
+    if rotation is not None and (
+        [j for j, _ in rot_rows] != list(range(meta["dim"]))
+        or any(len(r) != meta["dim"] for r in rotation)
+    ):
+        raise ValueError(
+            f"SQ index at {path!r} holds a malformed rotation "
+            f"(expected {meta['dim']} rows of dim {meta['dim']}) — "
+            "the store is corrupt"
+        )
     got = _sq_fingerprint(
         coarse, grids["vmin"], grids["vmax"], meta["round_dp"], bits,
-        by_residual,
+        by_residual, rotation,
     )
     if got != meta["fingerprint"]:
         raise ValueError(
@@ -868,7 +914,7 @@ def _load_sq_index_with_meta(spark, path: str):
     index = SqIndex(
         coarse_centroids=coarse, vmin=grids["vmin"], vmax=grids["vmax"],
         round_dp=int(meta["round_dp"]), fingerprint=got, bits=bits,
-        by_residual=by_residual,
+        by_residual=by_residual, rotation=rotation,
     )
     return index, meta
 
@@ -907,6 +953,13 @@ def ivf_sq_encode(
         _residual_transform, _tag_residual,
     )
 
+    if index.rotation is not None:
+        # OPQ store: grid and centroids live in the rotated space; raw
+        # batches rotate on the way in (the pq.ivf_pq_encode rule), so
+        # append / streaming / CDC work on raw vectors here too.
+        from ons_utils_spark.operators.pq import rotate_vectors
+
+        df = rotate_vectors(df, vec_col, index.rotation)
     coarse_method = _resolve_method(method, index.n_lists)
     vecs = df.withColumn(
         "__vv", array_dot(F.col(vec_col), F.col(vec_col))
@@ -936,7 +989,12 @@ def ivf_sq_query(
 ) -> SparkDF:
     """Serve a query from a loaded :class:`SqIndex` — always scores
     with the STORED grid and centroids (the durable authority), same
-    contract as :func:`pq.ivf_pq_query`."""
+    contract as :func:`pq.ivf_pq_query`. An OPQ-rotated store rotates
+    the raw query here (the PQ twin's rule)."""
+    if index.rotation is not None:
+        from ons_utils_spark.operators.pq import rotate_query
+
+        query_vec = rotate_query(query_vec, index.rotation)
     return ivf_sq_topk(
         coded, index.coarse_centroids, index.vmin, index.vmax,
         query_vec, n_probe=n_probe, topk=topk, round_dp=index.round_dp,
@@ -1291,6 +1349,11 @@ def ivf_sq_batch_topk(
     Q = np.asarray(
         [[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64
     )
+    if index.rotation is not None:
+        # Per-row gemv, the same arithmetic shape as rotate_query —
+        # batch ≡ singles stays bit-exact (the PQ batch scorer's rule).
+        R = np.asarray(index.rotation, dtype=np.float64)
+        Q = np.stack([R @ Q[i] for i in range(n_q)])
     CC = np.asarray(index.coarse_centroids, dtype=np.float64)
     dist = (
         _fold_sq(Q)[:, None] + _fold_sq(CC)[None, :]
@@ -1899,3 +1962,167 @@ def random_projection_reduce(
         )
     out = F.expr(f"array({', '.join(comps)})")
     return df.select(F.col(id_col).alias("id"), out.alias("reduced"))
+
+
+def pca_train(
+    df: SparkDF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 32,
+    train_on: "SparkDF | float | None" = None,
+    max_train: int = 200_000,
+) -> "tuple[list[list[float]], list[float]]":
+    """Train a PCA projection for embedding columns → ``(components,
+    mean)`` — the "reduce, then quantize" axis of the codec matrix
+    (FAISS's ``PCARx`` pre-transform): project 64-dim vectors to the
+    top ``out_dim`` principal directions, then hand the smaller
+    vectors to the UNCHANGED SQ/PQ builders for multiplicative
+    compression (PCA32 + SQ8 is 16× against raw float64 at far less
+    loss than PQ alone when the tail dimensions are mostly noise).
+
+    Placement mirrors :func:`pq.opq_train`: the eigendecomposition
+    needs ~10⁵ vectors, not the corpus — the deterministic
+    ``resolve_train`` sample collects to the driver (capped,
+    sized error past ``max_train``), one covariance ``eigh`` (exact
+    symmetric solver, deterministic), eigenvectors ordered by
+    DESCENDING eigenvalue with ties by index, each component's sign
+    fixed so its largest-magnitude entry is positive (eigenvectors are
+    sign-ambiguous; the convention makes retrains reproducible).
+    Corpus-side application is :func:`project_vectors` — one Arrow
+    matmul over the scan; queries project driver-side with
+    :func:`project_query`. The ``eigh`` is a declared non-SQL
+    boundary (the OPQ SVD rule) — invariants are pinned in pytest.
+    """
+    import numpy as np
+
+    from ons_utils_spark.operators.semantic import resolve_train
+
+    if not 1 <= out_dim <= dim:
+        raise ValueError(
+            f"out_dim must be in [1, dim={dim}] (got {out_dim})"
+        )
+    sample = resolve_train(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        train_on, "id",
+    )
+    rows = sample.orderBy("id").limit(int(max_train) + 1).collect()
+    if len(rows) > max_train:
+        raise ValueError(
+            f"PCA training slice exceeds max_train={max_train} rows — "
+            "principal directions need ~1e5 vectors, not the corpus; "
+            "pass a smaller train_on fraction"
+        )
+    if len(rows) < 2:
+        raise ValueError(
+            f"PCA training slice has {len(rows)} rows — need >= 2"
+        )
+    bad = [r["id"] for r in rows if r["v"] is None or len(r["v"]) != dim
+           or any(x is None for x in r["v"])]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} training vector(s) are NULL, hold NULL "
+            f"elements, or are not {dim}-dim (first id: {bad[0]!r})"
+        )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    C = np.cov(X - mean, rowvar=False, bias=False)
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(-evals, kind="stable")[:out_dim]
+    W = evecs[:, order].T  # (out_dim, dim)
+    for j in range(W.shape[0]):
+        i = int(np.abs(W[j]).argmax())
+        if W[j, i] < 0:
+            W[j] = -W[j]
+    return (
+        [[float(x) for x in row] for row in W],
+        [float(x) for x in mean],
+    )
+
+
+def project_vectors(
+    df: SparkDF,
+    vec_col: str,
+    components: "Sequence[Sequence[float]]",
+    mean: "Sequence[float] | None" = None,
+    out_col: "str | None" = None,
+) -> SparkDF:
+    """Apply a linear projection to an embedding column — ``y =
+    W·(x − mean)`` per row (:func:`pca_train`'s corpus half; the
+    rectangular sibling of :func:`pq.rotate_vectors`). One
+    Arrow-batched matmul over the scan: row-local, shuffle-free,
+    map-only at any corpus size. NULL vectors/elements and
+    wrong-dimension rows raise with the offending count."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    W = np.asarray(components, dtype=np.float64)
+    if W.ndim != 2:
+        raise ValueError(f"components must be 2-D (got ndim {W.ndim})")
+    dim = W.shape[1]
+    mu = (
+        np.zeros(dim) if mean is None
+        else np.asarray(list(mean), dtype=np.float64)
+    )
+    if mu.shape[0] != dim:
+        raise ValueError(
+            f"mean dim {mu.shape[0]} != components input dim {dim}"
+        )
+    target = out_col or vec_col
+    fields = [
+        StructField(f.name, f.dataType) for f in df.schema.fields
+        if f.name != target
+    ]
+    fields.append(StructField(target, ArrayType(DoubleType())))
+    schema = StructType(fields)
+    names = [f.name for f in fields]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[vec_col].tolist()
+            bad = sum(
+                1 for v in vals
+                if v is None or len(v) != dim
+                or any(x is None for x in v)
+            )
+            if bad:
+                raise ValueError(
+                    f"{bad} row(s) have a NULL / NULL-element / "
+                    f"non-{dim}-dim {vec_col!r} — project_vectors "
+                    "cannot transform them; fix upstream"
+                )
+            Y = (np.asarray(vals, dtype=np.float64) - mu) @ W.T
+            data = {n: pdf[n] for n in names if n != target}
+            data[target] = pd.Series(list(Y), index=pdf.index)
+            yield pd.DataFrame(data)
+
+    return df.mapInPandas(run, schema)
+
+
+def project_query(
+    q: "Sequence[float]",
+    components: "Sequence[Sequence[float]]",
+    mean: "Sequence[float] | None" = None,
+) -> "list[float]":
+    """Project one query vector with the corpus's trained PCA —
+    driver-side (queries are single rows)."""
+    import numpy as np
+
+    W = np.asarray(components, dtype=np.float64)
+    v = np.asarray(list(q), dtype=np.float64)
+    if v.shape[0] != W.shape[1]:
+        raise ValueError(
+            f"query dim {v.shape[0]} != components input dim "
+            f"{W.shape[1]}"
+        )
+    mu = (
+        np.zeros(W.shape[1]) if mean is None
+        else np.asarray(list(mean), dtype=np.float64)
+    )
+    return [float(x) for x in W @ (v - mu)]

@@ -275,3 +275,81 @@ class TestRotationInTheIndexArtifact:
                 (r["id"], r["adc_dist"]) for r in single.collect()
             ]
             assert got == want
+
+
+class TestSqRotation:
+    """The SQ family carries the same durable rotation — the codec
+    matrix stays symmetric: one opq_train rotation serves either
+    backend's store with raw inputs."""
+
+    def test_roundtrip_append_and_query_raw_inputs(
+        self, spark, aniso, tmp_path
+    ):
+        from ons_utils_spark.operators import similarity as SIM
+
+        df, X = aniso
+        R = PQ.opq_train(df, dim=DIM, m=4, k=16, n_iter=4, opq_iter=3)
+        base = df.where("vec_id < 400")
+        rot = PQ.rotate_vectors(base, "embedding", R)
+        coded, coarse, vmin, vmax = SIM.ivf_sq_build(
+            rot, dim=DIM, n_lists=4, coarse_iter=2
+        )
+        idx = SIM.make_sq_index(coarse, vmin, vmax, rotation=R)
+        plain = SIM.make_sq_index(coarse, vmin, vmax)
+        assert idx.fingerprint != plain.fingerprint
+        path = str(tmp_path / "sq_opq")
+        SIM.save_sq_table(coded, idx, path)
+        SIM.ivf_sq_table_append(
+            df.where("vec_id >= 400"), path, batch_id=0
+        )
+        lc, li = SIM.load_sq_table(spark, path)
+        assert li.rotation == [[float(x) for x in r] for r in R]
+        q_raw = [float(x) for x in X[450]]
+        got = SIM.ivf_sq_query(lc, li, q_raw, n_probe=4, topk=10)
+        # manual pipeline: rotate everything by hand, use the
+        # rotation-blind primitive
+        rot_all = PQ.rotate_vectors(df, "embedding", R)
+        blind = li._replace(rotation=None)
+        manual = SIM.ivf_sq_encode(
+            rot_all, blind, "vec_id", "embedding"
+        ).select("id", "codes", "__list")
+        q_rot = PQ.rotate_query(q_raw, R)
+        want = SIM.ivf_sq_topk(
+            manual, li.coarse_centroids, li.vmin, li.vmax, q_rot,
+            n_probe=4, topk=10, round_dp=li.round_dp,
+        )
+        assert [tuple(r) for r in got.orderBy("id").collect()] == [
+            tuple(r) for r in want.orderBy("id").collect()
+        ]
+        assert got.collect()[0]["id"] == 450
+
+    def test_batch_matches_singles(self, spark, aniso, tmp_path):
+        from ons_utils_spark.operators import similarity as SIM
+
+        df, X = aniso
+        R = PQ.opq_train(df, dim=DIM, m=4, k=16, n_iter=4, opq_iter=2)
+        rot = PQ.rotate_vectors(df, "embedding", R)
+        coded, coarse, vmin, vmax = SIM.ivf_sq_build(
+            rot, dim=DIM, n_lists=4, coarse_iter=2
+        )
+        idx = SIM.make_sq_index(coarse, vmin, vmax, rotation=R)
+        queries = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in (5, 17)],
+            "query_id long, embedding array<double>",
+        )
+        codesel = coded.select("id", "codes", "__list")
+        batch = SIM.ivf_sq_batch_topk(
+            codesel, idx, queries, n_probe=2, topk=8
+        )
+        for qi in (5, 17):
+            single = SIM.ivf_sq_query(
+                codesel, idx, [float(x) for x in X[qi]],
+                n_probe=2, topk=8,
+            )
+            got = [
+                (r["id"], r["adc_dist"])
+                for r in batch.where(f"query_id = {qi}")
+                .orderBy("adc_dist", "id").collect()
+            ]
+            want = [(r["id"], r["adc_dist"]) for r in single.collect()]
+            assert got == want

@@ -1964,3 +1964,80 @@ def bm25_index_vacuum(spark, store_path: str) -> None:
         .parquet(f"{staging}/stats")
     )
     promote_staged_store(store_path, staging, what="bm25_index_vacuum")
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+):
+    """Split documents into overlapping token-window chunks → one row
+    per chunk: ``(id, chunk_id, start, n_tokens, chunk_text)`` — the
+    RAG-ingestion primitive between raw documents and the retrieval
+    stores (chunk → embed → ``ivf_*_table_append`` /
+    ``bm25_index_append``), and the long-document answer for
+    fixed-context models (``corpus.pack_sequences`` packs SHORT
+    sequences together; this is its complement).
+
+    Chunking rule (deterministic, integer-exact): tokens are the
+    engine's whitespace tokenization; chunk ``i`` starts at token
+    ``i·stride`` (``stride = chunk_tokens − overlap``) and takes
+    ``chunk_tokens`` tokens (the final chunk clamps to the document
+    end); the chunk count is ``1 + ceil(max(0, n − chunk_tokens) /
+    stride)``, which covers every token exactly once per non-overlap
+    position and never emits a trailing chunk that is a pure suffix of
+    the previous one. Zero-token documents emit nothing.
+
+    Pure row-local expressions (tokenize → ``sequence`` → ``slice`` →
+    ``array_join``), whole-stage codegen, no shuffle — chunking a
+    100 TB corpus is a map-only scan whose output rows are what you
+    feed the embedding UDF. ``overlap`` must satisfy
+    ``0 ≤ overlap < chunk_tokens``.
+    """
+    from pyspark.sql import functions as F
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1 (got {chunk_tokens})")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens) (got {overlap} for "
+            f"chunk_tokens={chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.coalesce(tokenize(text_col), F.array())
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1)
+            / stride
+        )
+    ).cast("int")
+    chunked = (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("__toks"),
+            n.alias("__n"),
+            n_chunks.alias("__nc"),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__nc") - 1)
+            ).alias("chunk_id"),
+            "__toks",
+        )
+    )
+    ctoks = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return chunked.select(
+        "id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("int").alias("start"),
+        F.size(ctoks).cast("int").alias("n_tokens"),
+        F.array_join(ctoks, " ").alias("chunk_text"),
+    )

@@ -4676,6 +4676,52 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_chunk_tokens",
+    oracle=_TOKS_CTE
+    + """,
+    p AS (SELECT doc_id, toks, len(toks) AS n
+          FROM toks WHERE len(toks) > 0),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0,
+                   (1 + floor((greatest(n - 48, 0) + 40 - 1) / 40))::INT
+                   - 1
+               )) AS chunk_id
+        FROM p)
+    SELECT doc_id AS id, chunk_id::INT AS chunk_id,
+           (chunk_id * 40)::INT AS start,
+           len(toks[chunk_id * 40 + 1 : chunk_id * 40 + 48])::INT
+               AS n_tokens,
+           array_to_string(
+               toks[chunk_id * 40 + 1 : chunk_id * 40 + 48], ' '
+           ) AS chunk_text
+    FROM c
+    ORDER BY id, chunk_id
+    """,
+    description="TOKEN-window RAG chunking (operators/text.py::"
+    "chunk_documents — the token-budget complement of the char-window "
+    "chunk_expression behind q_chunk_documents): every document "
+    "splits into overlapping "
+    "48-token windows at stride 40 (overlap 8) — chunk i starts at "
+    "token i·stride, the final chunk clamps to the document end, and "
+    "the count rule 1 + ceil(max(0, n−48)/40) never emits a trailing "
+    "pure-suffix duplicate. This is the primitive between raw corpora "
+    "and the retrieval stores (chunk → embed → table append) and the "
+    "long-document complement of pack_sequences. Pure row-local "
+    "expressions (tokenize → sequence → slice → array_join) in "
+    "whole-stage codegen — chunking is a map-only scan at any corpus "
+    "size; integer-and-string-exact, so the oracle replays every "
+    "window boundary and chunk text verbatim.",
+)
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _text.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=48, overlap=8
+    ).orderBy("id", "chunk_id")
+
+
+@register(
     "q_token_entropy",
     oracle=_TOKS_CTE
     + """,
@@ -9578,6 +9624,10 @@ _GRADING_ORDER = [
     # q_hybrid_retrieval); full-registry checked every round
     "q_bm25_prf_batch",
     "q_hybrid_retrieval_sq",
+    # r12, tail: TOKEN-window RAG chunking (the char-window form
+    # q_chunk_documents long predates it); full-registry checked (the
+    # window is already at 50 with this round's five flagships)
+    "q_chunk_tokens",
     # r12, tail: the SQ4 bit-width point — the grid-codec class is
     # graded via q_similarity_sq8 and the whole IVF×SQ window row
     "q_similarity_sq4",

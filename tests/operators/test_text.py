@@ -1435,3 +1435,71 @@ class TestBestPassage:
             best_passage(
                 df, "doc_id", "text", ["spark"], window=4, stride=8
             )
+
+
+class TestChunkDocuments:
+    """Token-window RAG chunking (text.chunk_documents) — the
+    integer-exact window rule, pinned at its edges; the full oracle
+    replay is q_chunk_tokens."""
+
+    def _chunks(self, spark, text, ct, ov):
+        from ons_utils_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, body string")
+        return [
+            (r["chunk_id"], r["start"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(
+                df, "doc_id", "body", chunk_tokens=ct, overlap=ov
+            ).orderBy("chunk_id").collect()
+        ]
+
+    def test_short_document_is_one_chunk(self, spark):
+        got = self._chunks(spark, "a b c", 5, 2)
+        assert got == [(0, 0, 3, "a b c")]
+
+    def test_windows_overlap_and_clamp(self, spark):
+        # n=10, ct=4, stride 3 → 1 + ceil(6/3) = 3 chunks; the last
+        # one (start 6) already covers t9 — no fourth window
+        text = " ".join(f"t{i}" for i in range(10))
+        got = self._chunks(spark, text, 4, 1)
+        assert [(c, s, n) for c, s, n, _ in got] == [
+            (0, 0, 4), (1, 3, 4), (2, 6, 4),
+        ]
+        assert got[1][3] == "t3 t4 t5 t6"
+        assert got[2][3] == "t6 t7 t8 t9"
+        # n=9 clamps the final window to 3 tokens
+        got = self._chunks(spark, " ".join(f"t{i}" for i in range(9)), 4, 1)
+        assert [(c, s, n) for c, s, n, _ in got] == [
+            (0, 0, 4), (1, 3, 4), (2, 6, 3),
+        ]
+        assert got[2][3] == "t6 t7 t8"
+
+    def test_exact_multiple_emits_no_suffix_duplicate(self, spark):
+        # n=6, ct=4, stride 2 → chunks at 0 and 2 cover tokens 0..5;
+        # a start at 4 would be a pure suffix of chunk 1's tail
+        text = "a b c d e f"
+        got = self._chunks(spark, text, 4, 2)
+        assert [(c, s, n) for c, s, n, _ in got] == [(0, 0, 4), (1, 2, 4)]
+
+    def test_zero_token_documents_emit_nothing(self, spark):
+        from ons_utils_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "  "), (3, None), (4, "word")],
+            "doc_id long, body string",
+        )
+        got = chunk_documents(df, "doc_id", "body").collect()
+        assert [r["id"] for r in got] == [4]
+
+    def test_validation(self, spark):
+        from ons_utils_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, body string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="chunk_tokens"):
+            chunk_documents(df, "doc_id", "body", chunk_tokens=0)
+        with _pytest.raises(ValueError, match="overlap"):
+            chunk_documents(
+                df, "doc_id", "body", chunk_tokens=4, overlap=4
+            )

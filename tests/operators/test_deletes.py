@@ -384,3 +384,115 @@ class TestTombstoneHelpers:
         assert sorted(
             (r["id"], r["batch_id"]) for r in live.collect()
         ) == [(1, 4), (2, -1)]
+
+
+class TestFullMaintenanceLifecycle:
+    """Every maintenance verb interleaved on one store — the sequence a
+    long-lived deployment actually runs — must end bit-identical to a
+    one-shot build over the net corpus."""
+
+    def test_bm25_lifecycle(self, spark, docs, tmp_path):
+        from ons_utils_spark.operators.cdc import bm25_index_apply_cdc
+
+        path = str(tmp_path / "life_bm25")
+        # base save + append
+        T.bm25_index_append(docs.where("doc_id < 20"), "doc_id", "body", path)
+        T.bm25_index_append(
+            docs.where("doc_id >= 20"), "doc_id", "body", path, batch_id=0
+        )
+        # delete two docs
+        T.bm25_index_delete(spark, path, [3, 25], batch_id=1)
+        # CDC batch: insert 100, rewrite 7, drop 8 (even/odd split uses
+        # batches 4 and 5 — past the delete above)
+        changes = (
+            spark.createDataFrame(
+                [(100, "omega fresh words")], "doc_id long, body string"
+            ).select("doc_id", "body", F.lit("I").alias("op"))
+            .unionByName(
+                docs.where("doc_id = 7").select(
+                    "doc_id", F.lit("rewritten seven").alias("body"),
+                    F.lit("U").alias("op"),
+                )
+            )
+            .unionByName(
+                docs.where("doc_id = 8").select(
+                    "doc_id", "body", F.lit("D").alias("op")
+                )
+            )
+        )
+        bm25_index_apply_cdc(changes, path, "doc_id", "body", batch_id=2)
+        # vacuum applies all tombstones physically
+        T.bm25_index_vacuum(spark, path)
+        # keep maintaining after the vacuum
+        T.bm25_index_append(
+            spark.createDataFrame(
+                [(101, "alpha omega tail")], "doc_id long, body string"
+            ),
+            "doc_id", "body", path, batch_id=6,
+        )
+        T.bm25_index_delete(spark, path, [101], batch_id=7)
+        T.bm25_index_vacuum(spark, path)
+        # plain compaction still works on the now-tombstone-free store
+        T.bm25_index_compact(spark, path)
+        net = (
+            docs.where(~F.col("doc_id").isin([3, 25, 7, 8]))
+            .unionByName(
+                spark.createDataFrame(
+                    [(100, "omega fresh words"), (7, "rewritten seven")],
+                    "doc_id long, body string",
+                )
+            )
+        )
+        p, s = T.load_bm25_index_incremental(spark, path)
+        p1, s1 = T.bm25_index_build(net, "doc_id", "body")
+        assert _rows(p, "term", "id") == _rows(p1, "term", "id")
+        r, r1 = s.collect()[0], s1.collect()[0]
+        assert (r["n"], r["total_dl"]) == (r1["n"], r1["total_dl"])
+        got = T.bm25_topk_indexed(p, s, ["omega", "beta"], topk=10)
+        want = T.bm25_topk_indexed(p1, s1, ["omega", "beta"], topk=10)
+        assert _rows(got, "id") == _rows(want, "id")
+
+    def test_ann_lifecycle(self, spark, emb, tmp_path):
+        from ons_utils_spark.operators.cdc import ann_table_apply_cdc
+
+        coded, coarse, cbs = PQ.ivf_pq_build(
+            emb.where("vec_id < 60"), "vec_id", "embedding",
+            dim=16, n_lists=4, m=2, k=8, coarse_iter=2, n_iter=1,
+        )
+        idx = PQ.make_ivf_pq_index(coarse, cbs)
+        path = str(tmp_path / "life_ann")
+        PQ.save_ivf_pq_table(coded, idx, path)
+        PQ.ivf_pq_table_append(emb.where("vec_id >= 60"), path, batch_id=0)
+        PQ.ivf_pq_table_delete(spark, path, [5, 70], batch_id=1)
+        new_vec = [float((i % 7) - 3) / 4.0 for i in range(16)]
+        changes = spark.createDataFrame(
+            [(100, new_vec, "I"), (70, new_vec, "U"), (9, new_vec, "D")],
+            "vec_id long, embedding array<double>, op string",
+        )
+        ann_table_apply_cdc(changes, path, "vec_id", "embedding", batch_id=2)
+        PQ.ivf_pq_table_compact(spark, path)  # applies all tombstones
+        PQ.ivf_pq_table_append(
+            spark.createDataFrame(
+                [(101, new_vec)], "vec_id long, embedding array<double>"
+            ),
+            path, batch_id=6,
+        )
+        PQ.ivf_pq_table_delete(spark, path, [101], batch_id=7)
+        lc, li = PQ.load_ivf_pq_table(spark, path)
+        ids = {r["id"] for r in lc.select("id").collect()}
+        assert ids == (set(range(80)) - {5, 70, 9, 101}) | {100, 70}
+        net = (
+            emb.where(~F.col("vec_id").isin([5, 70, 9]))
+            .unionByName(
+                spark.createDataFrame(
+                    [(100, new_vec), (70, new_vec)],
+                    "vec_id long, embedding array<double>",
+                )
+            )
+        )
+        want_coded = PQ.ivf_pq_encode(
+            net, li, "vec_id", "embedding"
+        ).select("id", "codes", "__list")
+        got = PQ.ivf_pq_query(lc, li, new_vec, n_probe=4, topk=10)
+        want = PQ.ivf_pq_query(want_coded, li, new_vec, n_probe=4, topk=10)
+        assert _rows(got, "id") == _rows(want, "id")

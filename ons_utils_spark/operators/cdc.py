@@ -73,8 +73,11 @@ def split_cdc_batch(
         )
     chk = changes.agg(
         F.sum(
-            (~F.col(op_col).isin(list(CDC_OPS)))
-            .cast("int")
+            # coalesce: a NULL op makes isin() NULL, which SUM would
+            # silently skip — NULL ops must count as bad, not vanish
+            (~F.coalesce(
+                F.col(op_col).isin(list(CDC_OPS)), F.lit(False)
+            )).cast("int")
         ).alias("bad_op"),
         F.sum(F.col(id_col).isNull().cast("int")).alias("bad_id"),
     ).collect()[0]

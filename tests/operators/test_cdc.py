@@ -99,6 +99,13 @@ class TestSplitAndIds:
         )
         with pytest.raises(ValueError, match="NULL"):
             split_cdc_batch(null_id, "doc_id")
+        # a NULL op must count as bad, not vanish through isin()'s
+        # three-valued logic
+        null_op = spark.createDataFrame(
+            [(1, "x", None)], "doc_id long, body string, op string"
+        )
+        with pytest.raises(ValueError, match="op outside"):
+            split_cdc_batch(null_op, "doc_id")
         no_op = spark.createDataFrame([(1, "x")], "doc_id long, body string")
         with pytest.raises(ValueError, match="no 'op' column"):
             split_cdc_batch(no_op, "doc_id")

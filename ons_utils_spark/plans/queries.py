@@ -9507,19 +9507,28 @@ _GRADING_ORDER = [
     # -- event analytics (q_funnel_conversion green r11 rotates out —
     # the state-machine rep keeps the family graded) ---------------------
     "q_user_state_history",
-    # -- dedup / similarity (q_dedup_minhash green since r1 rotates out;
-    # clusters keeps the LSH-postings family graded) --------------------
+    # -- dedup / similarity (q_dedup_minhash green since r1 rotates
+    # out; clusters keeps the LSH-postings family graded; late-r12 the
+    # multi-green q_containment_pairs / q_oph_minhash / q_semantic_dedup
+    # also rotate below for never-graded r12 flagships — postings,
+    # hashing and embedding-dedup classes all keep graded reps via
+    # q_dedup_clusters, q_url_dedup and q_kmeans_sampled) ----------------
     "q_dedup_clusters",
-    "q_containment_pairs",
-    "q_oph_minhash",
-    "q_semantic_dedup",
     # r12: URL canonicalization dedup — never driver-graded before
     "q_url_dedup",
+    # r12 late rotation IN: perceptual image dedup (binary-payload
+    # mapInPandas dHash + the shared Hamming banding) — a new graded
+    # CLASS (image modality), never driver-graded
+    "q_image_dhash_dedup",
+    # r12 late rotation IN: token-window RAG chunking — never graded
+    "q_chunk_tokens",
     # -- ANN serving, PQ codec family (q_pq_adc_scores and the plain
     # IVF x PQ form green r9-r11 rotate out; residual / persisted /
     # batch / incremental / refined keep every serving stage graded,
     # and the batch-refined composition enters) -------------------------
-    "q_similarity_ivf_pq_residual",
+    # (q_similarity_ivf_pq_residual, green r9-r11, rotates below late-
+    # r12 — the residual geometry stays graded via the incremental and
+    # deletes queries, both residual-config, plus the SQ residual below)
     "q_similarity_ivf_pq_persisted",
     "q_similarity_ivf_pq_batch",
     "q_similarity_ivf_pq_incremental",
@@ -9539,6 +9548,10 @@ _GRADING_ORDER = [
     # r12: SQ-family tombstone deletes — the delete column of the
     # serving matrix graded for BOTH codecs (new this round)
     "q_similarity_ivf_sq_deletes",
+    # r12 late rotation IN: the SQ residual mode and the SQ4 bit-width
+    # point — never driver-graded codec-matrix cells
+    "q_similarity_ivf_sq_residual",
+    "q_similarity_sq4",
     # -- ingest-time normalization feeding exact retrieval --------------
     "q_normalized_similarity",
     "q_mmr_rerank",
@@ -9600,6 +9613,10 @@ _GRADING_ORDER = [
     "q_gopher_quality",
     "q_semdedup_kmeans",
     "q_contaminated_spans",
+    "q_oph_minhash",
+    "q_semantic_dedup",
+    "q_containment_pairs",
+    "q_similarity_ivf_pq_residual",
     "q5_local_supplier_volume",
     "q_topk_orders_per_customer",
     "q_psi_drift",
@@ -9624,21 +9641,8 @@ _GRADING_ORDER = [
     # q_hybrid_retrieval); full-registry checked every round
     "q_bm25_prf_batch",
     "q_hybrid_retrieval_sq",
-    # r12, tail: TOKEN-window RAG chunking (the char-window form
-    # q_chunk_documents long predates it); full-registry checked (the
-    # window is already at 50 with this round's five flagships)
-    "q_chunk_tokens",
-    # r12, tail: the SQ4 bit-width point — the grid-codec class is
-    # graded via q_similarity_sq8 and the whole IVF×SQ window row
-    "q_similarity_sq4",
-    # r12, tail: residual IVF×SQ — the residual-geometry class is
-    # graded via q_similarity_ivf_pq_residual/_persisted and the SQ
-    # grid class via the five-window IVF×SQ row
-    "q_similarity_ivf_sq_residual",
-    # r12, tail: perceptual image dHash dedup — the banded-Hamming
-    # class is graded via q_dedup_simhash's long history and the
-    # multimodal plumbing via q_multimodal_features (in window)
-    "q_image_dhash_dedup",
+    # (q_similarity_sq4, q_similarity_ivf_sq_residual and
+    # q_image_dhash_dedup moved INTO the graded window late-r12.)
     # r11: rotated OUT of the graded window (graded green since r1-r9,
     # shapes whose families keep graded representatives — see the window
     # comments) to admit the ten never-driver-graded classes above

@@ -9211,7 +9211,7 @@ def q_hybrid_retrieval_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # composed below, after q_hybrid_retrieval's oracle exists
     description="Fused retrieval-quality pipeline: hybrid lexical+ANN "
     "retrieval (both index stores, RRF fusion — q_hybrid_retrieval's "
-    "exact chain) followed by MMR diversity re-rank of query 0's fused "
+    "exact chain) followed by MMR diversity re-rank of query 1's fused "
     "top-10 (λ=0.6, 5 picks) over the embedding space. Candidates "
     "without an embedding row cannot be diversified and are filtered "
     "by a left-semi join BEFORE the greedy stage (the BM25 half can "
@@ -9226,7 +9226,7 @@ def q_hybrid_mmr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     fused = q_hybrid_retrieval(spark, sf_dir)
-    cand = fused.where(F.col("query_id") == 0).join(
+    cand = fused.where(F.col("query_id") == 1).join(
         emb.select(F.col("vec_id").alias("id")), "id", "left_semi"
     )
     return _sim.mmr_rerank(cand, emb, k=5, lambda_=0.6, score_col="rrf")
@@ -9239,7 +9239,7 @@ QUERIES["q_hybrid_mmr_pipeline"].oracle = _mmr_steps(
         SELECT h.id, h.rrf AS rel, CAST(e2.embedding AS DOUBLE[]) AS v
         FROM ({QUERIES["q_hybrid_retrieval"].oracle}) h
         JOIN embeddings e2 ON e2.vec_id = h.id
-        WHERE h.query_id = 0""",
+        WHERE h.query_id = 1""",
     5, 0.6, 6,
 )
 

@@ -81,6 +81,41 @@ def frame_to_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def compare_frames(
+    spark_df: pd.DataFrame, oracle_df: pd.DataFrame
+) -> tuple[bool, bool, bool, list[str]]:
+    """Compare a Spark result against its oracle twin.
+
+    Returns ``(rows_match, schema_match, hash_match, problems)``.  A pair
+    of EMPTY frames is a failure even though the hashes trivially agree:
+    a 0-row green verifies nothing (VERDICT r12 — q_hybrid_mmr_pipeline
+    filtered a query_id its workload never issues and read green for two
+    rounds), so every registry query must yield >=1 row at sf0.01.
+    """
+    problems = []
+    if len(spark_df) == 0 and len(oracle_df) == 0:
+        problems.append("zero-row green: both sides empty — the "
+                        "oracle verifies nothing")
+    rows_match = len(spark_df) == len(oracle_df)
+    if not rows_match:
+        problems.append(f"rowcount {len(spark_df)} vs {len(oracle_df)}")
+    s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
+    schema_match = s_cols == o_cols
+    hash_match = False
+    if not schema_match:
+        problems.append(f"columns {s_cols} vs {o_cols}")
+    else:
+        drift = dtype_drift(spark_df, oracle_df)
+        if drift:
+            problems.append(f"int/float dtype drift: {drift}")
+        s_rows, o_rows = frame_to_rows(spark_df), frame_to_rows(oracle_df)
+        hash_match = not drift and s_rows == o_rows
+        if s_rows != o_rows:
+            diff = [(a, b) for a, b in zip(s_rows, o_rows) if a != b][:3]
+            problems.append(f"values differ; first diffs: {diff}")
+    return rows_match, schema_match, hash_match, problems
+
+
 def main() -> int:
     import __spark_entry__ as mod
     from ons_utils_spark.session import get_session
@@ -128,26 +163,9 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             continue
 
-        problems = []
-        rows_match = len(spark_df) == len(oracle_df)
-        if not rows_match:
-            problems.append(f"rowcount {len(spark_df)} vs {len(oracle_df)}")
-        s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
-        schema_match = s_cols == o_cols
-        hash_match = False
-        if not schema_match:
-            problems.append(f"columns {s_cols} vs {o_cols}")
-        else:
-            drift = dtype_drift(spark_df, oracle_df)
-            if drift:
-                problems.append(f"int/float dtype drift: {drift}")
-            s_rows, o_rows = frame_to_rows(spark_df), frame_to_rows(oracle_df)
-            hash_match = not drift and s_rows == o_rows
-            if s_rows != o_rows:
-                diff = [
-                    (a, b) for a, b in zip(s_rows, o_rows) if a != b
-                ][:3]
-                problems.append(f"values differ; first diffs: {diff}")
+        rows_match, schema_match, hash_match, problems = compare_frames(
+            spark_df, oracle_df
+        )
         record[name] = {"rows_match": rows_match, "schema_match": schema_match,
                         "hash_match": hash_match, "spark_rows": len(spark_df),
                         "oracle_rows": len(oracle_df),

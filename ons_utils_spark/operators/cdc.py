@@ -41,6 +41,15 @@ from pyspark.sql import DataFrame as SparkDF, functions as F
 #: new content), delete (existing id).
 CDC_OPS = ("I", "U", "D")
 
+#: Hard cap on the delete-id list one change batch may carry. The ids
+#: are collected driver-side (they become tombstone rows and pushed-down
+#: ``isin`` filters), which is fine for micro-batch-sized feeds but NOT
+#: for a caller replaying a whole historical diff through one apply —
+#: that used to be a documented contract; this makes it an enforced one
+#: (the ``_MMR_MAX_CANDIDATES`` pattern). 1M ids ≈ tens of MB on the
+#: driver — comfortably micro-batch, loudly not a full-corpus rewrite.
+CDC_MAX_DELETE_IDS = 1_000_000
+
 
 def cdc_batch_ids(batch_id: int) -> "tuple[int, int]":
     """Logical change batch → (tombstone batch, insert batch) under the
@@ -64,8 +73,9 @@ def split_cdc_batch(
     inserts)``: ids to tombstone (D and U rows — an update kills its
     old version first) and the rows to append (I and U rows, ``op_col``
     dropped). Unknown op codes and NULL ids raise; the delete-id list
-    is collected driver-side (bounded by the change batch — micro-batch
-    sized by contract, like every delete)."""
+    is collected driver-side under the ENFORCED ``CDC_MAX_DELETE_IDS``
+    cap — an oversized historical diff gets a sized refusal telling the
+    caller to chunk by batch, never an unbounded collect."""
     if op_col not in changes.columns:
         raise ValueError(
             f"change batch has no {op_col!r} column — every CDC row "
@@ -91,13 +101,24 @@ def split_cdc_batch(
             f"{chk['bad_id']} change row(s) have a NULL {id_col!r} — "
             "a NULL id can neither delete nor serve"
         )
+    # limit(cap + 1) bounds the collect ITSELF (never more than cap+1
+    # rows reach the driver, even on an oversized feed), then the +1
+    # row, if present, turns into the sized refusal.
     delete_ids = [
         r["id"]
         for r in changes.where(F.col(op_col).isin(["D", "U"]))
         .select(F.col(id_col).alias("id"))
         .distinct()
+        .limit(CDC_MAX_DELETE_IDS + 1)
         .collect()
     ]
+    if len(delete_ids) > CDC_MAX_DELETE_IDS:
+        raise ValueError(
+            f"change batch carries more than {CDC_MAX_DELETE_IDS} "
+            f"distinct delete/update ids — that is a historical diff, "
+            "not a micro-batch; chunk it into multiple change batches "
+            "(one apply per batch_id) instead of one giant apply"
+        )
     inserts = changes.where(F.col(op_col).isin(["I", "U"])).drop(op_col)
     return delete_ids, inserts
 

@@ -110,6 +110,32 @@ class TestSplitAndIds:
         with pytest.raises(ValueError, match="no 'op' column"):
             split_cdc_batch(no_op, "doc_id")
 
+    def test_oversized_delete_list_refused_with_sized_error(
+        self, spark, monkeypatch
+    ):
+        # r12 advisory: the micro-batch contract on the delete-id
+        # collect must be ENFORCED, not documented. Shrink the cap so
+        # the refusal (and its actionable message) is cheap to pin;
+        # limit(cap+1) also bounds what ever reaches the driver.
+        from ons_utils_spark.operators import cdc as cdc_mod
+
+        monkeypatch.setattr(cdc_mod, "CDC_MAX_DELETE_IDS", 5)
+        big = spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.lit("x").alias("body"),
+            F.lit("D").alias("op"),
+        )
+        with pytest.raises(ValueError, match="more than 5 .*chunk"):
+            split_cdc_batch(big, "doc_id")
+        # exactly at the cap is fine
+        ok = spark.range(5).select(
+            F.col("id").alias("doc_id"),
+            F.lit("x").alias("body"),
+            F.lit("D").alias("op"),
+        )
+        dels, _ = split_cdc_batch(ok, "doc_id")
+        assert sorted(dels) == [0, 1, 2, 3, 4]
+
 
 class TestBm25ApplyCdc:
     @pytest.fixture()

@@ -36,6 +36,7 @@ and a DuckDB replay agree bit-for-bit by construction.
 
 from __future__ import annotations
 
+import heapq
 from typing import Sequence, Union
 
 from pyspark.sql import Column as SparkCol, DataFrame as SparkDF
@@ -65,20 +66,30 @@ def _py_word_state(word: str) -> str:
     return SEP.join(word)
 
 
+#: Cap on the total adjacency slots (Σ per-word symbol gaps) the
+#: incremental trainer will index driver-side. ``max_words`` bounds the
+#: word COUNT but not word LENGTH; a pathological corpus of 1M
+#: thousand-char words would otherwise build a 10⁹-entry index. 32M
+#: slots ≈ a 1M-word natural-language vocabulary at ~32 chars/word —
+#: several GiB of index, comfortable on a driver, loudly not unbounded.
+BPE_MAX_INDEX_ENTRIES = 32_000_000
+
+
 def bpe_train(
     df: SparkDF,
     text_col: str,
     n_merges: int,
     max_words: int = 1_000_000,
+    max_index_entries: int = BPE_MAX_INDEX_ENTRIES,
 ) -> "list[tuple[str, str]]":
     """Learn ``n_merges`` BPE merges from a corpus → ordered list of
     ``(left, right)`` symbol pairs.
 
     One corpus-sized aggregation (tokenize → explode → word counts),
-    then the classic merge loop over the word-frequency table on the
-    driver (see the module docstring for why that placement is the
-    production shape). Pairs count with overlap (``zip(syms, syms[1:])``
-    — "aaa" holds (a,a) twice), each round merges the single best pair
+    then the merge loop over the word-frequency table on the driver
+    (see the module docstring for why that placement is the production
+    shape). Pairs count with overlap (``zip(syms, syms[1:])`` — "aaa"
+    holds (a,a) twice), each round merges the single best pair
     everywhere left-to-right non-overlapping ("aaa" → "(aa)a"), merged
     symbols are plain concatenations. Ties break by (count desc, pair
     asc); the loop stops early only when NO pair remains (every
@@ -86,8 +97,29 @@ def bpe_train(
     are bit-reproducible anywhere — including the DuckDB oracle, which
     unrolls the rounds as CTE stages.
 
+    The loop is INCREMENTAL (r12 verdict #4): pair counts live in one
+    dict maintained by per-merge deltas, the best pair comes from a
+    lazy max-heap, and each merge rewrites only the words it touches —
+    O(affected words) per round instead of a full recount, which is
+    what makes a 32k-merge production train over a 1M-word vocabulary
+    tractable (the old recount was ~10¹⁰ Python operations there).
+    Semantics are bit-identical to the naive recount loop by
+    construction, including its one subtlety: the state update is a
+    plain string ``replace`` of ``a+SEP+b``, which also fires across a
+    symbol boundary where the LEFT symbol merely ends with ``a`` and
+    the RIGHT merely starts with ``b`` (the encoder and the SQL oracle
+    replay exactly this rule, so training must too). Candidate words
+    per merge therefore come from a (last-char-of-left,
+    first-char-of-right) adjacency index — a complete superset of every
+    string-level match, since ``u.endswith(a)`` forces
+    ``u[-1] == a[-1]`` — and the final ``pat in state`` membership
+    check keeps exact string semantics. Equality against the recount
+    loop is pinned in tests over randomized corpora.
+
     ``max_words`` bounds the driver collect deterministically (freq
-    desc, word asc — the Zipf head carries the pair mass). Words
+    desc, word asc — the Zipf head carries the pair mass);
+    ``max_index_entries`` bounds the adjacency index the same sized way
+    (Σ word lengths, checked before any index is built). Words
     containing :data:`SEP` raise — the separator is the one reserved
     code point.
     """
@@ -112,24 +144,96 @@ def bpe_train(
             f"U+001F (first: {bad[0]!r}) — strip C0 control characters "
             "upstream"
         )
-    freqs = {_py_word_state(r["word"]): int(r["freq"]) for r in rows}
+    return _merge_loop(
+        [(r["word"], int(r["freq"])) for r in rows],
+        int(n_merges),
+        int(max_index_entries),
+    )
+
+
+def _merge_loop(
+    word_freqs: "list[tuple[str, int]]",
+    n_merges: int,
+    max_index_entries: int = BPE_MAX_INDEX_ENTRIES,
+) -> "list[tuple[str, str]]":
+    """The incremental driver-side merge loop over a word-frequency
+    table (split out of :func:`bpe_train` so the equality pin and the
+    scale probe can run it without a SparkSession)."""
+    total_slots = sum(max(len(w) - 1, 0) for w, _ in word_freqs)
+    if total_slots > max_index_entries:
+        raise ValueError(
+            f"word table carries {total_slots} adjacency slots, over "
+            f"the max_index_entries cap ({max_index_entries}) — lower "
+            "max_words (the frequency tail contributes negligible pair "
+            "mass) or raise the cap if the driver has the memory"
+        )
+    states = [_py_word_state(w) for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+
+    pair_counts: "dict[tuple[str, str], int]" = {}
+    # (last char of left symbol, first char of right symbol) → word ids.
+    # Complete for string-replace matching: pat = a+SEP+b occurring in a
+    # state means some adjacency (u, v) has u.endswith(a) and
+    # v.startswith(b), hence u[-1] == a[-1] and v[0] == b[0].
+    char_index: "dict[tuple[str, str], set[int]]" = {}
+    for i, st in enumerate(states):
+        f = freqs[i]
+        syms = st.split(SEP)
+        for u, v in zip(syms, syms[1:]):
+            pair_counts[(u, v)] = pair_counts.get((u, v), 0) + f
+            char_index.setdefault((u[-1], v[0]), set()).add(i)
+
+    # Lazy max-heap of (-count, pair): every count change pushes a new
+    # entry; stale tops (count no longer current) are discarded on pop.
+    # Tuple order reproduces the recount loop's (count desc, pair asc)
+    # tie-break exactly.
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
     merges: "list[tuple[str, str]]" = []
-    for _ in range(int(n_merges)):
-        counts: "dict[tuple[str, str], int]" = {}
-        for state, freq in freqs.items():
-            syms = state.split(SEP)
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + freq
-        if not counts:
+    for _ in range(n_merges):
+        while heap and pair_counts.get(heap[0][1], 0) != -heap[0][0]:
+            heapq.heappop(heap)
+        if not heap:
             break  # every word is a single symbol — nothing to merge
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        best = heapq.heappop(heap)[1]
         merges.append(best)
-        pat, rep = best[0] + SEP + best[1], best[0] + best[1]
-        # str.replace is left-to-right non-overlapping — BPE's rule.
-        freqs = {
-            state.replace(pat, rep): freq
-            for state, freq in freqs.items()
-        }
+        a, b = best
+        pat, rep = a + SEP + b, a + b
+        cand = char_index.get((a[-1], b[0]), ())
+        # C-level substring check over the candidate bucket only; the
+        # check is what keeps string semantics exact (the bucket may
+        # hold words whose adjacency merely shares boundary chars).
+        affected = [i for i in cand if pat in states[i]]
+        touched: "set[tuple[str, str]]" = set()
+        for i in affected:
+            f = freqs[i]
+            old_syms = states[i].split(SEP)
+            new_state = states[i].replace(pat, rep)
+            new_syms = new_state.split(SEP)
+            states[i] = new_state
+            old_adj = list(zip(old_syms, old_syms[1:]))
+            new_adj = list(zip(new_syms, new_syms[1:]))
+            for p in old_adj:
+                left = pair_counts[p] - f
+                if left:
+                    pair_counts[p] = left
+                else:
+                    del pair_counts[p]
+                touched.add(p)
+            for p in new_adj:
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                touched.add(p)
+            old_keys = {(u[-1], v[0]) for u, v in old_adj}
+            new_keys = {(u[-1], v[0]) for u, v in new_adj}
+            for k in old_keys - new_keys:
+                char_index[k].discard(i)
+            for k in new_keys - old_keys:
+                char_index.setdefault(k, set()).add(i)
+        for p in touched:
+            c = pair_counts.get(p)
+            if c:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 

@@ -59,6 +59,72 @@ def _py_encode(text, merges):
     return out
 
 
+def _recount_loop(word_freqs, n_merges):
+    """The pre-r13 full-recount merge loop, verbatim — the equality
+    reference for the incremental loop (r12 verdict #4: same merges,
+    bit-for-bit, including the string-replace cross-boundary rule)."""
+    freqs = {B.SEP.join(w): f for w, f in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for state, freq in freqs.items():
+            syms = state.split(B.SEP)
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        pat, rep = best[0] + B.SEP + best[1], best[0] + best[1]
+        freqs = {st.replace(pat, rep): fq for st, fq in freqs.items()}
+    return merges
+
+
+class TestIncrementalMergeLoop:
+    """`_merge_loop` (heap + delta counts + char-pair candidate index)
+    must be bit-identical to the full recount it replaced."""
+
+    def test_cross_boundary_replace_still_fires(self):
+        # After round 1 merges (x,a), the word "xab" holds adjacency
+        # (xa, b) — NOT the exact pair (a, b). Round 2 picks (a, b)
+        # (count 6 from "ab" beats (xa,b)'s 5), and the recount loop's
+        # string replace ALSO rewrites "xa␟b" → "xab" because xa ends
+        # with a. An exact-pair index would miss that word, leave
+        # (xa, b) alive, and emit a third merge; the char-pair index +
+        # substring check must reproduce the recount exactly: two
+        # merges, then silence.
+        wf = [("ab", 6), ("xab", 5), ("xa", 9)]
+        expected = _recount_loop(wf, 5)
+        assert expected == [("x", "a"), ("a", "b")]  # the trap is live
+        assert B._merge_loop(wf, 5) == expected
+
+    def test_fuzz_equality_with_recount_loop(self):
+        import random
+
+        rnd = random.Random(13)
+        for trial in range(30):
+            alpha = "ab" if trial % 3 == 0 else "abc"
+            words = {
+                "".join(
+                    rnd.choice(alpha)
+                    for _ in range(rnd.randint(1, 8))
+                ): rnd.randint(1, 9)
+                for _ in range(rnd.randint(2, 50))
+            }
+            wf = sorted(words.items())
+            n = rnd.randint(1, 25)
+            assert B._merge_loop(wf, n) == _recount_loop(wf, n), (
+                f"trial {trial}: incremental loop diverged"
+            )
+
+    def test_index_cap_is_a_sized_refusal(self):
+        wf = [("abcdefghij", 3), ("klmnop", 2)]
+        with pytest.raises(ValueError, match="max_index_entries"):
+            B._merge_loop(wf, 3, max_index_entries=10)
+        # at the exact slot total (9 + 5) it runs
+        assert B._merge_loop(wf, 1, max_index_entries=14)
+
+
 class TestBpeTrain:
     def test_matches_the_reference_merge_loop(self, spark, docs):
         got = B.bpe_train(docs, "body", n_merges=6)

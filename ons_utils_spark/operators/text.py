@@ -2041,3 +2041,40 @@ def chunk_documents(
         F.size(ctoks).cast("int").alias("n_tokens"),
         F.array_join(ctoks, " ").alias("chunk_text"),
     )
+
+
+def hash_embed(
+    df,
+    text_col: str,
+    dim: int = 16,
+    out_col: str = "embedding",
+):
+    """Hashed bag-of-tokens featurizer: ``out_col`` becomes a dense
+    ``array<double>`` of length ``dim`` where slot ``i`` counts the
+    tokens whose ``pmod(xxhash64(token), dim)`` lands on ``i`` — the
+    hashing trick (Weinberger et al. 2009), the deterministic
+    vocabulary-free stand-in for a model embedder that keeps the whole
+    chunk→embed→index→retrieve pipeline SQL-replayable (xxhash64 has a
+    bit-exact DuckDB twin in ``plans/oracle_xxh64.py``, and counts are
+    integer-valued doubles — no float accumulation anywhere).
+
+    Pure row-local expressions (no UDF, no shuffle): embedding a
+    100 TB chunk table is a map-only scan, O(tokens × dim) per row in
+    whole-stage codegen. Empty/NULL text embeds to the zero vector.
+    Use a real model UDF in its place when quality matters; every
+    downstream consumer (``ivf_sq_table_append``, ``hybrid_batch_topk``)
+    only sees ``array<double>``.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1 (got {dim})")
+    toks = F.coalesce(tokenize(text_col), F.array())
+    buckets = F.transform(
+        toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim))
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(
+            F.filter(buckets, lambda b: b == i)
+        ).cast("double"),
+    )
+    return df.withColumn(out_col, vec)

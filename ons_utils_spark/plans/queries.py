@@ -8892,6 +8892,154 @@ def q_bm25_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bm25_topk_indexed(lp, ls, _BM25_IDX_TERMS, topk=15)
 
 
+def _ann_cdc_oracle_sql() -> str:
+    """DuckDB twin of ``ann_table_apply_cdc`` on an IVF×SQ store: the
+    coarse Lloyd AND the grid train on the ORIGINAL base corpus (the
+    stored index the change batch must not retrain), the NET corpus
+    (survivors ∪ inserts ∪ updated NEW versions) is assigned with the
+    final centroids and encoded with the stored clamped grid, and the
+    query scans only its probed lists — delete/update visibility falls
+    out of the net-corpus reconstruction, exactly how the tombstone
+    watermark join + append partitions compose in the engine."""
+    stats, deltas, codes, terms = _sq_fragments(64)
+    kchain = _kmeans_ctes(
+        8, 2, 6, suffix="_c", with_prefix=False,
+        src_sql="baseorig", id_sql="vec_id",
+    )
+    return f"""
+    WITH baseorig AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    net AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        FROM embeddings
+        WHERE vec_id < 300 AND vec_id NOT IN (5, 17, 42)
+        UNION ALL
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        FROM embeddings WHERE vec_id >= 300 AND vec_id < 330
+        UNION ALL
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x * 0.5) AS embedding
+        FROM embeddings WHERE vec_id IN (5, 17)),
+    {kchain},
+    netv AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS vv
+        FROM net),
+    afn AS (
+        SELECT id, cid FROM (
+            SELECT n.id, c.cid,
+                   row_number() OVER (PARTITION BY n.id ORDER BY
+                       n.vv + list_dot_product(c.cvec, c.cvec)
+                       - 2 * list_dot_product(n.vec, c.cvec), c.cid)
+                       AS rn
+            FROM netv n CROSS JOIN c2_c c)
+        WHERE rn = 1),
+    st AS (SELECT {stats} FROM baseorig e),
+    sd AS (SELECT *, {deltas} FROM st),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id = 311),
+    qvf AS (SELECT CAST(embedding AS DOUBLE[]) AS vec,
+                   list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) AS qq
+            FROM embeddings WHERE vec_id = 311),
+    probe AS (
+        SELECT c.cid FROM c2_c c CROSS JOIN qvf
+        ORDER BY qvf.qq + list_dot_product(c.cvec, c.cvec)
+                 - 2 * list_dot_product(qvf.vec, c.cvec), c.cid
+        LIMIT 2),
+    enc AS (SELECT e.vec_id AS id, {codes}
+            FROM net e CROSS JOIN sd s)
+    SELECT enc.id, round({terms}, 6) AS adc_dist
+    FROM enc
+    JOIN afn ac ON enc.id = ac.id
+    JOIN probe p ON ac.cid = p.cid
+    CROSS JOIN sd s CROSS JOIN qv
+    ORDER BY adc_dist, enc.id
+    LIMIT 20
+    """
+
+
+@register(
+    "q_ann_cdc_upsert",
+    oracle=_ann_cdc_oracle_sql(),
+    description="CDC apply on the IVF×SQ serving table (operators/"
+    "cdc.py::ann_table_apply_cdc — the ANN half of the CDC surface, "
+    "r12 verdict #7; codec family auto-detected from the store meta): "
+    "the table builds and persists on vectors < 300, then ONE change "
+    "batch inserts vec_ids 300-329 (I), rewrites vectors 5 and 17 as "
+    "x*0.5 (U — exact in float AND double, so both engines agree "
+    "bit-for-bit; delete-then-reinsert under the even/odd split: "
+    "tombstones at batch 2B kill the base generation, the new "
+    "versions land at 2B+1 and outlive them), and drops vector 42 "
+    "(D). Serving an APPENDED query row (311) is then bit-identical "
+    "to a one-shot encode of the net corpus with the STORED index — "
+    "which is exactly what the oracle replays: base-restricted coarse "
+    "Lloyd + grid, net-corpus reconstruction in SQL, stored-centroid "
+    "assignment, clamped encode, probed-list scan. Scale: the change "
+    "batch costs O(batch) appends + O(ids) tombstones, never a "
+    "re-encode; replay of the same batch_id is exactly-once.",
+)
+def q_ann_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ons_utils_spark.operators import similarity as _sim
+    from ons_utils_spark.operators.cdc import ann_table_apply_cdc
+    from ons_utils_spark.operators.semantic import _py_dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < 300)
+    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+        base, dim=64, n_lists=8, coarse_iter=2,
+    )
+    idx = _sim.make_sq_index(coarse, vmin, vmax)
+    tmp = tempfile.mkdtemp(prefix="ann_cdc_")
+    try:
+        _sim.save_sq_table(coded, idx, tmp)
+        changes = (
+            emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 330))
+            .select("vec_id", "embedding", F.lit("I").alias("op"))
+            .unionByName(
+                emb.where(F.col("vec_id").isin([5, 17])).select(
+                    "vec_id",
+                    F.transform(
+                        "embedding", lambda x: x * F.lit(0.5)
+                    ).alias("embedding"),
+                    F.lit("U").alias("op"),
+                )
+            )
+            .unionByName(
+                emb.where(F.col("vec_id") == 42).select(
+                    "vec_id", "embedding", F.lit("D").alias("op")
+                )
+            )
+        )
+        ann_table_apply_cdc(
+            changes, tmp, "vec_id", "embedding", batch_id=0
+        )
+        lc, li = _sim.load_sq_table(spark, tmp)
+        q = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 311)
+            .collect()[0]["embedding"]
+        ]
+        qq = _py_dot(q, q)
+        probe = [
+            j for _, j in sorted(
+                (qq + _py_dot(c, c) - 2 * _py_dot(q, c), j)
+                for j, c in enumerate(li.coarse_centroids)
+            )[:2]
+        ]
+        frag = lc.where(F.col("__list").isin(probe)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _sim.ivf_sq_query(frag, li, q, n_probe=2, topk=20)
+
+
 #: Hybrid-retrieval query workload: (qid, term profile, query vec_id).
 #: Both oracle halves and the Spark query derive from this one tuple.
 _HYBRID_QUERIES = (
@@ -9244,6 +9392,279 @@ QUERIES["q_hybrid_mmr_pipeline"].oracle = _mmr_steps(
 )
 
 
+#: RAG-ingest workload: (qid, term profile). The query embedding is
+#: DERIVED from the terms by the same public rule as the chunks
+#: (hash_embed over the joined terms) — no embeddings-table dependency.
+_RAG_QUERIES = (
+    (1, ("vector", "stream", "merge")),
+    (2, ("customer", "query")),
+)
+_RAG_QDEF = ", ".join(
+    "(" + str(qid) + ", [" + ", ".join(f"'{t}'" for t in terms) + "])"
+    for qid, terms in _RAG_QUERIES
+)
+_RAG_CHUNK, _RAG_OVERLAP, _RAG_DIM = 32, 8, 16
+_RAG_LISTS, _RAG_PROBE, _RAG_RTOPK = 4, 2, 10
+
+
+def _rag_oracle_sql() -> str:
+    """The whole RAG ingestion pipeline replayed in SQL: token-window
+    chunking, the xxhash64 hashing-trick embedding (via the DuckDB
+    XXH64 from plans/oracle_xxh64.py — one hash per DISTINCT token),
+    the base-restricted coarse Lloyd + SQ grid (the stored-index image
+    of build-then-append), the clamped encode of EVERY chunk, per-query
+    probe selection + decoded ADC distances, batch BM25 over the net
+    chunk corpus, and the RRF fusion fold — bit-for-bit."""
+    from ons_utils_spark.plans.oracle_xxh64 import chain, str_hash_steps
+
+    stride = _RAG_CHUNK - _RAG_OVERLAP
+    dim, levels = _RAG_DIM, 255
+    stats, deltas, codes, terms = _sq_fragments(dim)
+    kchain = _kmeans_ctes(
+        _RAG_LISTS, 2, 6, vec_sql="embedding", suffix="_c",
+        with_prefix=False, train_join="tids", src_sql="cvec",
+        id_sql="id",
+    )
+    sql = _TOKS_CTE
+    sql += f""",
+    p AS (SELECT doc_id, toks, len(toks) AS n
+          FROM toks WHERE len(toks) > 0),
+    ch AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0,
+                   (1 + floor((greatest(n - {_RAG_CHUNK}, 0)
+                               + {stride} - 1) / {stride}))::INT - 1
+               )) AS chunk_id
+        FROM p),
+    ck AS MATERIALIZED (
+        SELECT doc_id * 1000 + chunk_id AS id, doc_id,
+               toks[chunk_id * {stride} + 1 :
+                    chunk_id * {stride} + {_RAG_CHUNK}] AS ctoks
+        FROM ch),
+    qdef AS (SELECT * FROM (VALUES {_RAG_QDEF}) AS t(qid, terms)),
+    rvocab AS (
+        SELECT DISTINCT tok FROM (
+            SELECT unnest(ctoks) AS tok FROM ck
+            UNION
+            SELECT lower(unnest(terms)) AS tok FROM qdef))"""
+    sql += chain("rvocab", str_hash_steps("th", "tok", "42"),
+                 "rvh", "rhash")
+    sql += f""",
+    rbuck AS (
+        SELECT tok,
+               ((CASE WHEN th >= 9223372036854775808
+                      THEN th - 18446744073709551616 ELSE th END)
+                % {dim} + {dim}) % {dim} AS bucket
+        FROM rhash),
+    dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS bucket),
+    cbk AS (
+        SELECT c.id, b.bucket, count(*)::DOUBLE AS cnt
+        FROM (SELECT id, unnest(ctoks) AS tok FROM ck) c
+        JOIN rbuck b USING (tok)
+        GROUP BY c.id, b.bucket),
+    cvec AS MATERIALIZED (
+        SELECT g.id,
+               list(coalesce(cb.cnt, 0.0) ORDER BY g.bucket)
+                   AS embedding
+        FROM (SELECT ck.id, dims.bucket FROM ck CROSS JOIN dims) g
+        LEFT JOIN cbk cb ON cb.id = g.id AND cb.bucket = g.bucket
+        GROUP BY g.id),
+    qbk AS (
+        SELECT q.qid, b.bucket, count(*)::DOUBLE AS cnt
+        FROM (SELECT qid, lower(unnest(terms)) AS tok FROM qdef) q
+        JOIN rbuck b USING (tok)
+        GROUP BY q.qid, b.bucket),
+    qvec AS (
+        SELECT g.qid,
+               list(coalesce(qb.cnt, 0.0) ORDER BY g.bucket) AS v
+        FROM (SELECT qid, dims.bucket FROM qdef CROSS JOIN dims) g
+        LEFT JOIN qbk qb ON qb.qid = g.qid AND qb.bucket = g.bucket
+        GROUP BY g.qid),
+    tids AS (SELECT id FROM ck WHERE doc_id % 2 = 0),
+    {kchain},
+    st AS (SELECT {stats} FROM cvec e JOIN tids t ON e.id = t.id),
+    sd AS (SELECT *, {deltas} FROM st),
+    enc AS (SELECT e.id AS id, {codes}
+            FROM cvec e CROSS JOIN sd s),
+    qq AS (SELECT qid, v, list_dot_product(v, v) AS vv FROM qvec),
+    probe AS (
+        SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                       q.vv + list_dot_product(c.cvec, c.cvec)
+                       - 2 * list_dot_product(q.v, c.cvec), c.cid)
+                       AS rn
+            FROM qq q CROSS JOIN c2_c c)
+        WHERE rn <= {_RAG_PROBE}),
+    annscan AS (
+        SELECT p.qid, enc.id, round({terms}, 6) AS adc_dist
+        FROM enc
+        JOIN af_c ac ON enc.id = ac.id
+        JOIN probe p ON ac.cid = p.cid
+        JOIN (SELECT qid, v FROM qvec) qv ON qv.qid = p.qid
+        CROSS JOIN sd s),
+    annr AS (
+        SELECT qid, id, r FROM (
+            SELECT qid, id, row_number() OVER (
+                PARTITION BY qid ORDER BY adc_dist, id) AS r
+            FROM annscan)
+        WHERE r <= {_RAG_RTOPK}),
+    bstats AS (
+        SELECT count(*) AS n,
+               sum(len(ctoks))::DOUBLE / count(*) AS avgdl
+        FROM ck),
+    bbase AS (SELECT id, len(ctoks) AS dl, unnest(ctoks) AS term
+              FROM ck),
+    qterms AS (SELECT DISTINCT qid, lower(unnest(terms)) AS term
+               FROM qdef),
+    vhits AS (SELECT * FROM bbase
+              WHERE term IN (SELECT term FROM qterms)),
+    btf AS (SELECT id, dl, term, count(*) AS tf
+            FROM vhits GROUP BY id, dl, term),
+    bdfs AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+    bcontrib AS (
+        SELECT q.qid, t.id,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl))
+                 AS c
+        FROM btf t JOIN bdfs d USING (term) JOIN qterms q USING (term)
+        CROSS JOIN bstats s),
+    lscored AS (
+        SELECT qid, id,
+               round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE),
+                     6) AS bm25
+        FROM bcontrib GROUP BY qid, id),
+    lexr AS (
+        SELECT qid, id, r FROM (
+            SELECT qid, id, row_number() OVER (
+                PARTITION BY qid ORDER BY bm25 DESC, id) AS r
+            FROM lscored)
+        WHERE r <= {_RAG_RTOPK}),
+    fused AS (
+        SELECT COALESCE(l.qid, a.qid) AS qid,
+               COALESCE(l.id, a.id) AS id,
+               round(COALESCE(1.0 / (60 + l.r), 0.0)
+                     + COALESCE(1.0 / (60 + a.r), 0.0), 6) AS rrf
+        FROM lexr l FULL OUTER JOIN annr a
+          ON l.qid = a.qid AND l.id = a.id)
+    SELECT CAST(qid AS BIGINT) AS query_id, id, rrf,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY rrf DESC, id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+    return sql
+
+
+@register(
+    "q_rag_ingest_retrieve",
+    oracle=_rag_oracle_sql(),
+    description="The RAG ingestion pipeline end-to-end in ONE plan "
+    "(r12 verdict #6): documents token-window-chunk (text.py::"
+    "chunk_documents, 32/8), every chunk embeds via the hashing-trick "
+    "featurizer (text.py::hash_embed — xxhash64 bucket counts, "
+    "map-only, SQL-replayable stand-in for a model embedder), the "
+    "even-doc chunks BUILD both serving stores (ivf_sq_build + "
+    "save_sq_table; bm25_index_append base batch) and the odd-doc "
+    "chunks arrive as APPENDED batches encoded/scored with the STORED "
+    "index (ivf_sq_table_append / bm25_index_append) — then one "
+    "hybrid_batch_topk serves a 2-query workload from both stores "
+    "with RRF fusion. Query embeddings derive from the query terms by "
+    "the same public hashing rule. The oracle replays chunking, one "
+    "XXH64 chain per DISTINCT token, the base-restricted coarse Lloyd "
+    "and SQ grid, the clamped full-corpus encode, per-query probes, "
+    "decoded ADC distances, batch BM25 over the net chunk corpus, and "
+    "the fusion fold bit-for-bit. Scale: chunk+embed is one map-only "
+    "scan; the stores grow by O(batch) appends; serving reads prune "
+    "to probed __list partitions and query-term postings.",
+)
+def q_rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ons_utils_spark.operators import retrieval as _retrieval
+    from ons_utils_spark.operators import similarity as _sim
+    from ons_utils_spark.operators.semantic import _py_dot
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = _text.chunk_documents(
+        docs, "doc_id", "text",
+        chunk_tokens=_RAG_CHUNK, overlap=_RAG_OVERLAP,
+    ).select(
+        (F.col("id") * 1000 + F.col("chunk_id")).cast("long")
+        .alias("vec_id"),
+        F.col("id").alias("doc_id"),
+        "chunk_text",
+    )
+    emb = _text.hash_embed(chunks, "chunk_text", dim=_RAG_DIM)
+    base = emb.where(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    more = emb.where(F.col("doc_id") % 2 == 1).localCheckpoint(eager=True)
+
+    queries = _text.hash_embed(
+        spark.createDataFrame(
+            [(qid, list(terms), " ".join(terms))
+             for qid, terms in _RAG_QUERIES],
+            "query_id bigint, terms array<string>, qtext string",
+        ),
+        "qtext", dim=_RAG_DIM,
+    ).drop("qtext").localCheckpoint(eager=True)
+
+    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+        base, dim=_RAG_DIM, n_lists=_RAG_LISTS, coarse_iter=2,
+    )
+    idx = _sim.make_sq_index(coarse, vmin, vmax)
+    tmp = tempfile.mkdtemp(prefix="rag_ingest_")
+    try:
+        _sim.save_sq_table(coded, idx, f"{tmp}/ann")
+        _sim.ivf_sq_table_append(
+            more.select("vec_id", "embedding"), f"{tmp}/ann", batch_id=0
+        )
+        _text.bm25_index_append(
+            base.select("vec_id", "chunk_text"),
+            "vec_id", "chunk_text", f"{tmp}/bm25",
+        )
+        _text.bm25_index_append(
+            more.select("vec_id", "chunk_text"),
+            "vec_id", "chunk_text", f"{tmp}/bm25", batch_id=1,
+        )
+        lp, ls = _text.load_bm25_index_incremental(spark, f"{tmp}/bm25")
+        union_vocab = sorted({
+            t.lower() for _, terms in _RAG_QUERIES for t in terms
+        })
+        lp = _text._filter_postings_terms(lp, union_vocab).localCheckpoint(
+            eager=True
+        )
+        ls = ls.localCheckpoint(eager=True)
+
+        lc, li = _sim.load_sq_table(spark, f"{tmp}/ann")
+        union_probes = sorted({
+            j
+            for r in queries.collect()
+            for _, j in sorted(
+                (
+                    _py_dot(r["embedding"], r["embedding"])
+                    + _py_dot(c, c)
+                    - 2 * _py_dot(r["embedding"], c),
+                    j,
+                )
+                for j, c in enumerate(li.coarse_centroids)
+            )[:_RAG_PROBE]
+        })
+        frag = lc.where(
+            F.col("__list").isin(union_probes)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _retrieval.hybrid_batch_topk(
+        lp, ls, frag, li, queries,
+        retriever_topk=_RAG_RTOPK, n_probe=_RAG_PROBE, topk=10,
+    ).orderBy("query_id", "rank")
+
+
 _CURATION_TERMS = ("customer", "query", "stream")
 _CURATION_IN = "(" + ", ".join(f"'{t}'" for t in _CURATION_TERMS) + ")"
 
@@ -9465,7 +9886,18 @@ def q_retrieve_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `no_oracle` rows.
 
 _GRADING_ORDER = [
-    # ================= r12 graded window (first 50) ====================
+    # ================= r13 graded window (first 50) ====================
+    # r13 rotation (VERDICT r12 ask #2): twelve slots turn over — the
+    # three named never-graded flagships (q_hybrid_retrieval_sq,
+    # q_bm25_prf_batch, q_model_scores — the last is bench-headline yet
+    # was never graded), the seven oldest-debt classes the verdict
+    # listed (q_srp_topk, q_quantized_embeddings, q_random_projection,
+    # q_salted_join, q_stateful_dedup_first, q_winnow_overlap,
+    # q_span_dedup), and the two NEW r13 queries (q_rag_ingest_retrieve
+    # — verdict ask #6, q_ann_cdc_upsert — ask #7) enter; twelve
+    # long-green shapes whose families keep graded representatives
+    # rotate to the tail (named at the head of the tail section).
+    # Never-graded debt: 53 → 43 (strictly below the 44 target).
     # r12 rotation (VERDICT r11 ask #2): sixteen slots turn over — the
     # twelve never-driver-graded classes the verdict named (this
     # round's SQ/retrieval flagships plus the long-never-graded heavies
@@ -9479,14 +9911,11 @@ _GRADING_ORDER = [
     # green rounds; the family keeps the flagship plus the two
     # retrieval-era compositions below) ---------------------------------
     "q_llm_data_pipeline",
-    # -- iterative / graph: both PageRank forms — the directed variant
-    # (dangling-mass redistribution CTE) had never been graded ----------
-    "q_pagerank",
+    # -- iterative / graph: the directed variant (dangling-mass CTE)
+    # keeps the family graded; q_pagerank (green r6-r12) rotates out ----
     "q_pagerank_directed",
-    # -- pandas grouped-apply parity (q_topk_orders_per_customer, green
-    # r1-r11, rotates out — rank windows stay graded via the funnel,
-    # SCD2, retrieval top-k, and KMV-quantile shapes) --------------------
-    "q_grouped_apply_spend_share",
+    # (q_grouped_apply_spend_share, green r1-r12, rotates out — pandas
+    # grouped-apply parity stays full-registry-checked + unit-pinned) ---
     # r12: deterministic hash-sample quantiles (bottom-k xxh64 chain
     # replayed in SQL) — never driver-graded before
     "q_sample_quantiles",
@@ -9502,7 +9931,8 @@ _GRADING_ORDER = [
     # -- exact-substring dedup: the incremental store form plus the
     # never-graded composed corpus rewrite (q_self_dedup_spans green
     # r8-r11 rotates out) ----------------------------------------------
-    "q_self_dedup_incremental",
+    # (q_self_dedup_incremental green r10-r12 rotates out; the composed
+    # corpus rewrite keeps exact-substring dedup graded) ----------------
     "q_self_dedup_corpus",
     # -- event analytics (q_funnel_conversion green r11 rotates out —
     # the state-machine rep keeps the family graded) ---------------------
@@ -9513,7 +9943,8 @@ _GRADING_ORDER = [
     # also rotate below for never-graded r12 flagships — postings,
     # hashing and embedding-dedup classes all keep graded reps via
     # q_dedup_clusters, q_url_dedup and q_kmeans_sampled) ----------------
-    "q_dedup_clusters",
+    # (q_dedup_clusters green r2-r12 rotates out — URL, image-dHash and
+    # the stateful/span/winnow classes below keep dedup graded) ---------
     # r12: URL canonicalization dedup — never driver-graded before
     "q_url_dedup",
     # r12 late rotation IN: perceptual image dedup (binary-payload
@@ -9522,6 +9953,15 @@ _GRADING_ORDER = [
     "q_image_dhash_dedup",
     # r12 late rotation IN: token-window RAG chunking — never graded
     "q_chunk_tokens",
+    # r13 IN: the oldest never-graded dedup / hashing / join debt
+    # classes the r12 verdict named --------------------------------------
+    "q_stateful_dedup_first",
+    "q_span_dedup",
+    "q_winnow_overlap",
+    "q_salted_join",
+    "q_srp_topk",
+    "q_quantized_embeddings",
+    "q_random_projection",
     # -- ANN serving, PQ codec family (q_pq_adc_scores and the plain
     # IVF x PQ form green r9-r11 rotate out; residual / persisted /
     # batch / incremental / refined keep every serving stage graded,
@@ -9529,10 +9969,11 @@ _GRADING_ORDER = [
     # (q_similarity_ivf_pq_residual, green r9-r11, rotates below late-
     # r12 — the residual geometry stays graded via the incremental and
     # deletes queries, both residual-config, plus the SQ residual below)
-    "q_similarity_ivf_pq_persisted",
+    # (q_similarity_ivf_pq_persisted green r10-r12 and _refined green
+    # r11-r12 rotate out — batch / incremental / deletes / batch_refined
+    # keep every PQ serving stage graded)
     "q_similarity_ivf_pq_batch",
     "q_similarity_ivf_pq_incremental",
-    "q_similarity_ivf_pq_refined",
     "q_similarity_ivf_pq_batch_refined",
     # r12: tombstone deletes — the maintenance op between append and
     # compaction, never driver-graded before (new this round)
@@ -9540,7 +9981,8 @@ _GRADING_ORDER = [
     # -- ANN serving, SQ codec family — r12 closes serving parity: the
     # whole matrix row enters the window (trained grid, IVF x SQ,
     # persisted SqIndex, batch scorer, incrementally-grown table) -------
-    "q_similarity_sq8",
+    # (q_similarity_sq8 green r11-r12 rotates out — six IVF×SQ forms
+    # plus SQ4 keep the grid codec graded)
     "q_similarity_ivf_sq",
     "q_similarity_ivf_sq_persisted",
     "q_similarity_ivf_sq_batch",
@@ -9554,8 +9996,12 @@ _GRADING_ORDER = [
     "q_similarity_sq4",
     # -- ingest-time normalization feeding exact retrieval --------------
     "q_normalized_similarity",
-    "q_mmr_rerank",
-    "q_hard_negatives_srp",
+    # (q_mmr_rerank and q_hard_negatives_srp, green r11-r12, rotate out
+    # — MMR stays graded via the fixed hybrid-MMR pipeline below, SRP
+    # via q_srp_topk / q_random_projection above)
+    # r13 IN: CDC apply on the ANN serving store (verdict ask #7 — the
+    # ANN half of cdc.py graded; new this round)
+    "q_ann_cdc_upsert",
     # -- lexical retrieval: the indexed form anchors the family
     # (q_bm25_topk / q_bm25_batch green r10-r11 rotate out — indexed
     # scoring is bit-identical to scan scoring by construction, and the
@@ -9569,12 +10015,24 @@ _GRADING_ORDER = [
     "q_bm25_cdc_upsert",
     "q_bm25_prf",
     "q_bm25_prf_indexed",
+    # r13 IN: the 3-bounded-jobs batch PRF (never graded, verdict-named)
+    "q_bm25_prf_batch",
     "q_best_passage",
     "q_retrieve_passages",
     # -- hybrid retrieval + rerank compositions -------------------------
     "q_hybrid_retrieval",
+    # r13 IN: the codec-agnostic SQ-backend hybrid (never graded,
+    # verdict-named)
+    "q_hybrid_retrieval_sq",
+    # r12's vacuous qid-0 filter fixed this round (qid 1, 5 rows) —
+    # stays in the window so the fix is driver-graded
     "q_hybrid_mmr_pipeline",
     "q_retrieve_rerank_pipeline",
+    # r13 IN: the RAG ingest-to-serve composition (verdict ask #6 —
+    # chunk → hash-embed → build+append both stores → hybrid retrieve)
+    "q_rag_ingest_retrieve",
+    # r13 IN: bench-headline yet never graded (verdict-named)
+    "q_model_scores",
     # -- text quality (q_gopher_quality green r11 rotates out — the
     # bigram-LM rep keeps the family graded) ------------------------------
     "q_bigram_logprob",
@@ -9586,19 +10044,32 @@ _GRADING_ORDER = [
     # rotates out too — equi-depth keeps the mergeable-sketch class
     # graded) ------------------------------------------------------------
     "q_equi_depth_histogram",
-    # -- streaming batch-twin representative ----------------------------
-    "q_view_to_click_attribution",
-    # -- multimodal -----------------------------------------------------
-    "q_multimodal_features",
-    # -- profiling drift (the numeric-bin form, green r10-r11, rotates
-    # out; the categorical form keeps the PSI class graded) --------------
-    "q_psi_drift_categorical",
+    # (q_view_to_click_attribution green r3-r12, q_multimodal_features
+    # green r1-r12 and q_psi_drift_categorical green r9-r12 rotate out —
+    # the streaming twin stays full-checked + pytest-pinned, the binary
+    # modality stays graded via q_image_dhash_dedup, profiling via the
+    # equi-depth histogram above)
     # r12: span-level decontamination's REDACTION half (interval
     # algebra + surgical rewrite) — never driver-graded before
     "q_redacted_corpus",
     # r12: Variant semi-structured path extraction — never driver-graded
     "q_variant_props",
     # ---- end of the driver's 50-slot graded window ----------------------
+    # r13: rotated OUT of the graded window (long-green shapes; every
+    # family keeps graded representatives — see the window comments).
+    # All remain oracle-checked every round via CORRECTNESS_FULL.
+    "q_pagerank",
+    "q_grouped_apply_spend_share",
+    "q_self_dedup_incremental",
+    "q_dedup_clusters",
+    "q_similarity_ivf_pq_persisted",
+    "q_similarity_ivf_pq_refined",
+    "q_similarity_sq8",
+    "q_mmr_rerank",
+    "q_hard_negatives_srp",
+    "q_view_to_click_attribution",
+    "q_multimodal_features",
+    "q_psi_drift_categorical",
     # r12: rotated OUT of the graded window (long-green shapes; every
     # family keeps graded representatives — see the window comments).
     # All remain oracle-checked every round via CORRECTNESS_FULL.
@@ -9635,12 +10106,8 @@ _GRADING_ORDER = [
     "q_constraint_audit",
     "q_curation_pipeline",
     "q_hard_negatives_srp_multi",
-    # r12, tail: batch indexed PRF and the SQ-backend hybrid — their
-    # constituent classes are all graded in the window
-    # (q_bm25_prf_indexed, q_similarity_ivf_sq_batch,
-    # q_hybrid_retrieval); full-registry checked every round
-    "q_bm25_prf_batch",
-    "q_hybrid_retrieval_sq",
+    # (q_bm25_prf_batch and q_hybrid_retrieval_sq moved INTO the graded
+    # window in r13 — the r12 verdict's named never-graded flagships.)
     # (q_similarity_sq4, q_similarity_ivf_sq_residual and
     # q_image_dhash_dedup moved INTO the graded window late-r12.)
     # r11: rotated OUT of the graded window (graded green since r1-r9,
@@ -9666,7 +10133,6 @@ _GRADING_ORDER = [
     "q_decontaminate",
     "q_customers_with_open_orders",
     "q_outer_join_order_counts",
-    "q_stateful_dedup_first",
     "q_lonely_late_suppliers",
     "q_big_spender_orders",
     "q_token_entropy",
@@ -9716,11 +10182,7 @@ _GRADING_ORDER = [
     "q_build_vocab",
     "q_oov_ratio",
     "q_length_cap",
-    "q_span_dedup",
     "q_training_order",
-    "q_model_scores",
-    "q_salted_join",
-    "q_quantized_embeddings",
     "q_rollup_cascade",
     "q_kfold_counts",
     # ---- r3 no_oracle holes, closed in r4: simhash has a full value-hash
@@ -9730,8 +10192,6 @@ _GRADING_ORDER = [
     "q_dedup_simhash",
     "q_similarity_ivf",
     "q_approx_aggregates",
-    "q_srp_topk",
-    "q_winnow_overlap",
     # swapped out of the graded window in r4 (their family is already
     # represented there) to make room for the new flagship ops; still
     # fully oracle-checked locally:
@@ -9752,7 +10212,10 @@ _GRADING_ORDER = [
     "q_forecast_revenue_change",
     # (q_pagerank and q_count_min_sketch moved into the graded window, r6)
     "q_small_quantity_selfjoin",
-    "q_random_projection",
+    # (the seven oldest never-graded debt classes — q_stateful_dedup_
+    # first, q_span_dedup, q_winnow_overlap, q_salted_join, q_srp_topk,
+    # q_quantized_embeddings, q_random_projection — and q_model_scores
+    # all moved INTO the graded window in r13, verdict ask #2.)
     # (q_pagerank_directed, q_redacted_corpus, q_self_dedup_corpus, and
     # q_sample_quantiles all rotated into the r12 window)
     # r8: bottom-k (KMV) mergeable distinct count (xxh64 chain replayed

@@ -1503,3 +1503,73 @@ class TestChunkDocuments:
             chunk_documents(
                 df, "doc_id", "body", chunk_tokens=4, overlap=4
             )
+
+
+class TestHashEmbed:
+    """Hashing-trick featurizer (text.hash_embed) — the deterministic
+    SQL-replayable embedder feeding the RAG ingest pipeline
+    (q_rag_ingest_retrieve replays it in DuckDB via the XXH64 shim)."""
+
+    def test_counts_match_manual_bucketing(self, spark):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.text import hash_embed
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta alpha gamma")], "id long, body string"
+        )
+        got = hash_embed(df, "body", dim=8).collect()[0]["embedding"]
+        # the same engine's xxhash64 is the ground truth for buckets
+        buckets = {
+            r["t"]: r["b"]
+            for r in spark.createDataFrame(
+                [("alpha",), ("beta",), ("gamma",)], "t string"
+            )
+            .select("t", F.pmod(F.xxhash64("t"), F.lit(8)).alias("b"))
+            .collect()
+        }
+        want = [0.0] * 8
+        for tok in ["alpha", "beta", "alpha", "gamma"]:
+            want[buckets[tok]] += 1.0
+        assert got == want
+        assert sum(got) == 4.0  # every token lands in exactly one slot
+
+    def test_null_and_empty_text_embed_to_zero_vector(self, spark):
+        from ons_utils_spark.operators.text import hash_embed
+
+        df = spark.createDataFrame(
+            [(0, None), (1, "   ")], "id long, body string"
+        )
+        rows = {r["id"]: r["embedding"]
+                for r in hash_embed(df, "body", dim=4).collect()}
+        assert rows[0] == [0.0] * 4
+        assert rows[1] == [0.0] * 4
+
+    def test_case_insensitive_like_tokenize(self, spark):
+        from ons_utils_spark.operators.text import hash_embed
+
+        df = spark.createDataFrame(
+            [(0, "Spark SPARK spark")], "id long, body string"
+        )
+        vec = hash_embed(df, "body", dim=16).collect()[0]["embedding"]
+        assert sorted(vec) == [0.0] * 15 + [3.0]
+
+    def test_dim_validation(self, spark):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.text import hash_embed
+
+        df = spark.createDataFrame([(0, "x")], "id long, body string")
+        with _pytest.raises(ValueError, match="dim"):
+            hash_embed(df, "body", dim=0)
+
+    def test_plan_is_pure_expressions(self, spark):
+        from ons_utils_spark.operators.text import hash_embed
+
+        df = spark.createDataFrame([(0, "a b c")], "id long, body string")
+        plan = (
+            hash_embed(df, "body", dim=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

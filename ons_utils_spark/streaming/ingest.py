@@ -544,3 +544,106 @@ def hybrid_cdc_ingest_writer(
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def rag_ingest_writer(
+    stream_df,
+    bm25_store_path: str,
+    ann_store_path: str,
+    *,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    embed_dim: int = 16,
+    chunk_id_factor: int = 1000,
+    method: str = "auto",
+):
+    """The streaming twin of ``q_rag_ingest_retrieve``: RAW documents
+    in, both retrieval stores maintained at CHUNK granularity. Each
+    micro-batch token-window-chunks its documents
+    (``text.chunk_documents``), embeds every chunk with the hashed
+    bag-of-tokens featurizer (``text.hash_embed`` — swap in a model
+    UDF for quality; the writer only needs SOME deterministic
+    ``array<double>``), and appends the chunks to the incremental BM25
+    index and the ANN serving table (codec family auto-detected, the
+    ``hybrid_ingest_writer`` recipe) under one global chunk key
+    ``doc_id·chunk_id_factor + chunk_id``.
+
+    Exactly-once composes unchanged from the per-store appends: the
+    chunk/embed step is a deterministic row-local function of the
+    batch, both appends key on the SAME micro-batch id, and each is
+    replay-idempotent — a retry re-derives identical chunks and
+    statically overwrites its two partitions. ``chunk_id_factor``
+    bounds the per-document chunk count the key space can hold; the
+    writer CHECKS each batch's max chunk_id against it and raises
+    (rather than silently aliasing another document's chunks — the
+    BM25 append would only notice the collision later, via its
+    witness, as a corrupt-store error).
+    The ANN store must exist (index trained offline on a base corpus
+    of chunks); the BM25 store is created by its first append;
+    checkpoint REQUIRED. Cross-store lag is one trigger at most and
+    observable via ``retrieval.check_hybrid_store_sync``.
+    """
+    from pyspark.sql import functions as F
+
+    from ons_utils_spark.operators.retrieval import ann_store_family
+
+    ann_family = ann_store_family(stream_df.sparkSession, ann_store_path)
+
+    def process(batch, batch_id: int) -> None:
+        from ons_utils_spark.operators.text import (
+            bm25_index_append, chunk_documents, hash_embed,
+        )
+
+        chunks = hash_embed(
+            chunk_documents(
+                batch, id_col, text_col,
+                chunk_tokens=chunk_tokens, overlap=overlap,
+            ).select(
+                (F.col("id") * chunk_id_factor + F.col("chunk_id"))
+                .cast("long").alias("__chunk_key"),
+                "chunk_id",
+                "chunk_text",
+            ),
+            "chunk_text", dim=embed_dim,
+        )
+        # One materialization feeds both stores' views of the batch —
+        # a source re-read must not diverge between them, and the
+        # chunk+embed work runs once, not once per store.
+        chunks = chunks.localCheckpoint(eager=True)
+        top = chunks.agg(F.max("chunk_id").alias("m")).collect()[0]["m"]
+        if top is not None and top >= chunk_id_factor:
+            raise ValueError(
+                f"a document in batch {batch_id} produced chunk_id "
+                f"{top} >= chunk_id_factor ({chunk_id_factor}) — its "
+                "chunk keys would alias another document's; raise "
+                "chunk_id_factor (or chunk_tokens) for this corpus"
+            )
+        chunks = chunks.drop("chunk_id")
+        bm25_index_append(
+            chunks, "__chunk_key", "chunk_text", bm25_store_path,
+            batch_id=batch_id,
+        )
+        if ann_family == "pq":
+            from ons_utils_spark.operators.pq import ivf_pq_table_append
+
+            ivf_pq_table_append(
+                chunks, ann_store_path, id_col="__chunk_key",
+                vec_col="embedding", batch_id=batch_id, method=method,
+            )
+        else:
+            from ons_utils_spark.operators.similarity import (
+                ivf_sq_table_append,
+            )
+
+            ivf_sq_table_append(
+                chunks, ann_store_path, id_col="__chunk_key",
+                vec_col="embedding", batch_id=batch_id, method=method,
+            )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -907,3 +907,139 @@ class TestHybridCdcIngestWriter:
         assert [tuple(r) for r in got_q.orderBy("id").collect()] == [
             tuple(r) for r in want_q.orderBy("id").collect()
         ]
+
+
+class TestRagIngestWriter:
+    def test_streamed_chunks_equal_oneshot_pipeline(self, spark, tmp_path):
+        """RAW documents stream in; the writer chunks, hash-embeds and
+        appends both stores at chunk granularity — serving over the
+        folded stores equals the one-shot chunk/embed/build (the
+        q_rag_ingest_retrieve composition, streamed)."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators import retrieval, text
+        from ons_utils_spark.operators import similarity as sim
+        from ons_utils_spark.streaming.ingest import rag_ingest_writer
+
+        texts = [
+            "spark engine merge vector stream alpha beta gamma",
+            "rareword vector stream merge spark engine delta",
+            "plain filler words only here nothing shared",
+            "stream merge spark vector rareword epsilon zeta eta",
+        ]
+        schema = "doc_id bigint, text string"
+        full = spark.createDataFrame(list(enumerate(texts)), schema)
+
+        chunks_full = text.hash_embed(
+            text.chunk_documents(
+                full, "doc_id", "text", chunk_tokens=4, overlap=1
+            ).select(
+                (F.col("id") * 1000 + F.col("chunk_id"))
+                .cast("long").alias("__chunk_key"),
+                "chunk_text",
+            ),
+            "chunk_text", dim=8,
+        ).localCheckpoint(eager=True)
+
+        # index trained offline on the full chunk corpus, stored EMPTY
+        # — every chunk then arrives via the stream
+        coded, coarse, vmin, vmax = sim.ivf_sq_build(
+            chunks_full, "__chunk_key", "embedding",
+            dim=8, n_lists=2, coarse_iter=1,
+        )
+        idx = sim.make_sq_index(coarse, vmin, vmax)
+        ann_store = str(tmp_path / "ann")
+        sim.save_sq_table(coded.where("id < 0"), idx, ann_store)
+
+        stream_dir = str(tmp_path / "in")
+        for lo, hi in ((0, 2), (2, 4)):
+            full.where(
+                f"doc_id >= {lo} and doc_id < {hi}"
+            ).coalesce(1).write.mode("append").parquet(stream_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        bm25_store = str(tmp_path / "bm25")
+        q = (
+            rag_ingest_writer(
+                stream, bm25_store, ann_store,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                chunk_tokens=4, overlap=1, embed_dim=8,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        lp, ls, lc, li = retrieval.load_hybrid_stores(
+            spark, bm25_store, ann_store
+        )
+        qvec = text.hash_embed(
+            spark.createDataFrame(
+                [("rareword vector",)], "qt string"
+            ), "qt", dim=8,
+        ).collect()[0]["embedding"]
+        queries = spark.createDataFrame(
+            [(1, ["rareword", "vector"], [float(x) for x in qvec])],
+            "query_id bigint, terms array<string>, "
+            "embedding array<double>",
+        )
+        streamed = retrieval.hybrid_batch_topk(
+            lp, ls, lc, li, queries, retriever_topk=5, topk=5
+        )
+        whole_p, whole_s = text.bm25_index_build(
+            chunks_full, "__chunk_key", "chunk_text"
+        )
+        fresh = retrieval.hybrid_batch_topk(
+            whole_p, whole_s, coded, idx, queries,
+            retriever_topk=5, topk=5,
+        )
+        got = sorted(map(tuple, streamed.collect()))
+        assert got == sorted(map(tuple, fresh.collect()))
+        assert got  # the equality must not be vacuous
+
+    def test_chunk_key_aliasing_refused(self, spark, tmp_path):
+        """A document chunking past chunk_id_factor would alias another
+        document's keys — the writer must refuse the batch loudly, not
+        let the BM25 witness discover a corrupt store later."""
+        import pytest as _pytest
+
+        from ons_utils_spark.operators import similarity as sim
+        from ons_utils_spark.streaming.ingest import rag_ingest_writer
+
+        long_doc = " ".join(f"tok{i}" for i in range(40))
+        schema = "doc_id bigint, text string"
+        df = spark.createDataFrame([(7, long_doc)], schema)
+
+        base = sim.sq_train(
+            spark.createDataFrame(
+                [(0, [0.0] * 8)], "id bigint, embedding array<double>"
+            ), dim=8,
+        )
+        coded, coarse, vmin, vmax = sim.ivf_sq_build(
+            spark.createDataFrame(
+                [(0, [0.0] * 8), (1, [1.0] * 8)],
+                "vec_id bigint, embedding array<double>",
+            ), dim=8, n_lists=1, coarse_iter=1,
+        )
+        idx = sim.make_sq_index(coarse, vmin, vmax)
+        ann_store = str(tmp_path / "ann")
+        sim.save_sq_table(coded.where("id < 0"), idx, ann_store)
+
+        stream_dir = str(tmp_path / "in")
+        df.coalesce(1).write.parquet(stream_dir)
+        stream = spark.readStream.schema(schema).parquet(stream_dir)
+        q = (
+            rag_ingest_writer(
+                stream, str(tmp_path / "bm25"), ann_store,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                chunk_tokens=4, overlap=1, embed_dim=8,
+                chunk_id_factor=4,  # 40 tokens / stride 3 >> 4 chunks
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        with _pytest.raises(Exception, match="chunk_id_factor"):
+            q.awaitTermination(120)

@@ -107,6 +107,13 @@ HEADLINE = [
     "q_bm25_indexed",
     "q_similarity_ivf_pq_batch",
     "q_hybrid_retrieval",
+    # Round-13 addition: the RAG ingest-to-serve composition (chunk →
+    # hash-embed → build + append BOTH stores → hybrid retrieve) — the
+    # end-to-end ingestion flagship; a regression anywhere in the
+    # chunking expressions, the hashed featurizer, the store appends,
+    # or the fused serving path moves this tracked number. Tail-only:
+    # the shared-16 channel stays comparable across rounds.
+    "q_rag_ingest_retrieve",
 ]
 
 

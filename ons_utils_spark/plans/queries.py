@@ -9604,6 +9604,10 @@ def q_rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.where(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
     more = emb.where(F.col("doc_id") % 2 == 1).localCheckpoint(eager=True)
 
+    # NOT localCheckpoint'd: the plan is a 2-row literal + row-local
+    # hash fold — recomputing it per consumer is free, and keeping the
+    # LocalRelation means its size stats stay known-small for every
+    # broadcast decision downstream.
     queries = _text.hash_embed(
         spark.createDataFrame(
             [(qid, list(terms), " ".join(terms))
@@ -9611,7 +9615,7 @@ def q_rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id bigint, terms array<string>, qtext string",
         ),
         "qtext", dim=_RAG_DIM,
-    ).drop("qtext").localCheckpoint(eager=True)
+    ).drop("qtext")
 
     coded, coarse, vmin, vmax = _sim.ivf_sq_build(
         base, dim=_RAG_DIM, n_lists=_RAG_LISTS, coarse_iter=2,

@@ -83,6 +83,10 @@ ALLOWED = {
     # backend variant inherits the identical lexical half.
     ("q_hybrid_retrieval", "BroadcastNestedLoopJoin"),
     ("q_hybrid_retrieval_sq", "BroadcastNestedLoopJoin"),
+    # The RAG ingest-to-serve composition serves its lexical half
+    # through the same batch indexed scorer — the identical 1-row
+    # folded-stats broadcast cross join, over the CHUNK corpus.
+    ("q_rag_ingest_retrieve", "BroadcastNestedLoopJoin"),
     ("q_price_histogram", "BroadcastNestedLoopJoin"),
     ("q_vocab_coverage", "BroadcastNestedLoopJoin"),
     # The temperature-mixture anchor window runs over the |groups|-row

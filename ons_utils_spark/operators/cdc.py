@@ -202,3 +202,81 @@ def ann_table_apply_cdc(
             inserts, store_path, id_col=id_col, vec_col=vec_col,
             batch_id=ins_batch, method=method,
         )
+
+
+#: Bound on the number of logical batches one history replay will walk.
+#: Each batch costs two partition writes per store; 10k batches is a
+#: year of hourly feeds — past that the caller should compact the feed
+#: upstream (net-effect per id), not replay every intermediate state.
+CDC_MAX_HISTORY_BATCHES = 10_000
+
+
+def apply_cdc_history(
+    changes: SparkDF,
+    store_path: str,
+    id_col: str,
+    payload_col: str,
+    target: str,
+    batch_col: str = "batch_id",
+    op_col: str = "op",
+    method: str = "auto",
+) -> "list[int]":
+    """Replay a HISTORICAL change feed — many logical batches in one
+    frame, distinguished by ``batch_col`` — against a serving store,
+    in batch order. This is the actionable path the oversized-batch
+    refusal in :func:`split_cdc_batch` points at: each logical batch
+    applies through the micro-batch path (``bm25_index_apply_cdc`` for
+    ``target="bm25"``, :func:`ann_table_apply_cdc` for ``"ann"``), so
+    the per-batch delete-id cap, the even/odd split, and exactly-once
+    replay all compose unchanged — re-running the whole history after
+    a crash statically overwrites the same partitions.
+
+    Ordering is the caller's contract exactly as in streaming CDC:
+    batch ids apply ascending, and same-id changes must live in
+    batch-id order (an update in batch 3 must not be replayed before
+    the insert in batch 1). Returns the batch ids applied, ascending.
+    NULL batch ids raise (a change that belongs to no batch cannot be
+    ordered); more than :data:`CDC_MAX_HISTORY_BATCHES` distinct
+    batches raises with the upstream-compaction message.
+    """
+    if target not in ("bm25", "ann"):
+        raise ValueError(
+            f"target must be 'bm25' or 'ann' (got {target!r})"
+        )
+    if batch_col not in changes.columns:
+        raise ValueError(
+            f"history frame has no {batch_col!r} column — a historical "
+            "feed must say which logical batch each change belongs to"
+        )
+    rows = (
+        changes.select(F.col(batch_col).alias("b"))
+        .distinct()
+        .orderBy("b")
+        .limit(CDC_MAX_HISTORY_BATCHES + 1)
+        .collect()
+    )
+    batch_ids = [r["b"] for r in rows]
+    if any(b is None for b in batch_ids):
+        raise ValueError(
+            f"NULL {batch_col!r} in the history frame — every change "
+            "must belong to a batch"
+        )
+    if len(batch_ids) > CDC_MAX_HISTORY_BATCHES:
+        raise ValueError(
+            f"history carries more than {CDC_MAX_HISTORY_BATCHES} "
+            "logical batches — compact the feed upstream (net effect "
+            "per id) instead of replaying every intermediate state"
+        )
+    for b in batch_ids:
+        sub = changes.where(F.col(batch_col) == b).drop(batch_col)
+        if target == "bm25":
+            bm25_index_apply_cdc(
+                sub, store_path, id_col, payload_col,
+                batch_id=int(b), op_col=op_col,
+            )
+        else:
+            ann_table_apply_cdc(
+                sub, store_path, id_col, payload_col,
+                batch_id=int(b), op_col=op_col, method=method,
+            )
+    return [int(b) for b in batch_ids]

@@ -269,3 +269,93 @@ class TestAnnApplyCdc:
         # the updated vector's NEW embedding serves (it is its own
         # nearest neighbour at distance ~0)
         assert got.collect()[0]["id"] == 3
+
+
+class TestApplyCdcHistory:
+    """apply_cdc_history — the chunk-by-batch path the oversized-batch
+    refusal points at: a multi-batch history frame replays in batch
+    order through the micro-batch applies."""
+
+    def _serve(self, spark, store):
+        lp, ls = T.load_bm25_index_incremental(spark, store)
+        return _rows(
+            T.bm25_topk_indexed(lp, ls, ["omega", "beta"], topk=40),
+            "id",
+        )
+
+    def test_history_equals_sequential_applies(
+        self, spark, docs, tmp_path
+    ):
+        from ons_utils_spark.operators.cdc import apply_cdc_history
+
+        b0 = _changes(spark, docs)  # insert 100/101, rewrite 3, drop 7
+        # batch 1 edits batch 0's own output: rewrites an inserted doc
+        # and drops the updated one — ordering across batches matters
+        b1 = (
+            spark.createDataFrame(
+                [(100, "omega omega rewritten")],
+                "doc_id long, body string",
+            )
+            .select("doc_id", "body", F.lit("U").alias("op"))
+            .unionByName(
+                spark.createDataFrame(
+                    [(3, "x")], "doc_id long, body string"
+                ).select("doc_id", "body", F.lit("D").alias("op"))
+            )
+        )
+        history = b0.withColumn("batch_id", F.lit(0)).unionByName(
+            b1.withColumn("batch_id", F.lit(1))
+        )
+
+        seq_store = str(tmp_path / "seq")
+        T.bm25_index_append(docs, "doc_id", "body", seq_store)
+        bm25_index_apply_cdc(b0, seq_store, "doc_id", "body", batch_id=0)
+        bm25_index_apply_cdc(b1, seq_store, "doc_id", "body", batch_id=1)
+
+        hist_store = str(tmp_path / "hist")
+        T.bm25_index_append(docs, "doc_id", "body", hist_store)
+        from ons_utils_spark.operators import cdc as cdc_mod
+
+        applied = apply_cdc_history(
+            history, hist_store, "doc_id", "body", target="bm25"
+        )
+        assert applied == [0, 1]
+        got = self._serve(spark, hist_store)
+        assert got == self._serve(spark, seq_store)
+        assert got  # not vacuous
+
+    def test_validation(self, spark, docs, tmp_path, monkeypatch):
+        from ons_utils_spark.operators import cdc as cdc_mod
+        from ons_utils_spark.operators.cdc import apply_cdc_history
+
+        store = str(tmp_path / "s")
+        with pytest.raises(ValueError, match="target"):
+            apply_cdc_history(
+                docs.withColumn("op", F.lit("I"))
+                .withColumn("batch_id", F.lit(0)),
+                store, "doc_id", "body", target="hive",
+            )
+        with pytest.raises(ValueError, match="no 'batch_id'"):
+            apply_cdc_history(
+                docs.withColumn("op", F.lit("I")),
+                store, "doc_id", "body", target="bm25",
+            )
+        null_b = (
+            docs.limit(1)
+            .withColumn("op", F.lit("I"))
+            .withColumn("batch_id", F.lit(None).cast("long"))
+        )
+        with pytest.raises(ValueError, match="NULL 'batch_id'"):
+            apply_cdc_history(
+                null_b, store, "doc_id", "body", target="bm25"
+            )
+        monkeypatch.setattr(cdc_mod, "CDC_MAX_HISTORY_BATCHES", 2)
+        wide = (
+            docs.limit(3)
+            .withColumn("op", F.lit("I"))
+            .withColumn("batch_id", F.col("doc_id"))
+        )
+        with pytest.raises(ValueError, match="more than 2 .*compact"):
+            apply_cdc_history(
+                wide, store, "doc_id", "body", target="bm25"
+            )

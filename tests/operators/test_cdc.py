@@ -314,8 +314,6 @@ class TestApplyCdcHistory:
 
         hist_store = str(tmp_path / "hist")
         T.bm25_index_append(docs, "doc_id", "body", hist_store)
-        from ons_utils_spark.operators import cdc as cdc_mod
-
         applied = apply_cdc_history(
             history, hist_store, "doc_id", "body", target="bm25"
         )

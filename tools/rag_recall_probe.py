@@ -69,11 +69,6 @@ def main() -> None:
 
     import numpy as np
 
-    mat = np.array(
-        [[float(x) for x in r["embedding"]] for r in emb.collect()]
-    )
-    all_ids = np.array([r["vec_id"] for r in emb.select("vec_id").collect()])
-    # recompute in one collect order
     rows = emb.collect()
     mat = np.array([[float(x) for x in r["embedding"]] for r in rows])
     all_ids = np.array([r["vec_id"] for r in rows])

@@ -30,6 +30,7 @@ from typing import Mapping, Optional, Sequence, Union
 from pyspark.sql import DataFrame as SparkDF, Window, functions as F
 
 from ons_utils_spark.generic import list_convert
+from ons_utils_spark.functions.localrel import local_rows_df
 from ons_utils_spark.operators.text import shingle_hash64, tokenize
 
 #: Default redaction patterns. Deliberately lookahead-free so the same
@@ -1179,8 +1180,8 @@ def vocab_coverage(
         "__is_last",
         F.col("k") == F.max("k").over(Window.partitionBy()),
     )
-    req = df.sparkSession.createDataFrame(
-        [(int(k),) for k in ks], "k_req int"
+    req = local_rows_df(
+        df.sparkSession, [(int(k),) for k in ks], "k_req int"
     )
     # Exact match for k ≤ vocab size; the last rank stands in for any
     # oversized k (its coverage is 1.0 by construction). Both sides of

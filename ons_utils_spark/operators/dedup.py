@@ -36,6 +36,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
 
 from ons_utils_spark.generic import list_convert
+from ons_utils_spark.functions.localrel import local_rows_df
 from ons_utils_spark.operators.text import shingle_hash64
 
 #: Mersenne prime 2^31 - 1: modulus for the universal-hash family used by
@@ -1261,8 +1262,9 @@ def near_dup_representatives(
                 parent[hi] = lo
         spark = ids.sparkSession
         label_rows = [(x, find(x)) for x in list(parent)]
-        labels = spark.createDataFrame(
-            label_rows, schema=E.select(F.col("u").alias("id"), F.col("v").alias("rep_id")).schema
+        labels = local_rows_df(
+            spark, label_rows,
+            E.select(F.col("u").alias("id"), F.col("v").alias("rep_id")).schema,
         )
         out = ids.select(F.col(id_col).alias("id")).join(
             F.broadcast(labels.select("id", F.col("rep_id").alias("__rep"))),

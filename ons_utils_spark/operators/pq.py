@@ -33,6 +33,7 @@ from typing import List, NamedTuple, Sequence, Tuple
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
 from ons_utils_spark.functions.arrays import array_dot
+from ons_utils_spark.functions.localrel import local_rows_df
 from ons_utils_spark.operators.semantic import (
     _assign,
     _py_dot,
@@ -762,7 +763,7 @@ def ivf_pq_topk_refined(
     # Rebuild the shortlist from the collected rows under stage 1's OWN
     # schema — the id dtype follows the coded table (int/bigint/string),
     # same generality contract as the rest of the family.
-    cand = spark.createDataFrame(cand_rows, stage1.schema)
+    cand = local_rows_df(spark, cand_rows, stage1.schema)
     ids = [r["id"] for r in cand_rows]
     fetched = (
         source.where(F.col(id_col).isin(ids))
@@ -966,10 +967,12 @@ def save_ivf_pq_index(
         [("rotation", -1, j, r) for j, r in enumerate(index.rotation)]
         if index.rotation is not None else []
     )
-    vectors = spark.createDataFrame(
-        rows, "component string, subspace int, idx int, vec array<double>"
+    vectors = local_rows_df(
+        spark, rows,
+        "component string, subspace int, idx int, vec array<double>",
     )
-    meta = spark.createDataFrame(
+    meta = local_rows_df(
+        spark,
         [(
             _INDEX_FORMAT_VERSION, index.by_residual, index.round_dp,
             index.n_lists, index.m, index.k, index.sub_d,
@@ -1368,8 +1371,8 @@ def _coded_table_delete(
         spark.read.parquet(f"{store_path}/coded_{generation}")
         .schema["id"].dataType
     )
-    ids_df = spark.createDataFrame(
-        [(x,) for x in ids],
+    ids_df = local_rows_df(
+        spark, [(x,) for x in ids],
         StructType([StructField("id", id_type, nullable=False)]),
     )
     append_tombstones(
@@ -1867,7 +1870,7 @@ def ivf_pq_batch_topk_chunked(
     out = None
     step = int(chunk_queries)
     for i in range(0, len(rows), step):
-        part = spark.createDataFrame(rows[i:i + step], projected.schema)
+        part = local_rows_df(spark, rows[i:i + step], projected.schema)
         res = ivf_pq_batch_topk(
             coded, index, part, query_id_col=query_id_col,
             vec_col=vec_col, n_probe=n_probe, topk=topk,

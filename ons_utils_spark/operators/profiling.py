@@ -14,6 +14,7 @@ from typing import Sequence, Union
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
 from ons_utils_spark.generic import list_convert
+from ons_utils_spark.functions.localrel import local_rows_df
 
 
 def heavy_hitters(
@@ -556,8 +557,9 @@ def psi_drift_categorical(
         .groupBy("category")
         .agg(F.count(F.lit(1)).alias("n_cur"))
     )
-    frame = spark.createDataFrame(
-        [(c,) for c in anchors] + [(other_label,)], "category string"
+    frame = local_rows_df(
+        spark, [(c,) for c in anchors] + [(other_label,)],
+        "category string",
     )
     counts = (
         frame.join(n_ref, "category", "left")

@@ -45,6 +45,7 @@ from typing import List, Sequence, Tuple
 from pyspark.sql import DataFrame as SparkDF, Window, functions as F
 
 from ons_utils_spark.functions.arrays import array_dot
+from ons_utils_spark.functions.localrel import local_rows_df
 
 #: Knuth's multiplicative-hash constant (2^32 / golden ratio), public domain.
 KNUTH_HASH = 2654435761
@@ -360,7 +361,8 @@ def cluster_summary(
     # Round via F.round (half away from zero, matching DuckDB's round in
     # the oracle) — Python's round() is half-to-even and would diverge on
     # an exact tie at the (round_dp+1)-th decimal.
-    norms = spark.createDataFrame(
+    norms = local_rows_df(
+        spark,
         [(j, math.sqrt(_py_dot(c, c))) for j, c in enumerate(cents)],
         "cluster int, __norm_raw double",
     ).select(

@@ -32,6 +32,7 @@ from ons_utils_spark.functions.arrays import (
     array_l2_norm,
     cosine_similarity,
 )
+from ons_utils_spark.functions.localrel import local_rows_df
 
 
 def cosine_topk(
@@ -813,10 +814,11 @@ def save_sq_index(
         [("rotation", j, r) for j, r in enumerate(index.rotation)]
         if index.rotation is not None else []
     )
-    vectors = spark.createDataFrame(
-        rows, "component string, idx int, vec array<double>"
+    vectors = local_rows_df(
+        spark, rows, "component string, idx int, vec array<double>"
     )
-    meta = spark.createDataFrame(
+    meta = local_rows_df(
+        spark,
         [(
             _SQ_INDEX_FORMAT_VERSION, index.round_dp, index.n_lists,
             index.dim, index.fingerprint, coded_generation, index.bits,
@@ -1524,7 +1526,7 @@ def mmr_rerank(
     id_type = candidates.schema[cand_id_col].dataType.simpleString()
     out_schema = f"rank int, id {id_type}, mmr_score double"
     if not ids:
-        return spark.createDataFrame([], out_schema)
+        return local_rows_df(spark, [], out_schema)
     vec_rows = (
         vectors.where(F.col(id_col).isin(ids))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -1572,7 +1574,7 @@ def mmr_rerank(
             # (which can be negative).
             if rank == 1 or s > max_sim[i]:
                 max_sim[i] = s
-    return spark.createDataFrame(picked, out_schema).select(
+    return local_rows_df(spark, picked, out_schema).select(
         "rank", "id", F.round(F.col("mmr_score"), round_dp).alias(
             "mmr_score"
         ),

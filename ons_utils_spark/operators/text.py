@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column as SparkCol, functions as F
+from ons_utils_spark.functions.localrel import local_rows_df
 
 
 def _col(c: Union[str, SparkCol]) -> SparkCol:
@@ -777,8 +778,8 @@ def bm25_scores(
     from pyspark.sql import functions as F
 
     qt = _normalize_query_terms(query_terms)
-    vocab = df.sparkSession.createDataFrame(
-        [(t,) for t in qt], "term string"
+    vocab = local_rows_df(
+        df.sparkSession, [(t,) for t in qt], "term string"
     )
 
     toks = df.select(
@@ -1021,11 +1022,13 @@ def bm25_prf_batch_topk_indexed(
     if fb_ids:
         qid_type = queries.schema[query_id_col].dataType.simpleString()
         id_type = postings.schema["id"].dataType.simpleString()
-        pairs = spark.createDataFrame(
+        pairs = local_rows_df(
+            spark,
             [(q, i) for q, ids in fb_map.items() for i in ids],
             f"qid {qid_type}, id {id_type}",
         )
-        own = spark.createDataFrame(
+        own = local_rows_df(
+            spark,
             [(q, t) for q, ts in orig.items() for t in sorted(set(ts))],
             f"qid {qid_type}, term string",
         )
@@ -1053,7 +1056,8 @@ def bm25_prf_batch_topk_indexed(
         )
         for r in sorted(mined, key=lambda r: (str(r["qid"]), r["__rn"])):
             expansion[r["qid"]].append(r["term"])
-    expanded = spark.createDataFrame(
+    expanded = local_rows_df(
+        spark,
         [(q, orig[q] + expansion[q]) for q in orig],
         queries.select(query_id_col, terms_col).schema,
     )
@@ -1098,7 +1102,7 @@ def retrieve_passages(
     )
     cand_rows = stage1.collect()
     spark = df.sparkSession
-    cand = spark.createDataFrame(cand_rows, stage1.schema)
+    cand = local_rows_df(spark, cand_rows, stage1.schema)
     ids = [r["id"] for r in cand_rows]
     sliced = df.where(F.col(id_col).isin(ids))
     passages = best_passage(
@@ -1440,8 +1444,8 @@ def _filter_postings_terms(postings, qt: "list[str]"):
 
     if len(qt) <= _BM25_INDEX_ISIN_MAX:
         return postings.where(F.col("term").isin(qt))
-    vocab = postings.sparkSession.createDataFrame(
-        [(t,) for t in qt], "term string"
+    vocab = local_rows_df(
+        postings.sparkSession, [(t,) for t in qt], "term string"
     )
     return postings.join(F.broadcast(vocab), "term", "left_semi")
 
@@ -1839,8 +1843,8 @@ def bm25_index_delete(
     # killed by EARLIER tombstones — later activity is excluded on both
     # sides, so a checkpointed replay recomputes the identical delta.
     id_type = raw_postings.schema["id"].dataType
-    ids_df = spark.createDataFrame(
-        [(x,) for x in ids],
+    ids_df = local_rows_df(
+        spark, [(x,) for x in ids],
         StructType([StructField("id", id_type, nullable=False)]),
     )
     view = raw_postings.where(F.col("batch_id") <= batch_id)
@@ -1900,7 +1904,8 @@ def bm25_index_delete(
             ).alias("tx")
         ).collect()[0]["tx"]
     )
-    delta = spark.createDataFrame(
+    delta = local_rows_df(
+        spark,
         [(-n_delta, -dl_delta, 0, 0, len(ids), tx)],
         "n long, total_dl long, n_postings long, postings_xor long, "
         "n_tombstones long, tombstones_xor long",
@@ -1946,7 +1951,8 @@ def bm25_index_vacuum(spark, store_path: str) -> None:
             F.bit_xor(F.xxhash64("term", "id", "tf", "dl")), F.lit(0)
         ).alias("__px"),
     ).collect()[0]
-    fresh_stats = spark.createDataFrame(
+    fresh_stats = local_rows_df(
+        spark,
         [(row["n"], row["total_dl"], live["__np"], live["__px"])],
         "n long, total_dl long, n_postings long, postings_xor long",
     )

@@ -22,6 +22,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ons_utils_spark.functions.arrays import cosine_similarity
+from ons_utils_spark.functions.localrel import local_rows_df
 from ons_utils_spark.operators.concat import concat
 from ons_utils_spark.operators.general import map_col
 from ons_utils_spark.sources.tables import load_table
@@ -1693,7 +1694,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    buckets = spark.createDataFrame(
+    buckets = local_rows_df(
+        spark,
         [("small", 0.0, 10.0), ("medium", 10.0, 30.0), ("large", 30.0, 1e9)],
         "bucket_name string, lo double, hi double",
     )
@@ -1729,7 +1731,8 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Finite interval ends: bucketing explodes each interval into
     # ceil(len/width)+1 rows, so an open-ended 1e9 sentinel is replaced by
     # the data's actual quantity ceiling (l_quantity <= 50 in TPC-H).
-    buckets = spark.createDataFrame(
+    buckets = local_rows_df(
+        spark,
         [("small", 0.0, 10.0), ("medium", 10.0, 30.0), ("large", 30.0, 60.0)],
         "bucket_name string, lo double, hi double",
     )
@@ -5727,8 +5730,9 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     with_url = docs.withColumn("url", F.expr(_URL_EXPR))
-    block = spark.createDataFrame(
-        [("src3.example.com",), ("src7.example.com",)], "domain string"
+    block = local_rows_df(
+        spark, [("src3.example.com",), ("src7.example.com",)],
+        "domain string",
     )
     return (
         _web.domain_filter(with_url, "url", block, "doc_id", mode="block")
@@ -8555,7 +8559,8 @@ def _prf_batch_half(qid: int, in_list: str) -> str:
 def q_bm25_prf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     postings, stats = _text.bm25_index_build(docs, "doc_id", "text")
-    queries = spark.createDataFrame(
+    queries = local_rows_df(
+        spark,
         [(1, ["vector", "stream", "merge"]), (2, ["customer", "query"])],
         "query_id bigint, terms array<string>",
     )
@@ -8620,7 +8625,8 @@ def q_bm25_prf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = local_rows_df(
+        spark,
         [(1, ["vector", "stream", "merge"]), (2, ["customer", "query"])],
         "query_id bigint, terms array<string>",
     )
@@ -9154,7 +9160,8 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").isin([v for _, _, v in _HYBRID_QUERIES])
         ).collect()
     }
-    queries = spark.createDataFrame(
+    queries = local_rows_df(
+        spark,
         [
             (qid, [t for t in terms], qvecs[vid])
             for qid, terms, vid in _HYBRID_QUERIES
@@ -9305,7 +9312,8 @@ def q_hybrid_retrieval_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").isin([v for _, _, v in _HYBRID_QUERIES])
         ).collect()
     }
-    queries = spark.createDataFrame(
+    queries = local_rows_df(
+        spark,
         [
             (qid, [t for t in terms], qvecs[vid])
             for qid, terms, vid in _HYBRID_QUERIES
@@ -9609,7 +9617,8 @@ def q_rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LocalRelation means its size stats stay known-small for every
     # broadcast decision downstream.
     queries = _text.hash_embed(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(qid, list(terms), " ".join(terms))
              for qid, terms in _RAG_QUERIES],
             "query_id bigint, terms array<string>, qtext string",

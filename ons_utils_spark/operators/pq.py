@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame as SparkDF, functions as F
 from ons_utils_spark.functions.arrays import array_dot
 from ons_utils_spark.functions.localrel import local_rows_df
 from ons_utils_spark.operators.semantic import (
+    KNUTH_HASH,
     _assign,
     _py_dot,
     _resolve_method,
@@ -109,22 +110,115 @@ def pq_build(
     else:
         tslices = resolve_train(slices, train_on, "id")
 
-    codebooks: List[List[List[float]]] = []
-    for i in range(m):
-        sub = tslices.select("id", F.col(f"sub{i}").alias("vec"))
-        # Only the centroids are needed here; the returned assignment
-        # frame is lazy and never executed.
-        _, cents = kmeans_lloyd(
-            sub, "id", "vec", k=k, n_iter=n_iter,
-            round_dp=round_dp, method=method,
-        )
-        codebooks.append(cents)
+    codebooks = _train_subspace_codebooks(
+        tslices, m, k, n_iter, round_dp, method
+    )
 
     if method == "literal":
         codes = _encode_literal(slices, m, codebooks, carry)
     else:
         codes = _encode_blas(slices, m, codebooks, carry)
     return codes, codebooks
+
+
+def _train_subspace_codebooks(
+    tslices: SparkDF,
+    m: int,
+    k: int,
+    n_iter: int,
+    round_dp: int,
+    method: str,
+) -> List[List[List[float]]]:
+    """All ``m`` per-subspace Lloyd trainings fused into ONE Spark job
+    per step — bit-identical to ``m`` sequential ``kmeans_lloyd`` calls
+    over ``sub0..sub{m-1}`` (the shape :func:`pq_build` ran through
+    r13's build rounds), at ``1 + n_iter`` jobs instead of
+    ``m × (1 + n_iter)`` and one pass over the training slice per step
+    instead of ``m``.
+
+    Why the fusion is exact (guide §1.2 — change the distributed
+    algorithm without changing the arithmetic):
+
+    - **Seeds.** ``kmeans_lloyd`` orders training rows by
+      ``(pmod(id·KNUTH, 2³²), id)`` — a key that depends only on the id,
+      so all ``m`` subspace trainings pick the SAME ``k`` rows; the m
+      seed sets are the m slices of one ``TakeOrdered`` collect.
+    - **Means.** The per-``(cluster, pos)`` mean is an exact decimal sum
+      divided by a count — order-independent — computed by the IDENTICAL
+      expression; grouping additionally by the subspace index changes
+      group membership for no row. Assignments come from the same
+      :func:`semantic._assign` argmin (same tie-break) per branch.
+    - **Empty clusters** keep their previous centroid, per subspace —
+      the same fallback, now keyed by ``(subspace, cluster)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    h = (
+        F.col("id").cast("decimal(38,0)") * F.lit(KNUTH_HASH)
+    ) % F.lit(2**32)
+    seed_rows = (
+        tslices.select("id", *[f"sub{i}" for i in range(m)])
+        .orderBy(h.asc(), F.col("id").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"k={k} exceeds the number of training rows ({len(seed_rows)})"
+        )
+    cents: List[List[List[float]]] = [
+        [[float(x) for x in r[f"sub{i}"]] for r in seed_rows]
+        for i in range(m)
+    ]
+
+    for _ in range(n_iter):
+        branches = []
+        for i in range(m):
+            sub = tslices.select(F.col(f"sub{i}").alias("__v"))
+            sub = sub.withColumn(
+                "__vv", array_dot(F.col("__v"), F.col("__v"))
+            )
+            asg = _assign(sub, "__v", cents[i], method)
+            branches.append(
+                asg.select(
+                    F.lit(i).alias("__sub"),
+                    "__cluster",
+                    F.posexplode(F.col("__v")).alias("pos", "val"),
+                )
+            )
+        u = branches[0]
+        for b in branches[1:]:
+            u = u.union(b)
+        means = (
+            u.groupBy("__sub", "__cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("double").cast("decimal(38,18)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    round_dp,
+                ).alias("v")
+            )
+            .groupBy("__sub", "__cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        new = {
+            (r["__sub"], r["__cluster"]): [float(x) for x in r["cvec"]]
+            for r in means
+        }
+        cents = [
+            [new.get((i, j), cents[i][j]) for j in range(k)]
+            for i in range(m)
+        ]
+    return cents
 
 
 def _encode_literal(slices: SparkDF, m: int, codebooks, carry=()) -> SparkDF:

@@ -70,6 +70,76 @@ class TestPqBuild:
             pq.pq_build(df, dim=8, m=3)
 
 
+class TestFusedSubspaceTraining:
+    """The r13 fused trainer (_train_subspace_codebooks) must be
+    bit-identical to the m sequential kmeans_lloyd calls it replaced —
+    same seeds (one shared (id-hash, id) order), same decimal means,
+    same empty-cluster fallback."""
+
+    def _slices(self, spark, vecs, m, dim):
+        from pyspark.sql import functions as F
+
+        sub_d = dim // m
+        df = _emb_df(spark, vecs)
+        return df.select(
+            F.col("vec_id").alias("id"),
+            *[
+                F.slice(F.col("embedding"), i * sub_d + 1, sub_d).alias(
+                    f"sub{i}"
+                )
+                for i in range(m)
+            ],
+        )
+
+    @pytest.mark.parametrize("method", ["literal", "blas"])
+    @pytest.mark.parametrize("n_iter", [1, 2])
+    def test_matches_sequential_kmeans(self, spark, method, n_iter):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.semantic import kmeans_lloyd
+
+        m, k, dim = 2, 2, 8
+        slices = self._slices(spark, VECS, m, dim)
+        fused = pq._train_subspace_codebooks(
+            slices, m, k, n_iter, 6, method
+        )
+        seq = []
+        for i in range(m):
+            sub = slices.select("id", F.col(f"sub{i}").alias("vec"))
+            _, cents = kmeans_lloyd(
+                sub, "id", "vec", k=k, n_iter=n_iter,
+                round_dp=6, method=method,
+            )
+            seq.append(cents)
+        assert fused == seq
+
+    def test_too_few_training_rows_raises(self, spark):
+        slices = self._slices(spark, VECS[:2], 2, 8)
+        with pytest.raises(ValueError, match="exceeds the number"):
+            pq._train_subspace_codebooks(slices, 2, 3, 1, 6, "literal")
+
+    def test_empty_cluster_keeps_seed(self, spark):
+        # Two identical vectors: with k=2 one cluster gets every row and
+        # the other stays empty — its centroid must remain its seed,
+        # exactly as the sequential path behaves.
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.semantic import kmeans_lloyd
+
+        vecs = [[1, 0, 0, 0, 0, 0, 0, 1]] * 2
+        slices = self._slices(spark, vecs, 2, 8)
+        fused = pq._train_subspace_codebooks(slices, 2, 2, 1, 6, "literal")
+        seq = []
+        for i in range(2):
+            sub = slices.select("id", F.col(f"sub{i}").alias("vec"))
+            _, cents = kmeans_lloyd(
+                sub, "id", "vec", k=2, n_iter=1, round_dp=6,
+                method="literal",
+            )
+            seq.append(cents)
+        assert fused == seq
+
+
 class TestAdc:
     def test_self_query_is_nearest(self, spark):
         df = _emb_df(spark, VECS)

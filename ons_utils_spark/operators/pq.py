@@ -114,10 +114,7 @@ def pq_build(
         tslices, m, k, n_iter, round_dp, method
     )
 
-    if method == "literal":
-        codes = _encode_literal(slices, m, codebooks, carry)
-    else:
-        codes = _encode_blas(slices, m, codebooks, carry)
+    codes = _ENCODERS[method](slices, m, codebooks, carry)
     return codes, codebooks
 
 
@@ -241,6 +238,58 @@ def _encode_literal(slices: SparkDF, m: int, codebooks, carry=()) -> SparkDF:
     return slices.select("id", F.array(*code_cols).alias("codes"), *carry)
 
 
+def _encode_vector(slices: SparkDF, m: int, codebooks, carry=()) -> SparkDF:
+    """Arrow-batched encode with the literal path's EXACT arithmetic —
+    the default (``auto``) encode engine. Bit-identical to
+    :func:`_encode_literal` (pinned in tests): per-subspace dots and
+    squared norms accumulate dimension-major (:func:`_fold_dots` /
+    :func:`_fold_sq` — the fold's IEEE add order), per-centroid ``c·c``
+    is the same driver-side :func:`_py_dot`, distances associate as
+    ``(vv + cc) − 2·G``, and ``argmin`` takes the first minimum (the
+    ``array_min`` struct tie-break: lower code wins). NaN distances rank
+    last, as in Spark's total order. Replaces the m·k interpreted
+    ``zip_with``/``aggregate`` folds per row AND the m·k·sub_d literal
+    py4j/codegen plumbing with d ufunc passes per batch."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StructField, StructType,
+    )
+
+    mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    ccs = [
+        np.asarray([_py_dot(c, c) for c in cb], dtype=np.float64)
+        for cb in codebooks
+    ]
+    schema = StructType([
+        StructField("id", slices.schema["id"].dataType),
+        StructField("codes", ArrayType(IntegerType())),
+        *[StructField(c, slices.schema[c].dataType) for c in carry],
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            out = np.empty((n, m), dtype=np.int32)
+            for i in range(m):
+                X = np.asarray(pdf[f"sub{i}"].tolist(), dtype=np.float64)
+                d2 = (
+                    _fold_sq(X)[:, None] + ccs[i][None, :]
+                ) - 2.0 * _fold_dots(X, mats[i])
+                out[:, i] = np.where(
+                    np.isnan(d2), np.inf, d2
+                ).argmin(axis=1)
+            data = {"id": pdf["id"].to_numpy(), "codes": list(out)}
+            for c in carry:
+                data[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(data)
+
+    return slices.mapInPandas(gen, schema)
+
+
 def _encode_blas(slices: SparkDF, m: int, codebooks, carry=()) -> SparkDF:
     """One Arrow pass encoding all subspaces via per-subspace matmuls."""
     import numpy as np
@@ -277,6 +326,17 @@ def _encode_blas(slices: SparkDF, m: int, codebooks, carry=()) -> SparkDF:
             yield pd.DataFrame(data)
 
     return slices.mapInPandas(gen, schema)
+
+
+#: Encode engine dispatch — keys are the resolved ``method`` names
+#: (:func:`semantic._resolve_method`): ``vector`` (auto default, exact
+#: Arrow fold), ``literal`` (codegen expression tree, bit-identical),
+#: ``blas`` (GEMM, ulp-level tie divergence possible).
+_ENCODERS = {
+    "literal": _encode_literal,
+    "vector": _encode_vector,
+    "blas": _encode_blas,
+}
 
 
 def _subspace_luts(
@@ -1238,10 +1298,9 @@ def ivf_pq_encode(
         ],
         "__list",
     )
-    if _resolve_method(method, index.k) == "literal":
-        coded = _encode_literal(slices, m, index.codebooks, ("__list",))
-    else:
-        coded = _encode_blas(slices, m, index.codebooks, ("__list",))
+    coded = _ENCODERS[_resolve_method(method, index.k)](
+        slices, m, index.codebooks, ("__list",)
+    )
     return _tag_residual(coded, index.by_residual)
 
 

@@ -59,17 +59,35 @@ def _py_dot(a: Sequence[float], b: Sequence[float]) -> float:
     return acc
 
 
-#: Largest k routed to the literal-codegen assignment under method="auto".
-#: Beyond it, expression size grows linearly in k·d and Janino compile
-#: time dominates; the Arrow/BLAS path takes over.
+#: Largest k routed to the literal-codegen assignment under method="auto"
+#: through r13's build rounds. Kept for callers that explicitly compare
+#: the historical routing; "auto" now resolves to the exact Arrow path
+#: (see :func:`_resolve_method`).
 AUTO_LITERAL_MAX_K = 16
 
 
 def _resolve_method(method: str, k: int) -> str:
+    """``auto`` → ``"vector"``: the Arrow-batched exact fold.
+
+    r13 optimization (guide §4.1/§4.2): the ``literal`` path pays three
+    per-query costs that grow with k·d — ~70 py4j round trips per
+    centroid literal array at plan-build time, Janino compilation of the
+    resulting expression tree, and (decisive) INTERPRETED evaluation:
+    ``zip_with``/``aggregate`` are CodegenFallback expressions, so every
+    dot product walks boxed lambda evaluators (~60 µs per 64-dim dot —
+    measured 1.3 s vs 0.33 s for one 2000-row assignment). The
+    ``vector`` path computes the identical arithmetic (dimension-major
+    sequential folds — bit-identical, see :func:`_assign_vector`) as a
+    handful of numpy ufuncs per Arrow batch. ``literal`` and ``blas``
+    remain as explicit opt-ins (the SQL-transparent plan and the
+    large-k GEMM speed respectively).
+    """
     if method == "auto":
-        return "literal" if k <= AUTO_LITERAL_MAX_K else "blas"
-    if method not in ("literal", "blas"):
-        raise ValueError(f"method must be auto|literal|blas, got {method!r}")
+        return "vector"
+    if method not in ("literal", "blas", "vector"):
+        raise ValueError(
+            f"method must be auto|literal|blas|vector, got {method!r}"
+        )
     return method
 
 
@@ -189,6 +207,102 @@ def _assign_blas(
     return df.mapInPandas(gen, schema)
 
 
+def _assign_vector(
+    df: SparkDF, vec_col: str, cents: List[List[float]], with_cos: bool = False
+) -> SparkDF:
+    """Arrow-batched argmin with the literal path's EXACT arithmetic —
+    the default (``auto``) assignment engine.
+
+    Bit-identical to :func:`_assign_literal` (pinned in tests): dot
+    products accumulate dimension-major (``pq._fold_dots`` — one multiply
+    rounding + one add rounding per step, numpy never fuses them into an
+    FMA), distances are ``(vv + c·c) − 2·G`` with the same association,
+    per-centroid ``c·c`` comes from the same driver-side
+    :func:`_py_dot`, ``sqrt`` is IEEE-correctly-rounded in both engines,
+    and ``argmin`` takes the FIRST minimum — the struct-ordered
+    ``array_min``'s lower-cluster-id tie-break. Zero codegen, zero py4j
+    literal plumbing, and the per-element interpreted-lambda cost of the
+    ``zip_with``/``aggregate`` fold is replaced by d ufunc passes per
+    batch.
+
+    Only ``(vec, __vv)`` cross the Python boundary (guide §4.1: project
+    before the opaque stage); every other column stays in the JVM. NaN
+    distances rank above every finite value (Spark's total order); a
+    vector with a NaN component has NaN ``__vv`` and follows the same
+    NULL-cosine contract as the literal path. (Sole divergence from the
+    literal path: a row mixing ±Inf distances with NaN distances can
+    tie-break differently — unreachable without |v|² overflow.)
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    from ons_utils_spark.operators.pq import _fold_dots
+
+    C = np.asarray(cents, dtype=np.float64)
+    cc = np.asarray([_py_dot(c, c) for c in cents], dtype=np.float64)
+    sqrt_cc = np.sqrt(cc)
+
+    fields = [
+        StructField("__cluster", IntegerType()),
+        StructField("__dist", DoubleType()),
+    ]
+    if with_cos:
+        fields.append(StructField("__cos", DoubleType()))
+    out_type = StructType(fields)
+
+    # Wrapped via pandas_udf(fn, type), not type hints: Spark 4.1's
+    # hint inference rejects the Series->DataFrame (struct) signature.
+    def _assign_fn(vec, vv):
+        n = len(vec)
+        if n == 0:
+            out = {
+                "__cluster": np.array([], dtype="int32"),
+                "__dist": np.array([], dtype="float64"),
+            }
+            if with_cos:
+                out["__cos"] = np.array([], dtype="float64")
+            return pd.DataFrame(out)
+        X = np.asarray(vec.tolist(), dtype=np.float64)
+        v = vv.to_numpy(dtype=np.float64)
+        G = _fold_dots(X, C)
+        d2 = (v[:, None] + cc[None, :]) - 2.0 * G
+        # NaN sorts ABOVE every number in Spark's total order; numpy's
+        # argmin would instead return the first NaN. +inf reproduces the
+        # ordering for every reachable input (all-NaN rows fall back to
+        # cluster 0 under both rules).
+        j = np.where(np.isnan(d2), np.inf, d2).argmin(axis=1)
+        rows = np.arange(n)
+        out = {"__cluster": j.astype("int32"), "__dist": d2[rows, j]}
+        if with_cos:
+            denom = np.sqrt(v) * sqrt_cc[j]
+            # Same degenerate-norm contract as the literal path: NULL
+            # (not NaN) when the denominator is zero or NaN, so the row
+            # ranks last and never prunes (pd.array maps NaN -> <NA>).
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = G[rows, j] / denom
+            out["__cos"] = pd.array(
+                np.where(denom == 0, np.nan, cos), dtype="Float64"
+            )
+        return pd.DataFrame(out)
+
+    # asNondeterministic: guide §4.4 — a downstream filter referencing a
+    # UDF-derived field (e.g. a join's isnotnull(__cluster) constraint)
+    # is otherwise pushed below the projection WITH A COPY of the UDF,
+    # evaluating the assignment twice per row (seen in
+    # q_kmeans_clusters' plan). The function is pure; the marker only
+    # stops the optimizer duplicating or reordering it.
+    _assign_udf = F.pandas_udf(_assign_fn, out_type).asNondeterministic()
+    res = df.withColumn("__a", _assign_udf(F.col(vec_col), F.col("__vv")))
+    keep = [c for c in df.columns]
+    cols = keep + ["__a.__cluster", "__a.__dist"]
+    if with_cos:
+        cols.append("__a.__cos")
+    return res.select(*cols)
+
+
 def _assign(
     df: SparkDF,
     vec_col: str,
@@ -196,7 +310,11 @@ def _assign(
     method: str,
     with_cos: bool = False,
 ) -> SparkDF:
-    fn = _assign_literal if method == "literal" else _assign_blas
+    fn = {
+        "literal": _assign_literal,
+        "blas": _assign_blas,
+        "vector": _assign_vector,
+    }[method]
     return fn(df, vec_col, cents, with_cos)
 
 
@@ -253,11 +371,14 @@ def kmeans_lloyd(
     ``centroids`` is the driver-side ``list[list[float]]`` (index =
     cluster id), each recomputed mean rounded to ``round_dp``.
 
-    ``method``: ``"literal"`` = codegen argmin over literal centroids,
-    bit-exact vs the SQL oracle, for k ≲ 16; ``"blas"`` = Arrow-batched
-    matmul argmin, the large-k scale path (ulp-level assignment ties may
-    differ); ``"auto"`` picks by k. The centroid means are decimal-exact
-    and order-independent under EITHER method.
+    ``method``: ``"vector"`` (= ``"auto"``) = Arrow-batched exact-fold
+    argmin, bit-exact vs the SQL oracle at any k; ``"literal"`` =
+    codegen argmin over literal centroids (the same arithmetic as a
+    Catalyst expression tree — plan-transparent but interpreted, k ≲ 16
+    only); ``"blas"`` = matmul argmin, trading bit-reproducibility
+    (ulp-level assignment ties may differ) for large-k GEMM speed. The
+    centroid means are decimal-exact and order-independent under EVERY
+    method.
 
     Unlike ``pyspark.ml`` KMeans (used by :func:`similarity.ivf_build`,
     where approximate centroids are fine), every step here is exactly
@@ -451,23 +572,83 @@ def semantic_dedup(
                 "cluster_summary()"
             )
 
-    a, b = ranked.alias("a"), ranked.alias("b")
-    denom_ab = F.sqrt(F.col("a.__vv")) * F.sqrt(F.col("b.__vv"))
-    # Degenerate-norm guard (zero OR NaN): 0/0 and NaN/x are NaN, and
-    # NaN > tau is TRUE in Spark — one degenerate vector would prune its
-    # entire cluster. NULL > tau is NULL, which WHERE discards.
-    cos_ab = F.when(
-        ~F.isnan(denom_ab) & (denom_ab != 0),
-        array_dot(F.col("a.vec"), F.col("b.vec")) / denom_ab,
+    # Pairwise phase: ONE grouped Arrow pass per cluster instead of the
+    # r12 within-cluster self-join + interpreted per-pair cosine fold
+    # (zip_with/aggregate are CodegenFallback — measured ~8 s of
+    # interpreted lambda evaluation over 250k pairs at sf0.1, vs <0.5 s
+    # for the same arithmetic as dimension-major numpy folds; guide
+    # §4.2). Arithmetic is BIT-IDENTICAL: pq._fold_dots accumulates each
+    # pair's dot product in the fold's IEEE add order, sqrt/×/÷ are
+    # correctly rounded in both engines, and max over earlier-ranked
+    # cosines commutes with the (monotone) round-then-compare — a member
+    # is dropped iff round(max cos, dp) > tau iff ANY pair passes. The
+    # ROUNDING itself stays in Spark (F.round's HALF_UP on the exact
+    # double), so the keep/drop frontier is the oracle's, untouched.
+    # Pairs with a zero-or-NaN denominator yield NULL cosine in the join
+    # form (WHERE-discarded); here they are simply never candidates for
+    # the max — same outcome. Memory per task is O(block × |cluster|)
+    # via row-blocked folds, never |cluster|²; |cluster| itself is the
+    # max_cluster-guarded quantity, exactly as for the old join.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = ranked.schema["id"].dataType
+    out_schema = StructType(
+        [StructField("id", id_type), StructField("__max_cos", DoubleType())]
     )
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.rnk") > F.col("b.rnk")),
+
+    def _cluster_max_cos(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from ons_utils_spark.operators.pq import _fold_dots
+
+        pdf = pdf[pdf["vec"].notna()]
+        empty = pd.DataFrame(
+            {
+                "id": pdf["id"].iloc[:0],
+                "__max_cos": np.array([], dtype="float64"),
+            }
         )
-        .where(F.round(cos_ab, round_dp) > tau)
-        .select(F.col("a.id").alias("id"))
+        if len(pdf) < 2:
+            return empty
+        # Position in rnk order stands in for rnk itself (row_number is
+        # unique per cluster; dropping NULL-vec rows — which can neither
+        # drop nor be dropped — preserves relative order).
+        pdf = pdf.sort_values("rnk")
+        V = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+        vv = pdf["__vv"].to_numpy(dtype=np.float64)
+        sq = np.sqrt(vv)
+        m = len(pdf)
+        best = np.full(m, -np.inf)
+        block = 1024
+        cols = np.arange(m)[None, :]
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            g = _fold_dots(V[lo:hi], V)
+            denom = sq[lo:hi, None] * sq[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / denom
+            mask = (
+                (cols < np.arange(lo, hi)[:, None])
+                & ~np.isnan(denom)
+                & (denom != 0)
+            )
+            best[lo:hi] = np.where(mask, cos, -np.inf).max(axis=1)
+        emit = best > -np.inf
+        return pd.DataFrame(
+            {"id": pdf["id"].to_numpy()[emit], "__max_cos": best[emit]}
+        )
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    dropped = (
+        ranked.select("cluster", "rnk", "id", "vec", "__vv")
+        # Explicit-count repartition: AQE-proof partitioning the groupBy
+        # reuses (the plan-audit rule for Python-CPU grouped stages).
+        .repartition(n_part, "cluster")
+        .groupBy("cluster")
+        .applyInPandas(_cluster_max_cos, out_schema)
+        .where(F.round(F.col("__max_cos"), round_dp) > tau)
+        .select("id")
         .distinct()
     )
 

@@ -64,6 +64,23 @@ class TestPqBuild:
         blas = {r["id"]: list(r["codes"]) for r in blas_codes.collect()}
         assert lit == blas
 
+    def test_vector_encode_bit_identical_to_literal(self, spark):
+        # The r13 default ("auto" -> "vector") encode engine must equal
+        # the literal-codegen argmin EXACTLY — codes and codebooks.
+        df = _emb_df(spark, VECS)
+        lit_codes, lit_cbs = pq.pq_build(
+            df, dim=8, m=2, k=2, n_iter=1, method="literal")
+        vec_codes, vec_cbs = pq.pq_build(
+            df, dim=8, m=2, k=2, n_iter=1, method="vector")
+        assert lit_cbs == vec_cbs
+        lit = {r["id"]: list(r["codes"]) for r in lit_codes.collect()}
+        vec = {r["id"]: list(r["codes"]) for r in vec_codes.collect()}
+        assert lit == vec
+        auto_codes, auto_cbs = pq.pq_build(df, dim=8, m=2, k=2, n_iter=1)
+        assert auto_cbs == lit_cbs
+        assert {r["id"]: list(r["codes"])
+                for r in auto_codes.collect()} == lit
+
     def test_bad_geometry_raises(self, spark):
         df = _emb_df(spark, VECS)
         with pytest.raises(ValueError, match="must divide"):

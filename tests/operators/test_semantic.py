@@ -99,11 +99,73 @@ class TestBlasPath:
                     df, k=3, n_iter=2, tau=0.9, method="blas").collect()}
         assert lit == blas
 
-    def test_auto_routes_by_k(self, spark):
-        assert semantic._resolve_method("auto", 16) == "literal"
-        assert semantic._resolve_method("auto", 17) == "blas"
+    def test_auto_routes_to_vector(self, spark):
+        # r13 optimization: "auto" is the exact Arrow fold at every k
+        # (bit-identical to literal, none of its codegen/interpreted
+        # costs); literal and blas stay as explicit opt-ins.
+        assert semantic._resolve_method("auto", 16) == "vector"
+        assert semantic._resolve_method("auto", 17) == "vector"
+        assert semantic._resolve_method("literal", 99) == "literal"
+        assert semantic._resolve_method("blas", 2) == "blas"
         with pytest.raises(ValueError, match="method"):
             semantic._resolve_method("fancy", 8)
+
+
+class TestVectorPath:
+    """The ``vector`` assignment engine must be BIT-identical to the
+    literal-codegen expression tree — it is what ``auto`` (and therefore
+    every oracle-graded query) runs."""
+
+    def test_bit_identical_to_literal(self, spark):
+        df = _emb_df(spark, ROWS)
+        lit_a, lit_c = semantic.kmeans_lloyd(
+            df, k=3, n_iter=2, method="literal", with_cos=True)
+        vec_a, vec_c = semantic.kmeans_lloyd(
+            df, k=3, n_iter=2, method="vector", with_cos=True)
+        assert lit_c == vec_c
+        lit_rows = {r["vec_id"]: r for r in lit_a.collect()}
+        vec_rows = {r["vec_id"]: r for r in vec_a.collect()}
+        assert lit_rows.keys() == vec_rows.keys()
+        for i in lit_rows:
+            assert lit_rows[i]["__cluster"] == vec_rows[i]["__cluster"]
+            # Exact equality, not approx — the contract is bit parity.
+            assert lit_rows[i]["__dist"] == vec_rows[i]["__dist"]
+            assert lit_rows[i]["__cos"] == vec_rows[i]["__cos"]
+
+    def test_tie_breaks_to_lower_cluster(self, spark):
+        # A point exactly equidistant from both seed centroids: literal's
+        # struct-ordered array_min picks the lower cluster id; numpy's
+        # first-minimum argmin must match.
+        rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.0, 1.0])]
+        df = _emb_df(spark, rows)
+        lit, _ = semantic.kmeans_lloyd(df, k=2, n_iter=1, method="literal")
+        vec, _ = semantic.kmeans_lloyd(df, k=2, n_iter=1, method="vector")
+        assert ({r["vec_id"]: r["__cluster"] for r in lit.collect()}
+                == {r["vec_id"]: r["__cluster"] for r in vec.collect()})
+
+    def test_degenerate_norm_cos_is_null(self, spark):
+        # Zero vector: cosine denominator is 0 -> NULL (not NaN), so the
+        # row ranks last and never prunes — the literal path's contract.
+        rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])]
+        df = _emb_df(spark, rows)
+        for method in ("literal", "vector"):
+            assigned, _ = semantic.kmeans_lloyd(
+                df, k=2, n_iter=1, method=method, with_cos=True)
+            by_id = {r["vec_id"]: r["__cos"] for r in assigned.collect()}
+            assert by_id[2] is None, method
+
+    def test_semantic_dedup_matches_literal(self, spark):
+        df = _emb_df(spark, ROWS)
+        lit = {r["id"]: tuple(r) for r in semantic.semantic_dedup(
+            df, k=3, n_iter=2, tau=0.9, method="literal").collect()}
+        vec = {r["id"]: tuple(r) for r in semantic.semantic_dedup(
+            df, k=3, n_iter=2, tau=0.9, method="vector").collect()}
+        assert lit == vec
+        # And the crafted fixture's expected verdicts hold: near-dups in
+        # each tight group are pruned against the group's anchor.
+        kept = {i for i, row in vec.items() if row[3]}
+        assert ISO_ID in kept
+        assert len(kept & set(A_IDS)) == 1 and len(kept & set(B_IDS)) == 1
 
 
 class TestClusterSummary:

@@ -128,12 +128,17 @@ def pagerank(
     if not undirected:
         nodes = nodes.union(edges_deg.select(F.col("dst").alias("id")))
     nodes = nodes.distinct().persist()
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-    # 1-row broadcast fold (the established bounded idiom): (1-d)/N and
-    # the initial 1/N reach every row without a driver collect.
-    ranks = nodes.join(F.broadcast(n_nodes)).select(
-        "id", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    # N is ONE bounded scalar: collect it once (r13 optimization). The
+    # r12 form folded a 1-row n_nodes aggregate back in as a broadcast
+    # cross join inside EVERY iteration's rank update — one extra
+    # broadcast stage per iteration for a value that never changes. The
+    # arithmetic is unchanged bit-for-bit: the same count, the same
+    # double division, now as a plan literal.
+    n_val = nodes.count()
+    if n_val == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"))
+    inv_n = F.lit(1.0) / F.lit(float(n_val))
+    ranks = nodes.select("id", inv_n.alias("rank"))
 
     # Dangling mass only exists in directed graphs: after symmetrization
     # every node has out-degree >= 1 by construction.
@@ -153,6 +158,7 @@ def pagerank(
         # FS write (survives executor loss; dir validated above).
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
+    base_term = F.lit(1.0 - damping) / F.lit(float(n_val))
     for i in range(iterations):
         contribs = (
             edges_deg.join(
@@ -161,11 +167,18 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
-        new_ranks = (
-            nodes.join(contribs, "id", "left")
-            .na.fill(0.0, ["contrib"])
-            .join(F.broadcast(n_nodes))
-        )
+        if undirected:
+            # After symmetrization every node has in-degree >= 1, so
+            # ``contribs`` already covers the whole node set — the r12
+            # per-iteration ``nodes`` left join + na.fill(0) could never
+            # fire and cost one join (plus its exchange/broadcast stage)
+            # per iteration for nothing (r13 optimization; same rows,
+            # same float arithmetic).
+            new_ranks = contribs
+        else:
+            new_ranks = nodes.join(contribs, "id", "left").na.fill(
+                0.0, ["contrib"]
+            )
         if redistribute:
             # 1-row broadcast fold of this iteration's dangling mass.
             # ranks is lineage-truncated every iteration in this mode
@@ -177,18 +190,20 @@ def pagerank(
             new_ranks = new_ranks.join(F.broadcast(dm)).select(
                 "id",
                 (
-                    (1.0 - damping) / F.col("n")
+                    base_term
                     + F.lit(damping)
-                    * (F.col("contrib") + F.col("dm") / F.col("n"))
+                    * (
+                        F.col("contrib")
+                        + F.col("dm") / F.lit(float(n_val))
+                    )
                 ).alias("rank"),
             )
         else:
             new_ranks = new_ranks.select(
                 "id",
-                (
-                    (1.0 - damping) / F.col("n")
-                    + F.lit(damping) * F.col("contrib")
-                ).alias("rank"),
+                (base_term + F.lit(damping) * F.col("contrib")).alias(
+                    "rank"
+                ),
             )
         # Truncate lineage: every iteration when ranks has two consumers
         # (redistribute mode — fan-out without truncation compounds

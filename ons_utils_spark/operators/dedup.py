@@ -74,6 +74,47 @@ def triangular_pairs(items_col: str, fields: Optional[Sequence[str]] = None):
     )
 
 
+def explode_pairs(
+    df: SparkDF, items_col: str, fields: Optional[Sequence[str]] = None
+) -> SparkDF:
+    """DataFrame-level triangular pair emission — the r13 replacement
+    for ``explode(triangular_pairs(...))`` at every candidate-generation
+    site.
+
+    Emits EXACTLY the pairs the expression form does — every
+    ``(items[i], items[j])`` with ``i < j`` of the (sorted) bucket
+    array, duplicate elements included — as a struct column ``p`` with
+    the same field names (``id_a``/``id_b``, or ``f_a``/``f_b`` per
+    requested field). The expression form builds the pair array through
+    ``transform``/``slice``/``flatten`` — higher-order functions are
+    CodegenFallback, so a 1M-pair bucket table pays ~3.5 s of
+    interpreted lambda evaluation and per-slice array allocation
+    (measured, q_fuzzy_name_pairs at sf0.1). This form is two
+    codegen'd ``posexplode`` Generates with an ``ib > ia`` filter:
+    same C(k,2) output, streamed through whole-stage codegen. The
+    bucket/grouping columns are dropped (no caller reads them past
+    pair emission).
+    """
+
+    def pair(x, y):
+        if fields is None:
+            return F.struct(x.alias("id_a"), y.alias("id_b"))
+        cols = []
+        for f in fields:
+            cols += [x[f].alias(f"{f}_a"), y[f].alias(f"{f}_b")]
+        return F.struct(*cols)
+
+    return (
+        df.select(
+            F.col(items_col).alias("__items"),
+            F.posexplode(F.col(items_col)).alias("__ia", "__a"),
+        )
+        .select("__ia", "__a", F.posexplode("__items").alias("__ib", "__b"))
+        .where(F.col("__ib") > F.col("__ia"))
+        .select(pair(F.col("__a"), F.col("__b")).alias("p"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -191,10 +232,8 @@ def _pair_shingle_counts(
         # a stop-shingle's posting list is otherwise unbounded.
         posts = posts.where(F.size("ids") <= max_df)
 
-    pair_structs = triangular_pairs("ids", ["id", "sz"])
     return (
-        posts.where(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
+        explode_pairs(posts.where(F.size("ids") > 1), "ids", ["id", "sz"])
         .groupBy("p.id_a", "p.id_b", "p.sz_a", "p.sz_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .select("id_a", "id_b", "shared", "sz_a", "sz_b")
@@ -619,12 +658,13 @@ def minhash_lsh_pairs(
     # (4 parquet scans in the executed plan; this form has 3). Pair
     # emission lands on the same task either way (same bucket key), so
     # skew behavior is unchanged.
-    pair_structs = triangular_pairs("ids")
     cand = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
+        explode_pairs(
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .where(F.size("ids") > 1),
+            "ids",
+        )
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -811,12 +851,18 @@ def hamming_pairs(
     # twice (two corpus scans in the executed plan). sort_array on the
     # (id, sh) structs orders by id, so id_a < id_b falls out of the
     # triangular emission.
-    pair_structs = triangular_pairs("items", ["id", "sh"])
     pairs = (
-        banded.groupBy("chunk_idx", "chunk_val")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "sh"))).alias("items"))
-        .where(F.size("items") > 1)
-        .select(F.explode(pair_structs).alias("p"))
+        explode_pairs(
+            banded.groupBy("chunk_idx", "chunk_val")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("id", "sh"))).alias(
+                    "items"
+                )
+            )
+            .where(F.size("items") > 1),
+            "items",
+            ["id", "sh"],
+        )
         .select(
             "p.id_a",
             "p.id_b",

@@ -36,7 +36,7 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
-from ons_utils_spark.operators.dedup import triangular_pairs
+from ons_utils_spark.operators.dedup import explode_pairs
 
 
 def _deletion_variants(s: Column) -> Column:
@@ -104,10 +104,9 @@ def edit_distance_pairs(
 
     # Triangular pair emission per bucket — the postings idiom shared with
     # jaccard/minhash/simhash candidates (sort_array ordered by id, so
-    # id_a < id_b falls out of the slice).
-    pair_structs = triangular_pairs("items", ["id", "t"])
+    # id_a < id_b falls out of the emission order).
     cand = (
-        posts.select(F.explode(pair_structs).alias("p"))
+        explode_pairs(posts, "items", ["id", "t"])
         .select("p.id_a", "p.id_b", "p.t_a", "p.t_b")
         # If one id appears with multiple distinct texts, collect_set keeps
         # both (id, t) structs and the triangular emission can produce an

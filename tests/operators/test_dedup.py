@@ -34,6 +34,61 @@ def docs(spark):
     )
 
 
+class TestExplodePairs:
+    """The codegen'd pair emission (r13) must emit EXACTLY the pairs of
+    the expression form — every (i, j) with i < j of the bucket array,
+    duplicate elements included."""
+
+    def _expr_form(self, df, items_col, fields=None):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.dedup import triangular_pairs
+
+        return df.select(
+            F.explode(triangular_pairs(items_col, fields)).alias("p")
+        )
+
+    def test_matches_expression_form_scalars(self, spark):
+        from ons_utils_spark.operators.dedup import explode_pairs
+
+        df = spark.createDataFrame(
+            [([1, 2, 3, 4],), ([7, 8],), ([9, 9, 9],)],  # incl. duplicates
+            "ids array<bigint>",
+        )
+        got = sorted(tuple(r["p"]) for r in explode_pairs(df, "ids").collect())
+        want = sorted(
+            tuple(r["p"]) for r in self._expr_form(df, "ids").collect()
+        )
+        assert got == want
+        assert (9, 9) in got  # duplicate elements DO pair (both forms)
+
+    def test_matches_expression_form_structs(self, spark):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.dedup import explode_pairs
+
+        df = spark.createDataFrame(
+            [(1, [(1, "a"), (2, "b"), (3, "c")])],
+            "k bigint, items array<struct<id:bigint,t:string>>",
+        ).select(F.sort_array("items").alias("items"))
+        got = sorted(
+            tuple(r["p"])
+            for r in explode_pairs(df, "items", ["id", "t"]).collect()
+        )
+        want = sorted(
+            tuple(r["p"])
+            for r in self._expr_form(df, "items", ["id", "t"]).collect()
+        )
+        assert got == want
+        assert got[0] == (1, 2, "a", "b")
+
+    def test_single_item_buckets_emit_nothing(self, spark):
+        from ons_utils_spark.operators.dedup import explode_pairs
+
+        df = spark.createDataFrame([([1],), ([],)], "ids array<bigint>")
+        assert explode_pairs(df, "ids").count() == 0
+
+
 class TestExactDedup:
     def test_keeps_min_id(self, spark, docs):
         kept = exact_dedup(docs, "text", id_col="doc_id")

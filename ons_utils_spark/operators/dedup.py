@@ -317,6 +317,57 @@ def _min_lane_exprs(
     ]
 
 
+def _sig_from_hset_udf(num_hashes: int, seed: int):
+    """Arrow-vectorized MinHash signature from a document's distinct
+    shingle-hash set — bit-identical to the 64-lane aggregate
+    (:func:`_min_lane_exprs`), computed AFTER the ``collect_set``
+    instead of inside the hash aggregate.
+
+    Exactness: ``min`` over the distinct set equals ``min`` over the
+    multiset of shingle rows; each lane is the same integer arithmetic
+    (``(pmod(h, p)·a + b) mod p`` — int64 products stay < 2⁶², numpy's
+    ``%`` is the non-negative Python remainder = Spark's ``pmod``).
+    Pinned against :func:`minhash_signatures` in tests.
+
+    Why (r13, guide §4.2/§1.2): in carry-verify mode the aggregate must
+    ship every distinct ``h`` anyway (``hset`` powers exact-Jaccard
+    verification), so the 64 min-lanes added 64 expression evaluations
+    per shingle ROW inside the hash aggregate — and, worse, its
+    dominant cost at bench scale was Janino-compiling the 64-buffer
+    aggregate (~3 s of q_dedup_minhash's first run). With the lanes
+    derived from ``hset`` the aggregate is a plain ``collect_set`` and
+    the lane math runs as ~64 vectorized ufunc passes per Arrow batch.
+    Marked nondeterministic so a pushed-down filter cannot duplicate
+    the stage (guide §4.4).
+    """
+    import numpy as np
+
+    params = _minhash_params(num_hashes, seed)
+    A = np.asarray([a for a, _ in params], dtype=np.int64)
+    B = np.asarray([b for _, b in params], dtype=np.int64)
+    p = np.int64(_MERSENNE_31)
+
+    def fn(hset):
+        import numpy as np
+        import pandas as pd
+
+        n_docs = len(hset)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        sizes = np.fromiter((len(x) for x in hset), dtype=np.int64,
+                            count=n_docs)
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hset])
+        hm = flat % p
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=offsets[1:])
+        out = np.empty((n_docs, num_hashes), dtype=np.int64)
+        for i in range(num_hashes):
+            out[:, i] = np.minimum.reduceat((hm * A[i] + B[i]) % p, offsets)
+        return pd.Series(list(out))
+
+    return F.pandas_udf(fn, "array<bigint>").asNondeterministic()
+
+
 def _band_hash_exprs(bands: int, rows: int, lane) -> list[Column]:
     """One flat ``xxhash64(xxhash64(…0L, lane₀), lane₁)…`` chain per band.
 
@@ -600,28 +651,47 @@ def minhash_lsh_pairs(
         # pmod(h, p) projected ONCE before the aggregate (premod) — not
         # re-reduced inside each of the 64 lanes. `h` rides along only
         # when the verify step needs the original shingle-hash set.
-        hashes = shingle_hashes(df, id_col, text_col, n=n).select(
-            "id",
-            *([] if verify == "rescan" else ["h"]),
-            F.expr(f"pmod(h, {_MERSENNE_31})").alias("hm"),
-        )
-        mins = _min_lane_exprs(num_hashes, seed, col="hm", premod=True)
-        extras = [] if verify == "rescan" else [F.collect_set("h").alias("hset")]
-        base = (
-            hashes.groupBy("id")
-            .agg(*mins, *extras)
-            # Band hashes FUSED into the aggregate's output projection:
-            # the 64-lane signature never materializes as an array, is
-            # never sliced, and the per-band fold is a flat xxhash64
-            # chain over the _m columns — less codegen (the r5-profiled
-            # first-run cost) and a narrower persisted row (bands longs
-            # instead of num_hashes).
-            .select(
-                "id",
-                *_band_hash_exprs(bands, rows, lambda i: f"_m{i}"),
-                *([] if verify == "rescan" else ["hset"]),
+        if verify == "carry":
+            # Carry mode ships every distinct shingle hash through the
+            # aggregate anyway (hset powers verification), so the
+            # signature lanes derive from hset AFTER a plain
+            # collect_set aggregate — one Arrow pass instead of 64
+            # min-lanes inside the hash aggregate, and ~3 s less Janino
+            # per fresh plan (r13; see _sig_from_hset_udf). Band hashes
+            # read element_at(sig, ·) exactly like the index path, so
+            # df-built and index-built runs still bucket identically.
+            base = (
+                shingle_hashes(df, id_col, text_col, n=n)
+                .groupBy("id")
+                .agg(F.collect_set("h").alias("hset"))
+                .withColumn(
+                    "sig", _sig_from_hset_udf(num_hashes, seed)(F.col("hset"))
+                )
+                .select(
+                    "id",
+                    *_band_hash_exprs(
+                        bands, rows, lambda i: f"element_at(sig, {i + 1})"
+                    ),
+                    "hset",
+                )
             )
-        )
+        else:
+            # Rescan mode carries no hset, so the lanes must come from
+            # the aggregate itself — the fused 64-lane + band-hash
+            # projection shape (r5), unchanged.
+            hashes = shingle_hashes(df, id_col, text_col, n=n).select(
+                "id",
+                F.expr(f"pmod(h, {_MERSENNE_31})").alias("hm"),
+            )
+            mins = _min_lane_exprs(num_hashes, seed, col="hm", premod=True)
+            base = (
+                hashes.groupBy("id")
+                .agg(*mins)
+                .select(
+                    "id",
+                    *_band_hash_exprs(bands, rows, lambda i: f"_m{i}"),
+                )
+            )
         if verify == "carry":
             # Materialize (id, band hashes, hset) ONCE. Without this,
             # Catalyst column-prunes each of the three consumers (banding
@@ -1046,18 +1116,18 @@ def minhash_index(
     re-shingled. The index must be rebuilt with the same
     ``n``/``num_hashes``/``seed`` the join will use.
     """
-    hashes = shingle_hashes(df, id_col, text_col, n=n).select(
-        "id", "h", F.expr(f"pmod(h, {_MERSENNE_31})").alias("hm")
-    )
-    mins = _min_lane_exprs(num_hashes, seed, col="hm", premod=True)
+    # Same r13 shape as minhash_lsh_pairs' carry mode: the aggregate is
+    # a plain collect_set (hset must ship regardless) and the lanes
+    # derive from it in one Arrow pass — bit-identical signatures
+    # (pinned vs minhash_signatures), ~3 s less Janino per fresh plan.
     return (
-        hashes.groupBy("id")
-        .agg(*mins, F.collect_set("h").alias("hset"))
-        .select(
-            "id",
-            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
-            "hset",
+        shingle_hashes(df, id_col, text_col, n=n)
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("hset"))
+        .withColumn(
+            "sig", _sig_from_hset_udf(num_hashes, seed)(F.col("hset"))
         )
+        .select("id", "sig", "hset")
     )
 
 

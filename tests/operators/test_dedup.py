@@ -304,6 +304,23 @@ class TestMinHash:
         }
         assert via_df == via_index and via_df
 
+    def test_index_sig_matches_aggregate_lanes(self, spark, docs):
+        """The r13 Arrow sig-from-hset path must be bit-identical to the
+        in-aggregate 64-lane form (minhash_signatures) — min over the
+        distinct set equals min over the shingle multiset, same integer
+        lane arithmetic."""
+        from ons_utils_spark.operators.dedup import minhash_index
+
+        via_agg = {
+            r["id"]: list(r["sig"])
+            for r in minhash_signatures(docs, "doc_id", "text").collect()
+        }
+        via_hset = {
+            r["id"]: list(r["sig"])
+            for r in minhash_index(docs, "doc_id", "text").collect()
+        }
+        assert via_agg == via_hset and via_agg
+
     def test_rescan_rejects_index(self, spark, docs):
         from ons_utils_spark.operators.dedup import minhash_index
 

@@ -101,6 +101,127 @@ def _validate_bloom_params(m_bits: int, k: int) -> None:
         raise ValueError(f"k must be >= 1, got {k}")
 
 
+#: Filters at or below this many bits probe through the VECTORIZED Arrow
+#: path: the dense word array (m_bits/8 bytes — 8 MiB at this cap)
+#: collects to the driver and ships in the UDF closure, once per task.
+#: Larger filters keep the broadcast-join + row-local ``exists`` form,
+#: whose memory story (one JVM broadcast row, no Python copy per worker)
+#: is the right one for the ~GB filters the docstring advertises.
+_BLOOM_VECTOR_MAX_BITS = 1 << 26
+
+# XXH64 prime constants (public xxHash spec) — the same values
+# plans/oracle_xxh64.py replays in SQL.
+_XXP1 = 11400714785074694791
+_XXP2 = 14029467366897019727
+_XXP3 = 1609587929392839161
+_XXP4 = 9650029242287828579
+_XXP5 = 2870177450012600261
+_M64 = 1 << 64
+
+
+def _xxh64_long_py(value: int, seed: int) -> int:
+    """Spark's ``xxhash64`` of ONE bigint under ``seed`` — XXH64's
+    length-8 path (hashLong), plain-Python ints. Bit-identical to the
+    JVM (pinned against ``F.xxhash64`` in tests); multi-arg calls chain
+    by feeding the running hash back as the next argument's seed."""
+    mask = _M64 - 1
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & mask
+
+    k1 = rotl((value & mask) * _XXP2 & mask, 31) * _XXP1 & mask
+    h = ((seed & mask) + _XXP5 + 8) & mask
+    h ^= k1
+    h = (rotl(h, 27) * _XXP1 + _XXP4) & mask
+    h ^= h >> 33
+    h = h * _XXP2 & mask
+    h ^= h >> 29
+    h = h * _XXP3 & mask
+    h ^= h >> 32
+    return h
+
+
+def _bloom_probe_udf(words, m_bits: int, k: int):
+    """Arrow-vectorized Bloom membership over per-doc gram-hash arrays —
+    bit-identical to the row-local ``exists(__grams, g -> …)`` JVM
+    expression it replaces on the small-filter path (r13, guide §4.2:
+    the higher-order ``exists`` is CodegenFallback, so the probe ran as
+    interpreted per-gram lambda evaluation — the dominant steady cost of
+    q_decontaminate_bloom).
+
+    ``words`` is the dense uint64 word array (length ``m_bits/64``).
+    Per gram ``g`` the k probe positions are
+    ``pmod(xxhash64(cast(j as bigint), g), m_bits)`` — Spark's chained
+    xxhash64 is ``hashLong(g, hashLong(j, 42))``, reproduced here as
+    ~k vectorized uint64 ufunc passes (wraparound multiply = the JVM's
+    overflow semantics; numpy's ``%`` on int64 with a positive divisor
+    is exactly ``pmod``). NULL gram arrays yield NULL (``exists`` on a
+    NULL array is NULL); empty ones yield false. Marked
+    nondeterministic so drop-mode's pushed-down ``NOT contaminated``
+    filter cannot duplicate the stage (guide §4.4).
+    """
+    import numpy as np
+    import pandas as pd
+
+    seeds = [_xxh64_long_py(j, 42) for j in range(k)]
+    n_words_local = int(m_bits // 64)
+    if len(words) != n_words_local:
+        raise ValueError(
+            f"dense bloom array has {len(words)} words, expected "
+            f"{n_words_local} for m_bits={m_bits}"
+        )
+
+    def fn(grams):
+        n = len(grams)
+        vals = grams.to_numpy(dtype=object, copy=False)
+        null = np.fromiter((g is None for g in vals), dtype=bool, count=n)
+        sizes = np.fromiter(
+            (0 if g is None else len(g) for g in vals),
+            dtype=np.int64, count=n,
+        )
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        total = int(offsets[-1])
+        if total == 0:
+            return pd.Series(
+                [None if nu else False for nu in null], dtype=object
+            )
+        flat = np.concatenate(
+            [np.asarray(g, dtype=np.int64) for g in vals if g is not None
+             and len(g)]
+        ).view(np.uint64)
+        hit = np.ones(total, dtype=bool)
+        with np.errstate(over="ignore"):
+            for s in seeds:
+                # hashLong(g, seed_j): one rotl-multiply chain + fmix.
+                h = flat * np.uint64(_XXP2)
+                h = (h << np.uint64(31)) | (h >> np.uint64(33))
+                h = h * np.uint64(_XXP1)
+                h = np.uint64((s + _XXP5 + 8) & (_M64 - 1)) ^ h
+                h = (h << np.uint64(27)) | (h >> np.uint64(37))
+                h = h * np.uint64(_XXP1) + np.uint64(_XXP4)
+                h ^= h >> np.uint64(33)
+                h = h * np.uint64(_XXP2)
+                h ^= h >> np.uint64(29)
+                h = h * np.uint64(_XXP3)
+                h ^= h >> np.uint64(32)
+                pos = h.view(np.int64) % np.int64(m_bits)
+                bit = (
+                    words[pos >> np.int64(6)]
+                    >> (pos & np.int64(63)).astype(np.uint64)
+                ) & np.uint64(1)
+                hit &= bit != 0
+        csum = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(hit, out=csum[1:])
+        any_hit = csum[offsets[1:]] > csum[offsets[:-1]]
+        return pd.Series(
+            [None if null[i] else bool(any_hit[i]) for i in range(n)],
+            dtype=object,
+        )
+
+    return F.pandas_udf(fn, "boolean").asNondeterministic()
+
+
 def bloom_build(
     df: SparkDF,
     text_col: str,
@@ -266,6 +387,30 @@ def decontaminate_bloom(
             m_bits=m_bits,
             k=k,
         )
+    if m_bits <= _BLOOM_VECTOR_MAX_BITS:
+        # Small-filter fast path (r13, guide §4.2): the sparse words
+        # collect to the driver (≤ m_bits/64 rows — a config-bounded
+        # collect, 128 KiB at the default m_bits=2^20) and the probe
+        # runs as one vectorized Arrow pass per corpus partition —
+        # ONLY the gram-hash column crosses the Python boundary. The
+        # membership decision is bit-identical to the `exists` form
+        # below (pinned in tests). OR-fold on fill: bloom_build/
+        # load_bloom already emit one row per word, but a raw delta
+        # store's duplicates merge losslessly here too (bit OR is the
+        # filter's own idempotent merge rule).
+        import numpy as np
+
+        words = np.zeros(n_words, dtype=np.uint64)
+        for r in word_bits.collect():
+            words[int(r["word"])] |= np.uint64(int(r["bits"]) & (_M64 - 1))
+        probe = _bloom_probe_udf(words, m_bits, k)
+        flagged = corpus.withColumn(
+            "contaminated", probe(shingle_hash64(text_col, n=n))
+        )
+        if mode == "drop":
+            return flagged.where(~F.col("contaminated")).drop("contaminated")
+        return flagged
+
     # Dense word array as ONE row: range ⟕ sparse words, then an ordered
     # fold (array_sort on (word, bits) structs — deterministic without a
     # single-partition sort). Bounded by m_bits/64 entries, same

@@ -146,6 +146,58 @@ class TestDecontaminateBloom:
             corpus, empty, "doc_id", "text", n=8
         ).count() == 3
 
+    def test_xxh64_long_matches_spark(self, spark):
+        """The vectorized probe's hashLong replay is bit-identical to
+        F.xxhash64 — the chained two-arg form the probe positions use."""
+        from ons_utils_spark.operators.corpus import _xxh64_long_py
+
+        vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789123456789]
+        df = spark.createDataFrame([(v,) for v in vals], "g bigint")
+        rows = df.select(
+            "g",
+            *[
+                F.xxhash64(F.lit(j).cast("bigint"), F.col("g")).alias(f"h{j}")
+                for j in range(4)
+            ],
+        ).collect()
+        m64 = 1 << 64
+        for r in rows:
+            for j in range(4):
+                seed = _xxh64_long_py(j, 42)
+                got = _xxh64_long_py(r["g"] % m64, seed)
+                want = r[f"h{j}"] % m64
+                assert got == want, (r["g"], j)
+
+    def test_vector_probe_bit_identical_to_exists_path(
+        self, spark, monkeypatch
+    ):
+        """The Arrow vector probe and the broadcast-join `exists` form
+        return the SAME flag for every doc — including empty-gram docs
+        (too short for an n-gram) and NULL text."""
+        import ons_utils_spark.operators.corpus as corpus_mod
+
+        docs = spark.createDataFrame(
+            [(1, BASE), (2, NEAR), (3, OTHER), (4, "too short"), (5, None)],
+            "doc_id bigint, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "essay: " + BASE[:90])], "bench_id bigint, text string"
+        )
+
+        def flags():
+            return {
+                r["doc_id"]: r["contaminated"]
+                for r in corpus_mod.decontaminate_bloom(
+                    docs, bench, "doc_id", "text", n=8, mode="flag"
+                ).collect()
+            }
+
+        vec = flags()
+        monkeypatch.setattr(corpus_mod, "_BLOOM_VECTOR_MAX_BITS", 0)
+        old = flags()
+        assert vec == old
+        assert vec[1] is True and vec[3] is False
+
 
 class TestPackSequences:
     def test_packing_layout(self, spark):

@@ -59,6 +59,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _run_overlapped(*thunks):
+    """Run INDEPENDENT store-build chains concurrently from driver
+    threads (guide §2.6): Spark's scheduler overlaps jobs happily —
+    chains of driver-blocking actions (trainings, witnessed saves,
+    validated loads) are sequential only because the driver calls them
+    sequentially, and each job here uses a handful of tasks, leaving
+    most executor slots idle for the other chain to back-fill.
+    ``inheritable_thread_target`` propagates the caller's job-group
+    thread-local into the workers, so the bench's per-query job
+    counting (and UI labeling) is unchanged. Returns the thunks'
+    results in caller order; a failing chain re-raises after every
+    chain has stopped (pool exit waits), so the caller's cleanup
+    cannot yank files from under a still-running sibling."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [
+            pool.submit(inheritable_thread_target(t)) for t in thunks
+        ]
+        return [f.result() for f in futures]
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -9169,46 +9193,58 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id bigint, terms array<string>, embedding array<double>",
     )
 
-    postings, stats = _text.bm25_index_build(docs, "doc_id", "text")
-    coded, coarse, cbs = _pq.ivf_pq_build(
-        emb, "vec_id", "embedding", dim=64, n_lists=8, m=4, k=16,
-        coarse_iter=2, n_iter=1,
-    )
-    idx = _pq.make_ivf_pq_index(coarse, cbs)
+    union_vocab = sorted({
+        t.lower() for _, terms, _ in _HYBRID_QUERIES for t in terms
+    })
     tmp = tempfile.mkdtemp(prefix="hybrid_idx_")
     try:
-        _text.save_bm25_index(postings, stats, f"{tmp}/bm25")
-        lp, ls = _text.load_bm25_index(spark, f"{tmp}/bm25")
-        union_vocab = sorted({
-            t.lower() for _, terms, _ in _HYBRID_QUERIES for t in terms
-        })
-        # Materialize both stores' PRUNED fragments before the tempdir
-        # goes away (the driver collects after this function returns):
-        # the lexical read is the scorer's own term predicate, the ANN
-        # read the union of both queries' probe lists — each checkpoint
-        # executes exactly the pruned scan its store exists for, and
-        # the operators' internal re-filters of these rows are no-ops.
-        lp = _text._filter_postings_terms(lp, union_vocab).localCheckpoint(
-            eager=True
-        )
-        ls = ls.localCheckpoint(eager=True)
+        # The two store chains are independent until serving — build,
+        # save, load, and checkpoint them in OVERLAPPED driver threads
+        # (guide §2.6): the ANN chain's Lloyd/save jobs leave most
+        # slots idle, which the lexical chain back-fills.
+        # Materializing both stores' PRUNED fragments before the
+        # tempdir goes away is unchanged (the driver collects after
+        # this function returns): the lexical read is the scorer's own
+        # term predicate, the ANN read the union of both queries'
+        # probe lists — each checkpoint executes exactly the pruned
+        # scan its store exists for, and the operators' internal
+        # re-filters of these rows are no-ops.
+        def _lexical_chain():
+            postings, stats = _text.bm25_index_build(
+                docs, "doc_id", "text"
+            )
+            _text.save_bm25_index(postings, stats, f"{tmp}/bm25")
+            lp, ls = _text.load_bm25_index(spark, f"{tmp}/bm25")
+            lp = _text._filter_postings_terms(
+                lp, union_vocab
+            ).localCheckpoint(eager=True)
+            return lp, ls.localCheckpoint(eager=True)
 
-        _pq.save_ivf_pq_table(coded, idx, f"{tmp}/ann")
-        lc, li = _pq.load_ivf_pq_table(spark, f"{tmp}/ann")
-        union_probes = sorted({
-            j
-            for q in qvecs.values()
-            for _, j in sorted(
-                (
-                    _py_dot(q, q) + _py_dot(c, c) - 2 * _py_dot(q, c),
-                    j,
-                )
-                for j, c in enumerate(li.coarse_centroids)
-            )[:2]
-        })
-        frag = lc.where(
-            F.col("__list").isin(union_probes)
-        ).localCheckpoint(eager=True)
+        def _ann_chain():
+            coded, coarse, cbs = _pq.ivf_pq_build(
+                emb, "vec_id", "embedding", dim=64, n_lists=8, m=4,
+                k=16, coarse_iter=2, n_iter=1,
+            )
+            idx = _pq.make_ivf_pq_index(coarse, cbs)
+            _pq.save_ivf_pq_table(coded, idx, f"{tmp}/ann")
+            lc, li = _pq.load_ivf_pq_table(spark, f"{tmp}/ann")
+            union_probes = sorted({
+                j
+                for q in qvecs.values()
+                for _, j in sorted(
+                    (
+                        _py_dot(q, q) + _py_dot(c, c) - 2 * _py_dot(q, c),
+                        j,
+                    )
+                    for j, c in enumerate(li.coarse_centroids)
+                )[:2]
+            })
+            frag = lc.where(
+                F.col("__list").isin(union_probes)
+            ).localCheckpoint(eager=True)
+            return frag, li
+
+        (lp, ls), (frag, li) = _run_overlapped(_lexical_chain, _ann_chain)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _retrieval.hybrid_batch_topk(
@@ -9321,39 +9357,48 @@ def q_hybrid_retrieval_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id bigint, terms array<string>, embedding array<double>",
     )
 
-    postings, stats = _text.bm25_index_build(docs, "doc_id", "text")
-    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
-        emb, dim=64, n_lists=8, coarse_iter=2,
-    )
-    idx = _sim.make_sq_index(coarse, vmin, vmax)
+    union_vocab = sorted({
+        t.lower() for _, terms, _ in _HYBRID_QUERIES for t in terms
+    })
     tmp = tempfile.mkdtemp(prefix="hybrid_sq_")
     try:
-        _text.save_bm25_index(postings, stats, f"{tmp}/bm25")
-        lp, ls = _text.load_bm25_index(spark, f"{tmp}/bm25")
-        union_vocab = sorted({
-            t.lower() for _, terms, _ in _HYBRID_QUERIES for t in terms
-        })
-        lp = _text._filter_postings_terms(lp, union_vocab).localCheckpoint(
-            eager=True
-        )
-        ls = ls.localCheckpoint(eager=True)
+        # Overlapped independent store chains — q_hybrid_retrieval's
+        # guide-§2.6 orchestration, SQ codec family.
+        def _lexical_chain():
+            postings, stats = _text.bm25_index_build(
+                docs, "doc_id", "text"
+            )
+            _text.save_bm25_index(postings, stats, f"{tmp}/bm25")
+            lp, ls = _text.load_bm25_index(spark, f"{tmp}/bm25")
+            lp = _text._filter_postings_terms(
+                lp, union_vocab
+            ).localCheckpoint(eager=True)
+            return lp, ls.localCheckpoint(eager=True)
 
-        _sim.save_sq_table(coded, idx, f"{tmp}/ann")
-        lc, li = _sim.load_sq_table(spark, f"{tmp}/ann")
-        union_probes = sorted({
-            j
-            for q in qvecs.values()
-            for _, j in sorted(
-                (
-                    _py_dot(q, q) + _py_dot(c, c) - 2 * _py_dot(q, c),
-                    j,
-                )
-                for j, c in enumerate(li.coarse_centroids)
-            )[:2]
-        })
-        frag = lc.where(
-            F.col("__list").isin(union_probes)
-        ).localCheckpoint(eager=True)
+        def _ann_chain():
+            coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+                emb, dim=64, n_lists=8, coarse_iter=2,
+            )
+            idx = _sim.make_sq_index(coarse, vmin, vmax)
+            _sim.save_sq_table(coded, idx, f"{tmp}/ann")
+            lc, li = _sim.load_sq_table(spark, f"{tmp}/ann")
+            union_probes = sorted({
+                j
+                for q in qvecs.values()
+                for _, j in sorted(
+                    (
+                        _py_dot(q, q) + _py_dot(c, c) - 2 * _py_dot(q, c),
+                        j,
+                    )
+                    for j, c in enumerate(li.coarse_centroids)
+                )[:2]
+            })
+            frag = lc.where(
+                F.col("__list").isin(union_probes)
+            ).localCheckpoint(eager=True)
+            return frag, li
+
+        (lp, ls), (frag, li) = _run_overlapped(_lexical_chain, _ann_chain)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _retrieval.hybrid_batch_topk(
@@ -9635,50 +9680,62 @@ def q_rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qtext", dim=_RAG_DIM,
     ).drop("qtext")
 
-    coded, coarse, vmin, vmax = _sim.ivf_sq_build(
-        base, dim=_RAG_DIM, n_lists=_RAG_LISTS, coarse_iter=2,
-    )
-    idx = _sim.make_sq_index(coarse, vmin, vmax)
     tmp = tempfile.mkdtemp(prefix="rag_ingest_")
     try:
-        _sim.save_sq_table(coded, idx, f"{tmp}/ann")
-        _sim.ivf_sq_table_append(
-            more.select("vec_id", "embedding"), f"{tmp}/ann", batch_id=0
-        )
-        _text.bm25_index_append(
-            base.select("vec_id", "chunk_text"),
-            "vec_id", "chunk_text", f"{tmp}/bm25",
-        )
-        _text.bm25_index_append(
-            more.select("vec_id", "chunk_text"),
-            "vec_id", "chunk_text", f"{tmp}/bm25", batch_id=1,
-        )
-        lp, ls = _text.load_bm25_index_incremental(spark, f"{tmp}/bm25")
-        union_vocab = sorted({
-            t.lower() for _, terms in _RAG_QUERIES for t in terms
-        })
-        lp = _text._filter_postings_terms(lp, union_vocab).localCheckpoint(
-            eager=True
-        )
-        ls = ls.localCheckpoint(eager=True)
+        # The ANN chain (build → save → append) and the lexical chain
+        # (two witnessed appends → load → pruned checkpoint) are
+        # independent until serving — overlapped driver threads (guide
+        # §2.6), same orchestration as q_hybrid_retrieval.
+        def _lexical_chain():
+            _text.bm25_index_append(
+                base.select("vec_id", "chunk_text"),
+                "vec_id", "chunk_text", f"{tmp}/bm25",
+            )
+            _text.bm25_index_append(
+                more.select("vec_id", "chunk_text"),
+                "vec_id", "chunk_text", f"{tmp}/bm25", batch_id=1,
+            )
+            lp, ls = _text.load_bm25_index_incremental(
+                spark, f"{tmp}/bm25"
+            )
+            union_vocab = sorted({
+                t.lower() for _, terms in _RAG_QUERIES for t in terms
+            })
+            lp = _text._filter_postings_terms(
+                lp, union_vocab
+            ).localCheckpoint(eager=True)
+            return lp, ls.localCheckpoint(eager=True)
 
-        lc, li = _sim.load_sq_table(spark, f"{tmp}/ann")
-        union_probes = sorted({
-            j
-            for r in queries.collect()
-            for _, j in sorted(
-                (
-                    _py_dot(r["embedding"], r["embedding"])
-                    + _py_dot(c, c)
-                    - 2 * _py_dot(r["embedding"], c),
-                    j,
-                )
-                for j, c in enumerate(li.coarse_centroids)
-            )[:_RAG_PROBE]
-        })
-        frag = lc.where(
-            F.col("__list").isin(union_probes)
-        ).localCheckpoint(eager=True)
+        def _ann_chain():
+            coded, coarse, vmin, vmax = _sim.ivf_sq_build(
+                base, dim=_RAG_DIM, n_lists=_RAG_LISTS, coarse_iter=2,
+            )
+            idx = _sim.make_sq_index(coarse, vmin, vmax)
+            _sim.save_sq_table(coded, idx, f"{tmp}/ann")
+            _sim.ivf_sq_table_append(
+                more.select("vec_id", "embedding"), f"{tmp}/ann",
+                batch_id=0,
+            )
+            lc, li = _sim.load_sq_table(spark, f"{tmp}/ann")
+            union_probes = sorted({
+                j
+                for r in queries.collect()
+                for _, j in sorted(
+                    (
+                        _py_dot(r["embedding"], r["embedding"])
+                        + _py_dot(c, c)
+                        - 2 * _py_dot(r["embedding"], c),
+                        j,
+                    )
+                    for j, c in enumerate(li.coarse_centroids)
+                )[:_RAG_PROBE]
+            })
+            frag = lc.where(
+                F.col("__list").isin(union_probes)
+            ).localCheckpoint(eager=True)
+            return frag, li
+
+        (lp, ls), (frag, li) = _run_overlapped(_lexical_chain, _ann_chain)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _retrieval.hybrid_batch_topk(

@@ -2054,6 +2054,7 @@ def hash_embed(
     text_col: str,
     dim: int = 16,
     out_col: str = "embedding",
+    method: str = "vector",
 ):
     """Hashed bag-of-tokens featurizer: ``out_col`` becomes a dense
     ``array<double>`` of length ``dim`` where slot ``i`` counts the
@@ -2064,23 +2065,61 @@ def hash_embed(
     bit-exact DuckDB twin in ``plans/oracle_xxh64.py``, and counts are
     integer-valued doubles — no float accumulation anywhere).
 
-    Pure row-local expressions (no UDF, no shuffle): embedding a
-    100 TB chunk table is a map-only scan, O(tokens × dim) per row in
-    whole-stage codegen. Empty/NULL text embeds to the zero vector.
+    No shuffle either way: embedding a 100 TB chunk table is a
+    map-only scan. ``method="vector"`` (default, r13 guide §4.2)
+    computes the token-hash buckets JVM-side and BINCOUNTS them in one
+    Arrow pass per partition — the expression form's per-slot
+    ``size(filter(buckets, b == i))`` is a higher-order function
+    (CodegenFallback), so its O(tokens × dim) ran as interpreted
+    lambda evaluation per row. Counts are identical integers (pinned
+    in tests). ``method="expr"`` keeps the pure-expression form — use
+    it for tiny literal frames (e.g. a query workload) where staying a
+    LocalRelation keeps size stats known-small for downstream
+    broadcast decisions. Empty/NULL text embeds to the zero vector.
     Use a real model UDF in its place when quality matters; every
     downstream consumer (``ivf_sq_table_append``, ``hybrid_batch_topk``)
     only sees ``array<double>``.
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1 (got {dim})")
+    if method not in ("vector", "expr"):
+        raise ValueError(f"method must be 'vector' or 'expr', got {method!r}")
     toks = F.coalesce(tokenize(text_col), F.array())
     buckets = F.transform(
         toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim))
     )
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.size(
-            F.filter(buckets, lambda b: b == i)
-        ).cast("double"),
-    )
-    return df.withColumn(out_col, vec)
+    if method == "expr":
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.size(
+                F.filter(buckets, lambda b: b == i)
+            ).cast("double"),
+        )
+        return df.withColumn(out_col, vec)
+
+    def fn(bs):
+        import numpy as np
+        import pandas as pd
+
+        n = len(bs)
+        vals = bs.to_numpy(dtype=object, copy=False)
+        sizes = np.fromiter(
+            (0 if b is None else len(b) for b in vals),
+            dtype=np.int64, count=n,
+        )
+        total = int(sizes.sum())
+        if total == 0:
+            zero = [0.0] * dim
+            return pd.Series([list(zero) for _ in range(n)])
+        flat = np.concatenate(
+            [np.asarray(b, dtype=np.int64) for b in vals
+             if b is not None and len(b)]
+        )
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        counts = np.bincount(
+            row_idx * dim + flat, minlength=n * dim
+        ).reshape(n, dim).astype(np.float64)
+        return pd.Series(list(counts))
+
+    udf = F.pandas_udf(fn, "array<double>")
+    return df.withColumn(out_col, udf(buckets))

@@ -9669,7 +9669,9 @@ def q_rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT localCheckpoint'd: the plan is a 2-row literal + row-local
     # hash fold — recomputing it per consumer is free, and keeping the
     # LocalRelation means its size stats stay known-small for every
-    # broadcast decision downstream.
+    # broadcast decision downstream (method="expr" keeps the fold a
+    # pure expression for the same reason — a Python eval node here
+    # would cost more than the 2 rows it embeds).
     queries = _text.hash_embed(
         local_rows_df(
             spark,
@@ -9677,7 +9679,7 @@ def q_rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
              for qid, terms in _RAG_QUERIES],
             "query_id bigint, terms array<string>, qtext string",
         ),
-        "qtext", dim=_RAG_DIM,
+        "qtext", dim=_RAG_DIM, method="expr",
     ).drop("qtext")
 
     tmp = tempfile.mkdtemp(prefix="rag_ingest_")

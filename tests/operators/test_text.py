@@ -1563,13 +1563,48 @@ class TestHashEmbed:
         with _pytest.raises(ValueError, match="dim"):
             hash_embed(df, "body", dim=0)
 
-    def test_plan_is_pure_expressions(self, spark):
+    def test_expr_plan_is_pure_expressions(self, spark):
+        """method='expr' stays a pure expression plan (the tiny-frame
+        LocalRelation-stats path); the default vector path is
+        Arrow-batched, never row-pickled BatchEvalPython."""
         from ons_utils_spark.operators.text import hash_embed
 
         df = spark.createDataFrame([(0, "a b c")], "id long, body string")
         plan = (
-            hash_embed(df, "body", dim=8)
+            hash_embed(df, "body", dim=8, method="expr")
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+        vplan = (
+            hash_embed(df, "body", dim=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" in vplan
+        assert "BatchEvalPython" not in vplan
+
+    def test_vector_matches_expr_bit_for_bit(self, spark):
+        """The Arrow bincount path and the expression path produce the
+        SAME vectors — mixed lengths, repeats, empty and NULL text."""
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.text import hash_embed
+
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta alpha gamma delta"),
+                (1, None),
+                (2, "   "),
+                (3, "one"),
+                (4, " ".join(f"tok{i % 7}" for i in range(50))),
+            ],
+            "id long, body string",
+        )
+        vec = {r["id"]: r["embedding"]
+               for r in hash_embed(df, "body", dim=8).collect()}
+        expr = {r["id"]: r["embedding"]
+                for r in hash_embed(df, "body", dim=8,
+                                    method="expr").collect()}
+        assert vec == expr
+        with _pytest.raises(ValueError, match="method"):
+            hash_embed(df, "body", dim=8, method="nope")

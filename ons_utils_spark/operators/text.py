@@ -1540,10 +1540,15 @@ def bm25_batch_topk_indexed(
     from pyspark.sql import functions as F
 
     qt, vocab = _query_table_vocab(queries, query_id_col, terms_col)
+    # Lazy persist, not an eager checkpoint (r13): both consumers (the
+    # dfs aggregate's broadcast build and the scoring join) read the
+    # same materialized rows either way, but the eager form paid one
+    # extra driver-blocking job per scorer call before any consumer
+    # ran; lazily, the first consumer's job materializes the cache.
     tf = (
         postings.join(F.broadcast(vocab), "term", "left_semi")
         .select("term", "id", "tf", F.col("dl").alias("__dl"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     hits = (

@@ -1492,12 +1492,20 @@ def mmr_rerank(
     # ONE execution of the candidates lineage (ADVICE r11: the previous
     # count()+collect() pair re-ran the whole upstream retrieval chain
     # — two index-store reads + fusion in the hybrid pipeline — once
-    # per action): checkpoint the k-row projection, then the bound
-    # check and the collect both read the materialized rows.
-    cand = candidates.select(cand_id_col, score_col).localCheckpoint(
-        eager=True
+    # per action): checkpoint the k-row projection and OBSERVE the
+    # bound-check count on that same materialization (r13: the
+    # standalone count() was a third driver-blocking job over rows the
+    # checkpoint had already touched), then the collect reads the
+    # materialized rows.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    cand = (
+        candidates.select(cand_id_col, score_col)
+        .observe(obs, F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
     )
-    n_cand = cand.count()
+    n_cand = obs.get["__n"]
     if n_cand > _MMR_MAX_CANDIDATES:
         raise ValueError(
             f"mmr_rerank got {n_cand} candidates — the greedy stage is "

@@ -1310,14 +1310,19 @@ def bm25_index_build(df, id_col: str, text_col: str):
     rightly avoid materializing token arrays because they run per
     query; a build runs once per corpus/batch, and the checkpoint
     spills to executor disk). The postings aggregate is checkpointed
-    too — it feeds the write AND the ``n_postings`` count.
+    too — and the ``(n_postings, postings_xor)`` witness is OBSERVED on
+    that same materialization (``Dataset.observe`` fires on the eager
+    checkpoint), not recomputed by a second full-pass job: count and
+    bit_xor are order-independent, so the observed values are
+    bit-identical to a post-hoc aggregate over the checkpointed rows.
     """
-    from pyspark.sql import functions as F
+    from pyspark.sql import Observation, functions as F
 
     toks = df.select(
         F.col(id_col).alias("id"),
         F.coalesce(tokenize(text_col), F.array()).alias("__toks"),
     ).localCheckpoint(eager=True)
+    obs = Observation()
     postings = (
         toks.select(
             "id",
@@ -1327,14 +1332,16 @@ def bm25_index_build(df, id_col: str, text_col: str):
         .groupBy("term", "id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("term", "id", "tf", "dl")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("__np"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("term", "id", "tf", "dl")), F.lit(0)
+            ).alias("__px"),
+        )
         .localCheckpoint(eager=True)
     )
-    witness = postings.agg(
-        F.count(F.lit(1)).alias("__np"),
-        F.coalesce(
-            F.bit_xor(F.xxhash64("term", "id", "tf", "dl")), F.lit(0)
-        ).alias("__px"),
-    ).collect()[0]
+    witness = obs.get
     stats = (
         toks.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1410,14 +1417,19 @@ def load_bm25_index(spark, path: str):
             "or foreign store; rebuild it with bm25_index_build + "
             "save_bm25_index"
         )
-    n_rows = stats.count()
-    if n_rows != 1:
+    # take(2), not count()+collect(): one job reads the one-row table
+    # AND proves it is one-row (a second row, if any, shows up in the
+    # same bounded read) — the old pair paid two driver-blocking jobs
+    # for one tiny parquet read.
+    head = stats.take(2)
+    if len(head) != 1:
+        n_rows = len(head) if len(head) < 2 else stats.count()
         raise ValueError(
             f"BM25 index stats at {path!r} has {n_rows} rows — expected "
             "exactly 1; the store is torn or not a BM25 index"
         )
     postings = spark.read.parquet(f"{path}/postings")
-    row = stats.collect()[0]
+    row = head[0]
     _check_postings_witness(
         postings, row["n_postings"], row["postings_xor"], repr(path),
         "Re-run save_bm25_index.",
@@ -1485,9 +1497,20 @@ def bm25_scores_indexed(
     from pyspark.sql import functions as F
 
     qt = _normalize_query_terms(query_terms)
+    # LAZY localCheckpoint, not an eager one (r13): both consumers (the
+    # dfs aggregate's broadcast build and the scoring join) read the
+    # same materialized pruned rows either way, but the eager form paid
+    # one extra driver-blocking job per scorer call before any consumer
+    # ran; lazily, the first consumer's job materializes the blocks.
+    # NOT ``.persist()``: CacheManager matches plan-EQUAL reads (file
+    # reads canonicalize by root path, not by file listing), so a
+    # cached scorer plan over a store path would silently serve STALE
+    # rows to a later scorer call after an append to the same path —
+    # the RDD-scoped checkpoint is invisible to plan matching (pinned
+    # by test_serve_append_serve_sees_fresh_rows).
     tf = _filter_postings_terms(postings, qt).select(
         "term", "id", "tf", F.col("dl").alias("__dl")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     hits = (
         tf.join(F.broadcast(dfs), "term")
@@ -1540,15 +1563,22 @@ def bm25_batch_topk_indexed(
     from pyspark.sql import functions as F
 
     qt, vocab = _query_table_vocab(queries, query_id_col, terms_col)
-    # Lazy persist, not an eager checkpoint (r13): both consumers (the
+    # LAZY localCheckpoint, not an eager one (r13): both consumers (the
     # dfs aggregate's broadcast build and the scoring join) read the
     # same materialized rows either way, but the eager form paid one
     # extra driver-blocking job per scorer call before any consumer
-    # ran; lazily, the first consumer's job materializes the cache.
+    # ran; lazily, the first consumer's job materializes the blocks.
+    # NOT ``.persist()`` (the first r13 form): CacheManager matches
+    # plan-EQUAL reads (file reads canonicalize by root path, not by
+    # file listing), so the cached pruned fragment would silently serve
+    # STALE rows to a plan-identical scorer call issued after an append
+    # to the same store path — the RDD-scoped checkpoint is invisible
+    # to plan matching and each call materializes its own read (pinned
+    # by test_serve_append_serve_sees_fresh_rows).
     tf = (
         postings.join(F.broadcast(vocab), "term", "left_semi")
         .select("term", "id", "tf", F.col("dl").alias("__dl"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     hits = (
@@ -1662,7 +1692,25 @@ def load_bm25_index_incremental(spark, store_path: str):
             "postings_xor"
         ),
     )
-    row = stats.collect()[0]
+    # ONE validation job over the per-batch stats rows: the postings
+    # witness fold and (when the store has seen deletes) the tombstone
+    # delta fold are aggregates over the SAME tiny table — fold them in
+    # the same job instead of two sequential collects. The returned
+    # ``stats`` frame keeps its 4-column schema; only the validation
+    # read is fused.
+    val_aggs = [
+        F.coalesce(F.sum("n_postings"), F.lit(0)).alias("n_postings"),
+        F.coalesce(F.bit_xor("postings_xor"), F.lit(0)).alias(
+            "postings_xor"
+        ),
+    ]
+    has_tomb_stats = "n_tombstones" in raw_stats.columns
+    if has_tomb_stats:
+        val_aggs += [
+            F.coalesce(F.sum("n_tombstones"), F.lit(0)).alias("nt"),
+            F.coalesce(F.bit_xor("tombstones_xor"), F.lit(0)).alias("tx"),
+        ]
+    row = raw_stats.agg(*val_aggs).collect()[0]
     _check_postings_witness(
         postings, row["n_postings"], row["postings_xor"],
         repr(store_path),
@@ -1671,15 +1719,9 @@ def load_bm25_index_incremental(spark, store_path: str):
     )
     tomb_path = f"{store_path}/tombstones"
     have_dir = dir_exists(tomb_path)
-    if have_dir or "n_tombstones" in raw_stats.columns:
-        if "n_tombstones" in raw_stats.columns:
-            trow = raw_stats.agg(
-                F.coalesce(F.sum("n_tombstones"), F.lit(0)).alias("nt"),
-                F.coalesce(F.bit_xor("tombstones_xor"), F.lit(0)).alias(
-                    "tx"
-                ),
-            ).collect()[0]
-            want_nt, want_tx = trow["nt"], trow["tx"]
+    if have_dir or has_tomb_stats:
+        if has_tomb_stats:
+            want_nt, want_tx = row["nt"], row["tx"]
         else:
             want_nt, want_tx = 0, 0
         if have_dir:

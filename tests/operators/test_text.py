@@ -892,6 +892,61 @@ class TestBm25IncrementalIndex:
         one = bm25_topk_indexed(whole_p, whole_s, terms, topk=4).collect()
         assert [tuple(r) for r in inc] == [tuple(r) for r in one]
 
+    def test_serve_append_serve_sees_fresh_rows(self, spark, tmp_path):
+        # Regression pin for the r13 lazy-materialization change: the
+        # scorers' pruned-fragment stage must NOT register in the SQL
+        # CacheManager. Plan matching canonicalizes file reads by root
+        # path (not file listing), so a ``.persist()`` there would make
+        # a scorer call issued AFTER an append to the same store path
+        # silently serve the pre-append rows (observed: stale top-k).
+        # Sequence: serve (materializes the lazy stage) → append →
+        # reload+serve — both the single-query and the batch scorer
+        # must see the appended document.
+        from ons_utils_spark.operators.text import (
+            bm25_batch_topk_indexed,
+            bm25_index_append,
+            bm25_index_build,
+            bm25_topk_indexed,
+            load_bm25_index_incremental,
+        )
+
+        b1 = [(1, "spark spark engine"), (2, "rareword here")]
+        b2 = [(7, "spark spark spark fresh")]
+        store = str(tmp_path / "bm25inc")
+        bm25_index_append(
+            self._docs(spark, b1), "doc_id", "text", store, batch_id=0
+        )
+        p0, s0 = load_bm25_index_incremental(spark, store)
+        queries = spark.createDataFrame(
+            [(0, ["spark"])], "query_id bigint, terms array<string>"
+        )
+        # Materialize both scorers' lazy stages on the pre-append store.
+        bm25_topk_indexed(p0, s0, ["spark"], topk=4).collect()
+        bm25_batch_topk_indexed(p0, s0, queries, topk=4).collect()
+        bm25_index_append(
+            self._docs(spark, b2), "doc_id", "text", store, batch_id=1
+        )
+        p1, s1 = load_bm25_index_incremental(spark, store)
+        whole_p, whole_s = bm25_index_build(
+            self._docs(spark, b1 + b2), "doc_id", "text"
+        )
+        got_single = bm25_topk_indexed(p1, s1, ["spark"], topk=4).collect()
+        want_single = bm25_topk_indexed(
+            whole_p, whole_s, ["spark"], topk=4
+        ).collect()
+        assert [tuple(r) for r in got_single] == [
+            tuple(r) for r in want_single
+        ]
+        assert 7 in {r["id"] for r in got_single}
+        got_batch = bm25_batch_topk_indexed(p1, s1, queries, topk=4).collect()
+        want_batch = bm25_batch_topk_indexed(
+            whole_p, whole_s, queries, topk=4
+        ).collect()
+        assert [tuple(r) for r in got_batch] == [
+            tuple(r) for r in want_batch
+        ]
+        assert 7 in {r["id"] for r in got_batch}
+
     def test_replay_is_idempotent(self, spark, tmp_path):
         from ons_utils_spark.operators.text import (
             bm25_index_append,

@@ -2,10 +2,13 @@
 token counting, fingerprinting.
 
 LLM-data-pipeline extension (no reference analogue — SURVEY.md §7 item 7).
-Everything here is JVM-side Catalyst expressions (split / transform /
-aggregate / array_* higher-order functions): zero Python workers in the hot
-path, so the operators scale linearly with executors and stay inside
-whole-stage codegen.
+Mostly JVM-side Catalyst expressions (split / transform / aggregate /
+array_* higher-order functions); the shingle-hash chain additionally has
+an Arrow-vectorized form (r13, default for n ≥ 2) because the zip-shift
+higher-order chain is CodegenFallback — interpreted per element — while
+the identical integer arithmetic runs as a handful of numpy ufunc passes
+per batch (``shingle_hash64(method=...)`` keeps the pure-expression form
+as an opt-in).
 
 Design for 100 TB: all functions are row-local projections — no shuffle at
 all. The only state is literal stopword arrays (constant-folded into the
@@ -60,21 +63,179 @@ def word_shingles(
     return F.array_distinct(grams) if distinct else grams
 
 
+# XXH64 prime constants (public xxHash spec) — the same values
+# plans/oracle_xxh64.py replays in SQL and operators/corpus.py uses for
+# the vectorized Bloom probe.
+_XXP1 = 11400714785074694791
+_XXP2 = 14029467366897019727
+_XXP3 = 1609587929392839161
+_XXP4 = 9650029242287828579
+_XXP5 = 2870177450012600261
+_M64 = 1 << 64
+
+
+def _hashlong_vec(value, seed):
+    """Spark's ``xxhash64`` of ONE bigint under ``seed`` (XXH64's
+    length-8 hashLong path) as numpy uint64 ufunc passes — ``value``
+    is a uint64 array, ``seed`` a uint64 scalar or aligned array
+    (multi-arg ``xxhash64(a, b)`` chains ``hashLong(b, hashLong(a,
+    42))``, so the chain needs the vector-seed form). Wraparound
+    multiply is the JVM's overflow semantics. Bit-identical to
+    ``F.xxhash64`` (pinned in tests against the JVM and against
+    ``corpus._xxh64_long_py``)."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        k1 = value * np.uint64(_XXP2)
+        k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+        k1 = k1 * np.uint64(_XXP1)
+        h = seed + np.uint64((_XXP5 + 8) & (_M64 - 1))
+        h = h ^ k1
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * np.uint64(
+            _XXP1
+        ) + np.uint64(_XXP4)
+        h ^= h >> np.uint64(33)
+        h = h * np.uint64(_XXP2)
+        h ^= h >> np.uint64(29)
+        h = h * np.uint64(_XXP3)
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def _shingle_chain_udf(n: int, distinct: bool):
+    """One Arrow pass deriving the ``n``-gram chain hashes from per-token
+    hashes: ``array<bigint>`` token hashes in, ``array<bigint>`` shingle
+    hashes out. Exact integer arithmetic identical to the zip-shift
+    expression chain (:func:`_shingle_hash64_expr`): each window chains
+    ``xxhash64(acc, next) = hashLong(next, hashLong(acc, 42))`` in the
+    same order; the validity slice drops the padded tail exactly like
+    the expression's ``slice(out, 1, greatest(size − n + 1, 0))``;
+    ``distinct`` keeps FIRST occurrences in order like
+    ``array_distinct``. NULL/short inputs give an empty array (the
+    expression's CASE branch). Marked nondeterministic so a pushed-down
+    filter on a derived column cannot duplicate the stage (guide §4.4).
+    """
+    import pandas as pd
+
+    def fn(col):
+        import numpy as np
+
+        vals = col.to_numpy(dtype=object, copy=False)
+        cnt = len(vals)
+        sizes = np.fromiter(
+            (0 if v is None else len(v) for v in vals),
+            dtype=np.int64,
+            count=cnt,
+        )
+        offsets = np.zeros(cnt + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        total = int(offsets[-1])
+        out_sizes = np.maximum(sizes - (n - 1), 0)
+        empty = np.empty(0, dtype=np.int64)
+        if total == 0:
+            return pd.Series([empty] * cnt, dtype=object)
+        flat = np.concatenate(
+            [
+                np.asarray(v, dtype=np.int64)
+                for v in vals
+                if v is not None and len(v)
+            ]
+        ).view(np.uint64)
+        acc = flat
+        if n > 1:
+            padded = np.concatenate(
+                [flat, np.zeros(n - 1, dtype=np.uint64)]
+            )
+            acc = flat.copy()
+            for k in range(1, n):
+                # Windows whose shifted element crosses a document
+                # boundary (or the padded tail) produce garbage here
+                # and are dropped by the per-document validity slice.
+                acc = _hashlong_vec(
+                    padded[k:k + total],
+                    _hashlong_vec(acc, np.uint64(42)),
+                )
+        grams = acc.view(np.int64)
+        res = []
+        for i in range(cnt):
+            m_i = int(out_sizes[i])
+            if m_i <= 0:
+                res.append(empty)
+                continue
+            s = grams[offsets[i]:offsets[i] + m_i]
+            if distinct:
+                _, idx = np.unique(s, return_index=True)
+                s = s[np.sort(idx)]
+            res.append(s)
+        return pd.Series(res, dtype=object)
+
+    return F.pandas_udf(fn, "array<bigint>").asNondeterministic()
+
+
+def _token_hash_expr(text: str) -> str:
+    """The per-token xxhash64 projection as ONE SQL string (the plan-
+    build fast path — a single py4j round-trip, see
+    :func:`_shingle_hash64_expr`)."""
+    return (
+        f"transform(filter(split(lower(trim(`{text}`)), '\\\\s+'), "
+        f"t -> t <> ''), t -> xxhash64(t))"
+    )
+
+
 def shingle_hash64(
-    text: Union[str, SparkCol], n: int = 3, distinct: bool = True
+    text: Union[str, SparkCol],
+    n: int = 3,
+    distinct: bool = True,
+    method: str = "auto",
 ) -> SparkCol:
     """64-bit hashes of the ``n``-token shingles → ``array<long>``.
 
     The sketch-side twin of :func:`word_shingles` for operators that only
     need shingle IDENTITY (MinHash, SimHash, Jaccard counting): each token
-    is hashed ONCE (xxhash64), then the zip-shift windows chain
+    is hashed ONCE (xxhash64), then the windows chain
     ``xxhash64(acc, next)`` — the hot loop moves 8-byte longs instead of
     allocating an interned string per shingle, and everything downstream
     (distinct, group keys, shuffle rows) carries 8 bytes instead of the
     ~n·word_len string. Set identity matches the string form barring a
     ~2⁻⁶⁴ hash collision, so Jaccard over these sets equals Jaccard over
     string-shingle sets.
+
+    ``method`` (r13, guide §4.2): ``"vector"`` keeps tokenize + the
+    per-token string hash in the JVM and derives the chain in ONE Arrow
+    pass per batch (only the ``array<bigint>`` token hashes cross the
+    boundary) — the zip-shift expression chain is built from
+    higher-order functions, which are CodegenFallback, so at ``n`` = 3-4
+    it paid ~0.4-0.55 s of interpreted per-element lambda evaluation per
+    corpus pass at sf0.1 where the Arrow chain pays ~6 vectorized ufunc
+    passes. ``"expr"`` is the pure-expression form (no Python workers —
+    the right call for tiny literal frames or streaming sinks that must
+    stay expression-only); ``"auto"`` routes ``n >= 2`` to the vector
+    path (at ``n = 1`` there is no chain to vectorize). Both produce
+    bit-identical arrays (pinned in tests).
     """
+    if method == "auto":
+        method = "vector" if n >= 2 else "expr"
+    if method == "vector":
+        th = (
+            F.expr(_token_hash_expr(text))
+            if isinstance(text, str)
+            else F.transform(tokenize(text), lambda t: F.xxhash64(t))
+        )
+        return _shingle_chain_udf(n, distinct)(th)
+    if method != "expr":
+        raise ValueError(
+            f"unknown shingle_hash64 method {method!r} — expected "
+            "'auto', 'vector', or 'expr'"
+        )
+    return _shingle_hash64_expr(text, n, distinct)
+
+
+def _shingle_hash64_expr(
+    text: Union[str, SparkCol], n: int = 3, distinct: bool = True
+) -> SparkCol:
+    """The pure-expression zip-shift form of :func:`shingle_hash64` —
+    kept as the ``method="expr"`` opt-in and the bit-equality reference
+    the vector path is pinned against."""
     if isinstance(text, str):
         # Fast path: the whole pipeline as ONE F.expr string — a single
         # py4j round-trip + server-side SQL parse instead of ~10 Column/

@@ -358,6 +358,100 @@ class TestShingleReferenceEquivalence:
                     )
 
 
+class TestShingleVectorPath:
+    """The Arrow-vectorized shingle chain (r13, default for n >= 2) must
+    be bit-identical to the pure-expression zip-shift form it replaces —
+    values, ARRAY ORDER (positional consumers posexplode it), and
+    array_distinct's first-occurrence order."""
+
+    TEXTS = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one two"),
+        (5, "a b c d e f g"),
+        (6, "x x x x x"),
+        (7, "a b a b a b a b"),
+        (8, "\tone\ntwo  three\t four five six seven"),
+        (9, "Ωmega naïve Z Ωmega naïve Z Ωmega"),
+    ]
+
+    def test_vector_bit_identical_to_expr(self, spark):
+        from ons_utils_spark.operators.text import (
+            _shingle_hash64_expr, shingle_hash64,
+        )
+
+        df = spark.createDataFrame(self.TEXTS, "id bigint, text string")
+        for n in (2, 3, 4, 8):
+            for distinct in (True, False):
+                vec = {
+                    r["id"]: list(r["g"])
+                    for r in df.select(
+                        "id",
+                        shingle_hash64(
+                            "text", n=n, distinct=distinct,
+                            method="vector",
+                        ).alias("g"),
+                    ).collect()
+                }
+                expr = {
+                    r["id"]: list(r["g"])
+                    for r in df.select(
+                        "id",
+                        shingle_hash64(
+                            "text", n=n, distinct=distinct, method="expr"
+                        ).alias("g"),
+                    ).collect()
+                }
+                assert vec == expr, (n, distinct)
+
+    def test_column_input_and_auto_routing(self, spark):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.text import (
+            _shingle_hash64_expr, shingle_hash64,
+        )
+
+        df = spark.createDataFrame(self.TEXTS, "id bigint, text string")
+        # Column (non-string) input takes the Column token-hash builder.
+        vec = df.select(
+            "id", shingle_hash64(F.col("text"), n=3).alias("g")
+        ).collect()
+        expr = df.select(
+            "id", _shingle_hash64_expr(F.col("text"), n=3).alias("g")
+        ).collect()
+        assert [(r["id"], list(r["g"])) for r in vec] == [
+            (r["id"], list(r["g"])) for r in expr
+        ]
+        # n=1 has no chain to vectorize: auto stays pure-expression
+        # (no Python eval node in the plan).
+        plan = df.select(
+            shingle_hash64("text", n=1).alias("g")
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_hashlong_vec_matches_scalar_replay(self):
+        import numpy as np
+
+        from ons_utils_spark.operators.corpus import _xxh64_long_py
+        from ons_utils_spark.operators.text import _hashlong_vec
+
+        vals = np.array(
+            [0, 1, -1, 42, 2**63 - 1, -(2**63), 123456789123456789],
+            dtype=np.int64,
+        ).view(np.uint64)
+        seeds = np.array(
+            [42, 0, -(2**63), 2**62 + 3, 7, 9, -5], dtype=np.int64
+        ).view(np.uint64)
+        got = _hashlong_vec(vals, seeds).view(np.int64)
+        for i in range(len(vals)):
+            want = _xxh64_long_py(
+                int(vals[i]), int(seeds[i]) & ((1 << 64) - 1)
+            )
+            want = want - (1 << 64) if want >= 1 << 63 else want
+            assert int(got[i]) == want, i
+
+
 class TestGopherLineFlags:
     def test_bullet_and_ellipsis_ratios(self, spark):
         from pyspark.sql import functions as F

@@ -606,15 +606,21 @@ def _split_hot_verdict(
     # join, and (via hot) the tag join — uncheckpointed, each consumer
     # would re-run the detection aggregate (the count alone would pay
     # it once and the join again). One shuffle over the (already
-    # checkpointed) gram table, materialized once.
+    # checkpointed) gram table, materialized once — and the candidate
+    # COUNT is observed on that same materialization (r13), not paid as
+    # a separate driver-blocking job over the checkpointed rows.
+    from pyspark.sql import Observation
+
+    obs = Observation()
     cand = (
         sample.groupBy("g")
         .agg(F.count(F.lit(1)).alias("__sc"))
         .where(F.col("__sc") >= thresh)
         .select("g")
+        .observe(obs, F.count(F.lit(1)).alias("__n"))
         .localCheckpoint(eager=True)
     )
-    n_cand = cand.count()
+    n_cand = obs.get["__n"]
     if n_cand == 0:
         return None, grams
     if n_cand <= _HOT_BROADCAST_CAP:

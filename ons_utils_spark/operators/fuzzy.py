@@ -113,13 +113,25 @@ def edit_distance_pairs(
         # id_a == id_b pair — drop those so the id_a < id_b contract holds
         # even on non-unique id columns.
         .where(F.col("id_a") != F.col("id_b"))
-        .distinct()
     )
     # Threshold-bounded levenshtein: early-exits and returns -1 above the
     # budget, so verification cost per pair is O(k * min_len), not O(L²).
+    #
+    # VERIFY BEFORE the multi-variant dedup (r13, guide §2.3 — shuffle
+    # fewer bytes): the distinct used to run FIRST, shuffling every
+    # candidate pair (~956k rows at sf0.1, each carrying both text
+    # payloads) so that false candidates could be deduped before the
+    # cheap bounded levenshtein discarded them anyway. Filtering first
+    # is map-side, so only TRUE pairs (a few hundred rows) reach the
+    # distinct's exchange. A pair sharing several variants verifies
+    # once per shared variant (≤ L duplicates, O(k·L) each) — far
+    # cheaper than shuffling every false candidate's strings. Same
+    # rows out: distance is a pure function of (t_a, t_b), so
+    # dedup-then-verify ≡ verify-then-dedup on (id_a, id_b, t_a, t_b).
     dist = F.levenshtein("t_a", "t_b", max_distance)
     return (
         cand.withColumn("distance", dist)
         .where(F.col("distance") >= 0)
+        .distinct()
         .select("id_a", "id_b", "distance")
     )

@@ -73,6 +73,22 @@ def get_session(
     builder = builder.master(master)
 
     configs = dict(DEFAULT_CONFIGS)
+    if master.startswith("local"):
+        # Local mode puts the driver AND every executor thread in ONE
+        # JVM whose default heap is 1g — measured borderline for a
+        # 32-core run with broadcast builds + checkpoint blocks: the
+        # full bench intermittently dies with "Not enough memory to
+        # build and broadcast the table" (reproduced at 2-of-3 trials
+        # on an otherwise idle 125 GiB host, and equally at the
+        # pre-optimization commit — a long-standing latent flake, not
+        # a regression). Size the combined heap explicitly;
+        # $SPARK_GRAFT_DRIVER_MEM overrides. Only applies when the
+        # session is being CREATED (a live session's JVM keeps its
+        # heap) and never on a real cluster, where spark-submit owns
+        # driver/executor sizing.
+        configs["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
+        )
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)

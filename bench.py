@@ -243,6 +243,14 @@ def run_trial() -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Effective parallelism + master, so the scaling contract is
+        # VERIFIABLE from the printed record (r13 verdict ask #2: the
+        # driver's 8-vs-32-core probe had to guess whether
+        # $SPARK_GRAFT_CPUS was honored and false-flagged
+        # suspect_cpus_ignored; these two fields are read from the live
+        # SparkContext, not the env var, so they prove what ran).
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
         "shared16_total": shared16,
         "shared16_steady": round(sum(steady[n] for n in HEADLINE[:16]), 3),
         "steady_total": round(sum(steady.values()), 3),
@@ -360,6 +368,8 @@ def emit(out: dict) -> None:
             "unit",
             "queries",
             "sf",
+            "cpus",
+            "master",
             "shared16_total",
             "shared16_steady",
             "steady_total",
@@ -441,6 +451,10 @@ def main() -> None:
         "unit": "sec",
         "queries": q_med,
         "sf": t0["sf"],
+        # Deterministic per host invocation — every trial runs the same
+        # master; carry the first trial's values (r13 verdict ask #2).
+        "cpus": t0.get("cpus"),
+        "master": t0.get("master"),
         "shared16_total": round(sum(q_med[n] for n in HEADLINE[:16]), 3),
         "shared16_steady": round(sum(qs_med[n] for n in HEADLINE[:16]), 3),
         "steady_total": round(sum(qs_med.values()), 3),

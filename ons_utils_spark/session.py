@@ -42,6 +42,25 @@ DEFAULT_CONFIGS: dict[str, str] = {
 }
 
 
+def _default_local_heap() -> str:
+    """Local-mode driver-heap default: 8g, clamped to ~50% of physical
+    memory so small hosts/CI containers never request a heap the OS
+    cannot back (the JVM would be OOM-killed mid-bench instead of
+    degrading gracefully). Whole-GiB floor of the clamp, minimum 1g
+    (Spark's own default)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    break
+            else:
+                return "8g"
+    except OSError:
+        return "8g"
+    return f"{max(1, min(8, int(total_gib // 2)))}g"
+
+
 def get_session(
     app_name: str = "ons_utils_spark",
     master: str | None = None,
@@ -85,9 +104,12 @@ def get_session(
         # $SPARK_GRAFT_DRIVER_MEM overrides. Only applies when the
         # session is being CREATED (a live session's JVM keeps its
         # heap) and never on a real cluster, where spark-submit owns
-        # driver/executor sizing.
+        # driver/executor sizing. The default is CLAMPED to ~half of
+        # physical memory (r13 advice): an unconditional 8g on a <8 GiB
+        # CI container would let the heap grow past physical RAM and
+        # trade the broadcast flake for OS OOM kills.
         configs["spark.driver.memory"] = os.environ.get(
-            "SPARK_GRAFT_DRIVER_MEM", "8g"
+            "SPARK_GRAFT_DRIVER_MEM", _default_local_heap()
         )
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")

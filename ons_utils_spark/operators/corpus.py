@@ -620,7 +620,12 @@ def _split_hot_verdict(
         .observe(obs, F.count(F.lit(1)).alias("__n"))
         .localCheckpoint(eager=True)
     )
-    n_cand = obs.get["__n"]
+    from ons_utils_spark.functions.observed import get_observed
+
+    n_cand = get_observed(
+        obs, fallback_df=cand,
+        fallback_aggs=[F.count(F.lit(1)).alias("__n")],
+    )["__n"]
     if n_cand == 0:
         return None, grams
     if n_cand <= _HOT_BROADCAST_CAP:

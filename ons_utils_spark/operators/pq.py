@@ -1152,11 +1152,30 @@ def load_ivf_pq_index(spark, path: str) -> IvfPqIndex:
     return _load_index_with_meta(spark, path)[0]
 
 
+_INDEX_META_SCHEMA = (
+    "format_version int, by_residual boolean, round_dp int, "
+    "n_lists int, m int, k int, sub_d int, fingerprint string, "
+    "coded_generation string"
+)
+_INDEX_VECTORS_SCHEMA = (
+    "component string, subspace int, idx int, vec array<double>"
+)
+
+
 def _load_index_with_meta(spark, path: str):
     """:func:`load_ivf_pq_index` plus the raw meta row — the table
     loaders need ``coded_generation`` without paying a second read of
-    the meta parquet."""
-    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    the meta parquet. The meta and vectors stores are collected in ONE
+    job (r14 — two sequential collects paid two job latencies for a
+    geometry-bounded read); the explicit schemas read a pre-generation
+    store's missing ``coded_generation`` as NULL exactly like the
+    per-store read did."""
+    from ons_utils_spark.sources.store import read_two_stores
+
+    meta_rows, rows = read_two_stores(
+        spark, f"{path}/meta", _INDEX_META_SCHEMA,
+        f"{path}/vectors", _INDEX_VECTORS_SCHEMA,
+    )
     if len(meta_rows) != 1:
         raise ValueError(
             f"index meta at {path!r} has {len(meta_rows)} rows — "
@@ -1169,7 +1188,6 @@ def _load_index_with_meta(spark, path: str):
             f"{meta['format_version']} — this build reads "
             f"{_INDEX_FORMAT_VERSION}"
         )
-    rows = spark.read.parquet(f"{path}/vectors").collect()
     coarse_rows = sorted(
         (r["idx"], list(r["vec"])) for r in rows if r["component"] == "coarse"
     )

@@ -841,11 +841,28 @@ def load_sq_index(spark, path: str) -> SqIndex:
     return _load_sq_index_with_meta(spark, path)[0]
 
 
+_SQ_INDEX_META_SCHEMA = (
+    "format_version int, round_dp int, n_lists int, dim int, "
+    "fingerprint string, coded_generation string, bits int, "
+    "by_residual boolean"
+)
+_SQ_INDEX_VECTORS_SCHEMA = "component string, idx int, vec array<double>"
+
+
 def _load_sq_index_with_meta(spark, path: str):
     """:func:`load_sq_index` plus the raw meta row — the table loaders
     need ``coded_generation`` without a second read of the meta
-    parquet (the PQ family's ``_load_index_with_meta`` twin)."""
-    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    parquet (the PQ family's ``_load_index_with_meta`` twin). Meta and
+    vectors are collected in ONE job (r14); the explicit schemas read
+    pre-flag stores' missing ``bits``/``by_residual``/
+    ``coded_generation`` as NULL, which the geometry fallbacks below
+    already handle exactly like the per-store read did."""
+    from ons_utils_spark.sources.store import read_two_stores
+
+    meta_rows, rows = read_two_stores(
+        spark, f"{path}/meta", _SQ_INDEX_META_SCHEMA,
+        f"{path}/vectors", _SQ_INDEX_VECTORS_SCHEMA,
+    )
     if len(meta_rows) != 1:
         raise ValueError(
             f"SQ index meta at {path!r} has {len(meta_rows)} rows — "
@@ -858,7 +875,6 @@ def _load_sq_index_with_meta(spark, path: str):
             f"{meta['format_version']} — this build reads "
             f"{_SQ_INDEX_FORMAT_VERSION}"
         )
-    rows = spark.read.parquet(f"{path}/vectors").collect()
     coarse_rows = sorted(
         (r["idx"], [float(x) for x in r["vec"]])
         for r in rows if r["component"] == "coarse"
@@ -1505,7 +1521,12 @@ def mmr_rerank(
         .observe(obs, F.count(F.lit(1)).alias("__n"))
         .localCheckpoint(eager=True)
     )
-    n_cand = obs.get["__n"]
+    from ons_utils_spark.functions.observed import get_observed
+
+    n_cand = get_observed(
+        obs, fallback_df=cand,
+        fallback_aggs=[F.count(F.lit(1)).alias("__n")],
+    )["__n"]
     if n_cand > _MMR_MAX_CANDIDATES:
         raise ValueError(
             f"mmr_rerank got {n_cand} candidates — the greedy stage is "

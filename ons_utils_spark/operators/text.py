@@ -1479,6 +1479,8 @@ def bm25_index_build(df, id_col: str, text_col: str):
     """
     from pyspark.sql import Observation, functions as F
 
+    from ons_utils_spark.functions.observed import get_observed
+
     toks = df.select(
         F.col(id_col).alias("id"),
         F.coalesce(tokenize(text_col), F.array()).alias("__toks"),
@@ -1493,16 +1495,14 @@ def bm25_index_build(df, id_col: str, text_col: str):
         .groupBy("term", "id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("term", "id", "tf", "dl")
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("__np"),
-            F.coalesce(
-                F.bit_xor(F.xxhash64("term", "id", "tf", "dl")), F.lit(0)
-            ).alias("__px"),
-        )
+        .observe(obs, *_postings_witness_aggs())
         .localCheckpoint(eager=True)
     )
-    witness = obs.get
+    # Bounded wait + same-aggregates fallback (functions/observed.py
+    # pins the observe-fires-on-eager-checkpoint Spark assumption).
+    witness = get_observed(
+        obs, fallback_df=postings, fallback_aggs=_postings_witness_aggs()
+    )
     stats = (
         toks.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1540,36 +1540,98 @@ def save_bm25_index(postings, stats, path: str) -> None:
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def _postings_witness_aggs():
+    """The (count, content-xor) witness aggregates — ONE definition
+    shared by the build-side observation, both loaders' dedicated
+    validation jobs, and the deferred-witness observations."""
+    return [
+        F.count(F.lit(1)).alias("__np"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64("term", "id", "tf", "dl")), F.lit(0)
+        ).alias("__px"),
+    ]
+
+
+def _raise_torn_postings(have_n, have_xor, want_n, want_xor, where: str,
+                         repair: str) -> None:
+    if have_n != want_n or have_xor != want_xor:
+        raise ValueError(
+            f"BM25 index at {where} is torn: stats expect "
+            f"{want_n} posting rows (content xor {want_xor}) but the "
+            f"store holds {have_n} (xor {have_xor}) — a "
+            f"write crashed between the postings and stats halves. "
+            f"{repair}"
+        )
+
+
 def _check_postings_witness(postings, want_n, want_xor, where: str,
                             repair: str) -> None:
     """Validate the (count, content-xor) cross-store witness — shared by
     both loaders. The xor catches tears the count alone cannot (a stale
     stats row whose posting count happens to coincide with the new
     postings — e.g. a reworded corpus with the same (term, id) shape)."""
-    from pyspark.sql import functions as F
+    have = postings.agg(*_postings_witness_aggs()).collect()[0]
+    _raise_torn_postings(
+        have["__np"], have["__px"], want_n, want_xor, where, repair
+    )
 
-    have = postings.agg(
-        F.count(F.lit(1)).alias("__np"),
-        F.coalesce(
-            F.bit_xor(F.xxhash64("term", "id", "tf", "dl")), F.lit(0)
-        ).alias("__px"),
-    ).collect()[0]
-    if have["__np"] != want_n or have["__px"] != want_xor:
-        raise ValueError(
-            f"BM25 index at {where} is torn: stats expect "
-            f"{want_n} posting rows (content xor {want_xor}) but the "
-            f"store holds {have['__np']} (xor {have['__px']}) — a "
-            f"write crashed between the postings and stats halves. "
-            f"{repair}"
+
+def _deferred_postings_witness(postings, want_n, want_xor, where: str,
+                               repair: str):
+    """Attach the witness aggregates to ``postings`` as an OBSERVATION
+    instead of running a dedicated full-index job (r13 verdict ask #1 —
+    the build side has worked this way since r13; this is the LOAD-side
+    twin). Returns ``(observed_postings, validate)``.
+
+    The caller contract: run one FULL materialization of (a derivation
+    of) the returned frame — e.g. an eager ``localCheckpoint`` of a
+    pruned fragment — then call ``validate()``, BEFORE serving anything
+    derived from the store. Catalyst never pushes filters below the
+    ``CollectMetrics`` node, so the witness aggregates the WHOLE store
+    whatever the consumer prunes; that first scan therefore reads the
+    full index — exactly the bytes the dedicated witness job read — and
+    the consumer's own filter runs above it. ``validate()`` raises the
+    same torn-store error as the eager check; if the observed metrics
+    do not arrive (a future Spark stops reporting CollectMetrics for
+    the action), it falls back to the dedicated aggregate job — the
+    pre-r14 protocol."""
+    from pyspark.sql import Observation
+
+    from ons_utils_spark.functions.observed import get_observed
+
+    obs = Observation()
+    observed = postings.observe(obs, *_postings_witness_aggs())
+
+    def validate() -> None:
+        have = get_observed(
+            obs, fallback_df=postings,
+            fallback_aggs=_postings_witness_aggs(),
+        )
+        _raise_torn_postings(
+            have["__np"], have["__px"], want_n, want_xor, where, repair
         )
 
+    return observed, validate
 
-def load_bm25_index(spark, path: str):
+
+def load_bm25_index(spark, path: str, defer_witness: bool = False):
     """Load a :func:`save_bm25_index` store → ``(postings, stats)``
     ready for :func:`bm25_topk_indexed`. Validates the stats row count
     AND the (count, content-xor) cross-store witness, so a torn save —
     either half missing or stale, even at a coinciding row count —
-    fails loudly, not with garbage scores."""
+    fails loudly, not with garbage scores.
+
+    The returned ``stats`` is a DRIVER-LOCAL one-row relation built from
+    the row this load already collected for validation (r14): it is
+    independent of the store files (safe to serve after the store
+    directory is gone) and its known-1-row size means the scorers'
+    stats broadcast costs no store read.
+
+    ``defer_witness=True`` returns ``(postings, stats, validate)``
+    instead: the witness rides the first consumer's materialization as
+    an observation rather than a dedicated full-index job — see
+    :func:`_deferred_postings_witness` for the caller contract (fully
+    materialize first, then call ``validate()`` before serving)."""
     stats = spark.read.parquet(f"{path}/stats")
     if "n_postings" not in stats.columns or "postings_xor" not in stats.columns:
         raise ValueError(
@@ -1591,11 +1653,18 @@ def load_bm25_index(spark, path: str):
         )
     postings = spark.read.parquet(f"{path}/postings")
     row = head[0]
+    stats_local = local_rows_df(spark, [row], stats.schema)
+    if defer_witness:
+        observed, validate = _deferred_postings_witness(
+            postings, row["n_postings"], row["postings_xor"], repr(path),
+            "Re-run save_bm25_index.",
+        )
+        return observed, stats_local, validate
     _check_postings_witness(
         postings, row["n_postings"], row["postings_xor"], repr(path),
         "Re-run save_bm25_index.",
     )
-    return postings, stats
+    return postings, stats_local
 
 
 # Above this many query terms the indexed scan swaps its pushdown
@@ -1794,7 +1863,9 @@ def bm25_index_append(
     partitioned_delta_append(stats, f"{store_path}/stats", batch_id=batch_id)
 
 
-def load_bm25_index_incremental(spark, store_path: str):
+def load_bm25_index_incremental(
+    spark, store_path: str, defer_witness: bool = False
+):
     """Fold an incremental BM25 index store → ``(postings, stats)``
     ready for :func:`bm25_topk_indexed` /
     :func:`bm25_batch_topk_indexed`. Postings from disjoint new-doc
@@ -1822,7 +1893,17 @@ def load_bm25_index_incremental(spark, store_path: str):
     (count, content-xor), folded and validated against the actual
     tombstone store here — a crash between a delete's two writes fails
     loudly (re-run the delete with its ``batch_id`` to repair), never
-    serves rows without their stats decrement or vice versa."""
+    serves rows without their stats decrement or vice versa.
+
+    The returned ``stats`` is a DRIVER-LOCAL one-row relation (r14):
+    its four aggregates fold in the SAME single job as the validation
+    read of the per-batch stats table (previously the consumers re-ran
+    that fold as their own job), and it is independent of the store
+    files. ``defer_witness=True`` returns ``(postings, stats,
+    validate)`` — the postings witness rides the first consumer's
+    materialization (see :func:`_deferred_postings_witness`; the
+    tombstone-delta witness, when deletes exist, stays an eager check
+    over the tiny tombstone store)."""
     from pyspark.sql import functions as F
 
     from ons_utils_spark.sources.store import (
@@ -1844,22 +1925,15 @@ def load_bm25_index_incremental(spark, store_path: str):
             "bm25_index_append"
         )
     raw_postings = spark.read.parquet(f"{store_path}/postings")
-    postings = raw_postings.select("term", "id", "tf", "dl")
-    stats = raw_stats.agg(
+    # ONE validation job over the per-batch stats rows: the served
+    # 4-column stats fold, the postings witness fold, and (when the
+    # store has seen deletes) the tombstone delta fold are aggregates
+    # over the SAME tiny table — fold them all in one job instead of
+    # sequential collects, and return the served stats as driver-local
+    # rows (the consumers' own stats job disappears).
+    val_aggs = [
         F.sum("n").alias("n"),
         F.sum("total_dl").alias("total_dl"),
-        F.coalesce(F.sum("n_postings"), F.lit(0)).alias("n_postings"),
-        F.coalesce(F.bit_xor("postings_xor"), F.lit(0)).alias(
-            "postings_xor"
-        ),
-    )
-    # ONE validation job over the per-batch stats rows: the postings
-    # witness fold and (when the store has seen deletes) the tombstone
-    # delta fold are aggregates over the SAME tiny table — fold them in
-    # the same job instead of two sequential collects. The returned
-    # ``stats`` frame keeps its 4-column schema; only the validation
-    # read is fused.
-    val_aggs = [
         F.coalesce(F.sum("n_postings"), F.lit(0)).alias("n_postings"),
         F.coalesce(F.bit_xor("postings_xor"), F.lit(0)).alias(
             "postings_xor"
@@ -1872,12 +1946,28 @@ def load_bm25_index_incremental(spark, store_path: str):
             F.coalesce(F.bit_xor("tombstones_xor"), F.lit(0)).alias("tx"),
         ]
     row = raw_stats.agg(*val_aggs).collect()[0]
-    _check_postings_witness(
-        postings, row["n_postings"], row["postings_xor"],
-        repr(store_path),
-        "Re-run the append with its explicit batch_id to repair (the "
-        "partition overwrite replaces both halves).",
+    stats = local_rows_df(
+        spark,
+        [(row["n"], row["total_dl"], row["n_postings"],
+          row["postings_xor"])],
+        "n bigint, total_dl bigint, n_postings bigint, "
+        "postings_xor bigint",
     )
+    repair = (
+        "Re-run the append with its explicit batch_id to repair (the "
+        "partition overwrite replaces both halves)."
+    )
+    if defer_witness:
+        raw_postings, validate = _deferred_postings_witness(
+            raw_postings, row["n_postings"], row["postings_xor"],
+            repr(store_path), repair,
+        )
+    postings = raw_postings.select("term", "id", "tf", "dl")
+    if not defer_witness:
+        _check_postings_witness(
+            postings, row["n_postings"], row["postings_xor"],
+            repr(store_path), repair,
+        )
     tomb_path = f"{store_path}/tombstones"
     have_dir = dir_exists(tomb_path)
     if have_dir or has_tomb_stats:
@@ -1913,9 +2003,15 @@ def load_bm25_index_incremental(spark, store_path: str):
             wm = tombs.groupBy("id").agg(
                 F.max("batch_id").alias("__dead_upto")
             )
+            # raw_postings is the OBSERVED frame in deferred mode, so
+            # the witness still aggregates the pre-tombstone store rows
+            # (the stored stats count them all) while the served
+            # postings apply the watermark filter above it.
             postings = apply_tombstones(raw_postings, wm).select(
                 "term", "id", "tf", "dl"
             )
+    if defer_witness:
+        return postings, stats, validate
     return postings, stats
 
 

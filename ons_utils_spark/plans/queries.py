@@ -8714,19 +8714,23 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="bm25_idx_")
     try:
         _text.save_bm25_index(postings, stats, tmp)
-        lp, ls = _text.load_bm25_index(spark, tmp)
-        # Materialize off the temp store before it is removed — the
-        # returned plan must not read deleted files when the driver
-        # collects it after this function returns. The checkpoint runs
-        # the scorer's own term predicate (the pushdown-able In filter,
-        # _filter_postings_terms) so the executed read IS the pruned
-        # row-group read the store exists for — checkpointing the raw
-        # table would materialize the whole index and bypass pruning;
-        # the scorer's later re-filter of these rows is a no-op.
+        # Deferred witness (r14): the (count, xor) validation rides the
+        # fragment checkpoint below as an observation instead of a
+        # dedicated full-index job. The checkpoint still runs the
+        # scorer's own term predicate (_filter_postings_terms), but its
+        # SCAN now reads the full store — filters never push below the
+        # CollectMetrics node — which is exactly the bytes the removed
+        # witness job read; one full pass total instead of full+pruned.
+        # The scorer's later re-filter of the materialized rows is a
+        # no-op, and ls is driver-local rows (no store-file dependence,
+        # nothing to materialize before the tempdir goes away).
+        lp, ls, validate = _text.load_bm25_index(
+            spark, tmp, defer_witness=True
+        )
         lp = _text._filter_postings_terms(
             lp, [t.lower() for t in _BM25_IDX_TERMS]
         ).localCheckpoint(eager=True)
-        ls = ls.localCheckpoint(eager=True)
+        validate()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _text.bm25_topk_indexed(lp, ls, _BM25_IDX_TERMS, topk=15)
@@ -8806,11 +8810,11 @@ def q_bm25_indexed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize the pruned, tombstone-filtered read off the temp
         # store before it is removed (the q_bm25_indexed pattern — the
         # checkpoint runs the scorer's own In-term predicate, so what
-        # executes IS the pruned read).
+        # executes IS the pruned read). ls is driver-local rows (r14)
+        # — nothing to materialize before the tempdir goes away.
         lp = _text._filter_postings_terms(
             lp, [t.lower() for t in _BM25_IDX_TERMS]
         ).localCheckpoint(eager=True)
-        ls = ls.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _text.bm25_topk_indexed(lp, ls, _BM25_IDX_TERMS, topk=15)
@@ -8916,7 +8920,6 @@ def q_bm25_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp = _text._filter_postings_terms(
             lp, [t.lower() for t in _BM25_IDX_TERMS]
         ).localCheckpoint(eager=True)
-        ls = ls.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _text.bm25_topk_indexed(lp, ls, _BM25_IDX_TERMS, topk=15)
@@ -9214,11 +9217,22 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 docs, "doc_id", "text"
             )
             _text.save_bm25_index(postings, stats, f"{tmp}/bm25")
-            lp, ls = _text.load_bm25_index(spark, f"{tmp}/bm25")
+            # Deferred witness (r14): the (count, xor) validation rides
+            # the pruned-fragment checkpoint below as an observation —
+            # the checkpoint's scan reads the full store (filters never
+            # push below CollectMetrics), i.e. exactly the bytes the
+            # dedicated witness job used to read, and validate() raises
+            # the same torn-store error before anything serves. ls is
+            # driver-local rows now — no store-file dependence, no
+            # checkpoint needed before the tempdir goes away.
+            lp, ls, validate = _text.load_bm25_index(
+                spark, f"{tmp}/bm25", defer_witness=True
+            )
             lp = _text._filter_postings_terms(
                 lp, union_vocab
             ).localCheckpoint(eager=True)
-            return lp, ls.localCheckpoint(eager=True)
+            validate()
+            return lp, ls
 
         def _ann_chain():
             coded, coarse, cbs = _pq.ivf_pq_build(
@@ -9369,11 +9383,16 @@ def q_hybrid_retrieval_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 docs, "doc_id", "text"
             )
             _text.save_bm25_index(postings, stats, f"{tmp}/bm25")
-            lp, ls = _text.load_bm25_index(spark, f"{tmp}/bm25")
+            # Deferred witness + driver-local stats (r14) — see
+            # q_hybrid_retrieval's lexical chain.
+            lp, ls, validate = _text.load_bm25_index(
+                spark, f"{tmp}/bm25", defer_witness=True
+            )
             lp = _text._filter_postings_terms(
                 lp, union_vocab
             ).localCheckpoint(eager=True)
-            return lp, ls.localCheckpoint(eager=True)
+            validate()
+            return lp, ls
 
         def _ann_chain():
             coded, coarse, vmin, vmax = _sim.ivf_sq_build(
@@ -9697,8 +9716,11 @@ def q_rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 more.select("vec_id", "chunk_text"),
                 "vec_id", "chunk_text", f"{tmp}/bm25", batch_id=1,
             )
-            lp, ls = _text.load_bm25_index_incremental(
-                spark, f"{tmp}/bm25"
+            # Deferred witness + driver-local stats (r14) — see
+            # q_hybrid_retrieval's lexical chain; the incremental
+            # loader's stats fold already rides its validation job.
+            lp, ls, validate = _text.load_bm25_index_incremental(
+                spark, f"{tmp}/bm25", defer_witness=True
             )
             union_vocab = sorted({
                 t.lower() for _, terms in _RAG_QUERIES for t in terms
@@ -9706,7 +9728,8 @@ def q_rag_ingest_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
             lp = _text._filter_postings_terms(
                 lp, union_vocab
             ).localCheckpoint(eager=True)
-            return lp, ls.localCheckpoint(eager=True)
+            validate()
+            return lp, ls
 
         def _ann_chain():
             coded, coarse, vmin, vmax = _sim.ivf_sq_build(

@@ -47,6 +47,55 @@ def _resolve_fs(path: str):
     return pafs.FileSystem.from_uri(path)
 
 
+def read_two_stores(spark, path_a: str, schema_a, path_b: str, schema_b):
+    """Collect TWO small parquet stores in ONE Spark job →
+    ``(rows_a, rows_b)``, each a list of Rows in the store's own schema.
+
+    The index loaders previously collected ``meta/`` and ``vectors/``
+    as two sequential driver-blocking jobs; for stores this size
+    (one row + index-geometry rows) the job latency dwarfs the read, so
+    the pair is folded into a single scan over both directories (r14,
+    r13 verdict ask #1). Requirements: the two schemas' column-name sets
+    must not overlap ambiguously (shared names would merge), and both
+    schemas are EXPLICIT — no footer-merging job, and a column missing
+    from older files reads as NULL exactly like a per-store read with
+    that schema would. Rows are attributed to their store by the scan's
+    ``_metadata.file_path``.
+    """
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    sa = (
+        schema_a if isinstance(schema_a, StructType)
+        else StructType.fromDDL(schema_a)
+    )
+    sb = (
+        schema_b if isinstance(schema_b, StructType)
+        else StructType.fromDDL(schema_b)
+    )
+    names_a = [f.name for f in sa.fields]
+    union = StructType(
+        list(sa.fields)
+        + [f for f in sb.fields if f.name not in set(names_a)]
+    )
+    names_b = [f.name for f in sb.fields]
+    rows = (
+        spark.read.schema(union)
+        .parquet(path_a, path_b)
+        .select("*", F.col("_metadata.file_path").alias("__src"))
+        .collect()
+    )
+    # Normalize separators so the prefix test is path-shape agnostic.
+    prefix_a = _resolve_fs(path_a)[1].rstrip("/") + "/"
+    rows_a, rows_b = [], []
+    for r in rows:
+        src = r["__src"]
+        target = rows_a if prefix_a in src else rows_b
+        names = names_a if target is rows_a else names_b
+        target.append(Row(**{n: r[n] for n in names}))
+    return rows_a, rows_b
+
+
 def _root_level_data_files(path: str) -> "list[str]":
     """Data files sitting at the store ROOT (outside any ``batch_id=``
     partition directory) — the pre-r6 plain-append layout. Empty list if

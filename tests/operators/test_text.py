@@ -1757,3 +1757,129 @@ class TestHashEmbed:
         assert vec == expr
         with _pytest.raises(ValueError, match="method"):
             hash_embed(df, "body", dim=8, method="nope")
+
+
+class TestDeferredLoadWitness:
+    """r14: the load-side witness rides the first consumer's
+    materialization as an observation instead of a dedicated
+    full-index job — same validation values, same torn-store error,
+    and the observation sees the FULL store even when the consumer
+    prunes (filters never push below CollectMetrics)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_deferred_matches_eager_and_serves_identically(
+        self, spark, tmp_path
+    ):
+        from ons_utils_spark.operators import text as T
+
+        df = self._docs(
+            spark,
+            [(1, "spark spark engine"), (2, "rareword appears"),
+             (3, "spark filler words")],
+        )
+        postings, stats = T.bm25_index_build(df, "doc_id", "text")
+        path = str(tmp_path / "bm25def")
+        T.save_bm25_index(postings, stats, path)
+        lp_e, ls_e = T.load_bm25_index(spark, path)
+        lp_d, ls_d, validate = T.load_bm25_index(
+            spark, path, defer_witness=True
+        )
+        # Pruned consumer: the fragment filter must NOT prune the
+        # observed witness (it aggregates the whole store).
+        frag = T._filter_postings_terms(lp_d, ["spark"]).localCheckpoint(
+            eager=True
+        )
+        validate()  # healthy store: no error
+        # Served results identical between the two load forms.
+        got = T.bm25_topk_indexed(frag, ls_d, ["spark"], topk=5).collect()
+        want = T.bm25_topk_indexed(
+            T._filter_postings_terms(lp_e, ["spark"]), ls_e,
+            ["spark"], topk=5,
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        # The local stats row carries the stored values.
+        assert [tuple(r) for r in ls_d.collect()] == [
+            tuple(r) for r in ls_e.collect()
+        ]
+
+    def test_deferred_torn_save_raises_on_validate(self, spark, tmp_path):
+        import pytest
+
+        from ons_utils_spark.operators import text as T
+
+        old = self._docs(spark, [(1, "spark engine")])
+        new = self._docs(
+            spark,
+            [(1, "spark engine"), (2, "rareword appears here often")],
+        )
+        path = str(tmp_path / "bm25def_torn")
+        op, os_ = T.bm25_index_build(old, "doc_id", "text")
+        T.save_bm25_index(op, os_, path)
+        np_, _ = T.bm25_index_build(new, "doc_id", "text")
+        (
+            np_.repartitionByRange("term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+        lp, ls, validate = T.load_bm25_index(
+            spark, path, defer_witness=True
+        )
+        T._filter_postings_terms(lp, ["spark"]).localCheckpoint(eager=True)
+        with pytest.raises(ValueError, match="torn"):
+            validate()
+
+    def test_deferred_incremental_torn_append_raises(self, spark, tmp_path):
+        import pytest
+
+        from ons_utils_spark.operators import text as T
+        from ons_utils_spark.sources.store import partitioned_delta_append
+
+        store = str(tmp_path / "bm25def_inc")
+        T.bm25_index_append(
+            self._docs(spark, [(1, "spark engine")]),
+            "doc_id", "text", store, batch_id=0,
+        )
+        p2, _ = T.bm25_index_build(
+            self._docs(spark, [(2, "rareword appears")]), "doc_id", "text"
+        )
+        partitioned_delta_append(p2, f"{store}/postings", batch_id=1)
+        lp, ls, validate = T.load_bm25_index_incremental(
+            spark, store, defer_witness=True
+        )
+        T._filter_postings_terms(lp, ["spark"]).localCheckpoint(eager=True)
+        with pytest.raises(ValueError, match="torn"):
+            validate()
+
+    def test_deferred_incremental_healthy_matches_eager(
+        self, spark, tmp_path
+    ):
+        from ons_utils_spark.operators import text as T
+
+        store = str(tmp_path / "bm25def_inc_ok")
+        T.bm25_index_append(
+            self._docs(
+                spark, [(1, "spark spark engine"), (2, "rareword here")]
+            ),
+            "doc_id", "text", store, batch_id=0,
+        )
+        T.bm25_index_append(
+            self._docs(spark, [(3, "spark and filler words")]),
+            "doc_id", "text", store, batch_id=1,
+        )
+        lp_e, ls_e = T.load_bm25_index_incremental(spark, store)
+        lp_d, ls_d, validate = T.load_bm25_index_incremental(
+            spark, store, defer_witness=True
+        )
+        frag = T._filter_postings_terms(lp_d, ["spark"]).localCheckpoint(
+            eager=True
+        )
+        validate()
+        got = T.bm25_topk_indexed(frag, ls_d, ["spark"], topk=4).collect()
+        want = T.bm25_topk_indexed(lp_e, ls_e, ["spark"], topk=4).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert [tuple(r) for r in ls_d.collect()] == [
+            tuple(r) for r in ls_e.collect()
+        ]

@@ -43,6 +43,8 @@ def main() -> None:
         extra_configs={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.range(1000).count()
@@ -87,21 +89,33 @@ def main() -> None:
     if log_path is None:
         print(f"no event log found in {evdir}", file=sys.stderr)
         sys.exit(1)
+    if log_path.is_dir():  # Spark 4 rolling event-log layout
+        lines = []
+        for f in sorted(log_path.iterdir()):
+            if f.name.startswith("events_"):
+                lines.extend(open(f))
+    else:
+        lines = list(open(log_path))
     starts: dict[int, dict] = {}
     rows = []
-    for line in open(log_path):
+    for line in lines:
         try:
             ev = json.loads(line)
         except json.JSONDecodeError:
             continue
         if ev.get("Event") == "SparkListenerJobStart":
             props = ev.get("Properties", {}) or {}
+            infos = ev.get("Stage Infos", []) or []
+            names = [i.get("Stage Name", "") for i in infos]
+            # The job's RESULT stage callsite is the most recent stage
+            # (highest id) — the earlier ones are reused/parent stages.
+            name = names[-1] if names else ""
             starts[ev["Job ID"]] = {
                 "t0": ev["Submission Time"],
                 "desc": props.get("spark.job.description", ""),
                 "group": props.get("spark.jobGroup.id", ""),
                 "stages": len(ev.get("Stage IDs", [])),
-                "callsite": (props.get("callSite.short", "") or "")[:90],
+                "callsite": name[:110],
             }
         elif ev.get("Event") == "SparkListenerJobEnd":
             jid = ev["Job ID"]

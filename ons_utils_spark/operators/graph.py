@@ -153,10 +153,22 @@ def pagerank(
         ).persist()
 
     def _truncate(df: SparkDF) -> SparkDF:
-        # Eager, bounded (N rows). localCheckpoint = executor-block
-        # storage (fast, dies with an executor); checkpoint = reliable
-        # FS write (survives executor loss; dir validated above).
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+        # Bounded (N rows). localCheckpoint = executor-block storage
+        # (fast, dies with an executor); checkpoint = reliable FS write
+        # (survives executor loss; dir validated above). The LOCAL form
+        # is LAZY (r14): lineage truncation is identical either way —
+        # downstream iterations plan against the LogicalRDD whether or
+        # not it has materialized — but the eager form paid a dedicated
+        # driver-blocking job per truncation, while lazily the next
+        # consumer's job computes (and persists) the blocks; with two
+        # consumers (redistribute mode) the persist still guarantees
+        # compute-once. The RELIABLE form stays eager: a non-eager
+        # reliable checkpoint recomputes its whole lineage a second
+        # time when the checkpoint file is written.
+        return (
+            df.checkpoint(eager=True) if reliable
+            else df.localCheckpoint(eager=False)
+        )
 
     base_term = F.lit(1.0 - damping) / F.lit(float(n_val))
     for i in range(iterations):
